@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark the headline query suite.
+
+Runs every registry query flagged ``bench=True`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-to-count) after a
+one-query warmup to amortise JVM/session startup out of per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from synth_transform_spark.plans import REGISTRY
+    from synth_transform_spark.session import get_spark
+
+    spark = get_spark("synth-transform-bench")
+    bench = {name: q.spark for name, q in sorted(REGISTRY.items()) if q.bench}
+
+    # Warmup: touch every table once so file listing / JVM JIT don't land on q1.
+    from synth_transform_spark.sources.readers import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in bench.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,222 @@
+"""Deduplication operators for large text corpora.
+
+Four families, all expressed as DataFrame pipelines (no Python row loops):
+
+- exact          — hash-groupBy on a normalised fingerprint (one shuffle).
+- minhash + LSH  — shingle → 12-permutation MinHash → 4 banded buckets →
+                   bucket self-join for candidates → exact Jaccard verify.
+                   The scale path: candidate generation touches only docs
+                   sharing a band key, never the O(n²) pair space.
+- n-gram Jaccard — exact verification used standalone at small scale or as
+                   the verify stage after LSH.
+- SimHash        — 60-bit weighted-token signature; hamming-adjacent bucket
+                   grouping (exact-signature grouping here; banded variants
+                   are a trivial extension).
+
+Reference lineage: duplicate-DOI analysis (SURVEY.md §2.4 A4,
+/root/reference/notebooks/duplicates.ipynb cells 11-14) and the fuzzy-match
+join (SURVEY.md §2.3 J13, /root/reference/synth/resources.py:278-331) are the
+reference's only dedup/similarity surfaces; MinHash/SimHash generalise them to
+corpus scale per the north-star extensions.
+
+Determinism: every hash is md5 over an explicit string encoding, so results
+are reproducible across engines (the DuckDB oracle mirrors the same formulas)
+and across cluster sizes — no seed-dependent JVM hashing in the signatures.
+
+Scale notes (100 TB): shingling is a narrow map; signatures are one
+groupBy(doc) shuffle; banding is a map; the bucket self-join shuffles on
+band_key whose cardinality ~ corpus size / avg bucket size. Skewed buckets
+(boilerplate-heavy corpora) are handled by AQE skew-join; pathological
+band keys (> ``max_bucket`` docs) are dropped like near-constant shingles
+would be in production systems.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+# 12 permutations in 4 bands of 3: P(candidate | jaccard s) = 1-(1-s^3)^4,
+# ≈0.97 at s=0.9, ≈0.29 at s=0.5 — tuned for near-dup (s≥0.8) recall.
+N_PERMS = 12
+BAND_SIZE = 3
+
+
+def normalize_text(col):
+    """Canonical text form for exact dedup: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-dedup groups: md5(normalised text) → (key, n_docs, canonical id).
+
+    Canonical = min id (deterministic). One shuffle on the 32-hex key; at
+    100 TB the key is high-cardinality and uniform → no skew.
+    """
+    return (
+        docs.select(F.col(id_col), F.md5(normalize_text(F.col(text_col))).alias("text_key"))
+        .groupBy("text_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id_col, shingle).
+
+    Built with a single JVM-side ``transform`` over the token array (no
+    self-join, no UDF), then exploded. Whole-stage-codegen friendly.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS) -> DataFrame:
+    """MinHash signature per doc: h_i = min(md5(i || '|' || shingle)).
+
+    md5-as-permutation keeps the signature engine-portable and cluster-stable.
+    One partial-aggregating groupBy — map-side combine keeps the shuffle to
+    one row per (doc, 12 hashes).
+    """
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_perms)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def lsh_bands(
+    sigs: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band keys: (id_col, band_id, band_key=md5(h_a|h_b|h_c))."""
+    n_bands = n_perms // band_size
+    bands = None
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        one = sigs.select(
+            F.col(id_col),
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    return bands
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+
+    The self-join shuffles on (band_id, band_key); ``max_bucket`` drops
+    degenerate buckets (near-constant content) that would square up — the
+    standard guard in production LSH dedup.
+    """
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
+    b = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+
+    Joins are candidate-driven (small side), never corpus×corpus.
+    Returns (id_a, id_b, jaccard) rounded to 4dp for cross-engine stability.
+    """
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → MinHash → LSH → Jaccard verify."""
+    sh = shingles(docs, id_col, text_col, n)
+    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col)
+    return jaccard_verify(cands, sh, id_col, threshold)
+
+
+# SimHash uses 60 bits: 15 hex chars of md5 fit a signed 64-bit int in every
+# engine (Spark conv()→bigint, DuckDB ::ubigint) without overflow.
+SIMHASH_BITS = 60
+
+
+def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Weighted 60-bit SimHash per doc.
+
+    token hash h = first 15 md5 hex chars as int; for each bit j the doc
+    accumulates +weight if bit set else -weight; signature bit j = (sum > 0).
+    Expressed relationally (explode tokens × bits → groupBy) so the oracle
+    can mirror it exactly; at scale the bit explosion is a narrow map and the
+    single shuffle is groupBy(doc).
+    """
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"),
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"))
+    )
+    bits = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        F.col("w"),
+        F.col("h"),
+    ).withColumn(
+        "contrib", F.expr("((shiftright(h, j) & 1) * 2 - 1) * w")
+    )
+    return (
+        bits.groupBy(id_col, "j")
+        .agg(F.sum("contrib").alias("s"))
+        .withColumn(
+            "bitval",
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), j)")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Two tiers:
+
+- ``cosine_topk``     — brute-force exact top-k: broadcast the (small) query
+                        set against the corpus; dot products run JVM-side via
+                        ``zip_with``/``aggregate`` higher-order functions (no
+                        Python UDF, stays in whole-stage codegen).
+- ``ivf_assign`` /
+  ``ivf_topk``        — IVF-style scale path: assign every vector to its
+                        nearest coarse centroid (broadcast centroids), then
+                        probe only the query's ``n_probe`` closest cells.
+                        At 100 TB this turns a full corpus scan per query
+                        into a partition-pruned scan of ~n_probe/n_cells of
+                        the data; cells are also the natural partitioning
+                        key for storage.
+
+Ranking determinism: cosine is rounded to 4dp *before* ranking and ties break
+on vector id, so results are stable across engines (DuckDB oracle) and across
+partitionings (float summation-order noise is far below 1e-4).
+
+No reference lineage — the reference has no embedding surface; this is the
+north-star extension (BASELINE.json). The LSH candidate-generation pattern in
+``dedup.py`` shares the same philosophy.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a, b):
+    """Cosine similarity between two array<float/double> columns (JVM-side)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return _dot(ad, bd) / (_norm(ad) * _norm(bd))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbours for each query vector.
+
+    ``queries`` is expected to be small → broadcast; the corpus side streams
+    once with no shuffle until the final per-query top-k (tiny).
+    Returns (query_id, neighbor_id, cosine) with rank ≤ k.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+    scored = (
+        v.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (broadcast centroids).
+
+    One narrow pass over the corpus; the resulting ``cell_id`` is the IVF
+    partition key (write with ``partitionBy(cell_id)`` for pruned probes).
+    """
+    c = centroids.select(F.col(centroid_id), F.col(centroid_vec))
+    scored = vectors.join(F.broadcast(c)).withColumn(
+        "cell_cos", F.round(cosine(F.col(vec_col), F.col(centroid_vec)), 4)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.asc(centroid_id))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, vec_col, centroid_id)
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Approximate top-k: probe only each query's ``n_probe`` nearest cells.
+
+    With cell-partitioned storage the probe is a partition-pruned scan —
+    the 100 TB path. Recall is tunable via n_probe.
+    """
+    qcells = (
+        queries.join(F.broadcast(centroids.select(centroid_id, centroid_vec)))
+        .withColumn("qc_cos", F.round(cosine(F.col(vec_col), F.col(centroid_vec)), 4))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("qc_cos"), F.asc(centroid_id))
+    probe = (
+        qcells.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), centroid_id)
+    )
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"), centroid_id
+    )
+    scored = (
+        cand.join(F.broadcast(probe), centroid_id)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

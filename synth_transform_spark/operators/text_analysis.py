@@ -1,0 +1,123 @@
+"""Text-analysis operators over a documents table.
+
+All JVM-side column expressions (split/regexp/aggregate) — no Python UDFs —
+so they run inside whole-stage codegen and scale linearly with input bytes.
+
+Reference lineage: tokenisation/cleaning (SURVEY.md §2.8 F1/F2/F16,
+/root/reference/synth/utils.py:56-87, notebooks/outliers.ipynb cell 3) and
+token top-k (§2.4 A8). Language-ID, quality scoring and fingerprinting are
+north-star extensions for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+#: Tiny deterministic marker lexicons for the n-gram/stopword language
+#: heuristic. Real deployments swap in per-language frequency tables; the
+#: operator shape (score per language via token-set hits → argmax) is the same.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "fast"),
+    "es": ("el", "la", "de", "que", "data"),
+    "de": ("der", "die", "und", "von", "table"),
+    "fr": ("le", "la", "et", "de", "join"),
+    "zh": ("de", "le", "shi", "zai", "merge"),
+}
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def _tokens(text_col):
+    return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: n_tokens, n_distinct, avg token length."""
+    toks = _tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast("double")
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, stopword ratio, punct ratio,
+    distinct-token ratio, and a composite keep/drop flag.
+
+    The shape matches production quality filters (Gopher/C4-style rules);
+    thresholds are illustrative.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        n.cast("long").alias("n_tokens"),
+        F.round(stop_hits.cast("double") / n, 4).alias("stopword_ratio"),
+        F.round(punct.cast("double") / F.length(F.col(text_col)), 4).alias("punct_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n, 4).alias("distinct_ratio"),
+    ).withColumn(
+        "keep",
+        (F.col("n_tokens") >= 10)
+        & (F.col("distinct_ratio") >= 0.1)
+        & (F.col("punct_ratio") <= 0.3),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-lexicon language ID: argmax over per-language token hits.
+
+    Deterministic tie-break: higher score wins, then alphabetical language
+    code. Entirely JVM-side (array intersect over a literal lexicon).
+    """
+    toks = _tokens(F.col(text_col))
+    scores = [
+        F.size(F.filter(toks, lambda t: t.isin(*markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select(F.col(id_col), *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return scored.select(
+        F.col(id_col), pred.alias("pred_lang"), best.cast("long").alias("lang_score")
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprints: md5 of normalised text + a 60-bit integer hash
+    (first 15 md5 hex chars), the join-friendly compact form."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.md5(norm).alias("fp_md5"),
+        F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long").alias("fp_int"),
+    )
+
+
+def top_tokens(docs: DataFrame, text_col: str = "text", k: int = 10) -> DataFrame:
+    """Corpus-wide token frequency top-k (SURVEY §2.4 A8).
+
+    explode → partial-agg groupBy → global top-k; ties break on token asc so
+    the result set is deterministic.
+    """
+    return (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

@@ -1,0 +1,17 @@
+"""Declared queries: the engine's correctness + bench surface.
+
+Importing this package registers every query into ``registry.REGISTRY``.
+Each query is a (spark_fn, oracle_sql) pair — the oracle is the ANSI-SQL
+twin the DuckDB harness runs on the same parquet tables.
+"""
+
+from . import dedup_queries, events_queries, relational, similarity_queries, textops  # noqa: F401
+from .registry import REGISTRY, Query, bench_queries, oracle_sql_map, query_map
+
+__all__ = [
+    "REGISTRY",
+    "Query",
+    "bench_queries",
+    "oracle_sql_map",
+    "query_map",
+]

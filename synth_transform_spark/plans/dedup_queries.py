@@ -1,0 +1,173 @@
+"""Near-duplicate detection queries (north-star dedup operators).
+
+The Spark implementations live in operators/dedup.py; the oracles mirror the
+exact same md5-based algorithms in SQL so the hash-match is bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup
+from ..sources.readers import load_table
+from .registry import register
+
+# Shared CTE: distinct word-3-gram shingles per doc (portable SQL via an
+# index self-join — DuckDB's lateral generate_series can't consume columns).
+_SHINGLES_CTE = """
+docs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) AS i FROM docs
+),
+sh AS (
+    SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+)
+"""
+
+
+def _minhash_oracle() -> str:
+    n_perms, band_size = dedup.N_PERMS, dedup.BAND_SIZE
+    n_bands = n_perms // band_size
+    sig_cols = ", ".join(
+        f"MIN(MD5('{i}|' || shingle)) AS h{i}" for i in range(n_perms)
+    )
+    band_selects = []
+    for b in range(n_bands):
+        cols = " || '|' || ".join(f"h{b * band_size + j}" for j in range(band_size))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, MD5({cols}) AS band_key FROM sigs"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+    SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+),
+bands AS (
+    {bands_sql}
+),
+sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n FROM bands
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sized a
+    JOIN sized b ON b.band_id = a.band_id AND b.band_key = a.band_key
+               AND a.doc_id < b.doc_id
+    WHERE a.bucket_n <= 1000 AND b.bucket_n <= 1000
+),
+inter AS (
+    SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+    GROUP BY c.id_a, c.id_b
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.8
+"""
+
+
+@register(
+    "q27_minhash_near_dups",
+    oracle=_minhash_oracle(),
+    tags=("dedup-minhash", "J13", "A4"),
+    bench=True,
+)
+def q27_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle → MinHash(12) → LSH(4×3) → exact-Jaccard verify ≥ 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(docs, threshold=0.8)
+
+
+@register(
+    "q32_ngram_jaccard_pairs",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT id_a, id_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
+""",
+    tags=("dedup-ngram", "J13"),
+)
+def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force n-gram Jaccard ≥ 0.5 over all shingle-sharing pairs.
+
+    The exact small-scale baseline the LSH path approximates; candidate
+    space is every pair sharing ≥1 shingle (quadratic in bucket size — kept
+    out of the bench suite by design; q27 is the scale path).
+    """
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    sh_a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        sh_a.join(sh_b, ["shingle"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return dedup.jaccard_verify(
+        pairs.select("id_a", "id_b"), sh, threshold=0.5
+    )
+
+
+@register(
+    "q28_simhash",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, tok, COUNT(*) AS wgt
+    FROM (SELECT doc_id, UNNEST(w) AS tok FROM docs) u
+    GROUP BY doc_id, tok
+),
+hashed AS (
+    SELECT doc_id, wgt,
+           CAST(('0x' || SUBSTR(MD5(tok), 1, 15))::UBIGINT AS BIGINT) AS h
+    FROM toks
+),
+bits AS (
+    SELECT doc_id, j.j,
+           SUM((((h >> j.j) & 1) * 2 - 1) * wgt) AS s
+    FROM hashed, (SELECT UNNEST(GENERATE_SERIES(0, {dedup.SIMHASH_BITS - 1})) AS j) j
+    GROUP BY doc_id, j.j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits
+GROUP BY doc_id
+""",
+    tags=("dedup-simhash",),
+)
+def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_signatures(docs)

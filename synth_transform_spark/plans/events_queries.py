@@ -1,0 +1,92 @@
+"""Event-stream queries (batch twins of streaming/events.py jobs).
+
+Tumbling-window aggregation and sessionization over the `events` table.
+The same logic runs as Structured Streaming with watermarks in
+streaming/events.py; batch evaluation here gives the oracle-checkable twin
+(stream-batch equivalence is asserted in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import windows
+from ..sources.readers import load_table
+from .registry import register
+
+
+@register(
+    "q21_tumbling_window",
+    oracle="""
+SELECT TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY window_start, event_type
+""",
+    tags=("streaming-tumbling", "A1"),
+    bench=True,
+)
+def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q22_session_stats",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                     - CAST(EPOCH(DATE_TRUNC('second', LAG(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ordered
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+per AS (
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(EPOCH(DATE_TRUNC('second', MAX(ts))) AS BIGINT)
+             - CAST(EPOCH(DATE_TRUNC('second', MIN(ts))) AS BIGINT) AS span_sec
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id,
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       ROUND(AVG(CAST(n_events AS DOUBLE)), 4) AS avg_events_per_session,
+       MAX(span_sec) AS span_max_sec
+FROM per
+GROUP BY user_id
+""",
+    tags=("streaming-session", "W-frame"),
+    bench=True,
+)
+def q22_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = windows.session_stats(events, gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        "avg_events_per_session",
+        F.col("max_span_sec").alias("span_max_sec"),
+    )

@@ -1,0 +1,597 @@
+"""Relational operator queries over the driver star schema.
+
+Each query re-expresses a SURVEY.md §2 operator family on the driver's
+TPC-H-ish tables (the reference's own tables don't ship with the driver;
+fixture-family pipeline goldens live in tests/). Tags cite the §2 ids.
+
+Plan hygiene (checked via .explain in tests/test_plans.py):
+- filters/projections sit directly on the parquet scans (pushdown),
+- small dims (region/nation/supplier/part at test SF) broadcast,
+- aggregates are partial-agg friendly (no distinct-on-top-of-window shapes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import ids, stats, windows
+from ..sources.readers import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# q01 — TPC-H Q1 shape: scan → filter → groupBy → multi-agg (S1, P10, A1).
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4)                               AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4)                          AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)       AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4)                               AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                          AS avg_price,
+       COUNT(*)                                                AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("S1", "P10", "A1"),
+    bench=True,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q02 — flagship: the reference's access-request rollup view
+# (SURVEY §2.4 A2 + §2.3 J7; /root/reference/synth/etl.py:651-671):
+# per key: COUNT(DISTINCT id), SUM(metric), IF(count=1,false,true) flag,
+# left-joined to the parent entity.
+# --------------------------------------------------------------------------
+@register(
+    "q02_multi_access_rollup",
+    oracle="""
+SELECT c.c_custkey, c.c_name,
+       agg.n_orders,
+       agg.total_price,
+       agg.multi_order_flag
+FROM customer c
+JOIN (
+    SELECT o_custkey,
+           COUNT(DISTINCT o_orderkey)      AS n_orders,
+           ROUND(SUM(o_totalprice), 4)     AS total_price,
+           COUNT(DISTINCT o_orderkey) > 1  AS multi_order_flag
+    FROM orders
+    GROUP BY o_custkey
+) agg ON agg.o_custkey = c.c_custkey
+""",
+    tags=("A2", "J7"),
+    bench=True,
+)
+def q02_multi_access_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    agg = orders.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        (F.countDistinct("o_orderkey") > 1).alias("multi_order_flag"),
+    )
+    return customer.join(
+        agg, customer.c_custkey == agg.o_custkey
+    ).select("c_custkey", "c_name", "n_orders", "total_price", "multi_order_flag")
+
+
+# --------------------------------------------------------------------------
+# q03 — evaluation-score statistics semantics (SURVEY §2.4 A3;
+# /root/reference/synth/etl.py:772-821, utils.py:156-199): falsy-filter,
+# count/mean/mode/sum/sample-stddev, min-size gates, deterministic mode.
+# --------------------------------------------------------------------------
+@register(
+    "q03_score_stats",
+    oracle="""
+WITH vals AS (
+    SELECT l_orderkey, l_quantity
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_quantity <> 0
+),
+st AS (
+    SELECT l_orderkey,
+           COUNT(*) AS n_scores,
+           ROUND(AVG(l_quantity), 4) AS mean_score,
+           ROUND(SUM(l_quantity), 4) AS sum_score,
+           CASE WHEN COUNT(*) >= 2 THEN ROUND(STDDEV_SAMP(l_quantity), 4) END AS std_dev
+    FROM vals GROUP BY l_orderkey
+),
+cnt AS (
+    SELECT l_orderkey, l_quantity AS v, COUNT(*) AS c
+    FROM vals GROUP BY l_orderkey, l_quantity
+),
+md AS (
+    SELECT l_orderkey, v AS mode_score
+    FROM (
+        SELECT l_orderkey, v,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY c DESC, v ASC) AS rk
+        FROM cnt
+    ) ranked
+    WHERE rk = 1
+)
+SELECT st.l_orderkey, st.n_scores, st.mean_score, st.sum_score, st.std_dev, md.mode_score
+FROM st JOIN md ON md.l_orderkey = st.l_orderkey
+""",
+    tags=("A3", "W1-adjacent"),
+    bench=True,
+)
+def q03_score_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return stats.grouped_stats(li, ["l_orderkey"], "l_quantity")
+
+
+# --------------------------------------------------------------------------
+# q07 — hand-rolled rollup-with-totals (SURVEY §2.4 A9) as a real ROLLUP over
+# a 3-dim join chain (J1-style denormalisation).
+# --------------------------------------------------------------------------
+@register(
+    "q07_rollup_revenue",
+    oracle="""
+SELECT COALESCE(r_name, 'ALL') AS region_name,
+       COALESCE(n_name, 'ALL') AS nation_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN region   ON r_regionkey = n_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("A9", "J1", "U2"),
+    bench=True,
+)
+def q07_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 — dimension denormalisation join (SURVEY §2.3 J1: broadcast dims) with
+# pushed-down filter + aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q08_dim_denorm",
+    oracle="""
+SELECT p_brand, s_name,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE p_size >= 25
+GROUP BY p_brand, s_name
+""",
+    tags=("J1", "P3", "A1"),
+    bench=True,
+)
+def q08_dim_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_brand", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — semi join (SURVEY §2.2 P4: IN-list filter ⇒ left_semi).
+# --------------------------------------------------------------------------
+@register(
+    "q09_semi_join",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_quantity >= 48
+)
+""",
+    tags=("P4",),
+)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
+# q10 — anti join (SURVEY §2.2 P5 NOT-IN ⇒ left_anti / §2.7 U3).
+# --------------------------------------------------------------------------
+@register(
+    "q10_anti_join",
+    oracle="""
+SELECT c_custkey, c_name, ROUND(c_acctbal, 4) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+)
+""",
+    tags=("P5", "U3"),
+)
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal"), 4).alias("acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# q11 — positional join (SURVEY §2.3 J15: the reference's Call_Submitted
+# ordinal lookup /root/reference/synth/etl.py:469-486) — row_number per
+# group, pick ordinal position 2.
+# --------------------------------------------------------------------------
+@register(
+    "q11_positional_join",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pos
+    FROM orders
+) t
+WHERE pos = 2
+""",
+    tags=("J15", "W2"),
+)
+def q11_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") == 2)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — deterministic surrogate-ID assignment (SURVEY §2.5 W1;
+# /root/reference/synth/etl.py:215-223 et al.) — window mode.
+# The scalable two-pass mode is exercised in tests (same output contract).
+# --------------------------------------------------------------------------
+@register(
+    "q12_surrogate_ids",
+    oracle="""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS new_id,
+       o_orderkey
+FROM orders
+""",
+    tags=("W1", "O1"),
+    bench=True,
+)
+def q12_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_orderkey")
+    return ids.assign_ids_window(orders, ["o_orderdate", "o_orderkey"]).select(
+        "new_id", "o_orderkey"
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — argmax with tie-break (SURVEY §2.5 W3: max-population city pick,
+# /root/reference/synth/etl.py:735-750).
+# --------------------------------------------------------------------------
+@register(
+    "q13_argmax_tiebreak",
+    oracle="""
+SELECT n_name, c_custkey, ROUND(c_acctbal, 4) AS acctbal
+FROM (
+    SELECT n.n_name, c.c_custkey, c.c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY n.n_name ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rk
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+) t
+WHERE rk = 1
+""",
+    tags=("W3", "O3", "J1"),
+)
+def q13_argmax_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = customer.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("n_name", "c_custkey", F.round(F.col("c_acctbal"), 4).alias("acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — z-score outliers (SURVEY §2.5 W4; population stddev like
+# scipy.stats.zscore in /root/reference/notebooks/outliers.ipynb cell 5).
+# --------------------------------------------------------------------------
+@register(
+    "q14_zscore_outliers",
+    oracle="""
+SELECT o_orderkey, o_totalprice, z_score
+FROM (
+    SELECT o_orderkey, o_totalprice,
+           ROUND((o_totalprice - AVG(o_totalprice) OVER ())
+                 / STDDEV_POP(o_totalprice) OVER (), 4) AS z_score
+    FROM orders
+) t
+WHERE ABS(z_score) > 1.5
+""",
+    tags=("W4", "P12"),
+)
+def q14_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return windows.zscore_outliers(orders, "o_totalprice", ["o_orderkey"], 1.5)
+
+
+# --------------------------------------------------------------------------
+# q15 — deterministic top-k (SURVEY §2.6 O6).
+# --------------------------------------------------------------------------
+@register(
+    "q15_topk_orders",
+    oracle="""
+SELECT o_orderkey, ROUND(o_totalprice, 4) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 15
+""",
+    tags=("O6",),
+)
+def q15_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(15)
+        .select("o_orderkey", F.round(F.col("o_totalprice"), 4).alias("total_price"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — union of the four "synth rounds" (SURVEY §2.7 U1: per-round source
+# union with a round tag; /root/reference/synth/etl.py:196 et al.).
+# --------------------------------------------------------------------------
+@register(
+    "q16_union_rounds",
+    oracle="""
+SELECT synth_round, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total_price
+FROM (
+    SELECT 1 AS synth_round, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+    UNION ALL
+    SELECT 2 AS synth_round, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+    UNION ALL
+    SELECT 3 AS synth_round, o_totalprice FROM orders WHERE o_orderkey % 4 = 2
+    UNION ALL
+    SELECT 4 AS synth_round, o_totalprice FROM orders WHERE o_orderkey % 4 = 3
+) u
+GROUP BY synth_round
+""",
+    tags=("U1",),
+)
+def q16_union_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    parts = [
+        orders.filter(F.col("o_orderkey") % 4 == r)
+        .withColumn("synth_round", F.lit(r + 1))
+        .select("synth_round", "o_totalprice")
+        for r in range(4)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("synth_round").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — scalar string-function chain (SURVEY §2.8 F1/F2/F9 shapes: regexp
+# replace/extract, case, substring, pad, concat).
+# --------------------------------------------------------------------------
+@register(
+    "q17_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name)                                   AS up_name,
+       REGEXP_REPLACE(p_name, ' ', '_', 'g')           AS underscored,
+       SUBSTR(p_name, 1, 5)                            AS prefix5,
+       LENGTH(p_name)                                  AS name_len,
+       CONCAT(p_brand, '|', p_type)                    AS brand_type,
+       LPAD(CAST(p_size AS VARCHAR), 3, '0')           AS size_padded,
+       STRING_SPLIT(p_name, ' ')[1]                    AS first_word
+FROM part
+""",
+    tags=("F1", "F2", "F9", "F19"),
+)
+def q17_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.regexp_replace("p_name", " ", "_").alias("underscored"),
+        F.substring("p_name", 1, 5).alias("prefix5"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 — date-function aggregation (SURVEY §2.8 F3/F5 shapes).
+# --------------------------------------------------------------------------
+@register(
+    "q18_date_funcs",
+    oracle="""
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT)  AS order_year,
+       CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS order_month,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders
+GROUP BY order_year, order_month
+""",
+    tags=("F3", "F5", "A1"),
+)
+def q18_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — fuzzy similarity join (SURVEY §2.3 J13: the reference's
+# fuzz.partial_ratio title matching, /root/reference/synth/resources.py:278-331,
+# re-expressed as an edit-distance theta-join pruned by an equi-key (brand) —
+# the blocking pattern that scales: block key first, similarity inside block).
+# --------------------------------------------------------------------------
+@register(
+    "q20_fuzzy_join",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       LEVENSHTEIN(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 4
+""",
+    tags=("J13", "F15"),
+)
+def q20_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, (F.col("brand_a") == F.col("brand_b")) & (F.col("key_a") < F.col("key_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("edit_dist") <= 4)
+        .select("key_a", "key_b", "edit_dist")
+    )
+
+
+# --------------------------------------------------------------------------
+# q29 — pivot (SURVEY §2.8 F25 / §2.4 A7).
+# --------------------------------------------------------------------------
+@register(
+    "q29_pivot_status",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("F25", "A7"),
+)
+def q29_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q30 — frame-spec running aggregate (beyond the reference's surface; the
+# cumulative-window shape used by the sessionizer and incremental rollups).
+# --------------------------------------------------------------------------
+@register(
+    "q30_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+FROM orders
+""",
+    tags=("W-frame",),
+)
+def q30_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )

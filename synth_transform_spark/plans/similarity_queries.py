@@ -1,0 +1,95 @@
+"""Similarity-search queries over the `embeddings` table (north-star ANN).
+
+Oracles compute cosine in explicit double arithmetic via position-joined
+unnest, mirroring the Spark zip_with/aggregate formula; cosine is rounded to
+4dp before ranking on both sides so float noise cannot reorder neighbours.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity
+from ..sources.readers import load_table
+from .registry import register
+
+_N_QUERIES = 5
+_K = 5
+
+_COSINE_CTE = f"""
+q AS (
+    SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+    WHERE vec_id < {_N_QUERIES}
+),
+qflat AS (
+    SELECT query_id, CAST(UNNEST(q_vec) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(q_vec, 1) AS i
+    FROM q
+),
+vflat AS (
+    SELECT vec_id AS neighbor_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (
+    SELECT neighbor_id AS vid, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY neighbor_id
+),
+dots AS (
+    SELECT qf.query_id, vf.neighbor_id, SUM(qf.x * vf.x) AS dot
+    FROM qflat qf JOIN vflat vf ON vf.i = qf.i
+    WHERE qf.query_id <> vf.neighbor_id
+    GROUP BY qf.query_id, vf.neighbor_id
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 4) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vid = d.query_id
+    JOIN norms nv ON nv.vid = d.neighbor_id
+)
+"""
+
+
+@register(
+    "q23_cosine_topk",
+    oracle=f"""
+WITH {_COSINE_CTE}
+SELECT query_id, neighbor_id, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM scored
+) t
+WHERE rk <= {_K}
+""",
+    tags=("similarity-topk",),
+    bench=True,
+)
+def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k: broadcast 5 query vectors vs corpus."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.cosine_topk(emb, queries, k=_K)
+
+
+@register(
+    "q33_ivf_topk",
+    oracle=None,  # approximate scale path: rows-only driver check; exactness
+    # is covered by q23 (the IVF result is a recall-tunable subset ranking).
+    tags=("similarity-ivf",),
+)
+def q33_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse cells from 8 seed centroids, probe 2 cells."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+    )
+    assigned = similarity.ivf_assign(emb, centroids)
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.ivf_topk(assigned, centroids, queries, k=_K, n_probe=2)

@@ -1,0 +1,242 @@
+"""Text-analysis queries over the `documents` table.
+
+Covers the reference's text surface (tokenise/top-k/profile — SURVEY.md §2.4
+A6/A8, §2.8 F10/F23/F24) and the north-star training-data operators
+(language-ID, quality scoring, fingerprinting).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators import dedup, text_analysis
+from ..sources.readers import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q04 — exact-dedup groups (SURVEY §2.4 A4 duplicate grouping;
+# north-star exact dedup). Canonical doc = min id per normalised-text hash.
+# --------------------------------------------------------------------------
+@register(
+    "q04_exact_dedup_groups",
+    oracle="""
+SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS text_key,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS canonical_id
+FROM documents
+GROUP BY text_key
+""",
+    tags=("A4", "dedup-exact"),
+    bench=True,
+)
+def q04_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_groups(docs)
+
+
+# --------------------------------------------------------------------------
+# q05 — corpus token top-k (SURVEY §2.4 A8 / §2.8 F23 explode).
+# --------------------------------------------------------------------------
+@register(
+    "q05_top_tokens",
+    oracle="""
+SELECT token, COUNT(*) AS n
+FROM (
+    SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS token FROM documents
+) t
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 10
+""",
+    tags=("A8", "F23", "O6"),
+)
+def q05_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.top_tokens(docs, k=10)
+
+
+# --------------------------------------------------------------------------
+# q06 — value profile via unpivot + windowed percentage (SURVEY §2.4 A6/A7,
+# §2.8 F24 melt; /root/reference/notebooks/unidentified.ipynb cells 11-17).
+# --------------------------------------------------------------------------
+@register(
+    "q06_value_profile",
+    oracle="""
+WITH m AS (
+    SELECT 'lang' AS variable, lang AS col_value FROM documents
+    UNION ALL
+    SELECT 'source' AS variable, source AS col_value FROM documents
+),
+c AS (
+    SELECT variable, col_value, COUNT(*) AS n FROM m GROUP BY variable, col_value
+)
+SELECT variable, col_value, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY variable), 4) AS pct
+FROM c
+""",
+    tags=("A6", "A7", "F24"),
+)
+def q06_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    melted = docs.select(
+        F.explode(
+            F.create_map(
+                F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+            )
+        ).alias("variable", "col_value")
+    )
+    counts = melted.groupBy("variable", "col_value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("variable")
+    return counts.withColumn(
+        "pct", F.round(F.col("n").cast("double") / F.sum("n").over(w), 4)
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — DOI regex extraction + normalisation (SURVEY §2.8 F9/F10;
+# /root/reference/synth/parsers/doi.py:45-88). The driver corpus carries no
+# DOIs, so a deterministic DOI-bearing string is synthesised per doc and the
+# extraction chain (regex → uppercase → strip trailing dot) runs on it.
+# --------------------------------------------------------------------------
+@register(
+    "q19_doi_extract",
+    oracle="""
+SELECT doc_id,
+       UPPER(REGEXP_REPLACE(
+           REGEXP_EXTRACT(
+               'see doi:10.' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   || '/j.rec.' || CAST(doc_id AS VARCHAR) || '. end',
+               '10\\.\\d{4}/[-._;()/:a-zA-Z0-9]+'),
+           '\\.$', '')) AS doi
+FROM documents
+""",
+    tags=("F9", "F10", "F13"),
+)
+def q19_doi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("see doi:10."),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("/j.rec."),
+        F.col("doc_id").cast("string"),
+        F.lit(". end"),
+    )
+    doi = F.regexp_extract(synth, r"10\.\d{4}/[-._;()/:a-zA-Z0-9]+", 0)
+    return docs.select(
+        "doc_id", F.upper(F.regexp_replace(doi, r"\.$", "")).alias("doi")
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — quality scoring (north-star text analysis; C4/Gopher-style filters).
+# --------------------------------------------------------------------------
+@register(
+    "q24_quality_score",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, text,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LEN(toks) AS n_tokens,
+       ROUND(CAST(LEN(LIST_FILTER(toks, x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+             / LEN(toks), 4) AS stopword_ratio,
+       ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+             / LENGTH(text), 4) AS punct_ratio,
+       ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 4) AS distinct_ratio,
+       (LEN(toks) >= 10
+        AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.1
+        AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+            / LENGTH(text) <= 0.3) AS keep
+FROM t
+""",
+    tags=("text-quality", "F16"),
+    bench=True,
+)
+def q24_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.quality_score(docs)
+
+
+# --------------------------------------------------------------------------
+# q25 — language ID via marker lexicons (north-star text analysis).
+# --------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    langs = sorted(text_analysis.LANG_MARKERS)
+    score_exprs = []
+    for lg in langs:
+        markers = ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[lg])
+        score_exprs.append(
+            f"LEN(LIST_FILTER(toks, x -> x IN ({markers}))) AS score_{lg}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, {", ".join(score_exprs)} FROM t
+),
+g AS (
+    SELECT *, {greatest} AS best FROM s
+)
+SELECT doc_id, CASE {case} END AS pred_lang, best AS lang_score FROM g
+"""
+
+
+@register("q25_lang_id", oracle=_langid_oracle(), tags=("text-langid",))
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.lang_id(docs)
+
+
+# --------------------------------------------------------------------------
+# q26 — document fingerprinting (north-star; md5 + 60-bit compact hash).
+# --------------------------------------------------------------------------
+@register(
+    "q26_fingerprint",
+    oracle="""
+SELECT doc_id,
+       MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fp_md5,
+       CAST(('0x' || SUBSTR(MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))), 1, 15))::UBIGINT AS BIGINT) AS fp_int
+FROM documents
+""",
+    tags=("text-fingerprint",),
+    bench=True,
+)
+def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.fingerprint(docs)
+
+
+# --------------------------------------------------------------------------
+# q31 — per-doc token stats (token counting north-star op).
+# --------------------------------------------------------------------------
+@register(
+    "q31_token_stats",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    FROM documents
+)
+SELECT doc_id,
+       LEN(toks) AS n_tokens,
+       LEN(LIST_DISTINCT(toks)) AS n_distinct_tokens,
+       ROUND(CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks), 4)
+           AS avg_token_len
+FROM t
+""",
+    tags=("text-tokens", "F16"),
+)
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.token_stats(docs)

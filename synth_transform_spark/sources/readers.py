@@ -1,0 +1,66 @@
+"""Source readers.
+
+The driver substrate is one parquet file per table (TESTDATA.md). Production
+sources the engine supports beyond parquet mirror the reference's source
+surface (SURVEY.md §2.1 S1-S10): JDBC, CSV (multi-valued cells), Excel
+workbooks, JSON lookup maps, and KV cache tables — see ``ingest.py``.
+
+Parquet is the scale path: columnar scan with predicate pushdown, column
+pruning and row-group min/max pruning all handled by the native reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver's star schema + extension tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver table. Column pruning/pushdown left to Catalyst.
+
+    ``events.ts`` is INT64 TIMESTAMP(NANOS) parquet, which Spark 4 refuses by
+    default: read nanos as long and truncate to microsecond timestamps
+    (integer ``div`` — matches DuckDB's ns→us cast truncation).
+    """
+    # Defensive session settings: the driver supplies its own SparkSession,
+    # which may run ANSI-on (Spark 4 default) and a non-UTC session timezone.
+    # The engine's declared semantics are null-on-failure casts and
+    # UTC-instant date parts (oracle parity), so pin both here — every query
+    # path funnels through this loader.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` plans work too."""
+    for t, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(t)

@@ -1,0 +1,35 @@
+"""Replicates the driver's t1/t2 gate: every registered query vs its DuckDB
+oracle at sf0.001 — row count, column names, dtypes, canonicalised values."""
+
+from __future__ import annotations
+
+import pytest
+
+from synth_transform_spark.plans import REGISTRY
+from synth_transform_spark.testing import compare
+
+from conftest import SF_DIR
+
+CASES = sorted(REGISTRY)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(name, spark, oracle_con):
+    q = REGISTRY[name]
+    sdf = q.spark(spark, SF_DIR).toPandas()
+    if q.oracle is None:
+        assert len(sdf) >= 0  # rows-only contract for non-SQL-expressible ops
+        return
+    odf = oracle_con.execute(q.oracle).df()
+    res = compare(sdf, odf)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert len(e.queries()) == len(REGISTRY)
+    for k in e.oracle_sql():
+        assert k in e.queries()
