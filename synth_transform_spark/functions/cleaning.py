@@ -1,0 +1,103 @@
+"""String-cleaning functions (reference scalar surface).
+
+Re-expressions of /root/reference/synth/utils.py:56-124 as composable Column
+expressions (SURVEY.md §2.8 F1/F2/F4). Everything is JVM-side regexp; the
+bs4-exact HTML-strip variant is a gated pandas UDF (bs4 absent in this
+container → the regex approximation is the default and the UDF raises
+cleanly).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+
+def clean_string(col: Column) -> Column:
+    """F1 — /root/reference/synth/utils.py:69-87.
+
+    collapse [\\r\\n\\t]+ → ' '; strip HTML tags; NBSP → ' '; collapse
+    multiple spaces; trim; NULL if empty or no word character remains.
+
+    HTML stripping here is the regex approximation ``<[^>]+>`` → '' (the
+    reference uses BeautifulSoup text extraction; divergence only on
+    malformed markup — see clean_string_html_exact).
+    """
+    c = F.regexp_replace(col, r"[\r\n\t]+", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", "")
+    c = F.regexp_replace(c, " ", " ")
+    c = F.regexp_replace(c, r" +", " ")
+    c = F.trim(c)
+    return F.when(c.rlike(r"\w"), c)
+
+
+def clean_string_html_exact(col: Column) -> Column:
+    """F1 with bs4-exact HTML text extraction (pandas UDF). Requires bs4;
+    raises ImportError at plan-build time if unavailable."""
+    import bs4  # noqa: F401  (gate: container may not ship bs4)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _clean(s):
+        import re
+
+        from bs4 import BeautifulSoup
+
+        def one(v):
+            if v is None:
+                return None
+            v = re.sub(r"[\r\n\t]+", " ", v)
+            v = BeautifulSoup(v, "html.parser").get_text()
+            v = v.replace(" ", " ")
+            v = re.sub(r" +", " ", v).strip()
+            return v if re.search(r"\w", v) else None
+
+        return s.map(one)
+
+    return _clean(col)
+
+
+def find_names(col: Column) -> Column:
+    """F2 — /root/reference/synth/utils.py:56-66.
+
+    Replace ' and ' / '&' (case-insensitive) with '; ', then extract
+    name-like tokens: runs of ≥3 letters optionally joined by -, ' or space.
+    Returns an array<string> of names.
+
+    Divergence note: the reference's ``findall`` with a repeated capture
+    group returns only the LAST repetition per match (``"Lee-Wong"`` →
+    ``"Wong"``). Here the full match is kept (``"Lee-Wong"``) with trailing
+    separators trimmed — strictly more faithful to the intent documented in
+    the reference docstring ("attempts to find names").
+    """
+    sep = F.regexp_replace(col, r"(?i)( and |&)", "; ")
+    matches = F.regexp_extract_all(sep, F.lit(r"([^\W\d_]{3,}[-' ]?)+"), 0)
+    return F.transform(matches, lambda m: F.regexp_replace(m, r"[-' ]+$", ""))
+
+
+def clean_institution(
+    df: DataFrame, name_col: str, mapping: DataFrame, out_col: str = "clean_name"
+) -> DataFrame:
+    """F4 — /root/reference/synth/utils.py:105-124.
+
+    clean_string → broadcast lookup in master_clean mapping
+    (dirty → clean, 'nil' sentinel ⇒ NULL) → hit wins, miss keeps the
+    cleaned original. ``mapping`` has columns (dirty, clean).
+    """
+    cleaned = df.withColumn("_cleaned", clean_string(F.col(name_col)))
+    m = mapping.select(
+        F.col("dirty").alias("_cleaned"),
+        F.when(F.col("clean") != "nil", F.col("clean")).alias("_mapped"),
+        F.lit(True).alias("_hit"),
+    )
+    return (
+        cleaned.join(F.broadcast(m), "_cleaned", "left")
+        .withColumn(
+            out_col,
+            F.when(F.col("_hit").isNotNull(), F.col("_mapped")).otherwise(
+                F.col("_cleaned")
+            ),
+        )
+        .drop("_cleaned", "_mapped", "_hit")
+    )

@@ -1,0 +1,144 @@
+"""Structured Streaming jobs over the `events` table.
+
+The reference has no streaming surface (SURVEY.md §2.9) — this is the
+north-star extension. Each job is the streaming twin of a batch query in
+plans/events_queries.py; stream-batch equivalence is asserted in
+tests/test_streaming.py using the availableNow trigger (process all existing
+input then stop — the deterministic test harness for streams).
+
+Design for scale:
+- file-source streams with maxFilesPerTrigger for backpressure;
+- event-time watermarks bound all aggregation state;
+- sinks are parquet/memory; exactly-once via checkpointing on a real run.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: Post-conversion schema (ts already microsecond timestamp).
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+#: Raw file schema (nanos read as long via legacy conf).
+_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ns→us conversion as in
+    the batch reader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # File-source streams take a directory; glob-filter to the events table.
+    raw = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked 1-hour tumbling aggregation — streaming twin of
+    q21_tumbling_window."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+def sliding_value_avg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour windows sliding every 15 minutes: rolling per-type mean value."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based) — streaming twin of the
+    sessionizer; state is bounded by the watermark."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming member of the dedup operator family."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(job: DataFrame, query_name: str, output_mode: str = "append") -> DataFrame:
+    """Execute a streaming DataFrame to completion with the availableNow
+    trigger into an in-memory sink; returns the sink contents as a batch DF.
+
+    Deterministic harness: processes every existing file then stops.
+    Aggregating jobs pass ``output_mode="complete"``; row streams (dedup)
+    use the default append.
+    """
+    spark = job.sparkSession
+    q = (
+        job.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,133 @@
+"""Unit tests for the reference scalar-function library (SURVEY §2.8),
+including the reference's documented semantic traps (SURVEY §5.2.4)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from synth_transform_spark.functions import cleaning, dates, doi
+
+
+def _one(spark, col_expr, value):
+    return (
+        spark.createDataFrame([(value,)], "v string")
+        .select(col_expr.alias("out"))
+        .first()["out"]
+    )
+
+
+class TestCleanString:
+    def test_collapses_whitespace_and_html(self, spark):
+        out = _one(
+            spark, cleaning.clean_string(F.col("v")), "  <b>Natural</b>\r\n History\t Museum "
+        )
+        assert out == "Natural History Museum"
+
+    def test_nbsp(self, spark):
+        assert _one(spark, cleaning.clean_string(F.col("v")), "a\xa0b") == "a b"
+
+    def test_empty_returns_null(self, spark):
+        # utils.py:78-87 — None when empty or no word char remains
+        assert _one(spark, cleaning.clean_string(F.col("v")), "   ") is None
+        assert _one(spark, cleaning.clean_string(F.col("v")), "<br/>") is None
+        assert _one(spark, cleaning.clean_string(F.col("v")), "---") is None
+
+
+class TestFindNames:
+    def test_and_and_ampersand_split(self, spark):
+        out = _one(
+            spark, cleaning.find_names(F.col("v")), "Smith AND Jones & Lee-Wong"
+        )
+        assert "Smith" in out and "Jones" in out
+        assert any("Lee-Wong" in n for n in out)
+
+    def test_short_tokens_dropped(self, spark):
+        out = _one(spark, cleaning.find_names(F.col("v")), "J. R. Hartley")
+        assert all(len(n.strip("-' ")) >= 3 for n in out)
+
+
+class TestSubmissionDate:
+    def test_gmt(self, spark):
+        out = _one(
+            spark,
+            dates.parse_submission_date(F.col("v")),
+            "Tue Mar 03 14:21:05 GMT 2009",
+        )
+        assert out == datetime.datetime(2009, 3, 3, 14, 21, 5)
+
+    def test_bst_offset_applied(self, spark):
+        out = _one(
+            spark,
+            dates.parse_submission_date(F.col("v")),
+            "Mon Jun 01 12:00:00 BST 2009",
+        )
+        assert out == datetime.datetime(2009, 6, 1, 11, 0, 0)
+
+    def test_empty_is_null(self, spark):
+        # utils.py:98-99 falsy → None
+        assert _one(spark, dates.parse_submission_date(F.col("v")), "") is None
+
+
+class TestDoi:
+    def test_standard_extract_and_normalize(self, spark):
+        out = _one(
+            spark,
+            doi.normalize_doi(doi.extract_doi(F.col("v"))),
+            "see https://doi.org/10.1234/abc.def. ",
+        )
+        assert out == "10.1234/ABC.DEF"
+
+    def test_pdf_suffix_stripped(self, spark):
+        out = _one(
+            spark, doi.normalize_doi(F.col("v")), "10.1234/abc.def.pdf"
+        )
+        assert out == "10.1234/ABC.DEF"
+
+    def test_mapress(self, spark):
+        out = _one(spark, doi.extract_doi_mapress(F.col("v")), "zootaxa.1234.1.2-x")
+        assert out == "10.11646/zootaxa.1234.1.2"
+
+    def test_nature_article(self, spark):
+        out = _one(
+            spark,
+            doi.extract_doi_nature(F.col("v")),
+            "https://www.nature.com/articles/s41586-020-1234-5",
+        )
+        assert out == "10.1038/s41586-020-1234-5"
+
+    def test_cambridge(self, spark):
+        out = _one(
+            spark,
+            doi.extract_doi_cambridge(F.col("v")),
+            "download?fileId=S0022112010001234",
+        )
+        assert out == "10.1017/S0022112010001234"
+
+    def test_chain_priority_and_miss(self, spark):
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "10.1/x") is None
+        )  # too-short prefix: no stage hits
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "doi%3A10.5555/j.1")
+            == "10.5555/j.1"
+        )  # url-encoded then standard stage
+
+
+class TestCleanInstitution:
+    def test_hit_miss_and_nil(self, spark):
+        df = spark.createDataFrame(
+            [("NHM <i>London</i>",), ("Unknown  Uni",), ("junk",)], "name string"
+        )
+        mapping = spark.createDataFrame(
+            [("NHM London", "Natural History Museum"), ("junk", "nil")],
+            "dirty string, clean string",
+        )
+        out = {
+            r["name"]: r["clean_name"]
+            for r in cleaning.clean_institution(df, "name", mapping).collect()
+        }
+        assert out["NHM <i>London</i>"] == "Natural History Museum"  # map hit
+        assert out["Unknown  Uni"] == "Unknown Uni"  # miss keeps cleaned
+        assert out["junk"] is None  # 'nil' sentinel → NULL (utils.py:121-122)

@@ -1,0 +1,66 @@
+"""Stream-batch equivalence: each streaming job, run to completion with the
+availableNow trigger, must produce the same result as its batch twin."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conftest import SF_DIR
+from synth_transform_spark.plans.events_queries import q21_tumbling_window
+from synth_transform_spark.sources.readers import load_table
+from synth_transform_spark.streaming import events as se
+from synth_transform_spark.testing import canon_rows
+
+
+def _stream(spark):
+    return se.read_events_stream(spark, SF_DIR)
+
+
+def test_tumbling_stream_matches_batch(spark):
+    out = se.run_available_now(
+        se.tumbling_counts(_stream(spark)), "t_tumbling", output_mode="complete"
+    ).toPandas()
+    batch = q21_tumbling_window(spark, SF_DIR).toPandas()
+    assert canon_rows(out) == canon_rows(batch)
+
+
+def test_sliding_windows_cover_tumbling(spark):
+    out = se.run_available_now(
+        se.sliding_value_avg(_stream(spark)), "t_sliding", output_mode="complete"
+    ).toPandas()
+    # every event lands in exactly 4 sliding windows (1h window / 15m slide)
+    batch_events = load_table(spark, SF_DIR, "events").count()
+    assert out["n_events"].sum() == 4 * batch_events
+
+
+def test_session_windows_match_batch_sessionizer(spark):
+    from synth_transform_spark.operators.windows import sessionize
+
+    out = se.run_available_now(
+        se.session_windows(_stream(spark)), "t_sessions", output_mode="complete"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    batch = sessionize(ev, gap_minutes=30)
+    # same number of sessions per user
+    stream_counts = (
+        out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    )
+    batch_counts = (
+        batch.groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("n"))
+        .toPandas()
+    )
+    sc = dict(zip(stream_counts.user_id, stream_counts.n))
+    bc = dict(zip(batch_counts.user_id, batch_counts.n))
+    assert sc == bc
+    # and identical total event counts
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+
+
+def test_streaming_dedup_drops_injected_duplicates(spark):
+    out = se.run_available_now(
+        se.dedup_events(_stream(spark)), "t_dedup", output_mode="append"
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    assert out.count() == ev.select("event_id").distinct().count()
