@@ -75,6 +75,30 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-duplicate detection).
+
+    Exact all-pairs comparison (id_a < id_b). Quadratic by construction —
+    correct and fine up to ~10^4 vectors per run; at 100 TB generate
+    candidates per IVF cell (``ivf_assign`` then same-cell pairs) or via
+    random-hyperplane LSH buckets so each bucket's quadratic stays bounded,
+    then verify with this exact scorer. Returns (id_a, id_b, cosine).
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

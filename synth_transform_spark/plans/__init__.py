@@ -5,7 +5,14 @@ Each query is a (spark_fn, oracle_sql) pair — the oracle is the ANSI-SQL
 twin the DuckDB harness runs on the same parquet tables.
 """
 
-from . import dedup_queries, events_queries, relational, similarity_queries, textops  # noqa: F401
+from . import (  # noqa: F401
+    dedup_queries,
+    events_queries,
+    multimodal_queries,
+    relational,
+    similarity_queries,
+    textops,
+)
 from .registry import REGISTRY, Query, bench_queries, oracle_sql_map, query_map
 
 __all__ = [

@@ -139,6 +139,44 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q38_embedding_near_dups",
+    oracle="""
+WITH vflat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (
+    SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY vec_id
+),
+dots AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
+    FROM vflat a JOIN vflat b ON b.i = a.i AND a.vec_id < b.vec_id
+    GROUP BY id_a, id_b
+)
+SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.42
+""",
+    tags=("dedup-embedding", "similarity"),
+)
+def q38_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.42).
+
+    Threshold sits just under the corpus max cosine (~0.51 on the synthetic
+    near-orthogonal vectors) so the result is non-trivial. Scale path: see
+    operators/similarity.cosine_pairs docstring (IVF-cell / LSH-bucketed
+    candidate generation before the exact scorer).
+    """
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_pairs(emb, threshold=0.42)
+
+
+@register(
     "q28_simhash",
     oracle=f"""
 WITH docs AS (

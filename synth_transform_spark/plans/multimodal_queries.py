@@ -1,0 +1,123 @@
+"""Multimodal-column queries (north-star: binary payloads + typed metadata).
+
+The media table is derived deterministically from `documents`
+(payload = UTF-8 bytes of text — pure ASCII in the driver data, so byte-level
+Spark results equal char-level DuckDB oracles). Every stage's plumbing is
+real (binary columns, Arrow batches, mapInPandas); only the codec boundary
+is faked — see operators/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import multimodal
+from ..sources.readers import load_table
+from .registry import register
+
+_FRAME_SIZE = 64
+_STRIDE = 4
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.attach_media(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q34_media_manifest",
+    oracle="""
+SELECT doc_id,
+       ['image','audio','video'][CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+       CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 7 * 64 + 64 AS INT) END AS width,
+       CASE WHEN doc_id % 3 <> 1 THEN CAST(doc_id % 5 * 64 + 64 AS INT) END AS height,
+       CAST(OCTET_LENGTH(ENCODE(text)) AS INT) AS n_bytes,
+       SHA256(text) AS content_sha256
+FROM documents
+""",
+    tags=("multimodal-manifest", "S13-analogue"),
+    bench=True,
+)
+def q34_media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media inventory: metadata + size + content hash, all JVM-side."""
+    return multimodal.media_manifest(_media(spark, sf_dir))
+
+
+@register(
+    "q35_frame_sample",
+    oracle=f"""
+WITH m AS (
+    SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes FROM documents
+),
+frames AS (
+    SELECT doc_id, n_bytes,
+           CAST(CEIL(n_bytes / {_FRAME_SIZE}.0) AS BIGINT) AS n_frames
+    FROM m
+)
+SELECT doc_id,
+       CAST((n_frames + {_STRIDE} - 1) // {_STRIDE} AS BIGINT) AS n_sampled,
+       CAST(
+         CASE WHEN (n_frames - 1) % {_STRIDE} = 0
+              -- the final (possibly short) frame was sampled
+              THEN ((n_frames + {_STRIDE} - 1) // {_STRIDE} - 1) * {_FRAME_SIZE}
+                   + n_bytes - (n_frames - 1) * {_FRAME_SIZE}
+              ELSE ((n_frames + {_STRIDE} - 1) // {_STRIDE}) * {_FRAME_SIZE}
+         END AS BIGINT) AS bytes_sampled
+FROM frames
+""",
+    tags=("multimodal-frames", "mapInPandas"),
+)
+def q35_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling rollup: the oracle recomputes the chunk math in closed
+    form, cross-checking the mapInPandas slicing byte-for-byte."""
+    frames = multimodal.sample_frames(_media(spark, sf_dir), _FRAME_SIZE, _STRIDE)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_bytes").alias("bytes_sampled"),
+    )
+
+
+@register(
+    "q36_byte_histogram",
+    oracle="""
+SELECT CAST(ASCII(ch) % 16 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT UNNEST(STRING_SPLIT_REGEX(text, '')) AS ch FROM documents)
+WHERE ch <> ''
+GROUP BY bucket
+""",
+    tags=("multimodal-features", "mapInPandas"),
+    bench=True,
+)
+def q36_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide byte histogram from the numpy feature extractor; partial
+    per-doc counts aggregate relationally after the Arrow stage."""
+    hist = multimodal.byte_histogram(_media(spark, sf_dir), n_bins=16)
+    return hist.groupBy("bucket").agg(F.sum("n").alias("n"))
+
+
+@register(
+    "q37_decoded_intensity",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, ASCII(UNNEST(STRING_SPLIT_REGEX(text, ''))) AS b
+    FROM documents
+),
+mean_i AS (
+    SELECT doc_id, AVG(CAST(b AS DOUBLE)) AS mi FROM chars WHERE b IS NOT NULL GROUP BY doc_id
+)
+SELECT ['image','audio','video'][CAST(d.doc_id % 3 + 1 AS INT)] AS media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(m.mi), 4) AS avg_intensity
+FROM documents d JOIN mean_i m USING (doc_id)
+GROUP BY media_type
+""",
+    tags=("multimodal-decode", "stubbed-codec"),
+)
+def q37_decoded_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type intensity rollup over the (fake) decode stage."""
+    decoded = multimodal.decode_media(_media(spark, sf_dir))
+    return decoded.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+    )
