@@ -63,29 +63,48 @@ def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id_col, shingle).
-
-    Built with a single JVM-side ``transform`` over the token array (no
-    self-join, no UDF), then exploded. Whole-stage-codegen friendly.
-    """
+def _gram_expr(text_col: str, n: int):
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    grams = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
-    return (
-        docs.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
+
+
+def shingle_arrays(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc as ONE array row: (id, sh_arr).
+
+    The array form is the scale-path backbone: dedup within a doc is
+    ``array_distinct`` (narrow, per-row) instead of an explode + distinct
+    shuffle of the whole corpus, and downstream MinHash / Jaccard stages
+    stay narrow too. Docs shorter than ``n`` tokens yield an empty array.
+    """
+    return docs.select(
+        F.col(id_col), F.array_distinct(_gram_expr(text_col, n)).alias("sh_arr")
+    )
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc, exploded: (id_col, shingle).
+
+    Long form for relational consumers (e.g. shingle-equality candidate
+    joins); per-doc distinctness happens in the array before exploding, so
+    no corpus-wide distinct shuffle is needed.
+    """
+    return shingle_arrays(docs, id_col, text_col, n).select(
+        F.col(id_col), F.explode("sh_arr").alias("shingle")
     )
 
 
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS) -> DataFrame:
-    """MinHash signature per doc: h_i = min(md5(i || '|' || shingle)).
+    """MinHash signature per doc from exploded shingles (groupBy form).
 
-    md5-as-permutation keeps the signature engine-portable and cluster-stable.
-    One partial-aggregating groupBy — map-side combine keeps the shuffle to
-    one row per (doc, 12 hashes).
+    h_i = min(md5(i || '|' || shingle)); md5-as-permutation keeps the
+    signature engine-portable and cluster-stable. Prefer
+    ``minhash_signatures_arrays`` when shingles are already in array form —
+    it computes the same values with no shuffle at all.
     """
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
@@ -94,21 +113,49 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", n_perms: int = N_P
     return sh.groupBy(id_col).agg(*mins)
 
 
+def minhash_signatures_arrays(
+    doc_sh: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS
+) -> DataFrame:
+    """MinHash signatures as a narrow map over per-doc shingle arrays.
+
+    Identical values to ``minhash_signatures`` (same md5 formula) but zero
+    shuffle: each h_i is ``array_min(transform(...))`` inside whole-stage
+    codegen. Shingle-less docs are dropped (they have no signature).
+    """
+    mins = [
+        F.array_min(
+            F.transform(F.col("sh_arr"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+        ).alias(f"h{i}")
+        for i in range(n_perms)
+    ]
+    return doc_sh.filter(F.size("sh_arr") > 0).select(F.col(id_col), *mins)
+
+
 def lsh_bands(
     sigs: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS, band_size: int = BAND_SIZE
 ) -> DataFrame:
-    """Band keys: (id_col, band_id, band_key=md5(h_a|h_b|h_c))."""
+    """Band keys: (id_col, band_id, band_key=md5(h_a|h_b|h_c)).
+
+    All bands emit in ONE pass (array of structs → explode), not one
+    union branch per band — the input is read once.
+    """
     n_bands = n_perms // band_size
-    bands = None
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
-        one = sigs.select(
-            F.col(id_col),
-            F.lit(b).alias("band_id"),
-            F.md5(F.concat_ws("|", *cols)).alias("band_key"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
-    return bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.band_id").alias("band_id"), F.col("e.band_key").alias("band_key")
+    )
 
 
 def lsh_candidate_pairs(
@@ -120,9 +167,16 @@ def lsh_candidate_pairs(
     degenerate buckets (near-constant content) that would square up — the
     standard guard in production LSH dedup.
     """
-    sized = bands.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
-    ).filter(F.col("bucket_n") <= max_bucket)
+    # The band relation is tiny (n_docs × n_bands, 3 narrow cols) but its
+    # lineage is the whole signature pipeline — persist so the self-join
+    # below doesn't recompute signatures for each side.
+    sized = (
+        bands.withColumn(
+            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
+        )
+        .filter(F.col("bucket_n") <= max_bucket)
+        .persist()
+    )
     a = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
     b = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
     return (
@@ -164,6 +218,36 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_arrays(
+    pairs: DataFrame, doc_sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact Jaccard via ``array_intersect`` on per-doc shingle arrays.
+
+    Two candidate-driven equi-joins pull each side's array onto the pair
+    row; the set math is then a narrow map. Compare: the long-form
+    ``jaccard_verify`` shuffles the full shingle relation on (id, shingle).
+    Returns (id_a, id_b, jaccard ≥ threshold) rounded to 4dp.
+    """
+    a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"))
+    b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_near_duplicates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -171,10 +255,26 @@ def minhash_near_duplicates(
     threshold: float = 0.8,
     n: int = 3,
 ) -> DataFrame:
-    """Full near-dup pipeline: shingle → MinHash → LSH → Jaccard verify."""
-    sh = shingles(docs, id_col, text_col, n)
-    cands = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh, id_col), id_col), id_col)
-    return jaccard_verify(cands, sh, id_col, threshold)
+    """Full near-dup pipeline: shingle → MinHash → LSH → Jaccard verify.
+
+    Array-form end to end: the only shuffles are the band-bucket size
+    guard, the bucket self-join, and the two verify joins — shingling,
+    signatures, and banding are all narrow. ``doc_sh`` is persisted because
+    the signature path and the verify path both consume it.
+    """
+    from pyspark import StorageLevel
+
+    from ..sources.readers import ensure_parallelism
+
+    # Repartition the raw docs (cheap rows) BEFORE shingling so the gram
+    # computation itself is parallel; persisting after means both consumers
+    # read the arrays without recomputing.
+    doc_sh = shingle_arrays(ensure_parallelism(docs), id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures_arrays(doc_sh, id_col)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col), id_col)
+    return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
 
 
 # SimHash uses 60 bits: 15 hex chars of md5 fit a signed 64-bit int in every
@@ -191,8 +291,11 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     can mirror it exactly; at scale the bit explosion is a narrow map and the
     single shuffle is groupBy(doc).
     """
+    from ..sources.readers import ensure_parallelism
+
     toks = (
-        docs.select(
+        ensure_parallelism(docs)
+        .select(
             F.col(id_col),
             F.explode(F.filter(F.split(F.col(text_col), " "), lambda t: t != "")).alias("tok"),
         )

@@ -138,7 +138,11 @@ def byte_histogram(media: DataFrame, n_bins: int = 16) -> DataFrame:
                 counts.extend(hist[nz].tolist())
             yield pd.DataFrame({"doc_id": ids, "bucket": buckets, "n": counts})
 
-    return media.select("doc_id", "payload").mapInPandas(extract, _HIST_SCHEMA)
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
+        extract, _HIST_SCHEMA
+    )
 
 
 _FRAME_SCHEMA = StructType(
@@ -176,7 +180,11 @@ def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 4) -> Da
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames, "frame_bytes": sizes}
             )
 
-    return media.select("doc_id", "payload").mapInPandas(sample, _FRAME_SCHEMA)
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
+        sample, _FRAME_SCHEMA
+    )
 
 
 _DECODE_SCHEMA = StructType(
@@ -234,7 +242,9 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
                 rows["decoder"].append("fake-deterministic")
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(decode, _DECODE_SCHEMA)
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(media).mapInPandas(decode, _DECODE_SCHEMA)
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:

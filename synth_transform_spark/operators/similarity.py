@@ -58,10 +58,14 @@ def cosine_topk(
     once with no shuffle until the final per-query top-k (tiny).
     Returns (query_id, neighbor_id, cosine) with rank ≤ k.
     """
+    from ..sources.readers import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+    v = ensure_parallelism(
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"))
+    )
     scored = (
         v.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -89,7 +93,11 @@ def cosine_pairs(
     random-hyperplane LSH buckets so each bucket's quadratic stays bounded,
     then verify with this exact scorer. Returns (id_a, id_b, cosine).
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+    from ..sources.readers import ensure_parallelism
+
+    a = ensure_parallelism(
+        vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+    )
     b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))

@@ -56,6 +56,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition up to the cluster's parallelism — only if under-split.
+
+    Small single-row-group parquet files scan as one task; downstream
+    CPU-dense stages (hashing, mapInPandas feature extraction, pair
+    scoring) would then run on one core. This is a no-op whenever the scan
+    already has ≥ target partitions — i.e. at real data scale, where the
+    shuffle would be pure cost. Apply it inside compute-heavy operators,
+    never on scan→aggregate paths (the shuffle outweighs the gain there).
+    """
+    sc = df.sparkSession.sparkContext
+    goal = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < goal:
+        return df.repartition(goal)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
