@@ -44,6 +44,87 @@ def q21_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q39_sliding_window",
+    oracle="""
+WITH slots AS (
+    SELECT TIME_BUCKET(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS slot,
+           event_type, value
+    FROM events
+),
+both_windows AS (
+    SELECT slot AS window_start, event_type, value FROM slots
+    UNION ALL
+    SELECT slot - INTERVAL '30 minutes' AS window_start, event_type, value FROM slots
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM both_windows
+GROUP BY window_start, event_type
+""",
+    tags=("streaming-sliding", "A1"),
+    bench=True,
+)
+def q39_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in exactly 2).
+
+    The oracle derives both containing windows per event from its 30-minute
+    slot — the relational identity behind Spark's sliding window expansion.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q40_first_event_dedup",
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rk,
+           COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_total
+    FROM events
+)
+SELECT user_id, event_type, event_id AS first_event_id,
+       ts AS first_ts, CAST(n_total - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rk = 1
+""",
+    tags=("streaming-dedup", "dedup-exact", "W1"),
+)
+def q40_first_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the first event per (user, type) — the batch twin
+    of streaming dropDuplicatesWithinWatermark on the same keys."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_total",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id", "event_type")),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            (F.col("n_total") - 1).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+@register(
     "q22_session_stats",
     oracle="""
 WITH ordered AS (

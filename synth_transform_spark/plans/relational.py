@@ -595,3 +595,82 @@ def q30_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
     )
+
+
+# --------------------------------------------------------------------------
+# q42 — balanced per-class sampling (SURVEY §2.4 A13, classifiers.ipynb
+# cells 12-14). RNG sampling can't hash-match across engines, so the sample
+# is a deterministic hash order: top-20 docs per lang by md5(doc_id) — the
+# distributed analogue of `df.sample(n)` per label with a fixed seed.
+# --------------------------------------------------------------------------
+@register(
+    "q42_stratified_sample",
+    oracle="""
+SELECT lang, doc_id
+FROM (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM documents
+) t
+WHERE rk <= 20
+""",
+    tags=("A13", "A10", "sampling"),
+)
+def q42_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — translator mapping join (SURVEY §2.3 J4/J5, §2.5 W1): the
+# reference's cross-round surrogate-key backbone (utils.py:266-298). A dense
+# new id is assigned to each customer in a defined global order, then facts
+# are translated onto the new key space via an equi-join — dict probes
+# become joins.
+# --------------------------------------------------------------------------
+@register(
+    "q43_translator_join",
+    oracle="""
+WITH mapping AS (
+    SELECT c_custkey AS original_id,
+           ROW_NUMBER() OVER (ORDER BY c_nationkey, c_custkey) AS new_id,
+           c_nationkey
+    FROM customer
+),
+translated AS (
+    SELECT m.new_id, m.c_nationkey, o.o_totalprice
+    FROM orders o JOIN mapping m ON m.original_id = o.o_custkey
+)
+SELECT c_nationkey AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(new_id) AS BIGINT) AS min_new_id,
+       CAST(MAX(new_id) AS BIGINT) AS max_new_id,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM translated
+GROUP BY c_nationkey
+""",
+    tags=("J4", "J5", "W1", "S11"),
+)
+def q43_translator_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    mapping = ids.assign_ids_scalable(
+        cust.select("c_custkey", "c_nationkey"),
+        order_cols=["c_nationkey", "c_custkey"],
+        id_name="new_id",
+    ).select(F.col("c_custkey").alias("original_id"), "new_id", "c_nationkey")
+    translated = orders.join(
+        mapping, orders.o_custkey == mapping.original_id
+    )
+    return translated.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("new_id").cast("long").alias("min_new_id"),
+        F.max("new_id").cast("long").alias("max_new_id"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )

@@ -240,3 +240,20 @@ FROM t
 def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.token_stats(docs)
+
+
+# --------------------------------------------------------------------------
+# q41 — TF-IDF text classification on Spark ML (reference: classifiers.ipynb
+# cells 12-18). Iterative training → no SQL oracle (rows-only driver check);
+# determinism is asserted in tests/test_ml.py instead.
+# --------------------------------------------------------------------------
+@register(
+    "q41_tfidf_classifier",
+    oracle=None,
+    tags=("text-classify", "F16", "ml"),
+)
+def q41_tfidf_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ml.train_and_score(docs)

@@ -124,6 +124,16 @@ def dedup_events(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def dedup_keyed(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming keyed dedup: first event per (user_id, event_type) within
+    the watermark horizon — streaming twin of q40_first_event_dedup (which
+    dedups globally; equivalence holds when all duplicates of a key arrive
+    inside one horizon)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def run_available_now(job: DataFrame, query_name: str, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion with the availableNow
     trigger into an in-memory sink; returns the sink contents as a batch DF.

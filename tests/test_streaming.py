@@ -58,6 +58,41 @@ def test_session_windows_match_batch_sessionizer(spark):
     assert out.agg(F.sum("n_events")).first()[0] == ev.count()
 
 
+def test_sliding_stream_matches_batch(spark):
+    from synth_transform_spark.plans.events_queries import q39_sliding_window
+
+    job = (
+        _stream(spark)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").getField("start").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    out = se.run_available_now(job, "t_sliding_batch_eq", output_mode="complete").toPandas()
+    batch = q39_sliding_window(spark, SF_DIR).toPandas()
+    assert canon_rows(out) == canon_rows(batch)
+
+
+def test_keyed_dedup_stream_keys_match_batch(spark):
+    from synth_transform_spark.plans.events_queries import q40_first_event_dedup
+
+    out = se.run_available_now(
+        se.dedup_keyed(_stream(spark)), "t_keyed_dedup", output_mode="append"
+    )
+    batch = q40_first_event_dedup(spark, SF_DIR)
+    # one surviving event per key on both sides, same key set (the streaming
+    # horizon covers the full 30-day fixture replayed as one availableNow
+    # batch, so global and within-watermark dedup agree on keys)
+    skeys = {(r.user_id, r.event_type) for r in out.select("user_id", "event_type").collect()}
+    bkeys = {(r.user_id, r.event_type) for r in batch.collect()}
+    assert skeys == bkeys
+
+
 def test_streaming_dedup_drops_injected_duplicates(spark):
     out = se.run_available_now(
         se.dedup_events(_stream(spark)), "t_dedup", output_mode="append"
