@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     dedup_queries,
     events_queries,
     multimodal_queries,
+    nested_queries,
     relational,
     similarity_queries,
     textops,
