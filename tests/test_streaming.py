@@ -93,6 +93,36 @@ def test_keyed_dedup_stream_keys_match_batch(spark):
     assert skeys == bkeys
 
 
+def test_stateful_running_totals_match_batch(spark):
+    """applyInPandasWithState totals over the full replay == batch groupBy."""
+    from synth_transform_spark.streaming.stateful import running_user_totals
+
+    out = se.run_available_now(
+        running_user_totals(_stream(spark)), "t_stateful", output_mode="update"
+    )
+    # keep the LAST emission per user (running totals grow per micro-batch)
+    ev = load_table(spark, SF_DIR, "events")
+    batch = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .toPandas()
+    )
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .toPandas()
+    )
+    b = {r.user_id: (r.n_events, round(r.total_value, 3)) for r in batch.itertuples()}
+    s = {r.user_id: (r.n_events, round(r.total_value, 3)) for r in final.itertuples()}
+    assert s == b
+
+
 def test_streaming_dedup_drops_injected_duplicates(spark):
     out = se.run_available_now(
         se.dedup_events(_stream(spark)), "t_dedup", output_mode="append"
