@@ -95,13 +95,23 @@ def cosine_pairs(
     """
     from ..sources.readers import ensure_parallelism
 
+    # Pre-cast + pre-compute the norm ONCE per vector (narrow), so the
+    # quadratic pair stage does only the dot product — same
+    # dot/(norm_a*norm_b) formula as the oracle, ~3× fewer flops per pair.
+    vd = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_nrm", _norm(F.col("_v")))
     a = ensure_parallelism(
-        vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("a_vec"))
+        vd.select(F.col(id_col).alias("id_a"), F.col("_v").alias("a_vec"), F.col("_nrm").alias("nrm_a"))
     )
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("b_vec"))
+    b = vd.select(F.col(id_col).alias("id_b"), F.col("_v").alias("b_vec"), F.col("_nrm").alias("nrm_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("a_vec"), F.col("b_vec")), 4))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("a_vec"), F.col("b_vec")) / (F.col("nrm_a") * F.col("nrm_b")), 4),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
