@@ -44,12 +44,18 @@ def main() -> int:
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # best-of-2: per-query steady-state wall time (first run can absorb
+    # stray JIT/GC noise from earlier queries in the shared JVM).
     timings: dict[str, float] = {}
     for name, fn in bench.items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            best = dt if best is None else min(best, dt)
+        timings[name] = best
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

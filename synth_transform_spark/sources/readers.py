@@ -56,6 +56,55 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    driver: str | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """JDBC table scan (SURVEY §2.1 S1 — the reference's MySQL source).
+
+    Always pass ``partition_column``/bounds for big tables: without them the
+    whole table streams through ONE connection/task. Filters and column
+    pruning push down into the remote SQL (Catalyst JDBC pushdown);
+    ``predicate`` adds a server-side WHERE for partition-pruned ingest.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 4)
+            .option("lowerBound", lower_bound or 0)
+            .option("upperBound", upper_bound or 1)
+        )
+    df = reader.load()
+    if predicate:
+        df = df.where(predicate)
+    return df
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str | None = None,
+) -> None:
+    """JDBC sink (S11 analogue): batched inserts per partition — the
+    row-at-a-time ``session.add`` loop becomes parallel batched writes."""
+    writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        writer = writer.option("driver", driver)
+    writer.mode(mode).save()
+
+
 def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition up to the cluster's parallelism — only if under-split.
 

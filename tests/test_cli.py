@@ -1,0 +1,102 @@
+"""End-to-end CLI tests: generate → rebuild → dump → update over parquet
+fixtures (the four reference entry points, cli.py:45-102)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pipeline_fixtures import build_resources, build_sources
+from synth_transform_spark.cli import SOURCE_TABLES, main
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    src_dir, res_dir = root / "sources", root / "resources"
+    src_dir.mkdir(), res_dir.mkdir()
+    sources = build_sources(spark)
+    for name in SOURCE_TABLES:
+        sources[name].write.mode("overwrite").parquet(str(src_dir / f"{name}.parquet"))
+    res = build_resources(spark, str(root))
+    for field in (
+        "user_ids",
+        "user_ages",
+        "master_clean",
+        "unmatched_towns",
+        "output_dois",
+        "doi_metadata",
+        "city_names",
+        "countries",
+    ):
+        getattr(res, field).write.mode("overwrite").parquet(
+            str(res_dir / f"{field}.parquet")
+        )
+    for sheet, df in res.workbook.items():
+        df.write.mode("overwrite").parquet(str(res_dir / f"workbook_{sheet}.parquet"))
+    return root, src_dir, res_dir
+
+
+def test_generate_emits_structtype(spark, fixture_dirs, capsys):
+    _, src_dir, _ = fixture_dirs
+    rc = main(["generate", "--input", str(src_dir / "NHM_Call.parquet")])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "StructType" in out and "StructField" in out
+    # emitted code must be valid python declaring the schema
+    ns: dict = {}
+    exec(out, ns)  # noqa: S102 — generated code, test-only
+    assert "NHM_CALL_SCHEMA" in ns
+
+
+def test_rebuild_and_dump(spark, fixture_dirs, capsys):
+    root, src_dir, res_dir = fixture_dirs
+    out_dir = root / "warehouse"
+    rc = main(
+        [
+            "rebuild",
+            "--sources",
+            str(src_dir),
+            "--resources",
+            str(res_dir),
+            "--out",
+            str(out_dir),
+        ]
+    )
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["rebuilt"]
+    assert counts["Round"] == 4
+    assert counts["VisitorProject"] > 0
+    assert os.path.exists(out_dir / "Output.parquet")
+
+    dump_path = root / "dump.sql"
+    rc = main(["dump", "--warehouse", str(out_dir), "--out", str(dump_path)])
+    assert rc == 0
+    sql = open(dump_path).read()
+    assert sql.count("CREATE TABLE") >= 10
+    assert "INSERT INTO `VisitorProject`" in sql
+    # deterministic FK-topological order: Round DDL precedes VisitorProject's
+    assert sql.index("CREATE TABLE `Round`") < sql.index("CREATE TABLE `VisitorProject`")
+
+
+def test_update_refreshes_cache_incrementally(spark, fixture_dirs, capsys):
+    root, src_dir, _ = fixture_dirs
+    cache_path = str(root / "doi_cache.parquet")
+    keys = str(src_dir / "NHM_Outputs.parquet")
+    rc = main(
+        ["update", "--keys", keys, "--key-col", "Output_ID", "--cache", cache_path,
+         "--transport", "echo", "--workers", "2", "--rate", "1000"]
+    )
+    assert rc == 0
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
+    assert n1 > 0
+    # second run: nothing new to fetch, cache unchanged
+    rc = main(
+        ["update", "--keys", keys, "--key-col", "Output_ID", "--cache", cache_path,
+         "--transport", "echo", "--workers", "2", "--rate", "1000"]
+    )
+    assert rc == 0
+    n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
+    assert n2 == n1
