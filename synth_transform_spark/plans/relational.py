@@ -674,3 +674,62 @@ def q43_translator_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("new_id").cast("long").alias("max_new_id"),
         F.round(F.sum("o_totalprice"), 4).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — chained metric joins (SURVEY §2.3 J10/J11, journal-analysis.ipynb
+# cell 12: journal_list ← scopus ← sjr chained left equi-joins on ISSN,
+# missing metrics coalesced to 0 — §2.8 F19). Here: nation ← order metrics
+# ← supplier metrics.
+# --------------------------------------------------------------------------
+@register(
+    "q47_metric_chain",
+    oracle="""
+WITH order_m AS (
+    SELECT c_nationkey AS nation_key, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS order_value
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_nationkey
+),
+supp_m AS (
+    SELECT s_nationkey AS nation_key, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT n.n_nationkey AS nation_key, n.n_name AS nation,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(o.order_value, 0.0) AS order_value,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM nation n
+LEFT JOIN order_m o ON o.nation_key = n.n_nationkey
+LEFT JOIN supp_m s ON s.nation_key = n.n_nationkey
+""",
+    tags=("J10", "J11", "F19", "J9"),
+)
+def q47_metric_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    order_m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("order_value"),
+        )
+    )
+    supp_m = supp.groupBy(F.col("s_nationkey").alias("nation_key")).agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        nation.select(F.col("n_nationkey").alias("nation_key"), F.col("n_name").alias("nation"))
+        .join(order_m, "nation_key", "left")
+        .join(supp_m, "nation_key", "left")
+        .select(
+            "nation_key",
+            "nation",
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("order_value", F.lit(0.0)).alias("order_value"),
+            F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
+        )
+    )
