@@ -257,3 +257,72 @@ def q41_tfidf_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return ml.train_and_score(docs)
+
+
+# --------------------------------------------------------------------------
+# q48 — composite training-data prep: the LLM-pipeline flagship. One plan:
+# quality filter (q24 rules) → exact dedup keeping the lowest doc id per
+# normalised-text fingerprint → deterministic per-lang hash sample. Each
+# stage is an operator already proven alone (q24/q04/q42); this is the
+# end-to-end composition a 100 TB corpus prep would run.
+# --------------------------------------------------------------------------
+@register(
+    "q48_training_prep",
+    oracle="""
+WITH t AS (
+    SELECT doc_id, lang, text,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+quality AS (
+    SELECT doc_id, lang, text, LEN(toks) AS n_tokens
+    FROM t
+    WHERE LEN(toks) >= 10
+      AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.1
+      AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / LENGTH(text) <= 0.3
+),
+deduped AS (
+    SELECT doc_id, lang, n_tokens
+    FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (
+                   PARTITION BY MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')))
+                   ORDER BY doc_id) AS dup_rk
+        FROM quality
+    ) d WHERE dup_rk = 1
+)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM (
+    SELECT lang, doc_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+    FROM deduped
+) s
+WHERE rk <= 10
+""",
+    tags=("text-quality", "dedup-exact", "A13", "training-prep"),
+    bench=True,
+)
+def q48_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from ..operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = text_analysis.quality_score(docs).filter(F.col("keep"))
+    kept = docs.join(q.select("doc_id", "n_tokens"), "doc_id")
+    dedup_w = Window.partitionBy(F.md5(normalize_text(F.col("text")))).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("dup_rk", F.row_number().over(dedup_w))
+        .filter(F.col("dup_rk") == 1)
+    )
+    sample_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        deduped.withColumn("rk", F.row_number().over(sample_w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+    )

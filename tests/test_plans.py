@@ -1,0 +1,85 @@
+"""Plan-hygiene assertions: the physical plans the engine promises.
+
+Scale behaviour can't be measured at test SF, but its preconditions are
+visible in the plan: pushed filters, pruned columns, broadcast dims, no
+row-at-a-time Python in relational paths, codegen coverage.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conftest import SF_DIR
+from synth_transform_spark.plans import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(REGISTRY["q01_pricing_summary"].spark(spark, SF_DIR))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # projection pruning: untouched wide columns never reach the scan
+    assert "l_comment" not in plan and "l_tax" not in plan
+
+
+def test_q08_broadcasts_dims(spark):
+    plan = _plan(REGISTRY["q08_dim_denorm"].spark(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_paths_have_no_python_udf(spark):
+    """Every §2 relational query stays JVM-side (no BatchEvalPython /
+    ArrowEvalPython); Python appears only in declared mapInPandas stages."""
+    python_ok = {
+        "q35_frame_sample",
+        "q36_byte_histogram",
+        "q37_decoded_intensity",
+        "q41_tfidf_classifier",  # ML training is a python pipeline by design
+    }
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if name in python_ok:
+            continue
+        try:
+            plan = _plan(q.spark(spark, SF_DIR))
+        except Exception:
+            continue  # iterative/stateful plans may need an action; skip
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert offenders == []
+
+
+def test_codegen_covers_hot_queries(spark):
+    for name in ("q01_pricing_summary", "q08_dim_denorm", "q24_quality_score"):
+        df = REGISTRY[name].spark(spark, SF_DIR)
+        df.collect()  # AQE: codegen stages only appear in the FINAL plan
+        plan = _plan(df)
+        # '*(n)' prefixes mark whole-stage-codegen spans in the tree string
+        assert "WholeStageCodegen" in plan or "*(" in plan, name
+
+
+def test_aggregates_are_partial(spark):
+    """Sum/count aggregations must show a partial_ stage before the shuffle
+    (map-side combine) — one full-row shuffle would be the 100 TB killer."""
+    plan = _plan(REGISTRY["q01_pricing_summary"].spark(spark, SF_DIR))
+    assert "partial_" in plan
+
+
+def test_no_cartesian_products(spark):
+    """Theta-join pair generators (q32/q38) are the only sanctioned
+    nested-loop joins; everything else must be hash/merge."""
+    allowed = {"q32_ngram_jaccard_pairs", "q38_embedding_near_dups", "q20_fuzzy_join"}
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if name in allowed:
+            continue
+        try:
+            plan = _plan(q.spark(spark, SF_DIR))
+        except Exception:
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert offenders == []
