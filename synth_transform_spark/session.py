@@ -34,6 +34,15 @@ _DEFAULTS = {
     # broadcast; at 100 TB only genuinely bounded dims stay under this.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Long-lived local sessions accumulate listener/UI state per execution
+    # (plan graphs, stage metrics) — cap retention so a many-query session
+    # doesn't degrade later queries via heap pressure. On a cluster these
+    # live in the history server instead.
+    "spark.ui.enabled": "false",
+    "spark.sql.ui.retainedExecutions": "10",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.appStateStore.asyncTracking.enable": "false",
 }
 
 
