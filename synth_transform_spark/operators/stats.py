@@ -15,34 +15,32 @@ and ScoreStats (/root/reference/synth/utils.py:156-199):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def grouped_stats(df: DataFrame, key_cols: list[str], value_col: str) -> DataFrame:
     """count / mean / mode / sum / sample-stddev per key, reference semantics.
 
-    Two aggregations over the same shuffle key (stats + mode), joined — both
-    are partial-agg friendly; no row explosion.
+    Two chained aggregations, no join, no window: groupBy(key, value)
+    counts each distinct value once, then groupBy(key) derives every
+    statistic from the (value, count) pairs — count/sum/mean weighted,
+    sample stddev algebraically (Σcv² − (Σcv)²/n)/(n−1), and the mode as
+    ``max_by(value, (count, −value))`` giving the deterministic
+    most-frequent-then-smallest tie-break in one aggregate.
     """
-    vals = df.filter(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
-    stats = vals.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("n_scores"),
-        F.round(F.avg(value_col), 4).alias("mean_score"),
-        F.round(F.sum(value_col), 4).alias("sum_score"),
-        F.count(F.lit(1)).alias("_n2"),
-        F.round(F.stddev_samp(value_col), 4).alias("_sd"),
-    )
-    # stddev gate: ≥2 values else NULL (stddev_samp already NULLs n=1, the
-    # explicit gate documents the reference rule utils.py:198-199).
-    stats = stats.withColumn(
-        "std_dev", F.when(F.col("_n2") >= 2, F.col("_sd"))
-    ).drop("_n2", "_sd")
-
+    v = F.col(value_col)
+    vals = df.filter(v.isNotNull() & (v != 0))
     counts = vals.groupBy(*key_cols, value_col).agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.partitionBy(*key_cols).orderBy(F.desc("_c"), F.asc(value_col))
-    mode = (
-        counts.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(*key_cols, F.col(value_col).alias("mode_score"))
+    c = F.col("_c")
+    n = F.sum(c)
+    s1 = F.sum(c * v)  # Σ c·v
+    s2 = F.sum(c * v * v)  # Σ c·v²
+    var_samp = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return counts.groupBy(*key_cols).agg(
+        n.cast("long").alias("n_scores"),
+        F.round(s1 / n, 4).alias("mean_score"),
+        F.round(s1, 4).alias("sum_score"),
+        # stddev gate: ≥2 values else NULL (reference rule utils.py:198-199)
+        F.when(n >= 2, F.round(F.sqrt(var_samp), 4)).alias("std_dev"),
+        F.max_by(v, F.struct(c, (-v).alias("_neg"))).alias("mode_score"),
     )
-    return stats.join(mode, key_cols)
