@@ -121,11 +121,19 @@ def minhash_signatures_arrays(
     Identical values to ``minhash_signatures`` (same md5 formula) but zero
     shuffle: each h_i is ``array_min(transform(...))`` inside whole-stage
     codegen. Shingle-less docs are dropped (they have no signature).
+
+    NOTE the one-arg closure factory: a two-parameter lambda
+    (``lambda s, i=i``) would be interpreted by PySpark as the
+    *index-aware* transform variant — ``i`` silently becomes the element
+    index Column and the permutation prefix degenerates.
     """
+
+    def perm_hash(i: int):
+        prefix = f"{i}|"
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     mins = [
-        F.array_min(
-            F.transform(F.col("sh_arr"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-        ).alias(f"h{i}")
+        F.array_min(F.transform(F.col("sh_arr"), perm_hash(i))).alias(f"h{i}")
         for i in range(n_perms)
     ]
     return doc_sh.filter(F.size("sh_arr") > 0).select(F.col(id_col), *mins)
