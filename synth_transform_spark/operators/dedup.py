@@ -139,6 +139,62 @@ def minhash_signatures_arrays(
     return doc_sh.filter(F.size("sh_arr") > 0).select(F.col(id_col), *mins)
 
 
+# Linear-permutation MinHash: one md5 per shingle, then n cheap integer
+# permutations h_i = (a_i*x + b_i) mod P.  P is the smallest prime > 2^32;
+# x < 2^32 and a_i,b_i < 2^31 keep a_i*x + b_i < 2^63 - 1, so the arithmetic
+# never overflows signed 64-bit — identical (and exception-free) under both
+# Spark ANSI mode and DuckDB's checked bigint ops.
+MINHASH_PRIME = 4294967311
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 1 << 31
+
+
+def _perm_constants(n_perms: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs from a fixed LCG — engine-portable."""
+    out, s = [], 42
+    for _ in range(n_perms):
+        s = (_LCG_A * s + _LCG_C) % _LCG_M
+        a = s | 1  # odd ⇒ nonzero mod P
+        s = (_LCG_A * s + _LCG_C) % _LCG_M
+        out.append((a, s))
+    return out
+
+
+def shingle_hash(col):
+    """32-bit integer hash of a shingle: first 8 md5 hex chars as a long.
+
+    Computed ONCE per shingle; every MinHash permutation derives from it by
+    linear arithmetic. This is the 100 TB lever: signature cost drops from
+    n_perms md5 evaluations per shingle to one.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def minhash_signatures_linear(
+    doc_sh: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS
+) -> DataFrame:
+    """MinHash via one md5 + linear permutations (the scale default).
+
+    Same plan shape as ``minhash_signatures_arrays`` (narrow map, zero
+    shuffle, whole-stage codegen) but ~n_perms× less hashing: md5 runs once
+    per shingle into ``hb_arr``, then each h_i is an ``array_min`` over
+    ``(a_i*x + b_i) % P``. Different signature VALUES than the md5-per-perm
+    functions — the q27 oracle mirrors this formula exactly.
+    """
+    consts = _perm_constants(n_perms)
+    hashed = doc_sh.filter(F.size("sh_arr") > 0).select(
+        F.col(id_col), F.transform(F.col("sh_arr"), shingle_hash).alias("hb_arr")
+    )
+
+    def perm(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    mins = [
+        F.array_min(F.transform(F.col("hb_arr"), perm(a, b))).alias(f"h{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    return hashed.select(F.col(id_col), *mins)
+
+
 def lsh_bands(
     sigs: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS, band_size: int = BAND_SIZE
 ) -> DataFrame:
@@ -280,7 +336,7 @@ def minhash_near_duplicates(
     doc_sh = shingle_arrays(ensure_parallelism(docs), id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = minhash_signatures_arrays(doc_sh, id_col)
+    sigs = minhash_signatures_linear(doc_sh, id_col)
     cands = lsh_candidate_pairs(lsh_bands(sigs, id_col), id_col)
     return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
 

@@ -34,20 +34,29 @@ sh AS (
 def _minhash_oracle() -> str:
     n_perms, band_size = dedup.N_PERMS, dedup.BAND_SIZE
     n_bands = n_perms // band_size
+    p = dedup.MINHASH_PRIME
     sig_cols = ", ".join(
-        f"MIN(MD5('{i}|' || shingle)) AS h{i}" for i in range(n_perms)
+        f"MIN(({a} * hb + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(dedup._perm_constants(n_perms))
     )
     band_selects = []
     for b in range(n_bands):
-        cols = " || '|' || ".join(f"h{b * band_size + j}" for j in range(band_size))
+        cols = " || '|' || ".join(
+            f"CAST(h{b * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, MD5({cols}) AS band_key FROM sigs"
         )
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
 WITH {_SHINGLES_CTE},
+shb AS (
+    SELECT doc_id,
+           CAST(('0x' || SUBSTR(MD5(shingle), 1, 8))::UBIGINT AS BIGINT) AS hb
+    FROM sh
+),
 sigs AS (
-    SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+    SELECT doc_id, {sig_cols} FROM shb GROUP BY doc_id
 ),
 bands AS (
     {bands_sql}
