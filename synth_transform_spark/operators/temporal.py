@@ -1,0 +1,148 @@
+"""Temporal join operators Spark lacks natively: as-of join and range join.
+
+Both are expressed as compositions of existing DataFrame ops (no UDFs, no
+nested-loop joins), per the engine's custom-operator policy:
+
+- **as-of join** — for each left row (key, ts), the latest right row with
+  the same key and ts_right <= ts. Implemented as a tagged UNION + one
+  window pass: one shuffle on key, one sort within partitions — the same
+  physical work a sort-merge join would do, but with NO inequality join
+  (Spark would otherwise fall back to BroadcastNestedLoopJoin, the O(n*m)
+  100 TB killer).
+
+- **range join** — join left rows to right rows within a time window
+  |ts_l - ts_r| <= w, equality on a key. Implemented by bucketing: each
+  right row lands in one bucket of width >= w; each left row explodes to
+  the (at most 3) buckets its window overlaps; the join is then a pure
+  equi-join on (key, bucket) plus an exact range filter. Fan-out is
+  bounded and constant, never O(n*m). This is the standard bucketed
+  range-join strategy (cf. Databricks range-join hints / Flink interval
+  joins) re-expressed with sequence + explode.
+
+Reference lineage: the reference has no temporal joins (its closest shape
+is the (guid, round)->age join, SURVEY.md §2.3 J14); these are north-star
+operators for event-stream analytics at scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Left as-of join: latest right row per key with ts_right <= ts_left.
+
+    Returns all left columns plus ``asof_<c>`` for each requested right
+    column and ``asof_ts`` (null when no right row precedes). Ties on the
+    timestamp resolve to the right side (a right row AT ts_left matches).
+
+    Scale: one hash shuffle on ``key`` + one in-partition sort over the
+    union — no inequality join, no per-key collect. Skewed keys behave
+    exactly like a skewed window partition (AQE-visible).
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        F.col(key),
+        F.col(ts_right).alias("_ts"),
+        F.lit(0).alias("_side"),  # right sorts first at equal ts => inclusive
+        *[F.col(c).alias(f"asof_{c}") for c in right_cols],
+        *[F.lit(None).alias(c) for c in lcols if c != key],
+    )
+    tagged_l = left.select(
+        F.col(key),
+        F.col(ts_left).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(tagged_r.schema[f"asof_{c}"].dataType).alias(f"asof_{c}")
+          for c in right_cols],
+        *[F.col(c) for c in lcols if c != key],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.when(F.col("_side") == 0, F.col(f"asof_{c}")), ignorenulls=True)
+        .over(w)
+        .alias(f"asof_{c}")
+        for c in right_cols
+    ]
+    asof_ts = (
+        F.last(F.when(F.col("_side") == 0, F.col("_ts")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts")
+    )
+    return (
+        tagged_r.unionByName(tagged_l)
+        .select(
+            F.col(key),
+            F.col("_ts"),
+            F.col("_side"),
+            *[F.col(c) for c in lcols if c != key],
+            asof_ts,
+            *carried,
+        )
+        .filter(F.col("_side") == 1)
+        .select(
+            *[F.col(c) if c != ts_left else F.col("_ts").alias(ts_left) for c in lcols],
+            "asof_ts",
+            *[F.col(f"asof_{c}") for c in right_cols],
+        )
+    )
+
+
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_sec: int,
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+) -> DataFrame:
+    """Per left row, the COUNT of right rows with the same key within
+    ``|ts_l - ts_r| <= window_sec`` (left outer: zero-match rows kept).
+
+    Bucket width == window: a left row's window spans at most 3 buckets
+    (prev, own, next), so the explode fan-out is exactly 3 regardless of
+    data volume, and the join is an equi-join on (key, bucket). Time math is
+    on second-truncated epochs (``ts.cast("long")``, the engine's session
+    idiom), matching the oracle's ``EPOCH(DATE_TRUNC('second', ts))``.
+    """
+    lsec = F.col(ts_left).cast("long")
+    rsec = F.col(ts_right).cast("long")
+    r_b = right.select(
+        F.col(key),
+        rsec.alias("_rsec"),
+        F.floor(rsec / window_sec).alias("_bucket"),
+    )
+    l_b = left.withColumn("_lsec", lsec).withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("_lsec") - window_sec) / window_sec),
+                F.floor((F.col("_lsec") + window_sec) / window_sec),
+            )
+        ),
+    )
+    matched = (
+        l_b.join(r_b, [key, "_bucket"], "left")
+        .withColumn(
+            "_hit",
+            F.when(
+                F.abs(F.col("_rsec") - F.col("_lsec")) <= window_sec, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return (
+        matched.groupBy(*[F.col(c) for c in left.columns])
+        .agg(F.sum("_hit").cast("long").alias("n_in_range"))
+        .na.fill({"n_in_range": 0})
+    )

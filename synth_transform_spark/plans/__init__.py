@@ -12,6 +12,7 @@ from . import (  # noqa: F401
     nested_queries,
     relational,
     similarity_queries,
+    temporal_queries,
     textops,
 )
 from .registry import REGISTRY, Query, bench_queries, oracle_sql_map, query_map

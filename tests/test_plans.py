@@ -61,6 +61,16 @@ def test_codegen_covers_hot_queries(spark):
         assert "WholeStageCodegen" in plan or "*(" in plan, name
 
 
+def test_temporal_joins_avoid_nested_loops(spark):
+    """as-of (q49) and range (q50) joins must compile to shuffle/broadcast
+    hash plans — an inequality join would fall back to
+    BroadcastNestedLoopJoin, the O(n*m) shape they exist to avoid."""
+    for name in ("q49_asof_join", "q50_range_join"):
+        plan = _plan(REGISTRY[name].spark(spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_aggregates_are_partial(spark):
     """Sum/count aggregations must show a partial_ stage before the shuffle
     (map-side combine) — one full-row shuffle would be the 100 TB killer."""
