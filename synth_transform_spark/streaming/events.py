@@ -134,6 +134,44 @@ def dedup_keyed(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    window_sec: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: right rows of the same user within
+    ``+/- window_sec`` of each left row — the streaming twin of the batch
+    bucketed range join (q50_range_join).
+
+    Both sides carry watermarks and the join condition bounds event time in
+    BOTH directions, so Spark can evict buffered state once the watermark
+    passes — the required shape for unbounded stream-stream joins.
+    Timestamps are second-truncated before the comparison so results match
+    the batch operator's epoch-second semantics exactly.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.date_trunc("second", "ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user_id"),
+        F.date_trunc("second", "ts").alias("r_ts"),
+    )
+    cond = (
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_sec} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_sec} SECONDS"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_event_id").alias("event_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").alias("ts"),
+        F.col("r_ts").alias("matched_ts"),
+    )
+
+
 def run_available_now(job: DataFrame, query_name: str, output_mode: str = "append") -> DataFrame:
     """Execute a streaming DataFrame to completion with the availableNow
     trigger into an in-memory sink; returns the sink contents as a batch DF.

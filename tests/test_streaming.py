@@ -129,3 +129,25 @@ def test_streaming_dedup_drops_injected_duplicates(spark):
     )
     ev = load_table(spark, SF_DIR, "events")
     assert out.count() == ev.select("event_id").distinct().count()
+
+
+def test_interval_join_stream_matches_batch_range_join(spark):
+    """Stream-stream interval join == batch bucketed range join (q50):
+    per-error click counts agree, and zero-match errors are exactly the
+    ones the inner stream join omits."""
+    from synth_transform_spark.plans.temporal_queries import q50_range_join
+
+    errors = _stream(spark).filter(F.col("event_type") == "error")
+    clicks = _stream(spark).filter(F.col("event_type") == "click")
+    out = se.run_available_now(
+        se.interval_join(errors, clicks, window_sec=600), "t_interval", output_mode="append"
+    )
+    stream_counts = (
+        out.groupBy("event_id").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    )
+    batch = q50_range_join(spark, SF_DIR).toPandas()
+    s = dict(zip(stream_counts.event_id, stream_counts.n))
+    b = {r.event_id: r.n_in_range for r in batch.itertuples() if r.n_in_range > 0}
+    assert s == b
+    n_zero = sum(1 for r in batch.itertuples() if r.n_in_range == 0)
+    assert len(batch) == len(s) + n_zero
