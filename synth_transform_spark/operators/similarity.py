@@ -51,11 +51,18 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_shards: int = 64,
 ) -> DataFrame:
-    """Exact top-k neighbours for each query vector.
+    """Exact top-k neighbours for each query vector, two-phase.
 
     ``queries`` is expected to be small → broadcast; the corpus side streams
-    once with no shuffle until the final per-query top-k (tiny).
+    once. Top-k is sharded: phase 1 takes a local top-k within each of
+    ``n_shards`` deterministic hash shards per query (parallelism =
+    queries × shards, so no single reducer sees the whole corpus — a
+    plain ``partitionBy(query_id)`` window would funnel ALL scored rows
+    through n_queries partitions at 100 TB); phase 2 re-ranks the
+    queries × shards × k survivors (tiny). The global top-k is provably a
+    subset of the union of shard-local top-ks, so the result is exact.
     Returns (query_id, neighbor_id, cosine) with rank ≤ k.
     """
     from ..sources.readers import ensure_parallelism
@@ -70,10 +77,24 @@ def cosine_topk(
         v.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4))
+        .withColumn("_shard", F.pmod(F.hash("neighbor_id"), F.lit(n_shards)))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return _topk_per_query(scored, k)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k in two phases over a ``_shard`` column:
+    shard-local top-k (parallel) then global re-rank of the survivors."""
+    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    w_local = Window.partitionBy("query_id", "_shard").orderBy(*order)
+    survivors = (
+        scored.withColumn("rk", F.row_number().over(w_local))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )
+    w_global = Window.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w_global))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -175,10 +196,6 @@ def ivf_topk(
         cand.join(F.broadcast(probe), centroid_id)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("v_vec")), 4))
+        .withColumn("_shard", F.pmod(F.hash("neighbor_id"), F.lit(64)))
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine")
-    )
+    return _topk_per_query(scored, k)
