@@ -35,13 +35,20 @@ def assign_ids_scalable(df: DataFrame, order_cols: list[str], id_name: str = "ne
     3. size each partition, broadcast cumulative offsets, add local
        row_number within partition.
 
-    The only driver-side data is one count per partition.
+    The only driver-side data is one count per partition. ``with_pid`` is
+    persisted BEFORE the size pass: ``repartitionByRange`` samples its
+    boundaries per execution, and the size job and the final job are two
+    executions — without pinning the computed partitions, boundary drift
+    between them would corrupt the offsets (the same reason
+    ``RDD.zipWithIndex`` materialises before its count pass).
     """
+    from pyspark import StorageLevel
+
     parted = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(
         *order_cols
     )
     pid = F.spark_partition_id()
-    with_pid = parted.withColumn("_pid", pid)
+    with_pid = parted.withColumn("_pid", pid).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     offsets = {}
     acc = 0

@@ -17,15 +17,18 @@ def zscore_outliers(
 ) -> DataFrame:
     """|z| > threshold rows, z = (x - mean) / stddev_pop over the whole input.
 
-    Computed with an empty-partition window — Spark evaluates this as one
-    global aggregate broadcast back (no per-row shuffle of the full data
-    beyond the single pass); at extreme scale compute the two scalars with
-    ``agg`` and cross-join the 1-row result instead.
+    The two corpus scalars come from a partial-aggregated ``agg`` (one
+    distributed pass) broadcast-cross-joined back as a single row — NOT an
+    empty-partition window, which would move the ENTIRE input to one
+    partition (WindowExec warns exactly that) and serialize the scan.
     """
-    w = Window.partitionBy()
-    z = (F.col(value_col) - F.avg(value_col).over(w)) / F.stddev_pop(value_col).over(w)
+    stats = df.agg(
+        F.avg(value_col).alias("_mu"), F.stddev_pop(value_col).alias("_sigma")
+    )
+    z = (F.col(value_col) - F.col("_mu")) / F.col("_sigma")
     return (
-        df.withColumn("z_score", F.round(z, 4))
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("z_score", F.round(z, 4))
         .filter(F.abs(F.col("z_score")) > threshold)
         .select(*id_cols, value_col, "z_score")
     )

@@ -307,8 +307,10 @@ def q11_positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q12 — deterministic surrogate-ID assignment (SURVEY §2.5 W1;
-# /root/reference/synth/etl.py:215-223 et al.) — window mode.
-# The scalable two-pass mode is exercised in tests (same output contract).
+# /root/reference/synth/etl.py:215-223 et al.) — scalable two-pass mode
+# (repartitionByRange + in-partition row_number + broadcast offsets; the
+# single-partition window mode stays available for bounded dims and is
+# equivalence-tested against this one).
 # --------------------------------------------------------------------------
 @register(
     "q12_surrogate_ids",
@@ -322,7 +324,7 @@ FROM orders
 )
 def q12_surrogate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderdate", "o_orderkey")
-    return ids.assign_ids_window(orders, ["o_orderdate", "o_orderkey"]).select(
+    return ids.assign_ids_scalable(orders, ["o_orderdate", "o_orderkey"]).select(
         "new_id", "o_orderkey"
     )
 
