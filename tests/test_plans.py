@@ -71,6 +71,17 @@ def test_temporal_joins_avoid_nested_loops(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_no_single_partition_windows(spark):
+    """q12 must show a range-partition exchange (two-pass ids), and q14 must
+    contain no Window at all (global scalars come from agg + broadcast) —
+    both previously funneled the whole input through one reducer."""
+    p12 = _plan(REGISTRY["q12_surrogate_ids"].spark(spark, SF_DIR))
+    assert "rangepartitioning" in p12.lower()
+    p14 = _plan(REGISTRY["q14_zscore_outliers"].spark(spark, SF_DIR))
+    assert "Window" not in p14
+    assert "BroadcastExchange" in p14 or "broadcast" in p14.lower()
+
+
 def test_aggregates_are_partial(spark):
     """Sum/count aggregations must show a partial_ stage before the shuffle
     (map-side combine) — one full-row shuffle would be the 100 TB killer."""
