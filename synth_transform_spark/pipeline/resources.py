@@ -121,12 +121,12 @@ def city_name_index(cities: DataFrame) -> DataFrame:
     """Exploded lowercase name index: (name_lc, countrycode, population,
     city_id). Precomputed once — the scale replacement for the reference's
     per-row scan over ~25k cities (etl.py:689-696)."""
-    from pyspark.sql import Window
+    from ..operators.ids import assign_ids_scalable
 
-    # deterministic city identity (small seed table — global window is fine)
-    base = cities.withColumn(
-        "city_id", F.row_number().over(Window.orderBy("name", "countrycode"))
-    )
+    # deterministic city identity; the two-pass assigner keeps even this
+    # seed table off the single-reducer path (geonames is ~25k rows today
+    # but a full gazetteer is 12M+)
+    base = assign_ids_scalable(cities, ["name", "countrycode"], "city_id")
     names = base.select(
         "city_id",
         "countrycode",
