@@ -42,6 +42,9 @@ def main() -> int:
             fn(spark, warm_dir).count()
         except Exception as ex:  # never let warmup sink the bench
             print(f"# warmup {name} failed: {ex}", file=sys.stderr)
+    from synth_transform_spark.caching import release_cached
+
+    release_cached()
     spark.catalog.clearCache()
 
     # best-of-2: per-query steady-state wall time (first run can absorb
@@ -50,6 +53,7 @@ def main() -> int:
     for name, fn in bench.items():
         best, n = None, 0
         for _ in range(2):
+            release_cached()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 
 from pyspark.sql import DataFrame, SparkSession
@@ -157,6 +158,11 @@ def cmd_update(args) -> int:
     new_cache.write.mode("overwrite").parquet(tmp)
     final = spark.read.parquet(tmp)
     final.write.mode("overwrite").parquet(args.cache)
+    new_cache.unpersist()
+    # the staging copy is only a write-ordering device (never overwrite the
+    # live cache from a plan that reads it) — drop it once the final
+    # overwrite has succeeded
+    shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"cache_rows": n}))
     return 0
 

@@ -17,7 +17,12 @@ def clean_string(col: Column) -> Column:
     """F1 — /root/reference/synth/utils.py:69-87.
 
     collapse [\\r\\n\\t]+ → ' '; strip HTML tags; NBSP → ' '; collapse
-    multiple spaces; trim; NULL if empty or no word character remains.
+    runs of ≥2 whitespace chars (``\\s{2,}`` — the reference's
+    multi_space_rgx, not just literal spaces); strip LEADING whitespace
+    only (utils.py:76 start_space_rgx — a trailing single space survives,
+    exactly as the reference emits); NULL if empty or no word character
+    remains. Parity matters because clean_institution uses the cleaned
+    string as an exact lookup key into master_clean.
 
     HTML stripping here is the regex approximation ``<[^>]+>`` → '' (the
     reference uses BeautifulSoup text extraction; divergence only on
@@ -26,8 +31,8 @@ def clean_string(col: Column) -> Column:
     c = F.regexp_replace(col, r"[\r\n\t]+", " ")
     c = F.regexp_replace(c, r"<[^>]+>", "")
     c = F.regexp_replace(c, " ", " ")
-    c = F.regexp_replace(c, r" +", " ")
-    c = F.trim(c)
+    c = F.regexp_replace(c, r"\s{2,}", " ")
+    c = F.regexp_replace(c, r"^\s+", "")
     return F.when(c.rlike(r"\w"), c)
 
 
@@ -50,7 +55,7 @@ def clean_string_html_exact(col: Column) -> Column:
             v = re.sub(r"[\r\n\t]+", " ", v)
             v = BeautifulSoup(v, "html.parser").get_text()
             v = v.replace(" ", " ")
-            v = re.sub(r" +", " ", v).strip()
+            v = re.sub(r"^\s+", "", re.sub(r"\s{2,}", " ", v))
             return v if re.search(r"\w", v) else None
 
         return s.map(one)

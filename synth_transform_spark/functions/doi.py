@@ -6,6 +6,17 @@ expressions. The reference's extractor is a staged chain
 hit wins; network stages (Elsevier/bibtex/pubmed — parsers/doi.py:129-223)
 are out-of-plan enrichment (see SURVEY.md §4.3) and stubbed behind the
 offline chain here.
+
+Stage order and per-stage normalisation mirror the reference exactly:
+- stages run standard-regex → STRICT-regex → mapress → nature → cambridge
+  (parsers/doi.py:19-30 — strict is SECOND, before the publisher rules);
+- only the two regex stages normalise their hit (upper → rstrip all '.' →
+  split at the FIRST ``[./](e?pdf|abstract|full|short)`` anywhere, keep the
+  part before it — parsers/doi.py:58-64); publisher stages return their
+  prefixed group raw;
+- ``fix``-mode pre-processing is unquote_plus FIRST, then removal of literal
+  spaces only (parsers/doi.py:32-34) — decoded '+'/'%20' spaces are removed,
+  other whitespace survives.
 """
 
 from __future__ import annotations
@@ -13,62 +24,74 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-#: parsers/doi.py:45-52 — the standard Crossref-recommended regex.
+#: parsers/doi.py:53 — the standard Crossref-recommended regex.
 DOI_PATTERN = r"10\.\d{4,9}/[-._;()/:a-zA-Z0-9]+"
-#: parsers/doi.py:77-88 — strict variant without ;()/: chars.
-DOI_PATTERN_STRICT = r"10\.\d{4,9}/[-._a-zA-Z0-9]+"
+#: parsers/doi.py:76 — strict variant without ;()/: chars. The reference
+#: pattern's dot is UNESCAPED (``10.\d{4,9}``) so any character is accepted
+#: after "10" — reproduced verbatim for bug-level parity.
+DOI_PATTERN_STRICT = r"10.\d{4,9}/[-._a-zA-Z0-9]+"
 
 
 def normalize_doi(col: Column) -> Column:
-    """F9 — parsers/doi.py:58-65: uppercase; strip trailing '.'; strip
-    ``[./]{e}pdf|abstract|full|short`` suffixes."""
+    """F9 — parsers/doi.py:58-64, in the reference's order:
+    uppercase → strip ALL trailing '.' (rstrip) → split at the first
+    ``[./](e?pdf|abstract|full|short)`` occurrence ANYWHERE and keep the
+    leading part (``extras_regex.split(doi)[0]`` — not end-anchored)."""
     c = F.upper(col)
-    c = F.regexp_replace(c, r"[./](EPDF|PDF|ABSTRACT|FULL|SHORT)$", "")
-    c = F.regexp_replace(c, r"\.$", "")
+    c = F.regexp_replace(c, r"\.+$", "")
+    c = F.regexp_replace(c, r"[./](EPDF|PDF|ABSTRACT|FULL|SHORT).*", "")
     return c
 
 
 def extract_doi(col: Column, strict: bool = False) -> Column:
-    """F10 — parsers/doi.py:45-88: first DOI-shaped substring, NULL if none."""
+    """F10 — parsers/doi.py:45-88: first DOI-shaped substring, normalised
+    per the reference's in-stage rules (normalize_doi), NULL if none."""
     pat = DOI_PATTERN_STRICT if strict else DOI_PATTERN
     hit = F.regexp_extract(col, pat, 0)
-    return F.when(hit != "", hit)
+    return F.when(hit != "", normalize_doi(hit))
 
 
 def extract_doi_mapress(col: Column) -> Column:
-    """F11 — parsers/doi.py:90-101: ``\\w+taxa.NNNN.N.N`` → 10.11646/ prefix."""
-    hit = F.regexp_extract(col, r"(\w+taxa)\.(\d{1,4})\.(\d+)\.(\d+)", 0)
+    """F11 — parsers/doi.py:90-100: ``\\w+taxa.NNNN.N.N`` → 10.11646/ prefix."""
+    hit = F.regexp_extract(col, r"(\w+taxa\.\d{1,4}\.\d+\.\d+)", 1)
     return F.when(hit != "", F.concat(F.lit("10.11646/"), hit))
 
 
 def extract_doi_nature(col: Column) -> Column:
-    """F11 — parsers/doi.py:103-114: s-prefixed article ids or
-    nature.com/articles/<id> → 10.1038/ prefix."""
+    """F11 — parsers/doi.py:102-116: s-prefixed article ids or
+    nature.com/articles/<any non-slash run> → 10.1038/ prefix."""
     s_id = F.regexp_extract(col, r"(s\d{5}-\d{3}-\d{5}-.)", 1)
-    article = F.regexp_extract(col, r"nature\.com/articles/([-.\w]+)", 1)
+    article = F.regexp_extract(col, r"nature\.com/articles/([^/]+)", 1)
     pick = F.when(s_id != "", s_id).when(article != "", article)
     return F.when(pick.isNotNull(), F.concat(F.lit("10.1038/"), pick))
 
 
 def extract_doi_cambridge(col: Column) -> Column:
-    """F11 — parsers/doi.py:116-127: ``fileId=(S[A-Z0-9]+)`` → 10.1017/."""
+    """F11 — parsers/doi.py:118-127: ``fileId=(S[A-Z0-9]+)`` → 10.1017/."""
     hit = F.regexp_extract(col, r"fileId=(S[A-Z0-9]+)", 1)
     return F.when(hit != "", F.concat(F.lit("10.1017/"), hit))
 
 
 def extract_doi_chain(col: Column) -> Column:
-    """F13 — parsers/doi.py:13-42: URL-decode, then first stage that hits:
-    standard regex → mapress → nature → cambridge → strict. Offline stages
-    only; NULL when nothing matches (network enrichment fills the gap in the
-    cache-table pipeline, never inside the query plan)."""
-    decoded = F.url_decode(F.regexp_replace(col, r"\s+", ""))
-    # url_decode raises on malformed %-sequences under ANSI; guard with try
-    safe = F.coalesce(F.try_url_decode(F.regexp_replace(col, r"\s+", "")), col) \
-        if hasattr(F, "try_url_decode") else F.coalesce(decoded, col)
+    """F13 — parsers/doi.py:13-42 with ``fix=True``: unquote_plus FIRST,
+    then remove literal spaces (decoded '+'/'%20' included), then the first
+    stage that hits wins: standard regex → STRICT regex → mapress → nature
+    → cambridge. Offline stages only; NULL when nothing matches (network
+    enrichment fills the gap in the cache-table pipeline, never inside the
+    query plan)."""
+    # url_decode raises on malformed %-sequences under ANSI; Python's
+    # unquote_plus leaves them untouched — try_url_decode + coalesce gives
+    # the same leave-as-is behaviour.
+    decoded = (
+        F.coalesce(F.try_url_decode(col), col)
+        if hasattr(F, "try_url_decode")
+        else F.coalesce(F.url_decode(col), col)
+    )
+    safe = F.regexp_replace(decoded, " ", "")
     return F.coalesce(
         extract_doi(safe),
+        extract_doi(safe, strict=True),
         extract_doi_mapress(safe),
         extract_doi_nature(safe),
         extract_doi_cambridge(safe),
-        extract_doi(safe, strict=True),
     )

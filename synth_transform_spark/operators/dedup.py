@@ -233,13 +233,14 @@ def lsh_candidate_pairs(
     """
     # The band relation is tiny (n_docs × n_bands, 3 narrow cols) but its
     # lineage is the whole signature pipeline — persist so the self-join
-    # below doesn't recompute signatures for each side.
-    sized = (
+    # below doesn't recompute signatures for each side. Tracked: hosts
+    # release via caching.release_cached between queries.
+    from ..caching import persist_tracked
+
+    sized = persist_tracked(
         bands.withColumn(
             "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
-        )
-        .filter(F.col("bucket_n") <= max_bucket)
-        .persist()
+        ).filter(F.col("bucket_n") <= max_bucket)
     )
     a = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
     b = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
@@ -326,16 +327,13 @@ def minhash_near_duplicates(
     signatures, and banding are all narrow. ``doc_sh`` is persisted because
     the signature path and the verify path both consume it.
     """
-    from pyspark import StorageLevel
-
+    from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
 
     # Repartition the raw docs (cheap rows) BEFORE shingling so the gram
     # computation itself is parallel; persisting after means both consumers
     # read the arrays without recomputing.
-    doc_sh = shingle_arrays(ensure_parallelism(docs), id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    doc_sh = persist_tracked(shingle_arrays(ensure_parallelism(docs), id_col, text_col, n))
     sigs = minhash_signatures_linear(doc_sh, id_col)
     cands = lsh_candidate_pairs(lsh_bands(sigs, id_col), id_col)
     return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)

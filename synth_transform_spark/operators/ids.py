@@ -40,15 +40,20 @@ def assign_ids_scalable(df: DataFrame, order_cols: list[str], id_name: str = "ne
     boundaries per execution, and the size job and the final job are two
     executions — without pinning the computed partitions, boundary drift
     between them would corrupt the offsets (the same reason
-    ``RDD.zipWithIndex`` materialises before its count pass).
+    ``RDD.zipWithIndex`` materialises before its count pass). The persist
+    is registered with ``caching.persist_tracked`` so hosts can release it
+    after consuming the result; on a real multi-executor cluster pass
+    ``checkpoint=True`` there instead — persist alone does not survive
+    executor loss, and a recompute would resample the range boundaries
+    (see caching.py docstring).
     """
-    from pyspark import StorageLevel
+    from ..caching import persist_tracked
 
     parted = df.repartitionByRange(*[F.col(c) for c in order_cols]).sortWithinPartitions(
         *order_cols
     )
     pid = F.spark_partition_id()
-    with_pid = parted.withColumn("_pid", pid).persist(StorageLevel.MEMORY_AND_DISK)
+    with_pid = persist_tracked(parted.withColumn("_pid", pid))
     sizes = with_pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n")).collect()
     offsets = {}
     acc = 0

@@ -31,10 +31,16 @@ def salted_join(
 
     Deterministic salt (xxhash64 of the whole row, mod n) so retries and
     re-runs partition identically. Result equals ``big.join(small, on,
-    how)`` for inner/left joins (the small side must be unique on ``on`` —
-    standard for dimension joins; duplicates would duplicate output rows
-    exactly as in the unsalted join).
+    how)`` ONLY for inner/left joins (the small side must be unique on
+    ``on`` — standard for dimension joins; duplicates would duplicate
+    output rows exactly as in the unsalted join). right/full joins are
+    rejected: the n_salts-replicated small side would emit every unmatched
+    small row n_salts times.
     """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left','left_outer'); got {how!r}"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)).cast("long")
     big_s = big.withColumn("_salt", salt)
     small_s = small.withColumn(

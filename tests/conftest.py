@@ -13,6 +13,15 @@ def spark():
     yield s
 
 
+@pytest.fixture(autouse=True)
+def _release_tracked_caches():
+    """Unpersist operator-tracked caches after every test (caching.py)."""
+    yield
+    from synth_transform_spark.caching import release_cached
+
+    release_cached()
+
+
 @pytest.fixture(scope="session")
 def oracle_con():
     from synth_transform_spark.testing import duckdb_connection

@@ -23,7 +23,13 @@ class TestCleanString:
         out = _one(
             spark, cleaning.clean_string(F.col("v")), "  <b>Natural</b>\r\n History\t Museum "
         )
-        assert out == "Natural History Museum"
+        # utils.py:75-76: \s{2,} collapse + LEADING-only strip — the
+        # reference keeps a trailing single space, and so do we (the cleaned
+        # string is an exact master_clean lookup key).
+        assert out == "Natural History Museum "
+
+    def test_trailing_single_space_survives(self, spark):
+        assert _one(spark, cleaning.clean_string(F.col("v")), " a ") == "a "
 
     def test_nbsp(self, spark):
         assert _one(spark, cleaning.clean_string(F.col("v")), "a\xa0b") == "a b"
@@ -111,8 +117,52 @@ class TestDoi:
         )  # too-short prefix: no stage hits
         assert (
             _one(spark, doi.extract_doi_chain(F.col("v")), "doi%3A10.5555/j.1")
-            == "10.5555/j.1"
-        )  # url-encoded then standard stage
+            == "10.5555/J.1"
+        )  # url-encoded then standard stage (regex stages normalise: upper)
+
+    def test_chain_normalises_regex_stage_hits(self, spark):
+        # parsers/doi.py:58-64 — upper, rstrip dots, split at the FIRST
+        # extras token anywhere (not end-anchored).
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "doi:10.5555/j.abc.pdf")
+            == "10.5555/J.ABC"
+        )
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "10.5555/x.pdf/extra")
+            == "10.5555/X"
+        )
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "10.1234/abc...")
+            == "10.1234/ABC"
+        )
+
+    def test_chain_decodes_before_removing_spaces(self, spark):
+        # parsers/doi.py:32-34 — unquote_plus FIRST, then remove ' ' only:
+        # '+' and '%20' decode to spaces which are then removed.
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "10.5555/a+b")
+            == "10.5555/AB"
+        )
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "10.55%2055/ab")
+            == "10.5555/AB"
+        )
+
+    def test_strict_stage_runs_second_with_unescaped_dot(self, spark):
+        # parsers/doi.py:76 — the strict pattern's '10.' dot is unescaped
+        # (any char); strict runs SECOND, before the publisher stages.
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "10x5555/abc")
+            == "10X5555/ABC"
+        )
+
+    def test_standard_stage_wins_over_publisher_stages(self, spark):
+        out = _one(
+            spark,
+            doi.extract_doi_chain(F.col("v")),
+            "zootaxa.1234.1.2 via 10.9999/xyz",
+        )
+        assert out == "10.9999/XYZ"
 
 
 class TestCleanInstitution:

@@ -102,8 +102,10 @@ class TestOutputs:
         assert out[1]["pages"] == "100-110"
         # output (2,201) → id 3 shares the DOI → same enrichment
         assert out[3]["title"] == "The Real Title"
-        # output (3,301) → id 4: DOI cached but no metadata → cleaned only
-        assert out[4]["title"] == "Clean me"
+        # output (3,301) → id 4: DOI cached but no metadata → cleaned only.
+        # Trailing space is reference-faithful: utils.py:75-76 strips
+        # leading whitespace only.
+        assert out[4]["title"] == "Clean me "
 
 
 class TestVisitorProject:
