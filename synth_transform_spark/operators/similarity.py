@@ -14,6 +14,13 @@ Two tiers:
                         into a partition-pruned scan of ~n_probe/n_cells of
                         the data; cells are also the natural partitioning
                         key for storage.
+- ``cell_cosine_pairs`` — bucketed embedding near-dup: candidates are pairs
+                        sharing one of each vector's ``n_assign`` nearest
+                        cells, then the exact scorer verifies. Replaces the
+                        all-pairs join (``cosine_pairs``, kept as the exact
+                        small-scale baseline / recall yardstick): per-cell
+                        quadratics are bounded by ``max_cell``, so the plan
+                        survives 100 TB.
 
 Ranking determinism: cosine is rounded to 4dp *before* ranking and ties break
 on vector id, so results are stable across engines (DuckDB oracle) and across
@@ -138,6 +145,57 @@ def cosine_pairs(
     )
 
 
+def cell_assignments(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_assign: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "cell_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Each vector's ``n_assign`` nearest coarse cells: (id, vec, cell_id).
+
+    Zero-shuffle assignment: the (small, by IVF contract) centroid set is
+    packed into ONE broadcast row as an array of structs, so every vector
+    scores / sorts / slices its cells inside whole-stage codegen — no
+    corpus-wide window shuffle (the previous shape joined corpus×cells then
+    ranked over ``partitionBy(id)``, an 8× data shuffle at 100 TB).
+
+    Ranking determinism matches the oracle: cosine rounded to 4dp before
+    ranking, ties break on ascending cell id (explicit comparator — no
+    negated-double sort keys, so −0.0 can never reorder across engines).
+    """
+    packed = centroids.agg(
+        F.collect_list(
+            F.struct(F.col(centroid_id).alias("cid"), F.col(centroid_vec).alias("cvec"))
+        ).alias("_cells")
+    )
+    scored_cells = F.transform(
+        F.col("_cells"),
+        lambda c: F.struct(
+            F.round(cosine(F.col(vec_col), c["cvec"]), 4).alias("cos"),
+            c["cid"].alias("cid"),
+        ),
+    )
+
+    def by_cos_desc_cid_asc(a, b):
+        return (
+            F.when(a["cos"] > b["cos"], F.lit(-1))
+            .when(a["cos"] < b["cos"], F.lit(1))
+            .when(a["cid"] < b["cid"], F.lit(-1))
+            .when(a["cid"] > b["cid"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    top = F.slice(F.array_sort(scored_cells, by_cos_desc_cid_asc), 1, n_assign)
+    return (
+        vectors.join(F.broadcast(packed))
+        .select(F.col(id_col), F.col(vec_col), F.explode(top).alias("_c"))
+        .select(id_col, vec_col, F.col("_c.cid").alias(centroid_id))
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -148,18 +206,75 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (broadcast centroids).
 
-    One narrow pass over the corpus; the resulting ``cell_id`` is the IVF
-    partition key (write with ``partitionBy(cell_id)`` for pruned probes).
+    One narrow pass over the corpus (see ``cell_assignments``); the
+    resulting ``cell_id`` is the IVF partition key (write with
+    ``partitionBy(cell_id)`` for pruned probes).
     """
-    c = centroids.select(F.col(centroid_id), F.col(centroid_vec))
-    scored = vectors.join(F.broadcast(c)).withColumn(
-        "cell_cos", F.round(cosine(F.col(vec_col), F.col(centroid_vec)), 4)
+    return cell_assignments(
+        vectors, centroids, 1, id_col, vec_col, centroid_id, centroid_vec
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("cell_cos"), F.asc(centroid_id))
+
+
+def cell_cosine_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    n_assign: int = 2,
+    max_cell: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed embedding near-dup: same-cell candidates → exact verify.
+
+    The scale path that replaces ``cosine_pairs``'s all-pairs join:
+
+    1. every vector gets its ``n_assign`` nearest coarse cells (narrow,
+       broadcast centroids — no shuffle);
+    2. candidate pairs share ≥1 cell — the self-join shuffles on ``cell_id``
+       and each cell's quadratic is bounded by ``max_cell`` (degenerate-cell
+       guard, same role as ``max_bucket`` in LSH dedup);
+    3. the exact rounded-cosine scorer verifies candidates ≥ ``threshold``.
+
+    Recall is tunable via ``n_assign`` (multi-probe catches pairs straddling
+    a cell boundary); tests pin recall vs the exact all-pairs baseline.
+    Returns (id_a, id_b, cosine).
+    """
+    from ..caching import persist_tracked
+
+    vd = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_nrm", _norm(F.col("_v")))
+    assigned = cell_assignments(vectors, centroids, n_assign, id_col, vec_col)
+    # Both sides of the candidate self-join consume the assignment relation —
+    # persist (tracked; hosts release between queries) so the packed-centroid
+    # scoring runs once, same pattern as lsh_candidate_pairs.
+    sized = persist_tracked(
+        assigned.withColumn(
+            "cell_n", F.count(F.lit(1)).over(Window.partitionBy("cell_id"))
+        )
+        .filter(F.col("cell_n") <= max_cell)
+        .select(id_col, "cell_id")
+    )
+    a = sized.select(F.col("cell_id"), F.col(id_col).alias("id_a"))
+    b = sized.select(F.col("cell_id"), F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["cell_id"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vd.select(F.col(id_col).alias("id_a"), F.col("_v").alias("a_vec"), F.col("_nrm").alias("nrm_a"))
+    vb = vd.select(F.col(id_col).alias("id_b"), F.col("_v").alias("b_vec"), F.col("_nrm").alias("nrm_b"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select(id_col, vec_col, centroid_id)
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("a_vec"), F.col("b_vec")) / (F.col("nrm_a") * F.col("nrm_b")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 
@@ -179,16 +294,9 @@ def ivf_topk(
     With cell-partitioned storage the probe is a partition-pruned scan —
     the 100 TB path. Recall is tunable via n_probe.
     """
-    qcells = (
-        queries.join(F.broadcast(centroids.select(centroid_id, centroid_vec)))
-        .withColumn("qc_cos", F.round(cosine(F.col(vec_col), F.col(centroid_vec)), 4))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("qc_cos"), F.asc(centroid_id))
-    probe = (
-        qcells.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= n_probe)
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), centroid_id)
-    )
+    probe = cell_assignments(
+        queries, centroids, n_probe, id_col, vec_col, centroid_id, centroid_vec
+    ).select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), centroid_id)
     cand = assigned.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v_vec"), centroid_id
     )

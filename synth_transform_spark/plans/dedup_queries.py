@@ -147,9 +147,18 @@ def q32_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q38 constants: 8 deterministic seed centroids (vec_id < 8 — exact values,
+# no float-summation-order hazard a trained mean would carry), each vector
+# multi-assigned to its 3 nearest cells, cells capped at 10k assignments.
+_Q38_N_CELLS = 8
+_Q38_N_ASSIGN = 3
+_Q38_MAX_CELL = 10000
+_Q38_THRESHOLD = 0.42
+
+
 @register(
     "q38_embedding_near_dups",
-    oracle="""
+    oracle=f"""
 WITH vflat AS (
     SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
            GENERATE_SUBSCRIPTS(embedding, 1) AS i
@@ -158,31 +167,74 @@ WITH vflat AS (
 norms AS (
     SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY vec_id
 ),
-dots AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b, SUM(a.x * b.x) AS dot
-    FROM vflat a JOIN vflat b ON b.i = a.i AND a.vec_id < b.vec_id
-    GROUP BY id_a, id_b
+cdots AS (
+    SELECT v.vec_id, c.vec_id AS cid, SUM(v.x * c.x) AS dot
+    FROM vflat v JOIN vflat c ON c.i = v.i AND c.vec_id < {_Q38_N_CELLS}
+    GROUP BY v.vec_id, c.vec_id
+),
+cscore AS (
+    SELECT d.vec_id, d.cid, ROUND(d.dot / (nv.nrm * nc.nrm), 4) AS cos
+    FROM cdots d
+    JOIN norms nv ON nv.vec_id = d.vec_id
+    JOIN norms nc ON nc.vec_id = d.cid
+),
+assign AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid ASC) AS rk
+        FROM cscore) t
+    WHERE rk <= {_Q38_N_ASSIGN}
+),
+sized AS (SELECT cid FROM assign GROUP BY cid HAVING COUNT(*) <= {_Q38_MAX_CELL}),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM assign a
+    JOIN assign b ON b.cid = a.cid AND a.vec_id < b.vec_id
+    JOIN sized s ON s.cid = a.cid
+),
+pdots AS (
+    SELECT c.id_a, c.id_b, SUM(a.x * b.x) AS dot
+    FROM cand c
+    JOIN vflat a ON a.vec_id = c.id_a
+    JOIN vflat b ON b.vec_id = c.id_b AND b.i = a.i
+    GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
-FROM dots
+FROM pdots
 JOIN norms na ON na.vec_id = id_a
 JOIN norms nb ON nb.vec_id = id_b
-WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= 0.42
+WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= {_Q38_THRESHOLD}
 """,
     tags=("dedup-embedding", "similarity"),
 )
 def q38_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (exact all-pairs ≥ 0.42).
+    """Embedding-cosine near-duplicates, IVF-cell bucketed (the scale path).
 
-    Threshold sits just under the corpus max cosine (~0.51 on the synthetic
-    near-orthogonal vectors) so the result is non-trivial. Scale path: see
-    operators/similarity.cosine_pairs docstring (IVF-cell / LSH-bucketed
-    candidate generation before the exact scorer).
+    Candidates are pairs sharing one of each vector's 3 nearest coarse
+    cells (8 deterministic seed centroids); the exact rounded-cosine scorer
+    verifies ≥ 0.42 (just under the corpus max ~0.51 on the synthetic
+    near-orthogonal vectors, so the result is non-trivial). No all-pairs
+    join anywhere: the candidate self-join shuffles on cell_id with a
+    degenerate-cell guard, so the plan holds at 100 TB. Recall vs the exact
+    all-pairs baseline (0.91 at sf0.01) is pinned in tests/test_similarity.py;
+    the oracle mirrors assignment, guard, and verify exactly.
     """
+    import pyspark.sql.functions as F
+
     from ..operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_pairs(emb, threshold=0.42)
+    centroids = emb.filter(F.col("vec_id") < _Q38_N_CELLS).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
+    return similarity.cell_cosine_pairs(
+        emb,
+        centroids,
+        threshold=_Q38_THRESHOLD,
+        n_assign=_Q38_N_ASSIGN,
+        max_cell=_Q38_MAX_CELL,
+    )
 
 
 @register(

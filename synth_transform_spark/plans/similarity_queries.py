@@ -75,10 +75,72 @@ def q23_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=_K)
 
 
+_N_CELLS = 8
+_N_PROBE = 2
+
+
 @register(
     "q33_ivf_topk",
-    oracle=None,  # approximate scale path: rows-only driver check; exactness
-    # is covered by q23 (the IVF result is a recall-tunable subset ranking).
+    # The IVF path is approximate but fully DETERMINISTIC: every ingredient
+    # (rounded-cosine argmax assignment with asc-cell tie-break, n_probe cell
+    # probing, rounded-cosine ranking with asc-id tie-break) is
+    # SQL-expressible, so the oracle replays the exact algorithm in DuckDB
+    # CTEs — the same pattern q27's oracle uses for the LSH pipeline.
+    oracle=f"""
+WITH vflat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (
+    SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY vec_id
+),
+cdots AS (
+    SELECT v.vec_id, c.vec_id AS cid, SUM(v.x * c.x) AS dot
+    FROM vflat v JOIN vflat c ON c.i = v.i AND c.vec_id < {_N_CELLS}
+    GROUP BY v.vec_id, c.vec_id
+),
+cscore AS (
+    SELECT d.vec_id, d.cid, ROUND(d.dot / (nv.nrm * nc.nrm), 4) AS cos,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY ROUND(d.dot / (nv.nrm * nc.nrm), 4) DESC,
+                                       d.cid ASC) AS rk
+    FROM cdots d
+    JOIN norms nv ON nv.vec_id = d.vec_id
+    JOIN norms nc ON nc.vec_id = d.cid
+),
+assign AS (SELECT vec_id, cid FROM cscore WHERE rk = 1),
+probe AS (
+    SELECT vec_id AS query_id, cid FROM cscore
+    WHERE rk <= {_N_PROBE} AND vec_id < {_N_QUERIES}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+),
+pdots AS (
+    SELECT c.query_id, c.neighbor_id, SUM(q.x * v.x) AS dot
+    FROM cand c
+    JOIN vflat q ON q.vec_id = c.query_id
+    JOIN vflat v ON v.vec_id = c.neighbor_id AND v.i = q.i
+    GROUP BY c.query_id, c.neighbor_id
+),
+scored AS (
+    SELECT p.query_id, p.neighbor_id,
+           ROUND(p.dot / (nq.nrm * nv.nrm), 4) AS cosine
+    FROM pdots p
+    JOIN norms nq ON nq.vec_id = p.query_id
+    JOIN norms nv ON nv.vec_id = p.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine
+FROM (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id ASC) AS rk
+    FROM scored
+) t
+WHERE rk <= {_K}
+""",
     tags=("similarity-ivf",),
 )
 def q33_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,9 +149,9 @@ def q33_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = (
-        emb.filter(F.col("vec_id") < 8)
+        emb.filter(F.col("vec_id") < _N_CELLS)
         .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
     )
     assigned = similarity.ivf_assign(emb, centroids)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return similarity.ivf_topk(assigned, centroids, queries, k=_K, n_probe=2)
+    return similarity.ivf_topk(assigned, centroids, queries, k=_K, n_probe=_N_PROBE)

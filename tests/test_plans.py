@@ -89,10 +89,23 @@ def test_aggregates_are_partial(spark):
     assert "partial_" in plan
 
 
+def test_q38_is_bucketed(spark):
+    """q38 must not contain an unbounded all-pairs join: candidates come
+    from the IVF-cell self-join (hash/merge on cell_id); the only
+    nested-loop allowed is the single-row packed-centroid broadcast."""
+    plan = _plan(REGISTRY["q38_embedding_near_dups"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # pair generation must be a hash/merge join on cell_id — never a
+    # nested-loop join over the id_a < id_b pair predicate
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "id_a" not in line and "id_b" not in line, line
+
+
 def test_no_cartesian_products(spark):
-    """Theta-join pair generators (q32/q38) are the only sanctioned
+    """Theta-join pair generators (q32) are the only sanctioned
     nested-loop joins; everything else must be hash/merge."""
-    allowed = {"q32_ngram_jaccard_pairs", "q38_embedding_near_dups", "q20_fuzzy_join"}
+    allowed = {"q32_ngram_jaccard_pairs", "q20_fuzzy_join"}
     offenders = []
     for name, q in sorted(REGISTRY.items()):
         if name in allowed:

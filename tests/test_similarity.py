@@ -1,10 +1,13 @@
-"""ANN quality gate: the IVF probe path must actually find neighbors.
+"""ANN / near-dup quality gates: approximate paths must actually find
+neighbors.
 
-q33 has no SQL oracle (approximate by design; the driver records a
-rows-only check), so this test pins its quality against the exact
-brute-force ranking (q23) on the same embeddings: recall@k must clear a
-floor at the default n_probe. Measured 0.92 mean / 0.60 min on the sf0.01
-synthetic embeddings; bounds leave margin for table regeneration.
+Both approximate paths (q33 IVF top-k, q38 bucketed near-dup pairs) are
+deterministic and oracle-matched (test_oracle_parity), but an oracle that
+replays the same algorithm can't tell whether the algorithm FINDS anything —
+these tests pin recall against the exact brute-force baselines. IVF:
+measured 0.92 mean / 0.60 min recall@k at the default n_probe on the sf0.01
+synthetic embeddings. Bucketed pairs: measured 0.91 at n_assign=3. Bounds
+leave margin for table regeneration.
 """
 
 from __future__ import annotations
@@ -27,3 +30,20 @@ def test_ivf_recall_against_brute_force(spark):
     recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
     assert sum(recalls) / len(recalls) >= 0.7
     assert min(recalls) >= 0.4
+
+
+def test_bucketed_pairs_recall_vs_exact(spark):
+    """q38's cell-bucketed pairs vs the exact all-pairs baseline: the verify
+    stage is exact (no false positives), and multi-assignment must recover
+    most true near-dup pairs."""
+    from synth_transform_spark.operators import similarity
+    from synth_transform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = similarity.cosine_pairs(emb, threshold=0.42).toPandas()
+    bucketed = REGISTRY["q38_embedding_near_dups"].spark(spark, SF_DIR).toPandas()
+    truth = set(zip(exact.id_a, exact.id_b))
+    got = set(zip(bucketed.id_a, bucketed.id_b))
+    assert truth, "exact baseline returned no pairs"
+    assert got <= truth, "bucketed path produced a pair the exact scorer rejects"
+    assert len(got & truth) / len(truth) >= 0.8
