@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     events_queries,
     multimodal_queries,
     nested_queries,
+    pipeline_parity_queries,
     relational,
     similarity_queries,
     temporal_queries,
