@@ -541,6 +541,86 @@ def q20_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q54 — partial-ratio fuzzy join (SURVEY §2.8 F15 / §2.3 J13): the
+# reference's fuzz.partial_ratio title gates (resources.py:278 `>= 80`
+# Crossref accept, :330 `> 50` DOI-metadata verify) over blocked title/
+# candidate pairs. Substring alignment: a title CONTAINED in a longer
+# string scores 100 where q20's plain edit distance rejects it.
+# --------------------------------------------------------------------------
+@register(
+    "q54_partial_ratio_join",
+    oracle="""
+WITH titles AS (
+    SELECT doc_id AS id_a,
+           ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:4], ' ') AS title
+    FROM documents
+),
+cands AS (
+    SELECT doc_id AS id_b, SUBSTR(text, 1, 60) AS cand FROM documents
+),
+pairs AS (
+    SELECT t.id_a, c.id_b, t.title, c.cand
+    FROM titles t
+    JOIN cands c ON t.id_a % 25 = c.id_b % 25 AND t.id_a <> c.id_b
+),
+sl AS (
+    SELECT id_a, id_b,
+           CASE WHEN LEN(title) <= LEN(cand) THEN title ELSE cand END AS s,
+           CASE WHEN LEN(title) <= LEN(cand) THEN cand ELSE title END AS l
+    FROM pairs
+),
+scored AS (
+    SELECT id_a, id_b,
+           CASE WHEN LEN(l) = 0 THEN 100
+                WHEN LEN(s) = 0 THEN 0
+                ELSE LIST_MAX(LIST_TRANSFORM(
+                    GENERATE_SERIES(1, LEN(l) - LEN(s) + 1),
+                    i -> CAST(FLOOR((200 * (LEN(s) - LEVENSHTEIN(s, SUBSTR(l, i, LEN(s)))) + LEN(s))
+                               / (2.0 * LEN(s))) AS BIGINT)))
+           END AS pratio
+    FROM sl
+)
+SELECT id_a, id_b, CAST(pratio AS BIGINT) AS pratio,
+       CAST(CASE WHEN pratio >= 80 THEN 1 ELSE 0 END AS BIGINT) AS strong
+FROM scored
+WHERE pratio > 50
+""",
+    tags=("F15", "J13"),
+)
+def q54_partial_ratio_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window partial-ratio join: 4-token titles vs 60-char prefixes of
+    blocked partner docs; emit pairs over the reference's weak gate (>50)
+    with the strong-gate flag (>=80). JVM-side throughout
+    (functions.fuzzy.partial_ratio_window) — blocking key first, similarity
+    only inside the block, the shape that scales."""
+    from ..functions.fuzzy import partial_ratio_window
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") % 25).alias("blk"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 4)).alias("title"),
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("id_b"),
+        (F.col("doc_id") % 25).alias("blk"),
+        F.substring(F.col("text"), 1, 60).alias("cand"),
+    )
+    return (
+        titles.join(cands, "blk")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("pratio", partial_ratio_window(F.col("title"), F.col("cand")))
+        .filter(F.col("pratio") > 50)
+        .select(
+            "id_a",
+            "id_b",
+            "pratio",
+            (F.col("pratio") >= 80).cast("long").alias("strong"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q29 — pivot (SURVEY §2.8 F25 / §2.4 A7).
 # --------------------------------------------------------------------------
 @register(

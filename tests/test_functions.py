@@ -181,3 +181,88 @@ class TestCleanInstitution:
         assert out["NHM <i>London</i>"] == "Natural History Museum"  # map hit
         assert out["Unknown  Uni"] == "Unknown Uni"  # miss keeps cleaned
         assert out["junk"] is None  # 'nil' sentinel → NULL (utils.py:121-122)
+
+
+class TestPartialRatio:
+    """Goldens for fuzz.partial_ratio parity (reference resources.py:278,330
+    thresholds: >= 80 Crossref accept, > 50 DOI-metadata verify)."""
+
+    def test_containment_scores_100(self):
+        from synth_transform_spark.functions.fuzzy import partial_ratio
+
+        # the common Crossref case: title contained in a longer citation —
+        # plain edit distance (q20's gate) would reject this match
+        title = "deep learning for bird song"
+        citation = "a survey of deep learning for bird song, vol 3, 2019"
+        assert partial_ratio(title, citation) == 100
+        assert partial_ratio(citation, title) == 100  # symmetric arg order
+
+    def test_reference_gate_cases(self):
+        from synth_transform_spark.functions.fuzzy import partial_ratio
+
+        # near-containment with one typo: passes >= 80
+        assert partial_ratio("bird song atlas", "the bird songs atlas (2nd ed)") >= 80
+        # moderate overlap: passes the weak > 50 gate but not the strong one
+        mid = partial_ratio("taxonomy of beetles", "notes on beetle taxonomy")
+        assert 50 < mid < 80
+        # disjoint strings: fails both gates
+        assert partial_ratio("quantum chromodynamics", "medieval pottery") <= 50
+
+    def test_edges_and_nulls(self):
+        from synth_transform_spark.functions.fuzzy import partial_ratio
+
+        assert partial_ratio(None, "x") is None
+        assert partial_ratio("x", None) is None
+        assert partial_ratio("", "") == 100
+        assert partial_ratio("", "abc") == 0
+        assert partial_ratio("abc", "abc") == 100
+
+    def test_indel_ratio_is_python_levenshtein_ratio(self):
+        # ratio = 2*LCS/(la+lb): substitution costs 2, so the weighted
+        # distance is la+lb-2*LCS (python-Levenshtein's formula)
+        from synth_transform_spark.functions.fuzzy import _indel_ratio
+
+        assert _indel_ratio("abcd", "abcd") == 1.0
+        assert _indel_ratio("abcd", "abed") == 0.75  # LCS=3 → 6/8
+        assert _indel_ratio("abc", "xyz") == 0.0
+
+    def test_window_variant_agrees_on_containment_and_gates(self, spark):
+        from synth_transform_spark.functions.fuzzy import (
+            partial_ratio,
+            partial_ratio_window,
+        )
+
+        rows = [
+            ("deep learning for bird song",
+             "a survey of deep learning for bird song, vol 3, 2019"),
+            ("bird song atlas", "the bird songs atlas (2nd ed)"),
+            ("quantum chromodynamics", "medieval pottery"),
+            ("abc", "abc"),
+        ]
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = [
+            r["pr"]
+            for r in df.select(
+                partial_ratio_window(F.col("a"), F.col("b")).alias("pr")
+            ).collect()
+        ]
+        # same gate decisions as the exact implementation on the goldens
+        for (a, b), w in zip(rows, got):
+            e = partial_ratio(a, b)
+            assert (w >= 80) == (e >= 80), (a, b, w, e)
+            assert (w > 50) == (e > 50), (a, b, w, e)
+        assert got[0] == 100  # containment is exact in both variants
+
+    def test_udf_matches_pure_python(self, spark):
+        from synth_transform_spark.functions.fuzzy import (
+            partial_ratio,
+            partial_ratio_udf,
+        )
+
+        rows = [("abcdef", "xxabcdefyy"), ("hello world", "goodbye moon"), (None, "x")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        got = [
+            r["pr"]
+            for r in df.select(partial_ratio_udf()(F.col("a"), F.col("b")).alias("pr")).collect()
+        ]
+        assert got == [partial_ratio(a, b) for a, b in rows]
