@@ -17,6 +17,11 @@ Spark-first:
 Training is iterative (not SQL-expressible) → the registry entry has no
 oracle; the driver records the weaker rows-only check (allowed for
 iterative algorithms), and tests assert determinism + accuracy floors.
+
+The pickled-model surface (PickledTextScorer / score_pickled /
+probability_outliers / outlier_top_tokens) replays the reference's actual
+outlier workflow — score with the EXISTING shipped model, then z-score —
+see the section comment below.
 """
 
 from __future__ import annotations
@@ -58,17 +63,20 @@ def prepare(docs: DataFrame, text_col: str = "text", label_col: str = "lang") ->
     )
 
 
-def train_and_score(
+def train_and_predict(
     docs: DataFrame,
     text_col: str = "text",
     label_col: str = "lang",
     holdout_mod: int = 5,
 ) -> DataFrame:
-    """Train on ~80% (doc_id % holdout_mod != 0), score the holdout.
+    """Train on ~80% (doc_id % holdout_mod != 0), predict the holdout.
 
-    Deterministic split via the id, not RNG, so results are stable across
-    partitionings and engines. Returns a confusion rollup
-    (label_str, predicted_str, n) over the holdout.
+    Deterministic split via the id hash, not RNG, so results are stable
+    across partitionings and engines. Returns per-row
+    (doc_id, label_str, predicted_str, correct) over the holdout — the
+    driver's rows-only check sees a stable schema, and accuracy floors are
+    asserted in tests/test_ml.py (on a label the bag-of-words model can
+    actually learn; the synthetic ``lang`` column carries no text signal).
     """
     prepped = prepare(docs, text_col, label_col)
     train = prepped.filter(F.col("doc_id") % holdout_mod != 0)
@@ -76,16 +84,195 @@ def train_and_score(
     model = build_pipeline().fit(train)
     labels = model.stages[0].labelsArray[0]
     idx_to_label = F.array(*[F.lit(l) for l in labels])
-    scored = model.transform(test).withColumn(
-        "predicted_str",
-        F.when(
-            F.col("prediction").cast("int") < len(labels),
-            F.element_at(idx_to_label, F.col("prediction").cast("int") + 1),
-        ).otherwise(F.lit("__unknown__")),
+    return (
+        model.transform(test)
+        .withColumn(
+            "predicted_str",
+            F.when(
+                F.col("prediction").cast("int") < len(labels),
+                F.element_at(idx_to_label, F.col("prediction").cast("int") + 1),
+            ).otherwise(F.lit("__unknown__")),
+        )
+        .select(
+            "doc_id",
+            "label_str",
+            "predicted_str",
+            (F.col("label_str") == F.col("predicted_str")).cast("long").alias("correct"),
+        )
+    )
+
+
+def train_and_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """Confusion rollup (label_str, predicted_str, n) over the holdout —
+    thin aggregation over ``train_and_predict``."""
+    return (
+        train_and_predict(docs, text_col, label_col, holdout_mod)
+        .groupBy("label_str", "predicted_str")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pickled-model scoring (outliers.ipynb cells 4-6): the reference's actual
+# outlier workflow applies a SHIPPED vectoriser + classifier (pickle files),
+# takes max predict_proba per row, z-scores the probabilities, and inspects
+# outlier tokens. Re-expressed Spark-first: the fitted model is exported to
+# a small picklable scorer (vocabulary + idf + logistic weights — plain
+# numpy, no sklearn/Spark classes inside the pickle), broadcast to
+# executors, and applied in an Arrow-batched mapInPandas stage; the z-score
+# and token rollup are the existing JVM-side operators.
+# ---------------------------------------------------------------------------
+
+
+class PickledTextScorer:
+    """Portable text classifier: vocab counts × idf → logistic softmax.
+
+    Built from a fitted export pipeline (``export_pickled_model``); the
+    pickle carries only lists/ndarrays so any Python environment with numpy
+    can score — the cluster never needs the training libraries, exactly the
+    property the reference's vectoriser.pkl/svc.model artifacts have.
+    """
+
+    def __init__(self, vocab, idf, coef, intercept, labels):
+        self.vocab = list(vocab)
+        self.idf = idf
+        self.coef = coef  # (n_classes, n_features)
+        self.intercept = intercept  # (n_classes,)
+        self.labels = list(labels)
+
+    def predict_proba(self, token_lists):
+        """(predicted_label_list, max_probability_array) for a batch."""
+        import numpy as np
+
+        index = {t: i for i, t in enumerate(self.vocab)}
+        x = np.zeros((len(token_lists), len(self.vocab)))
+        for r, toks in enumerate(token_lists):
+            for t in toks:
+                i = index.get(t)
+                if i is not None:
+                    x[r, i] += 1.0
+        logits = (x * self.idf) @ self.coef.T + self.intercept
+        logits -= logits.max(axis=1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(axis=1, keepdims=True)
+        best = p.argmax(axis=1)
+        return [self.labels[i] for i in best], p.max(axis=1)
+
+
+def build_export_pipeline(vocab_size: int = 4096, max_iter: int = 25, reg: float = 0.01):
+    """CountVectorizer-based twin of ``build_pipeline``: an explicit
+    vocabulary (exportable — murmur-hashed features are not portable off the
+    JVM) at notebook scale; the HashingTF pipeline remains the 100 TB path."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import IDF, CountVectorizer, StringIndexer
+
+    return Pipeline(
+        stages=[
+            StringIndexer(inputCol="label_str", outputCol="label", handleInvalid="keep"),
+            CountVectorizer(inputCol="tokens", outputCol="tf", vocabSize=vocab_size),
+            IDF(inputCol="tf", outputCol="features"),
+            LogisticRegression(maxIter=max_iter, regParam=reg, family="multinomial"),
+        ]
+    )
+
+
+def export_pickled_model(fitted) -> bytes:
+    """Serialise a fitted export pipeline to PickledTextScorer bytes."""
+    import pickle
+
+    import numpy as np
+
+    indexer, cv, idf, lr = fitted.stages
+    return pickle.dumps(
+        PickledTextScorer(
+            vocab=cv.vocabulary,
+            idf=np.array(idf.idf.toArray()),
+            coef=np.array(lr.coefficientMatrix.toArray()),
+            intercept=np.array(lr.interceptVector.toArray()),
+            labels=list(indexer.labelsArray[0]),
+        )
+    )
+
+
+def score_pickled(
+    docs: DataFrame,
+    model_bytes: bytes,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a broadcast pickled scorer (outliers.ipynb cell 4).
+
+    One declared mapInPandas stage: tokenise (same regex as ``tokens_col``),
+    score the Arrow batch, emit (id, predicted_str, probability). The model
+    broadcasts once per executor — no per-row pickle loads, no driver loop.
+    """
+    import re
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    bc = spark.sparkContext.broadcast(model_bytes)
+    pattern = re.compile(TOKEN_PATTERN)
+
+    def run(batches):
+        import pickle
+
+        import pandas as pd
+
+        model = pickle.loads(bc.value)
+        for pdf in batches:
+            toks = [
+                [t for t in pattern.sub(" ", (s or "").lower()).split() if len(t) > 1]
+                for s in pdf[text_col]
+            ]
+            preds, probas = model.predict_proba(toks)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "predicted_str": preds, "probability": probas}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, f"{id_col} long, predicted_str string, probability double"
+    )
+
+
+def probability_outliers(
+    scored: DataFrame, z_threshold: float = -2.5, id_col: str = "doc_id"
+) -> DataFrame:
+    """outliers.ipynb cell 5: z-score the max-probabilities (population
+    std, scipy-compatible) and keep rows BELOW the one-sided threshold —
+    low-confidence predictions are the outliers. Scalars come from one
+    partial-aggregated pass broadcast back (no single-partition window)."""
+    stats = scored.agg(
+        F.avg("probability").alias("_mu"), F.stddev_pop("probability").alias("_sigma")
+    )
+    z = (F.col("probability") - F.col("_mu")) / F.col("_sigma")
+    return (
+        scored.crossJoin(F.broadcast(stats))
+        .withColumn("z_score", F.round(z, 4))
+        .filter(F.col("z_score") < z_threshold)
+        .select(id_col, "predicted_str", F.round("probability", 4).alias("probability"), "z_score")
+    )
+
+
+def outlier_top_tokens(
+    docs: DataFrame, outliers: DataFrame, k: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """outliers.ipynb cell 6: token value_counts over the outlier rows,
+    top-k with a deterministic (count desc, token asc) tie-break."""
+    toks = docs.join(outliers.select("doc_id"), "doc_id").select(
+        F.explode(tokens_col(text_col)).alias("token")
     )
     return (
-        scored.groupBy("label_str", "predicted_str")
+        toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
     )
 
 

@@ -245,7 +245,10 @@ def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q41 — TF-IDF text classification on Spark ML (reference: classifiers.ipynb
 # cells 12-18). Iterative training → no SQL oracle (rows-only driver check);
-# determinism is asserted in tests/test_ml.py instead.
+# the output is per-holdout-row (doc_id, label_str, predicted_str, correct)
+# with a deterministic hash split, so the schema is stable and accuracy is
+# auditable from the rows; determinism + an accuracy floor on a learnable
+# derived label are asserted in tests/test_ml.py.
 # --------------------------------------------------------------------------
 @register(
     "q41_tfidf_classifier",
@@ -256,7 +259,33 @@ def q41_tfidf_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import ml
 
     docs = load_table(spark, sf_dir, "documents")
-    return ml.train_and_score(docs)
+    return ml.train_and_predict(docs)
+
+
+# --------------------------------------------------------------------------
+# q55 — pickled-model outlier workflow (reference: outliers.ipynb cells
+# 4-6): apply a shipped (pickled) vectoriser+classifier via a broadcast
+# mapInPandas stage, z-score the max probabilities (population std), keep
+# the low-confidence tail. The notebook's threshold is -2.5 on its corpus;
+# the fixture corpus' probability spread is tighter (min z ~ -1.86), so the
+# query pins -1.5 to keep the result non-trivial — the operator default
+# stays -2.5 for reference parity. No SQL oracle (rows-only check);
+# scorer/Spark-model equivalence and z-score math are pinned in
+# tests/test_ml.py.
+# --------------------------------------------------------------------------
+@register(
+    "q55_model_outliers",
+    oracle=None,
+    tags=("ml", "W4", "outliers"),
+)
+def q55_model_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = ml.prepare(docs).filter(F.col("doc_id") % 5 != 0)
+    model_bytes = ml.export_pickled_model(ml.build_export_pipeline().fit(train))
+    scored = ml.score_pickled(docs, model_bytes)
+    return ml.probability_outliers(scored, z_threshold=-1.5)
 
 
 # --------------------------------------------------------------------------

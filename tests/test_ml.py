@@ -51,3 +51,81 @@ def test_pca_project_preserves_rows_and_orders_variance(spark):
     # PC1 must carry at least as much variance as PC2 (eigenvalue ordering)
     mat = np.array(out.pc.tolist())
     assert mat[:, 0].var() >= mat[:, 1].var()
+
+
+def test_rows_output_covers_holdout_with_correct_flag(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    out = ml.train_and_predict(docs).toPandas()
+    holdout = docs.filter(F.col("doc_id") % 5 == 0)
+    assert len(out) == holdout.count()
+    assert list(out.columns) == ["doc_id", "label_str", "predicted_str", "correct"]
+    assert ((out.label_str == out.predicted_str).astype(int) == out.correct).all()
+
+
+def test_accuracy_floor_on_learnable_label(spark):
+    """The synthetic `lang` column carries no text signal, so the accuracy
+    gate runs on a label the bag-of-words model CAN learn: presence of a
+    specific token. Holdout accuracy must clear 0.9."""
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "derived",
+        F.when(F.array_contains(F.split(F.col("text"), " "), "key"), "has-key")
+        .otherwise("other"),
+    )
+    out = ml.train_and_predict(docs, label_col="derived").toPandas()
+    assert len(out) > 0
+    # both classes must actually occur, or the floor is vacuous
+    assert set(out.label_str) == {"has-key", "other"}
+    assert out.correct.mean() >= 0.9
+
+
+def test_pickled_scorer_matches_spark_model(spark):
+    """Export → broadcast → mapInPandas scoring must reproduce the Spark
+    model's own probabilities (max per row) and predicted labels."""
+    import numpy as np
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prepped = ml.prepare(docs)
+    fitted = ml.build_export_pipeline().fit(prepped)
+    model_bytes = ml.export_pickled_model(fitted)
+
+    mine = ml.score_pickled(docs, model_bytes).toPandas().set_index("doc_id").sort_index()
+    labels = fitted.stages[0].labelsArray[0]
+    ref = (
+        fitted.transform(prepped)
+        .select(
+            "doc_id",
+            F.array_max(vector_to_array("probability")).alias("p"),
+            F.col("prediction").cast("int").alias("pi"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert np.allclose(mine.probability.values, ref.p.values, atol=1e-9)
+    assert [labels[i] for i in ref.pi] == list(mine.predicted_str)
+
+
+def test_probability_outliers_matches_population_zscore(spark):
+    import numpy as np
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prepped = ml.prepare(docs)
+    model_bytes = ml.export_pickled_model(ml.build_export_pipeline().fit(prepped))
+    scored = ml.score_pickled(docs, model_bytes)
+    pdf = scored.toPandas()
+    mu, sigma = pdf.probability.mean(), pdf.probability.std(ddof=0)
+    expect = set(pdf.doc_id[np.round((pdf.probability - mu) / sigma, 4) < -1.5])
+    got = ml.probability_outliers(scored, z_threshold=-1.5).toPandas()
+    assert set(got.doc_id) == expect
+    assert len(got) > 0  # threshold must bite on the fixture corpus
+
+
+def test_outlier_top_tokens_is_deterministic_topk(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    outliers = docs.select("doc_id").filter(F.col("doc_id") % 100 == 0)
+    a = ml.outlier_top_tokens(docs, outliers, k=5).collect()
+    b = ml.outlier_top_tokens(docs, outliers, k=5).collect()
+    assert a == b and len(a) == 5
+    counts = [r.n for r in a]
+    assert counts == sorted(counts, reverse=True)

@@ -38,6 +38,7 @@ def test_relational_paths_have_no_python_udf(spark):
         "q36_byte_histogram",
         "q37_decoded_intensity",
         "q41_tfidf_classifier",  # ML training is a python pipeline by design
+        "q55_model_outliers",  # declared mapInPandas scoring stage by design
     }
     offenders = []
     for name, q in sorted(REGISTRY.items()):
