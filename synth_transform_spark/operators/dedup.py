@@ -342,6 +342,11 @@ def minhash_near_duplicates(
 # SimHash uses 60 bits: 15 hex chars of md5 fit a signed 64-bit int in every
 # engine (Spark conv()→bigint, DuckDB ::ubigint) without overflow.
 SIMHASH_BITS = 60
+# 4 bands × 15 bits: by pigeonhole, any pair with hamming distance ≤ 3
+# shares at least one identical band — candidate generation is LOSSLESS for
+# the default max_hamming=3 (n_bands must be > max_hamming for that
+# guarantee; larger d ⇒ more/narrower bands).
+SIMHASH_BANDS = 4
 
 
 def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -384,4 +389,79 @@ def simhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         )
         .groupBy(id_col)
         .agg(F.sum("bitval").cast("long").alias("simhash"))
+    )
+
+
+def simhash_bands(
+    sigs: DataFrame, id_col: str = "doc_id", n_bands: int = SIMHASH_BANDS
+) -> DataFrame:
+    """Band keys over 60-bit SimHash signatures: (id, band_id, band_val).
+
+    band_val = bits [band_id*w, (band_id+1)*w) of the signature (w =
+    60/n_bands) — pure shift/mask arithmetic, narrow, one explode like
+    ``lsh_bands``. Pairs within hamming ≤ n_bands-1 are guaranteed to
+    collide on ≥1 band (pigeonhole), so the bucket self-join loses nothing
+    at the default distance.
+    """
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("band_val"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(entries).alias("e")).select(
+        id_col, F.col("e.band_id").alias("band_id"), F.col("e.band_val").alias("band_val")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Banded SimHash near-dup pairs: (id_a, id_b, hamming ≤ max_hamming).
+
+    signature (one groupBy(doc) shuffle) → band rotation (narrow) → bucket
+    self-join on (band_id, band_val) with the degenerate-bucket guard →
+    exact hamming verify via ``bit_count(xor)`` on the candidate pairs.
+    The extension noted in the module header, now first-class: candidates
+    never touch the O(n²) pair space, and for max_hamming ≤ n_bands-1 the
+    band collision guarantee makes the result EXACT (q56's oracle computes
+    the all-pairs truth and hash-matches).
+    """
+    from ..caching import persist_tracked
+
+    n_bands = SIMHASH_BANDS if max_hamming < SIMHASH_BANDS else max_hamming + 1
+    sigs = persist_tracked(simhash_signatures(docs, id_col, text_col))
+    bands = simhash_bands(sigs, id_col, n_bands)
+    sized = bands.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_val"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select("band_id", "band_val", F.col(id_col).alias("id_a"))
+    b = sized.select("band_id", "band_val", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

@@ -237,36 +237,70 @@ def q38_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q28_simhash",
-    oracle=f"""
-WITH docs AS (
+# Shared CTE chain ending in sigs(doc_id, simhash) — mirrors
+# dedup.simhash_signatures exactly; q28 selects it, q56 builds pairs on it.
+_SIMHASH_SIGS_CTE = f"""
+docs2 AS (
     SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
     FROM documents
 ),
-toks AS (
+toks2 AS (
     SELECT doc_id, tok, COUNT(*) AS wgt
-    FROM (SELECT doc_id, UNNEST(w) AS tok FROM docs) u
+    FROM (SELECT doc_id, UNNEST(w) AS tok FROM docs2) u
     GROUP BY doc_id, tok
 ),
 hashed AS (
     SELECT doc_id, wgt,
            CAST(('0x' || SUBSTR(MD5(tok), 1, 15))::UBIGINT AS BIGINT) AS h
-    FROM toks
+    FROM toks2
 ),
 bits AS (
     SELECT doc_id, j.j,
            SUM((((h >> j.j) & 1) * 2 - 1) * wgt) AS s
     FROM hashed, (SELECT UNNEST(GENERATE_SERIES(0, {dedup.SIMHASH_BITS - 1})) AS j) j
     GROUP BY doc_id, j.j
+),
+sigs AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits
-GROUP BY doc_id
-""",
+"""
+
+
+@register(
+    "q28_simhash",
+    oracle=f"WITH {_SIMHASH_SIGS_CTE} SELECT doc_id, simhash FROM sigs",
     tags=("dedup-simhash",),
 )
 def q28_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_signatures(docs)
+
+
+@register(
+    "q56_simhash_near_dups",
+    # The oracle computes the ALL-PAIRS hamming truth — a strictly stronger
+    # check than mirroring the banded pipeline: with 4 bands of 15 bits,
+    # pigeonhole guarantees every pair within hamming ≤ 3 collides on ≥1
+    # band, so the banded Spark result must equal the exhaustive answer
+    # (the degenerate-bucket guard never binds on the fixture corpus —
+    # max band bucket is 27 ≪ 1000).
+    oracle=f"""
+WITH {_SIMHASH_SIGS_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(BIT_COUNT(XOR(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a
+JOIN sigs b ON a.doc_id < b.doc_id
+WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+""",
+    tags=("dedup-simhash", "A4"),
+)
+def q56_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dups: signature → 4×15-bit band rotation →
+    bucket self-join (max_bucket guard) → exact bit_count(xor) verify ≤ 3.
+    Candidates never touch the O(n²) pair space; the band-collision
+    guarantee makes the result exact at this distance."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_duplicates(docs, max_hamming=3)

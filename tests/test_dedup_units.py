@@ -31,3 +31,28 @@ def test_minhash_prime_exceeds_hash_domain():
     # P > 2^32 so (a*x + b) % P is a proper permutation-family range over
     # the full 32-bit shingle-hash domain.
     assert dedup.MINHASH_PRIME > X_MAX
+
+
+def test_simhash_band_collision_is_lossless_at_default_distance(spark):
+    """Pigeonhole property: with 4 bands of 15 bits, every pair within
+    hamming <= 3 must be recovered by the banded path — compare against the
+    exhaustive all-pairs answer on the fixture corpus."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from synth_transform_spark.operators import dedup
+    from synth_transform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    banded = dedup.simhash_near_duplicates(docs, max_hamming=3).toPandas()
+    sigs = dedup.simhash_signatures(docs)
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"))
+    exhaustive = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"))
+        .filter(F.col("hamming") <= 3)
+        .toPandas()
+    )
+    assert len(exhaustive) > 0, "fixture corpus must contain hamming<=3 pairs"
+    assert set(zip(banded.id_a, banded.id_b)) == set(zip(exhaustive.id_a, exhaustive.id_b))
