@@ -171,3 +171,41 @@ def q22_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_events_per_session",
         F.col("max_span_sec").alias("span_max_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# q57 — the streaming family inside the driver's hash gate (SURVEY §2.9):
+# this query EXECUTES the custom stateful streaming job (applyInPandasWithState
+# running totals, availableNow replay, update mode), reduces the per-batch
+# emissions to each user's final state, and hash-matches the batch-twin
+# oracle. Stream-batch equivalence is thereby driver-verified, not only
+# pytest-verified. 4dp rounding is safe here: values carry 2 decimals, so
+# the exact total sits ~0.005 from any rounding boundary — micro-batch
+# accumulation order cannot flip the hash.
+# --------------------------------------------------------------------------
+@register(
+    "q57_streaming_running_totals",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(value) AS DOUBLE), 4) AS total_value
+FROM events
+GROUP BY user_id
+""",
+    tags=("streaming-stateful",),
+)
+def q57_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import events as se
+    from ..streaming.stateful import running_user_totals
+
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_available_now(
+        running_user_totals(stream), "q57_sink", output_mode="update"
+    )
+    # final state per user = the emission with the highest running count
+    # (monotone per user; a user absent from later batches simply has no
+    # later emission, so the max is unique)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
