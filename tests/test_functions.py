@@ -266,3 +266,74 @@ class TestPartialRatio:
             for r in df.select(partial_ratio_udf()(F.col("a"), F.col("b")).alias("pr")).collect()
         ]
         assert got == [partial_ratio(a, b) for a, b in rows]
+
+
+class TestPorterStemming:
+    """F16 parity tier: pure-Python original Porter (1980) + the notebook
+    tokeniser chain (outliers.ipynb cell 3); spaCy POS path is import-gated."""
+
+    def test_full_pipeline_goldens(self):
+        from synth_transform_spark.functions.stemming import porter_stem
+
+        golden = {
+            # step-1 family
+            "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+            "feed": "feed", "agreed": "agre", "plastered": "plaster",
+            "bled": "bled", "motoring": "motor", "sing": "sing",
+            "hopping": "hop", "tanned": "tan", "falling": "fall",
+            "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+            "filing": "file", "happy": "happi", "sky": "sky",
+            # multi-step classics
+            "generalizations": "gener", "oscillators": "oscil",
+            "relational": "relat", "conditional": "condit",
+            "rational": "ration", "operator": "oper",
+            "hopefulness": "hope", "electrical": "electr",
+            "adoption": "adopt", "adjustment": "adjust",
+            "dependent": "depend", "controll": "control", "roll": "roll",
+            "rate": "rate", "cease": "ceas",
+            # length <= 2 untouched
+            "a": "a", "is": "is",
+        }
+        bad = {
+            w: (porter_stem(w), e)
+            for w, e in golden.items()
+            if porter_stem(w) != e
+        }
+        assert not bad, bad
+
+    def test_notebook_tokeniser_chain(self):
+        from synth_transform_spark.functions.stemming import tokenize_notebook
+
+        # lowercase, [^a-z- ] -> space, \s-\s -> space, len>1, stem
+        assert tokenize_notebook("The 123 Spotted-Owls; flying - fast!") == [
+            "the", "spotted-owl", "fly", "fast"
+        ]
+        assert tokenize_notebook(None) == []
+        assert tokenize_notebook("a b") == []  # single-letter tokens dropped
+
+    def test_stemmed_tokens_udf(self, spark):
+        from synth_transform_spark.functions.stemming import (
+            tokenize_notebook,
+            tokens_stemmed_udf,
+        )
+
+        rows = [("Relational databases; happily agreed!",), (None,)]
+        df = spark.createDataFrame(rows, "text string")
+        got = [
+            r["t"]
+            for r in df.select(tokens_stemmed_udf()(F.col("text")).alias("t")).collect()
+        ]
+        assert got == [tokenize_notebook(rows[0][0]), []]
+
+    def test_pos_path_is_gated(self):
+        import pytest
+
+        from synth_transform_spark.functions.stemming import tokens_pos_stemmed_udf
+
+        try:
+            import spacy  # noqa: F401
+
+            pytest.skip("spaCy present; gate not exercised")
+        except ImportError:
+            with pytest.raises(ImportError):
+                tokens_pos_stemmed_udf()
