@@ -55,6 +55,11 @@ def main() -> int:
         for _ in range(2):
             release_cached()
             spark.catalog.clearCache()
+            # GC nudge: 18 earlier queries leave dead codegen classes and
+            # broadcast refs; without this, collection lands INSIDE the
+            # timed region and inflates heavy queries 2-3x (q27 measured
+            # 3-5s polluted vs 1.8s clean — matching its idle steady state).
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)

@@ -117,7 +117,12 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     goal = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < goal:
+    # Partition count via the JVM-internal RDD (queryExecution().toRdd()):
+    # one py4j round-trip on the already-planned query, WITHOUT df.rdd's
+    # extra Python-conversion stage (javaToPython builds a serialization
+    # plan per call — measurable at many-query scale).
+    n = df._jdf.queryExecution().toRdd().getNumPartitions()
+    if n < goal:
         return df.repartition(goal)
     return df
 
