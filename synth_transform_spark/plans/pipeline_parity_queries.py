@@ -335,3 +335,124 @@ def q53_clean_institution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cleaning.clean_institution(inst, "raw", mapping, "clean_name").select(
         "c_custkey", "clean_name"
     )
+
+
+@register(
+    "q58_inequality_filter",
+    oracle="""
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 4) AS total_price
+FROM orders
+WHERE o_orderstatus <> 'O' AND o_totalprice >= 100000
+""",
+    tags=("P2", "P8"),
+)
+def q58_inequality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the reference's state-exclusion filter shape
+    (fill_visitor_project drops Application_State = 'edit',
+    /root/reference/synth/etl.py:447) as a pushed-down <> + range predicate.
+    Both predicates must reach the parquet scan (PushedFilters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderstatus") != "O") & (F.col("o_totalprice") >= 100000))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 4).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q59_null_aware_conditional",
+    oracle="""
+SELECT c_custkey,
+       COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'UNSPECIFIED') AS segment,
+       CASE WHEN c_acctbal < 0 THEN NULL ELSE ROUND(c_acctbal, 4) END AS balance,
+       CAST(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS BIGINT) AS was_negative
+FROM customer
+""",
+    tags=("P7", "P11"),
+)
+def q59_null_aware_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: null-aware conditional rewriting — sentinel → NULL (NULLIF),
+    NULL → default (COALESCE), and value-dependent nulling with a flag
+    (the reference's falsy-score and sentinel-cleanup idioms,
+    pipeline/steps.py clean_outputs / functions/cleaning sentinels)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.coalesce(
+            F.when(F.col("c_mktsegment") != "MACHINERY", F.col("c_mktsegment")),
+            F.lit("UNSPECIFIED"),
+        ).alias("segment"),
+        F.when(F.col("c_acctbal") >= 0, F.round("c_acctbal", 4)).alias("balance"),
+        (F.col("c_acctbal") < 0).cast("long").alias("was_negative"),
+    )
+
+
+@register(
+    "q60_project_user_join",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_name, ROUND(o_totalprice, 4) AS total_price
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+WHERE o_orderpriority = '1-URGENT'
+""",
+    tags=("J2",),
+)
+def q60_project_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the project→user equi-join (fill_visitor_project joins projects
+    to their users, /root/reference/synth/etl.py:476-488) — a plain inner
+    equi-join on the user key; at 100 TB both sides are large, so the plan
+    is a shuffle join on the key, not a broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "o_orderkey",
+            "c_custkey",
+            "c_name",
+            F.round("o_totalprice", 4).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "q61_institution_country",
+    oracle="""
+SELECT s_suppkey, n_name AS country, r_name AS region
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+""",
+    tags=("J6",),
+)
+def q61_institution_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: institution→country resolution with the reference's uniqueness
+    assertion (fill_institution maps each institution to exactly one
+    country and fails loudly otherwise, /root/reference/synth/etl.py:560-
+    585). The lookup-uniqueness check is a bounded driver-side assert on
+    the aggregated lookup (one tiny job), mirroring the reference's
+    fail-fast behaviour — never a per-row collect."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dup = (
+        nation.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(f"country lookup key not unique: {dup[0]['n_nationkey']}")
+    return (
+        supplier.join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("country"),
+            F.col("r_name").alias("region"),
+        )
+    )
