@@ -32,8 +32,18 @@ def _tokens(text_col):
     return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
 
 
+# GPT-2-style pre-tokenizer approximation, restricted to the subset where
+# Java regex (Spark) and RE2 (DuckDB) agree exactly: a unit is an optional
+# leading space + a letter run, digit run, or punctuation run. Counting
+# these units estimates BPE token counts (each unit is split further by
+# merges, but unit count is the stable, engine-portable lower bound that
+# budget planning uses).
+BPE_UNIT_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Per-doc token counting: n_tokens, n_distinct, avg token length."""
+    """Per-doc token counting: whitespace tokens (n/distinct/avg length)
+    plus the BPE-ish subword-unit count (``BPE_UNIT_PATTERN``)."""
     toks = _tokens(F.col(text_col))
     return docs.select(
         F.col(id_col),
@@ -44,6 +54,9 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             / F.size(toks),
             4,
         ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_UNIT_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_units"),
     )
 
 

@@ -225,14 +225,17 @@ def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_token_stats",
     oracle="""
 WITH t AS (
-    SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    SELECT doc_id, text,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
     FROM documents
 )
 SELECT doc_id,
        LEN(toks) AS n_tokens,
        LEN(LIST_DISTINCT(toks)) AS n_distinct_tokens,
        ROUND(CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks), 4)
-           AS avg_token_len
+           AS avg_token_len,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS BIGINT)
+           AS n_bpe_units
 FROM t
 """,
     tags=("text-tokens", "F16"),

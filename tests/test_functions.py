@@ -337,3 +337,56 @@ class TestPorterStemming:
         except ImportError:
             with pytest.raises(ImportError):
                 tokens_pos_stemmed_udf()
+
+
+class TestCleanStringHtmlDivergence:
+    """Golden fixtures for the regex-vs-bs4 divergence surface (F1).
+
+    The bs4-exact path is environment-gated (bs4 absent here); these
+    goldens pin (a) what the regex default emits on malformed markup and
+    (b) what the bs4 path WOULD emit — so the divergence is documented,
+    reviewable, and asserted wherever bs4 exists.
+    """
+
+    # (input, regex_expected, bs4_expected_or_None)
+    CASES = [
+        # well-formed: both agree
+        ("<b>Museum</b> of <i>Stuff</i>", "Museum of Stuff", "Museum of Stuff"),
+        # unclosed tag: regex strips the complete tag only; bs4 treats the
+        # rest of the string as that element's TEXT and keeps it too
+        ("before <b>bold", "before bold", "before bold"),
+        # '<' not followed by a letter never starts a tag in html.parser,
+        # and never matches a complete '<...>' regex tag either: both keep
+        ("5 < 6 things", "5 < 6 things", "5 < 6 things"),
+        # '<' + letter with no closing '>': THE divergence case — the regex
+        # finds no complete tag and keeps everything; html.parser starts a
+        # bogus tag and drops the rest of the string
+        ("a <b things", "a <b things", "a "),
+        # angle-bracket run spanning a real tag: the regex '<[^>]+>' eats
+        # from the FIRST '<' to the first '>', swallowing interior text
+        ("a <x or <b>keep</b>", "a keep", "a keep"),
+        # comment: regex treats '<!-- note -->' as one tag; whether bs4's
+        # get_text keeps Comment text is parser-version-dependent — not
+        # asserted (None)
+        ("x <!-- note --> y", "x y", None),
+    ]
+
+    def test_regex_default_goldens(self, spark):
+        for raw, regex_expected, _ in self.CASES:
+            got = _one(spark, cleaning.clean_string(F.col("v")), raw)
+            assert got == regex_expected, (raw, got, regex_expected)
+
+    def test_bs4_exact_goldens_where_available(self, spark):
+        import pytest
+
+        try:
+            import bs4  # noqa: F401
+        except ImportError:
+            with pytest.raises(ImportError):
+                cleaning.clean_string_html_exact(F.col("v"))
+            pytest.skip("bs4 absent; gate verified, goldens recorded above")
+        for raw, _, bs4_expected in self.CASES:
+            if bs4_expected is None:
+                continue
+            got = _one(spark, cleaning.clean_string_html_exact(F.col("v")), raw)
+            assert got == bs4_expected, (raw, got, bs4_expected)
