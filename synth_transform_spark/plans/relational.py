@@ -592,7 +592,11 @@ def q54_partial_ratio_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked partner docs; emit pairs over the reference's weak gate (>50)
     with the strong-gate flag (>=80). JVM-side throughout
     (functions.fuzzy.partial_ratio_window) — blocking key first, similarity
-    only inside the block, the shape that scales."""
+    only inside the block, the shape that scales. NOTE the fixture block
+    key (doc_id % 25) is sized for the 500-doc corpus; at scale the block
+    key must grow with the corpus (content-derived: lang+source, an LSH
+    band, or the reference's own per-row API-result candidate sets) so
+    per-block quadratics stay bounded — cardinality-25 keys would skew."""
     from ..functions.fuzzy import partial_ratio_window
 
     docs = _t(spark, sf_dir, "documents")

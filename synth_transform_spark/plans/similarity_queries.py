@@ -155,3 +155,22 @@ def q33_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = similarity.ivf_assign(emb, centroids)
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return similarity.ivf_topk(assigned, centroids, queries, k=_K, n_probe=_N_PROBE)
+
+
+@register(
+    "q62_pca_project",
+    # PCA eigenbasis sign (and, under eigenvalue ties, rotation) is
+    # basis-dependent, so values are not engine-portable — rows-only driver
+    # check; variance ordering + row preservation are pinned in
+    # tests/test_ml.py::test_pca_project_preserves_rows_and_orders_variance.
+    oracle=None,
+    tags=("ml", "pca"),
+)
+def q62_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of the embedding corpus onto 2 principal
+    components (classifiers.ipynb cells 16-18 shape): covariance eigenbasis
+    computed distributed, k x d SVD on the driver only."""
+    from ..operators.ml import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pca_project(emb, k=2)
