@@ -30,6 +30,18 @@ def test_q08_broadcasts_dims(spark):
     assert "SortMergeJoin" not in plan
 
 
+# Queries whose plan-build EXECUTES heavy work (model training, PCA fit,
+# a full streaming replay) — excluded from the whole-registry plan scans:
+# each has its own dedicated tests, and building their "plan" costs tens of
+# seconds of real execution per scan loop.
+HEAVY_EXECUTING = {
+    "q41_tfidf_classifier",
+    "q55_model_outliers",
+    "q57_streaming_running_totals",
+    "q62_pca_project",
+}
+
+
 def test_relational_paths_have_no_python_udf(spark):
     """Every §2 relational query stays JVM-side (no BatchEvalPython /
     ArrowEvalPython); Python appears only in declared mapInPandas stages."""
@@ -37,9 +49,7 @@ def test_relational_paths_have_no_python_udf(spark):
         "q35_frame_sample",
         "q36_byte_histogram",
         "q37_decoded_intensity",
-        "q41_tfidf_classifier",  # ML training is a python pipeline by design
-        "q55_model_outliers",  # declared mapInPandas scoring stage by design
-    }
+    } | HEAVY_EXECUTING  # ML/scoring stages are declared python by design
     offenders = []
     for name, q in sorted(REGISTRY.items()):
         if name in python_ok:
@@ -106,7 +116,7 @@ def test_q38_is_bucketed(spark):
 def test_no_cartesian_products(spark):
     """Theta-join pair generators (q32) are the only sanctioned
     nested-loop joins; everything else must be hash/merge."""
-    allowed = {"q32_ngram_jaccard_pairs", "q20_fuzzy_join"}
+    allowed = {"q32_ngram_jaccard_pairs", "q20_fuzzy_join"} | HEAVY_EXECUTING
     offenders = []
     for name, q in sorted(REGISTRY.items()):
         if name in allowed:
