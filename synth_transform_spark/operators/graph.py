@@ -1,0 +1,119 @@
+"""Graph operators: connected components over candidate-pair edges.
+
+The dedup operators (operators/dedup.py, operators/similarity.py) emit
+near-duplicate PAIRS; an actual dedup decision needs CLUSTERS — the
+transitive closure of the pair relation — so one canonical document can be
+kept per component (the reference's duplicate analysis groups by shared key
+for exactly this purpose: SURVEY.md §2.4 A4/U4,
+/root/reference/notebooks/duplicates.ipynb cells 11-14 — its exact-key
+grouping IS a 1-hop component; MinHash/SimHash edges need the general
+closure).
+
+Algorithm: iterative min-label propagation, pure DataFrame ops.
+
+    label(v) ← min(label(v), min over neighbours' labels)
+
+repeated to fixpoint. Each round is one equi-join on the edge list plus a
+groupBy — a single shuffle over E — and the number of rounds equals the
+largest component's diameter. For near-dup graphs that diameter is tiny
+(duplicate clusters are cliques or short chains from banded LSH), so 2-4
+rounds close real corpora. For general graphs with long paths the
+large-star/small-star variant (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) converges in O(log n) rounds with the same
+per-round plan shape; min-propagation is the right default for dedup.
+
+Determinism: labels are min node ids — no randomness, no seed; the DuckDB
+oracle mirrors the fixpoint with a recursive reachability CTE.
+
+Scale notes (100 TB): state per round is one (node, label) relation — O(V)
+rows, 2 narrow columns; the join shuffles E on dst. Skew = high-degree
+nodes; boilerplate-heavy corpora produce large near-clique clusters whose
+groupBy(min) handles fan-in via partial aggregation (map-side combine), so
+a million-doc duplicate cluster costs one hot reducer key for a LONG, not
+a row explosion. Every round's result is eagerly localCheckpoint-ed: it
+truncates the otherwise round-deep lineage AND pins the relation its two
+consumers (convergence count, next round) share. On a multi-executor
+cluster prefer reliable ``checkpoint`` — localCheckpoint blocks die with
+an executor (see caching.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph ``edges``: (node, component).
+
+    ``component`` is the minimum node id in the component — deterministic
+    and engine-portable. Only nodes that appear in at least one edge are
+    returned (isolated docs are their own singleton clusters by definition;
+    callers that want them can union the node universe in).
+
+    NOTE: building this DataFrame EXECUTES Spark jobs (one convergence
+    count per round) — it is an iterative algorithm, not a lazy plan.
+    """
+    a = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    b = edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    # Symmetrised edge list; distinct so parallel edges don't multiply join
+    # output. Checkpointed once — every round re-reads it.
+    sym = a.union(b).distinct().localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("s").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym["d"] == labels["node"])
+            .groupBy("s")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        upd = (
+            labels.join(nbr, labels["node"] == nbr["s"], "left")
+            .select(
+                "node",
+                F.col("component").alias("old_component"),
+                F.least(
+                    "component", F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = upd.filter(F.col("component") < F.col("old_component")).count()
+        labels = upd.select("node", "component")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup clusters from a pair relation: (doc_id, cluster_id, cluster_size).
+
+    ``cluster_id`` = min doc id in the component (the canonical survivor a
+    dedup pass would keep); every returned doc belongs to a cluster of
+    size ≥ 2 by construction (singletons never emit a pair). The size
+    window partitions on cluster_id — bounded by the largest duplicate
+    cluster, with partial aggregation absorbing the fan-in.
+    """
+    cc = connected_components(pairs, src_col, dst_col)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+    ).withColumn(
+        "cluster_size",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+    )

@@ -31,7 +31,11 @@ sh AS (
 """
 
 
-def _minhash_oracle() -> str:
+def _minhash_ctes() -> str:
+    """CTE body (no WITH keyword) ending in ``dups(id_a, id_b, jaccard)``
+    — the verified near-dup pairs at threshold 0.8. Shared by the q27
+    oracle (selects the pairs) and the q63 oracle (builds the transitive
+    closure on top with a recursive CTE)."""
     n_perms, band_size = dedup.N_PERMS, dedup.BAND_SIZE
     n_bands = n_perms // band_size
     p = dedup.MINHASH_PRIME
@@ -49,7 +53,7 @@ def _minhash_oracle() -> str:
         )
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
-WITH {_SHINGLES_CTE},
+{_SHINGLES_CTE},
 shb AS (
     SELECT doc_id,
            CAST(('0x' || SUBSTR(MD5(shingle), 1, 8))::UBIGINT AS BIGINT) AS hb
@@ -80,19 +84,20 @@ inter AS (
 ),
 sizes AS (
     SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
-)
-SELECT id_a, id_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.8
-"""
+),
+dups AS (
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.8
+)"""
 
 
 @register(
     "q27_minhash_near_dups",
-    oracle=_minhash_oracle(),
+    oracle=f"WITH {_minhash_ctes()}\nSELECT id_a, id_b, jaccard FROM dups",
     tags=("dedup-minhash", "J13", "A4"),
     bench=True,
 )
@@ -304,3 +309,43 @@ def q56_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee makes the result exact at this distance."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.simhash_near_duplicates(docs, max_hamming=3)
+
+
+@register(
+    "q63_dup_clusters",
+    # Transitive closure of the q27 near-dup pairs. The recursive CTE
+    # enumerates reachability over the symmetrised edge list (the UNION's
+    # set semantics deduplicate visited pairs, so it terminates on cycles);
+    # the component label is then min(node, reachable nodes) — exactly the
+    # fixpoint the Spark min-label propagation converges to.
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM dups
+    UNION
+    SELECT id_b AS s, id_a AS d FROM dups
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+lab AS (
+    SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+""",
+    tags=("dedup-clusters", "A4", "U4"),
+)
+def q63_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: q27's verified pairs → connected components →
+    (doc_id, cluster_id=min id, cluster_size). The dedup decision layer:
+    keep cluster_id, drop the rest. Iterative — builds jobs, not a lazy
+    plan (see operators/graph.py)."""
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    return graph.duplicate_clusters(pairs)

@@ -1,0 +1,79 @@
+"""connected_components / duplicate_clusters (operators/graph.py).
+
+Shapes a near-dup pair graph actually produces: cliques (LSH bucket),
+chains (A~B~C where A!~C — the transitive-closure case exact grouping
+misses), parallel/reversed edges, plus randomized graphs checked against a
+pure-Python union-find.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from synth_transform_spark.operators.graph import (
+    connected_components,
+    duplicate_clusters,
+)
+
+
+def _components(spark, edges: list[tuple[int, int]]) -> dict[int, int]:
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+
+def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_chain_closes_transitively(spark):
+    # A~B, B~C, C~D: exact-key grouping sees three pairs; the closure is one
+    # cluster labelled by the min id.
+    assert _components(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_and_direction(spark):
+    # Edge direction must not matter: (9, 8) labels by min id 8.
+    got = _components(spark, [(1, 2), (9, 8), (5, 6), (6, 5)])
+    assert got == {1: 1, 2: 1, 8: 8, 9: 8, 5: 5, 6: 5}
+
+
+def test_parallel_edges_do_not_multiply(spark):
+    df = spark.createDataFrame([(1, 2), (1, 2), (2, 1)], ["id_a", "id_b"])
+    rows = connected_components(df).collect()
+    assert len(rows) == 2  # one row per node, despite duplicate edges
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_union_find_on_random_graphs(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    assert _components(spark, edges) == _union_find(edges)
+
+
+def test_duplicate_clusters_shape(spark):
+    # Two clusters: {1,2,3} (chain) and {7,9}; sizes attached per row.
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"])
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in duplicate_clusters(df).collect()
+    }
+    assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}

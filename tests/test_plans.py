@@ -39,6 +39,7 @@ HEAVY_EXECUTING = {
     "q55_model_outliers",
     "q57_streaming_running_totals",
     "q62_pca_project",
+    "q63_dup_clusters",  # iterative label propagation: plan build runs jobs
 }
 
 
