@@ -134,3 +134,48 @@ def top_tokens(docs: DataFrame, text_col: str = "text", k: int = 10) -> DataFram
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def inverted_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_df: int = 1
+) -> DataFrame:
+    """Term → posting-list index: (token, df, postings).
+
+    Tokens are lowercase alpha runs; per-doc distinctness happens in the
+    array (narrow) before exploding, so the single shuffle is the
+    groupBy(token). ``postings`` is the ascending doc-id list serialised as
+    a comma string — engine-portable and hash-stable. ``df`` (doc
+    frequency) rides along for free and is the IDF numerator a search
+    pipeline needs.
+
+    Scale notes (100 TB): token cardinality is huge and Zipf-skewed —
+    stopword-grade terms produce posting lists the size of the corpus.
+    ``min_df`` bounds the *output*, not the skew; production indexes shard
+    postings (term, shard_id) or cap list length. collect_set state for one
+    hot term is one reducer's memory — the map-side partial sets absorb
+    most of the fan-in. Mirrored by the q65 oracle.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: t != ""
+                )
+            )
+        ).alias("token"),
+    )
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set(id_col)),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -8,6 +8,7 @@ twin the DuckDB harness runs on the same parquet tables.
 from . import (  # noqa: F401
     dedup_queries,
     events_queries,
+    incremental_queries,
     multimodal_queries,
     nested_queries,
     pipeline_parity_queries,

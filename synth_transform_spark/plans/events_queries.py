@@ -209,3 +209,39 @@ def q57_streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q67 — the stream-stream interval join EXECUTED as a streaming job
+# (availableNow → memory sink), like q57. The oracle is the batch twin: a
+# watermarked stream-stream inner join over fully-arrived data emits
+# exactly the rows the static inequality join produces (the watermark only
+# bounds buffered state, it drops nothing under availableNow replay) —
+# the equivalence pytest pins this; the driver gate now re-proves it
+# against DuckDB every round.
+# --------------------------------------------------------------------------
+@register(
+    "q67_streaming_interval_join",
+    oracle="""
+SELECT l.event_id, l.user_id,
+       DATE_TRUNC('second', l.ts) AS ts,
+       DATE_TRUNC('second', r.ts) AS matched_ts
+FROM events l
+JOIN events r
+  ON r.user_id = l.user_id
+ AND DATE_TRUNC('second', r.ts)
+     BETWEEN DATE_TRUNC('second', l.ts) - INTERVAL 600 SECONDS
+         AND DATE_TRUNC('second', l.ts) + INTERVAL 600 SECONDS
+WHERE l.event_type = 'error' AND r.event_type = 'click'
+""",
+    tags=("streaming-interval-join",),
+)
+def q67_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    errors = stream.filter(F.col("event_type") == "error")
+    clicks = stream.filter(F.col("event_type") == "click")
+    return se.run_available_now(
+        se.interval_join(errors, clicks, window_sec=600), "q67_sink"
+    )

@@ -819,3 +819,38 @@ def q47_metric_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).cast("long").alias("n_suppliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — exact group percentiles (A12 summary stats, O6 ordered statistics).
+# Spark's `percentile` is the EXACT linear-interpolation quantile (one sort
+# per group inside the agg, no approximation) — semantically identical to
+# DuckDB's quantile_cont, so the hash-match is bit-for-bit after 4dp
+# rounding. At 100 TB prefer approx_percentile (t-digest, mergeable partial
+# aggs, no per-group sort) — kept out of the oracle gate because sketch
+# results are engine-specific; this exact form is the correctness anchor.
+# --------------------------------------------------------------------------
+@register(
+    "q64_group_percentiles",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*)                                            AS n,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4)       AS p50,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4)       AS p90,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.99), 4)      AS p99,
+       ROUND(QUANTILE_CONT(l_discount, 0.5), 4)            AS disc_p50
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("A12", "O6"),
+)
+def q64_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lin = _t(spark, sf_dir, "lineitem")
+    pct = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))")
+    return lin.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(pct[0], 4).alias("p50"),
+        F.round(pct[1], 4).alias("p90"),
+        F.round(pct[2], 4).alias("p99"),
+        F.round(F.expr("percentile(l_discount, 0.5D)"), 4).alias("disc_p50"),
+    )

@@ -358,3 +358,29 @@ def q48_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
     )
+
+
+@register(
+    "q65_inverted_index",
+    oracle="""
+WITH toks AS (
+    SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[^a-z]+'),
+                                  t -> t <> '')) AS token
+        FROM documents)
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       ARRAY_TO_STRING(LIST(doc_id ORDER BY doc_id), ',') AS postings
+FROM toks
+GROUP BY token
+HAVING COUNT(*) >= 100
+""",
+    tags=("A8", "A11", "F23"),
+)
+def q65_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term → posting-list index over documents (min_df=100 bounds the
+    declared output to corpus-common terms; see
+    operators/text_analysis.inverted_index for the skew discussion)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.inverted_index(docs, min_df=100)

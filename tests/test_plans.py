@@ -40,6 +40,7 @@ HEAVY_EXECUTING = {
     "q57_streaming_running_totals",
     "q62_pca_project",
     "q63_dup_clusters",  # iterative label propagation: plan build runs jobs
+    "q67_streaming_interval_join",  # streaming replay at build time
 }
 
 
