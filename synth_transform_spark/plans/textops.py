@@ -384,3 +384,67 @@ def q65_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text_analysis.inverted_index for the skew discussion)."""
     docs = load_table(spark, sf_dir, "documents")
     return text_analysis.inverted_index(docs, min_df=100)
+
+
+@register(
+    "q68_token_chunks",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+sized AS (SELECT doc_id, w, LEN(w) AS n FROM d),
+ks AS (
+    SELECT doc_id, w, n,
+           UNNEST(GENERATE_SERIES(0,
+               GREATEST(CAST(CEIL((n - 64) / 48.0) AS BIGINT), 0))) AS k
+    FROM sized
+)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+       CAST(LEAST(64, n - k * 48) AS BIGINT) AS n_tokens,
+       ARRAY_TO_STRING(w[k * 48 + 1 : LEAST(k * 48 + 64, n)], ' ') AS chunk_text
+FROM ks
+""",
+    tags=("seqprep-chunk", "F23"),
+)
+def q68_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows (stride 48) per document — the
+    retrieval/embedding chunking pass. Narrow ops only; zero shuffles
+    (operators/seqprep.chunk_documents)."""
+    from ..operators import seqprep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seqprep.chunk_documents(docs, size=64, stride=48)
+
+
+@register(
+    "q69_sequence_pack",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, doc_id % 8 AS shard,
+           LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS n
+    FROM documents
+),
+spans AS (
+    SELECT doc_id, shard, n,
+           SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) AS fin
+    FROM toks WHERE n > 0
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(n AS BIGINT) AS n_tokens,
+       CAST(FLOOR((fin - n) / 512.0) AS BIGINT) AS bin_first,
+       CAST(FLOOR((fin - 1) / 512.0) AS BIGINT) AS bin_last,
+       CAST((fin - n) % 512 AS BIGINT) AS offset_in_bin
+FROM spans
+""",
+    tags=("seqprep-pack", "W-frame"),
+)
+def q69_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate docs (ascending id within 8
+    hash shards) into 512-token context windows, docs spanning boundaries.
+    One shuffle — the per-shard running-sum window; no global ordering
+    (operators/seqprep.pack_sequences)."""
+    from ..operators import seqprep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seqprep.pack_sequences(docs, capacity=512, n_shards=8)
