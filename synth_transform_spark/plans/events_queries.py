@@ -245,3 +245,39 @@ def q67_streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         se.interval_join(errors, clicks, window_sec=600), "q67_sink"
     )
+
+
+# --------------------------------------------------------------------------
+# q70 — hypertable-style continuous aggregate: one pass produces the
+# day+hour, day, and grand-total resolutions via ROLLUP on the time-bucket
+# hierarchy (TimescaleDB's continuous-aggregate shape, re-expressed as a
+# Catalyst grouping-sets aggregation — partial aggs absorb the fan-in and
+# each resolution is a grouping set, not a second scan).
+# --------------------------------------------------------------------------
+@register(
+    "q70_hypertable_rollup",
+    oracle="""
+SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP))  AS day_bucket,
+       DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket,
+       CAST(GROUPING(DATE_TRUNC('day', CAST(ts AS TIMESTAMP))) * 2
+            + GROUPING(DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           AS lvl,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY ROLLUP (DATE_TRUNC('day', CAST(ts AS TIMESTAMP)),
+                 DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)))
+""",
+    tags=("hypertable-rollup", "A9", "A1"),
+)
+def q70_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day_bucket")
+    hour = F.date_trunc("hour", "ts").alias("hour_bucket")
+    return events.rollup(day, hour).agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )

@@ -854,3 +854,63 @@ def q64_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pct[2], 4).alias("p99"),
         F.round(F.expr("percentile(l_discount, 0.5D)"), 4).alias("disc_p50"),
     )
+
+
+# --------------------------------------------------------------------------
+# q71 — HyperLogLog distinct sketch (operators/sketches.py), verified
+# EXACTLY: the md5-register construction is deterministic, so the oracle
+# rebuilds the same 256 registers and the same estimate bit-for-bit (the
+# register sum is a <53-binary-order power-of-two sum — summation-order
+# proof in the operator docstring). exact_distinct rides along so every
+# round's gate also records the sketch's achieved error.
+# --------------------------------------------------------------------------
+@register(
+    "q71_hll_distinct",
+    oracle="""
+WITH h AS (
+    SELECT o_orderpriority,
+           CAST(('0x' || SUBSTR(MD5(CAST(o_custkey AS VARCHAR)), 1, 8))::UBIGINT
+                AS BIGINT) AS hv
+    FROM orders
+),
+tagged AS (
+    SELECT o_orderpriority, hv // 16777216 AS bucket, hv % 16777216 AS w FROM h
+),
+regs AS (
+    SELECT o_orderpriority, bucket,
+           MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - LENGTH(BIN(w)) END) AS r
+    FROM tagged GROUP BY o_orderpriority, bucket
+),
+per AS (
+    SELECT o_orderpriority, SUM(POWER(2.0, -r)) AS sum_obs, COUNT(*) AS n_obs
+    FROM regs GROUP BY o_orderpriority
+),
+est AS (
+    SELECT o_orderpriority,
+           CASE WHEN (47072.71267120224 / (sum_obs + (256 - n_obs))) <= 640.0
+                     AND (256 - n_obs) > 0
+                THEN 256.0 * LN(256.0 / (256 - n_obs))
+                ELSE 47072.71267120224 / (sum_obs + (256 - n_obs)) END AS hll
+    FROM per
+),
+ex AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority, ex.exact_distinct, ROUND(e.hll, 4) AS hll_distinct
+FROM est e JOIN ex ON ex.o_orderpriority = e.o_orderpriority
+""",
+    tags=("sketch-hll", "A12"),
+)
+def q71_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sketches
+
+    orders = _t(spark, sf_dir, "orders")
+    est = sketches.hll_distinct(orders, ["o_orderpriority"], "o_custkey")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", "exact_distinct", "hll_distinct"
+    )
