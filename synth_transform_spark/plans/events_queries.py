@@ -281,3 +281,41 @@ def q70_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
         F.round(F.avg("value"), 4).alias("avg_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q73 — time-RANGE rolling aggregates: trailing 1-hour event count/average
+# per user at every event (the feature-engineering window shape; q30's
+# running total is the ROWS sibling). The frame is defined by the epoch
+# VALUE range, so same-second ties contribute identically in both engines
+# regardless of intra-tie ordering.
+# --------------------------------------------------------------------------
+@register(
+    "q73_rolling_time_window",
+    oracle="""
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       ROUND(AVG(value) OVER w, 4) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY EPOCH(DATE_TRUNC('second', CAST(ts AS TIMESTAMP)))
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+""",
+    tags=("W-frame", "A1"),
+)
+def q73_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3599, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 4).alias("avg_1h"),
+    )

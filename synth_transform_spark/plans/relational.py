@@ -914,3 +914,46 @@ def q71_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "o_orderpriority").select(
         "o_orderpriority", "exact_distinct", "hll_distinct"
     )
+
+
+# --------------------------------------------------------------------------
+# q72 — deterministic weighted sampling (A13's weighted sibling): 20 orders
+# per priority with inclusion probability proportional to o_totalprice,
+# via md5-seeded A-Res keys (operators/sampling.py) — the draw is a pure
+# function of the data, so the oracle reproduces the identical sample.
+# --------------------------------------------------------------------------
+@register(
+    "q72_weighted_sample",
+    oracle="""
+WITH keyed AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           LN((CAST(('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT
+                    AS BIGINT) + 1) / 4294967296.0) / o_totalprice AS k
+    FROM orders
+),
+ranked AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY k DESC, o_orderkey) AS sample_rank
+    FROM keyed
+)
+SELECT o_orderpriority, o_orderkey,
+       ROUND(o_totalprice, 4) AS weight,
+       CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ranked WHERE sample_rank <= 20
+""",
+    tags=("A13", "sampling-weighted"),
+)
+def q72_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    out = weighted_sample(
+        orders, ["o_orderpriority"], "o_orderkey", "o_totalprice", k=20
+    )
+    return out.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 4).alias("weight"),
+        "sample_rank",
+    )
