@@ -95,6 +95,20 @@ def test_no_single_partition_windows(spark):
     assert "BroadcastExchange" in p14 or "broadcast" in p14.lower()
 
 
+def test_new_window_queries_stay_partitioned(spark):
+    """q69 (sequence packing), q72 (weighted sample), q73 (rolling range
+    window) all contain window passes — none may collapse to a single
+    partition (the global-ORDER-BY trap; packing shards by id % 8,
+    sampling/rolling partition by their group keys)."""
+    for name in (
+        "q69_sequence_pack",
+        "q72_weighted_sample",
+        "q73_rolling_time_window",
+    ):
+        plan = _plan(REGISTRY[name].spark(spark, SF_DIR))
+        assert "Exchange SinglePartition" not in plan, name
+
+
 def test_aggregates_are_partial(spark):
     """Sum/count aggregations must show a partial_ stage before the shuffle
     (map-side combine) — one full-row shuffle would be the 100 TB killer."""
