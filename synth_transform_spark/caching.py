@@ -45,7 +45,16 @@ def persist_tracked(
 
 def release_cached(blocking: bool = False) -> int:
     """Unpersist every tracked DataFrame; returns how many were released.
-    Safe to call at any point — operators re-persist on next use."""
+
+    Contract: call only AFTER the consuming action of every plan built on a
+    tracked persist has completed — i.e. between units of work, not mid-query.
+    Plans that baked driver-side state derived from a persisted relation
+    (``assign_ids_scalable``'s collected pid→offset map over a
+    ``repartitionByRange`` input) must NOT be re-executed after release: the
+    range partitioner resamples boundaries on recompute, so the baked offsets
+    would silently mis-assign ids. Re-executing such a plan requires either
+    rebuilding it or having persisted with ``checkpoint=True`` (lineage
+    truncated, recompute impossible)."""
     n = 0
     while _TRACKED:
         df = _TRACKED.pop()

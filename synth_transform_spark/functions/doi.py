@@ -81,12 +81,16 @@ def extract_doi_chain(col: Column) -> Column:
     query plan)."""
     # url_decode raises on malformed %-sequences under ANSI; Python's
     # unquote_plus leaves them untouched — try_url_decode + coalesce gives
-    # the same leave-as-is behaviour.
-    decoded = (
-        F.coalesce(F.try_url_decode(col), col)
-        if hasattr(F, "try_url_decode")
-        else F.coalesce(F.url_decode(col), col)
-    )
+    # the same leave-as-is behaviour. On builds without try_url_decode,
+    # coalesce CANNOT trap the runtime error (it selects among evaluated
+    # expressions), so gate the decode behind a well-formedness check: any
+    # '%' not followed by two hex digits ⇒ leave the value untouched.
+    if hasattr(F, "try_url_decode"):
+        decoded = F.coalesce(F.try_url_decode(col), col)
+    else:
+        decoded = F.when(col.rlike("%(?![0-9A-Fa-f]{2})"), col).otherwise(
+            F.url_decode(col)
+        )
     safe = F.regexp_replace(decoded, " ", "")
     return F.coalesce(
         extract_doi(safe),

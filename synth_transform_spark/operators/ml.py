@@ -251,7 +251,13 @@ def probability_outliers(
     stats = scored.agg(
         F.avg("probability").alias("_mu"), F.stddev_pop("probability").alias("_sigma")
     )
-    z = (F.col("probability") - F.col("_mu")) / F.col("_sigma")
+    # Guard sigma==0 (degenerate model / tiny input): an unguarded divide
+    # yields NaN/±Inf, and the filter would silently drop every row —
+    # indistinguishable from "no outliers". NULL z makes no-signal explicit.
+    z = F.when(
+        F.col("_sigma") > 0,
+        (F.col("probability") - F.col("_mu")) / F.col("_sigma"),
+    )
     return (
         scored.crossJoin(F.broadcast(stats))
         .withColumn("z_score", F.round(z, 4))

@@ -20,6 +20,8 @@ Reference lineage:
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -236,7 +238,9 @@ def q52_city_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     splits = []
     for i, delim in enumerate(_Q52_DELIMS):
-        parts = F.split(F.col("town"), F.lit(delim), -1)
+        # F.split takes a Java regex: escape so '. ' splits on a literal
+        # dot+space (DuckDB STRING_SPLIT and Python str.split are literal).
+        parts = F.split(F.col("town"), F.lit(re.escape(delim)), -1)
         keys = towns.filter(F.size(parts) > 1).select(
             "town_id", F.lower(F.trim(F.element_at(parts, 1))).alias("name_lc")
         )

@@ -390,3 +390,38 @@ class TestCleanStringHtmlDivergence:
                 continue
             got = _one(spark, cleaning.clean_string_html_exact(F.col("v")), raw)
             assert got == bs4_expected, (raw, got, bs4_expected)
+
+
+class TestAdviceRegressionFixes:
+    """Round-3 regressions for ADVICE.md findings."""
+
+    def test_url_decode_fallback_is_ansi_safe(self, spark, monkeypatch):
+        # Simulate a Spark build without try_url_decode: the fallback must
+        # gate url_decode behind a well-formedness check (coalesce cannot
+        # trap the ANSI runtime error), leaving malformed %-seqs untouched.
+        monkeypatch.delattr(F, "try_url_decode", raising=False)
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "10.55%2055/ab")
+            == "10.5555/AB"
+        )  # well-formed: still decodes
+        # Malformed %-seq: left undecoded (unquote_plus parity), no runtime
+        # error; the DOI regex then stops at '%' (not in its char class),
+        # exactly as the reference's re.search over the raw string does.
+        assert (
+            _one(spark, doi.extract_doi_chain(F.col("v")), "doi:10.5555/a%zqb")
+            == "10.5555/A"
+        )
+
+    def test_q52_split_delimiters_are_literal(self, spark):
+        # '. ' passed to F.split unescaped is a regex (any char + space) and
+        # would split 'Ab Cd, Ef' into 3 parts; the literal escape keeps 1.
+        import re as _re
+
+        df = spark.createDataFrame([("Ab Cd, Ef",)], "town string")
+        lit_parts = F.split(F.col("town"), F.lit(_re.escape(". ")), -1)
+        raw_parts = F.split(F.col("town"), F.lit(". "), -1)
+        row = df.select(
+            F.size(lit_parts).alias("lit_n"), F.size(raw_parts).alias("raw_n")
+        ).first()
+        assert row.lit_n == 1
+        assert row.raw_n == 3  # documents the divergence the escape prevents
