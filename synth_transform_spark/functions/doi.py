@@ -80,11 +80,15 @@ def extract_doi_chain(col: Column) -> Column:
     enrichment fills the gap in the cache-table pipeline, never inside the
     query plan)."""
     # url_decode raises on malformed %-sequences under ANSI; Python's
-    # unquote_plus leaves them untouched — try_url_decode + coalesce gives
-    # the same leave-as-is behaviour. On builds without try_url_decode,
-    # coalesce CANNOT trap the runtime error (it selects among evaluated
-    # expressions), so gate the decode behind a well-formedness check: any
-    # '%' not followed by two hex digits ⇒ leave the value untouched.
+    # unquote_plus leaves only the malformed token raw and still decodes
+    # the rest ('a%20b%zz' → 'a b%zz'), while both paths here leave the
+    # WHOLE value raw when any sequence is malformed — a documented
+    # divergence on mixed valid+malformed inputs (decode per-%-token if
+    # exact unquote_plus parity is ever needed). On builds without
+    # try_url_decode, coalesce CANNOT trap the runtime error (it selects
+    # among evaluated expressions), so gate the decode behind a
+    # well-formedness check: any '%' not followed by two hex digits ⇒
+    # leave the value untouched.
     if hasattr(F, "try_url_decode"):
         decoded = F.coalesce(F.try_url_decode(col), col)
     else:

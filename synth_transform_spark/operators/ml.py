@@ -252,8 +252,9 @@ def probability_outliers(
         F.avg("probability").alias("_mu"), F.stddev_pop("probability").alias("_sigma")
     )
     # Guard sigma==0 (degenerate model / tiny input): an unguarded divide
-    # yields NaN/±Inf, and the filter would silently drop every row —
-    # indistinguishable from "no outliers". NULL z makes no-signal explicit.
+    # errors with DIVIDE_BY_ZERO under ANSI (this project's sweep) and
+    # yields NULL non-ANSI. NULL z keeps no-signal explicit either way and
+    # matches scipy zscore's NaN→empty-filter semantics.
     z = F.when(
         F.col("_sigma") > 0,
         (F.col("probability") - F.col("_mu")) / F.col("_sigma"),
