@@ -1,0 +1,114 @@
+"""Bloom-filter join pruning: a deterministic, engine-portable runtime filter.
+
+The 100 TB motivation: a fact-side scan feeding a selective join moves every
+probe row through the shuffle even though most will not match. Spark's own
+runtime-filter / DPP machinery handles the partition-column case; this
+operator is the general-key version — build a compact bloom filter from the
+(small, filtered) build side, broadcast it, and drop non-matching probe rows
+BEFORE the join shuffle. The final exact join still runs, so false positives
+cost nothing but wasted shuffle bytes and false negatives are impossible
+(bit-set membership is exact for inserted keys).
+
+Construction (mirrors in SQL, so the q80 oracle can be the PLAIN semi-join —
+correctness means the pruned plan returns exactly the unpruned answer):
+
+- m = 4096 bits stored as 64 × 64-bit words; k = 3 hash functions
+- position_j(key) = first-8-md5-hex("j:" || key) mod m   (j = 0,1,2)
+- build: distinct positions → word = pos div 64, bit = pos mod 64,
+  word value = BIT_OR(1 << bit) per word  → a 64-row relation
+- probe: a key passes iff all k of its words have the bit set
+
+Scale notes: the build side aggregates to AT MOST 64 rows regardless of key
+count — broadcast for free. The probe-side check is a broadcast hash join on
+``word`` (≤ k rows exploded per probe row) plus an ALL-bits-set aggregate,
+entirely JVM-side; no Python, no driver collect. Sizing: k=3/m=4096 gives
+~1.5 % false-positive rate at 500 keys (n/m ≈ 0.12); production sizing scales
+m with the build-side count (m ≈ 10·n keeps FPR ≈ 1 %).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import broadcast
+
+BLOOM_BITS = 4096
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_K = 3
+
+
+def _positions(key_col, k: int = BLOOM_K):
+    """The k bloom bit positions for a key, as column expressions."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key_col.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+        for j in range(k)
+    ]
+
+
+def bloom_build(build: DataFrame, key_col: str) -> DataFrame:
+    """Aggregate a key set into bloom words: (word, bits) — ≤ 64 rows."""
+    pos = F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
+    positions = build.select(pos).distinct()
+    return positions.select(
+        (F.col("pos") / F.lit(64)).cast("long").alias("word"),
+        (F.col("pos") % F.lit(64)).alias("bit"),
+    ).groupBy("word").agg(
+        # shiftleft's amount must be a literal in the Python API — SQL expr
+        # accepts the column form.
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).alias(
+            "bits"
+        )
+    )
+
+
+def bloom_prune(probe: DataFrame, bloom_words: DataFrame, key_col: str) -> DataFrame:
+    """Probe rows whose key passes the bloom filter (supersets the true
+    matches — follow with the exact join).
+
+    One narrow explode (k rows per probe row), a broadcast join on ``word``,
+    and an all-bits-present aggregate keyed by the probe's own columns —
+    grouped on a row tag so duplicate probe rows survive with their
+    multiplicity.
+    """
+    tagged = probe.withColumn(
+        "_rowtag", F.monotonically_increasing_id()
+    ).withColumn("_pos", F.explode(F.array(*_positions(F.col(key_col)))))
+    checked = (
+        tagged.withColumn("word", (F.col("_pos") / F.lit(64)).cast("long"))
+        .withColumn("bit", F.col("_pos") % F.lit(64))
+        .join(broadcast(bloom_words), "word", "left")
+        .withColumn(
+            "_hit",
+            F.coalesce(
+                F.expr("shiftright(bits, CAST(bit AS INT))").bitwiseAND(F.lit(1)),
+                F.lit(0),
+            ),
+        )
+    )
+    passed = (
+        checked.groupBy("_rowtag", *probe.columns)
+        .agg(F.min("_hit").alias("_all_set"))
+        .filter(F.col("_all_set") == 1)
+    )
+    return passed.select(*probe.columns)
+
+
+def bloom_semi_join(
+    probe: DataFrame, build: DataFrame, probe_key: str, build_key: str
+) -> DataFrame:
+    """Exact semi-join accelerated by a bloom pre-filter.
+
+    Returns exactly ``probe SEMI JOIN build`` (the q80 oracle is the plain
+    semi-join): the bloom stage only removes rows the exact join would
+    reject anyway. The exact stage joins the (already pruned) probe against
+    the distinct build keys.
+    """
+    words = bloom_build(build, build_key)
+    pruned = bloom_prune(probe, words, probe_key)
+    keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    return pruned.join(broadcast(keys), probe_key, "left_semi")

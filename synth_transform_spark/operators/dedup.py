@@ -465,3 +465,43 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs overlapping an eval set.
+
+    The GPT-3/PaLM-style n-gram decontamination check: a training document
+    is contaminated if it shares word n-grams with any benchmark document.
+    Returns one row per contaminated corpus doc: (id, n_contam = distinct
+    overlapping shingles, contam_frac = n_contam / doc's distinct shingles,
+    4dp). Production pipelines then drop or split flagged docs.
+
+    Scale: the benchmark shingle set is tiny relative to the corpus (eval
+    suites are thousands of docs, the corpus is billions), so it broadcasts:
+    the corpus side never shuffles — per-doc shingling is narrow, the
+    overlap probe is a broadcast semi-ish inner join, and the count rolls up
+    keyed by doc id with map-side partials. Real deployments shingle with
+    n = 8-13; n is a parameter here (the fixture vocabulary is tiny, so
+    tests use n = 3 to keep overlap non-degenerate).
+    """
+    from pyspark.sql.functions import broadcast
+
+    bench_sh = shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    corp_sh = shingles(corpus, id_col, text_col, n)
+    sizes = corp_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_sh"))
+    hits = (
+        corp_sh.join(broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return hits.join(sizes, id_col).select(
+        F.col(id_col),
+        F.col("n_contam"),
+        F.round(F.col("n_contam") / F.col("_n_sh"), 4).alias("contam_frac"),
+    )

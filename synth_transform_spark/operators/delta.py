@@ -58,3 +58,45 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    value_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE: apply an update batch to a base snapshot in one pass.
+
+    ``updates`` carries the same key/value columns plus ``op_col`` ∈
+    {'upsert', 'delete'}: matched upserts replace the base values, unmatched
+    upserts insert, deletes drop the key (matched or not), untouched base
+    rows pass through. Returns the post-merge snapshot.
+
+    Scale notes: one full-outer equi-join on the key — the copy-on-write
+    MERGE kernel (Delta/Iceberg semantics without the transaction log).
+    The batch is usually ≪ the base, so AQE broadcasts it; bucketing the
+    base on the key makes the rewrite shuffle-free. Duplicate keys within
+    one batch are the caller's contract to resolve (last-writer-wins needs
+    an ordering column; this operator assumes ≤ 1 update row per key,
+    matching SQL MERGE's cardinality rule).
+    """
+    upd = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_u_{c}") for c in value_cols],
+        F.col(op_col).alias("_op"),
+    )
+    joined = base.join(upd, list(key_cols), "full_outer")
+    kept = joined.filter(
+        (F.col("_op").isNull()) | (F.col("_op") == F.lit("upsert"))
+    )
+    return kept.select(
+        *key_cols,
+        *[
+            F.when(F.col("_op") == "upsert", F.col(f"_u_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
+    )

@@ -1,4 +1,11 @@
-"""Relational HyperLogLog: a distinct-count sketch with a deterministic,
+"""Relational sketches with deterministic, engine-portable constructions:
+HyperLogLog (distinct counts) and Count-Min (frequency / heavy hitters).
+
+Both rebuild the classic constructions from md5 rather than using Spark's
+internal sketches, so a DuckDB oracle computes IDENTICAL state and the
+driver's hash gate can verify the sketch exactly.
+
+HyperLogLog: a distinct-count sketch with a deterministic,
 engine-portable register construction.
 
 Spark's own ``approx_count_distinct`` is HLL++ too, but its hash and
@@ -82,4 +89,88 @@ def hll_distinct(
     ).otherwise(raw)
     return per_group.select(
         *group_cols, F.round(est, 4).alias("hll_distinct")
+    )
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) -----------------------
+#
+# d × w counter grid; item x adds its weight to cell (r, h_r(x)) for each of
+# the d rows; the estimate is min_r cell(r, h_r(x)) — an upper bound on the
+# true count that overshoots only when x collides in ALL d rows. h_r(x) =
+# first-8-md5-hex("r:" || x) mod w, identical in both engines.
+#
+# Scale: the sketch state is d·w counters per group — CONSTANT memory at any
+# stream length, and mergeable across partitions/streams by cell-wise sum
+# (pinned in tests), which makes it the streaming heavy-hitter primitive.
+# At w = 64 the expected per-row collision noise is (total − count)/w; d = 4
+# takes the min over independent rows. Production sizing: w = ⌈e/ε⌉ for an
+# ε·total error bound, d = ⌈ln(1/δ)⌉.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_bucket(value_col, row: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{row}:"), value_col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def cms_cells(df: DataFrame, value_col: str, weight_col: str | None = None) -> DataFrame:
+    """The sketch itself: (r, bucket, cell) — d·w rows max, mergeable by
+    cell-wise sum. ``weight_col=None`` counts occurrences."""
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    _cms_bucket(F.col(value_col), r).alias("bucket"),
+                )
+                for r in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rows, w.alias("_w"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"), "_w")
+        .groupBy("r", "bucket")
+        .agg(F.sum("_w").cast("long").alias("cell"))
+    )
+
+
+def cms_estimates(items: DataFrame, cells: DataFrame, value_col: str) -> DataFrame:
+    """Point-query the sketch for each item row: adds ``cms_est``.
+
+    The d per-row lookups are a broadcast join on (r, bucket) — the cells
+    relation is ≤ d·w rows — followed by a min over the d hits, keyed by the
+    item value (callers pass distinct items).
+    """
+    from pyspark.sql.functions import broadcast
+
+    probes = items.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col(value_col), r).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select(value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    return (
+        probes.join(broadcast(cells), ["r", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cell").alias("cms_est"))
     )

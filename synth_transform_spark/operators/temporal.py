@@ -146,3 +146,52 @@ def range_join_count(
         .agg(F.sum("_hit").cast("long").alias("n_in_range"))
         .na.fill({"n_in_range": 0})
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key: str,
+    ts_col: str,
+    state_cols: tuple[str, ...],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change-event stream.
+
+    Compresses per-key event streams into versioned validity intervals:
+    one row per (key, state run) with ``valid_from`` (first ts observing the
+    state), ``valid_to`` (ts of the next state change; NULL for the current
+    row), and ``version`` (1-based per key). Consecutive events with an
+    unchanged state merge into one interval; any change in ANY state column
+    opens a new one.
+
+    Ordering is (ts_col, tiebreak) so equal-timestamp events resolve
+    deterministically; pass a unique event id as ``tiebreak``.
+
+    Scale: two window passes, both ``partitionBy(key)`` — one shuffle on the
+    key, two in-partition sorts (Spark reuses the sort for same-spec
+    windows). State comparison is null-safe via a concat fingerprint, so
+    wide state tuples compare one string. This is the standard
+    change-data-capture → dimension-table build.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    fp = F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in state_cols],
+    )
+    marked = changes.withColumn("_fp", fp).withColumn(
+        "_changed",
+        F.when(
+            F.lag("_fp").over(w).isNull() | (F.lag("_fp").over(w) != F.col("_fp")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = marked.filter(F.col("_changed") == 1)
+    w2 = Window.partitionBy(key).orderBy(*order)
+    return runs.select(
+        F.col(key),
+        *[F.col(c) for c in state_cols],
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+    )

@@ -179,3 +179,90 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition features.
+
+    Per doc over word n-grams (counting multiplicity, not distinct):
+    - ``top2_frac``  — occurrences of the most frequent 2-gram / all 2-grams
+    - ``dup3_frac``  — fraction of 3-gram occurrences whose gram repeats
+    (the "fraction of characters in the most common n-gram" / "in duplicate
+    n-grams" rules of Rae et al. 2021 §A1.1, re-based to occurrence counts —
+    engine-portable, no char-length weighting ambiguity). ``repetitive``
+    flags docs over either threshold; filters drop them before training.
+
+    Scale: explode → two keyed aggregations per n, everything keyed by
+    (doc, gram) then (doc) — uniform high-cardinality keys, map-side
+    partials absorb the fan-in. Stays linear in corpus tokens; nothing is
+    quadratic in document length (the per-row array-counting alternative
+    is, so it's not used).
+    """
+    from .dedup import _gram_expr
+
+    def per_doc(n: int, top_alias: str, dup_alias: str) -> DataFrame:
+        grams = docs.select(
+            F.col(id_col), F.explode(_gram_expr(text_col, n)).alias("gram")
+        )
+        counted = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+        return counted.groupBy(id_col).agg(
+            F.round(F.max("c") / F.sum("c"), 4).alias(top_alias),
+            F.round(
+                F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c"),
+                4,
+            ).alias(dup_alias),
+        )
+    g2 = per_doc(2, "top2_frac", "dup2_frac")
+    g3 = per_doc(3, "top3_frac", "dup3_frac")
+    return (
+        g2.join(g3, id_col)
+        .select(
+            id_col,
+            "top2_frac",
+            "dup2_frac",
+            "top3_frac",
+            "dup3_frac",
+            (
+                (F.col("top2_frac") > 0.06) | (F.col("dup3_frac") > 0.08)
+            ).alias("repetitive"),
+        )
+    )
+
+
+# PII patterns restricted to the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so Spark and the DuckDB oracle match identically.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Detect-and-redact PII spans: emails, IPv4 addresses, phone numbers.
+
+    Emits per-doc match counts plus the redacted text (spans replaced by
+    <EMAIL>/<IP>/<PHONE> placeholders, applied in that order). Entirely
+    JVM-side regexp_extract_all / regexp_replace — narrow, zero shuffles,
+    linear in input bytes; the production shape for corpus PII scrubbing
+    (regex tier; ML NER tiers run as a mapInPandas stage like the
+    multimodal decoders).
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0)).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IPV4), 0)).cast("long").alias("n_ip"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("long").alias("n_phone"),
+        red.alias("redacted"),
+    )

@@ -16,6 +16,7 @@ from . import (  # noqa: F401
     similarity_queries,
     temporal_queries,
     textops,
+    training_queries,
 )
 from .registry import REGISTRY, Query, bench_queries, oracle_sql_map, query_map
 

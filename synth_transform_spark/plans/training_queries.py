@@ -1,0 +1,419 @@
+"""Training-data curation queries (round-4 north-star extensions).
+
+The operators a large-scale LLM training pipeline runs between raw corpus
+and tokenised shards: benchmark decontamination (q74), repetition-based
+quality filtering (q75), PII redaction (q76), MERGE/upsert maintenance of
+curated snapshots (q77), SCD2 dimension history from change streams (q78),
+count-min heavy-hitter tokens (q79), bloom-pruned joins (q80), and
+source-mix sampling weights (q81).
+
+Oracle pattern: derived inputs (benchmark split, update batch, PII spans)
+are constructed deterministically from the fixture tables in BOTH engines,
+so the hash gate verifies the operator semantics, not the derivation —
+same convention as q51-q53/q58-q61/q66.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import bloom, delta, sketches, temporal, text_analysis
+from ..operators.dedup import contamination
+from ..sources.readers import load_table
+from .dedup_queries import _SHINGLES_CTE
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# q74 — benchmark decontamination
+
+
+@register(
+    "q74_decontamination",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 29 <> 0),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM corp GROUP BY doc_id),
+hits AS (
+    SELECT c.doc_id, COUNT(*) AS n_contam
+    FROM corp c JOIN bench b ON b.shingle = c.shingle
+    GROUP BY c.doc_id
+)
+SELECT h.doc_id, CAST(h.n_contam AS BIGINT) AS n_contam,
+       ROUND(CAST(h.n_contam AS DOUBLE) / s.n, 4) AS contam_frac
+FROM hits h JOIN sizes s ON s.doc_id = h.doc_id
+""",
+    tags=("training-prep", "decontamination", "P4"),
+)
+def q74_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing word 3-grams with the benchmark split
+    (doc_id % 29 == 0 plays the eval suite). The benchmark shingle set
+    broadcasts — the corpus side never shuffles (operators/dedup.py
+    contamination)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    return contamination(corpus, bench, n=3)
+
+
+# ---------------------------------------------------------------------------
+# q75 — repetition signals (Gopher-style quality rules)
+
+_REP_GRAM_CTE = """
+rdocs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+rtoks AS (
+    SELECT doc_id, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) AS i FROM rdocs
+),
+c2 AS (
+    SELECT doc_id, gram, COUNT(*) AS c FROM (
+        SELECT a.doc_id, a.tok || ' ' || b.tok AS gram
+        FROM rtoks a JOIN rtoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    ) g GROUP BY doc_id, gram
+),
+s2 AS (
+    SELECT doc_id,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top2_frac,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 4) AS dup2_frac
+    FROM c2 GROUP BY doc_id
+),
+c3 AS (
+    SELECT doc_id, gram, COUNT(*) AS c FROM (
+        SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+        FROM rtoks a
+        JOIN rtoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        JOIN rtoks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+    ) g GROUP BY doc_id, gram
+),
+s3 AS (
+    SELECT doc_id,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 4) AS top3_frac,
+           ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                 / SUM(c), 4) AS dup3_frac
+    FROM c3 GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "q75_repetition_signals",
+    oracle=f"""
+WITH {_REP_GRAM_CTE}
+SELECT s2.doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac,
+       (top2_frac > 0.06 OR dup3_frac > 0.08) AS repetitive
+FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id
+""",
+    tags=("training-prep", "quality", "A5"),
+)
+def q75_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc n-gram repetition features + a Gopher-rule flag
+    (operators/text_analysis.repetition_signals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.repetition_signals(docs)
+
+
+# ---------------------------------------------------------------------------
+# q76 — PII redaction (derived spans: the fixture text is synthetic word
+# soup, so deterministic email/IP/phone spans are appended to a subset of
+# docs; the redaction must remove exactly those and nothing else)
+
+_PII_DERIVE_SQL = """
+SELECT doc_id,
+       text ||
+       CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END ||
+       CASE WHEN doc_id % 11 = 0
+            THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.15'
+            ELSE '' END ||
+       CASE WHEN doc_id % 13 = 0
+            THEN ' call 555-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS text
+FROM documents
+"""
+
+
+def _pii_derive(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return docs.select(
+        did,
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), (did % 256).cast("string"), F.lit(".15")
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register(
+    "q76_pii_redaction",
+    oracle=f"""
+WITH d AS ({_PII_DERIVE_SQL})
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '{text_analysis.PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(LEN(regexp_extract_all(text, '{text_analysis.PII_IPV4}')) AS BIGINT) AS n_ip,
+       CAST(LEN(regexp_extract_all(text, '{text_analysis.PII_PHONE}')) AS BIGINT) AS n_phone,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '{text_analysis.PII_EMAIL}', '<EMAIL>', 'g'),
+               '{text_analysis.PII_IPV4}', '<IP>', 'g'),
+           '{text_analysis.PII_PHONE}', '<PHONE>', 'g') AS redacted
+FROM d
+""",
+    tags=("training-prep", "pii", "F1"),
+)
+def q76_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-tier PII detect + redact over the derived corpus
+    (operators/text_analysis.redact_pii)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.redact_pii(_pii_derive(docs))
+
+
+# ---------------------------------------------------------------------------
+# q77 — MERGE / upsert
+
+
+@register(
+    "q77_merge_upsert",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS stat
+    FROM orders WHERE o_orderkey % 11 <> 0
+),
+upd AS (
+    SELECT o_orderkey, o_totalprice + 100.0 AS price, 'U' AS stat,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'delete' ELSE 'upsert' END AS op
+    FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+       CASE WHEN u.op = 'upsert' THEN u.price ELSE b.price END AS price,
+       CASE WHEN u.op = 'upsert' THEN u.stat ELSE b.stat END AS stat
+FROM base b FULL OUTER JOIN upd u ON u.o_orderkey = b.o_orderkey
+WHERE u.op IS NULL OR u.op = 'upsert'
+""",
+    tags=("incremental", "S12", "S11"),
+)
+def q77_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE: base snapshot + update batch (upserts, inserts
+    for keys % 11 == 0 absent from base, deletes for keys % 3 == 0) → the
+    post-merge snapshot (operators/delta.merge_upsert). +100.0 is exact in
+    double, so no rounding-mode hazard."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("stat"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("price"),
+        F.lit("U").alias("stat"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    return delta.merge_upsert(base, updates, ["o_orderkey"], ["price", "stat"])
+
+
+# ---------------------------------------------------------------------------
+# q78 — SCD2 dimension history
+
+
+@register(
+    "q78_scd2_history",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+),
+runs AS (
+    SELECT user_id, event_type, ts, event_id FROM ev
+    WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS BIGINT) AS version
+FROM runs
+""",
+    tags=("temporal", "W2", "S12"),
+)
+def q78_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension history from the event stream: per-user state runs
+    of event_type with validity intervals and versions
+    (operators/temporal.scd2_history; event_id breaks ts ties)."""
+    events = load_table(spark, sf_dir, "events")
+    return temporal.scd2_history(
+        events, key="user_id", ts_col="ts", state_cols=("event_type",),
+        tiebreak="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — count-min heavy hitters
+
+_CMS_SQL_HASH = (
+    "CAST(('0x' || SUBSTR(MD5(CAST(r AS VARCHAR) || ':' || tok), 1, 8))::UBIGINT"
+    f" AS BIGINT) % {sketches.CMS_WIDTH}"
+)
+
+
+@register(
+    "q79_heavy_hitters",
+    oracle=f"""
+WITH toks AS (
+    SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+exact AS (SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok),
+grid AS (
+    SELECT e.tok, e.exact_n, r.r, {_CMS_SQL_HASH} AS bucket
+    FROM exact e,
+         (SELECT UNNEST(GENERATE_SERIES(0, {sketches.CMS_DEPTH - 1})) AS r) r
+),
+cells AS (SELECT r, bucket, SUM(exact_n) AS cell FROM grid GROUP BY r, bucket),
+est AS (
+    SELECT g.tok, MIN(c.cell) AS cms_est
+    FROM grid g JOIN cells c ON c.r = g.r AND c.bucket = g.bucket
+    GROUP BY g.tok
+)
+SELECT e.tok AS token, CAST(e.exact_n AS BIGINT) AS exact_n,
+       CAST(est.cms_est AS BIGINT) AS cms_est
+FROM exact e JOIN est ON est.tok = e.tok
+ORDER BY e.exact_n DESC, token ASC
+LIMIT 15
+""",
+    tags=("sketches", "A8", "A11"),
+)
+def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 corpus tokens with their count-min estimate next to the exact
+    count (operators/sketches.cms_cells/cms_estimates — the d×w cell grid
+    is the only sketch state; exact rides along to document the achieved
+    overcount, as q71 does for HLL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    cells = sketches.cms_cells(exact, "token", "exact_n")
+    est = sketches.cms_estimates(exact.select("token"), cells, "token")
+    return (
+        exact.join(est, "token")
+        .select("token", "exact_n", "cms_est")
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q80 — bloom-pruned semi-join
+
+
+@register(
+    "q80_bloom_semi_join",
+    # The oracle is the PLAIN semi-join: bloom pruning is an optimisation
+    # that must not change the answer (no false negatives by construction).
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_acctbal > 5000)
+""",
+    tags=("scale-ops", "P4", "J1"),
+)
+def q80_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders of high-balance customers via a bloom-pruned exact semi-join
+    (operators/bloom.py: 4096-bit/k=3 md5 bloom built from the filtered dim,
+    broadcast, probe rows dropped before the exact join)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    dim = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return bloom.bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q81 — source-mix sampling weights
+
+
+@register(
+    "q81_mix_weights",
+    oracle="""
+WITH per AS (
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))) AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t, COUNT(*) AS k FROM per),
+sh AS (
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / tot.t AS share, tot.k AS k
+    FROM per, tot
+),
+z AS (SELECT SUM(POWER(share, 0.5)) AS zsum FROM sh)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(share, 4) AS token_share,
+       ROUND((1.0 / k) / share, 4) AS w_uniform,
+       ROUND(POWER(share, 0.5) / z.zsum / share, 4) AS w_temp
+FROM sh, z
+""",
+    tags=("training-prep", "A13", "A5"),
+)
+def q81_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix planning: per-source token shares and the sampling weights
+    that hit a target mix — uniform (w_uniform) and temperature τ=2
+    (w_temp ∝ share^0.5 renormalised, the multilingual-mix standard).
+
+    Per-source aggregation is one partial-agg shuffle; the two scalar
+    totals broadcast back via crossJoin (same pattern as the q14 z-score
+    scalars — no global window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    per = docs.select("source", F.size(toks).alias("_nt")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("_t"),
+        F.count(F.lit(1)).alias("_k"),
+    )
+    sh = per.crossJoin(F.broadcast(tot)).withColumn(
+        "share", F.col("n_tokens") / F.col("_t")
+    )
+    z = sh.agg(F.sum(F.pow("share", F.lit(0.5))).alias("_zsum"))
+    return sh.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("share"), 4).alias("token_share"),
+        F.round((F.lit(1.0) / F.col("_k")) / F.col("share"), 4).alias("w_uniform"),
+        F.round(
+            F.pow("share", F.lit(0.5)) / F.col("_zsum") / F.col("share"), 4
+        ).alias("w_temp"),
+    )

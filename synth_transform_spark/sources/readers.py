@@ -50,8 +50,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # INT64 TIMESTAMP(NANOS) parquet: nanosAsLong + µs truncation.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] with no tz: Spark 4 infers TIMESTAMP_NTZ. Cast
+            # to the engine's declared LTZ type — the session tz is pinned
+            # UTC above, so the instant is unchanged and epoch arithmetic
+            # (RANGE windows, EPOCH parity with DuckDB) keeps working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

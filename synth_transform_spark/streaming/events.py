@@ -17,6 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
+    TimestampNTZType,
     DoubleType,
     LongType,
     StringType,
@@ -51,18 +52,43 @@ _RAW_SCHEMA = StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ns→us conversion as in
-    the batch reader)."""
+    """File-source stream over the events parquet, normalised to LTZ-µs
+    ``ts`` exactly like the batch reader.
+
+    The physical ts type varies by testdata generation — INT64
+    TIMESTAMP(NANOS) (read as long + ns→µs truncation) or timestamp[us]
+    with no tz (TIMESTAMP_NTZ, cast to LTZ under the pinned-UTC session) —
+    so probe the footer with a batch read (metadata only, no scan) and pick
+    the matching stream schema; a wrong static schema would silently
+    reinterpret raw values and corrupt every event-time operator.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ts_type = dict(
+        spark.read.parquet(f"{sf_dir}/events.parquet").dtypes
+    ).get("ts")
     # File-source streams take a directory; glob-filter to the events table.
-    raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+    reader = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "bigint":
+        raw = reader.schema(_RAW_SCHEMA).parquet(sf_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        ntz = StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("ts", TimestampNTZType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("props", StringType()),
+            ]
+        )
+        raw = reader.schema(ntz).parquet(sf_dir)
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return reader.schema(EVENTS_SCHEMA).parquet(sf_dir)
 
 
 def tumbling_counts(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
