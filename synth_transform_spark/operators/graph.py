@@ -117,3 +117,68 @@ def duplicate_clusters(
         "cluster_size",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "s",
+    dst_col: str = "d",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: (node, rank).
+
+    A FIXED iteration count (not convergence-tested) keeps the result a
+    deterministic function of the graph — the DuckDB oracle chains the same
+    n_iter algebraic steps, so ranks hash-match after the 4dp round. Nodes
+    are the union of sources and destinations; ranks start uniform at 1/N
+    and update as
+
+        rank(v) ← (1-d)/N + d · Σ_{(u,v)∈E} rank(u)/outdeg(u)
+
+    Dangling nodes (no out-edges) leak their mass — acceptable for the
+    near-dup-graph use (symmetrised edges ⇒ no dangling nodes); general
+    webgraph use would redistribute it.
+
+    Scale notes (100 TB): per iteration one shuffle of E on src (contrib
+    join) and one on dst (partial-agg sum) — the canonical Pregel-free
+    formulation. The edge list and each iteration's ranks are eagerly
+    localCheckpoint-ed: lineage stays one-round deep, and the rank relation
+    is O(V) two narrow columns. High-in-degree hubs cost one hot reducer
+    key for a DOUBLE with map-side combine absorbing the fan-in. Like
+    connected_components, this EXECUTES jobs while building (checkpoint per
+    round); on a real cluster prefer reliable ``checkpoint``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
+    weighted = e.join(outdeg, "s").localCheckpoint(eager=True)  # (s, d, od)
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            weighted.join(ranks, weighted["s"] == ranks["node"])
+            .select(F.col("d"), (F.col("rank") / F.col("od")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

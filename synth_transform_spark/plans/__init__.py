@@ -14,6 +14,7 @@ from . import (  # noqa: F401
     pipeline_parity_queries,
     relational,
     similarity_queries,
+    star_queries,
     temporal_queries,
     textops,
     training_queries,

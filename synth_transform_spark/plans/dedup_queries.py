@@ -349,3 +349,68 @@ def q63_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
     return graph.duplicate_clusters(pairs)
+
+
+def _pagerank_ctes(n_iter: int = 5, damping: float = 0.85) -> str:
+    """CTE chain (no WITH) from ``dups`` to ``it{n_iter}(node, rank)`` —
+    the same fixed-iteration algebra as operators/graph.pagerank."""
+    head = """
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM dups
+    UNION
+    SELECT id_b AS s, id_a AS d FROM dups
+),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT s, COUNT(*) AS od FROM edges GROUP BY s),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+it{i} AS (
+    SELECT n.node,
+           (1.0 - {damping}) / nn.n
+           + {damping} * COALESCE(SUM(r.rank / o.od), 0) AS rank
+    FROM nodes n CROSS JOIN nn
+    LEFT JOIN edges e ON e.d = n.node
+    LEFT JOIN {prev} r ON r.node = e.s
+    LEFT JOIN outdeg o ON o.s = e.s
+    GROUP BY n.node, nn.n
+)""")
+        prev = f"it{i}"
+    return head + "," + ",".join(its)
+
+
+@register(
+    "q82_pagerank",
+    # Fixed 5-iteration PageRank over the symmetrised q27 near-dup graph:
+    # the oracle chains the identical algebraic updates, so ranks match
+    # bit-for-bit up to the 4dp round (per-node contribution sums span few
+    # terms — summation-order ulps vanish under the round).
+    oracle=f"""
+WITH {_minhash_ctes()},
+{_pagerank_ctes(n_iter=5, damping=0.85)}
+SELECT node AS doc_id, ROUND(rank, 4) AS pagerank FROM it5
+""",
+    tags=("graph", "dedup-clusters", "U4"),
+)
+def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup pair graph: which documents sit at the
+    centre of duplicate neighbourhooods (dedup survivors are usually picked
+    per cluster — rank adds an importance order within one). Iterative —
+    executes one checkpointed round per iteration (operators/graph.pagerank),
+    exactly like q63's components."""
+    import pyspark.sql.functions as F
+
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    sym = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+    ranks = graph.pagerank(sym, "s", "d", n_iter=5, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 4).alias("pagerank")
+    )

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import random
 
+import pyspark.sql.functions as F
+
 import pytest
 
 from synth_transform_spark.operators.graph import (
@@ -77,3 +79,36 @@ def test_duplicate_clusters_shape(spark):
         for r in duplicate_clusters(df).collect()
     }
     assert got == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
+
+
+def test_pagerank_known_graph(spark):
+    # Star graph: 1→2, 3→2, 2→1 (directed). Hand-computed 2 iterations,
+    # d=0.5, N=3: r0 = 1/3 each.
+    # it1: in(1)={2}: 1/6+1/2*(1/3)=1/3; in(2)={1,3}: 1/6+1/2*(1/3+1/3)=1/2;
+    #      in(3)={}: 1/6.
+    # it2: r(1)=1/6+1/2*1/2=5/12; r(2)=1/6+1/2*(1/3+1/6)=5/12; r(3)=1/6.
+    from synth_transform_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (3, 2), (2, 1)], ["s", "d"])
+    got = {
+        r.node: round(r.rank, 6)
+        for r in pagerank(edges, "s", "d", n_iter=2, damping=0.5).collect()
+    }
+    assert got == {1: round(5 / 12, 6), 2: round(5 / 12, 6), 3: round(1 / 6, 6)}
+
+
+def test_pagerank_mass_is_conserved_without_dangling_nodes(spark):
+    from synth_transform_spark.operators.graph import pagerank
+
+    # symmetric edges => no dangling nodes => ranks sum to 1
+    pairs = [(i, (i + 1) % 10) for i in range(10)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["s", "d"]
+    )
+    total = (
+        pagerank(edges, "s", "d", n_iter=4)
+        .agg(F.sum("rank").alias("t"))
+        .first()
+        .t
+    )
+    assert abs(total - 1.0) < 1e-9

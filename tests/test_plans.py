@@ -41,6 +41,7 @@ HEAVY_EXECUTING = {
     "q62_pca_project",
     "q63_dup_clusters",  # iterative label propagation: plan build runs jobs
     "q67_streaming_interval_join",  # streaming replay at build time
+    "q82_pagerank",  # iterative rank propagation: plan build runs jobs
 }
 
 
@@ -127,6 +128,22 @@ def test_q38_is_bucketed(spark):
     for line in plan.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "id_a" not in line and "id_b" not in line, line
+
+
+def test_star_joins_broadcast_dims_and_push_filters(spark):
+    """q83/q84: the selective dim sides must broadcast (no shuffle for
+    customer-segment / region-nation-supplier), date filters must reach the
+    fact scans, and no nested-loop join may appear anywhere in the chain."""
+    p83 = _plan(REGISTRY["q83_shipping_priority"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p83
+    assert "PushedFilters" in p83 and "o_orderdate" in p83
+    assert "CartesianProduct" not in p83
+    assert "TakeOrderedAndProject" in p83  # top-10 without a global sort
+    p84 = _plan(REGISTRY["q84_local_supplier_volume"].spark(spark, SF_DIR))
+    assert p84.count("BroadcastHashJoin") >= 2  # nation+region and supplier
+    assert "CartesianProduct" not in p84
+    assert "BroadcastNestedLoopJoin" not in p84
+    assert "partial_" in p84  # nation rollup map-side combined
 
 
 def test_no_cartesian_products(spark):
