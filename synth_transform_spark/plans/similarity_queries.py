@@ -174,3 +174,65 @@ def q62_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pca_project(emb, k=2)
+
+
+@register(
+    "q85_quantized_topk",
+    # int8 scalar quantization is fully deterministic (floor(x/s*127+0.5)
+    # — identical half-handling in both engines) and the integer dot is
+    # exact, so the approximate-cosine ranking hash-matches bit-for-bit.
+    # Rescale expression order matches the Spark side exactly:
+    # ((qdot * s_a) * s_b / 127²) / (nrm_a * nrm_b).
+    oracle=f"""
+WITH vflat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+scales AS (
+    SELECT vec_id, MAX(ABS(x)) AS s FROM vflat GROUP BY vec_id HAVING MAX(ABS(x)) > 0
+),
+norms AS (
+    SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY vec_id
+),
+qflat AS (
+    SELECT v.vec_id, v.i, CAST(FLOOR(v.x / s.s * 127.0 + 0.5) AS BIGINT) AS q
+    FROM vflat v JOIN scales s ON s.vec_id = v.vec_id
+),
+qdots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.q * b.q) AS qdot
+    FROM qflat a
+    JOIN qflat b ON b.i = a.i AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < {_N_QUERIES}
+    GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.qdot * sa.s * sb.s / 16129.0 / (na.nrm * nb.nrm), 4)
+               AS approx_cos
+    FROM qdots d
+    JOIN scales sa ON sa.vec_id = d.query_id
+    JOIN scales sb ON sb.vec_id = d.neighbor_id
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+)
+SELECT query_id, neighbor_id, approx_cos
+FROM (
+    SELECT query_id, neighbor_id, approx_cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY approx_cos DESC, neighbor_id ASC) AS rk
+    FROM scored
+) t
+WHERE rk <= {_K}
+""",
+    tags=("similarity-topk", "quantization"),
+)
+def q85_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8-quantized approximate cosine top-k — the 4×-less-I/O scale tier
+    under q23's exact path (operators/similarity.quantized_topk; recall
+    floor vs exact pinned in tests/test_similarity.py)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.quantized_topk(emb, queries, k=_K)

@@ -47,3 +47,27 @@ def test_bucketed_pairs_recall_vs_exact(spark):
     assert truth, "exact baseline returned no pairs"
     assert got <= truth, "bucketed path produced a pair the exact scorer rejects"
     assert len(got & truth) / len(truth) >= 0.8
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization (q85) must keep high overlap with the exact top-k:
+    ~0.4% per-component error rarely reorders neighbours that differ by
+    more than the quantization step."""
+    import pyspark.sql.functions as F
+    from collections import defaultdict
+
+    from synth_transform_spark.operators import similarity
+    from synth_transform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, queries, k=5).toPandas()
+    quant = similarity.quantized_topk(emb, queries, k=5).toPandas()
+    truth, got = defaultdict(set), defaultdict(set)
+    for r in exact.itertuples():
+        truth[r.query_id].add(r.neighbor_id)
+    for r in quant.itertuples():
+        got[r.query_id].add(r.neighbor_id)
+    assert truth, "exact baseline returned no rows"
+    recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.7
