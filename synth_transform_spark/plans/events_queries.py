@@ -443,3 +443,45 @@ def q88_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# q89 — streaming CDC apply: the event stream merged into a keyed state
+# table via foreachBatch (streaming/cdc.py), availableNow-executed inside
+# the gate like q57/q67. The merge is last-writer-wins BY EVENT TIME
+# (idempotent + commutative across micro-batches), so the final state
+# provably equals the batch "latest event per user" — which is the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "q89_streaming_cdc_apply",
+    oracle="""
+SELECT user_id, event_type AS last_type,
+       ROUND(value, 4) AS last_value, ts AS last_ts
+FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+""",
+    tags=("streaming-cdc", "S12", "W3"),
+)
+def q89_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming import events as se
+    from ..streaming.cdc import apply_cdc_stream
+
+    stream = se.read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    state = apply_cdc_stream(
+        stream,
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        state_dir=tempfile.mkdtemp(prefix="q89_cdc_"),
+        query_name="q89_sink",
+    )
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )

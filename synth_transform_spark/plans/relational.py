@@ -1002,3 +1002,126 @@ def q86_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("price_w"),
     )
+
+
+# --------------------------------------------------------------------------
+# q90 — Z-order (Morton) clustering keys: interleave the bits of two
+# dimensions so one range-partitioned sort co-locates rows that are close
+# in BOTH — the data-layout primitive behind multi-dimensional file
+# pruning (Delta/Iceberg OPTIMIZE ZORDER). The key itself is pure bit
+# algebra, generated from ONE Python loop into both engines' expressions,
+# so the oracle is bit-for-bit. Writing is one repartitionByRange(zval) +
+# sortWithinPartitions away (sources/writers.py); the query materialises
+# the keys plus the coarse file bucket.
+# --------------------------------------------------------------------------
+_Z_BITS = 16
+
+
+def _z_spark(x, y):
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(
+            F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _z_sql(x: str, y: str) -> str:
+    terms = [
+        f"((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_Z_BITS)
+    ]
+    return " + ".join(terms)
+
+
+@register(
+    "q90_zorder_key",
+    oracle=f"""
+SELECT o_orderkey,
+       o_custkey % 65536 AS x,
+       CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) % 65536
+            AS BIGINT) AS y,
+       CAST({_z_sql("(o_custkey % 65536)",
+                    "(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) % 65536)")}
+            AS BIGINT) AS zval,
+       CAST(({_z_sql("(o_custkey % 65536)",
+                     "(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) % 65536)")})
+            >> 22 AS BIGINT) AS zbucket
+FROM orders
+""",
+    tags=("scale-ops", "O1", "layout"),
+)
+def q90_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 65536).cast("long")
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp"))
+        % 65536
+    ).cast("long")
+    df = orders.select(
+        "o_orderkey", x.alias("x"), y.alias("y")
+    ).withColumn("zval", _z_spark(F.col("x"), F.col("y")).cast("long"))
+    return df.withColumn("zbucket", F.shiftright(F.col("zval"), 22).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# q91 — MAD robust outliers: median/median-absolute-deviation z-scores
+# (0.6745·(x−med)/MAD), the heavy-tail-safe sibling of q14's mean/σ
+# z-score. Two grouped exact-percentile aggregates (the q64 anchor
+# rationale) with broadcast joins back — no window over the fact table.
+# Degenerate groups (MAD = 0) yield NULL robust_z, kept explicit exactly
+# like q14's σ = 0 guard.
+# --------------------------------------------------------------------------
+@register(
+    "q91_mad_outliers",
+    oracle="""
+WITH med AS (
+    SELECT o_orderpriority, QUANTILE_CONT(o_totalprice, 0.5) AS med
+    FROM orders GROUP BY o_orderpriority
+),
+dev AS (
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice, m.med,
+           ABS(o.o_totalprice - m.med) AS adev
+    FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority
+),
+mad AS (
+    SELECT o_orderpriority, QUANTILE_CONT(adev, 0.5) AS mad
+    FROM dev GROUP BY o_orderpriority
+)
+SELECT d.o_orderkey, d.o_orderpriority,
+       ROUND(d.o_totalprice, 4) AS price,
+       CASE WHEN m.mad > 0
+            THEN ROUND(0.6745 * (d.o_totalprice - d.med) / m.mad, 4)
+            END AS robust_z,
+       COALESCE(CASE WHEN m.mad > 0
+                     THEN ABS(0.6745 * (d.o_totalprice - d.med) / m.mad) > 3.5
+                     END, FALSE) AS is_outlier
+FROM dev d JOIN mad m ON m.o_orderpriority = d.o_orderpriority
+""",
+    tags=("A12", "W4", "training-prep"),
+)
+def q91_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5D)").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("o_totalprice") - F.col("med")) / F.col("mad")
+    return dev.join(F.broadcast(mad), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 4).alias("price"),
+        F.when(F.col("mad") > 0, F.round(z, 4)).alias("robust_z"),
+        F.coalesce(
+            F.when(F.col("mad") > 0, F.abs(z) > 3.5), F.lit(False)
+        ).alias("is_outlier"),
+    )

@@ -448,3 +448,108 @@ def q69_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return seqprep.pack_sequences(docs, capacity=512, n_shards=8)
+
+
+# --------------------------------------------------------------------------
+# q92 — TF-IDF term weights as a RELATION (doc, token, tfidf). The
+# reference computes these inside sklearn's TfidfVectorizer
+# (classifiers.ipynb cell 12) where they are unverifiable; as a relational
+# computation, tf (per-doc count), df (per-token doc frequency) and
+# idf = ln(N/df) are each one keyed aggregate — and the whole feature
+# matrix sits inside the oracle gate. ln() differs across libms by ulps
+# only (≪ the 4dp round — the q71 HLL precedent).
+# Scale: two shuffles (doc-keyed, token-keyed); the df relation is tiny
+# (vocab-sized) and broadcasts back onto the tf relation.
+# --------------------------------------------------------------------------
+@register(
+    "q92_tfidf_weights",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       ROUND(tf.tf * LN(n.n_docs / df.df), 4) AS tfidf
+FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+""",
+    tags=("F16", "training-prep", "A5"),
+)
+def q92_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    n_docs = docs.count()  # scalar; one job, same as the oracle's COUNT(*)
+    return tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q93 — unigram language-model quality score: mean log-probability of a
+# document's tokens under the corpus unigram distribution — the cheap tier
+# of the perplexity-based quality filters production pipelines run (CCNet
+# et al. use a KenLM n-gram model; the plan shape — score against a
+# broadcast probability table, aggregate per doc — is identical). Low
+# scores = rare-token-heavy documents (gibberish or OOD), high = common
+# filler; filters cut both tails.
+# Scale: token probabilities are vocab-sized → broadcast; the corpus side
+# is one explode + one doc-keyed aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q93_unigram_logprob",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+p AS (
+    SELECT token, COUNT(*) / tot.n AS p FROM toks CROSS JOIN tot GROUP BY token, tot.n
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(p.p)), 4) AS avg_logprob
+FROM toks t JOIN p ON p.token = t.token
+GROUP BY t.doc_id
+""",
+    tags=("training-prep", "quality", "A5"),
+)
+def q93_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("token"),
+    )
+    total = toks.count()  # scalar corpus size, one job
+    p = toks.groupBy("token").agg(
+        (F.count(F.lit(1)) / F.lit(float(total))).alias("p")
+    )
+    return (
+        toks.join(F.broadcast(p), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log("p")), 4).alias("avg_logprob"),
+        )
+    )
