@@ -1125,3 +1125,80 @@ def q91_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("mad") > 0, F.abs(z) > 3.5), F.lit(False)
         ).alias("is_outlier"),
     )
+
+
+# --------------------------------------------------------------------------
+# q94 — salted aggregation equivalence (operators/skew.py in the gate).
+# l_returnflag has 3 values over the whole table — the textbook hot-key
+# aggregation. The salted two-stage plan (groupBy(keys, salt) →
+# groupBy(keys)) must produce EXACTLY the plain GROUP BY answer, which is
+# the oracle: the equivalence itself is the property the operator sells.
+# All four aggs are re-aggregable (sum/count/min/max); the 4dp round
+# absorbs double summation-order ulps as everywhere else.
+# --------------------------------------------------------------------------
+@register(
+    "q94_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS count_l_quantity,
+       ROUND(SUM(l_quantity), 4) AS sum_l_quantity,
+       ROUND(MIN(l_extendedprice), 4) AS min_l_extendedprice,
+       ROUND(MAX(l_extendedprice), 4) AS max_l_extendedprice
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    tags=("scale-ops", "A1", "A5"),
+)
+def q94_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    lin = _t(spark, sf_dir, "lineitem")
+    out = salted_aggregate(
+        lin,
+        keys=["l_returnflag"],
+        aggs={"l_quantity": "sum", "l_extendedprice": "min"},
+        n_salts=16,
+    )
+    cnt = salted_aggregate(
+        lin.select("l_returnflag", "l_quantity", "l_extendedprice"),
+        keys=["l_returnflag"],
+        aggs={"l_quantity": "count", "l_extendedprice": "max"},
+        n_salts=16,
+    )
+    return out.join(cnt, "l_returnflag").select(
+        "l_returnflag",
+        F.col("count_l_quantity").cast("long").alias("count_l_quantity"),
+        F.round("sum_l_quantity", 4).alias("sum_l_quantity"),
+        F.round("min_l_extendedprice", 4).alias("min_l_extendedprice"),
+        F.round("max_l_extendedprice", 4).alias("max_l_extendedprice"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q95 — CUBE: all four grouping-set combinations of (returnflag,
+# linestatus) in ONE pass (q70's ROLLUP sibling — completes the
+# grouping-sets family). Partial aggs absorb the fan-in; each coarser set
+# is a regroup of finer partials, not a rescan.
+# --------------------------------------------------------------------------
+@register(
+    "q95_cube_revenue",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+           AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    tags=("A9", "A1"),
+)
+def q95_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lin = _t(spark, sf_dir, "lineitem")
+    return lin.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
