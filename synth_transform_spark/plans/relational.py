@@ -1202,3 +1202,198 @@ def q95_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — data-quality audit: rule violations counted over a deliberately
+# corrupted derived view (the derived-input oracle pattern — fixture data
+# is clean, so corruption is injected deterministically in BOTH engines:
+# negative prices for orderkey % 97, out-of-range discounts for
+# lineitem % 89, FK orphans for % 83). The reference's pipeline raises on
+# invariant violations (steps.py error paths); at warehouse scale the same
+# checks run as ONE audit query emitting a violations-per-rule relation.
+# Each rule is a map-side CASE count; the FK rule is an anti join. One
+# pass per fact table, rule counts unioned — no per-rule rescans.
+# --------------------------------------------------------------------------
+@register(
+    "q96_dq_audit",
+    oracle="""
+WITH bad_orders AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN -1.0 ELSE o_totalprice END AS price
+    FROM orders
+),
+bad_lineitem AS (
+    SELECT l_orderkey + CASE WHEN l_orderkey % 83 = 0 THEN 1000000000 ELSE 0 END
+               AS l_orderkey,
+           CASE WHEN l_orderkey % 89 = 0 THEN 1.5 ELSE l_discount END AS disc
+    FROM lineitem
+),
+r1 AS (
+    SELECT 'orders.price_positive' AS rule,
+           CAST(SUM(CASE WHEN price <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+           CAST(COUNT(*) AS BIGINT) AS n_checked
+    FROM bad_orders
+),
+r2 AS (
+    SELECT 'lineitem.discount_range' AS rule,
+           CAST(SUM(CASE WHEN disc < 0 OR disc > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM bad_lineitem
+),
+r3 AS (
+    SELECT 'lineitem.orderkey_fk' AS rule,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM bad_lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT rule, n_violations, n_checked,
+       ROUND(CAST(n_violations AS DOUBLE) / n_checked, 4) AS viol_rate
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3) t
+""",
+    tags=("dq", "P1", "P10", "U1"),
+)
+def q96_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    bad_o = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(-1.0))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    bad_l = lineitem.select(
+        (
+            F.col("l_orderkey")
+            + F.when(F.col("l_orderkey") % 83 == 0, F.lit(1000000000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("l_orderkey"),
+        F.when(F.col("l_orderkey") % 89 == 0, F.lit(1.5))
+        .otherwise(F.col("l_discount"))
+        .alias("disc"),
+    )
+    r1 = bad_o.agg(
+        F.lit("orders.price_positive").alias("rule"),
+        F.sum(F.when(F.col("price") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    r2 = bad_l.agg(
+        F.lit("lineitem.discount_range").alias("rule"),
+        F.sum(F.when((F.col("disc") < 0) | (F.col("disc") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.count(F.lit(1)).alias("n_checked"),
+    )
+    r3 = (
+        bad_l.join(
+            orders.select("o_orderkey"),
+            bad_l["l_orderkey"] == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem.orderkey_fk").alias("rule"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+            F.count(F.lit(1)).alias("n_checked"),
+        )
+    )
+    return (
+        r1.unionByName(r2)
+        .unionByName(r3)
+        .withColumn(
+            "viol_rate",
+            F.round(F.col("n_violations") / F.col("n_checked"), 4),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — incremental aggregate maintenance: update a materialised per-group
+# aggregate from a delta batch WITHOUT rescanning the base — the
+# continuous-rollup kernel (and what q71's mergeable HLL registers do for
+# distinct counts). base ⊕ agg(delta) via one full-outer join on the group
+# key; the oracle is the full recompute over base ∪ delta, so the gate
+# verifies the merge algebra (sum/count merge by +, coalesced for keys
+# appearing on only one side). avg is re-derived from merged sum/count —
+# never merged directly.
+# --------------------------------------------------------------------------
+@register(
+    "q97_incremental_agg",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 4) AS total,
+       ROUND(SUM(o_totalprice) / COUNT(*), 4) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    tags=("incremental", "A1", "A9"),
+)
+def q97_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+
+    def agg(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+        )
+
+    base = agg(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = agg(orders.filter(F.col("o_orderdate") >= cutoff))
+    b = base.select(
+        "o_orderpriority",
+        F.col("n").alias("b_n"),
+        F.col("total").alias("b_total"),
+    )
+    d = delta.select(
+        "o_orderpriority",
+        F.col("n").alias("d_n"),
+        F.col("total").alias("d_total"),
+    )
+    merged = b.join(d, "o_orderpriority", "full_outer").select(
+        "o_orderpriority",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n"),
+        (
+            F.coalesce("b_total", F.lit(0.0)) + F.coalesce("d_total", F.lit(0.0))
+        ).alias("total"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n",
+        F.round("total", 4).alias("total"),
+        F.round(F.col("total") / F.col("n"), 4).alias("avg_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q98 — curriculum binning: per-source quartiles (NTILE) and percent-rank
+# over document length — the ordering signal curriculum schedules sample
+# from (short/simple docs first). Both windows partition by source; ties
+# order by doc_id so bin edges are deterministic in both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q98_curriculum_bins",
+    oracle="""
+SELECT doc_id, source, n_chars,
+       CAST(NTILE(4) OVER w AS BIGINT) AS len_bin,
+       ROUND(PERCENT_RANK() OVER w, 4) AS len_pr
+FROM documents
+WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+""",
+    tags=("training-prep", "W2", "A13"),
+)
+def q98_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.ntile(4).over(w).cast("long").alias("len_bin"),
+        F.round(F.percent_rank().over(w), 4).alias("len_pr"),
+    )
