@@ -70,32 +70,40 @@ def bloom_prune(probe: DataFrame, bloom_words: DataFrame, key_col: str) -> DataF
     """Probe rows whose key passes the bloom filter (supersets the true
     matches — follow with the exact join).
 
-    One narrow explode (k rows per probe row), a broadcast join on ``word``,
-    and an all-bits-present aggregate keyed by the probe's own columns —
-    grouped on a row tag so duplicate probe rows survive with their
-    multiplicity.
+    ZERO-shuffle on the probe side: the ≤ 64 bloom words are packed into a
+    dense array in ONE broadcast row (missing words ⇒ 0), so the k bit
+    checks are pure row-local expressions inside whole-stage codegen — a
+    narrow filter, exactly what a runtime filter must be. (The previous
+    shape exploded k rows per probe row and re-grouped on a row tag: a
+    full-width Exchange of the probe side, defeating the prune's purpose.)
     """
-    tagged = probe.withColumn(
-        "_rowtag", F.monotonically_increasing_id()
-    ).withColumn("_pos", F.explode(F.array(*_positions(F.col(key_col)))))
-    checked = (
-        tagged.withColumn("word", (F.col("_pos") / F.lit(64)).cast("long"))
-        .withColumn("bit", F.col("_pos") % F.lit(64))
-        .join(broadcast(bloom_words), "word", "left")
-        .withColumn(
-            "_hit",
-            F.coalesce(
-                F.expr("shiftright(bits, CAST(bit AS INT))").bitwiseAND(F.lit(1)),
-                F.lit(0),
+    packed = bloom_words.agg(
+        F.map_from_arrays(
+            F.collect_list("word"), F.collect_list("bits")
+        ).alias("_wmap")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+            lambda w: F.coalesce(
+                F.element_at(F.col("_wmap"), w.cast("long")), F.lit(0).cast("long")
             ),
+        ).alias("_words")
+    )
+    out = probe.join(broadcast(packed))
+    # All k bit tests as one row-local predicate. The shift amount is a
+    # column, which the Python shiftright API rejects — SQL exprs accept it;
+    # the position formula is textually identical to _positions().
+    checks = []
+    for j in range(BLOOM_K):
+        p = (
+            f"(CAST(conv(substring(md5(concat('{j}:', CAST({key_col} AS STRING))),"
+            f" 1, 8), 16, 10) AS BIGINT) % {BLOOM_BITS})"
         )
-    )
-    passed = (
-        checked.groupBy("_rowtag", *probe.columns)
-        .agg(F.min("_hit").alias("_all_set"))
-        .filter(F.col("_all_set") == 1)
-    )
-    return passed.select(*probe.columns)
+        checks.append(
+            f"((shiftright(element_at(_words, CAST({p} DIV 64 AS INT) + 1),"
+            f" CAST({p} % 64 AS INT)) & 1) = 1)"
+        )
+    return out.filter(F.expr(" AND ".join(checks))).select(*probe.columns)
 
 
 def bloom_semi_join(

@@ -146,6 +146,36 @@ def test_star_joins_broadcast_dims_and_push_filters(spark):
     assert "partial_" in p84  # nation rollup map-side combined
 
 
+def test_round4_ops_broadcast_their_small_sides(spark):
+    """The round-4 curation/stat ops all have a tiny statistics/dim side
+    (benchmark shingles, CMS cells, percentile bounds, df/idf tables,
+    unigram probabilities) — each must broadcast; a SortMergeJoin there
+    would shuffle the full corpus against a vocab-sized relation."""
+    for name in (
+        "q74_decontamination",
+        "q79_heavy_hitters",
+        "q86_winsorize",
+        "q91_mad_outliers",
+        "q92_tfidf_weights",
+        "q93_unigram_logprob",
+    ):
+        plan = _plan(REGISTRY[name].spark(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q80_probe_side_never_shuffles(spark):
+    """The bloom prune must be a row-local filter against one broadcast
+    row: no Exchange may touch the probe (orders) columns before the
+    exact semi-join — shuffling pruned rows would defeat the runtime
+    filter."""
+    plan = _plan(REGISTRY["q80_bloom_semi_join"].spark(spark, SF_DIR))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "o_orderkey" not in line and "_rowtag" not in line, line
+    assert "LeftSemi" in plan
+
+
 def test_no_cartesian_products(spark):
     """Theta-join pair generators (q32) are the only sanctioned
     nested-loop joins; everything else must be hash/merge."""
