@@ -71,11 +71,12 @@ def hll_registers(
     return tagged.groupBy(*group_cols, "bucket").agg(F.max("rank").alias("r"))
 
 
-def hll_distinct(
-    df: DataFrame, group_cols: Sequence[str], value_col: str
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: Sequence[str]
 ) -> DataFrame:
-    """HLL distinct estimate per group: (group_cols…, hll_distinct)."""
-    regs = hll_registers(df, group_cols, value_col)
+    """Estimate per group from a (group_cols…, bucket, r) register relation
+    — the merge-then-estimate half of the sketch, reusable over registers
+    that were merged across partitions/days (register-wise max)."""
     per_group = regs.groupBy(*group_cols).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_obs"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -89,6 +90,15 @@ def hll_distinct(
     ).otherwise(raw)
     return per_group.select(
         *group_cols, F.round(est, 4).alias("hll_distinct")
+    )
+
+
+def hll_distinct(
+    df: DataFrame, group_cols: Sequence[str], value_col: str
+) -> DataFrame:
+    """HLL distinct estimate per group: (group_cols…, hll_distinct)."""
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col), group_cols
     )
 
 

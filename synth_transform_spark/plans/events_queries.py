@@ -485,3 +485,106 @@ def q89_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 4).alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — rolling (cumulative) HLL distinct users per day: the continuous-
+# aggregate use the mergeable sketch exists for. Daily registers are built
+# once (O(256) state per day); the day-d cumulative registers are the
+# running register-wise MAX over days ≤ d — no rescan of history, which is
+# the whole point at 100 TB (the exact twin needs every historic user id;
+# the sketch needs 256 bytes per day). The exact cumulative count rides
+# along via the linear first-day trick (min day per user → running sum of
+# new-user counts), documenting the sketch error per day.
+# The day-axis running windows are single-partition by construction —
+# bounded by calendar days in history (thousands), not data volume.
+# --------------------------------------------------------------------------
+@register(
+    "q99_rolling_hll",
+    oracle="""
+WITH ev AS (SELECT DATE_TRUNC('day', ts) AS day, user_id FROM events),
+h AS (
+    SELECT day,
+           CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+                AS BIGINT) AS hv
+    FROM ev
+),
+tagged AS (SELECT day, hv // 16777216 AS bucket, hv % 16777216 AS w FROM h),
+regs AS (
+    SELECT day, bucket,
+           MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - LENGTH(BIN(w)) END) AS r
+    FROM tagged GROUP BY day, bucket
+),
+days AS (SELECT DISTINCT day FROM ev),
+buckets AS (SELECT DISTINCT bucket FROM regs),
+cum AS (
+    SELECT g.day, g.bucket,
+           MAX(r.r) OVER (PARTITION BY g.bucket ORDER BY g.day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS rr
+    FROM (SELECT d.day, b.bucket FROM days d CROSS JOIN buckets b) g
+    LEFT JOIN regs r ON r.day = g.day AND r.bucket = g.bucket
+),
+per AS (
+    SELECT day, SUM(POWER(2.0, -rr)) AS sum_obs, COUNT(*) AS n_obs
+    FROM cum WHERE rr IS NOT NULL GROUP BY day
+),
+est AS (
+    SELECT day,
+           CASE WHEN (47072.71267120224 / (sum_obs + (256 - n_obs))) <= 640.0
+                     AND (256 - n_obs) > 0
+                THEN 256.0 * LN(256.0 / (256 - n_obs))
+                ELSE 47072.71267120224 / (sum_obs + (256 - n_obs)) END AS hll
+    FROM per
+),
+fst AS (SELECT user_id, MIN(day) AS day FROM ev GROUP BY user_id),
+nnew AS (SELECT day, COUNT(*) AS n_new FROM fst GROUP BY day),
+exact AS (
+    SELECT d.day,
+           SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS exact_cum
+    FROM days d LEFT JOIN nnew n ON n.day = d.day
+)
+SELECT e.day, CAST(x.exact_cum AS BIGINT) AS exact_cum_distinct,
+       ROUND(e.hll, 4) AS hll_cum_distinct
+FROM est e JOIN exact x ON x.day = e.day
+""",
+    tags=("sketch-hll", "hypertable-rollup", "streaming-stateful"),
+)
+def q99_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+    regs = sketches.hll_registers(ev, ["day"], "user_id")
+    days = ev.select("day").distinct()
+    buckets = regs.select("bucket").distinct()
+    grid = days.crossJoin(F.broadcast(buckets))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(regs, ["day", "bucket"], "left")
+        .withColumn("rr", F.max("r").over(w))
+        .filter(F.col("rr").isNotNull())
+        .select("day", "bucket", F.col("rr").alias("r"))
+    )
+    est = sketches.hll_estimate_from_registers(cum, ["day"])
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    nnew = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_new"))
+    wd = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    exact = (
+        days.join(nnew, "day", "left")
+        .withColumn(
+            "exact_cum_distinct",
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wd).cast("long"),
+        )
+        .select("day", "exact_cum_distinct")
+    )
+    return exact.join(est, "day").select(
+        "day", "exact_cum_distinct", F.col("hll_distinct").alias("hll_cum_distinct")
+    )

@@ -1397,3 +1397,57 @@ def q98_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("len_bin"),
         F.round(F.percent_rank().over(w), 4).alias("len_pr"),
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — INTERSECT / EXCEPT segmentation (completes §2.7's set-op family
+# with the literal operators): customers active in both halves of 1997 vs
+# one half only. Spark's intersect/subtract are INTERSECT/EXCEPT DISTINCT —
+# hash aggregations + joins under the hood, the same plan a retention
+# segmentation runs at warehouse scale.
+# --------------------------------------------------------------------------
+@register(
+    "q100_set_ops",
+    oracle="""
+WITH h1 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+),
+h2 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+SELECT 'both' AS segment, o_custkey FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2) t
+UNION ALL
+SELECT 'h1_only', o_custkey FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2) t
+UNION ALL
+SELECT 'h2_only', o_custkey FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1) t
+""",
+    tags=("U1", "U3", "P10"),
+)
+def q100_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def half(lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    h1 = half("1997-01-01", "1997-07-01")
+    h2 = half("1997-07-01", "1998-01-01")
+    return (
+        h1.intersect(h2).select(F.lit("both").alias("segment"), "o_custkey")
+        .unionByName(
+            h1.subtract(h2).select(F.lit("h1_only").alias("segment"), "o_custkey")
+        )
+        .unionByName(
+            h2.subtract(h1).select(F.lit("h2_only").alias("segment"), "o_custkey")
+        )
+    )
