@@ -37,22 +37,25 @@ BLOOM_WORDS = BLOOM_BITS // 64
 BLOOM_K = 3
 
 
-def _positions(key_col, k: int = BLOOM_K):
+def _pos_sql(j: int, key_col: str) -> str:
+    """The j-th bloom bit position for ``key_col`` as a SQL expression —
+    the SINGLE source of the hash formula: build and probe both compile
+    from this text, so they cannot drift apart (drift would mean silent
+    false negatives, i.e. wrong join results)."""
+    return (
+        f"(CAST(conv(substring(md5(concat('{j}:', CAST({key_col} AS STRING))),"
+        f" 1, 8), 16, 10) AS BIGINT) % {BLOOM_BITS})"
+    )
+
+
+def _positions(key_col: str, k: int = BLOOM_K):
     """The k bloom bit positions for a key, as column expressions."""
-    return [
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(f"{j}:"), key_col.cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        % BLOOM_BITS
-        for j in range(k)
-    ]
+    return [F.expr(_pos_sql(j, key_col)) for j in range(k)]
 
 
 def bloom_build(build: DataFrame, key_col: str) -> DataFrame:
     """Aggregate a key set into bloom words: (word, bits) — ≤ 64 rows."""
-    pos = F.explode(F.array(*_positions(F.col(key_col)))).alias("pos")
+    pos = F.explode(F.array(*_positions(key_col))).alias("pos")
     positions = build.select(pos).distinct()
     return positions.select(
         (F.col("pos") / F.lit(64)).cast("long").alias("word"),
@@ -91,14 +94,12 @@ def bloom_prune(probe: DataFrame, bloom_words: DataFrame, key_col: str) -> DataF
     )
     out = probe.join(broadcast(packed))
     # All k bit tests as one row-local predicate. The shift amount is a
-    # column, which the Python shiftright API rejects — SQL exprs accept it;
-    # the position formula is textually identical to _positions().
+    # column, which the Python shiftright API rejects — SQL exprs accept
+    # it; the position formula is _pos_sql, the same text the build side
+    # compiles.
     checks = []
     for j in range(BLOOM_K):
-        p = (
-            f"(CAST(conv(substring(md5(concat('{j}:', CAST({key_col} AS STRING))),"
-            f" 1, 8), 16, 10) AS BIGINT) % {BLOOM_BITS})"
-        )
+        p = _pos_sql(j, key_col)
         checks.append(
             f"((shiftright(element_at(_words, CAST({p} DIV 64 AS INT) + 1),"
             f" CAST({p} % 64 AS INT)) & 1) = 1)"

@@ -65,8 +65,15 @@ def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 def _gram_expr(text_col: str, n: int):
     toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    # Docs with < n tokens must yield an EMPTY array — sequence(0, -1)
+    # would instead generate the DESCENDING [0, -1] and element_at(toks, 0)
+    # throws INVALID_INDEX_OF_ZERO, so the short-doc case is gated
+    # explicitly (fixture docs are long; real corpora contain empty docs).
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
     )
 

@@ -179,8 +179,12 @@ def cms_estimates(items: DataFrame, cells: DataFrame, value_col: str) -> DataFra
             )
         ).alias("rb"),
     ).select(value_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    # LEFT join + coalesce(0): an item whose (r, bucket) cell was never
+    # touched must contribute 0 to the min (the canonical CMS answer for
+    # unseen items is 0) — an inner join would both inflate the min and
+    # silently drop items matching no occupied cell at all.
     return (
-        probes.join(broadcast(cells), ["r", "bucket"])
+        probes.join(broadcast(cells), ["r", "bucket"], "left")
         .groupBy(value_col)
-        .agg(F.min("cell").alias("cms_est"))
+        .agg(F.min(F.coalesce("cell", F.lit(0).cast("long"))).alias("cms_est"))
     )

@@ -32,6 +32,15 @@ def _tokens(text_col):
     return F.filter(F.split(F.lower(text_col), " "), lambda t: t != "")
 
 
+def tokens_raw(text_col):
+    """Non-empty whitespace tokens, case-preserving — the ONE shared
+    tokenizer for corpus-statistics queries (q79/q81/q92/q93); its SQL
+    mirror is ``LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')``.
+    Distinct from ``_tokens`` (lowercasing, for lang-ID/quality) and from
+    ``dedup._gram_expr``'s internal tokenizer (n-gram engine)."""
+    return F.filter(F.split(text_col, " "), lambda t: t != "")
+
+
 # GPT-2-style pre-tokenizer approximation, restricted to the subset where
 # Java regex (Spark) and RE2 (DuckDB) agree exactly: a unit is an optional
 # leading space + a letter run, digit run, or punctuation run. Counting
@@ -217,8 +226,12 @@ def repetition_signals(
         )
     g2 = per_doc(2, "top2_frac", "dup2_frac")
     g3 = per_doc(3, "top3_frac", "dup3_frac")
+    # LEFT join: an exactly-2-token doc has 2-grams but no 3-grams — it must
+    # still appear (3-gram features NULL, flag driven by the 2-gram side),
+    # not silently vanish from the signal relation. Docs with < 2 tokens
+    # have no n-grams at all and carry no repetition signal by definition.
     return (
-        g2.join(g3, id_col)
+        g2.join(g3, id_col, "left")
         .select(
             id_col,
             "top2_frac",
@@ -226,7 +239,8 @@ def repetition_signals(
             "top3_frac",
             "dup3_frac",
             (
-                (F.col("top2_frac") > 0.06) | (F.col("dup3_frac") > 0.08)
+                (F.col("top2_frac") > 0.06)
+                | (F.coalesce(F.col("dup3_frac"), F.lit(0.0)) > 0.08)
             ).alias("repetitive"),
         )
     )

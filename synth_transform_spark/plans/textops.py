@@ -483,9 +483,7 @@ def q92_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-        ).alias("token"),
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token"),
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("token").agg(
@@ -537,9 +535,7 @@ def q93_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(
-            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-        ).alias("token"),
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token"),
     )
     total = toks.count()  # scalar corpus size, one job
     p = toks.groupBy("token").agg(

@@ -104,8 +104,8 @@ s3 AS (
     oracle=f"""
 WITH {_REP_GRAM_CTE}
 SELECT s2.doc_id, top2_frac, dup2_frac, top3_frac, dup3_frac,
-       (top2_frac > 0.06 OR dup3_frac > 0.08) AS repetitive
-FROM s2 JOIN s3 ON s3.doc_id = s2.doc_id
+       (top2_frac > 0.06 OR COALESCE(dup3_frac, 0) > 0.08) AS repetitive
+FROM s2 LEFT JOIN s3 ON s3.doc_id = s2.doc_id
 """,
     tags=("training-prep", "quality", "A5"),
 )
@@ -315,9 +315,7 @@ def q79_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     overcount, as q71 does for HLL)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(
-            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-        ).alias("token")
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token")
     )
     exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
     cells = sketches.cms_cells(exact, "token", "exact_n")
@@ -394,7 +392,7 @@ def q81_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals broadcast back via crossJoin (same pattern as the q14 z-score
     scalars — no global window)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    toks = text_analysis.tokens_raw(F.col("text"))
     per = docs.select("source", F.size(toks).alias("_nt")).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").cast("long").alias("n_tokens"),

@@ -48,20 +48,29 @@ def apply_cdc_stream(
     into a keyed state table; returns the final state as a batch DataFrame.
 
     State versions are written to ``state_dir/state_<epoch>`` (write-new,
-    then swap — never read+overwrite the same path in one job).
+    then swap — never read+overwrite the same path in one job); the
+    superseded version is deleted as soon as the new one lands, so disk
+    holds at most two snapshots however many micro-batches run. The final
+    snapshot is left for the returned DataFrame to read (callers own
+    ``state_dir`` cleanup after consuming it).
     """
+    import shutil
+
     state: dict[str, str | None] = {"path": None}
 
     def apply_batch(batch: DataFrame, epoch_id: int) -> None:
         latest = latest_per_key(batch, key_cols, order_cols)
-        if state["path"] is not None:
-            cur = batch.sparkSession.read.parquet(state["path"])
+        prev = state["path"]
+        if prev is not None:
+            cur = batch.sparkSession.read.parquet(prev)
             latest = latest_per_key(
                 cur.unionByName(latest), key_cols, order_cols
             )
         out = f"{state_dir}/state_{epoch_id}"
         latest.write.mode("overwrite").parquet(out)
         state["path"] = out
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

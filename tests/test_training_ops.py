@@ -142,3 +142,42 @@ def test_redact_pii_spans_and_counts(spark):
     assert (out[1].n_email, out[1].n_ip, out[1].n_phone) == (1, 1, 1)
     assert out[2].redacted == "no pii here"
     assert (out[2].n_email, out[2].n_ip, out[2].n_phone) == (0, 0, 0)
+
+
+# --- round-4 review regressions ---------------------------------------------
+
+
+def test_shingles_empty_and_short_docs_yield_empty_not_crash(spark):
+    # sequence(0, -1) generates DESCENDING [0, -1] — unguarded, element_at
+    # (toks, 0) threw INVALID_INDEX_OF_ZERO on any doc with < n tokens.
+    from synth_transform_spark.operators.dedup import shingle_arrays
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one two"), (4, "a b c d")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: list(r.sh_arr) for r in shingle_arrays(df, n=3).collect()}
+    assert got[1] == [] and got[2] == [] and got[3] == []
+    assert got[4] == ["a b c", "b c d"]
+
+
+def test_cms_unseen_item_estimates_zero(spark):
+    # Unseen items must return 0 (min over cells INCLUDING empty ones),
+    # and must not vanish from the output via the inner join.
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], ["v"])
+    cells = sketches.cms_cells(df, "v")
+    items = spark.createDataFrame([("a",), ("zzz_unseen",)], ["v"])
+    got = {r.v: r.cms_est for r in sketches.cms_estimates(items, cells, "v").collect()}
+    assert got["a"] >= 2
+    assert got["zzz_unseen"] == 0
+
+
+def test_repetition_signals_keeps_two_token_docs(spark):
+    # A 2-token doc has 2-grams but no 3-grams: it must appear with NULL
+    # 3-gram features, not silently vanish from the signal relation.
+    df = spark.createDataFrame(
+        [(1, "spam spam"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].top3_frac is None and got[1].dup3_frac is None
+    assert got[1].top2_frac == 1.0  # the single 2-gram is 100% of 2-grams
