@@ -1014,28 +1014,8 @@ def q86_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sortWithinPartitions away (sources/writers.py); the query materialises
 # the keys plus the coarse file bucket.
 # --------------------------------------------------------------------------
-_Z_BITS = 16
-
-
-def _z_spark(x, y):
-    terms = []
-    for b in range(_Z_BITS):
-        terms.append(
-            F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
-            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
-        )
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
-
-
-def _z_sql(x: str, y: str) -> str:
-    terms = [
-        f"((({x} >> {b}) & 1) << {2 * b}) + ((({y} >> {b}) & 1) << {2 * b + 1})"
-        for b in range(_Z_BITS)
-    ]
-    return " + ".join(terms)
+from ..sources.zorder import z_value_expr as _z_spark  # noqa: E402
+from ..sources.zorder import z_value_sql as _z_sql  # noqa: E402
 
 
 @register(
