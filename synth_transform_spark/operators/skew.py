@@ -52,7 +52,7 @@ def salted_join(
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
-    aggs: dict[str, str],
+    aggs: dict[str, str | list[str]],
     n_salts: int = 16,
 ) -> DataFrame:
     """Two-stage aggregation for skewed group keys.
@@ -60,12 +60,18 @@ def salted_aggregate(
     Stage 1 groups on (keys, salt) — hot keys split across n partial
     groups; stage 2 merges partials on keys. Supported aggs: sum, count,
     min, max (re-aggregable); avg must be decomposed by the caller into
-    sum+count.
+    sum+count. ``aggs`` maps column → function or list of functions, so
+    one call (one table scan) computes every aggregate.
     """
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     partial_exprs = []
     final_exprs = []
-    for col, fn in aggs.items():
+    pairs = [
+        (col, fn)
+        for col, fns in aggs.items()
+        for fn in ([fns] if isinstance(fns, str) else fns)
+    ]
+    for col, fn in pairs:
         p = f"_p_{fn}_{col}"
         if fn == "count":
             partial_exprs.append(F.count(F.lit(1)).alias(p))

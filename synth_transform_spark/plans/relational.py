@@ -1136,16 +1136,13 @@ def q94_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_aggregate(
         lin,
         keys=["l_returnflag"],
-        aggs={"l_quantity": "sum", "l_extendedprice": "min"},
+        aggs={
+            "l_quantity": ["count", "sum"],
+            "l_extendedprice": ["min", "max"],
+        },
         n_salts=16,
     )
-    cnt = salted_aggregate(
-        lin.select("l_returnflag", "l_quantity", "l_extendedprice"),
-        keys=["l_returnflag"],
-        aggs={"l_quantity": "count", "l_extendedprice": "max"},
-        n_salts=16,
-    )
-    return out.join(cnt, "l_returnflag").select(
+    return out.select(
         "l_returnflag",
         F.col("count_l_quantity").cast("long").alias("count_l_quantity"),
         F.round("sum_l_quantity", 4).alias("sum_l_quantity"),

@@ -85,14 +85,34 @@ def write_zordered(
 ) -> None:
     """Write ``df`` Z-order-clustered on (x_col, y_col).
 
-    Adds ``zval``/``zbucket`` (inputs masked to Z_BITS), directory-
-    partitions by ``zbucket`` and range-sorts by ``zval`` within files —
-    directory pruning across both dimensions plus row-group skipping
-    inside each bucket. One repartition per write; file count per bucket
-    stays 1 task's output (no small-files explosion).
+    Adds ``zval``/``zbucket``, directory-partitions by ``zbucket`` and
+    range-sorts by ``zval`` within files — directory pruning across both
+    dimensions plus row-group skipping inside each bucket. One repartition
+    per write; file count per bucket stays 1 task's output (no small-files
+    explosion).
+
+    DOMAIN CONTRACT: both coordinates must already lie in [0, 2^Z_BITS).
+    Values outside are rejected up front (one cheap agg) — silently
+    masking them would alias distant points into the same cell and make
+    ``read_box`` return wrong rows (e.g. x = 2^16 + 100 would satisfy a
+    [100, 1500] box). Callers with wider/negative domains normalise first
+    (shift/scale into the grid), which is also what fixes the bucket
+    math — a mask never can.
     """
-    x = (F.col(x_col) % (1 << Z_BITS)).cast("long")
-    y = (F.col(y_col) % (1 << Z_BITS)).cast("long")
+    lim = 1 << Z_BITS
+    bad = df.filter(
+        (F.col(x_col) < 0)
+        | (F.col(x_col) >= lim)
+        | (F.col(y_col) < 0)
+        | (F.col(y_col) >= lim)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"write_zordered: {bad} rows have {x_col}/{y_col} outside "
+            f"[0, {lim}) — normalise coordinates into the grid first"
+        )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
     out = (
         df.withColumn("zval", z_value_expr(x, y).cast("long"))
         .withColumn("zbucket", F.shiftright(F.col("zval"), BUCKET_SHIFT).cast("long"))
@@ -117,15 +137,23 @@ def read_box(
     The ``zbucket IN (...)`` predicate is a partition filter (directory
     pruning, visible as PartitionFilters in the plan); the exact x/y
     predicates then cut the false positives inside surviving buckets.
+    Box bounds must respect the same [0, 2^Z_BITS) domain the writer
+    enforces (checked here — a wrapped box would silently miss rows).
     """
+    lim = 1 << Z_BITS
+    if not (0 <= x_lo <= x_hi < lim and 0 <= y_lo <= y_hi < lim):
+        raise ValueError(
+            f"read_box: bounds must satisfy 0 <= lo <= hi < {lim} "
+            f"(got x=[{x_lo}, {x_hi}], y=[{y_lo}, {y_hi}])"
+        )
     buckets = zbuckets_for_box(x_lo, x_hi, y_lo, y_hi)
     return (
         spark.read.parquet(path)
         .filter(F.col("zbucket").isin(buckets))
         .filter(
-            (F.col(x_col) % (1 << Z_BITS) >= x_lo)
-            & (F.col(x_col) % (1 << Z_BITS) <= x_hi)
-            & (F.col(y_col) % (1 << Z_BITS) >= y_lo)
-            & (F.col(y_col) % (1 << Z_BITS) <= y_hi)
+            (F.col(x_col) >= x_lo)
+            & (F.col(x_col) <= x_hi)
+            & (F.col(y_col) >= y_lo)
+            & (F.col(y_col) <= y_hi)
         )
     )

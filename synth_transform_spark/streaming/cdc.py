@@ -53,7 +53,18 @@ def apply_cdc_stream(
     holds at most two snapshots however many micro-batches run. The final
     snapshot is left for the returned DataFrame to read (callers own
     ``state_dir`` cleanup after consuming it).
+
+    Snapshot deletion uses driver-local filesystem semantics — for
+    object-store ``state_dir``s (s3://, hdfs://) swap the parquet rewrite
+    for a Delta/Iceberg MERGE, whose transaction log owns version cleanup
+    (VACUUM); a silent shutil no-op there would accumulate snapshots, so
+    non-local paths are rejected up front.
     """
+    if "://" in state_dir and not state_dir.startswith("file://"):
+        raise ValueError(
+            "apply_cdc_stream keeps state on the driver-local filesystem; "
+            f"got {state_dir!r} — use a lakehouse MERGE sink for object stores"
+        )
     import shutil
 
     state: dict[str, str | None] = {"path": None}

@@ -71,3 +71,23 @@ def test_bucket_enumeration_covers_every_point(spark):
     for x, y in [(3000, 1000), (9000, 4500), (5000, 2048), (4095, 4096)]:
         zb = zorder._interleave_prefix(x >> 11, y >> 11)
         assert zb in buckets, (x, y)
+
+
+def test_out_of_domain_coordinates_are_rejected(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([(1, 70000, 5)], ["rid", "x", "y"])  # x >= 2^16
+    with pytest.raises(ValueError, match="outside"):
+        zorder.write_zordered(df, str(tmp_path / "bad"), "x", "y")
+    neg = spark.createDataFrame([(1, -3, 5)], ["rid", "x", "y"])
+    with pytest.raises(ValueError, match="outside"):
+        zorder.write_zordered(neg, str(tmp_path / "bad2"), "x", "y")
+
+
+def test_read_box_rejects_wrapped_bounds(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "zt3")
+    zorder.write_zordered(_table(spark), path, "x", "y")
+    with pytest.raises(ValueError, match="bounds"):
+        zorder.read_box(spark, path, "x", "y", 60000, 70000, 0, 10)
