@@ -414,3 +414,50 @@ def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 4).alias("pagerank")
     )
+
+
+@register(
+    "q101_triangle_count",
+    # Triangles in the near-dup graph measure cluster cliquishness (pure
+    # chains dedup differently than near-clique boilerplate families).
+    # Canonical a < b < c enumeration: each triangle counted exactly once.
+    oracle=f"""
+WITH {_minhash_ctes()},
+edges AS (SELECT id_a AS a, id_b AS b FROM dups),
+tri AS (
+    SELECT e1.a, e1.b, e2.b AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT a AS id_a, b AS id_b, c AS id_c FROM tri
+""",
+    tags=("graph", "dedup-clusters"),
+)
+def q101_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the verified near-dup pairs.
+
+    The pair relation already stores each undirected edge once with
+    id_a < id_b, so the canonical-order two-hop join (e1.b=e2.a closing
+    edge e3=(e1.a, e2.b)) finds each triangle exactly once. Scale: two
+    hash joins on vertex keys; production triangle counting orders
+    vertices by degree first so high-degree hubs sit on the closing side
+    (bounds the two-hop fan-out) — same plan shape, one extra ranking
+    pass; the LSH pair graph is max_bucket-bounded already.
+    """
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    e = dedup.minhash_near_duplicates(docs, threshold=0.8).select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint(eager=True)  # three consumers of an expensive relation
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    return (
+        e1.join(e2, e1["b"] == e2["b2a"])
+        .join(e3, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb")))
+        .select(
+            F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("c").alias("id_c")
+        )
+    )

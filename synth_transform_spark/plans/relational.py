@@ -1428,3 +1428,41 @@ def q100_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             h2.subtract(h1).select(F.lit("h2_only").alias("segment"), "o_custkey")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q103 — pairwise correlation matrix (A12's multivariate extension): sample
+# Pearson correlation between the lineitem measures, one row per ordered
+# pair. corr() is a single-pass mergeable aggregate in both engines (sum,
+# sum-of-squares, co-moments combine across partitions), so the whole
+# matrix is ONE partial-agg scan — no per-pair rescans.
+# --------------------------------------------------------------------------
+@register(
+    "q103_corr_matrix",
+    oracle="""
+SELECT 'quantity_price' AS pair,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr
+FROM lineitem
+UNION ALL
+SELECT 'quantity_discount', ROUND(CORR(l_quantity, l_discount), 4) FROM lineitem
+UNION ALL
+SELECT 'price_discount', ROUND(CORR(l_extendedprice, l_discount), 4) FROM lineitem
+UNION ALL
+SELECT 'price_tax', ROUND(CORR(l_extendedprice, l_tax), 4) FROM lineitem
+""",
+    tags=("A12", "W4"),
+)
+def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lin = _t(spark, sf_dir, "lineitem")
+    agg = lin.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("quantity_price"),
+        F.round(F.corr("l_quantity", "l_discount"), 4).alias("quantity_discount"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias("price_discount"),
+        F.round(F.corr("l_extendedprice", "l_tax"), 4).alias("price_tax"),
+    )
+    pairs = ["quantity_price", "quantity_discount", "price_discount", "price_tax"]
+    return agg.selectExpr(
+        f"stack({len(pairs)}, "
+        + ", ".join(f"'{p}', {p}" for p in pairs)
+        + ") as (pair, corr)"
+    )

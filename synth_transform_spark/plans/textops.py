@@ -549,3 +549,77 @@ def q93_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log("p")), 4).alias("avg_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — token co-occurrence PMI (collocation mining): for token pairs
+# sharing a document, pmi = ln(p(a,b) / (p(a)·p(b))) with probabilities
+# over documents. Per-doc DISTINCT tokens self-join WITHIN the doc
+# (fan-out bounded by per-doc vocabulary, capped in production) then one
+# pair-keyed aggregate; the marginals are vocab-sized broadcasts. Top-50
+# by co-occurrence count with full deterministic tie-break.
+# --------------------------------------------------------------------------
+@register(
+    "q102_token_pmi",
+    oracle="""
+WITH dtoks AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+df AS (SELECT token, COUNT(*) AS df FROM dtoks GROUP BY token),
+pairs AS (
+    SELECT a.token AS tok_a, b.token AS tok_b, COUNT(*) AS n_co
+    FROM dtoks a JOIN dtoks b ON b.doc_id = a.doc_id AND a.token < b.token
+    GROUP BY a.token, b.token
+)
+SELECT tok_a, tok_b, CAST(n_co AS BIGINT) AS n_co,
+       ROUND(LN((n_co * n.n_docs) / (da.df * CAST(db.df AS DOUBLE))), 4) AS pmi
+FROM pairs
+JOIN df da ON da.token = tok_a
+JOIN df db ON db.token = tok_b
+CROSS JOIN n
+ORDER BY n_co DESC, tok_a ASC, tok_b ASC
+LIMIT 50
+""",
+    tags=("training-prep", "A5", "J13"),
+)
+def q102_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dtoks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(text_analysis.tokens_raw(F.col("text")))
+        ).alias("token"),
+    )
+    n_docs = float(docs.select("doc_id").distinct().count())
+    df = dtoks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    a = dtoks.select("doc_id", F.col("token").alias("tok_a"))
+    b = dtoks.select("doc_id", F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b, ["doc_id"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    da = df.select(F.col("token").alias("tok_a"), F.col("df").alias("df_a"))
+    db = df.select(F.col("token").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_co",
+            F.round(
+                F.log(
+                    (F.col("n_co") * F.lit(n_docs))
+                    / (F.col("df_a") * F.col("df_b").cast("double"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("n_co"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(50)
+    )

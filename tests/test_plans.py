@@ -42,6 +42,7 @@ HEAVY_EXECUTING = {
     "q63_dup_clusters",  # iterative label propagation: plan build runs jobs
     "q67_streaming_interval_join",  # streaming replay at build time
     "q82_pagerank",  # iterative rank propagation: plan build runs jobs
+    "q101_triangle_count",  # checkpoints the pair relation at build time
 }
 
 
