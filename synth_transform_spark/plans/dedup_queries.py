@@ -311,15 +311,13 @@ def q56_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_duplicates(docs, max_hamming=3)
 
 
-@register(
-    "q63_dup_clusters",
-    # Transitive closure of the q27 near-dup pairs. The recursive CTE
-    # enumerates reachability over the symmetrised edge list (the UNION's
-    # set semantics deduplicate visited pairs, so it terminates on cycles);
-    # the component label is then min(node, reachable nodes) — exactly the
-    # fixpoint the Spark min-label propagation converges to.
-    oracle=f"""
-WITH RECURSIVE {_minhash_ctes()},
+# Transitive closure of the near-dup pairs as reusable CTE text (follows
+# ``dups``; requires WITH RECURSIVE). The recursive CTE enumerates
+# reachability over the symmetrised edge list (the UNION's set semantics
+# deduplicate visited pairs, so it terminates on cycles); the component
+# label is then min(node, reachable nodes) — exactly the fixpoint the
+# Spark min-label propagation converges to. Shared by q63 / q105 / q106.
+_CLUSTER_CTES = """
 edges AS (
     SELECT id_a AS s, id_b AS d FROM dups
     UNION
@@ -332,7 +330,14 @@ reach(s, d) AS (
 ),
 lab AS (
     SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id FROM reach GROUP BY s
-)
+)"""
+
+
+@register(
+    "q63_dup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_CLUSTER_CTES}
 SELECT doc_id, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab
@@ -460,4 +465,39 @@ def q101_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a").alias("id_a"), F.col("b").alias("id_b"), F.col("c").alias("id_c")
         )
+    )
+
+
+@register(
+    "q105_dedup_decision",
+    # The decision layer a dedup pass actually ships: one row per document
+    # with its cluster (if any) and the keep/drop verdict — keep singletons
+    # and each cluster's canonical min-id member.
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_CLUSTER_CTES}
+SELECT d.doc_id, l.cluster_id,
+       (l.doc_id IS NULL OR l.cluster_id = d.doc_id) AS keep
+FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id
+""",
+    tags=("dedup-clusters", "A4", "U4"),
+)
+def q105_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup verdict from the q63 clusters: (doc_id,
+    cluster_id, keep). Iterative (cluster build executes jobs, like q63);
+    the decision itself is one left join against the O(clustered-docs)
+    label relation."""
+    import pyspark.sql.functions as F
+
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    clusters = graph.duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    return docs.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        (
+            F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
+        ).alias("keep"),
     )

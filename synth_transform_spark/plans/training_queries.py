@@ -415,3 +415,172 @@ def q81_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow("share", F.lit(0.5)) / F.col("_zsum") / F.col("share"), 4
         ).alias("w_temp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — deterministic train/val/test split assignment
+
+
+@register(
+    "q104_split_assign",
+    # Hash-based assignment (md5 of the id → percentile bucket) is the
+    # production standard: stable under corpus growth/reorder, no seed
+    # state, reproducible in any engine — which is exactly what lets the
+    # oracle replay it. 80/10/10.
+    oracle="""
+SELECT doc_id, source,
+       CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val' ELSE 'test' END
+           AS split
+FROM (
+    SELECT doc_id, source,
+           CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                AS BIGINT) % 100 AS u
+    FROM documents
+) t
+""",
+    tags=("training-prep", "A13"),
+)
+def q104_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(u < 80, F.lit("train"))
+        .when(u < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — the curation funnel: the one-row-per-stage report a data team
+# reads after every corpus build. Stages apply cumulatively:
+#   1 raw            — every document
+#   2 eval_removed   — minus the held-out benchmark split (doc_id % 29 = 0)
+#   3 quality        — minus Gopher/C4-rule failures (q24's keep rule)
+#   4 dedup          — minus non-canonical near-dup cluster members
+#                      (clusters computed corpus-wide, canonical = min id —
+#                      the q105 verdict)
+#   5 decontam       — minus docs sharing any 3-gram with the benchmark
+# Composes the dedup/quality/contamination operators; iterative (cluster
+# build runs jobs). Every verdict is deterministic, so the 5-row report
+# hash-matches the oracle's CTE chain.
+
+
+def _q106_oracle() -> str:
+    from .dedup_queries import _CLUSTER_CTES, _minhash_ctes
+
+    quality_keep = """
+    SELECT doc_id,
+           (LEN(toks) >= 10
+            AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.1
+            AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                / LENGTH(text) <= 0.3) AS keep
+    FROM (SELECT doc_id, text,
+                 LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+          FROM documents) qt
+"""
+    return f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_CLUSTER_CTES},
+q AS ({quality_keep}),
+contam AS (
+    SELECT DISTINCT c.doc_id
+    FROM sh c
+    JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % 29 = 0) b
+      ON b.shingle = c.shingle
+    WHERE c.doc_id % 29 <> 0
+),
+flags AS (
+    SELECT d.doc_id,
+           (d.doc_id % 29 <> 0) AS not_eval,
+           q.keep,
+           (l.doc_id IS NULL OR l.cluster_id = d.doc_id) AS dedup_keep,
+           (c.doc_id IS NULL) AS clean
+    FROM documents d
+    JOIN q ON q.doc_id = d.doc_id
+    LEFT JOIN lab l ON l.doc_id = d.doc_id
+    LEFT JOIN contam c ON c.doc_id = d.doc_id
+)
+SELECT * FROM (
+    SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM flags
+    UNION ALL
+    SELECT 2, 'eval_removed', CAST(SUM(CASE WHEN not_eval THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 3, 'quality', CAST(SUM(CASE WHEN not_eval AND keep THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 4, 'dedup', CAST(SUM(CASE WHEN not_eval AND keep AND dedup_keep THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+    UNION ALL
+    SELECT 5, 'decontam', CAST(SUM(CASE WHEN not_eval AND keep AND dedup_keep AND clean THEN 1 ELSE 0 END) AS BIGINT)
+    FROM flags
+) t
+"""
+
+
+@register(
+    "q106_curation_funnel",
+    oracle=_q106_oracle(),
+    tags=("training-prep", "A1", "U1", "dedup-clusters", "decontamination"),
+)
+def q106_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+    from ..operators.dedup import minhash_near_duplicates
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = text_analysis.quality_score(docs).select("doc_id", "keep")
+    pairs = minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    clusters = graph.duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    contam = contamination(corpus, bench, n=3).select(
+        "doc_id", F.lit(True).alias("_hit")
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(clusters, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            (F.col("doc_id") % 29 != 0).alias("not_eval"),
+            "keep",
+            (
+                F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col("doc_id"))
+            ).alias("dedup_keep"),
+            F.col("_hit").isNull().alias("clean"),
+        )
+    )
+
+    def n(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("raw"),
+        n(F.col("not_eval")).alias("eval_removed"),
+        n(F.col("not_eval") & F.col("keep")).alias("quality"),
+        n(F.col("not_eval") & F.col("keep") & F.col("dedup_keep")).alias("dedup"),
+        n(
+            F.col("not_eval")
+            & F.col("keep")
+            & F.col("dedup_keep")
+            & F.col("clean")
+        ).alias("decontam"),
+    )
+    stages = ["raw", "eval_removed", "quality", "dedup", "decontam"]
+    return agg.selectExpr(
+        f"stack({len(stages)}, "
+        + ", ".join(
+            f"{i + 1}, '{s}', {s}" for i, s in enumerate(stages)
+        )
+        + ") as (stage_no, stage, n_docs)"
+    ).selectExpr("CAST(stage_no AS BIGINT) AS stage_no", "stage", "n_docs")

@@ -43,6 +43,8 @@ HEAVY_EXECUTING = {
     "q67_streaming_interval_join",  # streaming replay at build time
     "q82_pagerank",  # iterative rank propagation: plan build runs jobs
     "q101_triangle_count",  # checkpoints the pair relation at build time
+    "q105_dedup_decision",  # iterative cluster build at plan time
+    "q106_curation_funnel",  # iterative cluster build at plan time
 }
 
 
