@@ -132,10 +132,32 @@ def q19_doi_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q24 — quality scoring (north-star text analysis; C4/Gopher-style filters).
+# The keep rule compares the ROUND(…, 4) ratios — text_analysis.
+# quality_score's `keep` is computed from its rounded output columns, so an
+# unrounded oracle comparison would flip boundary documents (e.g.
+# distinct_ratio 0.09996 rounds to 0.1000 and passes on the Spark side).
+# Shared with the q106 funnel oracle via QUALITY_KEEP_SQL.
 # --------------------------------------------------------------------------
+
+#: Boolean keep-rule over columns ``toks`` / ``text`` — the SQL twin of
+#: text_analysis.quality_score's flag, rounded exactly like the operator.
+QUALITY_KEEP_SQL = """(LEN(toks) >= 10
+        AND ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 4) >= 0.1
+        AND ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+            / LENGTH(text), 4) <= 0.3)"""
+
+#: Full CTE body "doc_id → keep" for oracles composing the quality stage.
+QUALITY_KEEP_CTE = f"""
+    SELECT doc_id, {QUALITY_KEEP_SQL} AS keep
+    FROM (SELECT doc_id, text,
+                 LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+          FROM documents) qt
+"""
+
+
 @register(
     "q24_quality_score",
-    oracle="""
+    oracle=f"""
 WITH t AS (
     SELECT doc_id, text,
            LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
@@ -149,10 +171,7 @@ SELECT doc_id,
        ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
              / LENGTH(text), 4) AS punct_ratio,
        ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 4) AS distinct_ratio,
-       (LEN(toks) >= 10
-        AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.1
-        AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-            / LENGTH(text) <= 0.3) AS keep
+       {QUALITY_KEEP_SQL} AS keep
 FROM t
 """,
     tags=("text-quality", "F16"),

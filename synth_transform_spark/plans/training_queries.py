@@ -474,21 +474,20 @@ def q104_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q106_oracle() -> str:
     from .dedup_queries import _CLUSTER_CTES, _minhash_ctes
+    from .textops import QUALITY_KEEP_CTE
 
-    quality_keep = """
-    SELECT doc_id,
-           (LEN(toks) >= 10
-            AND CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks) >= 0.1
-            AND CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
-                / LENGTH(text) <= 0.3) AS keep
-    FROM (SELECT doc_id, text,
-                 LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
-          FROM documents) qt
-"""
+    # canon: each cluster's canonical member chosen among POST-eval-removal
+    # survivors — a cluster whose min id happens to be a benchmark doc must
+    # still keep one representative in the training corpus (the min-id
+    # survivor), not lose every copy of that content at the dedup stage.
     return f"""
 WITH RECURSIVE {_minhash_ctes()},
 {_CLUSTER_CTES},
-q AS ({quality_keep}),
+q AS ({QUALITY_KEEP_CTE}),
+canon AS (
+    SELECT cluster_id, MIN(doc_id) AS canon FROM lab
+    WHERE doc_id % 29 <> 0 GROUP BY cluster_id
+),
 contam AS (
     SELECT DISTINCT c.doc_id
     FROM sh c
@@ -497,15 +496,15 @@ contam AS (
     WHERE c.doc_id % 29 <> 0
 ),
 flags AS (
-    SELECT d.doc_id,
-           (d.doc_id % 29 <> 0) AS not_eval,
+    SELECT q.doc_id,
+           (q.doc_id % 29 <> 0) AS not_eval,
            q.keep,
-           (l.doc_id IS NULL OR l.cluster_id = d.doc_id) AS dedup_keep,
+           (l.doc_id IS NULL OR q.doc_id = cn.canon) AS dedup_keep,
            (c.doc_id IS NULL) AS clean
-    FROM documents d
-    JOIN q ON q.doc_id = d.doc_id
-    LEFT JOIN lab l ON l.doc_id = d.doc_id
-    LEFT JOIN contam c ON c.doc_id = d.doc_id
+    FROM q
+    LEFT JOIN lab l ON l.doc_id = q.doc_id
+    LEFT JOIN canon cn ON cn.cluster_id = l.cluster_id
+    LEFT JOIN contam c ON c.doc_id = q.doc_id
 )
 SELECT * FROM (
     SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
@@ -540,22 +539,29 @@ def q106_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = text_analysis.quality_score(docs).select("doc_id", "keep")
     pairs = minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
     clusters = graph.duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    # canonical per cluster chosen among post-eval survivors: a cluster
+    # whose min id is a benchmark doc keeps its min-id SURVIVOR instead of
+    # losing every copy of the content at the dedup stage.
+    canon = (
+        clusters.filter(F.col("doc_id") % 29 != 0)
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("_canon"))
+    )
     bench = docs.filter(F.col("doc_id") % 29 == 0)
     corpus = docs.filter(F.col("doc_id") % 29 != 0)
     contam = contamination(corpus, bench, n=3).select(
         "doc_id", F.lit(True).alias("_hit")
     )
     flags = (
-        docs.select("doc_id")
-        .join(quality, "doc_id")
-        .join(clusters, "doc_id", "left")
+        quality.join(clusters, "doc_id", "left")
+        .join(F.broadcast(canon), "cluster_id", "left")
         .join(contam, "doc_id", "left")
         .select(
             (F.col("doc_id") % 29 != 0).alias("not_eval"),
             "keep",
             (
                 F.col("cluster_id").isNull()
-                | (F.col("cluster_id") == F.col("doc_id"))
+                | (F.col("doc_id") == F.col("_canon"))
             ).alias("dedup_keep"),
             F.col("_hit").isNull().alias("clean"),
         )
