@@ -588,3 +588,75 @@ def q99_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "day").select(
         "day", "exact_cum_distinct", F.col("hll_distinct").alias("hll_cum_distinct")
     )
+
+
+# --------------------------------------------------------------------------
+# q107/q108 — the tumbling and sliding window jobs EXECUTED AS STREAMS
+# inside the gate (availableNow → memory sink, like q57/q67/q89): over
+# fully-arrived data a watermarked streaming window aggregation emits
+# exactly the batch GROUP BY result, so each reuses its batch twin's
+# oracle. This puts the whole windowed-streaming family under the driver's
+# hash gate rather than only the pytest equivalence tests. (Session
+# windows stay equivalence-tested: their gap-boundary semantics are
+# engine-internal and not worth a brittle SQL mirror.)
+# --------------------------------------------------------------------------
+@register(
+    "q107_streaming_tumbling",
+    oracle="""
+SELECT TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY window_start, event_type
+""",
+    tags=("streaming-tumbling", "A1"),
+)
+def q107_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.tumbling_counts(stream), "q107_sink", output_mode="complete"
+    )
+
+
+@register(
+    "q108_streaming_sliding",
+    oracle="""
+WITH slots AS (
+    SELECT TIME_BUCKET(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS slot,
+           event_type, value
+    FROM events
+),
+both_windows AS (
+    SELECT slot AS window_start, event_type, value FROM slots
+    UNION ALL
+    SELECT slot - INTERVAL '30 minutes' AS window_start, event_type, value FROM slots
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM both_windows
+GROUP BY window_start, event_type
+""",
+    tags=("streaming-sliding", "A1"),
+)
+def q108_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    job = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes")
+            .getField("start")
+            .alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return se.run_available_now(job, "q108_sink", output_mode="complete")

@@ -45,6 +45,8 @@ HEAVY_EXECUTING = {
     "q101_triangle_count",  # checkpoints the pair relation at build time
     "q105_dedup_decision",  # iterative cluster build at plan time
     "q106_curation_funnel",  # iterative cluster build at plan time
+    "q107_streaming_tumbling",  # streaming replay at build time
+    "q108_streaming_sliding",  # streaming replay at build time
 }
 
 
