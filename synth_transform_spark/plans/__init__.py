@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     relational,
     similarity_queries,
     star_queries,
+    subquery_queries,
     temporal_queries,
     textops,
     training_queries,

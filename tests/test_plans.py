@@ -196,3 +196,29 @@ def test_no_cartesian_products(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert offenders == []
+
+
+def test_subquery_suite_decorrelated_plans(spark):
+    """q109-q114: every correlated-subquery shape must execute as its
+    decorrelated single-pass plan — no per-row re-scan artifacts, no
+    nested loops, fact tables read once where the rewrite allows it."""
+    # q109: window decorrelation — one lineitem scan, no self-join
+    p109 = _plan(REGISTRY["q109_small_qty_revenue"].spark(spark, SF_DIR))
+    assert p109.count("Window") == 1
+    assert "SortMergeJoin" not in p109  # brand dim broadcasts
+    # q110: the HAVING aggregate is computed once and joined, never regrouped
+    p110 = _plan(REGISTRY["q110_large_volume_orders"].spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p110
+    assert p110.count("Scan parquet") == 3  # lineitem + orders + customer, once each
+    # q111: EXISTS → LEFT SEMI with the non-equi residual on the equi join
+    p111 = _plan(REGISTRY["q111_priority_late_exists"].spark(spark, SF_DIR))
+    assert "LeftSemi" in p111
+    assert "BroadcastNestedLoopJoin" not in p111 and "CartesianProduct" not in p111
+    # q112: NOT EXISTS → LEFT ANTI; inner-side filters pushed to the scan
+    p112 = _plan(REGISTRY["q112_dormant_low_balance"].spark(spark, SF_DIR))
+    assert "LeftAnti" in p112
+    assert "o_orderpriority" in p112 and "PushedFilters" in p112
+    # q114: argmin via min_by-style struct agg — single scan, no window sort
+    p114 = _plan(REGISTRY["q114_cheapest_supplier_per_part"].spark(spark, SF_DIR))
+    assert p114.count("Scan parquet") == 1
+    assert "Window" not in p114 and "partial_" in p114
