@@ -1,0 +1,169 @@
+"""Corpus-level span deduplication (round 5).
+
+Two training-data curation operators the document-level dedup family
+(q04 exact, q27 MinHash, q28/q56 SimHash, q38 embedding) does not cover —
+duplication INSIDE and ACROSS documents at sub-document granularity:
+
+- q115: segment-level exact dedup (the C4/RefinedWeb "remove repeated
+  lines across the corpus" pass).  This corpus has no newlines, so the
+  unit is a fixed 10-token segment — the same operation with a
+  deterministic segmenter.  First occurrence (lowest (doc_id, seg_idx))
+  wins; every later identical segment is dropped and each doc's surviving
+  text is reassembled in order.
+- q116: cross-document repeated n-gram spans (the detection half of
+  suffix-array substring dedup, Lee et al. 2022 "Deduplicating Training
+  Data Makes Language Models Better" — n-gram table approximation):
+  8-grams occurring in ≥3 distinct docs, with doc- and occurrence-counts.
+
+100 TB posture: q115 is one shuffle on the segment hash (window
+rank-first) + one shuffle on doc_id to reassemble — both keys uniform
+(segments are content-hashed; docs are the natural unit).  q116 is
+explode → one grouped aggregation on the gram; count(distinct doc_id)
+uses the two-phase partial-distinct plan.  The true suffix-array method
+needs a global sort (Spark: repartitionByRange on suffix prefix) — the
+n-gram table form trades that for a bounded-width shuffle, the standard
+production compromise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.readers import load_table
+from .registry import register
+
+SEG_TOKENS = 10
+NGRAM_N = 8
+MIN_DOCS = 3
+
+
+def _toks(text_col: str = "text"):
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+@register(
+    "q115_segment_dedup",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+segs AS (
+    SELECT doc_id, i AS seg_idx,
+           ARRAY_TO_STRING(w[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg
+    FROM docs, UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(w) / {SEG_TOKENS}.0) AS INT) - 1)) AS t(i)
+    WHERE LEN(w) > 0
+),
+ranked AS (
+    SELECT doc_id, seg_idx, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+    FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       COALESCE(STRING_AGG(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx), '') AS kept_text
+FROM ranked
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("corpus-dedup", "A4", "U4"),
+)
+def q115_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level segment dedup with document reassembly.
+
+    Plan: segment (narrow per-row transform) → explode → rank-first window
+    partitioned by the segment string (ONE shuffle, content-hashed key so
+    uniform unless a segment is pathologically viral) → per-doc reassembly
+    (one shuffle on doc_id; surviving segments re-ordered by seg_idx
+    inside an array sort, not a global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("w")
+    ).filter(F.size("w") > 0)
+    n_segs = F.ceil(F.size("w") / F.lit(float(SEG_TOKENS))).cast("int")
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), i * SEG_TOKENS + 1, SEG_TOKENS)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w_first = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w_first))
+    kept_struct = F.sort_array(
+        F.collect_list(
+            F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+        )
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(
+                " ", F.transform(kept_struct, lambda s: s.getField("seg"))
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q116_repeated_ngrams",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, ARRAY_TO_STRING(w[i + 1 : i + {NGRAM_N}], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - {NGRAM_N})) AS t(i)
+    WHERE LEN(w) >= {NGRAM_N}
+)
+SELECT gram,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams
+GROUP BY gram
+HAVING COUNT(DISTINCT doc_id) >= {MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, gram ASC
+LIMIT 100
+""",
+    tags=("corpus-dedup", "A5"),
+)
+def q116_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-gram spans (substring-dedup detection).
+
+    Positional n-grams (NOT distinct-per-doc: occurrence counts matter
+    here), exploded then aggregated once on the gram; the distinct-doc
+    count runs as Spark's two-phase partial-distinct aggregate.  Top-100
+    with full-key tie-break executes as TakeOrderedAndProject.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("w")
+    ).filter(F.size("w") >= NGRAM_N)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, NGRAM_N)),
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
+        .limit(100)
+    )
