@@ -398,3 +398,151 @@ def quantized_topk(
         .withColumn("_shard", F.pmod(F.hash("neighbor_id"), F.lit(n_shards)))
     )
     return _topk_per_query(scored, k, score_col="approx_cos")
+
+
+# --- signed-random-projection (SRP) LSH -----------------------------------
+
+SRP_PLANES = 16
+SRP_BAND_BITS = 4
+SRP_QUANT = 1000.0
+
+
+def srp_sign_matrix(n_planes: int = SRP_PLANES, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix, derived from md5 — the same
+    formula both the Spark plan and the DuckDB oracle can state:
+    sign(j, i) = +1 if the first hex digit of md5('srp|j|i') is even.
+    No RNG, no seed state: any engine reproduces the planes bit-for-bit."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"srp|{j}|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def srp_signatures(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES,
+    band_bits: int = SRP_BAND_BITS,
+    dim: int = 64,
+) -> DataFrame:
+    """Banded SRP-LSH signatures: (id, band_id, band_sig) long-form.
+
+    Each plane's dot product runs in EXACT integer arithmetic: components
+    are floor-quantized to 1/1000 (``floor(x*1000)`` — identical float64
+    input gives the identical integer on every engine, so the sign bit can
+    never flip with summation order, unlike a float dot whose near-zero
+    sign is order-dependent). All narrow, whole-stage codegen; zero
+    shuffle.
+
+    Hamming-adjacent use (banded near-neighbour candidates) follows
+    Charikar's SimHash rounding scheme — same construction the text
+    SimHash in dedup.py uses, here over real-valued embeddings.
+    """
+    signs = srp_sign_matrix(n_planes, dim)
+    n_bands = n_planes // band_bits
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(SRP_QUANT)).cast("long")
+    )
+    sigs = vectors.select(F.col(id_col), xq.alias("_xq"))
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("_xq"),
+                    F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            >= 0
+        ).cast("long")
+        for j in range(n_planes)
+    ]
+    bands = [
+        sum(
+            (bits[b * band_bits + r] * F.lit(1 << r)) for r in range(band_bits)
+        ).alias(f"_band{b}")
+        for b in range(n_bands)
+    ]
+    wide = sigs.select(F.col(id_col), *bands)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"), F.col(f"_band{b}").alias("band_sig")
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(pairs).alias("_bs")).select(
+        F.col(id_col),
+        F.col("_bs.band_id").alias("band_id"),
+        F.col("_bs.band_sig").alias("band_sig"),
+    )
+
+
+def srp_near_duplicates(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = SRP_PLANES,
+    band_bits: int = SRP_BAND_BITS,
+    dim: int = 64,
+    max_bucket: int = 10000,
+) -> DataFrame:
+    """Embedding near-dup via SRP-LSH buckets → exact cosine verify.
+
+    The random-hyperplane alternative to ``cell_cosine_pairs``: candidates
+    share ≥1 (band_id, band_sig) bucket; the self-join shuffles on the
+    bucket key with the same degenerate-bucket guard as LSH text dedup;
+    the exact rounded-cosine scorer verifies ≥ threshold.
+
+    Band width trades recall against candidate volume: narrow bands (the
+    4-bit default, tuned for this corpus's weak-similarity regime where
+    cosines top out ~0.5) collide often but verify cheaply; for real
+    high-similarity dedup (τ ≥ 0.9) use 8-bit bands — fewer, better
+    candidates. Recall vs the exact all-pairs baseline is pinned in
+    tests/test_similarity.py. Returns (id_a, id_b, cosine).
+    """
+    from ..caching import persist_tracked
+
+    sigs = srp_signatures(vectors, id_col, vec_col, n_planes, band_bits, dim)
+    sized = persist_tracked(
+        sigs.withColumn(
+            "bucket_n",
+            F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_sig")),
+        )
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select(id_col, "band_id", "band_sig")
+    )
+    a = sized.select("band_id", "band_sig", F.col(id_col).alias("id_a"))
+    b = sized.select("band_id", "band_sig", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band_id", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vd = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_nrm", _norm(F.col("_v")))
+    va = vd.select(F.col(id_col).alias("id_a"), F.col("_v").alias("a_vec"), F.col("_nrm").alias("nrm_a"))
+    vb = vd.select(F.col(id_col).alias("id_b"), F.col("_v").alias("b_vec"), F.col("_nrm").alias("nrm_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("a_vec"), F.col("b_vec")) / (F.col("nrm_a") * F.col("nrm_b")), 4),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -236,3 +236,186 @@ def q85_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return similarity.quantized_topk(emb, queries, k=_K)
+
+
+# q117 constants — see operators/similarity.srp_sign_matrix: planes are
+# md5-derived (no RNG), dots run in floor-quantized integer arithmetic so
+# the sign bit is summation-order-proof, 16 planes banded 4×4 bits (tuned
+# for this corpus's weak-similarity regime; see srp_near_duplicates).
+_Q117_THRESHOLD = 0.42
+
+
+@register(
+    "q117_srp_near_dups",
+    oracle=f"""
+WITH planes AS (
+    SELECT j.j, i.i,
+           CASE WHEN ('0x' || SUBSTR(MD5('srp|' || j.j || '|' || i.i), 1, 1))::INT % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, 15)) AS j) j,
+         (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i) i
+),
+vq AS (
+    SELECT vec_id,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS xq,
+           GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+    FROM embeddings
+),
+dots AS (
+    SELECT v.vec_id, p.j, SUM(v.xq * p.s) AS d
+    FROM vq v JOIN planes p ON p.i = v.i
+    GROUP BY v.vec_id, p.j
+),
+sigs AS (
+    SELECT vec_id, CAST(j // 4 AS INT) AS band_id,
+           CAST(SUM((CASE WHEN d >= 0 THEN 1 ELSE 0 END) * (1 << (j % 4))) AS BIGINT) AS band_sig
+    FROM dots GROUP BY vec_id, CAST(j // 4 AS INT)
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sigs a
+    JOIN sigs b ON b.band_id = a.band_id AND b.band_sig = a.band_sig
+                AND a.vec_id < b.vec_id
+),
+vflat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+nrms AS (SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY vec_id),
+pdots AS (
+    SELECT c.id_a, c.id_b, SUM(a.x * b.x) AS dot
+    FROM cand c
+    JOIN vflat a ON a.vec_id = c.id_a
+    JOIN vflat b ON b.vec_id = c.id_b AND b.i = a.i
+    GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM pdots
+JOIN nrms na ON na.vec_id = id_a
+JOIN nrms nb ON nb.vec_id = id_b
+WHERE ROUND(dot / (na.nrm * nb.nrm), 4) >= {_Q117_THRESHOLD}
+""",
+    tags=("dedup-embedding", "similarity", "lsh"),
+)
+def q117_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via signed-random-projection LSH buckets — the
+    random-hyperplane alternative to q38's IVF cells. Candidates share a
+    (band_id, band_sig) bucket; exact rounded-cosine verify ≥ 0.42. The
+    oracle recomputes planes, integer dots, bands, and verify from the
+    same md5 formula. Recall vs the exact all-pairs baseline is pinned in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.srp_near_duplicates(emb, threshold=_Q117_THRESHOLD)
+
+
+_Q118_K = 50
+_Q118_OUT = 20
+_Q118_RRF_K = 60
+
+
+@register(
+    "q118_rrf_fusion",
+    oracle=f"""
+WITH {_COSINE_CTE.replace("vec_id < " + str(_N_QUERIES), "vec_id = 0")},
+cos_rank AS (
+    SELECT neighbor_id AS item_id,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, neighbor_id ASC) AS rank_cos
+    FROM scored
+    QUALIFY rank_cos <= {_Q118_K}
+),
+qtoks AS (
+    SELECT DISTINCT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents WHERE doc_id = 0
+),
+dtoks AS (
+    SELECT DISTINCT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents WHERE doc_id <> 0
+),
+ovl AS (
+    SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM dtoks d JOIN qtoks q ON q.tok = d.tok
+    GROUP BY d.doc_id
+),
+tok_rank AS (
+    SELECT doc_id AS item_id,
+           ROW_NUMBER() OVER (ORDER BY overlap DESC, doc_id ASC) AS rank_tok
+    FROM ovl
+    QUALIFY rank_tok <= {_Q118_K}
+),
+fused AS (
+    SELECT COALESCE(c.item_id, t.item_id) AS item_id,
+           CAST(c.rank_cos AS DOUBLE) AS rank_cos,
+           CAST(t.rank_tok AS DOUBLE) AS rank_tok,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({_Q118_RRF_K} + c.rank_cos), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({_Q118_RRF_K} + t.rank_tok), 0), 6) AS rrf_score
+    FROM cos_rank c FULL OUTER JOIN tok_rank t ON t.item_id = c.item_id
+)
+SELECT item_id, rank_cos, rank_tok, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, item_id ASC
+LIMIT {_Q118_OUT}
+""",
+    tags=("similarity-topk", "rank-fusion"),
+)
+def q118_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers: embedding cosine top-50
+    (query = vec 0) and distinct-token-overlap top-50 (query = doc 0).
+
+    Each branch produces its top-k with the SCALE-correct machinery (the
+    sharded two-phase cosine top-k; a grouped overlap count +
+    TakeOrderedAndProject cut) — the rank windows then run over ≤ k rows,
+    so the single-partition window is bounded by construction, which is
+    exactly how RRF is deployed: fuse small top-k lists, never full-corpus
+    rankings. rrf = Σ 1/(60 + rank); ties broken by item id.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0)
+    topc = similarity.cosine_topk(emb, qvec, k=_Q118_K)
+    w_c = Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    cos_rank = topc.select(
+        F.col("neighbor_id").alias("item_id"),
+        F.row_number().over(w_c).alias("rank_cos"),
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.filter(F.split("text", " "), lambda t: t != "")).alias("toks")
+    )
+    qtoks = docs.filter(F.col("doc_id") == 0).select(F.explode("toks").alias("tok"))
+    ovl = (
+        docs.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .join(F.broadcast(qtoks), "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .orderBy(F.desc("overlap"), F.asc("doc_id"))
+        .limit(_Q118_K)
+    )
+    w_t = Window.orderBy(F.desc("overlap"), F.asc("doc_id"))
+    tok_rank = ovl.select(
+        F.col("doc_id").alias("item_id"),
+        F.row_number().over(w_t).alias("rank_tok"),
+    )
+
+    fused = (
+        cos_rank.join(tok_rank, "item_id", "full_outer")
+        .select(
+            "item_id",
+            # ranks surface as double on both engines: a nullable int column
+            # round-trips through pandas as float64 anyway, so pinning double
+            # keeps the dtype stable whether or not nulls occur
+            F.col("rank_cos").cast("double").alias("rank_cos"),
+            F.col("rank_tok").cast("double").alias("rank_tok"),
+            F.round(
+                F.coalesce(F.lit(1.0) / (F.lit(_Q118_RRF_K) + F.col("rank_cos")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_Q118_RRF_K) + F.col("rank_tok")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("item_id"))
+        .limit(_Q118_OUT)
+    )
+    return fused

@@ -71,3 +71,49 @@ def test_quantized_topk_recall_vs_exact(spark):
     assert truth, "exact baseline returned no rows"
     recalls = [len(truth[q] & got[q]) / len(truth[q]) for q in truth]
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_srp_pairs_sound_and_recall_floor(spark):
+    """q117's SRP-LSH pairs vs the exact all-pairs baseline: verify stage
+    is exact (subset of truth), and the 4-bit-band default recovers a
+    non-trivial fraction of true pairs even in this corpus's weak-
+    similarity regime (cosines top out ~0.5 — measured recall 0.38-0.41;
+    SRP's design regime is high-similarity dedup, covered below)."""
+    from synth_transform_spark.operators import similarity
+    from synth_transform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = similarity.cosine_pairs(emb, threshold=0.42).toPandas()
+    srp = REGISTRY["q117_srp_near_dups"].spark(spark, SF_DIR).toPandas()
+    truth = set(zip(exact.id_a, exact.id_b))
+    got = set(zip(srp.id_a, srp.id_b))
+    assert truth, "exact baseline returned no pairs"
+    assert got <= truth, "SRP path produced a pair the exact scorer rejects"
+    assert len(got & truth) / len(truth) >= 0.3
+
+
+def test_srp_high_similarity_regime_recall(spark):
+    """SRP's design point: near-identical vectors (cos >= 0.95). Planted
+    deterministic pairs (base + tiny perturbation, sin-formula components,
+    no RNG); wide 8-bit bands must recover essentially all of them."""
+    import math
+
+    from synth_transform_spark.operators import similarity
+
+    dim = 64
+    rows = []
+    for b in range(20):
+        base = [math.sin(0.7 * b + 1.3 * i) for i in range(dim)]
+        pert = [x + 0.02 * math.sin(9.1 * b + 0.31 * i) for i, x in enumerate(base)]
+        rows.append((2 * b, base))
+        rows.append((2 * b + 1, pert))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = similarity.cosine_pairs(emb, threshold=0.95).toPandas()
+    truth = set(zip(exact.id_a, exact.id_b))
+    assert len(truth) >= 15, "planted corpus should contain many 0.95+ pairs"
+    srp = similarity.srp_near_duplicates(
+        emb, threshold=0.95, n_planes=16, band_bits=8, dim=dim
+    ).toPandas()
+    got = set(zip(srp.id_a, srp.id_b))
+    assert got <= truth
+    assert len(got & truth) / len(truth) >= 0.9
