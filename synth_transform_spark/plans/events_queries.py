@@ -660,3 +660,147 @@ def q108_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return se.run_available_now(job, "q108_sink", output_mode="complete")
+
+
+@register(
+    "q119_activity_streaks",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+flagged AS (
+    SELECT user_id, d,
+           CASE WHEN d - LAG(d) OVER (PARTITION BY user_id ORDER BY d) = 1
+                THEN 0 ELSE 1 END AS is_new
+    FROM days
+),
+islands AS (
+    SELECT user_id, d,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS island
+    FROM flagged
+),
+streaks AS (
+    SELECT user_id, island, CAST(COUNT(*) AS BIGINT) AS streak_len,
+           MIN(d) AS streak_start
+    FROM islands GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+       CAST(MIN(streak_start) FILTER (
+           WHERE streak_len = (SELECT MAX(s2.streak_len) FROM streaks s2
+                               WHERE s2.user_id = streaks.user_id)
+       ) AS TIMESTAMP) AS longest_start
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("W2", "gaps-and-islands"),
+)
+def q119_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per user.
+
+    The classic lag → new-island flag → running-sum island id → double
+    rollup, every window PARTITIONED BY user_id (no global window
+    anywhere; the per-user day list is bounded by the calendar).  The
+    earliest start among equal-longest streaks breaks ties
+    deterministically — computed with a max_by over (streak_len, negated
+    start) so the final rollup stays one pass.
+    """
+    from pyspark.sql import Window
+
+    days = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w_seq = Window.partitionBy("user_id").orderBy("d")
+    flagged = days.withColumn(
+        "is_new",
+        F.when(
+            F.datediff(F.col("d"), F.lag("d").over(w_seq)) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(w_seq.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    # argmax (longest streak, earliest start): lexicographic max over
+    # (len, -days_since_epoch) recovers the earliest start among ties
+    best = F.max(
+        F.struct(
+            F.col("streak_len"),
+            (-F.unix_date(F.col("streak_start"))).alias("neg_start"),
+        )
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            best.getField("streak_len").alias("longest_streak"),
+            F.date_from_unix_date(-best.getField("neg_start"))
+            .cast("timestamp")
+            .alias("longest_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q120_interarrival_gaps",
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1000000.0, 4) AS avg_gap_s,
+       ROUND(CAST(MIN(gap_us) AS DOUBLE) / 1000000.0, 6) AS min_gap_s,
+       ROUND(CAST(MAX(gap_us) AS DOUBLE) / 1000000.0, 6) AS max_gap_s
+FROM seq
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("W2", "lead-lag"),
+)
+def q120_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap statistics per event type.
+
+    lag() over (user_id, event_type) sequences — partitioned windows whose
+    per-partition size is a single user's history, never the corpus.  Gaps
+    stay in EXACT integer microseconds through the aggregation (sum of
+    longs is order-independent); the single float division happens on the
+    already-exact totals, so both engines round identically.  (event_id
+    breaks ts ties in the ordering — same-timestamp events would otherwise
+    make lag nondeterministic.)
+    """
+    from pyspark.sql import Window
+
+    w_seq = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    seq = load_table(spark, sf_dir, "events").withColumn(
+        "gap_us", us - F.lag(us).over(w_seq)
+    )
+    return (
+        seq.filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count("gap_us") / F.lit(1000000.0), 4
+            ).alias("avg_gap_s"),
+            F.round(F.min("gap_us").cast("double") / F.lit(1000000.0), 6).alias("min_gap_s"),
+            F.round(F.max("gap_us").cast("double") / F.lit(1000000.0), 6).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
