@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     subquery_queries,
     temporal_queries,
     textops,
+    tpch_queries,
     training_queries,
 )
 from .registry import REGISTRY, Query, bench_queries, oracle_sql_map, query_map

