@@ -419,3 +419,83 @@ def q118_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_Q118_OUT)
     )
     return fused
+
+
+_PQ_M = 16
+_PQ_CODES = 16
+_PQ_SHORTLIST = 20
+
+
+@register(
+    "q132_pq_topk",
+    # PQ/ADC is approximate but deterministic end to end: 4dp-rounded
+    # subspace distances drive both the encode argmin (tie -> smallest
+    # codeword id) and the query distance tables; the ADC sum is rounded
+    # before the shortlist ranking, and the exact re-rank distance is
+    # rounded before the final ranking — so the oracle replays the exact
+    # two-stage algorithm in CTEs, the q33/q85 pattern.
+    # `//` is DuckDB integer division (plain `/` on ints yields DOUBLE).
+    oracle=f"""
+WITH vflat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+d2 AS (
+    SELECT v.vec_id, c.vec_id AS j, CAST((v.i - 1) // 4 AS INT) AS mi,
+           ROUND(SUM((v.x - c.x) * (v.x - c.x)), 4) AS d
+    FROM vflat v JOIN vflat c ON c.i = v.i AND c.vec_id < {_PQ_CODES}
+    GROUP BY v.vec_id, c.vec_id, mi
+),
+codes AS (
+    SELECT vec_id, mi, j FROM (
+        SELECT vec_id, mi, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, mi
+                                  ORDER BY d ASC, j ASC) AS rk
+        FROM d2) t
+    WHERE rk = 1
+),
+adc AS (
+    SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(SUM(qd.d), 4) AS approx_d2
+    FROM codes c
+    JOIN d2 qd ON qd.mi = c.mi AND qd.j = c.j
+    WHERE qd.vec_id < {_N_QUERIES} AND c.vec_id <> qd.vec_id
+    GROUP BY qd.vec_id, c.vec_id
+),
+shortlist AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY approx_d2 ASC, neighbor_id ASC) AS rk
+        FROM adc) t
+    WHERE rk <= {_PQ_SHORTLIST}
+),
+exact AS (
+    SELECT s.query_id, s.neighbor_id,
+           ROUND(SUM((q.x - v.x) * (q.x - v.x)), 4) AS d2
+    FROM shortlist s
+    JOIN vflat q ON q.vec_id = s.query_id
+    JOIN vflat v ON v.vec_id = s.neighbor_id AND v.i = q.i
+    GROUP BY s.query_id, s.neighbor_id
+)
+SELECT query_id, neighbor_id, d2
+FROM (
+    SELECT query_id, neighbor_id, d2,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY d2 ASC, neighbor_id ASC) AS rk
+    FROM exact) t
+WHERE rk <= {_K}
+""",
+    tags=("similarity-pq",),
+)
+def q132_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN: 16 4-dim codebooks from 16 corpus seeds, ADC
+    lookup-sum shortlist of 20, exact squared-L2 re-rank to top-5."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return similarity.pq_topk(
+        emb, queries, k=_K, m=_PQ_M, n_codes=_PQ_CODES, shortlist=_PQ_SHORTLIST
+    )

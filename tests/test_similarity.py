@@ -117,3 +117,30 @@ def test_srp_high_similarity_regime_recall(spark):
     got = set(zip(srp.id_a, srp.id_b))
     assert got <= truth
     assert len(got & truth) / len(truth) >= 0.9
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    """q132's two-stage PQ (ADC shortlist → exact re-rank) vs exact
+    squared-L2 top-k. Measured 0.60-0.64 mean recall@5 on the
+    sf0.001/sf0.01 corpora (one-shot 16×4d codebooks, shortlist 20);
+    floors leave regeneration margin."""
+    import numpy as np
+
+    from synth_transform_spark.plans import REGISTRY
+    from synth_transform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings").toPandas()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=float) for r in emb.itertuples()}
+    pq = REGISTRY["q132_pq_topk"].spark(spark, SF_DIR).toPandas()
+    k = 5
+    recalls = []
+    for qid in sorted(pq.query_id.unique()):
+        qv = vecs[qid]
+        d = sorted(
+            ((np.sum((qv - v) ** 2), vid) for vid, v in vecs.items() if vid != qid)
+        )[:k]
+        truth = {vid for _, vid in d}
+        got = set(pq[pq.query_id == qid].neighbor_id)
+        recalls.append(len(truth & got) / k)
+    assert sum(recalls) / len(recalls) >= 0.4
+    assert min(recalls) >= 0.2
