@@ -182,3 +182,41 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 4,
+    src_col: str = "s",
+    dst_col: str = "d",
+) -> DataFrame:
+    """k-core peeling over a SYMMETRISED edge list: (node, degree) of the
+    nodes surviving ``n_rounds`` of remove-degree-<k.
+
+    Each round recomputes degrees on the surviving subgraph and drops
+    nodes below k; dropping a node can push its neighbours below k, which
+    the next round catches. A FIXED round count keeps the result a pure
+    function of the graph (the q82 pagerank contract) so the DuckDB
+    oracle chains identical rounds; on the bounded-degree LSH pair graph
+    peeling converges in a handful of rounds (convergence at the shipped
+    n_rounds is pinned by test) — production use at unknown diameter runs
+    rounds to fixpoint with the same per-round plan.
+
+    Scale: per round one degree aggregation (map-side combined) and two
+    semi-joins of the edge list against the surviving-node set — all
+    keyed on uniform node ids; edge relation checkpointed per round so
+    lineage stays flat.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(n_rounds):
+        deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("s")
+        e = (
+            e.join(keep, "s", "left_semi")
+            .join(keep.select(F.col("s").alias("d")), "d", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("degree"))

@@ -188,3 +188,65 @@ def cms_estimates(items: DataFrame, cells: DataFrame, value_col: str) -> DataFra
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cell", F.lit(0).cast("long"))).alias("cms_est"))
     )
+
+
+def hll_set_estimates(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """HLL set algebra across the groups of ``key_col``: for every group
+    pair (a < b), the union estimate by REGISTER-WISE MAX merge and the
+    intersection estimate by inclusion-exclusion.
+
+    This is the mergeability payoff: |A∪B| needs no rescan — the two
+    groups' 256-register sketches merge bucket-by-bucket (max), and
+    |A∩B| ≈ est(A) + est(B) − est(A∪B). All three operands are rounded
+    to 4dp BEFORE the subtraction so both engines subtract identical
+    doubles. Inclusion-exclusion inherits the errors of all three
+    estimates (relative error grows as the true intersection shrinks —
+    the documented HLL limitation; theta sketches fix it, at the cost of
+    an engine-portable construction).
+
+    Scale: register relations are |groups|·256 rows and the pair frame is
+    |groups|² — this operator is for SMALL group domains (event types,
+    sources, days), where the whole pair computation is broadcast-sized.
+    Returns (key_a, key_b, est_a, est_b, est_union, est_intersection).
+    """
+    regs = hll_registers(df, [key_col], value_col)
+    ests = hll_estimate_from_registers(regs, [key_col])
+    keys = regs.select(key_col).distinct()
+    pairs = keys.select(F.col(key_col).alias("key_a")).join(
+        F.broadcast(keys.select(F.col(key_col).alias("key_b"))),
+        F.col("key_a") < F.col("key_b"),
+    )
+    ra = regs.select(
+        F.col(key_col).alias("key_a"), "bucket", "r"
+    ).join(F.broadcast(pairs), "key_a")
+    rb = regs.select(
+        F.col(key_col).alias("key_b"), "bucket", "r"
+    ).join(F.broadcast(pairs), "key_b")
+    cols = ["key_a", "key_b", "bucket", "r"]
+    union_regs = (
+        ra.select(*cols)
+        .union(rb.select(*cols))
+        .groupBy("key_a", "key_b", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    uest = hll_estimate_from_registers(union_regs, ["key_a", "key_b"]).withColumnRenamed(
+        "hll_distinct", "est_union"
+    )
+    ea = ests.select(F.col(key_col).alias("key_a"), F.col("hll_distinct").alias("est_a"))
+    eb = ests.select(F.col(key_col).alias("key_b"), F.col("hll_distinct").alias("est_b"))
+    return (
+        uest.join(F.broadcast(ea), "key_a")
+        .join(F.broadcast(eb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4).alias(
+                "est_intersection"
+            ),
+        )
+    )

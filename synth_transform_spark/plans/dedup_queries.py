@@ -501,3 +501,63 @@ def q105_dedup_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id"))
         ).alias("keep"),
     )
+
+
+def _kcore_ctes(k: int = 2, n_rounds: int = 4) -> str:
+    """CTE chain (no WITH) from ``dups`` to ``e{n_rounds}(s, d)`` — the
+    same fixed-round peeling as operators/graph.kcore.
+
+    Each round reads its predecessor EXACTLY ONCE (both endpoint degrees
+    come from two window passes over the same relation): a k{i}/e{i}
+    formulation that references e{i-1} twice made DuckDB re-inline the
+    whole upstream LSH pipeline 2^rounds times. e0 is MATERIALIZED for
+    the same reason — it reads ``dups`` twice (the symmetrising union).
+    """
+    parts = ["""
+e0 AS MATERIALIZED (
+    SELECT id_a AS s, id_b AS d FROM dups
+    UNION
+    SELECT id_b AS s, id_a AS d FROM dups
+)"""]
+    for i in range(1, n_rounds + 1):
+        parts.append(f"""
+w{i} AS (
+    SELECT s, d,
+           COUNT(*) OVER (PARTITION BY s) AS sdeg,
+           COUNT(*) OVER (PARTITION BY d) AS ddeg
+    FROM e{i - 1}
+),
+e{i} AS (
+    SELECT s, d FROM w{i} WHERE sdeg >= {k} AND ddeg >= {k}
+)""")
+    return ",".join(parts)
+
+
+@register(
+    "q135_kcore",
+    # 2-core of the near-dup graph: documents in dense duplication
+    # neighbourhoods (chains and pendants peel away — the boilerplate-
+    # family detector). Fixed 4 peel rounds, converged on this graph
+    # (pinned in tests/test_graph.py); oracle chains identical rounds.
+    oracle=f"""
+WITH {_minhash_ctes()},
+{_kcore_ctes(k=2, n_rounds=4)}
+SELECT s AS doc_id, COUNT(*) AS degree FROM e4 GROUP BY s
+""",
+    tags=("graph", "dedup-clusters"),
+)
+def q135_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership + within-core degree over the verified near-dup
+    pairs. Iterative — executes one checkpointed peel per round (see
+    operators/graph.kcore)."""
+    import pyspark.sql.functions as F
+
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    sym = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d")
+    ).union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
+    cores = graph.kcore(sym, k=2, n_rounds=4)
+    return cores.select(F.col("node").alias("doc_id"), "degree")

@@ -597,8 +597,9 @@ def q99_rolling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exactly the batch GROUP BY result, so each reuses its batch twin's
 # oracle. This puts the whole windowed-streaming family under the driver's
 # hash gate rather than only the pytest equivalence tests. (Session
-# windows stay equivalence-tested: their gap-boundary semantics are
-# engine-internal and not worth a brittle SQL mirror.)
+# windows joined them in round 4: q134 pins the exact boundary rule —
+# merge iff [ts, ts+gap) windows overlap — with a gaps-and-islands
+# oracle, so all three window families now run in-gate as streams.)
 # --------------------------------------------------------------------------
 @register(
     "q107_streaming_tumbling",
@@ -803,4 +804,128 @@ def q120_interarrival_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("gap_us").cast("double") / F.lit(1000000.0), 6).alias("max_gap_s"),
         )
         .orderBy("event_type")
+    )
+
+
+_HLL_EST_SQL = """
+    SELECT {keys},
+           ROUND(CASE WHEN (47072.71267120224 / (SUM(POWER(2.0, -r)) + (256 - COUNT(*)))) <= 640.0
+                           AND (256 - COUNT(*)) > 0
+                      THEN 256.0 * LN(256.0 / (256 - COUNT(*)))
+                      ELSE 47072.71267120224 / (SUM(POWER(2.0, -r)) + (256 - COUNT(*))) END,
+                 4) AS {out}
+    FROM {src} GROUP BY {keys}
+"""
+
+
+@register(
+    "q133_hll_set_ops",
+    # Register-wise-max union + inclusion-exclusion intersection over the
+    # q71 deterministic HLL construction — the oracle rebuilds identical
+    # registers per event_type, merges them per pair with MAX, and applies
+    # the same estimator CASE, so the sketch algebra hash-matches exactly.
+    # Operands are rounded to 4dp before the subtraction on both engines.
+    oracle=f"""
+WITH vals AS (
+    SELECT event_type,
+           CAST(user_id AS VARCHAR) || ':' ||
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS v
+    FROM events
+),
+h AS (
+    SELECT event_type,
+           CAST(('0x' || SUBSTR(MD5(v), 1, 8))::UBIGINT AS BIGINT) AS hv
+    FROM vals
+),
+tagged AS (
+    SELECT event_type, hv // 16777216 AS bucket, hv % 16777216 AS w FROM h
+),
+regs AS (
+    SELECT event_type, bucket,
+           MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - LENGTH(BIN(w)) END) AS r
+    FROM tagged GROUP BY event_type, bucket
+),
+ests AS ({_HLL_EST_SQL.format(keys="event_type", out="est", src="regs")}),
+pairs AS (
+    SELECT a.event_type AS key_a, b.event_type AS key_b
+    FROM (SELECT DISTINCT event_type FROM regs) a
+    JOIN (SELECT DISTINCT event_type FROM regs) b ON a.event_type < b.event_type
+),
+union_regs AS (
+    SELECT p.key_a, p.key_b, g.bucket, MAX(g.r) AS r
+    FROM pairs p
+    JOIN regs g ON g.event_type = p.key_a OR g.event_type = p.key_b
+    GROUP BY p.key_a, p.key_b, g.bucket
+),
+uests AS ({_HLL_EST_SQL.format(keys="key_a, key_b", out="est_union", src="union_regs")})
+SELECT u.key_a, u.key_b,
+       ea.est AS est_a, eb.est AS est_b, u.est_union,
+       ROUND(ea.est + eb.est - u.est_union, 4) AS est_intersection
+FROM uests u
+JOIN ests ea ON ea.event_type = u.key_a
+JOIN ests eb ON eb.event_type = u.key_b
+""",
+    tags=("sketch-hll", "set-ops"),
+)
+def q133_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra over per-event-type user-day sketches: union by
+    register-wise max merge, intersection by inclusion-exclusion — the
+    mergeable-sketch answer to 'how much do two segments overlap' without
+    rescanning either segment."""
+    from ..operators import sketches
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_v",
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ),
+    )
+    return sketches.hll_set_estimates(events, "event_type", "_v")
+
+
+@register(
+    "q134_streaming_session",
+    # Runs the session_window job AS A STREAM (availableNow, complete
+    # mode) under the hash gate — the sixth in-gate streaming execution.
+    # The oracle is the gaps-and-islands sessionizer with Spark's exact
+    # boundary rule: event windows [ts, ts+gap) merge iff they OVERLAP,
+    # so an event at exactly prev_ts + gap starts a NEW session
+    # (`ts >= prev_ts + INTERVAL 30 MINUTE`), and the merged window's end
+    # is last_ts + gap. Equal-timestamp events always co-session, so LAG
+    # order among ties cannot change the grouping.
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN prev_ts IS NULL
+                     OR ts >= prev_ts + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM ordered
+),
+sess AS (
+    SELECT user_id, ts, value,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess
+GROUP BY user_id, sid
+""",
+    tags=("streaming-session", "A1"),
+)
+def q134_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.session_windows(stream), "q134_sink", output_mode="complete"
     )

@@ -112,3 +112,25 @@ def test_pagerank_mass_is_conserved_without_dangling_nodes(spark):
         .t
     )
     assert abs(total - 1.0) < 1e-9
+
+
+def test_kcore_converged_at_shipped_rounds(spark):
+    """q135 ships n_rounds=4; peeling must have reached fixpoint on the
+    shipped corpus (round 5 changes nothing) — otherwise the fixed-round
+    result would be an artifact of the cutoff, not the 2-core."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from synth_transform_spark.operators import dedup, graph
+    from synth_transform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d")).union(
+        pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    )
+    r4 = sorted(map(tuple, graph.kcore(sym, k=2, n_rounds=4).collect()))
+    r5 = sorted(map(tuple, graph.kcore(sym, k=2, n_rounds=5).collect()))
+    assert r4 == r5
+    # every surviving node genuinely has core degree >= 2
+    assert all(deg >= 2 for _, deg in r4)

@@ -47,6 +47,8 @@ HEAVY_EXECUTING = {
     "q106_curation_funnel",  # iterative cluster build at plan time
     "q107_streaming_tumbling",  # streaming replay at build time
     "q108_streaming_sliding",  # streaming replay at build time
+    "q134_streaming_session",  # streaming replay at build time
+    "q135_kcore",  # iterative peeling: plan build runs jobs
 }
 
 
