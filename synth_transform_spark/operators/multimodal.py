@@ -247,14 +247,73 @@ def decode_media(media: DataFrame, strict: bool = False) -> DataFrame:
     return ensure_parallelism(media).mapInPandas(decode, _DECODE_SCHEMA)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — requires a real codec; STUB (NotImplementedError).
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("resizer", StringType(), False),
+    ]
+)
 
-    The Spark-side contract is defined (binary in → binary out, metadata
-    width/height rewritten); only the pixel transform is unavailable in this
-    container.
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Nearest-neighbour image resize: binary in → binary out, metadata
+    width/height rewritten.
+
+    The Spark plumbing (Arrow batches, binary columns, output schema) is
+    fully real. The codec boundary follows decode_media's gate: with PIL
+    importable the payload is decoded/resized/re-encoded as a real image;
+    without it (this container) the deterministic fallback treats the
+    payload as the fake decoder's grayscale byte grid — pixel (r, c) =
+    payload[(r·W_in + c) mod n] — and nearest-neighbour samples it:
+    out(r, c) = in(⌊r·H_in/H_out⌋, ⌊c·W_in/W_out⌋). The index math is the
+    REAL resize kernel either way; only JPEG→pixels is faked.
+
+    Input rows need metadata.width / metadata.height (image and video
+    frames); emits one row per input with the H_out×W_out byte payload.
     """
-    raise NotImplementedError(
-        "resize requires PIL (not installed in this container); the decode/"
-        "feature path demonstrates the mapInPandas plumbing instead"
+    import numpy as np
+
+    w_out, h_out = int(width), int(height)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL.Image  # noqa: F401  — real codec path, absent here
+
+            have_codec = True
+        except ImportError:
+            have_codec = False
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": [], "width": [], "height": [], "resizer": []}
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["metadata"]):
+                w_in, h_in = int(meta["width"]), int(meta["height"])
+                buf = np.frombuffer(payload, dtype=np.uint8) if payload is not None else None
+                if buf is None or not len(buf):
+                    out = None
+                elif have_codec:
+                    import io
+
+                    import PIL.Image as Image
+
+                    img = Image.open(io.BytesIO(payload)).resize((w_out, h_out))
+                    out = img.tobytes()
+                else:
+                    idx = np.arange(h_in * w_in, dtype=np.int64) % len(buf)
+                    grid = buf[idx].reshape(h_in, w_in)
+                    rs = (np.arange(h_out, dtype=np.int64) * h_in) // h_out
+                    cs = (np.arange(w_out, dtype=np.int64) * w_in) // w_out
+                    out = grid[np.ix_(rs, cs)].tobytes()
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(out)
+                rows["width"].append(w_out)
+                rows["height"].append(h_out)
+                rows["resizer"].append("pil" if have_codec else "fake-nearest")
+            yield pd.DataFrame(rows)
+
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(media.select("doc_id", "payload", "metadata")).mapInPandas(
+        resize, _RESIZE_SCHEMA
     )

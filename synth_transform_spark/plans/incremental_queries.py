@@ -76,3 +76,64 @@ def q66_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(
         _old(orders), _new(orders), ["o_orderkey"], ["price", "stat"]
     )
+
+
+@register(
+    "q137_incremental_join",
+    # Join-view maintenance identity (the join sibling of q97's aggregate
+    # maintenance): with O = O_base ∪ ΔO and L = L_base ∪ ΔL,
+    #   O ⋈ L  =  O_base⋈L_base  ∪  ΔO⋈L_base  ∪  O_base⋈ΔL  ∪  ΔO⋈ΔL
+    # — the engine maintains the materialized join view from the three
+    # delta terms (each a delta-driven join, never a rescan of the old
+    # view's join), and the oracle states the FULL recompute over the
+    # unioned inputs. Hash-match proves the maintenance algebra.
+    oracle="""
+SELECT o.o_orderkey,
+       COUNT(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderkey
+""",
+    tags=("incremental", "S12", "J1"),
+)
+def q137_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained join view: revenue + line count per order.
+
+    Deterministic base/delta split (orderkey mod): the 'stored' view is
+    the base⋈base aggregate; an update batch folds in the three delta
+    joins keyed on the same orderkey, then a final keyed merge. At 100 TB
+    the delta terms scan |Δ|-proportional data — the entire point of
+    maintenance over recompute; every join and the merge shuffle on the
+    same uniform orderkey."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    lines = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", rev.alias("rev")
+    )
+    o_base = orders.filter(F.col("o_orderkey") % 7 != 0)
+    o_delta = orders.filter(F.col("o_orderkey") % 7 == 0)
+    l_base = lines.filter(F.col("l_orderkey") % 5 != 0)
+    l_delta = lines.filter(F.col("l_orderkey") % 5 == 0)
+
+    def grouped(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            o.join(l, o["o_orderkey"] == l["l_orderkey"])
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("rev").alias("r"))
+        )
+
+    mv = grouped(o_base, l_base)  # the stored view
+    deltas = (
+        grouped(o_delta, l_base)
+        .union(grouped(o_base, l_delta))
+        .union(grouped(o_delta, l_delta))
+    )
+    return (
+        mv.union(deltas)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum("n").cast("long").alias("n_lines"),
+            F.round(F.sum("r"), 4).alias("revenue"),
+        )
+    )

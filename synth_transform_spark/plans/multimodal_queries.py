@@ -121,3 +121,53 @@ def q37_decoded_intensity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
     )
+
+
+@register(
+    "q138_thumbnail_stats",
+    # Exercises resize_images end to end: 8×8 nearest-neighbour thumbnails
+    # of every image payload, then a byte-level rollup. The oracle replays
+    # the exact resize kernel — out(r,c) = grid(⌊r·H/8⌋·W + ⌊c·W/8⌋ mod n)
+    # over the text-byte grid — via a generate_series pixel lattice.
+    oracle="""
+WITH imgs AS (
+    SELECT doc_id, text,
+           CAST(doc_id % 7 * 64 + 64 AS INT) AS w_in,
+           CAST(doc_id % 5 * 64 + 64 AS INT) AS h_in,
+           OCTET_LENGTH(ENCODE(text)) AS n
+    FROM documents WHERE doc_id % 3 = 0
+),
+px AS (
+    SELECT i.doc_id,
+           ASCII(SUBSTR(i.text,
+                 CAST(((gr.r * i.h_in) // 8 * i.w_in
+                       + (gc.c * i.w_in) // 8) % i.n AS INT) + 1, 1)) AS b
+    FROM imgs i, GENERATE_SERIES(0, 7) AS gr(r), GENERATE_SERIES(0, 7) AS gc(c)
+)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS thumb_bytes,
+       ROUND(AVG(CAST(b AS DOUBLE)), 4) AS thumb_mean
+FROM px GROUP BY doc_id
+""",
+    tags=("multimodal-resize", "mapInPandas"),
+)
+def q138_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8×8 thumbnails for every image payload via resize_images, rolled up
+    to per-doc byte stats (JVM-side aggregate over the Arrow stage)."""
+    imgs = _media(spark, sf_dir).filter(F.col("metadata.media_type") == "image")
+    thumbs = multimodal.resize_images(imgs, width=8, height=8)
+    # byte values JVM-side: hex the 64-byte payload once, then fold over
+    # 2-char slices with conv(hex, 16, 10) — no Python touches the bytes
+    # after the Arrow resize stage.
+    hexed = F.hex("payload")
+    byte_sum = F.aggregate(
+        F.sequence(F.lit(1), F.octet_length("payload")),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.conv(F.substring(hexed, (i - 1) * 2 + 1, 2), 16, 10).cast("double"),
+    )
+    return thumbs.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("thumb_bytes"),
+        F.round(byte_sum / F.octet_length("payload"), 4).alias("thumb_mean"),
+    )

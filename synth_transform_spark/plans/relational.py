@@ -1466,3 +1466,95 @@ def q103_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"'{p}', {p}" for p in pairs)
         + ") as (pair, corr)"
     )
+
+
+# q136 — equi-depth histogram construction (optimizer-statistics op): per
+# group, 8 equal-frequency bins on l_extendedprice. The production shape —
+# boundaries from ONE exact-percentile aggregate broadcast back, bin
+# assignment as a row-local array scan — never an NTILE over the fact
+# table (that window is a global sort funnel at 100 TB).
+#
+# Cross-engine exactness: interpolated quantiles of DOUBLES differ in the
+# last ulp between engines ((1-f)·lo + f·hi vs lo + f·(hi-lo)), and any
+# rounding knife-edges on that ulp. Quantiles are therefore computed over
+# INTEGER CENTS with eighth fractions: f ∈ {k/8} is exact binary, lo/hi are
+# integers, so every product and sum is EXACT in IEEE double under either
+# formula — boundaries match bit-for-bit with no rounding needed.
+# --------------------------------------------------------------------------
+@register(
+    "q136_equidepth_histogram",
+    oracle="""
+WITH cents AS (
+    SELECT l_returnflag,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS vc
+    FROM lineitem
+),
+bounds AS (
+    SELECT l_returnflag,
+           [QUANTILE_CONT(vc, 0.125), QUANTILE_CONT(vc, 0.250),
+            QUANTILE_CONT(vc, 0.375), QUANTILE_CONT(vc, 0.500),
+            QUANTILE_CONT(vc, 0.625), QUANTILE_CONT(vc, 0.750),
+            QUANTILE_CONT(vc, 0.875)] AS bs,
+           CAST(MIN(vc) AS DOUBLE) AS rmn,
+           CAST(MAX(vc) AS DOUBLE) AS rmx
+    FROM cents GROUP BY l_returnflag
+),
+binned AS (
+    SELECT c.l_returnflag,
+           CAST(1 + LEN(LIST_FILTER(b.bs, x -> c.vc > x)) AS INT) AS bin,
+           b.bs, b.rmn, b.rmx
+    FROM cents c JOIN bounds b ON b.l_returnflag = c.l_returnflag
+)
+SELECT l_returnflag, bin,
+       ROUND((CASE WHEN bin = 1 THEN rmn ELSE bs[bin - 1] END) / 100.0, 4) AS bin_lo,
+       ROUND((CASE WHEN bin = 8 THEN rmx ELSE bs[bin] END) / 100.0, 4) AS bin_hi,
+       COUNT(*) AS n_rows
+FROM binned
+GROUP BY l_returnflag, bin, bin_lo, bin_hi
+""",
+    tags=("A12", "stats-histogram"),
+)
+def q136_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram per return flag: boundary
+    vector from one exact-percentile aggregate over integer cents
+    (broadcast), row-local bin assignment in codegen, one keyed count."""
+    lin = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("vc"),
+    )
+    ps = ", ".join(f"{i / 8.0}D" for i in range(1, 8))
+    bounds = lin.groupBy("l_returnflag").agg(
+        F.expr(f"percentile(vc, array({ps}))").alias("bs"),
+        F.min("vc").cast("double").alias("rmn"),
+        F.max("vc").cast("double").alias("rmx"),
+    )
+    binned = (
+        lin.join(F.broadcast(bounds), "l_returnflag")
+        .withColumn(
+            "bin",
+            (F.lit(1) + F.size(F.filter("bs", lambda x: F.col("vc") > x))).cast("int"),
+        )
+        .withColumn(
+            "bin_lo",
+            F.round(
+                F.when(F.col("bin") == 1, F.col("rmn")).otherwise(
+                    F.element_at("bs", F.col("bin") - 1)
+                )
+                / 100.0,
+                4,
+            ),
+        )
+        .withColumn(
+            "bin_hi",
+            F.round(
+                F.when(F.col("bin") == 8, F.col("rmx")).otherwise(
+                    F.element_at("bs", F.col("bin"))
+                )
+                / 100.0,
+                4,
+            ),
+        )
+    )
+    return binned.groupBy("l_returnflag", "bin", "bin_lo", "bin_hi").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
