@@ -317,3 +317,52 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return ensure_parallelism(media.select("doc_id", "payload", "metadata")).mapInPandas(
         resize, _RESIZE_SCHEMA
     )
+
+
+_AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("energy", DoubleType(), False),
+    ]
+)
+
+
+def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
+    """Per-frame signal energy over audio payloads: (doc_id, frame_idx,
+    energy) with energy = mean((sample − 128)²) per full frame.
+
+    The fake-codec contract (module docstring) applies: payload bytes ARE
+    the uint8 sample stream, so the DSP math — framing, DC-centering,
+    power mean — is the real kernel; only container demux is faked.
+    Energies are EXACT doubles (integer squares summed < 2^53, divided by
+    a power of two), so downstream argmax/tie logic is engine-portable
+    with no rounding epsilon. Trailing partial frames are dropped
+    (deterministic, standard STFT behaviour).
+    """
+    import numpy as np
+
+    fs = int(frame_size)
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, es = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = len(buf) // fs
+                if not n_frames:
+                    continue
+                frames = buf[: n_frames * fs].astype(np.float64).reshape(n_frames, fs)
+                e = ((frames - 128.0) ** 2).mean(axis=1)
+                ids.extend([doc_id] * n_frames)
+                idxs.extend(range(n_frames))
+                es.extend(e.tolist())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "energy": es})
+
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
+        energies, _AUDIO_SCHEMA
+    )

@@ -171,3 +171,62 @@ def q138_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("payload").cast("long").alias("thumb_bytes"),
         F.round(byte_sum / F.octet_length("payload"), 4).alias("thumb_mean"),
     )
+
+
+@register(
+    "q140_audio_peaks",
+    # Audio-modality analytics: frame the sample stream, power per frame,
+    # loudest frame per doc. Frame energies are EXACT doubles (integer
+    # squares / power-of-two divisor — see audio_frame_energy), so the
+    # argmax with its frame_idx tie-break is engine-portable without any
+    # rounding epsilon inside the comparison. The series cap (200) is
+    # 20× the corpus max of 9 frames/doc (TESTDATA docs ≤ ~600 bytes);
+    # the WHERE f < n_frames bound is the real frame count.
+    oracle="""
+WITH aud AS (
+    SELECT doc_id, text, OCTET_LENGTH(ENCODE(text)) // 64 AS n_frames
+    FROM documents WHERE doc_id % 3 = 1
+),
+px AS (
+    SELECT a.doc_id, a.n_frames, CAST(gf.f AS INT) AS frame_idx,
+           AVG(POWER(ASCII(SUBSTR(a.text, CAST(gf.f * 64 + gs.s AS INT) + 1, 1))
+                     - 128.0, 2)) AS energy
+    FROM aud a,
+         GENERATE_SERIES(0, 200) AS gf(f),
+         GENERATE_SERIES(0, 63) AS gs(s)
+    WHERE gf.f < a.n_frames
+    GROUP BY a.doc_id, a.n_frames, gf.f
+)
+SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       frame_idx AS peak_frame, ROUND(energy, 4) AS peak_energy
+FROM (
+    SELECT doc_id, n_frames, frame_idx, energy,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY energy DESC, frame_idx ASC) AS rk
+    FROM px) t
+WHERE rk = 1
+""",
+    tags=("multimodal-audio", "mapInPandas"),
+)
+def q140_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudest 64-sample frame per audio doc: Arrow-batched framing +
+    energy kernel, then a relational argmax (struct-max, frame_idx
+    tie-break) — no Python after the feature stage."""
+    aud = _media(spark, sf_dir).filter(F.col("metadata.media_type") == "audio")
+    fr = multimodal.audio_frame_energy(aud, frame_size=64)
+    best = fr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(
+            F.struct(
+                F.col("energy"),
+                (-F.col("frame_idx")).alias("ni"),
+                F.col("frame_idx").alias("fi"),
+            )
+        ).alias("_m"),
+    )
+    return best.select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("_m.fi").alias("peak_frame"),
+        F.round(F.col("_m.energy"), 4).alias("peak_energy"),
+    )

@@ -590,3 +590,54 @@ def q106_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ") as (stage_no, stage, n_docs)"
     ).selectExpr("CAST(stage_no AS BIGINT) AS stage_no", "stage", "n_docs")
+
+
+@register(
+    "q139_scd2_asof",
+    # Point-in-time read over the q78 Type-2 history: the state row whose
+    # [valid_from, valid_to) interval covers T — the time-travel query the
+    # SCD2 layout exists to serve. Same derived history CTEs as q78; the
+    # open current row (valid_to NULL) covers T via COALESCE.
+    oracle="""
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+),
+runs AS (
+    SELECT user_id, event_type, ts, event_id FROM ev
+    WHERE prev IS NULL OR prev <> event_type
+),
+hist AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS BIGINT) AS version
+    FROM runs
+)
+SELECT user_id, event_type AS state_at, valid_from, version
+FROM hist
+WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+  AND COALESCE(valid_to, TIMESTAMP '9999-12-31') > TIMESTAMP '2024-01-15 12:00:00'
+""",
+    tags=("temporal", "S12", "time-travel"),
+)
+def q139_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: every user's state as of
+    2024-01-15 noon. One interval filter over the history relation — at
+    100 TB the history is stored partitioned by valid_from month, so the
+    read prunes to partitions at/before T (half-open intervals make each
+    key's covering row unique by construction)."""
+    events = load_table(spark, sf_dir, "events")
+    hist = temporal.scd2_history(
+        events, key="user_id", ts_col="ts", state_cols=("event_type",),
+        tiebreak="event_id",
+    )
+    t = F.lit("2024-01-15 12:00:00").cast("timestamp")
+    return hist.filter(
+        (F.col("valid_from") <= t)
+        & (F.coalesce(F.col("valid_to"), F.lit("9999-12-31").cast("timestamp")) > t)
+    ).select(
+        "user_id", F.col("event_type").alias("state_at"), "valid_from", "version"
+    )
