@@ -250,3 +250,145 @@ def hll_set_estimates(
             ),
         )
     )
+
+
+# --- KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al. 2016) -----
+#
+# Keep the k smallest distinct md5-derived 32-bit hash values per group.
+# With θ = k-th smallest hash (normalized to (0,1]), the distinct-count
+# estimate is (k−1)/θ; below k distinct values the sketch IS the exact
+# distinct set. Unlike HLL, the retained sample supports direct set
+# algebra: Jaccard from the union's k-minima, intersection = J·|A∪B| —
+# the theta-sketch answer to inclusion-exclusion's compounding error.
+# Same engine-portable construction as HLL: first-8-md5-hex integer
+# hashes, so a DuckDB oracle rebuilds identical sketch state.
+
+KMV_K = 64
+_KMV_SCALE = 4294967296.0  # 2^32: hash → (0, 1] normalizer
+
+
+def _kmv_hash(value_col) -> F.Column:
+    # +1 keeps θ strictly positive (hash 0 would make θ=0 ⇒ ∞ estimate)
+    return (
+        F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + 1
+    )
+
+
+def kmv_minima(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """(group_cols…, hv, rn): the k smallest DISTINCT hash values per group.
+
+    Two-phase exact k-min (the cosine_topk shard pattern): phase 1 ranks
+    within (group, hash-shard) and keeps k per shard — parallelism is
+    groups × 64, so no reducer ever sees a whole group's distinct set
+    (the single-window spelling funnels a billion-distinct group through
+    one task at 100 TB); phase 2 re-ranks the ≤ 64k survivors per group.
+    Global k smallest ⊆ union of shard-local k smallest, so the result is
+    exact. State is k longs per group (the sketch), mergeable by
+    re-ranking unioned minima.
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(*group_cols, _kmv_hash(value_col).alias("hv")).distinct()
+    sharded = hashed.withColumn("_shard", F.pmod(F.col("hv"), F.lit(64)))
+    w_local = Window.partitionBy(*group_cols, "_shard").orderBy(F.asc("hv"))
+    survivors = (
+        sharded.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "_shard")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("hv"))
+    return (
+        survivors.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate_from_minima(
+    minima: DataFrame, group_cols: Sequence[str], k: int = KMV_K
+) -> DataFrame:
+    """Distinct estimate per group from a k-minima relation: exact count
+    when the group holds fewer than k hashes, else (k−1)·2³²/θ."""
+    per = minima.groupBy(*group_cols).agg(
+        F.max("hv").alias("theta"), F.count(F.lit(1)).alias("n_mins")
+    )
+    est = F.when(F.col("n_mins") < k, F.col("n_mins").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SCALE) / F.col("theta")
+    )
+    return per.select(*group_cols, F.round(est, 4).alias("kmv_distinct"))
+
+
+def kmv_set_estimates(
+    df: DataFrame, key_col: str, value_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch set algebra across the groups of ``key_col``: for each
+    pair (a < b) the union estimate from the merged k-minima and the
+    intersection via the Jaccard of the union sample —
+    est_∩ = (|U ∩ A ∩ B| / |U|) · est_∪, the direct-sample estimator
+    whose error does NOT compound three sketches like HLL
+    inclusion-exclusion does.
+
+    Same small-group-domain contract as hll_set_estimates; sketch state
+    is k longs per group, pairs are broadcast-sized.
+    Returns (key_a, key_b, est_a, est_b, est_union, est_intersection).
+    """
+    mins = kmv_minima(df, [key_col], value_col, k)
+    ests = kmv_estimate_from_minima(mins, [key_col], k)
+    keys = mins.select(key_col).distinct()
+    pairs = keys.select(F.col(key_col).alias("key_a")).join(
+        F.broadcast(keys.select(F.col(key_col).alias("key_b"))),
+        F.col("key_a") < F.col("key_b"),
+    )
+    ma = mins.select(F.col(key_col).alias("key_a"), "hv").join(
+        F.broadcast(pairs), "key_a"
+    )
+    mb = mins.select(F.col(key_col).alias("key_b"), "hv").join(
+        F.broadcast(pairs), "key_b"
+    )
+    cols = ["key_a", "key_b", "hv"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key_a", "key_b").orderBy(F.asc("hv"))
+    union_mins = (
+        ma.select(*cols)
+        .union(mb.select(*cols))
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    uest = kmv_estimate_from_minima(
+        union_mins, ["key_a", "key_b"], k
+    ).withColumnRenamed("kmv_distinct", "est_union")
+    in_a = ma.select("key_a", "key_b", "hv").withColumn("in_a", F.lit(1))
+    in_b = mb.select("key_a", "key_b", "hv").withColumn("in_b", F.lit(1))
+    tagged = (
+        union_mins.join(in_a, ["key_a", "key_b", "hv"], "left")
+        .join(in_b, ["key_a", "key_b", "hv"], "left")
+        .groupBy("key_a", "key_b")
+        .agg(
+            F.count(F.lit(1)).alias("ku"),
+            F.sum(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1).otherwise(0)
+            ).alias("x"),
+        )
+    )
+    ea = ests.select(F.col(key_col).alias("key_a"), F.col("kmv_distinct").alias("est_a"))
+    eb = ests.select(F.col(key_col).alias("key_b"), F.col("kmv_distinct").alias("est_b"))
+    return (
+        tagged.join(uest, ["key_a", "key_b"])
+        .join(F.broadcast(ea), "key_a")
+        .join(F.broadcast(eb), "key_b")
+        .select(
+            "key_a",
+            "key_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(F.col("x") * 1.0 / F.col("ku") * F.col("est_union"), 4).alias(
+                "est_intersection"
+            ),
+        )
+    )

@@ -929,3 +929,91 @@ def q134_streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         se.session_windows(stream), "q134_sink", output_mode="complete"
     )
+
+
+@register(
+    "q142_kmv_set_ops",
+    # Theta/KMV sketch algebra over the same user-day segments as q133:
+    # the oracle rebuilds the identical k-minima (first-8-md5-hex + 1),
+    # merged union minima, and the Jaccard-scaled intersection, so the
+    # sketch state and every estimate hash-match exactly. Division and
+    # multiplication order mirrors the Spark expression (x/ku * est_u).
+    oracle="""
+WITH vals AS (
+    SELECT event_type,
+           CAST(user_id AS VARCHAR) || ':' ||
+           CAST(CAST(ts AS DATE) AS VARCHAR) AS v
+    FROM events
+),
+h AS (
+    SELECT DISTINCT event_type,
+           CAST(('0x' || SUBSTR(MD5(v), 1, 8))::UBIGINT AS BIGINT) + 1 AS hv
+    FROM vals
+),
+mins AS (
+    SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv ASC) AS rn
+        FROM h) t
+    WHERE rn <= 256
+),
+ests AS (
+    SELECT event_type,
+           ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE 255.0 * 4294967296.0 / MAX(hv) END, 4) AS est
+    FROM mins GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS key_a, b.event_type AS key_b
+    FROM (SELECT DISTINCT event_type FROM mins) a
+    JOIN (SELECT DISTINCT event_type FROM mins) b ON a.event_type < b.event_type
+),
+union_mins AS (
+    SELECT key_a, key_b, hv FROM (
+        SELECT u.key_a, u.key_b, u.hv,
+               ROW_NUMBER() OVER (PARTITION BY u.key_a, u.key_b
+                                  ORDER BY u.hv ASC) AS rn
+        FROM (
+            SELECT DISTINCT p.key_a, p.key_b, m.hv
+            FROM pairs p JOIN mins m
+              ON m.event_type = p.key_a OR m.event_type = p.key_b
+        ) u) t
+    WHERE rn <= 256
+),
+uests AS (
+    SELECT key_a, key_b,
+           ROUND(CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                      ELSE 255.0 * 4294967296.0 / MAX(hv) END, 4) AS est_union
+    FROM union_mins GROUP BY key_a, key_b
+),
+tagged AS (
+    SELECT u.key_a, u.key_b, COUNT(*) AS ku,
+           SUM(CASE WHEN ia.hv IS NOT NULL AND ib.hv IS NOT NULL
+                    THEN 1 ELSE 0 END) AS x
+    FROM union_mins u
+    LEFT JOIN mins ia ON ia.event_type = u.key_a AND ia.hv = u.hv
+    LEFT JOIN mins ib ON ib.event_type = u.key_b AND ib.hv = u.hv
+    GROUP BY u.key_a, u.key_b
+)
+SELECT t.key_a, t.key_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+       ROUND(t.x * 1.0 / t.ku * u.est_union, 4) AS est_intersection
+FROM tagged t
+JOIN uests u ON u.key_a = t.key_a AND u.key_b = t.key_b
+JOIN ests ea ON ea.event_type = t.key_a
+JOIN ests eb ON eb.event_type = t.key_b
+""",
+    tags=("sketch-kmv", "set-ops"),
+)
+def q142_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch segment overlap: union from merged k-minima,
+    intersection from the union sample's Jaccard — the direct-sample
+    estimator q133's inclusion-exclusion caveat points to."""
+    from ..operators import sketches
+
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "_v",
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+        ),
+    )
+    return sketches.kmv_set_estimates(events, "event_type", "_v", k=256)

@@ -642,3 +642,63 @@ def q102_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_co"), F.asc("tok_a"), F.asc("tok_b"))
         .limit(50)
     )
+
+
+@register(
+    "q141_oov_rate",
+    # Tokenizer-vocab coverage: corpus-frequency top-16 vocabulary (count
+    # desc, token asc tie-break), then each document's out-of-vocabulary
+    # occurrence rate — the curation signal for "will this doc tokenize
+    # into mostly <unk>". The synthetic corpus has 31 distinct tokens, so
+    # a 16-entry vocab leaves real OOV mass to measure.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+        ORDER BY c DESC, tok ASC LIMIT 16)
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+           AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+GROUP BY t.doc_id
+""",
+    tags=("F16", "curation-vocab"),
+)
+def q141_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-k vocabulary.
+
+    The vocab is vocabulary-sized by definition → broadcast; the token
+    stream takes one narrow explode and one doc-keyed aggregate. At
+    100 TB the vocab build is the only extra shuffle (token counts), and
+    a production run would reuse a persisted vocab table instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(16)
+        .select(F.col("tok").alias("v_tok"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), toks["tok"] == F.col("v_tok"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("v_tok").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 4)
+        )
+    )

@@ -104,3 +104,45 @@ def test_hll_intersection_accuracy(spark):
     assert len(joined) == len(est)
     rel = ((joined.est_intersection - joined["count"]) / joined["count"]).abs()
     assert rel.max() <= 0.5
+
+
+def test_kmv_intersection_beats_hll_inclusion_exclusion(spark):
+    """The whole point of the theta/KMV sketch (q142) next to HLL (q133):
+    direct-sample Jaccard intersections don't compound three estimates.
+    Measured on sf0.01 (k=256 vs m=256): KMV max rel err 0.225 / mean
+    0.095 vs HLL 0.342 / 0.141. Pin the ordering on the mean plus an
+    absolute ceiling with regeneration margin."""
+    import pyspark.sql.functions as F
+
+    from synth_transform_spark.plans import REGISTRY
+    from synth_transform_spark.sources.readers import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            F.concat_ws(
+                ":", F.col("user_id").cast("string"), F.to_date("ts").cast("string")
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    a = ev.select(F.col("event_type").alias("key_a"), "v")
+    b = ev.select(F.col("event_type").alias("key_b"), "v")
+    exact = (
+        a.join(b, "v")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .count()
+        .toPandas()
+    )
+
+    def errs(name):
+        est = REGISTRY[name].spark(spark, SF_DIR).toPandas()
+        j = est.merge(exact, on=["key_a", "key_b"])
+        assert len(j) == len(est)
+        return ((j.est_intersection - j["count"]) / j["count"]).abs()
+
+    kmv, hll = errs("q142_kmv_set_ops"), errs("q133_hll_set_ops")
+    assert kmv.mean() <= hll.mean()
+    assert kmv.max() <= 0.35
