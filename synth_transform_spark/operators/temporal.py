@@ -195,3 +195,48 @@ def scd2_history(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str = "l_start",
+    l_end: str = "l_end",
+    r_start: str = "r_start",
+    r_end: str = "r_end",
+    bucket_sec: int = 3600,
+) -> DataFrame:
+    """Interval × interval overlap join WITHOUT a nested loop and WITHOUT
+    a dedup shuffle.
+
+    Each side explodes its [start, end] span onto fixed-width time
+    buckets and the join is an equi-join on the bucket. A pair that
+    overlaps several buckets would match several times — instead of
+    `distinct`, each pair is KEPT exactly once, in the first bucket both
+    intervals occupy: bucket == max(⌊l_start/w⌋, ⌊r_start/w⌋). That
+    bucket always exists for a genuinely overlapping pair, so the filter
+    is exact and the plan has no post-join dedup exchange.
+
+    Fan-out per row is span/bucket_sec + 1 — bounded when interval
+    lengths are (choose the width ≳ typical span). Overlap predicate is
+    half-open-free: a.start <= b.end AND b.start <= a.end on
+    second-truncated epochs (the engine's session idiom).
+    Emits all left+right columns (callers project).
+    """
+    ls, le = F.col(l_start).cast("long"), F.col(l_end).cast("long")
+    rs, re_ = F.col(r_start).cast("long"), F.col(r_end).cast("long")
+    lb = left.withColumn("_lb0", F.floor(ls / bucket_sec)).withColumn(
+        "_bucket", F.explode(F.sequence(F.col("_lb0"), F.floor(le / bucket_sec)))
+    )
+    rb = right.withColumn("_rb0", F.floor(rs / bucket_sec)).withColumn(
+        "_bucket", F.explode(F.sequence(F.col("_rb0"), F.floor(re_ / bucket_sec)))
+    )
+    return (
+        lb.join(rb, "_bucket")
+        .filter(
+            (ls <= re_)
+            & (rs <= le)
+            & (F.col("_bucket") == F.greatest(F.col("_lb0"), F.col("_rb0")))
+        )
+        .drop("_bucket", "_lb0", "_rb0")
+    )

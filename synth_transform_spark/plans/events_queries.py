@@ -1017,3 +1017,33 @@ def q142_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return sketches.kmv_set_estimates(events, "event_type", "_v", k=256)
+
+
+@register(
+    "q145_streaming_first_event",
+    # q40's keyed first-event dedup executed AS A STREAM (7th in-gate
+    # streaming execution) — as a watermarked min-struct AGGREGATION, not
+    # dropDuplicatesWithinWatermark: the dedup operator keeps the
+    # first-ARRIVED row (file order, not event time), which no batch
+    # oracle can pin; min(struct(ts, event_id)) is arrival-order-proof.
+    oracle="""
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rk,
+           COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_total
+    FROM events
+)
+SELECT user_id, event_type, event_id AS first_event_id,
+       ts AS first_ts, CAST(n_total - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rk = 1
+""",
+    tags=("streaming-dedup", "W1"),
+)
+def q145_streaming_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.first_event_agg(stream), "q145_sink", output_mode="complete"
+    )

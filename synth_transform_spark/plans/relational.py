@@ -1558,3 +1558,118 @@ def q136_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("l_returnflag", "bin", "bin_lo", "bin_hi").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+# --------------------------------------------------------------------------
+# q144 — grouped closed-form OLS (one-pass sufficient statistics): per
+# event type, regress value on hours-since-epoch-start. The scalable
+# regression shape: ONE map-side-combined aggregate collecting
+# (n, Σx, Σy, Σxy, Σx²), closed-form algebra after — never an iterative
+# fit, never a per-group re-scan.
+#
+# Cross-engine determinism: x is INTEGER hours since 2024-01-01, so n, Σx,
+# Σx² are exact int64 sums (no float order noise at any partitioning);
+# the two float sums (Σy, Σxy) are rounded to 4dp BEFORE the algebra, so
+# both engines divide identical doubles and the quotient matches without
+# an epsilon.
+# --------------------------------------------------------------------------
+@register(
+    "q144_grouped_ols",
+    oracle="""
+WITH pts AS (
+    SELECT event_type,
+           (CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) - 1704067200) // 3600 AS x,
+           value AS y
+    FROM events
+),
+stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(x) AS sx,
+           SUM(x * x) AS sxx,
+           ROUND(SUM(y), 4) AS sy,
+           ROUND(SUM(x * y), 4) AS sxy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           AS intercept
+FROM stats
+""",
+    tags=("A12", "ml-ols"),
+)
+def q144_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type linear trend of value over time, closed form."""
+    events = load_table(spark, sf_dir, "events")
+    pts = events.select(
+        "event_type",
+        ((F.col("ts").cast("long") - F.lit(1704067200)) / 3600)
+        .cast("long")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    # integer division semantics: cast("long") on the positive quotient
+    # truncates like DuckDB's `//` here (x >= 0 for all 2024+ events)
+    stats = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.round(F.sum("y"), 4).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("y")), 4).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        "event_type",
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q146 — explicit GROUPING SETS (the irregular sibling of q07's ROLLUP and
+# q95's CUBE): ((flag, status), (flag), ()) in ONE pass — Spark expands
+# the sets with a single Expand node over one scan, partial-aggregated
+# before the shuffle; three separate aggregates would scan three times.
+# --------------------------------------------------------------------------
+@register(
+    "q146_grouping_sets",
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+       COALESCE(l_linestatus, 'ALL') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    tags=("A9", "grouping-sets"),
+)
+def q146_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-granularity totals in one scan via GROUPING SETS."""
+    lin = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        lin.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("rev"), 4).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+            "n_rows",
+            "revenue",
+        )
+    )

@@ -99,3 +99,79 @@ def q50_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     out = temporal.range_join_count(errors, clicks, key="user_id", window_sec=600)
     return out.select("event_id", "user_id", "n_in_range")
+
+
+@register(
+    "q143_interval_overlap",
+    # Interval × interval overlap join (q50's range join generalised to
+    # two interval sides): per-user-day activity spans vs twice-daily
+    # maintenance windows. The engine never writes the inequality join —
+    # both sides explode onto hour buckets, the equi-join matches
+    # buckets, and each overlapping pair is kept exactly once in the
+    # first bucket both intervals occupy (no dedup shuffle). The oracle
+    # is the naive inequality join (plans aren't compared, results are).
+    oracle="""
+WITH act AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           MIN(ts) AS a_start, MAX(ts) AS a_end
+    FROM events GROUP BY user_id, day
+),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+wins AS (
+    SELECT day, w.tag AS window_id,
+           CAST(day AS TIMESTAMP) + w.off AS w_start,
+           CAST(day AS TIMESTAMP) + w.off + INTERVAL 2 HOUR AS w_end
+    FROM days,
+         (VALUES ('am', INTERVAL 2 HOUR), ('pm', INTERVAL 14 HOUR)) AS w(tag, off)
+)
+SELECT a.user_id, CAST(a.day AS TIMESTAMP) AS day, w.window_id,
+       CAST(EPOCH(DATE_TRUNC('second', LEAST(a.a_end, w.w_end))) AS BIGINT)
+       - CAST(EPOCH(DATE_TRUNC('second', GREATEST(a.a_start, w.w_start))) AS BIGINT)
+           AS overlap_sec
+FROM act a
+JOIN wins w
+  ON w.day = a.day
+ AND a.a_start <= w.w_end AND w.w_start <= a.a_end
+""",
+    tags=("temporal", "interval-join"),
+)
+def q143_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which users were active during maintenance windows, and for how
+    long: bucketed interval-overlap join + overlap duration."""
+    events = load_table(spark, sf_dir, "events")
+    act = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("a_start"), F.max("ts").alias("a_end"))
+    days = events.select(F.to_date("ts").alias("w_day")).distinct()
+    wins = (
+        days.select(
+            "w_day",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("am").alias("tag"), F.lit(2).alias("off")),
+                    F.struct(F.lit("pm").alias("tag"), F.lit(14).alias("off")),
+                )
+            ).alias("_w"),
+        )
+        .select(
+            "w_day",
+            F.col("_w.tag").alias("window_id"),
+            (F.col("w_day").cast("timestamp") + F.col("_w.off") * F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        )
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = temporal.interval_overlap_join(
+        act, wins,
+        l_start="a_start", l_end="a_end",
+        r_start="w_start", r_end="w_end",
+        bucket_sec=3600,
+    ).filter(F.col("day") == F.col("w_day"))
+    return joined.select(
+        "user_id",
+        F.col("day").cast("timestamp").alias("day"),
+        "window_id",
+        (
+            F.least("a_end", "w_end").cast("long")
+            - F.greatest("a_start", "w_start").cast("long")
+        ).alias("overlap_sec"),
+    )

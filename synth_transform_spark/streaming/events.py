@@ -216,3 +216,29 @@ def run_available_now(job: DataFrame, query_name: str, output_mode: str = "appen
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def first_event_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """First event per (user_id, event_type) as a STATEFUL AGGREGATION:
+    min(struct(ts, event_id)) + count.
+
+    Deterministic under ANY arrival order — unlike
+    ``dropDuplicatesWithinWatermark`` (dedup_keyed), which keeps the
+    first-ARRIVED row and therefore can't be hash-verified against a
+    batch oracle on unordered sources. State per key is one struct +
+    one counter, watermark-bounded."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.min(F.struct(F.col("ts"), F.col("event_id"))).alias("_first"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("_first.event_id").alias("first_event_id"),
+            F.col("_first.ts").alias("first_ts"),
+            (F.col("_n") - 1).cast("long").alias("n_dropped"),
+        )
+    )

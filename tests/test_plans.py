@@ -49,6 +49,7 @@ HEAVY_EXECUTING = {
     "q108_streaming_sliding",  # streaming replay at build time
     "q134_streaming_session",  # streaming replay at build time
     "q135_kcore",  # iterative peeling: plan build runs jobs
+    "q145_streaming_first_event",  # streaming replay at build time
 }
 
 
@@ -86,7 +87,7 @@ def test_temporal_joins_avoid_nested_loops(spark):
     """as-of (q49) and range (q50) joins must compile to shuffle/broadcast
     hash plans — an inequality join would fall back to
     BroadcastNestedLoopJoin, the O(n*m) shape they exist to avoid."""
-    for name in ("q49_asof_join", "q50_range_join"):
+    for name in ("q49_asof_join", "q50_range_join", "q143_interval_overlap"):
         plan = _plan(REGISTRY[name].spark(spark, SF_DIR))
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name

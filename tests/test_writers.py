@@ -76,3 +76,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert joined.count() > 0
     spark.sql("DROP TABLE IF EXISTS b_customer")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source coverage: row fidelity through a round trip, and
+    the date filter reaches the ORC scan (searchArgument pushdown)."""
+    from synth_transform_spark.sources.readers import load_table
+
+    src = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_orc")
+    src.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.count() == src.count()
+    assert sorted(back.columns) == sorted(src.columns)
+    q = back.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderpriority" in plan
+    assert q.count() == src.filter("o_orderpriority = '1-URGENT'").count()
