@@ -220,3 +220,35 @@ def kcore(
             .localCheckpoint(eager=True)
         )
     return e.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    n_rounds: int = 4,
+) -> DataFrame:
+    """Transitive ancestor closure of a forest by pointer doubling:
+    (node, anc) for every proper ancestor, in ⌈log₂(depth)⌉ rounds.
+
+    Round i unions paths of length ≤ 2^i: closure ∪ (closure ⋈ closure).
+    Each round is one self-equi-join on uniform node ids plus a distinct
+    — O(E·depth) total rows, log-depth rounds instead of a
+    depth-iteration loop (the BOM-explosion shape: 100 TB part
+    hierarchies are shallow-but-wide, exactly where doubling wins).
+    Checkpointed per round (the kcore/pagerank contract). Roots are rows
+    whose parent is NULL — they contribute no edge.
+    """
+    c = (
+        edges.filter(F.col(parent_col).isNotNull())
+        .select(F.col(node_col).alias("node"), F.col(parent_col).alias("anc"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_rounds):
+        hop = c.select(F.col("node").alias("_mid"), F.col("anc").alias("_anc2"))
+        longer = (
+            c.join(hop, c["anc"] == hop["_mid"])
+            .select("node", F.col("_anc2").alias("anc"))
+        )
+        c = c.union(longer).distinct().localCheckpoint(eager=True)
+    return c

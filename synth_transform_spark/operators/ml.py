@@ -309,3 +309,76 @@ def pca_project(
     return model.transform(vecs).select(
         F.col(id_col), vector_to_array(F.col("pc_vec")).alias("pc")
     )
+
+
+def kmeans_assignments(
+    vectors: DataFrame,
+    k: int = 4,
+    n_iter: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-iteration Lloyd k-means, fully deterministic: (id, cluster).
+
+    Seeds are the first k corpus ids (the IVF/PQ convention); each round
+    assigns by argmin of the 4dp-ROUNDED squared distance (ties to the
+    smaller cluster id) and recomputes centroids as per-dimension means
+    ROUNDED to 4dp — the rounds make every iteration's state a pure
+    function of the data, so a DuckDB oracle chains the identical
+    algebra (the q82 pagerank contract, k-means edition).
+
+    Scale: assignment is zero-shuffle (centroids packed into ONE
+    broadcast row, scored in codegen — the cell_assignments shape);
+    the update is one map-side-combined groupBy(cluster) over 64 avg
+    aggregates. Centroid relations are k rows — localCheckpoint per
+    round keeps lineage flat without ever collecting vectors.
+    """
+    from .similarity import _d2
+
+    vd = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).localCheckpoint(eager=True)
+    centroids = vd.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cid"), F.col("_v").alias("cvec")
+    )
+
+    def assign(cents: DataFrame) -> DataFrame:
+        packed = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cvec")))
+            ).alias("_cs")
+        )
+        scored = F.transform(
+            F.col("_cs"),
+            lambda c: F.struct(
+                F.round(_d2(F.col("_v"), c["cvec"]), 4).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return (
+            vd.join(F.broadcast(packed))
+            .select(
+                F.col(id_col),
+                F.col("_v"),
+                F.element_at(F.array_sort(scored), 1)["cid"].alias("cluster"),
+            )
+        )
+
+    for _ in range(n_iter):
+        assigned = assign(centroids)
+        centroids = (
+            assigned.groupBy("cluster")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("_v", i + 1)), 4)
+                        for i in range(dim)
+                    ]
+                ).alias("cvec")
+            )
+            .select(F.col("cluster").alias("cid"), "cvec")
+            .localCheckpoint(eager=True)
+        )
+    return assign(centroids).select(id_col, "cluster")

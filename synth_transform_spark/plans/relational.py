@@ -1673,3 +1673,68 @@ def q146_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — hierarchy (BOM-style) subtree rollup. The part hierarchy is
+# derived from orders (parent = o_orderkey // 8 when o_orderkey % 3 != 0
+# else o_orderkey // 9; root 0 excluded) — ~6 levels deep. The engine
+# builds the ancestor closure by POINTER DOUBLING (log-depth self-join
+# rounds, operators/graph.ancestor_closure), then one groupBy(ancestor)
+# rolls up every descendant. The oracle walks the same forest with
+# WITH RECURSIVE — the spelling Spark deliberately avoids (per-level
+# iteration = depth sequential rounds; doubling = log₂ depth).
+# --------------------------------------------------------------------------
+@register(
+    "q149_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE nodes AS (
+    SELECT o_orderkey AS node, o_totalprice AS price,
+           CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey // 8
+                ELSE o_orderkey // 9 END AS parent
+    FROM orders WHERE o_orderkey >= 1
+),
+walk AS (
+    SELECT node, parent AS anc FROM nodes WHERE parent >= 1
+    UNION ALL
+    SELECT w.node, n.parent AS anc
+    FROM walk w JOIN nodes n ON n.node = w.anc
+    WHERE n.parent >= 1
+)
+SELECT w.anc AS node,
+       COUNT(*) AS n_desc,
+       ROUND(SUM(d.price), 4) AS desc_revenue
+FROM walk w JOIN nodes d ON d.node = w.node
+GROUP BY w.anc
+""",
+    tags=("hierarchy", "graph", "A1"),
+)
+def q149_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ancestor descendant count + revenue over a ~6-level derived
+    forest. Iterative — executes one checkpointed doubling round per
+    log-depth step (see operators/graph.ancestor_closure)."""
+    from ..operators.graph import ancestor_closure
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") >= 1)
+    nodes = orders.select(
+        F.col("o_orderkey").alias("node"),
+        F.col("o_totalprice").alias("price"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.floor(F.col("o_orderkey") / 8)
+        )
+        .otherwise(F.floor(F.col("o_orderkey") / 9))
+        .alias("parent"),
+    )
+    edges = nodes.select(
+        "node", F.when(F.col("parent") >= 1, F.col("parent")).alias("parent")
+    )
+    closure = ancestor_closure(edges, n_rounds=4)
+    prices = nodes.select(F.col("node").alias("d_node"), "price")
+    return (
+        closure.join(prices, closure["node"] == F.col("d_node"))
+        .groupBy(F.col("anc").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            F.round(F.sum("price"), 4).alias("desc_revenue"),
+        )
+    )

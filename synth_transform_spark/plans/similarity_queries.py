@@ -499,3 +499,72 @@ def q132_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(
         emb, queries, k=_K, m=_PQ_M, n_codes=_PQ_CODES, shortlist=_PQ_SHORTLIST
     )
+
+
+_KM_K = 4
+_KM_ITER = 3
+
+
+def _kmeans_ctes(k: int, n_iter: int) -> str:
+    """CTE chain (no WITH) from ``vflat`` to the final assignment
+    ``a{n_iter+1}`` — the same fixed-round Lloyd algebra as
+    operators/ml.kmeans_assignments (4dp-rounded distances and centroid
+    means, cluster-id tie-breaks). Every CTE is referenced at most once
+    by any other, so DuckDB's inlining stays linear in rounds."""
+    parts = [f"""
+c0 AS (
+    SELECT CAST(vec_id AS INT) AS cid, i, x FROM vflat WHERE vec_id < {k}
+)"""]
+    prev = "c0"
+    for r in range(1, n_iter + 2):
+        parts.append(f"""
+d{r} AS (
+    SELECT v.vec_id, c.cid, ROUND(SUM((v.x - c.x) * (v.x - c.x)), 4) AS d
+    FROM vflat v JOIN {prev} c ON c.i = v.i
+    GROUP BY v.vec_id, c.cid
+),
+a{r} AS (
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cid ASC) AS rk
+        FROM d{r}) t
+    WHERE rk = 1
+)""")
+        if r <= n_iter:
+            parts.append(f"""
+c{r} AS (
+    SELECT a.cluster AS cid, v.i, ROUND(AVG(v.x), 4) AS x
+    FROM a{r} a JOIN vflat v ON v.vec_id = a.vec_id
+    GROUP BY a.cluster, v.i
+)""")
+            prev = f"c{r}"
+    return ",".join(parts)
+
+
+@register(
+    "q147_kmeans",
+    # Iterative ML under the hash gate: fixed-round Lloyd k-means whose
+    # every intermediate (rounded distances, rounded centroid means, id
+    # tie-breaks) is a pure function of the data — the oracle chains the
+    # identical rounds (q82/q135 pattern). Contrast with q41's
+    # gradient-descent classifier, which is rows-only by design.
+    oracle=f"""
+WITH vflat AS MATERIALIZED (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+{_kmeans_ctes(_KM_K, _KM_ITER)}
+SELECT vec_id, cluster FROM a{_KM_ITER + 1}
+""",
+    tags=("ml-kmeans", "iterative"),
+)
+def q147_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=4, 3 rounds) over the embedding
+    corpus. Iterative — executes one checkpointed round per iteration
+    (operators/ml.kmeans_assignments)."""
+    from ..operators.ml import kmeans_assignments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assignments(emb, k=_KM_K, n_iter=_KM_ITER)

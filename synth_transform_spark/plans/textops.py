@@ -702,3 +702,150 @@ def q141_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate", F.round(F.col("n_oov") * 1.0 / F.col("n_tokens"), 4)
         )
     )
+
+
+@register(
+    "q148_naive_bayes",
+    # A TRAINED CLASSIFIER under the hash gate: multinomial Naive Bayes is
+    # pure counting, so with add-one smoothing, 6dp-rounded log terms
+    # (identical operands on both engines before any sum), a 4dp-rounded
+    # score, and a lexicographic tie-break, train + predict replay
+    # exactly in SQL — the count-based counterpart to q41's rows-only
+    # gradient model. Split: train doc_id%5!=0, test %5==0.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+train AS (SELECT * FROM toks WHERE doc_id % 5 <> 0),
+classes AS (
+    SELECT lang AS cls, COUNT(DISTINCT doc_id) AS n_docs FROM train GROUP BY lang
+),
+totals AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n_total FROM classes),
+priors AS (
+    SELECT cls, ROUND(LN(n_docs / t.n_total), 6) AS lp
+    FROM classes CROSS JOIN totals t
+),
+vocab_n AS (SELECT COUNT(DISTINCT tok) AS v FROM train),
+cls_tok AS (
+    SELECT lang AS cls, tok, COUNT(*) AS n FROM train GROUP BY lang, tok
+),
+cls_tot AS (SELECT lang AS cls, COUNT(*) AS nt FROM train GROUP BY lang),
+loglik AS (
+    SELECT ct.cls, ct.tok,
+           ROUND(LN((ct.n + 1) / CAST(tt.nt + vn.v AS DOUBLE)), 6) AS ll
+    FROM cls_tok ct
+    JOIN cls_tot tt ON tt.cls = ct.cls
+    CROSS JOIN vocab_n vn
+),
+defaults AS (
+    SELECT tt.cls, ROUND(LN(1 / CAST(tt.nt + vn.v AS DOUBLE)), 6) AS ll0
+    FROM cls_tot tt CROSS JOIN vocab_n vn
+),
+test AS (SELECT doc_id, lang, tok FROM toks WHERE doc_id % 5 = 0),
+scored AS (
+    SELECT t.doc_id, t.lang AS actual, d.cls,
+           ROUND(MIN(p.lp) + SUM(COALESCE(l.ll, d.ll0)), 4) AS score
+    FROM test t
+    CROSS JOIN defaults d
+    JOIN priors p ON p.cls = d.cls
+    LEFT JOIN loglik l ON l.cls = d.cls AND l.tok = t.tok
+    GROUP BY t.doc_id, t.lang, d.cls
+)
+SELECT doc_id, actual, cls AS predicted,
+       CAST(actual = cls AS BOOLEAN) AS correct
+FROM (
+    SELECT doc_id, actual, cls, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, cls ASC) AS rk
+    FROM scored) t
+WHERE rk = 1
+""",
+    tags=("ml-nb", "F16", "classifier"),
+)
+def q148_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, fully relational:
+    counting aggregates train it, a broadcast (class × token) log-lik
+    matrix + class-default fallback scores the test split, argmax with a
+    lexicographic tie-break predicts. The model tables are
+    vocab-and-class-sized → broadcast; the token stream fans out ×k
+    classes once (k=5).
+
+    Honesty note: the synthetic corpus draws tokens independently of
+    `lang`, so accuracy sits at the majority-class prior (~0.42) — the
+    gate verifies the train+predict ALGEBRA end to end, not corpus
+    signal (no signal exists to learn)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
+    )
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    test = toks.filter(F.col("doc_id") % 5 == 0)
+
+    classes = train.groupBy(F.col("lang").alias("cls")).agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    n_total = classes.agg(F.sum("n_docs").cast("double").alias("n_total"))
+    priors = classes.join(F.broadcast(n_total)).select(
+        "cls", F.round(F.log(F.col("n_docs") / F.col("n_total")), 6).alias("lp")
+    )
+    vocab_n = train.agg(F.countDistinct("tok").alias("v"))
+    cls_tok = train.groupBy(F.col("lang").alias("cls"), "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cls_tot = train.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    loglik = (
+        cls_tok.join(cls_tot, "cls")
+        .join(F.broadcast(vocab_n))
+        .select(
+            "cls",
+            "tok",
+            F.round(
+                F.log((F.col("n") + 1) / (F.col("nt") + F.col("v")).cast("double")), 6
+            ).alias("ll"),
+        )
+    )
+    defaults = (
+        cls_tot.join(F.broadcast(vocab_n))
+        .select(
+            "cls",
+            F.round(
+                F.log(F.lit(1) / (F.col("nt") + F.col("v")).cast("double")), 6
+            ).alias("ll0"),
+        )
+    )
+    scored = (
+        test.join(F.broadcast(defaults))
+        .join(F.broadcast(priors), "cls")
+        .join(
+            F.broadcast(
+                loglik.select(
+                    F.col("cls").alias("l_cls"), F.col("tok").alias("l_tok"), "ll"
+                )
+            ),
+            (F.col("l_cls") == F.col("cls")) & (F.col("l_tok") == F.col("tok")),
+            "left",
+        )
+        .groupBy("doc_id", F.col("lang").alias("actual"), "cls")
+        .agg(
+            F.round(F.min("lp") + F.sum(F.coalesce("ll", "ll0")), 4).alias("score")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "actual",
+            F.col("cls").alias("predicted"),
+            (F.col("actual") == F.col("cls")).alias("correct"),
+        )
+    )

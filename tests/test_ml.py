@@ -129,3 +129,20 @@ def test_outlier_top_tokens_is_deterministic_topk(spark):
     assert a == b and len(a) == 5
     counts = [r.n for r in a]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_kmeans_clusters_nondegenerate_and_converging(spark):
+    """q147's fixed 3 rounds must produce a real clustering: all k
+    clusters populated, and the round-3 assignment differs from the
+    round-0 (seed-only) assignment — i.e. Lloyd actually moved the
+    centroids."""
+    from conftest import SF_DIR
+    from synth_transform_spark.operators.ml import kmeans_assignments
+    from synth_transform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    final = kmeans_assignments(emb, k=4, n_iter=3).toPandas()
+    assert final.cluster.nunique() == 4
+    seed_only = kmeans_assignments(emb, k=4, n_iter=0).toPandas()
+    merged = final.merge(seed_only, on="vec_id", suffixes=("_3", "_0"))
+    assert (merged.cluster_3 != merged.cluster_0).any()

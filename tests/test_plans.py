@@ -50,6 +50,8 @@ HEAVY_EXECUTING = {
     "q134_streaming_session",  # streaming replay at build time
     "q135_kcore",  # iterative peeling: plan build runs jobs
     "q145_streaming_first_event",  # streaming replay at build time
+    "q147_kmeans",  # iterative Lloyd rounds: plan build runs jobs
+    "q149_hierarchy_rollup",  # iterative doubling rounds: plan build runs jobs
 }
 
 
