@@ -1047,3 +1047,54 @@ def q145_streaming_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         se.first_event_agg(stream), "q145_sink", output_mode="complete"
     )
+
+
+@register(
+    "q150_running_distinct",
+    # Exact CUMULATIVE distinct users per day WITHOUT a per-day rescan:
+    # the first-touch trick — distinct-to-date(d) = |{users whose FIRST
+    # day <= d}| — turns an O(days × corpus) running COUNT(DISTINCT)
+    # into one min-aggregate plus arithmetic over the day relation. The
+    # exact twin of what q99 answers with mergeable HLL registers.
+    oracle="""
+WITH days AS (
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS daily_active
+    FROM events GROUP BY day
+),
+firsts AS (
+    SELECT user_id, MIN(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS first_day
+    FROM events GROUP BY user_id
+),
+news AS (
+    SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY first_day
+)
+SELECT d.day, d.daily_active,
+       CAST(SUM(COALESCE(n.n_new, 0)) AS BIGINT) AS cum_distinct
+FROM days d
+LEFT JOIN news n ON n.day <= d.day
+GROUP BY d.day, d.daily_active
+""",
+    tags=("A10", "first-touch", "continuous-aggregate"),
+)
+def q150_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active + cumulative distinct users. The cumulative sum runs
+    as a triangle join over the CALENDAR-bounded day relation (30 rows
+    here, thousands at any horizon) — bounded broadcast, preserving the
+    engine's zero-global-window invariant instead of an unpartitioned
+    running-sum window."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").cast("timestamp")
+    days = events.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("daily_active")
+    )
+    firsts = events.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    news = firsts.groupBy(F.col("first_day").alias("n_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    return (
+        days.join(F.broadcast(news), F.col("n_day") <= F.col("day"), "left")
+        .groupBy("day", "daily_active")
+        .agg(F.sum(F.coalesce("n_new", F.lit(0))).cast("long").alias("cum_distinct"))
+    )

@@ -849,3 +849,155 @@ def q148_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("actual") == F.col("cls")).alias("correct"),
         )
     )
+
+
+@register(
+    "q151_zipf_fit",
+    # Zipf's-law diagnostic for the corpus: OLS of ln(freq) on ln(rank)
+    # over the token frequency table — the q144 sufficient-statistics
+    # shape applied to log-log space. Both log vectors are rounded to
+    # 6dp BEFORE the sums (identical operands cross-engine); the tiny
+    # vocab relation makes every Σ a handful of terms under the final
+    # 4dp round.
+    oracle="""
+WITH freq AS (
+    SELECT tok, COUNT(*) AS n FROM (
+        SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+        FROM documents) t
+    GROUP BY tok
+),
+ranked AS (
+    SELECT ROUND(LN(ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC)), 6) AS lx,
+           ROUND(LN(n), 6) AS ly
+    FROM freq
+),
+stats AS (
+    SELECT COUNT(*) AS n,
+           ROUND(SUM(lx), 6) AS sx, ROUND(SUM(lx * lx), 6) AS sxx,
+           ROUND(SUM(ly), 6) AS sy, ROUND(SUM(lx * ly), 6) AS sxy
+    FROM ranked
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4)
+           AS zipf_intercept
+FROM stats
+""",
+    tags=("A12", "text-stats"),
+)
+def q151_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of the corpus token-frequency distribution (a natural
+    corpus follows slope ≈ −1; strong deviation flags synthetic or
+    degenerate text — a curation diagnostic). The rank window runs over
+    the VOCABULARY relation (31 rows here; always vocabulary-sized), not
+    the token stream."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("lx"),
+        F.round(F.log(F.col("n").cast("double")), 6).alias("ly"),
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("lx"), 6).alias("sx"),
+        F.round(F.sum(F.col("lx") * F.col("lx")), 6).alias("sxx"),
+        F.round(F.sum("ly"), 6).alias("sy"),
+        F.round(F.sum(F.col("lx") * F.col("ly")), 6).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        "n",
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 4
+        ).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "q152_bigram_logprob",
+    # Bigram LM quality score (the order-2 sibling of q93's unigram LM):
+    # corpus-trained add-one-smoothed conditionals, per-doc mean bigram
+    # log-likelihood. Log terms rounded to 6dp before the per-doc mean
+    # (identical operands cross-engine), mean rounded to 4dp.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+),
+big AS (
+    SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM big GROUP BY prev, cur),
+c1 AS (SELECT prev, COUNT(*) AS n1 FROM big GROUP BY prev),
+vocab_n AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+ll AS (
+    SELECT c2.prev, c2.cur,
+           ROUND(LN((c2.n2 + 1) / CAST(c1.n1 + vn.v AS DOUBLE)), 6) AS lp
+    FROM c2 JOIN c1 ON c1.prev = c2.prev CROSS JOIN vocab_n vn
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(l.lp), 4) AS avg_bigram_logprob
+FROM big b JOIN ll l ON l.prev = b.prev AND l.cur = b.cur
+GROUP BY b.doc_id
+""",
+    tags=("text-lm", "F16"),
+)
+def q152_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-likelihood under the corpus bigram LM.
+
+    Bigrams come from a NARROW arrays_zip over each doc's token array
+    (no positional self-join shuffle — the oracle's join spelling is the
+    semantics, not the plan); the (prev,cur) model table is at most
+    vocab² rows → broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_analysis.tokens_raw(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.0").alias("prev"), F.col("_bg.1").alias("cur"))
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    vocab_n = (
+        docs.select(F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    ll = (
+        c2.join(c1, "prev")
+        .join(F.broadcast(vocab_n))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log((F.col("n2") + 1) / (F.col("n1") + F.col("v")).cast("double")), 6
+            ).alias("lp"),
+        )
+    )
+    return (
+        big.join(F.broadcast(ll), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
+        )
+    )
