@@ -1098,3 +1098,108 @@ def q150_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "daily_active")
         .agg(F.sum(F.coalesce("n_new", F.lit(0))).cast("long").alias("cum_distinct"))
     )
+
+
+@register(
+    "q153_seasonal_anomalies",
+    # Deseasonalised anomaly detection: each hour's event volume scored
+    # against the hour-of-day baseline (mean/std over the 30-day month).
+    # The baseline relation is 24 rows → broadcast back; z-scores divide
+    # pre-rounded operands (q122's contract) so the flag threshold can't
+    # knife-edge. Population std as exact arithmetic: σ² = Σn²/k − μ²
+    # over integer counts.
+    oracle="""
+WITH hourly AS (
+    SELECT TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY hr
+),
+base AS (
+    SELECT CAST(EXTRACT(HOUR FROM hr) AS INT) AS hod,
+           ROUND(AVG(n), 4) AS mu,
+           ROUND(SQRT(AVG(n * n) - AVG(n) * AVG(n)), 4) AS sigma
+    FROM hourly GROUP BY hod
+)
+SELECT h.hr, b.hod, h.n, b.mu,
+       ROUND((h.n - b.mu) / b.sigma, 4) AS z
+FROM hourly h JOIN base b ON b.hod = CAST(EXTRACT(HOUR FROM h.hr) AS INT)
+WHERE b.sigma > 0 AND ABS(ROUND((h.n - b.mu) / b.sigma, 4)) >= 2.0
+""",
+    tags=("A12", "anomaly", "W4"),
+)
+def q153_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume deviates ≥2σ from their hour-of-day
+    baseline — W4's z-score pattern applied after deseasonalisation.
+    One keyed aggregate builds the 720-row hourly relation; the 24-row
+    baseline broadcasts back (never a global window)."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = hourly.groupBy(F.hour("hr").alias("hod")).agg(
+        F.round(F.avg("n"), 4).alias("mu"),
+        F.round(
+            F.sqrt(F.avg(F.col("n") * F.col("n")) - F.avg("n") * F.avg("n")), 4
+        ).alias("sigma"),
+    )
+    z = F.round((F.col("n") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        hourly.withColumn("hod", F.hour("hr"))
+        .join(F.broadcast(base), "hod")
+        .filter((F.col("sigma") > 0) & (F.abs(z) >= 2.0))
+        .select("hr", "hod", "n", "mu", z.alias("z"))
+    )
+
+
+@register(
+    "q154_transition_matrix",
+    # Per-user event-type Markov transitions: LEAD over (user, ts,
+    # event_id) sequences, counts row-normalised into probabilities.
+    # n/total divides a BIGINT by a BIGINT cast double — exact operands,
+    # deterministic quotient.
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+),
+tot AS (
+    SELECT from_type, SUM(n) AS total FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+       ROUND(t.n / CAST(tt.total AS DOUBLE), 4) AS p
+FROM trans t JOIN tot tt ON tt.from_type = t.from_type
+""",
+    tags=("W2", "sequence", "markov"),
+)
+def q154_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (counts + row-normalised
+    probabilities) over per-user sequences. The LEAD window partitions by
+    user (uniform); the matrix is ≤ |types|² rows; totals broadcast
+    back."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 4).alias("p"),
+        )
+    )

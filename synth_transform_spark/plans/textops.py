@@ -1001,3 +1001,46 @@ def q152_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 4).alias("avg_bigram_logprob"),
         )
     )
+
+
+@register(
+    "q155_epoch_shuffle",
+    # Deterministic training-epoch shuffles: per epoch, every doc gets a
+    # dense position by md5(epoch:doc_id) order — reproducible data
+    # ordering across runs/engines, the standard seeded-shuffle contract
+    # of a training pipeline. Uses the SCALABLE two-pass assigner (q12's
+    # W1 operator) per epoch: repartitionByRange on the shuffle key +
+    # per-partition offsets — never a global-sort window.
+    oracle="""
+WITH keyed AS (
+    SELECT doc_id,
+           MD5('0:' || CAST(doc_id AS VARCHAR)) AS k0,
+           MD5('1:' || CAST(doc_id AS VARCHAR)) AS k1
+    FROM documents
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY k0) AS BIGINT) AS epoch0_pos,
+       CAST(ROW_NUMBER() OVER (ORDER BY k1) AS BIGINT) AS epoch1_pos
+FROM keyed
+""",
+    tags=("W1", "O1", "training-shuffle"),
+)
+def q155_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two reproducible epoch orderings of the corpus (md5-keyed)."""
+    from ..operators.ids import assign_ids_scalable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("0:"), F.col("doc_id").cast("string"))).alias("k0"),
+        F.md5(F.concat(F.lit("1:"), F.col("doc_id").cast("string"))).alias("k1"),
+    )
+    e0 = assign_ids_scalable(keyed, ["k0"], "epoch0_pos").select(
+        "doc_id", "epoch0_pos"
+    )
+    e1 = assign_ids_scalable(keyed, ["k1"], "epoch1_pos").select(
+        F.col("doc_id").alias("d1"), "epoch1_pos"
+    )
+    return e0.join(e1, e0["doc_id"] == e1["d1"]).select(
+        "doc_id", "epoch0_pos", "epoch1_pos"
+    )

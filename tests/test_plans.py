@@ -263,3 +263,24 @@ def test_tpch_suite_plan_shapes(spark):
     # Q13: left outer join, and the priority filter must NOT reach customer
     p126 = _plan(REGISTRY["q126_order_count_distribution"].spark(spark, SF_DIR))
     assert "LeftOuter" in p126
+
+
+def test_model_table_joins_broadcast(spark):
+    """Round-4 statistics/model relations (top-k vocab q141, NB log-lik
+    matrix q148, bigram LM table q152, hour-of-day baseline q153,
+    transition totals q154, equi-depth bounds q136, OLS closed-form
+    q144) are all bounded small sides — each query must broadcast them;
+    a SortMergeJoin there shuffles the full stream against a vocab-sized
+    relation."""
+    for name in (
+        "q136_equidepth_histogram",
+        "q141_oov_rate",
+        "q148_naive_bayes",
+        "q152_bigram_logprob",
+        "q153_seasonal_anomalies",
+        "q154_transition_matrix",
+    ):
+        plan = _plan(REGISTRY[name].spark(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
