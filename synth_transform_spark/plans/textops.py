@@ -1044,3 +1044,182 @@ def q155_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e0.join(e1, e0["doc_id"] == e1["d1"]).select(
         "doc_id", "epoch0_pos", "epoch1_pos"
     )
+
+
+@register(
+    "q156_corpus_drift",
+    # Distribution-shift detection between two corpus halves: add-one-
+    # smoothed token distributions, per-token KL contribution
+    # P_a·ln(P_a/P_b) with the log ROUNDED to 6dp before the product
+    # (identical operands cross-engine), ranked by |contribution|. The
+    # data-quality probe for "did the new crawl's token mix drift".
+    oracle="""
+WITH toks AS (
+    SELECT doc_id % 2 AS half,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+vocab AS (SELECT DISTINCT tok FROM toks),
+vn AS (SELECT COUNT(*) AS v FROM vocab),
+cnt AS (
+    SELECT v.tok,
+           SUM(CASE WHEN t.half = 0 THEN 1 ELSE 0 END) AS na,
+           SUM(CASE WHEN t.half = 1 THEN 1 ELSE 0 END) AS nb
+    FROM vocab v LEFT JOIN toks t ON t.tok = v.tok
+    GROUP BY v.tok
+),
+tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM cnt),
+probs AS (
+    SELECT c.tok,
+           (c.na + 1) / CAST(t.ta + vn.v AS DOUBLE) AS pa,
+           (c.nb + 1) / CAST(t.tb + vn.v AS DOUBLE) AS pb
+    FROM cnt c CROSS JOIN tot t CROSS JOIN vn
+),
+contrib AS (
+    SELECT tok, ROUND(pa * ROUND(LN(pa / pb), 6), 6) AS kl_term
+    FROM probs
+)
+SELECT tok, kl_term
+FROM (
+    SELECT tok, kl_term,
+           ROW_NUMBER() OVER (ORDER BY ABS(kl_term) DESC, tok ASC) AS rk
+    FROM contrib) t
+WHERE rk <= 10
+""",
+    tags=("A12", "data-quality", "drift"),
+)
+def q156_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 token-level KL-divergence contributors between the two
+    doc_id-parity halves of the corpus. Counts are one conditional
+    aggregate over the token stream; the probability/contribution math
+    runs on the VOCABULARY relation (31 rows; always vocab-sized)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    vn = cnt.agg(F.count(F.lit(1)).alias("v"))
+    tot = cnt.agg(F.sum("na").alias("ta"), F.sum("nb").alias("tb"))
+    probs = cnt.join(F.broadcast(tot)).join(F.broadcast(vn)).select(
+        "tok",
+        ((F.col("na") + 1) / (F.col("ta") + F.col("v")).cast("double")).alias("pa"),
+        ((F.col("nb") + 1) / (F.col("tb") + F.col("v")).cast("double")).alias("pb"),
+    )
+    contrib = probs.select(
+        "tok",
+        F.round(
+            F.col("pa") * F.round(F.log(F.col("pa") / F.col("pb")), 6), 6
+        ).alias("kl_term"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc(F.abs(F.col("kl_term"))), F.asc("tok"))
+    return (
+        contrib.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("tok", "kl_term")
+    )
+
+
+@register(
+    "q157_source_scorecard",
+    # The curation dashboard: one relation scoring every source on
+    # volume, length, quality-gate pass rate, and exact-duplicate rate —
+    # the roll-up a 100 TB ingest review starts from. Reuses the q24
+    # keep rule verbatim and the q04 md5 dup key.
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id, source, text,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+flags AS (
+    SELECT doc_id, source,
+           LENGTH(text) AS n_chars,
+           LEN(toks) AS n_tokens,
+           CASE WHEN {QUALITY_KEEP_SQL} THEN 1 ELSE 0 END AS keep
+    FROM t
+),
+dups AS (
+    SELECT doc_id,
+           CASE WHEN COUNT(*) OVER (PARTITION BY MD5(text)) > 1
+                THEN 1 ELSE 0 END AS is_dup
+    FROM documents
+)
+SELECT f.source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(f.n_chars), 4) AS avg_chars,
+       ROUND(AVG(f.n_tokens), 4) AS avg_tokens,
+       ROUND(CAST(SUM(f.keep) AS DOUBLE) / COUNT(*), 4) AS keep_rate,
+       ROUND(CAST(SUM(d.is_dup) AS DOUBLE) / COUNT(*), 4) AS dup_rate
+FROM flags f JOIN dups d ON d.doc_id = f.doc_id
+GROUP BY f.source
+""",
+    tags=("text-quality", "A12", "curation-report"),
+)
+def q157_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard: volume, mean length, quality-gate
+    pass rate, exact-dup rate. Dup flags come from one md5-keyed count
+    join (uniform key); everything else is a single keyed aggregate —
+    integer AVGs are exact-ratio divides, so 4dp rounding is
+    engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    punct_ratio = F.round(
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).cast("double")
+        / F.length("text"),
+        4,
+    )
+    distinct_ratio = F.round(
+        F.size(F.array_distinct("_toks")).cast("double") / F.size("_toks"), 4
+    )
+    flags = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        toks.alias("_toks"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size("_toks").alias("n_tokens"),
+        F.when(
+            (F.size("_toks") >= 10)
+            & (distinct_ratio >= 0.1)
+            & (punct_ratio <= 0.3),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    md5_counts = docs.groupBy(F.md5("text").alias("_h")).agg(
+        F.count(F.lit(1)).alias("_hn")
+    )
+    dups = (
+        docs.select("doc_id", F.md5("text").alias("_h"))
+        .join(md5_counts, "_h")
+        .select("doc_id", F.when(F.col("_hn") > 1, 1).otherwise(0).alias("is_dup"))
+    )
+    return (
+        flags.join(dups, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.sum("keep").cast("double") / F.count(F.lit(1)), 4).alias(
+                "keep_rate"
+            ),
+            F.round(F.sum("is_dup").cast("double") / F.count(F.lit(1)), 4).alias(
+                "dup_rate"
+            ),
+        )
+    )
