@@ -1203,3 +1203,61 @@ def q154_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") / F.col("total").cast("double"), 4).alias("p"),
         )
     )
+
+
+@register(
+    "q158_window_showcase",
+    # The ranking/distribution window-function family in one relation
+    # (ntile, percent_rank, cume_dist, lag, nth_value, explicit frames)
+    # over per-(type, day) totals — every window partitioned by
+    # event_type; the base relation is |types|·|days| (150 rows here),
+    # never the event stream. value totals pre-rounded to 4dp so every
+    # rank/lag result compares identical doubles.
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           ROUND(SUM(value), 4) AS total
+    FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, total,
+       CAST(NTILE(4) OVER w_ord AS INT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w_ord, 4) AS pct_rank,
+       ROUND(CUME_DIST() OVER w_ord, 4) AS cume,
+       LAG(total, 1) OVER w_time AS prev_day_total,
+       NTH_VALUE(total, 2) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_day_total,
+       LAST_VALUE(total) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_day_total
+FROM daily
+WINDOW w_ord AS (PARTITION BY event_type ORDER BY total ASC, day ASC),
+       w_time AS (PARTITION BY event_type ORDER BY day)
+""",
+    tags=("W2", "W3", "window-family"),
+)
+def q158_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/distribution/navigation window functions over per-type
+    daily totals, all partitioned by event_type."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("total"))
+    w_ord = Window.partitionBy("event_type").orderBy(F.asc("total"), F.asc("day"))
+    w_time = Window.partitionBy("event_type").orderBy("day")
+    w_full = w_time.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.ntile(4).over(w_ord).alias("quartile"),
+        F.round(F.percent_rank().over(w_ord), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_ord), 4).alias("cume"),
+        F.lag("total", 1).over(w_time).alias("prev_day_total"),
+        F.nth_value("total", 2).over(w_full).alias("second_day_total"),
+        F.last_value("total").over(w_full).alias("last_day_total"),
+    )

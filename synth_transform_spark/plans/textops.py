@@ -1223,3 +1223,59 @@ def q157_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q159_array_functions",
+    # Higher-order-function coverage in one pass: filter / exists /
+    # forall / zip_with+aggregate (position-weighted fold) over each
+    # doc's token array — all whole-stage-codegen, zero explode
+    # shuffles. The position-weighted sum is integer arithmetic (exact);
+    # the oracle flattens with ordinality since DuckDB's lambda algebra
+    # differs, but the semantics match term for term.
+    oracle="""
+WITH t AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS toks
+    FROM documents
+),
+flat AS (
+    SELECT doc_id, UNNEST(toks) AS tok, GENERATE_SUBSCRIPTS(toks, 1) AS i
+    FROM t
+)
+SELECT f.doc_id,
+       CAST(LEN(LIST_FILTER(t.toks, x -> LENGTH(x) > 4)) AS BIGINT) AS n_long,
+       LEN(LIST_FILTER(t.toks, x -> x = 'the')) > 0 AS has_the,
+       LEN(LIST_FILTER(t.toks, x -> NOT REGEXP_MATCHES(x, '^[a-z]+$'))) = 0
+           AS all_lower_alpha,
+       CAST(SUM(f.i * LENGTH(f.tok)) AS BIGINT) AS pos_weighted_len
+FROM flat f JOIN t ON t.doc_id = f.doc_id
+GROUP BY f.doc_id, t.toks
+""",
+    tags=("F23", "higher-order-functions"),
+)
+def q159_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter/exists/forall/zip_with/aggregate over per-doc token
+    arrays — the narrow array-form idiom the dedup family is built on,
+    exercised as a declared query."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text_analysis.tokens_raw(F.col("text"))
+    pos_weighted = F.aggregate(
+        F.zip_with(
+            F.col("_t"),
+            F.sequence(F.lit(1), F.size("_t")),
+            lambda t, i: i.cast("long") * F.length(t).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.select("doc_id", toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            "doc_id",
+            F.size(F.filter("_t", lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
+            F.exists("_t", lambda x: x == "the").alias("has_the"),
+            F.forall("_t", lambda x: x.rlike("^[a-z]+$")).alias("all_lower_alpha"),
+            pos_weighted.alias("pos_weighted_len"),
+        )
+    )
