@@ -1261,3 +1261,40 @@ def q158_window_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("total", 2).over(w_full).alias("second_day_total"),
         F.last_value("total").over(w_full).alias("last_day_total"),
     )
+
+
+@register(
+    "q160_variant_props",
+    # Spark 4 VARIANT surface: parse_json the event props into a variant
+    # column, extract typed fields with variant_get, aggregate. The
+    # oracle reads the same JSON relationally (DuckDB json_extract) —
+    # semantics, not storage, are compared.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(CAST(props ->> '$.k' AS INT)) AS INT) AS min_k,
+       CAST(MAX(CAST(props ->> '$.k' AS INT)) AS INT) AS max_k,
+       ROUND(AVG(CAST(props ->> '$.k' AS INT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+    tags=("S7", "variant", "F21"),
+)
+def q160_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from semi-structured props via the VARIANT type
+    (parse_json → variant_get) — the Spark-4 path for schema-on-read
+    columns that keeps extraction in codegen instead of per-row JSON
+    string parsing at every reference."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
