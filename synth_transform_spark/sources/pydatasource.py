@@ -132,3 +132,41 @@ class SyntheticEventsDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
         return _CsvDirWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _SyntheticStreamReader(self.options)
+
+
+# --- streaming reader: the same synthetic rows as a micro-batch stream ----
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class _SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Offset-managed micro-batch source: each batch advances the row
+    cursor by ``rows_per_batch`` until ``rows`` is exhausted. Offsets are
+    plain dicts ({"pos": n}) checkpointed by the engine — exactly the
+    cursor-paging ingest contract (API page tokens, binlog positions)
+    re-expressed through the public streaming DataSource API.
+
+    ``read`` returns (rows, next_offset); on restart the engine replays
+    from the last committed offset via ``readBetweenOffsets`` — the
+    deterministic generator makes that replay exact, which is what gives
+    the source end-to-end exactly-once WITH a replayable upstream.
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 1000))
+        self.per_batch = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict):
+        lo = int(start["pos"])
+        hi = min(lo + self.per_batch, self.n_rows)
+        # a LIST, not a generator: the rows ride to executors pickled
+        return [synth_row(i) for i in range(lo, hi)], {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return [synth_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
