@@ -1738,3 +1738,122 @@ def q149_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("price"), 4).alias("desc_revenue"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q161-q163 — function-surface sweeps: ANSI-safe try_* arithmetic,
+# the extended string library, boolean/conditional aggregates. Each is a
+# narrow map + keyed aggregate; the value is coverage breadth with exact
+# oracles, not plan novelty.
+# --------------------------------------------------------------------------
+@register(
+    "q161_try_arithmetic",
+    # try_divide/try_multiply: null-on-error arithmetic that behaves
+    # identically whether the session runs ANSI on or off — the
+    # engine's contract for user-facing ratio math (the hostile-session
+    # probe exists because plain `/` flips semantics with ANSI).
+    oracle="""
+SELECT l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CASE WHEN l_discount = 0 THEN NULL
+                      ELSE l_extendedprice / l_discount END) / 1000000, 4)
+           AS ratio_sum_m,
+       CAST(SUM(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_disc
+FROM lineitem
+GROUP BY l_linenumber
+""",
+    tags=("F19", "ansi-safe"),
+)
+def q161_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lin = _t(spark, sf_dir, "lineitem")
+    return lin.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.try_divide(F.col("l_extendedprice"), F.col("l_discount")))
+            / 1000000,
+            4,
+        ).alias("ratio_sum_m"),
+        F.sum(F.when(F.col("l_discount") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_disc"),
+    )
+
+
+@register(
+    "q162_string_library",
+    # translate / overlay / lpad / repeat / split_part / initcap-free
+    # (locale-dependent initcap excluded by design) over part names.
+    oracle="""
+SELECT p_partkey,
+       TRANSLATE(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+       SPLIT_PART(p_name, ' ', 1) AS first_word,
+       REVERSE(p_name) AS reversed,
+       REPEAT('*', CAST(p_size % 5 AS INT)) AS stars,
+       SUBSTR(p_name, 1, 1) || '###' || SUBSTR(p_name, 5) AS overlaid
+FROM part
+""",
+    tags=("F17", "F19", "string-funcs"),
+)
+def q162_string_library(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded_key"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.reverse("p_name").alias("reversed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+        F.overlay("p_name", F.lit("###"), F.lit(2), F.lit(3)).alias("overlaid"),
+    )
+
+
+@register(
+    "q163_boolean_aggregates",
+    # every/some (bool_and/bool_or), count_if, max_by/min_by with
+    # deterministic struct tie-breaks — the conditional-aggregate family.
+    oracle="""
+WITH ranked AS (
+    SELECT o_orderpriority, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY ROUND(o_totalprice, 4) DESC,
+                                       o_orderkey ASC) AS rk_hi,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY ROUND(o_totalprice, 4) ASC,
+                                       o_orderkey ASC) AS rk_lo
+    FROM orders
+),
+agg AS (
+    SELECT o_orderpriority,
+           BOOL_AND(o_totalprice > 1000) AS all_over_1k,
+           BOOL_OR(o_orderstatus = 'F') AS any_finished,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big
+    FROM orders GROUP BY o_orderpriority
+)
+SELECT a.o_orderpriority, a.all_over_1k, a.any_finished, a.n_big,
+       hi.o_orderkey AS priciest_order,
+       lo.o_orderkey AS cheapest_order
+FROM agg a
+JOIN ranked hi ON hi.o_orderpriority = a.o_orderpriority AND hi.rk_hi = 1
+JOIN ranked lo ON lo.o_orderpriority = a.o_orderpriority AND lo.rk_lo = 1
+""",
+    tags=("A1", "P7", "conditional-agg"),
+)
+def q163_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or/count_if/max_by/min_by per priority class. The
+    argmax/argmin carry explicit orderkey tie-breaks inside the ordering
+    struct (rounded price first), so ties can't flip between engines."""
+    o = _t(spark, sf_dir, "orders")
+    price_r = F.round(F.col("o_totalprice"), 4)
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.max_by(
+            "o_orderkey", F.struct(price_r, (-F.col("o_orderkey")).alias("nk"))
+        ).alias("priciest_order"),
+        F.min_by(
+            "o_orderkey", F.struct(price_r, F.col("o_orderkey"))
+        ).alias("cheapest_order"),
+    )
