@@ -1298,3 +1298,180 @@ def q160_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 4).alias("avg_k"),
         )
     )
+
+
+@register(
+    "q164_time_weighted_avg",
+    # TWAP over irregular samples (the timescale time_weight shape):
+    # each observation holds until the next one; weight = seconds to the
+    # next sample (last sample weightless). Integer second deltas are
+    # exact; the weighted sum rounds to 4dp before the divide by the
+    # exact integer span.
+    oracle="""
+WITH seq AS (
+    SELECT user_id, value,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+           LEAD(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+w AS (
+    SELECT user_id, value, nxt - sec AS dt FROM seq WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(SUM(dt) AS BIGINT) AS span_sec,
+       ROUND(ROUND(SUM(value * dt), 4) / SUM(dt), 4) AS twap
+FROM w
+GROUP BY user_id
+HAVING SUM(dt) > 0
+""",
+    tags=("temporal", "timeseries", "W4"),
+)
+def q164_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over irregular event
+    samples — LEAD deltas (user-partitioned window), one keyed
+    aggregate."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id", "value", sec.alias("sec"), F.lead(sec).over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    return (
+        seq.withColumn("dt", F.col("nxt") - F.col("sec"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("dt").cast("long").alias("span_sec"),
+            F.round(
+                F.round(F.sum(F.col("value") * F.col("dt")), 4) / F.sum("dt"), 4
+            ).alias("twap"),
+        )
+        .filter(F.col("span_sec") > 0)
+    )
+
+
+@register(
+    "q165_ohlc_bars",
+    # OHLC candlesticks per (type, hour): open/close via min_by/max_by
+    # on (ts, event_id) — the tie-break rides inside the ordering struct
+    # so simultaneous events can't flip open/close between engines.
+    oracle="""
+WITH ranked AS (
+    SELECT event_type,
+           TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bar,
+           value, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY event_type,
+                              TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                              ORDER BY ts ASC, event_id ASC) AS rk_o,
+           ROW_NUMBER() OVER (PARTITION BY event_type,
+                              TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                              ORDER BY ts DESC, event_id DESC) AS rk_c
+    FROM events
+),
+agg AS (
+    SELECT event_type, bar,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low
+    FROM ranked GROUP BY event_type, bar
+)
+SELECT a.event_type, a.bar, a.n,
+       ROUND(o.value, 4) AS open, a.high, a.low, ROUND(c.value, 4) AS close
+FROM agg a
+JOIN ranked o ON o.event_type = a.event_type AND o.bar = a.bar AND o.rk_o = 1
+JOIN ranked c ON c.event_type = a.event_type AND c.bar = a.bar AND c.rk_c = 1
+""",
+    tags=("temporal", "timeseries", "A1"),
+)
+def q165_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type in ONE keyed aggregate —
+    open/close are min_by/max_by over (ts, event_id) structs, high/low
+    plain min/max; no rank windows, no self-joins (the oracle spells the
+    rank form for clarity; same semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").getField("start").alias("bar"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+        )
+        .select("event_type", "bar", "n", "open", "high", "low", "close")
+    )
+
+
+@register(
+    "q166_gap_fill_locf",
+    # Calendar gap filling + last-observation-carried-forward: the
+    # standard timeseries densification. Spark's last(ignoreNulls) over
+    # an unbounded-preceding frame == DuckDB's LAST_VALUE IGNORE NULLS.
+    # Rows before a user's first observation keep NULL (no fabrication).
+    oracle="""
+WITH cal AS (
+    SELECT u.user_id, d.day
+    FROM (SELECT DISTINCT user_id FROM events) u,
+         (SELECT UNNEST(GENERATE_SERIES(TIMESTAMP '2024-01-01',
+                                        TIMESTAMP '2024-01-30',
+                                        INTERVAL 1 DAY)) AS day) d
+),
+daily AS (
+    SELECT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           ROUND(SUM(value), 4) AS obs
+    FROM events GROUP BY user_id, day
+)
+SELECT c.user_id, c.day, d.obs,
+       LAST_VALUE(d.obs IGNORE NULLS) OVER (
+           PARTITION BY c.user_id ORDER BY c.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM cal c LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+""",
+    tags=("temporal", "timeseries", "gap-fill"),
+)
+def q166_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify each user's daily series over the January calendar and
+    carry the last observation forward. The calendar is a 30-row
+    sequence cross-joined against the user dim (broadcast — calendar ×
+    users is the output size by definition); the LOCF window partitions
+    by user."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    cal = users.join(
+        F.broadcast(
+            events.sparkSession.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.lit("2024-01-01").cast("timestamp"),
+                        F.lit("2024-01-30").cast("timestamp"),
+                        F.expr("INTERVAL 1 DAY"),
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").cast("timestamp").alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("obs"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            "obs",
+            F.last("obs", ignorenulls=True).over(w).alias("filled"),
+        )
+    )

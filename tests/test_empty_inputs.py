@@ -1,0 +1,52 @@
+"""Empty-input totality: core operators must return empty results (not
+throw) when their input relation is empty — the behaviour a 100 TB DAG
+needs when one partition-pruned branch comes back with zero rows."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _empty_like(spark, schema: str):
+    return spark.createDataFrame([], schema)
+
+
+def test_dedup_family_on_empty_corpus(spark):
+    from synth_transform_spark.operators import dedup
+
+    docs = _empty_like(spark, "doc_id long, text string")
+    assert dedup.minhash_near_duplicates(docs, threshold=0.8).count() == 0
+    assert dedup.exact_groups(docs).count() == 0
+
+
+def test_similarity_on_empty_queries(spark):
+    from synth_transform_spark.operators import similarity
+    from synth_transform_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    none = emb.filter("vec_id < 0")
+    assert similarity.cosine_topk(emb, none, k=3).count() == 0
+    assert similarity.pq_topk(emb, none, k=3).count() == 0
+
+
+def test_temporal_and_graph_on_empty(spark):
+    from synth_transform_spark.operators.graph import ancestor_closure, kcore
+    from synth_transform_spark.operators.temporal import interval_overlap_join
+
+    e = _empty_like(spark, "node long, parent long")
+    assert ancestor_closure(e, n_rounds=3).count() == 0
+    edges = _empty_like(spark, "s long, d long")
+    assert kcore(edges, k=2, n_rounds=2).count() == 0
+    ivals = _empty_like(spark, "l_start long, l_end long")
+    rvals = _empty_like(spark, "r_start long, r_end long")
+    assert interval_overlap_join(ivals, rvals).count() == 0
+
+
+def test_sketches_on_empty(spark):
+    from synth_transform_spark.operators import sketches
+
+    df = _empty_like(spark, "g string, v string")
+    assert sketches.hll_distinct(df, ["g"], "v").count() == 0
+    assert sketches.kmv_set_estimates(df, "g", "v", k=8).count() == 0
