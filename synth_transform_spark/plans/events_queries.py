@@ -1475,3 +1475,105 @@ def q166_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("obs", ignorenulls=True).over(w).alias("filled"),
         )
     )
+
+
+@register(
+    "q167_since_last_error",
+    # Resettable per-key counter — "events since the user's last error"
+    # — the gaps-and-islands family's running variant (q119 counts
+    # streaks, q120 measures gaps; this numbers WITHIN segments).
+    # Segment id = running count of errors INCLUSIVE of the current row;
+    # position = row_number within (user, segment); events before any
+    # error report NULL (no segment to count from).
+    oracle="""
+WITH seq AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS seg
+    FROM events
+)
+SELECT user_id, event_id,
+       CASE WHEN seg = 0 THEN NULL
+            ELSE CAST(ROW_NUMBER() OVER (PARTITION BY user_id, seg
+                                         ORDER BY ts, event_id) - 1 AS BIGINT)
+       END AS since_error
+FROM seq
+""",
+    tags=("W2", "sequence", "gaps-islands"),
+)
+def q167_since_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events this user has logged since their last
+    'error' (the error itself counts 0; pre-first-error rows are NULL).
+    Both windows partition by user (uniform); segment boundaries come
+    from one running conditional sum — no self-join against the error
+    subset."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w_run)
+        .alias("seg"),
+    )
+    w_seg = Window.partitionBy("user_id", "seg").orderBy("ts", "event_id")
+    return seq.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("seg") > 0, (F.row_number().over(w_seg) - 1).cast("long")
+        ).alias("since_error"),
+    )
+
+
+@register(
+    "q168_cluster_sample",
+    # Cluster (group-level) sampling: sample whole USERS, keep all their
+    # events — the leakage-safe unit for training splits (row sampling
+    # splits a user's history across train/test; cluster sampling
+    # doesn't). Deterministic md5 draw on the cluster key.
+    oracle="""
+WITH picked AS (
+    SELECT user_id FROM (SELECT DISTINCT user_id FROM events) u
+    WHERE CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::UBIGINT
+               AS BIGINT) % 10 = 0
+)
+SELECT e.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN picked p ON p.user_id = e.user_id
+GROUP BY e.user_id
+""",
+    tags=("A13", "sampling-cluster"),
+)
+def q168_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% cluster sample of users (md5 draw), rolled up per sampled
+    user. The picked set is a broadcast semi-join side; the md5 draw is
+    a pure function of the key, so resampling is reproducible across
+    runs, engines, and partitionings."""
+    events = load_table(spark, sf_dir, "events")
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    picked = events.select("user_id").distinct().filter(draw == 0)
+    return (
+        events.join(F.broadcast(picked), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
