@@ -1577,3 +1577,139 @@ def q168_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("total_value"),
         )
     )
+
+
+@register(
+    "q169_basket_pairs",
+    # Market-basket lite: event-type pairs co-occurring within the same
+    # user-day basket, with support and lift. Pair counts come from the
+    # distinct basket-item relation self-joined on the basket key (types
+    # per basket ≤ 5 here — the classic a<b pair enumeration with
+    # bounded fan-out); lift divides pre-rounded doubles.
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+    FROM events
+),
+n_baskets AS (
+    SELECT CAST(COUNT(DISTINCT (user_id, day)) AS DOUBLE) AS nb FROM items
+),
+supp AS (
+    SELECT event_type, COUNT(*) AS s FROM items GROUP BY event_type
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_pair
+    FROM items a
+    JOIN items b ON b.user_id = a.user_id AND b.day = a.day
+                AND a.event_type < b.event_type
+    GROUP BY type_a, type_b
+)
+SELECT p.type_a, p.type_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+       ROUND(ROUND(p.n_pair * nb.nb, 4) / (sa.s * sb.s), 4) AS lift
+FROM pairs p
+JOIN supp sa ON sa.event_type = p.type_a
+JOIN supp sb ON sb.event_type = p.type_b
+CROSS JOIN n_baskets nb
+""",
+    tags=("A1", "basket", "association"),
+)
+def q169_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence within user-day baskets: pair support +
+    lift. The distinct item relation shuffles once on the basket key;
+    supports and the basket count are broadcast scalars."""
+    events = load_table(spark, sf_dir, "events")
+    items = events.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    nb = items.select("user_id", "day").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("nb")
+    )
+    supp = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = items.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    sa = supp.select(F.col("event_type").alias("type_a"), F.col("s").alias("sa"))
+    sb = supp.select(F.col("event_type").alias("type_b"), F.col("s").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .join(F.broadcast(nb))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(
+                F.round(F.col("n_pair") * F.col("nb"), 4)
+                / (F.col("sa") * F.col("sb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q170_user_entropy",
+    # Behavioural diversity: Shannon entropy of each user's event-type
+    # mix, normalised by ln(|types present|) (1.0 = uniform usage,
+    # 0 = single-type user, NULL for one-type denominators). Each
+    # ln term is rounded to 6dp before the Σ p·ln(p) (identical
+    # operands cross-engine), the sum before the normalising divide.
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS n FROM events
+    GROUP BY user_id, event_type
+),
+tot AS (
+    SELECT user_id, SUM(n) AS nt, COUNT(*) AS k FROM counts GROUP BY user_id
+),
+terms AS (
+    SELECT c.user_id, t.k,
+           (c.n / CAST(t.nt AS DOUBLE))
+           * ROUND(LN(c.n / CAST(t.nt AS DOUBLE)), 6) AS term
+    FROM counts c JOIN tot t ON t.user_id = c.user_id
+)
+SELECT user_id,
+       CAST(k AS BIGINT) AS n_types,
+       ROUND(-SUM(term), 4) AS entropy,
+       CASE WHEN k > 1
+            THEN ROUND(ROUND(-SUM(term), 4) / ROUND(LN(k), 6), 4)
+       END AS norm_entropy
+FROM terms
+GROUP BY user_id, k
+""",
+    tags=("A12", "behavioral"),
+)
+def q170_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalised event-mix entropy per user — two keyed aggregates and
+    a broadcast-back of the per-user totals; all math on count ratios."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("user_id").agg(
+        F.sum("n").alias("nt"), F.count(F.lit(1)).alias("k")
+    )
+    p = F.col("n") / F.col("nt").cast("double")
+    terms = counts.join(tot, "user_id").select(
+        "user_id", "k", (p * F.round(F.log(p), 6)).alias("term")
+    )
+    return (
+        terms.groupBy("user_id", "k")
+        .agg(F.round(-F.sum("term"), 4).alias("entropy"))
+        .select(
+            "user_id",
+            F.col("k").cast("long").alias("n_types"),
+            "entropy",
+            F.when(
+                F.col("k") > 1,
+                F.round(
+                    F.col("entropy") / F.round(F.log(F.col("k").cast("double")), 6), 4
+                ),
+            ).alias("norm_entropy"),
+        )
+    )
