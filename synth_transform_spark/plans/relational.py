@@ -1857,3 +1857,100 @@ def q163_boolean_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.struct(price_r, F.col("o_orderkey"))
         ).alias("cheapest_order"),
     )
+
+
+# --------------------------------------------------------------------------
+# q171 — percent-of-parent in the hierarchy: every node's inclusive
+# subtree revenue as a share of its parent's. Composes the q149 closure
+# (same derived forest) — the drill-down metric a BOM/org rollup UI
+# shows next to each branch.
+# --------------------------------------------------------------------------
+@register(
+    "q171_percent_of_parent",
+    oracle="""
+WITH RECURSIVE nodes AS (
+    SELECT o_orderkey AS node, o_totalprice AS price,
+           CASE WHEN o_orderkey % 3 <> 0 THEN o_orderkey // 8
+                ELSE o_orderkey // 9 END AS parent
+    FROM orders WHERE o_orderkey >= 1
+),
+walk AS (
+    SELECT node, parent AS anc FROM nodes WHERE parent >= 1
+    UNION ALL
+    SELECT w.node, n.parent AS anc
+    FROM walk w JOIN nodes n ON n.node = w.anc
+    WHERE n.parent >= 1
+),
+incl AS (
+    SELECT n.node,
+           ROUND(n.price + COALESCE(d.s, 0), 4) AS incl_rev
+    FROM nodes n
+    LEFT JOIN (
+        SELECT w.anc AS node, SUM(x.price) AS s
+        FROM walk w JOIN nodes x ON x.node = w.node
+        GROUP BY w.anc
+    ) d ON d.node = n.node
+)
+SELECT c.node, n.parent,
+       c.incl_rev,
+       ROUND(c.incl_rev / p.incl_rev, 4) AS share_of_parent
+FROM nodes n
+JOIN incl c ON c.node = n.node
+JOIN incl p ON p.node = n.parent
+WHERE n.parent >= 1
+""",
+    tags=("hierarchy", "graph", "A1"),
+)
+def q171_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusive subtree revenue share of the parent, per node of the
+    q149 forest. One closure (pointer doubling), one per-ancestor sum,
+    one parent self-join on node ids — the shares divide pre-rounded
+    inclusive revenues. Iterative (closure rounds execute at build)."""
+    from ..operators.graph import ancestor_closure
+
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") >= 1)
+    nodes = orders.select(
+        F.col("o_orderkey").alias("node"),
+        F.col("o_totalprice").alias("price"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.floor(F.col("o_orderkey") / 8)
+        )
+        .otherwise(F.floor(F.col("o_orderkey") / 9))
+        .alias("parent"),
+    )
+    edges = nodes.select(
+        "node", F.when(F.col("parent") >= 1, F.col("parent")).alias("parent")
+    )
+    closure = ancestor_closure(edges, n_rounds=4)
+    desc_sum = (
+        closure.join(
+            nodes.select(F.col("node").alias("d_node"), "price"),
+            closure["node"] == F.col("d_node"),
+        )
+        .groupBy(F.col("anc").alias("s_node"))
+        .agg(F.sum("price").alias("s"))
+    )
+    incl = nodes.join(
+        desc_sum, nodes["node"] == desc_sum["s_node"], "left"
+    ).select(
+        "node",
+        "parent",
+        F.round(F.col("price") + F.coalesce(F.col("s"), F.lit(0.0)), 4).alias(
+            "incl_rev"
+        ),
+    )
+    parents = incl.select(
+        F.col("node").alias("p_node"), F.col("incl_rev").alias("p_incl")
+    )
+    return (
+        incl.filter(F.col("parent") >= 1)
+        .join(parents, F.col("parent") == F.col("p_node"))
+        .select(
+            "node",
+            "parent",
+            "incl_rev",
+            F.round(F.col("incl_rev") / F.col("p_incl"), 4).alias(
+                "share_of_parent"
+            ),
+        )
+    )

@@ -52,6 +52,7 @@ HEAVY_EXECUTING = {
     "q145_streaming_first_event",  # streaming replay at build time
     "q147_kmeans",  # iterative Lloyd rounds: plan build runs jobs
     "q149_hierarchy_rollup",  # iterative doubling rounds: plan build runs jobs
+    "q171_percent_of_parent",  # iterative doubling rounds: plan build runs jobs
 }
 
 
