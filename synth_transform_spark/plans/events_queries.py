@@ -1713,3 +1713,53 @@ def q170_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_entropy"),
         )
     )
+
+
+@register(
+    "q172_dead_letter_routing",
+    # The validate-and-route pattern: every record gets a disposition
+    # ('ok' or a FIRST-failing-rule reason, priority-ordered) — the
+    # single-pass CASE ladder that fans a pipeline into main/dead-letter
+    # sinks without a second scan. Rules (tight enough that the synthetic
+    # corpus actually routes to several sinks): parseable props,
+    # k < 90, known event_type, value >= 1.
+    oracle="""
+SELECT CASE
+         WHEN TRY_CAST(props ->> '$.k' AS INT) IS NULL THEN 'bad_props'
+         WHEN TRY_CAST(props ->> '$.k' AS INT) NOT BETWEEN 0 AND 89 THEN 'k_range'
+         WHEN event_type NOT IN ('click','view','purchase','signup','error')
+           THEN 'unknown_type'
+         WHEN value < 1 THEN 'low_value'
+         ELSE 'ok'
+       END AS disposition,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY disposition
+""",
+    tags=("P1", "data-quality", "routing"),
+)
+def q172_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disposition counts for the validate-and-route stage. One CASE
+    ladder in codegen; a real pipeline writes the same expression to two
+    sinks with a persisted scan (rule priority = first match, so
+    multi-fault rows route deterministically)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS INT)")
+    disposition = (
+        F.when(k.isNull(), "bad_props")
+        .when(~k.between(0, 89), "k_range")
+        .when(
+            ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+            "unknown_type",
+        )
+        .when(F.col("value") < 1, "low_value")
+        .otherwise("ok")
+    )
+    return (
+        events.groupBy(disposition.alias("disposition"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -1279,3 +1279,55 @@ def q159_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             pos_weighted.alias("pos_weighted_len"),
         )
     )
+
+
+@register(
+    "q173_vocab_growth",
+    # Heaps-law diagnostic: distinct-vocabulary size after each batch of
+    # 50 documents (doc_id order) — the q150 first-touch trick applied
+    # to tokens: V(prefix) = |{tokens whose FIRST doc falls in or before
+    # the batch}|, one min-aggregate + a bounded triangle join; never a
+    # per-prefix distinct rescan.
+    oracle="""
+WITH firsts AS (
+    SELECT tok, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id,
+               UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+        FROM documents) t
+    GROUP BY tok
+),
+batches AS (
+    SELECT DISTINCT CAST(doc_id // 50 AS BIGINT) AS batch FROM documents
+),
+news AS (
+    SELECT CAST(first_doc // 50 AS BIGINT) AS batch, COUNT(*) AS n_new
+    FROM firsts GROUP BY batch
+)
+SELECT b.batch,
+       CAST(SUM(COALESCE(n.n_new, 0)) AS BIGINT) AS vocab_size
+FROM batches b LEFT JOIN news n ON n.batch <= b.batch
+GROUP BY b.batch
+""",
+    tags=("A10", "first-touch", "text-stats"),
+)
+def q173_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-token count per 50-doc ingest batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    firsts = (
+        docs.select(
+            "doc_id", F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    batches = docs.select(
+        F.floor(F.col("doc_id") / 50).cast("long").alias("batch")
+    ).distinct()
+    news = firsts.groupBy(
+        F.floor(F.col("first_doc") / 50).cast("long").alias("n_batch")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    return (
+        batches.join(F.broadcast(news), F.col("n_batch") <= F.col("batch"), "left")
+        .groupBy("batch")
+        .agg(F.sum(F.coalesce("n_new", F.lit(0))).cast("long").alias("vocab_size"))
+    )
