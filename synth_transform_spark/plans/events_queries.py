@@ -1763,3 +1763,205 @@ def q172_dead_letter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "q174_rolling_correlation",
+    # Rolling 24-hour Pearson correlation between two event types'
+    # hourly volumes — joint sufficient statistics (Σx, Σy, Σxy, Σx²,
+    # Σy²) over a frame of EXACT INTEGER counts, so every operand is
+    # order-proof int64 arithmetic and only the final quotient is
+    # floating. Window over the calendar-bounded hour relation (720
+    # rows), disclosed like q150/q158. Windows with <2 points or zero
+    # variance yield NULL.
+    oracle="""
+WITH hours AS (
+    SELECT TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY hr
+),
+win AS (
+    SELECT hr, x, y,
+           COUNT(*) OVER w AS n,
+           SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+           SUM(x * y) OVER w AS sxy,
+           SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+    FROM hours
+    WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT hr, x, y,
+       CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ROUND((n * sxy - sx * sy)
+                       / SQRT(CAST((n * sxx - sx * sx) AS DOUBLE)
+                              * (n * syy - sy * sy)), 4)
+       END AS corr_24h
+FROM win
+""",
+    tags=("A12", "timeseries", "W4"),
+)
+def q174_rolling_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    hours = events.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("hr").rowsBetween(-23, 0)
+    win = hours.select(
+        "hr",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return win.select(
+        "hr",
+        "x",
+        "y",
+        F.when(
+            (F.col("n") >= 2) & (vx > 0) & (vy > 0),
+            F.round(cov / F.sqrt(vx.cast("double") * vy), 4),
+        ).alias("corr_24h"),
+    )
+
+
+@register(
+    "q175_ab_test",
+    # Two-sample z: doc-parity cohorts of purchase values, pooled
+    # standard error, z statistic. Means divide pre-rounded sums by
+    # exact counts; variances come from (Σv, Σv², n) with Σ's rounded
+    # before the algebra — both engines run identical-operand math.
+    oracle="""
+WITH tagged AS (
+    SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS cohort, value
+    FROM events WHERE event_type = 'purchase'
+),
+stats AS (
+    SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sv,
+           ROUND(SUM(value * value), 4) AS svv
+    FROM tagged GROUP BY cohort
+),
+wide AS (
+    SELECT
+      MAX(CASE WHEN cohort = 'A' THEN n END) AS na,
+      MAX(CASE WHEN cohort = 'A' THEN sv END) AS sva,
+      MAX(CASE WHEN cohort = 'A' THEN svv END) AS svva,
+      MAX(CASE WHEN cohort = 'B' THEN n END) AS nb,
+      MAX(CASE WHEN cohort = 'B' THEN sv END) AS svb,
+      MAX(CASE WHEN cohort = 'B' THEN svv END) AS svvb
+    FROM stats
+)
+SELECT na, nb,
+       ROUND(sva / na, 4) AS mean_a,
+       ROUND(svb / nb, 4) AS mean_b,
+       ROUND((sva / na - svb / nb)
+             / SQRT((svva / na - (sva / na) * (sva / na)) / na
+                    + (svvb / nb - (svb / nb) * (svb / nb)) / nb), 4) AS z_stat
+FROM wide
+""",
+    tags=("A12", "ab-test"),
+)
+def q175_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    tagged = events.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("cohort"),
+        "value",
+    )
+    stats = tagged.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sv"),
+        F.round(F.sum(F.col("value") * F.col("value")), 4).alias("svv"),
+    )
+    wide = stats.agg(
+        F.max(F.when(F.col("cohort") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("cohort") == "A", F.col("sv"))).alias("sva"),
+        F.max(F.when(F.col("cohort") == "A", F.col("svv"))).alias("svva"),
+        F.max(F.when(F.col("cohort") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("cohort") == "B", F.col("sv"))).alias("svb"),
+        F.max(F.when(F.col("cohort") == "B", F.col("svv"))).alias("svvb"),
+    )
+    ma = F.col("sva") / F.col("na")
+    mb = F.col("svb") / F.col("nb")
+    va = (F.col("svva") / F.col("na") - ma * ma) / F.col("na")
+    vb = (F.col("svvb") / F.col("nb") - mb * mb) / F.col("nb")
+    return wide.select(
+        "na",
+        "nb",
+        F.round(ma, 4).alias("mean_a"),
+        F.round(mb, 4).alias("mean_b"),
+        F.round((ma - mb) / F.sqrt(va + vb), 4).alias("z_stat"),
+    )
+
+
+@register(
+    "q176_time_to_convert",
+    # Signup→first-purchase latency distribution: per converting user
+    # the exact integer-second delta between first signup and first
+    # subsequent purchase, then exact quantiles over integer seconds
+    # (q136's exactness argument: quartile interpolation on integers is
+    # dyadic — no ulp knife-edge).
+    oracle="""
+WITH first_signup AS (
+    SELECT user_id, MIN(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+first_purchase AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts
+    FROM events e JOIN first_signup s
+      ON s.user_id = e.user_id AND e.ts > s.s_ts
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+),
+deltas AS (
+    SELECT CAST(EPOCH(DATE_TRUNC('second', p.p_ts)) AS BIGINT)
+           - CAST(EPOCH(DATE_TRUNC('second', s.s_ts)) AS BIGINT) AS dt
+    FROM first_signup s JOIN first_purchase p ON p.user_id = s.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       QUANTILE_CONT(dt, 0.25) AS p25_sec,
+       QUANTILE_CONT(dt, 0.50) AS p50_sec,
+       QUANTILE_CONT(dt, 0.75) AS p75_sec
+FROM deltas
+""",
+    tags=("temporal", "funnel", "A12"),
+)
+def q176_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    fs = events.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("s_ts")
+    )
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(fs, "user_id")
+        .filter(F.col("ts") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    deltas = fs.join(fp, "user_id").select(
+        (F.col("p_ts").cast("long") - F.col("s_ts").cast("long")).alias("dt")
+    )
+    pct = F.expr("percentile(dt, array(0.25D, 0.5D, 0.75D))")
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        pct[0].alias("p25_sec"),
+        pct[1].alias("p50_sec"),
+        pct[2].alias("p75_sec"),
+    )
