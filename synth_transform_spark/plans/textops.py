@@ -1331,3 +1331,55 @@ def q173_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("batch")
         .agg(F.sum(F.coalesce("n_new", F.lit(0))).cast("long").alias("vocab_size"))
     )
+
+
+@register(
+    "q177_token_spans_gate",
+    # The UDTF surface under the hash gate: LATERAL token_spans over the
+    # corpus, rolled up per doc. The corpus text is single-spaced
+    # (verified), so the oracle reconstructs each token's character
+    # offset as cumsum(previous lengths + separators) — checking the
+    # UDTF's scan arithmetic byte-for-byte, not just row counts.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(STRING_SPLIT(text, ' ')) AS tok,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS i
+    FROM documents
+),
+offs AS (
+    SELECT doc_id, tok, i,
+           CAST(COALESCE(SUM(LENGTH(tok) + 1) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(start) AS BIGINT) AS sum_start,
+       CAST(SUM(LENGTH(tok)) AS BIGINT) AS sum_len
+FROM offs
+GROUP BY doc_id
+""",
+    tags=("F23", "udtf"),
+)
+def q177_token_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc span statistics produced by the TokenSpans UDTF (LATERAL
+    table-function call), aggregated relationally — declared-Python
+    expansion, JVM-side rollup."""
+    from ..functions.udtfs import TokenSpans
+
+    spark.udtf.register("token_spans", TokenSpans)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_q177_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(s.start) AS BIGINT) AS sum_start,
+               CAST(SUM(s.end - s.start) AS BIGINT) AS sum_len
+        FROM _q177_docs d, LATERAL token_spans(d.text) AS s
+        GROUP BY d.doc_id
+        """
+    )

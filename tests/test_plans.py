@@ -60,6 +60,7 @@ def test_relational_paths_have_no_python_udf(spark):
     """Every §2 relational query stays JVM-side (no BatchEvalPython /
     ArrowEvalPython); Python appears only in declared mapInPandas stages."""
     python_ok = {
+        "q177_token_spans_gate",  # declared UDTF stage
         "q35_frame_sample",
         "q36_byte_histogram",
         "q37_decoded_intensity",
