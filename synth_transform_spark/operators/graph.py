@@ -252,3 +252,61 @@ def ancestor_closure(
         )
         c = c.union(longer).distinct().localCheckpoint(eager=True)
     return c
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    src_col: str = "s",
+    dst_col: str = "d",
+    weight_col: str = "w",
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with edge weights: contributions split by weight share
+    instead of 1/outdegree —
+        rank(v) ← (1−d)/N + d · Σ_{(u,v)} rank(u) · w(u,v)/W(u)
+    where W(u) is u's total out-weight. Same fixed-iteration /
+    checkpoint-per-round contract as ``pagerank`` (the oracle chains
+    identical rounds); weight SHARES are rounded to 6dp once up front so
+    both engines propagate identical coefficients.
+
+    Scale: identical shuffle profile to the unweighted operator — one
+    extra broadcast-sized nothing (the share is precomputed on the edge
+    relation itself).
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d"), F.col(weight_col).alias("w")
+    ).localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    outw = e.groupBy("s").agg(F.sum("w").alias("tw"))
+    shared = (
+        e.join(outw, "s")
+        .select("s", "d", F.round(F.col("w") / F.col("tw"), 6).alias("share"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contrib = (
+            shared.join(ranks, shared["s"] == ranks["node"])
+            .select(F.col("d"), (F.col("rank") * F.col("share")).alias("c"))
+            .groupBy("d")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["d"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -561,3 +561,75 @@ def q135_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d")))
     cores = graph.kcore(sym, k=2, n_rounds=4)
     return cores.select(F.col("node").alias("doc_id"), "degree")
+
+
+def _weighted_pagerank_ctes(n_iter: int = 3, damping: float = 0.85) -> str:
+    """CTE chain from ``dups`` (id_a, id_b, jaccard) to ``wit{n}`` —
+    jaccard-weighted rank propagation, shares pre-rounded to 6dp exactly
+    like operators/graph.weighted_pagerank."""
+    head = """
+wedges AS (
+    SELECT id_a AS s, id_b AS d, jaccard AS w FROM dups
+    UNION ALL
+    SELECT id_b AS s, id_a AS d, jaccard AS w FROM dups
+),
+wnodes AS (SELECT DISTINCT s AS node FROM wedges),
+wnn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wnodes),
+woutw AS (SELECT s, SUM(w) AS tw FROM wedges GROUP BY s),
+wshared AS (
+    SELECT e.s, e.d, ROUND(e.w / o.tw, 6) AS share
+    FROM wedges e JOIN woutw o ON o.s = e.s
+),
+wit0 AS (SELECT node, 1.0 / wnn.n AS rank FROM wnodes CROSS JOIN wnn)"""
+    its = []
+    prev = "wit0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+wit{i} AS (
+    SELECT n.node,
+           (1.0 - {damping}) / wnn.n
+           + {damping} * COALESCE(SUM(r.rank * e.share), 0) AS rank
+    FROM wnodes n CROSS JOIN wnn
+    LEFT JOIN wshared e ON e.d = n.node
+    LEFT JOIN {prev} r ON r.node = e.s
+    GROUP BY n.node, wnn.n
+)""")
+        prev = f"wit{i}"
+    return head + "," + ",".join(its)
+
+
+@register(
+    "q178_weighted_pagerank",
+    # Jaccard-weighted centrality over the near-dup graph: strong
+    # near-dups pull rank harder than borderline pairs — the weighted
+    # refinement of q82. Weight shares pre-rounded to 6dp on both
+    # engines, ranks to 4dp after three chained rounds.
+    oracle=f"""
+WITH {_minhash_ctes()},
+{_weighted_pagerank_ctes(n_iter=3, damping=0.85)}
+SELECT node AS doc_id, ROUND(rank, 4) AS wrank FROM wit3
+""",
+    tags=("graph", "dedup-clusters"),
+)
+def q178_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the verified near-dup pairs, edge weight =
+    verified jaccard. Iterative (checkpointed rounds)."""
+    import pyspark.sql.functions as F
+
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select(
+        "id_a", "id_b", "jaccard"
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("s"), F.col("id_b").alias("d"), F.col("jaccard").alias("w")
+    ).union(
+        pairs.select(
+            F.col("id_b").alias("s"), F.col("id_a").alias("d"), F.col("jaccard").alias("w")
+        )
+    )
+    ranks = graph.weighted_pagerank(sym, n_iter=3, damping=0.85)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 4).alias("wrank")
+    )

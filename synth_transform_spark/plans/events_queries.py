@@ -1965,3 +1965,51 @@ def q176_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct[1].alias("p50_sec"),
         pct[2].alias("p75_sec"),
     )
+
+
+@register(
+    "q179_top_event_paths",
+    # Top-10 three-step behavioural paths: double LEAD over per-user
+    # sequences, counted and ranked with a lexicographic tie-break —
+    # the path-mining extension of q154's transition matrix.
+    oracle="""
+WITH seq AS (
+    SELECT event_type AS e1,
+           LEAD(event_type, 1) OVER w AS e2,
+           LEAD(event_type, 2) OVER w AS e3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+paths AS (
+    SELECT e1, e2, e3, COUNT(*) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY e1, e2, e3
+)
+SELECT e1, e2, e3, CAST(n AS BIGINT) AS n
+FROM (
+    SELECT e1, e2, e3, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, e1 ASC, e2 ASC, e3 ASC) AS rk
+    FROM paths) t
+WHERE rk <= 10
+""",
+    tags=("W2", "sequence", "path-mining"),
+)
+def q179_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common 3-event paths across all user sequences. The final
+    top-10 ranks the ≤|types|³ path relation (125 rows) — bounded, like
+    every model-table window in this family."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        paths.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+        .limit(10)
+        .select("e1", "e2", "e3", F.col("n").cast("long").alias("n"))
+    )

@@ -53,6 +53,7 @@ HEAVY_EXECUTING = {
     "q147_kmeans",  # iterative Lloyd rounds: plan build runs jobs
     "q149_hierarchy_rollup",  # iterative doubling rounds: plan build runs jobs
     "q171_percent_of_parent",  # iterative doubling rounds: plan build runs jobs
+    "q178_weighted_pagerank",  # iterative rank rounds: plan build runs jobs
 }
 
 
