@@ -10,6 +10,7 @@ from . import (  # noqa: F401
     dedup_queries,
     events_queries,
     incremental_queries,
+    linkage_queries,
     multimodal_queries,
     nested_queries,
     pipeline_parity_queries,

@@ -1,0 +1,140 @@
+"""Entity-resolution queries: Fellegi–Sunter linkage + golden records.
+
+The reference's identity matching is single-field fuzzy thresholds
+(/root/reference/synth/resources.py:278,296,330 — ported exactly in q54);
+these queries layer the probabilistic generalisation on top: blocked pair
+scoring with per-field log-likelihood weights (q180), then survivorship —
+clusters → one canonical merged record per entity (q181).
+
+Both are fully deterministic (literal weights, exact levenshtein, argmax
+with explicit tie-breaks) so the DuckDB oracle hash-matches; the cluster
+step mirrors the Spark min-label fixpoint with a recursive reachability
+CTE (same algebra as q63).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import linkage
+from ..sources.readers import load_table
+from .registry import register
+
+_NA = linkage.NAME_W.agree
+_ND = linkage.NAME_W.disagree
+_BA = linkage.BAL_W.agree
+_BD = linkage.BAL_W.disagree
+
+#: Blocked pairs with per-field agreement flags and the summed FS score.
+#: Blocking key (nation, segment) keeps this an equi-join in both engines.
+_SCORED_PAIRS_CTE = f"""
+fs_pairs AS (
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CASE WHEN levenshtein(a.c_name, b.c_name) <= 2 THEN 1 ELSE 0 END AS name_agree,
+           CASE WHEN ABS(a.c_acctbal - b.c_acctbal) < 100.0 THEN 1 ELSE 0 END AS bal_agree
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND a.c_custkey < b.c_custkey
+),
+fs_scored AS (
+    SELECT id_a, id_b, name_agree, bal_agree,
+           ROUND(CASE WHEN name_agree = 1 THEN {_NA!r} ELSE {_ND!r} END
+               + CASE WHEN bal_agree = 1 THEN {_BA!r} ELSE {_BD!r} END, 4) AS score
+    FROM fs_pairs
+)
+"""
+
+
+@register(
+    "q180_record_linkage",
+    oracle=f"""
+WITH {_SCORED_PAIRS_CTE}
+SELECT id_a, id_b, name_agree, bal_agree, score,
+       CASE WHEN score >= {linkage.MATCH_THRESHOLD!r} THEN 'match'
+            WHEN score >= {linkage.POSSIBLE_THRESHOLD!r} THEN 'possible'
+            ELSE 'non_match' END AS decision
+FROM fs_scored
+WHERE score >= {linkage.POSSIBLE_THRESHOLD!r}
+""",
+    tags=("linkage", "J13", "F15", "entity-resolution"),
+)
+def q180_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record linkage over (nation, segment)-blocked
+    customer pairs: per-field agreement → summed log2(m/u) weights →
+    match / possible decision. All comparisons are JVM expressions inside
+    one blocked self-join (operators/linkage.py)."""
+    customer = load_table(spark, sf_dir, "customer")
+    return linkage.score_customer_pairs(customer)
+
+
+@register(
+    "q181_golden_records",
+    oracle=f"""
+WITH RECURSIVE {_SCORED_PAIRS_CTE},
+matched AS (
+    SELECT id_a, id_b FROM fs_scored WHERE score >= {linkage.MATCH_THRESHOLD!r}
+),
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM matched
+    UNION
+    SELECT id_b AS s, id_a AS d FROM matched
+),
+reach(s, d) AS (
+    SELECT s, d FROM edges
+    UNION
+    SELECT r.s, e.d FROM reach r JOIN edges e ON e.s = r.d
+),
+lab AS (
+    SELECT s AS custkey, LEAST(s, MIN(d)) AS entity_id FROM reach GROUP BY s
+),
+members AS (
+    SELECT l.entity_id, c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+    FROM lab l JOIN customer c ON c.c_custkey = l.custkey
+),
+ranked AS (
+    SELECT entity_id, c_name,
+           ROW_NUMBER() OVER (
+               PARTITION BY entity_id ORDER BY c_acctbal DESC, c_custkey ASC
+           ) AS rn
+    FROM members
+),
+merged AS (
+    SELECT entity_id,
+           COUNT(*) AS n_members,
+           ROUND(MAX(c_acctbal), 4) AS max_acctbal,
+           ROUND(SUM(c_acctbal), 4) AS total_acctbal,
+           STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM members
+    GROUP BY entity_id
+)
+SELECT m.entity_id, m.n_members, r.c_name AS canonical_name,
+       m.max_acctbal, m.total_acctbal, m.segments
+FROM merged m
+JOIN ranked r ON r.entity_id = m.entity_id AND r.rn = 1
+""",
+    tags=("linkage", "survivorship", "A4", "U4"),
+)
+def q181_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: q180's match pairs → connected components → one golden
+    record per entity (canonical name = argmax balance, merged numerics,
+    segment roster). Iterative cluster step — builds jobs, not a lazy
+    plan (operators/graph.py)."""
+    customer = load_table(spark, sf_dir, "customer")
+    import pyspark.sql.functions as F
+
+    matched = (
+        linkage.score_customer_pairs(customer)
+        .filter(F.col("decision") == "match")
+        .select("id_a", "id_b")
+    )
+    out = linkage.golden_records(customer, matched)
+    return out.select(
+        "entity_id",
+        "n_members",
+        "canonical_name",
+        "max_acctbal",
+        "total_acctbal",
+        "segments",
+    )

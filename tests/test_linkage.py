@@ -1,0 +1,72 @@
+"""Fellegi–Sunter linkage + survivorship semantics (operators/linkage.py)."""
+
+from __future__ import annotations
+
+import math
+
+from synth_transform_spark.operators import linkage
+
+
+def _mini_customers(spark):
+    rows = [
+        # block (1, 'A'): two near-identical names w/ close balances → match
+        (1, "Customer#000000001", 1, "A", 100.0),
+        (2, "Customer#000000002", 1, "A", 150.0),
+        # same block, name far off → bal-only agreement → non_match
+        (3, "Zebra#999", 1, "A", 120.0),
+        # different block: never paired with the above
+        (4, "Customer#000000001", 2, "A", 100.0),
+        # block (1,'B'): name-agree only → possible
+        (5, "Customer#000000005", 1, "B", 0.0),
+        (6, "Customer#000000006", 1, "B", 5000.0),
+    ]
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int, c_mktsegment string, c_acctbal double"
+    )
+
+
+def test_fs_decisions(spark):
+    out = {
+        (r.id_a, r.id_b): r
+        for r in linkage.score_customer_pairs(_mini_customers(spark)).collect()
+    }
+    assert out[(1, 2)].decision == "match"
+    assert out[(5, 6)].decision == "possible"
+    # bal-only agreement scores negative → filtered out entirely
+    assert (1, 3) not in out and (2, 3) not in out
+    # cross-block pair never generated
+    assert (1, 4) not in out
+    exp = round(linkage.NAME_W.agree + linkage.BAL_W.agree, 4)
+    assert math.isclose(out[(1, 2)].score, exp)
+
+
+def test_weights_are_log_likelihood_ratios():
+    w = linkage.FieldWeight(m=0.9, u=0.1)
+    assert math.isclose(w.agree, math.log2(9.0))
+    assert math.isclose(w.disagree, math.log2(0.1 / 0.9))
+
+
+def test_golden_record_argmax_tiebreak(spark):
+    cust = spark.createDataFrame(
+        [
+            (1, "low", 1, "A", 10.0),
+            (2, "hi-young", 1, "A", 99.0),
+            (3, "hi-old", 1, "A", 99.0),
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_mktsegment string, c_acctbal double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = linkage.golden_records(cust, pairs).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert g.entity_id == 1 and g.n_members == 3
+    # max balance wins; tie broken toward the LOWER custkey (id 2)
+    assert g.canonical_name == "hi-young"
+    assert g.max_acctbal == 99.0 and g.total_acctbal == 208.0
+    assert g.segments == "A"
+
+
+def test_scoring_plan_stays_jvm_side(spark):
+    df = linkage.score_customer_pairs(_mini_customers(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

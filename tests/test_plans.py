@@ -54,6 +54,7 @@ HEAVY_EXECUTING = {
     "q149_hierarchy_rollup",  # iterative doubling rounds: plan build runs jobs
     "q171_percent_of_parent",  # iterative doubling rounds: plan build runs jobs
     "q178_weighted_pagerank",  # iterative rank rounds: plan build runs jobs
+    "q181_golden_records",  # iterative cluster build at plan time
 }
 
 
