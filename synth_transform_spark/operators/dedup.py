@@ -512,3 +512,70 @@ def contamination(
         F.col("n_contam"),
         F.round(F.col("n_contam") / F.col("_n_sh"), 4).alias("contam_frac"),
     )
+
+
+def prefix_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (SSJoin/PPJoin
+    family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
+
+    Deterministic alternative to MinHash-LSH (`minhash_near_duplicates`):
+    no probabilistic candidate misses — the result EQUALS the all-pairs
+    Jaccard ≥ t answer, yet the join never touches the O(n²) pair space.
+
+    Order shingles globally by (document frequency ASC, shingle ASC) —
+    rarest first — and keep only each doc's first
+    ``p = |s| - ceil(t·|s|) + 1`` shingles as its *prefix*. Pigeonhole
+    guarantee: if J(A,B) ≥ t then ov(A,B) ≥ t·max(|A|,|B|), so the
+    lowest-ordered common shingle must sit inside BOTH prefixes — joining
+    prefix-to-prefix loses nothing. Rare-first ordering makes prefix
+    postings short (frequent shingles never land in a prefix unless a doc
+    is tiny), which is what bounds the candidate blow-up at corpus scale.
+
+    Shuffles: df count (keyed by shingle), per-doc rank (window bounded by
+    doc length), prefix self-join (keyed by shingle), then the candidate-
+    driven `jaccard_verify_arrays` — no stage touches all pairs. Skewed
+    postings (a rare shingle shared by a dup cluster) are exactly the
+    pairs we want; truly hot shingles are excluded by construction.
+    """
+    from ..caching import persist_tracked
+    from ..sources.readers import ensure_parallelism
+
+    doc_sh = persist_tracked(
+        shingle_arrays(ensure_parallelism(docs), id_col, text_col, n)
+    )
+    sh = doc_sh.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = (
+        sh.join(df_rel, "shingle")
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("_df", "shingle")
+            ),
+        )
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("_r") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    ).select(F.col(id_col), "shingle")
+    cands = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            on=[
+                F.col(f"a.shingle") == F.col(f"b.shingle"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)

@@ -633,3 +633,37 @@ def q178_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.round("rank", 4).alias("wrank")
     )
+
+
+@register(
+    "q182_prefix_jaccard_join",
+    # All-pairs ground truth — a STRICTLY STRONGER check than mirroring the
+    # prefix pipeline: the prefix-filter guarantee (rarest-first global
+    # order, p = |s| - ceil(t·|s|) + 1) makes the Spark result exactly the
+    # shared-shingle all-pairs answer at J ≥ t, so any candidate the
+    # prefix join missed would hash-mismatch here.
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ov
+    FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = ia
+JOIN sizes sb ON sb.doc_id = ib
+WHERE ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) >= 0.5
+""",
+    tags=("dedup-setsim", "A4", "prefix-filter"),
+)
+def q182_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 self-join via prefix filtering (PPJoin family) —
+    the deterministic, no-miss alternative to q27's MinHash-LSH. Candidates
+    come only from shared PREFIX shingles under a rarest-first global
+    order; verification is the same candidate-driven array_intersect as
+    q32 (operators/dedup.prefix_jaccard_join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.prefix_jaccard_join(docs, threshold=0.5)

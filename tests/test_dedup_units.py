@@ -56,3 +56,46 @@ def test_simhash_band_collision_is_lossless_at_default_distance(spark):
     )
     assert len(exhaustive) > 0, "fixture corpus must contain hamming<=3 pairs"
     assert set(zip(banded.id_a, banded.id_b)) == set(zip(exhaustive.id_a, exhaustive.id_b))
+
+
+def test_prefix_filter_prunes_but_loses_nothing(spark):
+    """Prefix-filter join (q182): candidates are a strict subset of the
+    shared-shingle pair space, yet the verified result equals the
+    brute-force all-pairs Jaccard answer on the fixture corpus."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from synth_transform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.prefix_jaccard_join(docs, threshold=0.5).collect()
+    }
+    # brute force: every shared-shingle pair, exact verify
+    sh = dedup.shingles(docs)
+    all_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    doc_sh = dedup.shingle_arrays(docs)
+    exp = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_verify_arrays(
+            all_pairs, doc_sh, threshold=0.5
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+    # and the result is far smaller than the shared-shingle pair space the
+    # brute-force path had to verify
+    assert len(got) < all_pairs.count()
