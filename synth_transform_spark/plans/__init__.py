@@ -6,6 +6,7 @@ twin the DuckDB harness runs on the same parquet tables.
 """
 
 from . import (  # noqa: F401
+    analytics_queries,
     corpus_dedup_queries,
     dedup_queries,
     events_queries,

@@ -1,0 +1,340 @@
+"""Round-5 analytics wave: DQ forensics, marketing attribution, ML mining.
+
+Three additions over the fixture tables, each fully deterministic and
+oracle-matched:
+
+- q183 Benford first-digit deviation — the classic forensic DQ test: per
+  order-priority class, a chi-square statistic of the observed leading-digit
+  distribution of o_totalprice against Benford's law P(d) = log10(1 + 1/d).
+- q184 multi-touch attribution — purchase revenue allocated to the
+  click/view touches in the preceding hour under first-touch, last-touch,
+  and linear models (the standard marketing-analytics trio), with
+  touchless purchases attributed to 'direct'.
+- q185 hard-negative mining — contrastive-training data prep: for each
+  query embedding, the nearest neighbours that carry a DIFFERENT label
+  (top-20 cosine candidates → drop same-label → keep 5 hardest).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.readers import load_table
+from .registry import register
+
+# --------------------------------------------------------------------------
+# q183 — Benford's-law leading-digit test per order priority.
+# Digit extraction is integer-exact (floor → string → first char); the
+# chi-square is the only float math and rounds to 4dp at the end.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q183_benford_deviation",
+    oracle="""
+WITH digits AS (
+    SELECT o_orderpriority AS priority,
+           SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS d
+    FROM orders
+),
+obs AS (
+    SELECT priority, d, COUNT(*) AS n_d
+    FROM digits GROUP BY priority, d
+),
+tot AS (
+    SELECT priority, CAST(SUM(n_d) AS BIGINT) AS n FROM obs GROUP BY priority
+)
+SELECT o.priority,
+       t.n AS n_orders,
+       ROUND(SUM(
+           POW(o.n_d - t.n * LOG10(1.0 + 1.0 / CAST(o.d AS INT)), 2)
+           / (t.n * LOG10(1.0 + 1.0 / CAST(o.d AS INT)))
+       ), 4) AS chi2
+FROM obs o JOIN tot t ON t.priority = o.priority
+GROUP BY o.priority, t.n
+""",
+    tags=("dq", "A6", "forensics"),
+)
+def q183_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford chi-square per priority class. Two keyed aggregations —
+    (priority, digit) counts with map-side partials, then a 9-row-per-group
+    rollup; the Benford expectation is a closed-form expression, no lookup
+    table to join."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        ).alias("d"),
+    )
+    obs = digits.groupBy("priority", "d").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = obs.groupBy("priority").agg(F.sum("n_d").alias("n"))
+    exp_d = F.col("n") * F.log10(1.0 + 1.0 / F.col("d").cast("int"))
+    return (
+        obs.join(tot, "priority")
+        .groupBy("priority", "n")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("n_d") - exp_d, 2) / exp_d), 4
+            ).alias("chi2")
+        )
+        .select("priority", F.col("n").alias("n_orders"), "chi2")
+    )
+
+
+# --------------------------------------------------------------------------
+# q184 — multi-touch attribution. Purchases pair with same-user click/view
+# touches in the preceding hour via the bucketed range-join idiom (bucket
+# width == window → each purchase probes exactly 2 buckets; the join stays
+# an equi-join on (user, bucket) at any scale — q50's argument). Per-pair
+# shares are rounded to 4dp BEFORE the final sum so micro-order of the
+# grid-aligned additions cannot move the rounded total.
+# --------------------------------------------------------------------------
+
+_ATTR_WINDOW_SEC = 3600
+
+
+@register(
+    "q184_multi_touch_attribution",
+    oracle=f"""
+WITH purchases AS (
+    SELECT event_id AS p_id, user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS p_sec,
+           value
+    FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT event_id AS t_id, user_id, event_type AS channel,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS t_sec
+    FROM events WHERE event_type IN ('click', 'view')
+),
+pairs AS (
+    SELECT p.p_id, p.value, t.channel, t.t_sec, t.t_id
+    FROM purchases p
+    JOIN touches t
+      ON t.user_id = p.user_id
+     AND t.t_sec BETWEEN p.p_sec - {_ATTR_WINDOW_SEC} AND p.p_sec
+),
+per_purchase AS (
+    SELECT p_id, CAST(COUNT(*) AS BIGINT) AS n_touch FROM pairs GROUP BY p_id
+),
+ranked AS (
+    SELECT p_id, value, channel,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_sec ASC, t_id ASC) AS rn_first,
+           ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_sec DESC, t_id DESC) AS rn_last
+    FROM pairs
+),
+first_touch AS (
+    SELECT channel, 'first_touch' AS model, SUM(ROUND(value, 4)) AS v
+    FROM ranked WHERE rn_first = 1 GROUP BY channel
+),
+last_touch AS (
+    SELECT channel, 'last_touch' AS model, SUM(ROUND(value, 4)) AS v
+    FROM ranked WHERE rn_last = 1 GROUP BY channel
+),
+linear AS (
+    SELECT pr.channel, 'linear' AS model,
+           SUM(ROUND(pr.value / pp.n_touch, 4)) AS v
+    FROM pairs pr JOIN per_purchase pp ON pp.p_id = pr.p_id
+    GROUP BY pr.channel
+),
+direct AS (
+    SELECT 'direct' AS channel, m.model, SUM(ROUND(p.value, 4)) AS v
+    FROM purchases p
+    CROSS JOIN (SELECT UNNEST(['first_touch', 'last_touch', 'linear']) AS model) m
+    WHERE NOT EXISTS (SELECT 1 FROM pairs pr WHERE pr.p_id = p.p_id)
+    GROUP BY m.model
+)
+SELECT channel, model, ROUND(v, 4) AS attributed
+FROM (
+    SELECT * FROM first_touch
+    UNION ALL SELECT * FROM last_touch
+    UNION ALL SELECT * FROM linear
+    UNION ALL SELECT * FROM direct
+)
+""",
+    tags=("temporal", "attribution", "J15"),
+)
+def q184_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear revenue attribution over the preceding-hour touch
+    window; touchless purchases land in 'direct'. The purchase↔touch pair
+    relation is built once (bucketed equi-join) and persisted for the three
+    model aggregations."""
+    from ..caching import persist_tracked
+
+    events = load_table(spark, sf_dir, "events")
+    w = _ATTR_WINDOW_SEC
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").cast("long").alias("p_sec"),
+        "value",
+    )
+    touches = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").cast("long").alias("t_sec"),
+    )
+    p_b = purchases.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("p_sec") - w) / w), F.floor(F.col("p_sec") / w)
+            )
+        ),
+    )
+    t_b = touches.withColumn("_bucket", F.floor(F.col("t_sec") / w))
+    pairs = persist_tracked(
+        p_b.join(t_b, ["user_id", "_bucket"])
+        .filter(F.col("t_sec").between(F.col("p_sec") - w, F.col("p_sec")))
+        .select("p_id", "value", "channel", "t_sec", "t_id")
+    )
+    per_purchase = pairs.groupBy("p_id").agg(F.count(F.lit(1)).alias("n_touch"))
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.col("t_sec").asc(), F.col("t_id").asc()
+    )
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.col("t_sec").desc(), F.col("t_id").desc()
+    )
+    ranked = pairs.withColumn("rn_first", F.row_number().over(w_first)).withColumn(
+        "rn_last", F.row_number().over(w_last)
+    )
+    first_touch = (
+        ranked.filter(F.col("rn_first") == 1)
+        .groupBy("channel")
+        .agg(F.sum(F.round("value", 4)).alias("v"))
+        .withColumn("model", F.lit("first_touch"))
+    )
+    last_touch = (
+        ranked.filter(F.col("rn_last") == 1)
+        .groupBy("channel")
+        .agg(F.sum(F.round("value", 4)).alias("v"))
+        .withColumn("model", F.lit("last_touch"))
+    )
+    linear = (
+        pairs.join(per_purchase, "p_id")
+        .groupBy("channel")
+        .agg(F.sum(F.round(F.col("value") / F.col("n_touch"), 4)).alias("v"))
+        .withColumn("model", F.lit("linear"))
+    )
+    models = spark.createDataFrame(
+        [("first_touch",), ("last_touch",), ("linear",)], "model string"
+    )
+    direct = (
+        purchases.join(pairs.select("p_id").distinct(), "p_id", "left_anti")
+        .agg(F.sum(F.round("value", 4)).alias("v"))
+        .crossJoin(F.broadcast(models))
+        .withColumn("channel", F.lit("direct"))
+    )
+    out = first_touch.unionByName(last_touch).unionByName(linear).unionByName(
+        direct.select("channel", "v", "model")
+    )
+    return out.select(
+        "channel", "model", F.round("v", 4).alias("attributed")
+    )
+
+
+# --------------------------------------------------------------------------
+# q185 — hard-negative mining for contrastive training: nearest different-
+# label neighbours. Candidates come from the exact sharded top-k (q23's
+# operator, k=20) so no full re-rank is needed after the label filter.
+# --------------------------------------------------------------------------
+
+_HN_QUERIES = 5
+_HN_CAND_K = 20
+_HN_OUT_K = 5
+
+
+@register(
+    "q185_hard_negatives",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+    FROM embeddings WHERE vec_id < {_HN_QUERIES}
+),
+qflat AS (
+    SELECT query_id, CAST(UNNEST(q_vec) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(q_vec, 1) AS i
+    FROM q
+),
+vflat AS (
+    SELECT vec_id AS neighbor_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (
+    SELECT neighbor_id AS vid, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY neighbor_id
+),
+dots AS (
+    SELECT qf.query_id, vf.neighbor_id, SUM(qf.x * vf.x) AS dot
+    FROM qflat qf JOIN vflat vf ON vf.i = qf.i
+    WHERE qf.query_id <> vf.neighbor_id
+    GROUP BY qf.query_id, vf.neighbor_id
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 4) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vid = d.query_id
+    JOIN norms nv ON nv.vid = d.neighbor_id
+),
+cand AS (
+    SELECT query_id, neighbor_id, cosine
+    FROM (
+        SELECT query_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+               ) AS rk
+        FROM scored
+    ) WHERE rk <= {_HN_CAND_K}
+),
+neg AS (
+    SELECT c.query_id, c.neighbor_id, c.cosine,
+           e.label AS neg_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.query_id ORDER BY c.cosine DESC, c.neighbor_id ASC
+           ) AS rk
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.neighbor_id
+    JOIN q ON q.query_id = c.query_id
+    WHERE e.label <> q.q_label
+)
+SELECT query_id, neighbor_id, cosine, neg_label
+FROM neg WHERE rk <= {_HN_OUT_K}
+""",
+    tags=("similarity", "training-prep", "contrastive"),
+)
+def q185_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hardest negatives (highest-cosine different-label neighbours)
+    per query vector, mined from the exact top-20 candidate set. The
+    candidate pass is the sharded two-phase top-k — no per-query global
+    funnel — and the label filter + re-rank touch only queries×20 rows."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _HN_QUERIES)
+    cand = similarity.cosine_topk(emb, queries, k=_HN_CAND_K)
+    labels = emb.select("vec_id", "label")
+    q_lab = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    neg = (
+        cand.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed(
+                "label", "neg_label"
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q_lab), "query_id")
+        .filter(F.col("neg_label") != F.col("q_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        neg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _HN_OUT_K)
+        .select("query_id", "neighbor_id", "cosine", "neg_label")
+    )
