@@ -641,3 +641,123 @@ def q139_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", F.col("event_type").alias("state_at"), "valid_from", "version"
     )
+
+
+# ---------------------------------------------------------------------------
+# q186/q187 — BPE tokenizer training (operators/bpe.py). The oracle unrolls
+# the same merge algebra as K MATERIALIZED CTE blocks (plain CTEs would be
+# re-inlined at every reference and the tree grows ~5^K); MATERIALIZED is
+# exactly DuckDB's analogue of the Spark side's per-round localCheckpoint.
+# ---------------------------------------------------------------------------
+
+_BPE_K = 6
+
+
+def _bpe_iteration_ctes(i: int) -> str:
+    """One merge round: s{i} -> best{i} (the argmax pair) and s{i+1}."""
+    return f"""
+p{i} AS MATERIALIZED (
+    SELECT word, n, pos, sym,
+           LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+    FROM s{i}
+),
+best{i} AS MATERIALIZED (
+    SELECT sym AS lft, nxt AS rgt, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM p{i} WHERE nxt IS NOT NULL
+    GROUP BY sym, nxt
+    ORDER BY cnt DESC, lft ASC, rgt ASC
+    LIMIT 1
+),
+c{i} AS MATERIALIZED (
+    SELECT p.word, p.n, p.pos, p.sym, p.nxt,
+           CASE WHEN p.sym = b.lft AND p.nxt = b.rgt THEN 1 ELSE 0 END AS cand
+    FROM p{i} p CROSS JOIN best{i} b
+),
+k{i} AS MATERIALIZED (
+    SELECT word, pos FROM (
+        SELECT word, pos,
+               ROW_NUMBER() OVER (PARTITION BY word, pos - rn0 ORDER BY pos) AS rir
+        FROM (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS rn0
+            FROM c{i} WHERE cand = 1
+        )
+    ) WHERE rir % 2 = 1
+),
+m{i} AS MATERIALIZED (
+    SELECT c.word, c.n, c.pos,
+           CASE WHEN k.pos IS NOT NULL THEN c.sym || c.nxt ELSE c.sym END AS sym,
+           CASE WHEN kp.pos IS NOT NULL THEN 1 ELSE 0 END AS dropped
+    FROM c{i} c
+    LEFT JOIN k{i} k  ON k.word = c.word  AND k.pos = c.pos
+    LEFT JOIN k{i} kp ON kp.word = c.word AND kp.pos = c.pos - 1
+),
+s{i + 1} AS MATERIALIZED (
+    SELECT word, n, sym,
+           ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos
+    FROM m{i} WHERE dropped = 0
+)"""
+
+
+def _bpe_ctes(k: int) -> str:
+    parts = ["""
+wc AS MATERIALIZED (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS w
+        FROM documents
+    ) GROUP BY w
+),
+s0 AS MATERIALIZED (
+    SELECT word, n, UNNEST(STRING_SPLIT(word, '')) AS sym,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT(word, ''), 1) - 1 AS pos
+    FROM wc
+)"""]
+    parts += [_bpe_iteration_ctes(i) for i in range(k)]
+    return "WITH " + ",".join(parts)
+
+
+def _bpe_merge_select(k: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, lft AS left_sym, "
+        f"rgt AS right_sym, cnt AS pair_n FROM best{i}"
+        for i in range(k)
+    )
+
+
+@register(
+    "q186_bpe_merges",
+    oracle=f"""
+{_bpe_ctes(_BPE_K)}
+{_bpe_merge_select(_BPE_K)}
+""",
+    tags=("tokenizer", "training-prep", "iterative"),
+)
+def q186_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table ({_BPE_K} rounds over the corpus
+    vocabulary): (merge_rank, left_sym, right_sym, pair_n). Iterative —
+    one argmax collect (a single row) per round."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.merge_table(spark, bpe.train(docs, _BPE_K))
+
+
+@register(
+    "q187_bpe_segmentation",
+    oracle=f"""
+{_bpe_ctes(_BPE_K)}
+SELECT word, n, STRING_AGG(sym, ' ' ORDER BY pos) AS segmented,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM s{_BPE_K}
+GROUP BY word, n
+""",
+    tags=("tokenizer", "training-prep", "iterative"),
+)
+def q187_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-training vocabulary segmentation — what the trained tokenizer
+    emits per word: (word, corpus_count, space-joined subword tokens,
+    token count)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.vocab_segmentation(bpe.train(docs, _BPE_K))

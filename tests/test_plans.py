@@ -55,6 +55,8 @@ HEAVY_EXECUTING = {
     "q171_percent_of_parent",  # iterative doubling rounds: plan build runs jobs
     "q178_weighted_pagerank",  # iterative rank rounds: plan build runs jobs
     "q181_golden_records",  # iterative cluster build at plan time
+    "q186_bpe_merges",  # iterative merge rounds: plan build runs jobs
+    "q187_bpe_segmentation",  # iterative merge rounds: plan build runs jobs
 }
 
 
