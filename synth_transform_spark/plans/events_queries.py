@@ -9,7 +9,7 @@ streaming/events.py; batch evaluation here gives the oracle-checkable twin
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import windows
 from ..sources.readers import load_table
@@ -2013,3 +2013,118 @@ def q179_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("e1", "e2", "e3", F.col("n").cast("long").alias("n"))
     )
+
+
+@register(
+    "q189_activity_islands",
+    # Gaps-and-islands: each event opens a 300 s activity interval; merge
+    # overlapping intervals per user via the running-max-end flag, then
+    # count islands and total covered seconds. Integer epoch arithmetic
+    # end to end — no float in sight. Identical (s, e) ties cannot change
+    # the flagged count (the first of a tie group inherits the pre-group
+    # max; every later one sees an end >= its own start).
+    oracle="""
+WITH iv AS (
+    SELECT user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS s,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) + 300 AS e
+    FROM events
+),
+marked AS (
+    SELECT user_id, s, e,
+           CASE WHEN s > COALESCE(
+               MAX(e) OVER (
+                   PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), -1) THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING
+           ) AS island_id
+    FROM marked
+),
+agg AS (
+    SELECT user_id, island_id, MIN(s) AS start_s, MAX(e) AS end_s
+    FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(end_s - start_s) AS BIGINT) AS covered_sec
+FROM agg GROUP BY user_id
+""",
+    tags=("temporal", "W2", "gaps-islands"),
+)
+def q189_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged activity intervals per user (5-minute inactivity closes an
+    island): the classic gaps-and-islands pattern as two per-user windows
+    (bounded by a user's event count) and a keyed rollup."""
+    events = load_table(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 300).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn("island_id", F.sum("new_island").over(w_run))
+    agg = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("start_s"), F.max("e").alias("end_s")
+    )
+    return agg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("end_s") - F.col("start_s")).alias("covered_sec"),
+    )
+
+
+@register(
+    "q190_stream_static_enrich",
+    # Stream-static broadcast join — the standard streaming-enrichment
+    # pattern (dimension snapshot joined into every micro-batch without
+    # state). Executed as a real streaming job (availableNow -> memory
+    # sink, complete mode) like q107/q108; the oracle is the batch twin.
+    oracle="""
+SELECT n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e
+JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = e.user_id % 25
+GROUP BY n.n_name
+""",
+    tags=("streaming-enrich", "J1"),
+)
+def q190_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events enriched with the static nation dim (broadcast —
+    no stream-side state, re-read per micro-batch) and rolled up per
+    nation in complete mode."""
+    from ..streaming import events as se
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nk"), "n_name"
+    )
+    stream = se.read_events_stream(spark, sf_dir)
+    enriched = stream.withColumn("nk", F.col("user_id") % 25).join(
+        F.broadcast(nation), "nk"
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return se.run_available_now(agg, "q190_sink", output_mode="complete")

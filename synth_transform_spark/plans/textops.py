@@ -1383,3 +1383,86 @@ def q177_token_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
         """
     )
+
+
+@register(
+    "q188_bm25_retrieval",
+    # Lucene-style BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1));
+    # query = doc 0's distinct tokens (q118's convention). Scores round to
+    # 4dp BEFORE ranking; doc_id breaks ties.
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks GROUP BY doc_id, tok
+),
+dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+dfreq AS (
+    SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY tok
+),
+qtoks AS (
+    SELECT DISTINCT tok FROM toks WHERE doc_id = 0
+),
+scored AS (
+    SELECT t.doc_id,
+           SUM(
+               LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * t.tf * (1.2 + 1.0)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
+           ) AS score
+    FROM tf t
+    JOIN qtoks q ON q.tok = t.tok
+    JOIN dfreq d ON d.tok = t.tok
+    JOIN dl l ON l.doc_id = t.doc_id
+    CROSS JOIN stats s
+    WHERE t.doc_id <> 0
+    GROUP BY t.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scored
+ORDER BY ROUND(score, 4) DESC, doc_id ASC
+LIMIT 10
+""",
+    tags=("search", "A8", "ranking"),
+)
+def q188_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus for doc 0's token set — the
+    scoring layer the inverted index (q65) feeds. Term stats (tf, df,
+    doc length, avgdl) are keyed aggregations with map-side partials; the
+    query-token relation is tiny and broadcast; the top-10 executes as
+    TakeOrderedAndProject (no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    dfreq = toks.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qtoks = toks.filter(F.col("doc_id") == 0).select("tok").distinct()
+    k1, b = 1.2, 0.75
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(qtoks), "tok")
+        .join(dfreq, "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != 0)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)

@@ -57,6 +57,7 @@ HEAVY_EXECUTING = {
     "q181_golden_records",  # iterative cluster build at plan time
     "q186_bpe_merges",  # iterative merge rounds: plan build runs jobs
     "q187_bpe_segmentation",  # iterative merge rounds: plan build runs jobs
+    "q190_stream_static_enrich",  # streaming replay at build time
 }
 
 
