@@ -761,3 +761,150 @@ def q187_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe.vocab_segmentation(bpe.train(docs, _BPE_K))
+
+
+# ---------------------------------------------------------------------------
+# q191 — T5-style span corruption (operators/seqprep.span_corrupt): the
+# pretraining-pair generator. Mask decisions are md5-derived per 3-token
+# chunk (first hex digit in 0-2 → ~19% corruption), sentinels number
+# masked chunks in order, and input/target assemble with ordered rollups.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q191_span_corruption",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, tok, pos, pos // 3 AS grp FROM (
+        SELECT doc_id, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) - 1 AS pos
+        FROM (SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+              FROM documents)
+    )
+),
+sent AS (
+    SELECT doc_id, grp,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k
+    FROM (SELECT DISTINCT doc_id, grp FROM toks)
+    WHERE SUBSTR(MD5(doc_id || '_' || grp), 1, 1) IN ('0', '1', '2')
+),
+tt AS (
+    SELECT t.doc_id, t.pos, t.tok, t.grp, s.k
+    FROM toks t LEFT JOIN sent s ON s.doc_id = t.doc_id AND s.grp = t.grp
+),
+inp AS (
+    SELECT doc_id, STRING_AGG(piece, ' ' ORDER BY pos) AS input_text
+    FROM (
+        SELECT doc_id, pos,
+               CASE WHEN k IS NULL THEN tok
+                    WHEN pos % 3 = 0 THEN '<extra_id_' || k || '>'
+               END AS piece
+        FROM tt
+    ) WHERE piece IS NOT NULL
+    GROUP BY doc_id
+),
+spans AS (
+    SELECT doc_id, k,
+           '<extra_id_' || k || '> ' || STRING_AGG(tok, ' ' ORDER BY pos) AS span
+    FROM tt WHERE k IS NOT NULL
+    GROUP BY doc_id, k
+),
+tgt AS (
+    SELECT doc_id, STRING_AGG(span, ' ' ORDER BY k) AS target_text,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY doc_id
+)
+SELECT i.doc_id, i.input_text,
+       COALESCE(t.target_text, '') AS target_text,
+       COALESCE(t.n_spans, 0) AS n_spans
+FROM inp i LEFT JOIN tgt t ON t.doc_id = i.doc_id
+""",
+    tags=("training-prep", "tokenizer", "F23"),
+)
+def q191_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5 denoising pairs over the corpus: (doc_id,
+    input_text with sentinels, target_text, n_spans)."""
+    from ..operators import seqprep
+
+    docs = load_table(spark, sf_dir, "documents")
+    return seqprep.span_corrupt(docs)
+
+
+# ---------------------------------------------------------------------------
+# q192 — preference-pair assembly (DPO/RLHF reward-data shape): per source,
+# pair the k-th highest-quality doc with the k-th lowest (k <= 5), keeping
+# only strictly-ordered pairs. Quality = the rounded distinct_ratio from
+# q24's scorer, doc_id tie-breaks both rankings.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q192_preference_pairs",
+    oracle="""
+WITH scored AS (
+    SELECT d.doc_id, d.source,
+           ROUND(CAST(LEN(LIST_DISTINCT(toks)) AS DOUBLE) / LEN(toks), 4) AS score
+    FROM (SELECT doc_id, source,
+                 LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+          FROM documents) d
+),
+ranked AS (
+    SELECT source, doc_id, score,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk_top,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY score ASC, doc_id DESC) AS rk_bot
+    FROM scored
+)
+SELECT t.source, CAST(t.rk_top AS BIGINT) AS pair_rank,
+       t.doc_id AS chosen_id, b.doc_id AS rejected_id,
+       t.score AS chosen_score, b.score AS rejected_score
+FROM ranked t
+JOIN ranked b ON b.source = t.source AND b.rk_bot = t.rk_top
+WHERE t.rk_top <= 5 AND t.score > b.score
+""",
+    tags=("training-prep", "preference", "O4"),
+)
+def q192_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chosen/rejected document pairs per source for preference training."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 4
+        ).alias("score"),
+    )
+    w_top = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    w_bot = Window.partitionBy("source").orderBy(
+        F.col("score").asc(), F.col("doc_id").desc()
+    )
+    ranked = scored.withColumn("rk_top", F.row_number().over(w_top)).withColumn(
+        "rk_bot", F.row_number().over(w_bot)
+    )
+    top = ranked.filter(F.col("rk_top") <= 5).select(
+        "source",
+        F.col("rk_top").cast("long").alias("pair_rank"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("score").alias("chosen_score"),
+    )
+    bot = ranked.select(
+        "source",
+        F.col("rk_bot").cast("long").alias("pair_rank"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        top.join(bot, ["source", "pair_rank"])
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            "source",
+            "pair_rank",
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+        )
+    )

