@@ -310,3 +310,47 @@ def weighted_pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Multi-source BFS over the undirected graph: (node, dist) with
+    dist = min hops from any source node, bounded by ``max_hops``.
+
+    Level-synchronous frontier expansion — the MapReduce-classic shape:
+    each round joins the CURRENT FRONTIER (only nodes first reached last
+    round, not the whole visited set) against the edge list, anti-joins
+    already-visited nodes, and checkpoints. Work per round is O(frontier
+    boundary × avg degree); rounds = max_hops. Skewed hubs fan in through
+    the groupBy's partial aggregation.
+
+    ``sources`` is a one-column (``node``) relation. Iterative — executes
+    jobs while building, like connected_components.
+    """
+    a = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    b = edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+    sym = a.union(b).distinct().localCheckpoint(eager=True)
+
+    visited = sources.select("node").distinct().withColumn(
+        "dist", F.lit(0).cast("long")
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier, sym["s"] == frontier["node"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -366,3 +366,49 @@ def audio_frame_energy(media: DataFrame, frame_size: int = 64) -> DataFrame:
     return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
         energies, _AUDIO_SCHEMA
     )
+
+
+_INTENSITY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("sum_b", LongType(), False),
+        StructField("flen", LongType(), False),
+    ]
+)
+
+
+def frame_intensities(media: DataFrame, frame_size: int = 64) -> DataFrame:
+    """Per-frame byte-intensity series: (doc_id, frame_idx, sum_b, flen).
+
+    The shot-boundary primitive: consumers derive an exact integer
+    milli-mean (``sum_b * 1000 div flen`` — dyadic for full frames, still
+    pure-integer for the short tail frame) and diff consecutive frames.
+    One Arrow pass over the payloads, no shuffle; numpy does the byte
+    summing vectorised per frame.
+    """
+    import numpy as np
+
+    def intensities(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums, lens = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                buf = np.frombuffer(payload, dtype=np.uint8)
+                n_frames = (len(buf) + frame_size - 1) // frame_size
+                for fi in range(n_frames):
+                    chunk = buf[fi * frame_size : (fi + 1) * frame_size]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    sums.append(int(chunk.sum()))
+                    lens.append(len(chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "sum_b": sums, "flen": lens}
+            )
+
+    from ..sources.readers import ensure_parallelism
+
+    return ensure_parallelism(media.select("doc_id", "payload")).mapInPandas(
+        intensities, _INTENSITY_SCHEMA
+    )

@@ -667,3 +667,47 @@ def q182_prefix_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     q32 (operators/dedup.prefix_jaccard_join)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.prefix_jaccard_join(docs, threshold=0.5)
+
+
+@register(
+    "q194_bfs_hops",
+    # Multi-source BFS (level-synchronous frontier expansion) from the
+    # lowest-id near-dup node: min-hop distance to every node within 4
+    # hops. The recursive oracle enumerates bounded walks; set-semantics
+    # UNION terminates despite cycles because dist is capped.
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+edges AS (
+    SELECT id_a AS s, id_b AS d FROM dups
+    UNION
+    SELECT id_b AS s, id_a AS d FROM dups
+),
+src AS (SELECT MIN(s) AS v FROM edges),
+walk(node, dist) AS (
+    SELECT v, 0 FROM src
+    UNION
+    SELECT e.d, w.dist + 1
+    FROM walk w JOIN edges e ON e.s = w.node
+    WHERE w.dist < 4
+)
+SELECT node AS doc_id, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+""",
+    tags=("graph", "dedup-clusters", "iterative"),
+)
+def q194_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hop distances from the lowest-id near-dup doc over the verified
+    pair graph (operators/graph.bfs_distances). Iterative — one frontier
+    join per hop, frontier-only work per round."""
+    import pyspark.sql.functions as F
+
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    nodes = pairs.select(F.col("id_a").alias("node")).union(
+        pairs.select(F.col("id_b").alias("node"))
+    )
+    src = nodes.agg(F.min("node").alias("node"))
+    dists = graph.bfs_distances(pairs, src, max_hops=4)
+    return dists.select(F.col("node").alias("doc_id"), "dist")

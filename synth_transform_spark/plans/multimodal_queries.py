@@ -230,3 +230,59 @@ def q140_audio_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_m.fi").alias("peak_frame"),
         F.round(F.col("_m.energy"), 4).alias("peak_energy"),
     )
+
+
+_CUT_THRESHOLD_MILLI = 3000
+
+
+@register(
+    "q193_scene_changes",
+    # Shot-boundary detection over the "video" payloads: per-frame integer
+    # milli-mean intensity (sum*1000 div len — exact in both engines),
+    # LAG-diff along the frame series, cut where |diff| > threshold. The
+    # oracle recomputes the byte sums char-wise (ASCII payloads) so the
+    # mapInPandas framing is cross-checked byte for byte.
+    oracle=f"""
+WITH chars AS (
+    SELECT doc_id, ASCII(UNNEST(STRING_SPLIT_REGEX(text, ''))) AS bv,
+           GENERATE_SUBSCRIPTS(STRING_SPLIT_REGEX(text, ''), 1) - 1 AS pos
+    FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+    SELECT doc_id, pos // 64 AS frame_idx,
+           CAST(SUM(bv) AS BIGINT) AS sum_b, CAST(COUNT(*) AS BIGINT) AS flen
+    FROM chars GROUP BY doc_id, pos // 64
+),
+milli AS (
+    SELECT doc_id, frame_idx, sum_b * 1000 // flen AS m FROM frames
+),
+diffs AS (
+    SELECT doc_id, frame_idx, m,
+           m - LAG(m) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS d
+    FROM milli
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(CASE WHEN ABS(d) > {_CUT_THRESHOLD_MILLI} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_cuts
+FROM diffs GROUP BY doc_id
+""",
+    tags=("multimodal-features", "mapInPandas", "W2"),
+)
+def q193_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change counts per video: frame intensity series (Arrow pass,
+    operators/multimodal.frame_intensities) → integer milli-mean → LAG
+    diff over a per-doc window (bounded by frame count) → keyed rollup."""
+    from pyspark.sql import Window
+
+    media = _media(spark, sf_dir).filter(F.col("doc_id") % 3 == 2)
+    frames = multimodal.frame_intensities(media, frame_size=64)
+    milli = frames.withColumn("m", F.expr("sum_b * 1000L div flen"))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    diffs = milli.withColumn("d", F.col("m") - F.lag("m").over(w))
+    return diffs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(
+            F.when(F.abs("d") > _CUT_THRESHOLD_MILLI, 1).otherwise(0)
+        ).cast("long").alias("n_cuts"),
+    )

@@ -134,3 +134,28 @@ def test_kcore_converged_at_shipped_rounds(spark):
     assert r4 == r5
     # every surviving node genuinely has core degree >= 2
     assert all(deg >= 2 for _, deg in r4)
+
+
+def test_bfs_distances_min_hops_and_cap(spark):
+    """Path graph 1-2-3-4-5-6 plus a shortcut 1-4: BFS from {1} must take
+    the shortcut (dist(4)=1, dist(5)=2) and respect the hop cap."""
+    from synth_transform_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 4)], "id_a long, id_b long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=2).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # unlimited-enough cap reaches 6
+    got4 = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=4).collect()}
+    assert got4[6] == 3
+
+
+def test_bfs_multi_source_takes_nearest(spark):
+    from synth_transform_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    src = spark.createDataFrame([(1,), (4,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=3).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}

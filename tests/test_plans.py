@@ -58,6 +58,7 @@ HEAVY_EXECUTING = {
     "q186_bpe_merges",  # iterative merge rounds: plan build runs jobs
     "q187_bpe_segmentation",  # iterative merge rounds: plan build runs jobs
     "q190_stream_static_enrich",  # streaming replay at build time
+    "q194_bfs_hops",  # iterative frontier rounds: plan build runs jobs
 }
 
 
