@@ -338,3 +338,64 @@ def q185_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _HN_OUT_K)
         .select("query_id", "neighbor_id", "cosine", "neg_label")
     )
+
+
+# --------------------------------------------------------------------------
+# q196 — weighted median: smallest price whose cumulative quantity weight
+# crosses half the group total. All weights are integral doubles, so the
+# running sums are exact and the crossing comparison has no ulp edge; ties
+# in price collapse to the same selected value regardless of intra-tie
+# order (the crossing happens inside the tie group).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q196_weighted_median",
+    oracle="""
+WITH ranked AS (
+    SELECT l_returnflag,
+           l_extendedprice AS price,
+           SUM(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING
+           ) AS cumw,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+    FROM lineitem
+)
+SELECT l_returnflag,
+       ROUND(MIN(price), 4) AS weighted_median_price,
+       ROUND(MAX(totw), 4) AS total_weight
+FROM ranked
+WHERE cumw >= totw / 2.0
+GROUP BY l_returnflag
+""",
+    tags=("A12", "W2", "robust-stats"),
+)
+def q196_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: one
+    running-sum window (bounded per flag) + suffix-min. The scale note:
+    a per-group sort is inherent to any exact weighted quantile; the
+    approximate path at 100 TB is the equi-depth histogram family
+    (q136)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.sum("l_quantity").over(w_run).alias("cumw"),
+        F.sum("l_quantity").over(w_all).alias("totw"),
+    )
+    return (
+        ranked.filter(F.col("cumw") >= F.col("totw") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("price"), 4).alias("weighted_median_price"),
+            F.round(F.max("totw"), 4).alias("total_weight"),
+        )
+    )

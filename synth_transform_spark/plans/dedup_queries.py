@@ -711,3 +711,75 @@ def q194_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = nodes.agg(F.min("node").alias("node"))
     dists = graph.bfs_distances(pairs, src, max_hops=4)
     return dists.select(F.col("node").alias("doc_id"), "dist")
+
+
+@register(
+    "q195_lsh_quality",
+    # Dedup-pipeline QA: precision/recall of the MinHash-LSH pair set
+    # against the exact all-pairs Jaccard >= 0.8 truth (the prefix-filter
+    # join computes that truth exactly without the pair space — q182's
+    # guarantee). One full-outer membership join, one row out.
+    oracle=f"""
+WITH {_minhash_ctes()},
+qa_sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+qa_inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ov
+    FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+truth AS (
+    SELECT ia AS id_a, ib AS id_b
+    FROM qa_inter
+    JOIN qa_sizes sa ON sa.doc_id = ia
+    JOIN qa_sizes sb ON sb.doc_id = ib
+    WHERE ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) >= 0.8
+),
+j AS (
+    SELECT COALESCE(t.id_a, d.id_a) AS id_a,
+           CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+           CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+    FROM truth t
+    FULL OUTER JOIN (SELECT id_a, id_b FROM dups) d
+      ON d.id_a = t.id_a AND d.id_b = t.id_b
+)
+SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+       CAST(SUM(in_lsh) AS BIGINT) AS n_lsh,
+       CAST(SUM(in_exact * in_lsh) AS BIGINT) AS n_common,
+       ROUND(CAST(SUM(in_exact * in_lsh) AS DOUBLE) / NULLIF(SUM(in_lsh), 0), 4)
+           AS precision_,
+       ROUND(CAST(SUM(in_exact * in_lsh) AS DOUBLE) / NULLIF(SUM(in_exact), 0), 4)
+           AS recall_
+FROM j
+""",
+    tags=("dedup-qa", "A12", "lsh"),
+)
+def q195_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-dedup QA relation: LSH pair set vs the exact truth.
+    Both sides are existing operators (minhash_near_duplicates,
+    prefix_jaccard_join); membership flags meet in one full-outer join
+    and a single-row rollup."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = dedup.minhash_near_duplicates(docs, threshold=0.8).select(
+        "id_a", "id_b", F.lit(1).alias("in_lsh")
+    )
+    exact = dedup.prefix_jaccard_join(docs, threshold=0.8).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    j = exact.join(lsh, ["id_a", "id_b"], "full").select(
+        F.coalesce("in_exact", F.lit(0)).alias("in_exact"),
+        F.coalesce("in_lsh", F.lit(0)).alias("in_lsh"),
+    )
+    common = F.sum(F.col("in_exact") * F.col("in_lsh"))
+    return j.agg(
+        F.sum("in_exact").cast("long").alias("n_exact"),
+        F.sum("in_lsh").cast("long").alias("n_lsh"),
+        common.cast("long").alias("n_common"),
+        F.round(
+            common.cast("double") / F.nullif(F.sum("in_lsh"), F.lit(0)), 4
+        ).alias("precision_"),
+        F.round(
+            common.cast("double") / F.nullif(F.sum("in_exact"), F.lit(0)), 4
+        ).alias("recall_"),
+    )

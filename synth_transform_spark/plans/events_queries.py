@@ -2128,3 +2128,26 @@ def q190_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return se.run_available_now(agg, "q190_sink", output_mode="complete")
+
+
+@register(
+    "q197_streaming_watermark_dedup",
+    # dropDuplicatesWithinWatermark EXECUTED as a streaming job. Which
+    # duplicate survives follows processing order, so the declared output
+    # is the key set (exact and deterministic); the oracle is the batch
+    # DISTINCT. q40 stays the path when the surviving payload matters.
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    tags=("streaming-dedup", "U4"),
+)
+def q197_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-arrival key dedup with watermark-bounded state
+    (streaming/events.dedup_within_watermark), availableNow replay."""
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_available_now(
+        se.dedup_within_watermark(stream), "q197_sink", output_mode="append"
+    )
+    return out.select("user_id", "event_type").distinct()

@@ -242,3 +242,23 @@ def first_event_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
             (F.col("_n") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """First-arrival dedup via dropDuplicatesWithinWatermark (Spark 3.5+).
+
+    Unlike plain dropDuplicates, state for a key is EVICTED once the
+    watermark passes its event time — the production-correct shape when
+    duplicates only arrive within a bounded window (at-least-once sources,
+    retried producers). WHICH duplicate survives follows processing order,
+    so deterministic consumers project the keys (the key SET is exact);
+    q40's event-time-min operator is the path when the payload itself must
+    be deterministic.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

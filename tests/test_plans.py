@@ -59,6 +59,8 @@ HEAVY_EXECUTING = {
     "q187_bpe_segmentation",  # iterative merge rounds: plan build runs jobs
     "q190_stream_static_enrich",  # streaming replay at build time
     "q194_bfs_hops",  # iterative frontier rounds: plan build runs jobs
+    "q195_lsh_quality",  # double dedup pipeline: plan build runs jobs
+    "q197_streaming_watermark_dedup",  # streaming replay at build time
 }
 
 
