@@ -399,3 +399,81 @@ def q196_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("totw"), 4).alias("total_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q199 — feature-scaler fit: per-dimension statistics of the embedding
+# matrix (the StandardScaler/MinMaxScaler parameter relation). One narrow
+# posexplode + one keyed aggregation, 64 rows out.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q199_feature_stats",
+    oracle="""
+SELECT i - 1 AS dim,
+       ROUND(AVG(x), 4) AS mean_,
+       ROUND(STDDEV_POP(x), 4) AS std_,
+       ROUND(MIN(x), 4) AS min_,
+       ROUND(MAX(x), 4) AS max_
+FROM (
+    SELECT CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+)
+GROUP BY i - 1
+""",
+    tags=("ml-prep", "A12", "F24"),
+)
+def q199_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding column — the fit
+    step every feature-scaling stage runs before training."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    return flat.groupBy("dim").agg(
+        F.round(F.avg("x"), 4).alias("mean_"),
+        F.round(F.stddev_pop("x"), 4).alias("std_"),
+        F.round(F.min("x"), 4).alias("min_"),
+        F.round(F.max("x"), 4).alias("max_"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q200 — Spark 4 SQL pipe syntax (|>): the q01-family pricing rollup
+# declared as a pipeline. Same Catalyst plan as the method-chain form —
+# this pins the engine's support for the new SQL surface.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q200_pipe_syntax",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+WHERE l_quantity < 25
+GROUP BY l_returnflag, l_linestatus
+""",
+    tags=("sql-surface", "A1"),
+)
+def q200_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The discounted-revenue rollup written in SQL pipe syntax."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q200_lineitem"
+    )
+    return spark.sql(
+        """
+        FROM q200_lineitem
+        |> WHERE l_quantity < 25
+        |> AGGREGATE COUNT(*) AS n_items,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n_items, revenue
+        """
+    )

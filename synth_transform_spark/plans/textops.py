@@ -1385,50 +1385,55 @@ def q177_token_spans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q188_bm25_retrieval",
-    # Lucene-style BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1));
-    # query = doc 0's distinct tokens (q118's convention). Scores round to
-    # 4dp BEFORE ranking; doc_id breaks ties.
-    oracle="""
-WITH toks AS (
+# Lucene-style BM25 (k1=1.2, b=0.75, idf = ln((N-df+.5)/(df+.5)+1)); query =
+# doc 0's distinct tokens (q118's convention). CTE body ends at
+# ``bm_scored(doc_id, score)`` — shared by q188 and the q198 IR-eval oracle.
+_BM25_CTES = """
+bm_toks AS (
     SELECT doc_id, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
     FROM documents
 ),
-tf AS (
+bm_tf AS (
     SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-    FROM toks GROUP BY doc_id, tok
+    FROM bm_toks GROUP BY doc_id, tok
 ),
-dl AS (
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+bm_dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM bm_toks GROUP BY doc_id
 ),
-stats AS (
-    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+bm_stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM bm_dl
 ),
-dfreq AS (
+bm_dfreq AS (
     SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-    FROM toks GROUP BY tok
+    FROM bm_toks GROUP BY tok
 ),
-qtoks AS (
-    SELECT DISTINCT tok FROM toks WHERE doc_id = 0
+bm_qtoks AS (
+    SELECT DISTINCT tok FROM bm_toks WHERE doc_id = 0
 ),
-scored AS (
+bm_scored AS (
     SELECT t.doc_id,
            SUM(
                LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
                * t.tf * (1.2 + 1.0)
                / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / s.avgdl))
            ) AS score
-    FROM tf t
-    JOIN qtoks q ON q.tok = t.tok
-    JOIN dfreq d ON d.tok = t.tok
-    JOIN dl l ON l.doc_id = t.doc_id
-    CROSS JOIN stats s
+    FROM bm_tf t
+    JOIN bm_qtoks q ON q.tok = t.tok
+    JOIN bm_dfreq d ON d.tok = t.tok
+    JOIN bm_dl l ON l.doc_id = t.doc_id
+    CROSS JOIN bm_stats s
     WHERE t.doc_id <> 0
     GROUP BY t.doc_id
-)
+)"""
+
+
+@register(
+    "q188_bm25_retrieval",
+    # Scores round to 4dp BEFORE ranking; doc_id breaks ties.
+    oracle=f"""
+WITH {_BM25_CTES}
 SELECT doc_id, ROUND(score, 4) AS bm25
-FROM scored
+FROM bm_scored
 ORDER BY ROUND(score, 4) DESC, doc_id ASC
 LIMIT 10
 """,
@@ -1466,3 +1471,107 @@ def q188_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(contrib), 4).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(10)
+
+
+# "relevant" = cosine ≥ 0.05: the synthetic corpus's lexical and semantic
+# signals are nearly independent (max graded rel ≈ 0.11 at sf0.01), so the
+# threshold sits where MRR is informative rather than constant-zero.
+_REL_THRESHOLD = 0.05
+
+
+@register(
+    "q198_ir_eval",
+    # Retrieval eval harness: nDCG@10 and MRR of the BM25 ranking (q188)
+    # against embedding-cosine relevance for the same query doc. Gains are
+    # GREATEST(rounded cosine, 0); both metrics round to 4dp at the end.
+    oracle=None,  # composed below (needs the similarity module's CTE)
+    tags=("search", "eval", "A12"),
+)
+def q198_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR quality metrics for the lexical ranker vs the semantic
+    ground truth — the eval loop a retrieval pipeline runs after every
+    index build. All inputs are existing operators; the metric math is a
+    ten-row rollup."""
+    from pyspark.sql import Window
+
+    from ..operators import similarity
+
+    bm = q188_bm25_retrieval(spark, sf_dir).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        ),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0)
+    rel = similarity.cosine_topk(emb, q0, k=1_000_000).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.greatest(F.col("cosine"), F.lit(0.0)).alias("rel"),
+    )
+    graded = bm.join(rel, "doc_id", "left").na.fill({"rel": 0.0})
+    dcg = graded.agg(
+        F.sum(F.col("rel") / F.log2(F.col("rk") + 1)).alias("dcg"),
+        F.round(
+            1.0
+            / F.min(F.when(F.col("rel") >= _REL_THRESHOLD, F.col("rk"))),
+            4,
+        ).alias("mrr_raw"),
+    )
+    # IDCG from the sharded exact top-10 (no corpus-wide window): clamped-
+    # zero gains contribute nothing, so top-10-by-cosine ≡ top-10-by-rel.
+    ideal = (
+        similarity.cosine_topk(emb, q0, k=10)
+        .select(F.greatest(F.col("cosine"), F.lit(0.0)).alias("irel"))
+        .withColumn(
+            "irk",
+            F.row_number().over(Window.orderBy(F.col("irel").desc())),
+        )
+        .agg(F.sum(F.col("irel") / F.log2(F.col("irk") + 1)).alias("idcg"))
+    )
+    return dcg.crossJoin(ideal).select(
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg_10"),
+        F.coalesce(F.col("mrr_raw"), F.lit(0.0)).alias("mrr"),
+    )
+
+
+def _ir_eval_oracle() -> str:
+    from .similarity_queries import _COSINE_CTE
+
+    cos = _COSINE_CTE.replace("vec_id < 5", "vec_id = 0")
+    return f"""
+WITH {_BM25_CTES},
+{cos},
+rel AS (
+    SELECT neighbor_id AS doc_id, GREATEST(cosine, 0) AS rel FROM scored
+),
+bmtop AS (
+    SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY ROUND(score, 4) DESC, doc_id ASC
+    ) AS rk
+    FROM bm_scored
+    QUALIFY rk <= 10
+),
+graded AS (
+    SELECT b.rk, COALESCE(r.rel, 0) AS rel
+    FROM bmtop b LEFT JOIN rel r ON r.doc_id = b.doc_id
+),
+dcg AS (
+    SELECT SUM(rel / LOG2(rk + 1)) AS dcg,
+           ROUND(1.0 / MIN(CASE WHEN rel >= {_REL_THRESHOLD} THEN rk END), 4) AS mrr_raw
+    FROM graded
+),
+ideal AS (
+    SELECT SUM(rel / LOG2(irk + 1)) AS idcg FROM (
+        SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id ASC) AS irk
+        FROM rel
+    ) WHERE irk <= 10
+)
+SELECT ROUND(d.dcg / i.idcg, 4) AS ndcg_10,
+       COALESCE(d.mrr_raw, 0.0) AS mrr
+FROM dcg d CROSS JOIN ideal i
+"""
+
+
+from .registry import REGISTRY as _REG  # noqa: E402
+
+_REG["q198_ir_eval"].oracle = _ir_eval_oracle()
