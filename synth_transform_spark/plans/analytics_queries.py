@@ -477,3 +477,376 @@ def q200_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> SELECT l_returnflag, l_linestatus, n_items, revenue
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — time-bounded funnel: signup → click within 30 min → purchase
+# within 60 min of that click. Deterministic min-ts chaining (q176's
+# pattern) with per-step delay caps; integer epoch arithmetic.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q201_bounded_funnel",
+    oracle="""
+WITH s AS (
+    SELECT user_id, MIN(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)) AS s_sec
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(CAST(EPOCH(DATE_TRUNC('second', e.ts)) AS BIGINT)) AS c_sec
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click'
+      AND CAST(EPOCH(DATE_TRUNC('second', e.ts)) AS BIGINT) > s.s_sec
+      AND CAST(EPOCH(DATE_TRUNC('second', e.ts)) AS BIGINT) <= s.s_sec + 1800
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(CAST(EPOCH(DATE_TRUNC('second', e.ts)) AS BIGINT)) AS p_sec
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+      AND CAST(EPOCH(DATE_TRUNC('second', e.ts)) AS BIGINT) > c.c_sec
+      AND CAST(EPOCH(DATE_TRUNC('second', e.ts)) AS BIGINT) <= c.c_sec + 3600
+    GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_signup,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_30m,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_60m
+""",
+    tags=("funnel", "temporal", "A2"),
+)
+def q201_bounded_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with per-step delay caps — each step is a
+    keyed min-aggregation joined to the previous step's anchor."""
+    events = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("s_sec"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter((sec > F.col("s_sec")) & (sec <= F.col("s_sec") + 1800))
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("c_sec"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((sec > F.col("c_sec")) & (sec <= F.col("c_sec") + 3600))
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("p_sec"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_30m")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_60m")))
+    )
+
+
+# --------------------------------------------------------------------------
+# q202 — nearest-centroid evaluation: fit per-label centroids (mean per
+# dimension, rounded 4dp), assign every vector to the closest centroid
+# (squared distance rounded 4dp, label tie-break), report the confusion
+# counts. The clustering-eval loop of any embedding pipeline.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q202_centroid_confusion",
+    oracle="""
+WITH flat AS (
+    SELECT vec_id, label,
+           GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS c_label, dim, ROUND(AVG(x), 4) AS c
+    FROM flat GROUP BY label, dim
+),
+dists AS (
+    SELECT f.vec_id, f.label AS true_label, c.c_label,
+           ROUND(SUM((f.x - c.c) * (f.x - c.c)), 4) AS d2
+    FROM flat f JOIN cent c ON c.dim = f.dim
+    GROUP BY f.vec_id, f.label, c.c_label
+),
+assigned AS (
+    SELECT vec_id, true_label, c_label AS pred_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC
+           ) AS rk
+    FROM dists
+)
+SELECT CAST(true_label AS INT) AS true_label,
+       CAST(pred_label AS INT) AS pred_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned WHERE rk = 1
+GROUP BY true_label, pred_label
+""",
+    tags=("ml-prep", "similarity", "A6"),
+)
+def q202_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix. The per-vector argmin window is
+    bounded by the label count (10), not the corpus; centroid fit is one
+    (label, dim)-keyed aggregation."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select("vec_id", "label", "dim", F.col("xf").cast("double").alias("x"))
+    cent = flat.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.round(F.avg("x"), 4).alias("c")
+    )
+    dists = (
+        flat.join(cent, "dim")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(F.round(F.sum(F.pow(F.col("x") - F.col("c"), 2)), 4).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("c_label").asc()
+    )
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy("true_label", F.col("c_label").alias("pred_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q203 — source-overlap matrix: shingle-set Jaccard between every source
+# pair. A shingle shared by S sources contributes S² pair rows — S is
+# bounded by the source count, so the self-join cannot blow up.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q203_source_overlap",
+    oracle="""
+WITH sdocs AS (
+    SELECT doc_id, source, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+stoks AS (
+    SELECT doc_id, source, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) AS i
+    FROM sdocs
+),
+ssh AS (
+    SELECT DISTINCT a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+    FROM stoks a
+    JOIN stoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN stoks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+ssizes AS (SELECT source, COUNT(*) AS sz FROM ssh GROUP BY source),
+sinter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ov
+    FROM ssh a JOIN ssh b ON b.shingle = a.shingle AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(ov AS BIGINT) AS shared_shingles,
+       ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) AS jaccard
+FROM sinter
+JOIN ssizes sa ON sa.source = src_a
+JOIN ssizes sb ON sb.source = src_b
+""",
+    tags=("corpus-analytics", "dedup-setsim", "A6"),
+)
+def q203_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set Jaccard between every source pair — the cross-corpus
+    contamination matrix a mixing pipeline consults before weighting
+    sources. Shingling reuses the array-form operator (distinct per
+    source via one keyed distinct); a shingle shared by S sources
+    contributes S choose 2 pair rows, bounded by the source count."""
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        dd.shingles(docs.select(F.col("source").alias("src_id"), "text"), id_col="src_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("src_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("src_id").alias("src_a"), "shingle")
+    b = sh.select(F.col("src_id").alias("src_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("src_id", "src_a"), "src_a")
+        .withColumnRenamed("sz", "sz_a")
+        .join(sizes.withColumnRenamed("src_id", "src_b"), "src_b")
+        .withColumnRenamed("sz", "sz_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("ov").alias("shared_shingles"),
+            F.round(
+                F.col("ov") / (F.col("sz_a") + F.col("sz_b") - F.col("ov")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q204 — RFM segmentation. Quartile BOUNDARIES come from one interpolated-
+# percentile aggregate (rounded 4dp before the comparisons so both engines
+# bucket identically); buckets are then broadcast comparisons — no global
+# NTILE window over the user relation.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q204_rfm_segments",
+    oracle="""
+WITH pur AS (
+    SELECT user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+           value
+    FROM events WHERE event_type = 'purchase'
+),
+mx AS (SELECT MAX(sec) AS max_sec FROM pur),
+rfm AS (
+    SELECT p.user_id,
+           CAST(m.max_sec - MAX(p.sec) AS DOUBLE) AS recency,
+           CAST(COUNT(*) AS DOUBLE) AS frequency,
+           ROUND(SUM(p.value), 4) AS monetary
+    FROM pur p CROSS JOIN mx m
+    GROUP BY p.user_id, m.max_sec
+),
+bounds AS (
+    SELECT ROUND(QUANTILE_CONT(recency, 0.25), 4) AS r1,
+           ROUND(QUANTILE_CONT(recency, 0.50), 4) AS r2,
+           ROUND(QUANTILE_CONT(recency, 0.75), 4) AS r3,
+           ROUND(QUANTILE_CONT(frequency, 0.25), 4) AS f1,
+           ROUND(QUANTILE_CONT(frequency, 0.50), 4) AS f2,
+           ROUND(QUANTILE_CONT(frequency, 0.75), 4) AS f3,
+           ROUND(QUANTILE_CONT(monetary, 0.25), 4) AS m1,
+           ROUND(QUANTILE_CONT(monetary, 0.50), 4) AS m2,
+           ROUND(QUANTILE_CONT(monetary, 0.75), 4) AS m3
+    FROM rfm
+),
+scored AS (
+    SELECT r.user_id,
+           -- recency: LOWER is better → quartile 4 = most recent
+           CAST(4 - (CAST(r.recency > b.r1 AS INT) + CAST(r.recency > b.r2 AS INT)
+                     + CAST(r.recency > b.r3 AS INT)) AS BIGINT) AS r_q,
+           CAST(1 + CAST(r.frequency > b.f1 AS INT) + CAST(r.frequency > b.f2 AS INT)
+                  + CAST(r.frequency > b.f3 AS INT) AS BIGINT) AS f_q,
+           CAST(1 + CAST(r.monetary > b.m1 AS INT) + CAST(r.monetary > b.m2 AS INT)
+                  + CAST(r.monetary > b.m3 AS INT) AS BIGINT) AS m_q
+    FROM rfm r CROSS JOIN bounds b
+)
+SELECT user_id, r_q, f_q, m_q,
+       r_q || '-' || f_q || '-' || m_q AS segment
+FROM scored
+""",
+    tags=("A13", "segmentation", "W4"),
+)
+def q204_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user recency/frequency/monetary quartile scores + segment
+    label. One purchase rollup, one 9-value percentile aggregate
+    broadcast back, then pure comparisons."""
+    events = load_table(spark, sf_dir, "events")
+    pur = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "value"
+    )
+    mx = pur.agg(F.max("sec").alias("max_sec"))
+    rfm = (
+        pur.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "max_sec")
+        .agg(
+            (F.col("max_sec") - F.max("sec")).cast("double").alias("recency"),
+            F.count(F.lit(1)).cast("double").alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+        .select("user_id", "recency", "frequency", "monetary")
+    )
+    pct = lambda c, p: F.round(F.expr(f"percentile({c}, {p}D)"), 4)  # noqa: E731
+    bounds = rfm.agg(
+        pct("recency", 0.25).alias("r1"), pct("recency", 0.5).alias("r2"),
+        pct("recency", 0.75).alias("r3"),
+        pct("frequency", 0.25).alias("f1"), pct("frequency", 0.5).alias("f2"),
+        pct("frequency", 0.75).alias("f3"),
+        pct("monetary", 0.25).alias("m1"), pct("monetary", 0.5).alias("m2"),
+        pct("monetary", 0.75).alias("m3"),
+    )
+    gt = lambda c, b: (F.col(c) > F.col(b)).cast("long")  # noqa: E731
+    scored = rfm.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        (F.lit(4) - (gt("recency", "r1") + gt("recency", "r2") + gt("recency", "r3"))).alias("r_q"),
+        (F.lit(1) + gt("frequency", "f1") + gt("frequency", "f2") + gt("frequency", "f3")).alias("f_q"),
+        (F.lit(1) + gt("monetary", "m1") + gt("monetary", "m2") + gt("monetary", "m3")).alias("m_q"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws("-", F.col("r_q"), F.col("f_q"), F.col("m_q")),
+    )
+
+
+# --------------------------------------------------------------------------
+# q205 — CUSUM changepoint scan over the daily volume series. The classic
+# recurrence S_t = max(0, S_{t-1} + dev_t) is NOT a plain window — but it
+# equals cum_t - running_min(cum_t), which is. Daily relation is calendar-
+# bounded (q174's declared exception class).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q205_cusum_changepoints",
+    oracle="""
+WITH daily AS (
+    SELECT DATE_TRUNC('day', ts) AS day, CAST(COUNT(*) AS DOUBLE) AS n
+    FROM events GROUP BY 1
+),
+base AS (SELECT AVG(n) AS mu FROM daily),
+dev AS (
+    SELECT d.day, d.n, d.n - b.mu AS dv FROM daily d CROSS JOIN base b
+),
+cum AS (
+    SELECT day, n,
+           SUM(dv) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS c
+    FROM dev
+),
+cusum AS (
+    SELECT day, n,
+           c - MIN(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS s_pos
+    FROM cum
+)
+SELECT day, CAST(n AS BIGINT) AS n_events, ROUND(s_pos, 4) AS cusum_pos,
+       CASE WHEN ROUND(s_pos, 4) > 50.0 THEN 1 ELSE 0 END AS alert
+FROM cusum
+""",
+    tags=("temporal", "dq", "W4"),
+)
+def q205_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive CUSUM drift statistic per day with an alert flag: the
+    max(0, ...) recurrence rewritten as cum - running_min(cum)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    base = daily.agg(F.avg("n").alias("mu"))
+    dev = daily.crossJoin(F.broadcast(base)).withColumn(
+        "dv", F.col("n") - F.col("mu")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dev.withColumn("c", F.sum("dv").over(w))
+    cusum = cum.withColumn("s_pos", F.col("c") - F.min("c").over(w))
+    return cusum.select(
+        "day",
+        F.col("n").cast("long").alias("n_events"),
+        F.round("s_pos", 4).alias("cusum_pos"),
+        F.when(F.round("s_pos", 4) > 50.0, 1).otherwise(0).alias("alert"),
+    )
