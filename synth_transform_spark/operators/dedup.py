@@ -579,3 +579,44 @@ def prefix_jaccard_join(
         .distinct()
     )
     return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
+
+
+def lsh_probe(
+    base: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a DELTA batch against the
+    BASE corpus's LSH index without recomputing base-vs-base pairs.
+
+    The production ingestion shape: the base band relation is the
+    persisted index (rebuilt here from the base frame; a deployment keeps
+    it as a bucketed table, sources/writers.py), the delta batch computes
+    its own signatures, and candidates come from an index-probe equi-join
+    on (band_id, band_key) — work scales with |delta| × bucket hit rate,
+    never |base|². Returns cross-batch pairs (id_a = base doc, id_b =
+    delta doc) with exact verified Jaccard ≥ threshold.
+    """
+    from ..caching import persist_tracked
+    from ..sources.readers import ensure_parallelism
+
+    base_sh = persist_tracked(
+        shingle_arrays(ensure_parallelism(base), id_col, text_col, n)
+    )
+    delta_sh = persist_tracked(
+        shingle_arrays(ensure_parallelism(delta), id_col, text_col, n)
+    )
+    base_bands = lsh_bands(minhash_signatures_linear(base_sh, id_col), id_col)
+    delta_bands = lsh_bands(minhash_signatures_linear(delta_sh, id_col), id_col)
+    b = base_bands.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_key"
+    )
+    d = delta_bands.select(
+        F.col(id_col).alias("id_b"), "band_id", "band_key"
+    )
+    cands = b.join(d, ["band_id", "band_key"]).select("id_a", "id_b").distinct()
+    both_sh = base_sh.unionByName(delta_sh)
+    return jaccard_verify_arrays(cands, both_sh, id_col, threshold)

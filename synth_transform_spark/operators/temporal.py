@@ -240,3 +240,48 @@ def interval_overlap_join(
         )
         .drop("_bucket", "_lb0", "_rb0")
     )
+
+
+def cooldown_alerts(
+    events: DataFrame,
+    value_threshold: float = 15.0,
+    cooldown_sec: int = 1800,
+) -> DataFrame:
+    """Threshold alerts with a per-user cooldown: an event fires iff its
+    value exceeds the threshold AND the last FIRED alert for that user is
+    more than ``cooldown_sec`` old.
+
+    This is the canonical sequential recurrence a window CANNOT express:
+    whether row t fires depends on which earlier rows FIRED, not merely on
+    their values (contrast q205's CUSUM, which rewrites to running-min).
+    So this is a declared Python stage — applyInPandas per user, sorted
+    scan bounded by the user's candidate count; the grouping key bounds
+    both memory and skew (a hot user is one pandas group, not a cluster
+    straggler). Returns (user_id, event_id, alert_sec), deterministic via
+    the (sec, event_id) scan order.
+    """
+    import pandas as pd
+
+    cand = events.filter(F.col("value") > value_threshold).select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["sec", "event_id"])
+        users, ids, secs = [], [], []
+        last = None
+        for row in pdf.itertuples(index=False):
+            if last is None or row.sec - last > cooldown_sec:
+                users.append(row.user_id)
+                ids.append(row.event_id)
+                secs.append(row.sec)
+                last = row.sec
+        return pd.DataFrame(
+            {"user_id": users, "event_id": ids, "alert_sec": secs}
+        )
+
+    return cand.groupBy("user_id").applyInPandas(
+        scan, "user_id bigint, event_id bigint, alert_sec bigint"
+    )

@@ -783,3 +783,30 @@ def q195_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             common.cast("double") / F.nullif(F.sum("in_exact"), F.lit(0)), 4
         ).alias("recall_"),
     )
+
+
+@register(
+    "q207_incremental_lsh_probe",
+    # Cross-batch near-dups via index probe (operators/dedup.lsh_probe):
+    # delta docs (id >= 400) probed against the base corpus's band index.
+    # The oracle restricts the full mirrored LSH pipeline to cross pairs —
+    # identical because base ids < 400 <= delta ids makes every cross pair
+    # (base, delta)-ordered, and the fixture's bucket guard never binds.
+    oracle=f"""
+WITH {_minhash_ctes()}
+SELECT id_a, id_b, jaccard
+FROM dups
+WHERE id_a < 400 AND id_b >= 400
+""",
+    tags=("dedup-minhash", "incremental", "A4"),
+)
+def q207_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: new docs against the existing LSH index,
+    work ∝ |delta| × bucket hits (delta-vs-delta handled by the normal
+    self-join path at compaction)."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    return dedup.lsh_probe(base, delta, threshold=0.8)

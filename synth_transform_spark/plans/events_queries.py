@@ -2151,3 +2151,42 @@ def q197_streaming_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFram
         se.dedup_within_watermark(stream), "q197_sink", output_mode="append"
     )
     return out.select("user_id", "event_type").distinct()
+
+
+@register(
+    "q206_cooldown_alerts",
+    # The sequential-recurrence case: firing depends on which earlier rows
+    # FIRED (not their values), so no window rewrite exists — Spark runs a
+    # declared per-user applyInPandas scan; the oracle walks the same
+    # recurrence with a linear recursive CTE over each user's candidate
+    # sequence.
+    oracle="""
+WITH RECURSIVE cand AS (
+    SELECT user_id, event_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT), event_id
+           ) AS rn
+    FROM events WHERE value > 15.0
+),
+walk(user_id, rn, event_id, sec, fired, last_alert) AS (
+    SELECT user_id, rn, event_id, sec, TRUE, sec FROM cand WHERE rn = 1
+    UNION ALL
+    SELECT c.user_id, c.rn, c.event_id, c.sec,
+           c.sec - w.last_alert > 1800,
+           CASE WHEN c.sec - w.last_alert > 1800 THEN c.sec ELSE w.last_alert END
+    FROM walk w JOIN cand c ON c.user_id = w.user_id AND c.rn = w.rn + 1
+)
+SELECT user_id, event_id, sec AS alert_sec
+FROM walk WHERE fired
+""",
+    tags=("temporal", "stateful", "mapInPandas"),
+)
+def q206_cooldown_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user threshold alerts with a 30-minute cooldown
+    (operators/temporal.cooldown_alerts — declared Python stage)."""
+    from ..operators import temporal
+
+    events = load_table(spark, sf_dir, "events")
+    return temporal.cooldown_alerts(events)

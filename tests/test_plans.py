@@ -72,6 +72,8 @@ def test_relational_paths_have_no_python_udf(spark):
         "q35_frame_sample",
         "q36_byte_histogram",
         "q37_decoded_intensity",
+        "q193_scene_changes",  # declared mapInPandas frame pass
+        "q206_cooldown_alerts",  # declared applyInPandas sequential scan
     } | HEAVY_EXECUTING  # ML/scoring stages are declared python by design
     offenders = []
     for name, q in sorted(REGISTRY.items()):

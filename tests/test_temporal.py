@@ -80,3 +80,29 @@ def test_asof_join_empty_right_keeps_all_left_rows(spark):
     right = spark.createDataFrame([], "key bigint, ts timestamp")
     out = temporal.asof_join(left, right, key="key").toPandas()
     assert len(out) == 20 and out.asof_ts.isnull().all()
+
+
+def test_cooldown_alerts_recurrence(spark):
+    """Crafted sequence: value-qualified events at t=0, 600, 2000, 2100,
+    4000 with 1800 s cooldown fire at 0, 2000, 4000 — the 600 and 2100
+    candidates are suppressed by the PREVIOUS FIRED alert, which is the
+    semantics a plain window cannot express."""
+    import datetime as dt
+
+    from synth_transform_spark.operators.temporal import cooldown_alerts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=s), 1, "click", v, "{}")
+        for i, (s, v) in enumerate(
+            [(0, 20.0), (600, 20.0), (2000, 20.0), (2100, 20.0), (4000, 20.0),
+             (300, 1.0)]  # below threshold: never a candidate
+        )
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = sorted(r.event_id for r in cooldown_alerts(events).collect())
+    assert got == [0, 2, 4]
