@@ -546,6 +546,16 @@ def prefix_jaccard_join(
     from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
 
+    from fractions import Fraction
+
+    # ceil(t·|s|) must be EXACT rational ceil, not float ceil — IEEE
+    # ceil(0.55*100) is 56, one too many, which shortens the prefix and
+    # silently drops qualifying pairs. Express t as the exact fraction of
+    # its decimal literal and ceil in integer arithmetic:
+    # ceil(num·sz / den) = (num·sz + den - 1) div den.
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+
     doc_sh = persist_tracked(
         shingle_arrays(ensure_parallelism(docs), id_col, text_col, n)
     )
@@ -561,8 +571,9 @@ def prefix_jaccard_join(
         )
         .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
+    ceil_t_sz = F.expr(f"({num}L * _sz + {den - 1}L) div {den}L")
     prefix = ranked.filter(
-        F.col("_r") <= F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+        F.col("_r") <= F.col("_sz") - ceil_t_sz + 1
     ).select(F.col(id_col), "shingle")
     cands = (
         prefix.alias("a")
@@ -617,6 +628,32 @@ def lsh_probe(
     d = delta_bands.select(
         F.col(id_col).alias("id_b"), "band_id", "band_key"
     )
-    cands = b.join(d, ["band_id", "band_key"]).select("id_a", "id_b").distinct()
-    both_sh = base_sh.unionByName(delta_sh)
-    return jaccard_verify_arrays(cands, both_sh, id_col, threshold)
+    # SIDED verify: id_a resolves against the BASE arrays and id_b against
+    # the DELTA arrays (a re-ingested id may carry different text per
+    # side), and an id meeting itself is not a duplicate pair. A unioned
+    # verify relation would both self-match shared ids at jaccard=1 and
+    # duplicate join rows for them.
+    cands = (
+        b.join(d, ["band_id", "band_key"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    av = base_sh.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"))
+    bv = delta_sh.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cands.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("n_inter", inter)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

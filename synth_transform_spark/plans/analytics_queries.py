@@ -225,6 +225,9 @@ def q184_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = (
         purchases.join(pairs.select("p_id").distinct(), "p_id", "left_anti")
         .agg(F.sum(F.round("value", 4)).alias("v"))
+        # no touchless purchases → SUM over empty is NULL; the oracle's
+        # GROUP BY over an empty set emits zero rows — drop to match
+        .filter(F.col("v").isNotNull())
         .crossJoin(F.broadcast(models))
         .withColumn("channel", F.lit("direct"))
     )
@@ -247,39 +250,15 @@ _HN_CAND_K = 20
 _HN_OUT_K = 5
 
 
-@register(
-    "q185_hard_negatives",
-    oracle=f"""
-WITH q AS (
-    SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
-    FROM embeddings WHERE vec_id < {_HN_QUERIES}
-),
-qflat AS (
-    SELECT query_id, CAST(UNNEST(q_vec) AS DOUBLE) AS x,
-           GENERATE_SUBSCRIPTS(q_vec, 1) AS i
-    FROM q
-),
-vflat AS (
-    SELECT vec_id AS neighbor_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
-           GENERATE_SUBSCRIPTS(embedding, 1) AS i
-    FROM embeddings
-),
-norms AS (
-    SELECT neighbor_id AS vid, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY neighbor_id
-),
-dots AS (
-    SELECT qf.query_id, vf.neighbor_id, SUM(qf.x * vf.x) AS dot
-    FROM qflat qf JOIN vflat vf ON vf.i = qf.i
-    WHERE qf.query_id <> vf.neighbor_id
-    GROUP BY qf.query_id, vf.neighbor_id
-),
-scored AS (
-    SELECT d.query_id, d.neighbor_id,
-           ROUND(d.dot / (nq.nrm * nv.nrm), 4) AS cosine
-    FROM dots d
-    JOIN norms nq ON nq.vid = d.query_id
-    JOIN norms nv ON nv.vid = d.neighbor_id
-),
+def _hard_negatives_oracle() -> str:
+    """Reuses the similarity module's cosine CTE (same formula the q23
+    family hash-matches) instead of a drifting copy; labels join in at the
+    candidate stage."""
+    from .similarity_queries import _COSINE_CTE, _N_QUERIES
+
+    assert _HN_QUERIES == _N_QUERIES, "q185 assumes the shared query set"
+    return f"""
+WITH {_COSINE_CTE},
 cand AS (
     SELECT query_id, neighbor_id, cosine
     FROM (
@@ -298,12 +277,17 @@ neg AS (
            ) AS rk
     FROM cand c
     JOIN embeddings e ON e.vec_id = c.neighbor_id
-    JOIN q ON q.query_id = c.query_id
-    WHERE e.label <> q.q_label
+    JOIN embeddings qe ON qe.vec_id = c.query_id
+    WHERE e.label <> qe.label
 )
 SELECT query_id, neighbor_id, cosine, neg_label
 FROM neg WHERE rk <= {_HN_OUT_K}
-""",
+"""
+
+
+@register(
+    "q185_hard_negatives",
+    oracle=_hard_negatives_oracle(),
     tags=("similarity", "training-prep", "contrastive"),
 )
 def q185_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:

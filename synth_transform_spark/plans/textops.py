@@ -1504,9 +1504,21 @@ def q198_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, sf_dir, "embeddings")
     q0 = emb.filter(F.col("vec_id") == 0)
-    rel = similarity.cosine_topk(emb, q0, k=1_000_000).select(
-        F.col("neighbor_id").alias("doc_id"),
-        F.greatest(F.col("cosine"), F.lit(0.0)).alias("rel"),
+    # Direct rounded cosine vs the broadcast query vector — NOT the top-k
+    # operator with a corpus-sized k, which would defeat its sharded
+    # design and funnel every scored row through the phase-2 re-rank.
+    rel = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q0.select(F.col("embedding").alias("q_vec"))))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.greatest(
+                F.round(
+                    similarity.cosine(F.col("embedding"), F.col("q_vec")), 4
+                ),
+                F.lit(0.0),
+            ).alias("rel"),
+        )
     )
     graded = bm.join(rel, "doc_id", "left").na.fill({"rel": 0.0})
     dcg = graded.agg(
@@ -1535,9 +1547,10 @@ def q198_ir_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ir_eval_oracle() -> str:
-    from .similarity_queries import _COSINE_CTE
+    from .similarity_queries import _COSINE_CTE, _N_QUERIES
 
-    cos = _COSINE_CTE.replace("vec_id < 5", "vec_id = 0")
+    cos = _COSINE_CTE.replace(f"vec_id < {_N_QUERIES}", "vec_id = 0")
+    assert "vec_id = 0" in cos, "cosine CTE shape changed; fix the rewrite"
     return f"""
 WITH {_BM25_CTES},
 {cos},

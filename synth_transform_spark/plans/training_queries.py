@@ -669,9 +669,12 @@ best{i} AS MATERIALIZED (
     LIMIT 1
 ),
 c{i} AS MATERIALIZED (
+    -- LEFT JOIN ON TRUE, not CROSS JOIN: when the corpus exhausts before
+    -- round {{i}} (best{i} empty) the state must pass through unchanged —
+    -- mirroring bpe.train's loop break — not collapse to zero rows.
     SELECT p.word, p.n, p.pos, p.sym, p.nxt,
            CASE WHEN p.sym = b.lft AND p.nxt = b.rgt THEN 1 ELSE 0 END AS cand
-    FROM p{i} p CROSS JOIN best{i} b
+    FROM p{i} p LEFT JOIN best{i} b ON TRUE
 ),
 k{i} AS MATERIALIZED (
     SELECT word, pos FROM (

@@ -95,3 +95,32 @@ def test_stops_when_fully_merged(spark):
     res = bpe.train(docs, k=10)
     # one merge exhausts the corpus (every word becomes a single symbol)
     assert [m[1:3] for m in res.merges] == [("a", "b")]
+
+
+def test_oracle_matches_spark_when_corpus_exhausts_early(spark):
+    """'ab ab' exhausts after ONE merge. bpe.train breaks and keeps the
+    final state; the oracle's LEFT JOIN ON TRUE must pass the state
+    through the empty rounds unchanged instead of wiping it."""
+    import duckdb
+    import pandas as pd
+
+    from synth_transform_spark.plans.registry import REGISTRY
+
+    docs_pdf = pd.DataFrame({"doc_id": [0, 1], "text": ["ab ab", "ab"]})
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+
+    sdocs = spark.createDataFrame(docs_pdf)
+    res = bpe.train(sdocs, k=6)
+    assert [m[1:3] for m in res.merges] == [("a", "b")]
+
+    merges_oracle = con.execute(REGISTRY["q186_bpe_merges"].oracle).df()
+    assert list(
+        merges_oracle[["left_sym", "right_sym"]].itertuples(index=False, name=None)
+    ) == [("a", "b")]
+
+    seg_oracle = con.execute(REGISTRY["q187_bpe_segmentation"].oracle).df()
+    seg_spark = bpe.vocab_segmentation(res).toPandas()
+    o = {r.word: (r.segmented, r.n_tokens) for r in seg_oracle.itertuples()}
+    s = {r.word: (r.segmented, r.n_tokens) for r in seg_spark.itertuples()}
+    assert o == s == {"ab": ("ab", 1)}

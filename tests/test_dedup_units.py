@@ -99,3 +99,67 @@ def test_prefix_filter_prunes_but_loses_nothing(spark):
     # and the result is far smaller than the shared-shingle pair space the
     # brute-force path had to verify
     assert len(got) < all_pairs.count()
+
+
+def test_prefix_filter_exact_at_awkward_threshold(spark):
+    """threshold=0.55: float ceil(0.55*sz) over-rounds for many sz (e.g.
+    sz=100 → 56 not 55), which would shorten prefixes and drop qualifying
+    pairs. The rational-arithmetic prefix must still equal brute force."""
+    import pyspark.sql.functions as F
+
+    from conftest import SF_DIR
+    from synth_transform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.prefix_jaccard_join(docs, threshold=0.55).collect()
+    }
+    sh = dedup.shingles(docs)
+    all_pairs = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    exp = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.jaccard_verify_arrays(
+            all_pairs, dedup.shingle_arrays(docs), threshold=0.55
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_lsh_probe_shared_ids_no_self_pairs(spark):
+    """A doc id present in BOTH base and delta (re-ingestion) must not
+    self-match, and each side's text resolves against its own shingles."""
+    texts = {
+        1: "a b c d e f g h i j",
+        2: "a b c d e f g h i x",   # near-dup of 1
+        3: "z y x w v u t s r q",
+    }
+    base = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    # delta re-ingests id 1 with DIFFERENT text (now a near-dup of doc 3's
+    # content) plus a fresh id 4 duplicating doc 2
+    delta = spark.createDataFrame(
+        [(1, "z y x w v u t s r p"), (4, texts[2])], "doc_id long, text string"
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.lsh_probe(base, delta, threshold=0.5, n=2).collect()
+    }
+    assert all(a != b for a, b in pairs)
+    # delta id 4 matches base doc 2 exactly (jaccard 1.0)
+    assert pairs.get((2, 4)) == 1.0
+    # re-ingested id 1 matches base doc 3 via its NEW text — proving the
+    # delta side resolved against delta shingles, not the stale base text
+    assert (3, 1) in pairs
