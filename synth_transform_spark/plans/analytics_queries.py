@@ -1,18 +1,20 @@
-"""Round-5 analytics wave: DQ forensics, marketing attribution, ML mining.
+"""Round-5 analytics wave — every query deterministic and oracle-matched.
 
-Three additions over the fixture tables, each fully deterministic and
-oracle-matched:
-
-- q183 Benford first-digit deviation — the classic forensic DQ test: per
-  order-priority class, a chi-square statistic of the observed leading-digit
-  distribution of o_totalprice against Benford's law P(d) = log10(1 + 1/d).
-- q184 multi-touch attribution — purchase revenue allocated to the
-  click/view touches in the preceding hour under first-touch, last-touch,
-  and linear models (the standard marketing-analytics trio), with
-  touchless purchases attributed to 'direct'.
-- q185 hard-negative mining — contrastive-training data prep: for each
-  query embedding, the nearest neighbours that carry a DIFFERENT label
-  (top-20 cosine candidates → drop same-label → keep 5 hardest).
+- q183 Benford first-digit chi-square per priority (forensic DQ).
+- q184 multi-touch attribution: first/last/linear revenue models over the
+  preceding-hour touch window, 'direct' for touchless purchases.
+- q185 hard-negative mining: nearest different-label neighbours from the
+  exact top-20 candidate set (contrastive-training prep).
+- q196 quantity-weighted median via exact running-weight crossing.
+- q199 per-dimension feature-scaler statistics over embeddings.
+- q200 the pricing rollup in Spark 4 SQL pipe syntax.
+- q201 funnel with per-step delay caps (min-ts chaining).
+- q202 nearest-centroid confusion matrix (label-count-bounded argmin).
+- q203 shingle-Jaccard source-overlap (contamination) matrix.
+- q204 RFM quartile segmentation via broadcast percentile bounds.
+- q205 CUSUM changepoints (max(0,·) recurrence as cum − running-min).
+- q208 case-insensitive grouping through Spark 4 UTF8_LCASE collation.
+- q209 time-to-next-error forward as-of window.
 """
 
 from __future__ import annotations
@@ -833,4 +835,114 @@ def q205_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.round("s_pos", 4).alias("cusum_pos"),
         F.when(F.round("s_pos", 4) > 50.0, 1).otherwise(0).alias("alert"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q208 — Spark 4 collation support: grouping under UTF8_LCASE. Mixed-case
+# variants are derived deterministically (initcap for even custkeys), the
+# collated group-by folds them back together; the oracle lowercases.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q208_collated_grouping",
+    oracle="""
+SELECT LOWER(seg) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_raw_variants
+FROM (
+    SELECT CASE WHEN c_custkey % 2 = 0
+                THEN UPPER(SUBSTR(c_mktsegment, 1, 1)) || LOWER(SUBSTR(c_mktsegment, 2))
+                ELSE LOWER(c_mktsegment) END AS seg
+    FROM customer
+)
+GROUP BY LOWER(seg)
+""",
+    tags=("sql-surface", "F5", "collation"),
+)
+def q208_collated_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via COLLATE(…, 'UTF8_LCASE') — the
+    Spark 4 collation engine doing what ad-hoc LOWER() wrappers did,
+    while still counting the raw case variants it folded."""
+    cust = load_table(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.initcap(F.lower("c_mktsegment"))
+    ).otherwise(F.lower("c_mktsegment"))
+    mixed = cust.select(seg.alias("seg"))
+    return (
+        mixed.groupBy(F.expr("COLLATE(seg, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.expr("COLLATE(seg, 'UTF8_BINARY')")).alias(
+                "n_raw_variants"
+            ),
+        )
+        .select(F.lower("k").alias("segment"), "n", "n_raw_variants")
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — forward-looking as-of: seconds until the user's NEXT error event
+# (within a 600 s tolerance). Complements q167's since-last-error backward
+# scan; the conditional running-min over the FOLLOWING frame stays a
+# per-user window.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q209_time_to_next_error",
+    oracle="""
+WITH seq AS (
+    SELECT event_id, user_id,
+           CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+           event_type
+    FROM events
+),
+nxt AS (
+    SELECT event_id, user_id, sec,
+           MIN(CASE WHEN event_type = 'error' THEN sec END) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS next_err_sec
+    FROM seq
+)
+SELECT event_id, user_id, sec,
+       CASE WHEN next_err_sec - sec <= 600 THEN next_err_sec - sec END
+           AS sec_to_next_error
+FROM nxt
+""",
+    tags=("temporal", "W2", "asof"),
+)
+def q209_time_to_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event, the delay to the user's next error if within 10 min —
+    NULL otherwise. One forward-frame conditional min window."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    seq = events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("sec"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = seq.withColumn(
+        "next_err_sec",
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("sec"))
+        ).over(w),
+    )
+    return nxt.select(
+        "event_id",
+        "user_id",
+        "sec",
+        F.when(
+            F.col("next_err_sec") - F.col("sec") <= 600,
+            F.col("next_err_sec") - F.col("sec"),
+        ).alias("sec_to_next_error"),
     )
