@@ -15,6 +15,8 @@
 - q205 CUSUM changepoints (max(0,·) recurrence as cum − running-min).
 - q208 case-insensitive grouping through Spark 4 UTF8_LCASE collation.
 - q209 time-to-next-error forward as-of window.
+- q210 Pareto frontier (2-D skyline) with band pruning before the exact
+  pass — the distributed-skyline two-phase plan.
 """
 
 from __future__ import annotations
@@ -946,3 +948,79 @@ def q209_time_to_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("next_err_sec") - F.col("sec"),
         ).alias("sec_to_next_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# q210 — Pareto frontier (2-D skyline): parts minimizing retail price while
+# maximizing size. Exact rule over DISTINCT (price, size) pairs sorted
+# (price ASC, size DESC): a pair survives iff its size strictly exceeds
+# every preceding size (running max) — equal-price-bigger-size and
+# cheaper-equal-size dominations both collapse into that single test.
+#
+# Scale shape: the global sort only ever sees BAND SURVIVORS — stage 1
+# computes max size per price band (keyed agg), stage 2 takes the running
+# max over strictly cheaper bands (a band-count-bounded window) and prunes
+# every row it dominates, stage 3 runs the exact window on what's left
+# (frontier candidates). The classic distributed-skyline two-phase plan.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q210_pareto_frontier",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT p_retailprice AS price, CAST(p_size AS BIGINT) AS size
+    FROM part
+),
+ranked AS (
+    SELECT price, size,
+           MAX(size) OVER (
+               ORDER BY price ASC, size DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS max_prev
+    FROM pairs
+)
+SELECT price, size
+FROM ranked
+WHERE max_prev IS NULL OR size > max_prev
+""",
+    tags=("skyline", "O3", "A1"),
+)
+def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price/size skyline with band pruning ahead of the exact pass."""
+    part = load_table(spark, sf_dir, "part")
+    pairs = part.select(
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    ).distinct()
+    # stage 1: per-band maxima (band width 50 price units)
+    banded = pairs.withColumn("band", F.floor(F.col("price") / 50))
+    band_max = banded.groupBy("band").agg(F.max("size").alias("bmax"))
+    # stage 2: running max over STRICTLY cheaper bands — a relation the
+    # size of the band count, so the window is calendar-class bounded
+    w_b = (
+        Window.partitionBy(F.lit(1))
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = band_max.withColumn("prev_bmax", F.max("bmax").over(w_b)).select(
+        "band", "prev_bmax"
+    )
+    # rows dominated by ANY strictly cheaper band's max are gone before
+    # the exact pass (strictly cheaper price, size >= theirs)
+    cand = (
+        banded.join(F.broadcast(prior), "band", "left")
+        .filter(
+            F.col("prev_bmax").isNull() | (F.col("size") > F.col("prev_bmax"))
+        )
+        .select("price", "size")
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = cand.withColumn("max_prev", F.max("size").over(w))
+    return ranked.filter(
+        F.col("max_prev").isNull() | (F.col("size") > F.col("max_prev"))
+    ).select("price", "size")
