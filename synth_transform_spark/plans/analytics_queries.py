@@ -1024,3 +1024,153 @@ def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("max_prev").isNull() | (F.col("size") > F.col("max_prev"))
     ).select("price", "size")
+
+
+# --------------------------------------------------------------------------
+# q211 — behavioural user similarity: cosine between per-user event-type
+# count vectors, blocked by user cohort (user_id % 5) so the pair space
+# is block-bounded — the collaborative-filtering neighbour query. Top-3
+# neighbours per user, rounded cosine ranking with id tie-break.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q211_user_similarity",
+    oracle="""
+WITH vec AS (
+    SELECT user_id, user_id % 5 AS blk, event_type, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM events GROUP BY user_id, event_type
+),
+nrm AS (
+    SELECT user_id, SQRT(SUM(c * c)) AS n FROM vec GROUP BY user_id
+),
+dots AS (
+    SELECT a.user_id AS u_a, b.user_id AS u_b, SUM(a.c * b.c) AS dot
+    FROM vec a
+    JOIN vec b ON b.blk = a.blk AND b.event_type = a.event_type
+               AND a.user_id <> b.user_id
+    GROUP BY a.user_id, b.user_id
+),
+scored AS (
+    SELECT d.u_a, d.u_b,
+           ROUND(d.dot / (na.n * nb.n), 4) AS cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.u_a
+               ORDER BY ROUND(d.dot / (na.n * nb.n), 4) DESC, d.u_b ASC
+           ) AS rk
+    FROM dots d
+    JOIN nrm na ON na.user_id = d.u_a
+    JOIN nrm nb ON nb.user_id = d.u_b
+)
+SELECT u_a AS user_id, u_b AS neighbor_id, cosine
+FROM scored WHERE rk <= 3
+""",
+    tags=("similarity", "segmentation", "J1"),
+)
+def q211_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 behaviourally-similar users within each cohort block. The
+    dimension join is keyed on (block, event_type) so pair fan-out is
+    bounded by block size — never the full user cross product; the rank
+    window is bounded by a block's membership."""
+    events = load_table(spark, sf_dir, "events")
+    vec = events.groupBy(
+        "user_id", (F.col("user_id") % 5).alias("blk"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    nrm = vec.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")
+    )
+    a = vec.select(
+        F.col("user_id").alias("u_a"), "blk", "event_type", F.col("c").alias("ca")
+    )
+    b = vec.select(
+        F.col("user_id").alias("u_b"), "blk", "event_type", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, ["blk", "event_type"])
+        .filter(F.col("u_a") != F.col("u_b"))
+        .groupBy("u_a", "u_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = nrm.select(F.col("user_id").alias("u_a"), F.col("n").alias("na"))
+    nb = nrm.select(F.col("user_id").alias("u_b"), F.col("n").alias("nb"))
+    scored = (
+        dots.join(na, "u_a")
+        .join(nb, "u_b")
+        .withColumn("cosine", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4))
+    )
+    w = Window.partitionBy("u_a").orderBy(F.col("cosine").desc(), F.col("u_b").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("u_a").alias("user_id"),
+            F.col("u_b").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q212 — referential-integrity audit across the whole star schema: orphan
+# counts per FK relationship in one relation. Each check is an anti-join
+# (broadcast for the small parents); the union is the DQ report a
+# warehouse runs after every load.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q212_fk_audit",
+    oracle="""
+SELECT 'orders->customer' AS fk, CAST(COUNT(*) AS BIGINT) AS orphans
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'lineitem->orders', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+UNION ALL
+SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+UNION ALL
+SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+UNION ALL
+SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+FROM customer c WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+UNION ALL
+SELECT 'supplier->nation', CAST(COUNT(*) AS BIGINT)
+FROM supplier s WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+UNION ALL
+SELECT 'nation->region', CAST(COUNT(*) AS BIGINT)
+FROM nation n WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+""",
+    tags=("dq", "P5", "U1"),
+)
+def q212_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan counts for every FK edge of the star schema in one pass of
+    anti-joins (parents broadcast where small)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")}
+
+    def orphans(name, child, ckey, parent, pkey):
+        cnt = (
+            child.join(
+                F.broadcast(parent.select(F.col(pkey).alias(ckey)).distinct()),
+                ckey,
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("orphans"))
+        )
+        return cnt.select(F.lit(name).alias("fk"), "orphans")
+
+    checks = [
+        orphans("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        orphans("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        orphans("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        orphans("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        orphans("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        orphans("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        orphans("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
