@@ -15,8 +15,10 @@
 - q205 CUSUM changepoints (max(0,·) recurrence as cum − running-min).
 - q208 case-insensitive grouping through Spark 4 UTF8_LCASE collation.
 - q209 time-to-next-error forward as-of window.
-- q210 Pareto frontier (2-D skyline) with band pruning before the exact
-  pass — the distributed-skyline two-phase plan.
+- q210 Pareto frontier (2-D skyline): band pruning + per-band local
+  skylines before the exact pass — the distributed-skyline plan.
+- q211 behavioural user similarity in fixed-size cohorts (top-3 cosine).
+- q212 referential-integrity audit across every FK edge of the schema.
 """
 
 from __future__ import annotations
@@ -1013,14 +1015,33 @@ def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("prev_bmax").isNull() | (F.col("size") > F.col("prev_bmax"))
         )
+        .select("band", "price", "size")
+    )
+    # stage 2.5: LOCAL skyline per band (partitioned window — distributes
+    # across bands) — a globally-undominated pair is undominated within
+    # its band, so this only removes rows the final pass would drop. It
+    # bounds the global window's input by the SUM OF BAND FRONTIERS, not
+    # the first band's population.
+    w_local = (
+        Window.partitionBy("band")
+        .orderBy(F.col("price").asc(), F.col("size").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        cand.withColumn("lmax", F.max("size").over(w_local))
+        .filter(F.col("lmax").isNull() | (F.col("size") > F.col("lmax")))
         .select("price", "size")
     )
+    # final exact pass over the frontier-candidate union — an unpartitioned
+    # window over a pruned relation (declared exception, SCALE.md): band
+    # frontiers are tiny in practice; a pathological single-band corpus
+    # degrades to its own frontier size, not the raw pair population.
     w = (
         Window.partitionBy(F.lit(1))
         .orderBy(F.col("price").asc(), F.col("size").desc())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    ranked = cand.withColumn("max_prev", F.max("size").over(w))
+    ranked = local.withColumn("max_prev", F.max("size").over(w))
     return ranked.filter(
         F.col("max_prev").isNull() | (F.col("size") > F.col("max_prev"))
     ).select("price", "size")
@@ -1028,9 +1049,10 @@ def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q211 — behavioural user similarity: cosine between per-user event-type
-# count vectors, blocked by user cohort (user_id % 5) so the pair space
-# is block-bounded — the collaborative-filtering neighbour query. Top-3
-# neighbours per user, rounded cosine ranking with id tie-break.
+# count vectors, blocked into FIXED-SIZE cohorts (user_id div 5 — block
+# count grows with the user population, block size stays 5) so pair
+# fan-out per reducer key is constant — the collaborative-filtering
+# neighbour query. Top-3 per user, rounded cosine, id tie-break.
 # --------------------------------------------------------------------------
 
 
@@ -1038,7 +1060,7 @@ def q210_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q211_user_similarity",
     oracle="""
 WITH vec AS (
-    SELECT user_id, user_id % 5 AS blk, event_type, CAST(COUNT(*) AS DOUBLE) AS c
+    SELECT user_id, user_id // 5 AS blk, event_type, CAST(COUNT(*) AS DOUBLE) AS c
     FROM events GROUP BY user_id, event_type
 ),
 nrm AS (
@@ -1068,13 +1090,14 @@ FROM scored WHERE rk <= 3
     tags=("similarity", "segmentation", "J1"),
 )
 def q211_user_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 behaviourally-similar users within each cohort block. The
-    dimension join is keyed on (block, event_type) so pair fan-out is
-    bounded by block size — never the full user cross product; the rank
-    window is bounded by a block's membership."""
+    """Top-3 behaviourally-similar users within each 5-user cohort. The
+    dimension join keys on (block, event_type); because blocks have FIXED
+    size, fan-out per key is constant and the key count scales with the
+    population — no reducer ever sees a data-scaled pair product. The
+    rank window is bounded by the cohort size."""
     events = load_table(spark, sf_dir, "events")
     vec = events.groupBy(
-        "user_id", (F.col("user_id") % 5).alias("blk"), "event_type"
+        "user_id", F.expr("user_id div 5").alias("blk"), "event_type"
     ).agg(F.count(F.lit(1)).cast("double").alias("c"))
     nrm = vec.groupBy("user_id").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("n")
@@ -1150,14 +1173,16 @@ def q212_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = {n: load_table(spark, sf_dir, n) for n in
          ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")}
 
-    def orphans(name, child, ckey, parent, pkey):
-        cnt = (
-            child.join(
-                F.broadcast(parent.select(F.col(pkey).alias(ckey)).distinct()),
-                ckey,
-                "left_anti",
-            )
-            .agg(F.count(F.lit(1)).alias("orphans"))
+    def orphans(name, child, ckey, parent, pkey, small_parent=False):
+        # Only genuinely bounded dims are FORCE-broadcast; fact-scale
+        # parents (orders, customer at SF) shuffle on the key and AQE
+        # picks the strategy — a forced broadcast of a billion-key
+        # distinct set is a driver OOM, not an optimisation.
+        keys = parent.select(F.col(pkey).alias(ckey)).distinct()
+        if small_parent:
+            keys = F.broadcast(keys)
+        cnt = child.join(keys, ckey, "left_anti").agg(
+            F.count(F.lit(1)).alias("orphans")
         )
         return cnt.select(F.lit(name).alias("fk"), "orphans")
 
@@ -1166,9 +1191,9 @@ def q212_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         orphans("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
         orphans("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
         orphans("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
-        orphans("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
-        orphans("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
-        orphans("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+        orphans("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey", True),
+        orphans("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey", True),
+        orphans("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey", True),
     ]
     out = checks[0]
     for c in checks[1:]:
