@@ -1199,3 +1199,64 @@ def q212_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --------------------------------------------------------------------------
+# q213 — spend-concentration Gini per nation: the inequality measure over
+# per-customer revenue. Rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with
+# x sorted ascending (ties broken by custkey, which cannot change the sum:
+# equal x contribute rank-independent Σi within the tie group). The rank
+# window partitions per nation — bounded by a nation's customer count.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q213_spend_gini",
+    oracle="""
+WITH spend AS (
+    SELECT c.c_nationkey AS nationkey, c.c_custkey,
+           SUM(o.o_totalprice) AS x
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey, c.c_custkey
+),
+ranked AS (
+    SELECT nationkey, x,
+           ROW_NUMBER() OVER (
+               PARTITION BY nationkey ORDER BY x ASC, c_custkey ASC
+           ) AS i
+    FROM spend
+)
+SELECT CAST(nationkey AS BIGINT) AS nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(2.0 * SUM(i * x) / (COUNT(*) * SUM(x))
+             - (COUNT(*) + 1.0) / COUNT(*), 4) AS gini
+FROM ranked
+GROUP BY nationkey
+""",
+    tags=("A12", "W2", "inequality"),
+)
+def q213_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — one keyed spend
+    rollup, one per-nation rank window, one closed-form aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nationkey"), "c_custkey"
+        )
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("nationkey").orderBy(
+        F.col("x").asc(), F.col("c_custkey").asc()
+    )
+    ranked = spend.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("nationkey").agg(
+        n.alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
+    )
