@@ -599,6 +599,7 @@ def lsh_probe(
     text_col: str = "text",
     threshold: float = 0.8,
     n: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Incremental near-dup detection: probe a DELTA batch against the
     BASE corpus's LSH index without recomputing base-vs-base pairs.
@@ -628,6 +629,21 @@ def lsh_probe(
     d = delta_bands.select(
         F.col(id_col).alias("id_b"), "band_id", "band_key"
     )
+    # Degenerate-bucket guard, mirroring lsh_candidate_pairs: bucket size
+    # is counted over the UNION of base and delta band rows (what a batch
+    # recompute of base ∪ delta would see), so incremental ingest keeps
+    # batch semantics — a boilerplate bucket that the batch path drops is
+    # dropped here too, and the probe join stays sub-quadratic.
+    allowed = (
+        b.select("band_id", "band_key")
+        .unionByName(d.select("band_id", "band_key"))
+        .groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .filter(F.col("bucket_n") <= max_bucket)
+        .select("band_id", "band_key")
+    )
+    b = b.join(allowed, ["band_id", "band_key"], "left_semi")
+    d = d.join(allowed, ["band_id", "band_key"], "left_semi")
     # SIDED verify: id_a resolves against the BASE arrays and id_b against
     # the DELTA arrays (a re-ingested id may carry different text per
     # side), and an id meeting itself is not a duplicate pair. A unioned

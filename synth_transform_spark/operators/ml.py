@@ -311,6 +311,248 @@ def pca_project(
     )
 
 
+def _iround(y: float) -> int:
+    """Round-half-away-from-zero to int — the ROUND(x) semantics shared by
+    Spark (BigDecimal HALF_UP) and DuckDB (std::round) when rounding a
+    double to zero decimal places, so the driver-side recurrence below
+    reproduces either engine bit-for-bit."""
+    import math
+
+    if y >= 0:
+        return int(math.floor(y + 0.5))
+    return -int(math.floor(-y + 0.5))
+
+
+def _power_iterate(C: list[list[int]], dim: int, rounds: int) -> list[int]:
+    """Fixed-round power iteration over an integer matrix, state rounded to
+    an int vector (v*1e4) each round. Every step is either exact integer
+    algebra or a single IEEE op on deterministically-converted values, so
+    the identical recurrence unrolled as SQL CTEs reproduces it exactly."""
+    import math
+
+    v = [1250] * dim  # round(1/sqrt(64) * 1e4) — deterministic start
+    for _ in range(rounds):
+        s = [sum(C[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        s2 = sum(si * si for si in s)  # exact (Python bigint / DuckDB HUGEINT)
+        v = [_iround(float(si) / math.sqrt(float(s2)) * 10000.0) for si in s]
+    return v
+
+
+def _svd_flip(v: list[int]) -> list[int]:
+    """Sign-canonicalise: flip so the largest-|loading| coordinate is
+    positive (sklearn's svd_flip convention; ties break to the lowest
+    index). Makes the projection engine-portable."""
+    imax = max(range(len(v)), key=lambda i: (abs(v[i]), -i))
+    return [-x for x in v] if v[imax] < 0 else v
+
+
+def deterministic_pca_project(
+    vectors: DataFrame,
+    k: int = 2,
+    dim: int = 64,
+    rounds: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic distributed PCA projection: (id, pc1..pck) scalar
+    columns, engine-portable to 4dp (classifiers.ipynb cells 16-18 shape).
+
+    Unlike Spark ML's PCA (LAPACK eigensolve — correct but not
+    reproducible outside the JVM), every step here is deterministic
+    algebra, so a DuckDB oracle chains the identical recurrence and
+    hash-matches (the q147 k-means contract, PCA edition):
+
+    1. quantise x to int(round(x*1e4)) — all cross-row sums become EXACT
+       integer sums, immune to partition/summation order;
+    2. one data pass: per-partition numpy int64 Gram partials via
+       mapInPandas (map-side combine — the only shuffle is P*d^2 tiny
+       partial rows), giving exact S1_i = sum(x_i), S2_ij = sum(x_i*x_j);
+    3. driver-side (d x d, bounded — never row-scaled): integer covariance
+       C_ij = n*S2_ij - S1_i*S1_j, rescaled to ~1e6 ints; fixed-round
+       power iteration + deflation, state rounded to v*1e4 ints each
+       round; svd_flip sign canonicalisation;
+    4. projection: pc_c = round(sum_i (x_i/1e4 - mu_i) * v_ci, 4) as pure
+       Catalyst zip_with/aggregate over broadcast literal vectors.
+
+    Scale: one pass over the data + a d x d driver solve — Spark ML PCA's
+    own shape, safe at 100 TB (d is the embedding width, not row count).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    xi = vectors.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double") * F.lit(10000.0)).cast("long")
+        ).alias("xi"),
+    )
+
+    def _partials(batches):
+        s1 = np.zeros(dim, dtype=np.int64)
+        s2 = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["xi"].to_numpy()).astype(np.int64)
+            s1 += X.sum(axis=0)
+            s2 += X.T @ X  # exact int64 (|x_int| <= ~1e4 → no overflow)
+            n += len(X)
+        ii, jj = np.meshgrid(np.arange(dim), np.arange(dim), indexing="ij")
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([ii.ravel(), np.arange(dim), [-1]]),
+                "j": np.concatenate([jj.ravel(), np.full(dim, -1), [-1]]),
+                "v": np.concatenate([s2.ravel(), s1, [n]]),
+            }
+        )
+
+    sums = (
+        xi.select("xi")
+        .mapInPandas(_partials, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )  # bounded: d*d + d + 1 rows regardless of corpus size
+    by_key = {(r["i"], r["j"]): r["v"] for r in sums}
+    n = by_key[(-1, -1)]
+    S1 = [by_key[(i, -1)] for i in range(dim)]
+    S2 = [[by_key[(i, j)] for j in range(dim)] for i in range(dim)]
+
+    C = [
+        [
+            _iround(float(n * S2[i][j] - S1[i] * S1[j]) / (float(n) * float(n)))
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+    comps: list[list[int]] = []
+    for _ in range(k):
+        v = _power_iterate(C, dim, rounds)
+        comps.append(_svd_flip(v))
+        lam_i = sum(v[i] * C[i][j] * v[j] for i in range(dim) for j in range(dim))
+        lam = float(lam_i) / 1.0e8
+        C = [
+            [
+                _iround(float(C[i][j]) - lam * (float(v[i]) / 10000.0) * (float(v[j]) / 10000.0))
+                for j in range(dim)
+            ]
+            for i in range(dim)
+        ]
+
+    mu = [float(S1[i]) / float(n) / 10000.0 for i in range(dim)]
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    centered = F.zip_with("xi", mu_lit, lambda x, m: x.cast("double") / F.lit(10000.0) - m)
+    out = [F.col(id_col)]
+    for c, vint in enumerate(comps):
+        v_lit = F.array(*[F.lit(float(x) / 10000.0) for x in vint])
+        terms = F.zip_with(centered, v_lit, lambda a, v: a * v)
+        out.append(
+            F.round(F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 4).alias(
+                f"pc{c + 1}"
+            )
+        )
+    return xi.select(*out)
+
+
+def deterministic_pca_oracle(k: int = 2, rounds: int = 40) -> str:
+    """DuckDB SQL computing deterministic_pca_project's exact recurrence:
+    integer-quantised sums, integer covariance, `rounds` unrolled
+    power-iteration CTEs per component (AS MATERIALIZED — DuckDB would
+    otherwise re-inline the chain exponentially), deflation, svd_flip,
+    4dp projection. Hash-matches the Spark output bit-for-bit."""
+
+    def iter_ctes(cmat: str, vprev: str, tag: str) -> tuple[str, str]:
+        parts = []
+        for t in range(rounds):
+            vcur = f"{tag}_v{t + 1}"
+            parts.append(
+                f"""
+{tag}_s{t + 1} AS MATERIALIZED (
+    SELECT c.i, SUM(c.c * v.v) AS s
+    FROM {cmat} c JOIN {vprev} v ON v.i = c.j GROUP BY c.i
+),
+{tag}_n{t + 1} AS MATERIALIZED (
+    SELECT SUM(CAST(s AS HUGEINT) * s) AS s2 FROM {tag}_s{t + 1}
+),
+{vcur} AS MATERIALIZED (
+    SELECT s.i,
+           CAST(ROUND(CAST(s.s AS DOUBLE)/SQRT(CAST(n.s2 AS DOUBLE))*10000.0) AS BIGINT) AS v
+    FROM {tag}_s{t + 1} s, {tag}_n{t + 1} n
+)"""
+            )
+            vprev = vcur
+        return ",".join(parts), vprev
+
+    comp_ctes, proj_cols, prev_mat = [], [], "cred"
+    for c in range(1, k + 1):
+        it, vname = iter_ctes(prev_mat, f"seed{c}", f"p{c}")
+        comp_ctes.append(
+            f"""
+seed{c} AS (SELECT i, CAST(1250 AS BIGINT) AS v FROM s1),
+{it},
+flip{c} AS (
+    SELECT CASE WHEN (SELECT v FROM {vname} ORDER BY ABS(v) DESC, i ASC LIMIT 1) < 0
+                THEN -1 ELSE 1 END AS f
+),
+vf{c} AS (SELECT v.i, v.v * f.f AS v FROM {vname} v, flip{c} f)"""
+        )
+        if c < k:
+            comp_ctes.append(
+                f"""
+lam{c} AS MATERIALIZED (
+    SELECT CAST(SUM(CAST(va.v AS HUGEINT) * m.c * vb.v) AS DOUBLE)/1.0e8 AS l
+    FROM {prev_mat} m JOIN {vname} va ON va.i = m.i JOIN {vname} vb ON vb.i = m.j
+),
+cdefl{c} AS MATERIALIZED (
+    SELECT m.i, m.j,
+           CAST(ROUND(CAST(m.c AS DOUBLE)
+                      - lam{c}.l * (CAST(va.v AS DOUBLE)/10000.0)
+                        * (CAST(vb.v AS DOUBLE)/10000.0)) AS BIGINT) AS c
+    FROM {prev_mat} m, lam{c}
+    JOIN {vname} va ON va.i = m.i JOIN {vname} vb ON vb.i = m.j
+)"""
+            )
+            prev_mat = f"cdefl{c}"
+        proj_cols.append(
+            f"""ROUND(SUM((CAST(x.xi AS DOUBLE)/10000.0 - mu.m)
+                 * (CAST(v{c}.v AS DOUBLE)/10000.0)), 4) AS pc{c}"""
+        )
+    proj_joins = "\n".join(f"JOIN vf{c} v{c} ON v{c}.i = x.i" for c in range(1, k + 1))
+    comp_sql = ",".join(comp_ctes)
+    proj_sql = ",\n       ".join(proj_cols)
+    return f"""
+WITH xint AS MATERIALIZED (
+    SELECT vec_id, i, CAST(ROUND(CAST(x AS DOUBLE)*10000.0) AS BIGINT) AS xi
+    FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                 GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings)
+),
+nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM xint),
+s1 AS MATERIALIZED (SELECT i, SUM(xi) AS s1 FROM xint GROUP BY i),
+s2 AS MATERIALIZED (
+    SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS s2
+    FROM xint a JOIN xint b ON b.vec_id = a.vec_id GROUP BY a.i, b.i
+),
+cred AS MATERIALIZED (
+    SELECT s2.i, s2.j,
+           CAST(ROUND(CAST(nn.n * s2.s2 - sa.s1 * sb.s1 AS DOUBLE)
+                      / (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE))) AS BIGINT) AS c
+    FROM s2, nn
+    JOIN s1 sa ON sa.i = s2.i JOIN s1 sb ON sb.i = s2.j
+),
+{comp_sql},
+mu AS (SELECT s1.i, CAST(s1.s1 AS DOUBLE)/CAST(nn.n AS DOUBLE)/10000.0 AS m FROM s1, nn)
+SELECT x.vec_id,
+       {proj_sql}
+FROM xint x
+JOIN mu ON mu.i = x.i
+{proj_joins}
+GROUP BY x.vec_id
+"""
+
+
 def kmeans_assignments(
     vectors: DataFrame,
     k: int = 4,

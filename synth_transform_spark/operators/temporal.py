@@ -258,7 +258,8 @@ def cooldown_alerts(
     scan bounded by the user's candidate count; the grouping key bounds
     both memory and skew (a hot user is one pandas group, not a cluster
     straggler). Returns (user_id, event_id, alert_sec), deterministic via
-    the (sec, event_id) scan order.
+    the (sec, event_id) scan order. user_id/event_id keep the INPUT column
+    types (string ids work); alert_sec is always bigint.
     """
     import pandas as pd
 
@@ -266,6 +267,14 @@ def cooldown_alerts(
         "user_id",
         "event_id",
         F.col("ts").cast("long").alias("sec"),
+    )
+    # applyInPandas needs a declared output schema — derive the id column
+    # types from the input so non-bigint (e.g. string) ids round-trip
+    # instead of silently miscasting.
+    id_types = {f.name: f.dataType.simpleString() for f in cand.schema.fields}
+    out_schema = (
+        f"user_id {id_types['user_id']}, event_id {id_types['event_id']}, "
+        "alert_sec bigint"
     )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -282,6 +291,4 @@ def cooldown_alerts(
             {"user_id": users, "event_id": ids, "alert_sec": secs}
         )
 
-    return cand.groupBy("user_id").applyInPandas(
-        scan, "user_id bigint, event_id bigint, alert_sec bigint"
-    )
+    return cand.groupBy("user_id").applyInPandas(scan, out_schema)

@@ -157,23 +157,32 @@ def q33_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(assigned, centroids, queries, k=_K, n_probe=_N_PROBE)
 
 
+def _pca_oracle() -> str:
+    from ..operators.ml import deterministic_pca_oracle
+
+    return deterministic_pca_oracle(k=2, rounds=40)
+
+
 @register(
     "q62_pca_project",
-    # PCA eigenbasis sign (and, under eigenvalue ties, rotation) is
-    # basis-dependent, so values are not engine-portable — rows-only driver
-    # check; variance ordering + row preservation are pinned in
-    # tests/test_ml.py::test_pca_project_preserves_rows_and_orders_variance.
-    oracle=None,
+    # Deterministic power-iteration PCA: integer-quantised exact sums +
+    # fixed-round rounded recurrence + svd_flip sign canonicalisation make
+    # the projection engine-portable — the oracle unrolls the identical
+    # algebra as MATERIALIZED CTEs and hash-matches at 4dp (the q147
+    # k-means contract, PCA edition). Scalar pc1/pc2 output columns.
+    oracle=_pca_oracle(),
     tags=("ml", "pca"),
 )
 def q62_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA projection of the embedding corpus onto 2 principal
-    components (classifiers.ipynb cells 16-18 shape): covariance eigenbasis
-    computed distributed, k x d SVD on the driver only."""
-    from ..operators.ml import pca_project
+    """Deterministic distributed PCA projection of the embedding corpus
+    onto 2 principal components (classifiers.ipynb cells 16-18 shape):
+    one exact-integer Gram pass over the data, d x d driver-side power
+    iteration (fixed 40 rounds, state rounded each round), Catalyst-side
+    4dp projection — scalar (vec_id, pc1, pc2)."""
+    from ..operators.ml import deterministic_pca_project
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return pca_project(emb, k=2)
+    return deterministic_pca_project(emb, k=2, dim=64, rounds=40)
 
 
 @register(

@@ -736,13 +736,19 @@ def _bpe_merge_select(k: int) -> str:
     tags=("tokenizer", "training-prep", "iterative"),
 )
 def q186_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The learned BPE merge table ({_BPE_K} rounds over the corpus
-    vocabulary): (merge_rank, left_sym, right_sym, pair_n). Iterative —
-    one argmax collect (a single row) per round."""
     from ..operators import bpe
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe.merge_table(spark, bpe.train(docs, _BPE_K))
+
+
+# f-strings are not compiler-recognised docstrings — assign post-def so the
+# round count renders instead of a literal '{_BPE_K}'.
+q186_bpe_merges.__doc__ = (
+    f"The learned BPE merge table ({_BPE_K} rounds over the corpus "
+    "vocabulary): (merge_rank, left_sym, right_sym, pair_n). Iterative — "
+    "one argmax collect (a single row) per round."
+)
 
 
 @register(

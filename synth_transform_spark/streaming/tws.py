@@ -108,12 +108,44 @@ def make_profile_processor():
     return UserProfileProcessor()
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider to one streaming run: set the
+    session conf on entry, restore the prior value (or unset) on exit. The
+    conf is read when a streaming query STARTS, so callers must keep this
+    scope open until the query terminates — exactly what the gated e2e
+    harness does (start → awaitTermination → exit scope)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prior = spark.conf.get(key)
+    except Exception:
+        prior = None
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        yield
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+
 def running_profile(stream: DataFrame) -> DataFrame:
     """Per-user running profile via transformWithStateInPandas (update mode).
 
     Raises MissingProtobufError up front when the protocol dependency is
     absent — callers fall back to streaming/stateful.running_user_totals
     (same emission contract, legacy API).
+
+    SESSION-CONF SIDE EFFECT (documented contract): transformWithState is
+    only supported on the RocksDB state store, and the provider conf is
+    consumed at query START — after this builder returns. Setting it here
+    therefore leaks to every later streaming query in the session. Callers
+    that need isolation wrap the whole start→terminate span in
+    ``rocksdb_state_store(spark)``, which restores the prior provider.
     """
     if not protobuf_available():
         raise MissingProtobufError(

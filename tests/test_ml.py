@@ -53,6 +53,21 @@ def test_pca_project_preserves_rows_and_orders_variance(spark):
     assert mat[:, 0].var() >= mat[:, 1].var()
 
 
+def test_deterministic_pca_scalar_output_and_variance_order(spark):
+    from synth_transform_spark.operators.ml import deterministic_pca_project
+    from synth_transform_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = deterministic_pca_project(emb, k=2, dim=64, rounds=40).toPandas()
+    assert len(out) == emb.count()
+    # scalar columns only (the driver canonicalizer cannot hash arrays)
+    assert list(out.columns) == ["vec_id", "pc1", "pc2"]
+    assert out.pc1.var() >= out.pc2.var()
+    # svd_flip canonicalisation + rounded recurrence = bit-deterministic
+    again = deterministic_pca_project(emb, k=2, dim=64, rounds=40).toPandas()
+    assert out.sort_values("vec_id").pc1.tolist() == again.sort_values("vec_id").pc1.tolist()
+
+
 def test_rows_output_covers_holdout_with_correct_flag(spark):
     docs = load_table(spark, SF_DIR, "documents")
     out = ml.train_and_predict(docs).toPandas()

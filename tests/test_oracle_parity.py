@@ -16,7 +16,17 @@ CASES = sorted(REGISTRY)
 @pytest.mark.parametrize("name", CASES)
 def test_query_matches_oracle(name, spark, oracle_con):
     q = REGISTRY[name]
-    sdf = q.spark(spark, SF_DIR).toPandas()
+    df = q.spark(spark, SF_DIR)
+    # Registry schema lint: the driver canonicalizer value-hashes cells, so
+    # every output column must be a scalar type — an array/map/struct column
+    # crashes its pandas sort (the round-4 q62 err). Catch it in CI.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in df.schema.fields:
+        assert not isinstance(f.dataType, (ArrayType, MapType, StructType)), (
+            f"{name}: non-scalar output column {f.name}: {f.dataType.simpleString()}"
+        )
+    sdf = df.toPandas()
     if q.oracle is None:
         assert len(sdf) >= 0  # rows-only contract for non-SQL-expressible ops
         return
