@@ -10,6 +10,12 @@ Runs every registry query flagged ``bench=True`` against
 
 Each query is timed end-to-end (plan + execute + collect-to-count) after a
 one-query warmup to amortise JVM/session startup out of per-query numbers.
+
+A second, NON-headline "extended" table times one heavy representative per
+round-3/4 operator family (prefix-filter join, BPE training, PQ-ADC ANN,
+hierarchy rollup, skyline) so regressions in those families are
+attributable; it is reported under separate JSON keys and never counts
+toward the headline metric (which stays comparable across all rounds).
 """
 
 from __future__ import annotations
@@ -67,6 +73,36 @@ def main() -> int:
         timings[name] = best
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # Extended (non-headline) suite: heavy operator-family representatives.
+    EXTENDED = [
+        "q182_prefix_jaccard_join",
+        "q186_bpe_merges",
+        "q132_pq_topk",
+        "q149_hierarchy_rollup",
+        "q210_pareto_frontier",
+    ]
+    ext: dict[str, float] = {}
+    for name in EXTENDED:
+        q = REGISTRY.get(name)
+        if q is None:
+            print(f"# extended {name}: not in registry, skipped", file=sys.stderr)
+            continue
+        try:
+            q.spark(spark, warm_dir).count()  # warm
+            best = None
+            for _ in range(2):
+                release_cached()
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                n = q.spark(spark, sf_dir).count()
+                dt = round(time.perf_counter() - t0, 3)
+                best = dt if best is None else min(best, dt)
+            ext[name] = best
+            print(f"# extended {name}: {best}s ({n} rows)", file=sys.stderr)
+        except Exception as ex:  # extended failures must not sink the bench
+            print(f"# extended {name} failed: {ex}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -76,6 +112,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "extended": ext,
+                "extended_total": round(sum(ext.values()), 3),
             }
         )
     )

@@ -33,7 +33,10 @@ def clean_string(col: Column) -> Column:
     c = F.regexp_replace(c, " ", " ")
     c = F.regexp_replace(c, r"\s{2,}", " ")
     c = F.regexp_replace(c, r"^\s+", "")
-    return F.when(c.rlike(r"\w"), c)
+    # (?U): Java \w is ASCII-only by default, but the reference's Python \w
+    # is Unicode — without the flag, non-Latin-only strings ("α β") wrongly
+    # null out (pinned by the html_strip golden corpus, case 23).
+    return F.when(c.rlike(r"(?U)\w"), c)
 
 
 def clean_string_html_exact(col: Column) -> Column:
@@ -49,11 +52,23 @@ def clean_string_html_exact(col: Column) -> Column:
 
         from bs4 import BeautifulSoup
 
+        # The reference parses with lxml (utils.py:84) — malformed-markup
+        # recovery differs between parsers, so only fall back to the
+        # stdlib parser when lxml is absent.
+        try:
+            import lxml  # noqa: F401
+
+            parser = "lxml"
+        except ImportError:
+            parser = "html.parser"
+
         def one(v):
             if v is None:
                 return None
             v = re.sub(r"[\r\n\t]+", " ", v)
-            v = BeautifulSoup(v, "html.parser").get_text()
+            if len(v) == 0:
+                return None
+            v = BeautifulSoup(v, parser).get_text()
             v = v.replace(" ", " ")
             v = re.sub(r"^\s+", "", re.sub(r"\s{2,}", " ", v))
             return v if re.search(r"\w", v) else None
@@ -77,7 +92,8 @@ def find_names(col: Column) -> Column:
     the reference docstring ("attempts to find names").
     """
     sep = F.regexp_replace(col, r"(?i)( and |&)", "; ")
-    matches = F.regexp_extract_all(sep, F.lit(r"([^\W\d_]{3,}[-' ]?)+"), 0)
+    # (?U) for Unicode letters, matching the reference's Python \W semantics
+    matches = F.regexp_extract_all(sep, F.lit(r"(?U)([^\W\d_]{3,}[-' ]?)+"), 0)
     return F.transform(matches, lambda m: F.regexp_replace(m, r"[-' ]+$", ""))
 
 

@@ -39,18 +39,41 @@ def tokens_col(text_col: str):
     return F.filter(F.split(cleaned, " +"), lambda t: F.length(t) > 1)
 
 
-def build_pipeline(n_features: int = 1 << 12, max_iter: int = 25, reg: float = 0.01):
-    """HashingTF → IDF → multinomial LogisticRegression pipeline (unfitted)."""
+def build_pipeline(
+    n_features: int = 1 << 12,
+    max_iter: int = 25,
+    reg: float = 0.01,
+    family: str = "lr",
+):
+    """HashingTF → IDF → classifier pipeline (unfitted).
+
+    family='lr'  → multinomial LogisticRegression (probability output —
+                   feeds the z-score outlier workflow);
+    family='svc' → OneVsRest(LinearSVC), the Spark ML twin of the
+                   reference's actual model family (classifiers.ipynb
+                   cells 12-18 train an sklearn SVC; sklearn's multiclass
+                   SVC is itself one-vs-one/one-vs-rest over binary SVMs,
+                   so OneVsRest over linear SVMs is the closest-parity
+                   distributed re-expression).
+    """
     from pyspark.ml import Pipeline
-    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.classification import LinearSVC, LogisticRegression, OneVsRest
     from pyspark.ml.feature import IDF, HashingTF, StringIndexer
 
+    if family == "svc":
+        clf = OneVsRest(
+            classifier=LinearSVC(maxIter=max_iter, regParam=reg),
+            labelCol="label",
+            featuresCol="features",
+        )
+    else:
+        clf = LogisticRegression(maxIter=max_iter, regParam=reg, family="multinomial")
     return Pipeline(
         stages=[
             StringIndexer(inputCol="label_str", outputCol="label", handleInvalid="keep"),
             HashingTF(inputCol="tokens", outputCol="tf", numFeatures=n_features),
             IDF(inputCol="tf", outputCol="features"),
-            LogisticRegression(maxIter=max_iter, regParam=reg, family="multinomial"),
+            clf,
         ]
     )
 
@@ -68,6 +91,7 @@ def train_and_predict(
     text_col: str = "text",
     label_col: str = "lang",
     holdout_mod: int = 5,
+    family: str = "lr",
 ) -> DataFrame:
     """Train on ~80% (doc_id % holdout_mod != 0), predict the holdout.
 
@@ -77,11 +101,14 @@ def train_and_predict(
     driver's rows-only check sees a stable schema, and accuracy floors are
     asserted in tests/test_ml.py (on a label the bag-of-words model can
     actually learn; the synthetic ``lang`` column carries no text signal).
+
+    ``family`` selects the classifier (see build_pipeline) — 'svc' gives
+    the reference's actual model family with the identical verdict schema.
     """
     prepped = prepare(docs, text_col, label_col)
     train = prepped.filter(F.col("doc_id") % holdout_mod != 0)
     test = prepped.filter(F.col("doc_id") % holdout_mod == 0)
-    model = build_pipeline().fit(train)
+    model = build_pipeline(family=family).fit(train)
     labels = model.stages[0].labelsArray[0]
     idx_to_label = F.array(*[F.lit(l) for l in labels])
     return (

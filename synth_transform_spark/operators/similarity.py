@@ -746,3 +746,65 @@ def pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "d2")
     )
+
+
+def semdedup_drops(
+    vectors: DataFrame,
+    clusters: DataFrame,
+    threshold: float,
+    max_cluster: int = 10000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) drop inventory: within each trained
+    cluster, a vector is DROPPED when a lower-id cluster-mate sits within
+    cosine >= ``threshold`` of it (the deterministic keep-one rule — the
+    repo's exact-dedup keep-lowest-id convention applied to semantic
+    groups). Returns (vec_id, cluster, n_dups, max_cos) for dropped ids.
+
+    ``clusters`` is any (id, cluster) assignment — q217 feeds Lloyd-trained
+    k-means (operators/ml.kmeans_assignments), the paper's setup.
+
+    Scale: the only quadratic term is the within-cluster self-join, bounded
+    by ``max_cluster`` (the max_bucket/max_cell guard); SemDeDup's own
+    recipe keeps E[cluster size] constant by scaling k with corpus size, so
+    the guard is a backstop, not the mechanism. No global window, no
+    all-pairs.
+    """
+    from ..caching import persist_tracked
+
+    vd = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).withColumn("_nrm", _norm(F.col("_v")))
+    sized = persist_tracked(
+        clusters.withColumn(
+            "_cn", F.count(F.lit(1)).over(Window.partitionBy("cluster"))
+        )
+        .filter(F.col("_cn") <= max_cluster)
+        .select(id_col, "cluster")
+    )
+    a = sized.select("cluster", F.col(id_col).alias("id_a"))
+    b = sized.select("cluster", F.col(id_col).alias("id_b"))
+    cand = a.join(b, ["cluster"]).filter(F.col("id_a") < F.col("id_b"))
+    va = vd.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("a_vec"), F.col("_nrm").alias("nrm_a")
+    )
+    vb = vd.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("b_vec"), F.col("_nrm").alias("nrm_b")
+    )
+    sim = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("nrm_a") * F.col("nrm_b")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return sim.groupBy(F.col("id_b").alias(id_col), "cluster").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.max("cosine").alias("max_cos")
+    )

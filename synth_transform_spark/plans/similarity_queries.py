@@ -577,3 +577,80 @@ def q147_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assignments(emb, k=_KM_K, n_iter=_KM_ITER)
+
+
+# --------------------------------------------------------------------------
+# q217 — SemDeDup (Abbas et al. 2023): semantic dedup over TRAINED Lloyd
+# clusters — q147's deterministic k-means assigns, then within each cluster
+# any vector with a lower-id cluster-mate at cosine >= threshold is dropped
+# (keep-lowest-id = the repo's exact-dedup survivor convention). The drop
+# inventory (vec_id, cluster, n_dups, max_cos) is what a curation pipeline
+# writes back. Distinct from q38 (IVF-cell near-dup candidates): q217
+# clusters by the TRAINED partition (single assignment, the paper's setup)
+# and emits the curation verdict, not candidate pairs.
+# Scale: the within-cluster self-join is the only quadratic term, bounded
+# by max_cluster; SemDeDup scales k with corpus size so E[cluster] is
+# constant (documented in operators/similarity.semdedup_drops).
+# --------------------------------------------------------------------------
+_SD_T = 0.35
+_SD_MAXC = 10000
+
+
+@register(
+    "q217_semdedup",
+    oracle=f"""
+WITH vflat AS MATERIALIZED (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+{_kmeans_ctes(_KM_K, _KM_ITER)},
+csize AS (
+    SELECT cluster, COUNT(*) AS n FROM a{_KM_ITER + 1} GROUP BY cluster
+),
+ok AS (
+    SELECT a.vec_id, a.cluster
+    FROM a{_KM_ITER + 1} a JOIN csize c ON c.cluster = a.cluster
+    WHERE c.n <= {_SD_MAXC}
+),
+norms AS (
+    SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY vec_id
+),
+cand AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib, a.cluster
+    FROM ok a JOIN ok b ON b.cluster = a.cluster AND b.vec_id > a.vec_id
+),
+dots AS (
+    SELECT c.ia, c.ib, c.cluster, SUM(va.x * vb.x) AS dot
+    FROM cand c
+    JOIN vflat va ON va.vec_id = c.ia
+    JOIN vflat vb ON vb.vec_id = c.ib AND vb.i = va.i
+    GROUP BY c.ia, c.ib, c.cluster
+),
+sim AS (
+    SELECT d.ib, d.cluster,
+           ROUND(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.ia
+    JOIN norms nb ON nb.vec_id = d.ib
+)
+SELECT ib AS vec_id, cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MAX(cosine) AS max_cos
+FROM sim
+WHERE cosine >= {_SD_T}
+GROUP BY ib, cluster
+""",
+    tags=("dedup-semantic", "ml-kmeans", "iterative"),
+)
+def q217_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup drop inventory over Lloyd-trained clusters (k=4, 3 rounds,
+    threshold 0.35): (vec_id, cluster, n_dups, max_cos) for every vector a
+    curation pass would drop. Iterative (k-means rounds execute at plan
+    build)."""
+    from ..operators.ml import kmeans_assignments
+    from ..operators.similarity import semdedup_drops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_assignments(emb, k=_KM_K, n_iter=_KM_ITER)
+    return semdedup_drops(emb, clusters, threshold=_SD_T, max_cluster=_SD_MAXC)

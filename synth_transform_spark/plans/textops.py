@@ -285,6 +285,24 @@ def q41_tfidf_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q214 — the SVC-family twin of q41 (the reference's ACTUAL model family:
+# classifiers.ipynb cells 12-18 train an sklearn SVC). OneVsRest(LinearSVC)
+# over the same TF-IDF features, identical verdict relation; iterative
+# training → rows-only driver check, floors in tests/test_ml.py.
+# --------------------------------------------------------------------------
+@register(
+    "q214_svc_classifier",
+    oracle=None,
+    tags=("text-classify", "F16", "ml"),
+)
+def q214_svc_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import ml
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ml.train_and_predict(docs, family="svc")
+
+
+# --------------------------------------------------------------------------
 # q55 — pickled-model outlier workflow (reference: outliers.ipynb cells
 # 4-6): apply a shipped (pickled) vectoriser+classifier via a broadcast
 # mapInPandas stage, z-score the max probabilities (population std), keep
@@ -1588,3 +1606,117 @@ FROM dcg d CROSS JOIN ideal i
 from .registry import REGISTRY as _REG  # noqa: E402
 
 _REG["q198_ir_eval"].oracle = _ir_eval_oracle()
+
+
+# --------------------------------------------------------------------------
+# q215 — CCNet-style perplexity tercile filter: the full production quality-
+# filter workflow on top of q152's bigram LM. Per-doc perplexity under the
+# corpus-trained add-one-smoothed bigram model, bucketed by the CORPUS
+# perplexity terciles into head/middle/tail (CCNet's vocabulary), with the
+# keep verdict (head+middle kept, tail cut). Wetterstrand/CCNet use KenLM
+# 5-grams; the plan shape — broadcast LM table, per-doc aggregate, 1-row
+# broadcast quantile boundaries — is identical at any order.
+# Scale: model table ≤ observed-bigram count → broadcast; two doc-keyed
+# aggregates; terciles are ONE 1-row aggregate broadcast back (no global
+# window). Log terms rounded 6dp pre-mean, mean 4dp, EXP on the rounded
+# operand → engine-portable (q152 contract).
+# --------------------------------------------------------------------------
+@register(
+    "q215_perplexity_filter",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+),
+big AS (
+    SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM big GROUP BY prev, cur),
+c1 AS (SELECT prev, COUNT(*) AS n1 FROM big GROUP BY prev),
+vocab_n AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+ll AS (
+    SELECT c2.prev, c2.cur,
+           ROUND(LN((c2.n2 + 1) / CAST(c1.n1 + vn.v AS DOUBLE)), 6) AS lp
+    FROM c2 JOIN c1 ON c1.prev = c2.prev CROSS JOIN vocab_n vn
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(EXP(-ROUND(AVG(l.lp), 4)), 4) AS ppl
+    FROM big b JOIN ll l ON l.prev = b.prev AND l.cur = b.cur
+    GROUP BY b.doc_id
+),
+bounds AS (
+    SELECT ROUND(QUANTILE_CONT(ppl, 1.0/3), 4) AS t1,
+           ROUND(QUANTILE_CONT(ppl, 2.0/3), 4) AS t2
+    FROM scored
+)
+SELECT s.doc_id, s.n_bigrams, s.ppl,
+       CASE WHEN s.ppl <= b.t1 THEN 'head'
+            WHEN s.ppl <= b.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(CASE WHEN s.ppl <= b.t2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM scored s CROSS JOIN bounds b
+""",
+    tags=("training-prep", "quality", "text-lm"),
+)
+def q215_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet tercile perplexity filter: (doc_id, n_bigrams, ppl, bucket,
+    keep) under the corpus add-one bigram LM. Bigrams via a narrow
+    arrays_zip (no positional self-join); LM and tercile boundaries are
+    broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_analysis.tokens_raw(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.0").alias("prev"), F.col("_bg.1").alias("cur"))
+    c2 = big.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = big.groupBy("prev").agg(F.count(F.lit(1)).alias("n1"))
+    vocab_n = (
+        docs.select(F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    ll = (
+        c2.join(c1, "prev")
+        .join(F.broadcast(vocab_n))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                F.log((F.col("n2") + 1) / (F.col("n1") + F.col("v")).cast("double")), 6
+            ).alias("lp"),
+        )
+    )
+    scored = (
+        big.join(F.broadcast(ll), ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(-F.round(F.avg("lp"), 4)), 4).alias("ppl"),
+        )
+    )
+    bounds = scored.agg(
+        F.round(F.percentile("ppl", F.lit(1.0 / 3)), 4).alias("t1"),
+        F.round(F.percentile("ppl", F.lit(2.0 / 3)), 4).alias("t2"),
+    )
+    return scored.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        "n_bigrams",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("t1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        (F.col("ppl") <= F.col("t2")).cast("long").alias("keep"),
+    )

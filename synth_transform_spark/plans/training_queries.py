@@ -917,3 +917,130 @@ def q192_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected_score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — DSIR-style importance weights (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling"): score every raw-corpus
+# document by the log-likelihood ratio of its tokens under a TARGET-domain
+# unigram LM vs the RAW-corpus unigram LM (both add-one smoothed), then
+# deterministically select the top quartile by length-normalised ratio.
+# Target domain here = the English subset (the common "target = curated
+# English" setup); DSIR hashes n-grams into buckets — the unigram table IS
+# the bucket table at this vocabulary size, and the plan shape (two
+# broadcast LM tables, one doc-keyed aggregate, a 1-row broadcast quantile
+# threshold) is the 100 TB shape: no global window, no driver loop.
+# Log terms 6dp, doc aggregates 4dp (q152/q215 contract).
+# ---------------------------------------------------------------------------
+@register(
+    "q216_dsir_weights",
+    oracle="""
+WITH toks AS (
+    SELECT d.doc_id, d.lang,
+           UNNEST(LIST_FILTER(STRING_SPLIT(d.text, ' '), t -> t <> '')) AS tok
+    FROM documents d
+),
+vocab_n AS (SELECT COUNT(DISTINCT tok) AS v FROM toks),
+raw_tot AS (SELECT COUNT(*) AS nr FROM toks),
+tgt_tot AS (SELECT COUNT(*) AS nt FROM toks WHERE lang = 'en'),
+raw_c AS (SELECT tok, COUNT(*) AS cr FROM toks GROUP BY tok),
+tgt_c AS (SELECT tok, COUNT(*) AS ct FROM toks WHERE lang = 'en' GROUP BY tok),
+lw AS (
+    -- integer micro-nats: per-token ratio rounded to an exact BIGINT so
+    -- the per-doc sums are EXACT integer sums (no summation-order noise,
+    -- no .00005 knife-edges — the exact-integer-milli-mean contract)
+    SELECT r.tok,
+           CAST(ROUND((LN((COALESCE(t.ct, 0) + 1) / CAST(tt.nt + vn.v AS DOUBLE))
+                 - LN((r.cr + 1) / CAST(rt.nr + vn.v AS DOUBLE))) * 1000000.0)
+                AS BIGINT) AS lwi
+    FROM raw_c r
+    LEFT JOIN tgt_c t ON t.tok = r.tok
+    CROSS JOIN tgt_tot tt CROSS JOIN raw_tot rt CROSS JOIN vocab_n vn
+),
+scored AS (
+    -- ratios STAY in exact integer micro-nats: sums of exact ints land on
+    -- .00005 half-boundaries systematically, where Spark's decimal-aware
+    -- ROUND and C's double-multiply ROUND disagree — so no fractional
+    -- rounding at all. avg uses FLOOR (discontinuity only at exact
+    -- integers, where both engines agree).
+    SELECT k.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(l.lwi) AS BIGINT) AS log_ratio_micro,
+           CAST(FLOOR(CAST(SUM(l.lwi) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS avg_log_ratio_micro
+    FROM toks k JOIN lw l ON l.tok = k.tok
+    GROUP BY k.doc_id
+),
+thresh AS (
+    SELECT QUANTILE_CONT(avg_log_ratio_micro, 0.75) AS q3 FROM scored
+)
+SELECT s.doc_id, s.n_tokens, s.log_ratio_micro, s.avg_log_ratio_micro,
+       CAST(CASE WHEN s.avg_log_ratio_micro >= t.q3 THEN 1 ELSE 0 END AS BIGINT)
+           AS selected
+FROM scored s CROSS JOIN thresh t
+""",
+    tags=("training-prep", "sampling", "text-lm"),
+)
+def q216_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance weights in exact integer micro-nats:
+    (doc_id, n_tokens, log_ratio_micro, avg_log_ratio_micro, selected)
+    with selected = top quartile by length-normalised target/raw
+    log-likelihood ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
+    )
+    vocab_n = toks.agg(F.countDistinct("tok").alias("v"))
+    raw_tot = toks.agg(F.count(F.lit(1)).alias("nr"))
+    tgt = toks.filter(F.col("lang") == "en")
+    tgt_tot = tgt.agg(F.count(F.lit(1)).alias("nt"))
+    raw_c = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = tgt.groupBy("tok").agg(F.count(F.lit(1)).alias("ct"))
+    lw = (
+        raw_c.join(tgt_c, "tok", "left")
+        .join(F.broadcast(tgt_tot))
+        .join(F.broadcast(raw_tot))
+        .join(F.broadcast(vocab_n))
+        .select(
+            "tok",
+            # integer micro-nats → exact per-doc integer sums (no
+            # summation-order noise; see the oracle comment)
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1)
+                        / (F.col("nt") + F.col("v")).cast("double")
+                    )
+                    - F.log(
+                        (F.col("cr") + 1) / (F.col("nr") + F.col("v")).cast("double")
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lwi"),
+        )
+    )
+    scored = (
+        toks.join(F.broadcast(lw), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lwi").alias("log_ratio_micro"),
+            F.floor(F.sum("lwi").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_log_ratio_micro"),
+        )
+    )
+    thresh = scored.agg(
+        F.percentile("avg_log_ratio_micro", F.lit(0.75)).alias("q3")
+    )
+    return scored.crossJoin(F.broadcast(thresh)).select(
+        "doc_id",
+        "n_tokens",
+        "log_ratio_micro",
+        "avg_log_ratio_micro",
+        (F.col("avg_log_ratio_micro") >= F.col("q3")).cast("long").alias("selected"),
+    )

@@ -1,0 +1,118 @@
+"""F1 clean_string golden corpus — pins the regex-path output on malformed
+HTML AND records the expected reference (bs4+lxml, utils.py:69-87) output,
+so the divergence between the container's primary regex path and the gated
+bs4-exact path is MEASURED, not unknown.
+
+Each case: (input, regex_expected, bs4_expected, note).
+- regex_expected: what functions.cleaning.clean_string (the primary JVM
+  path) must produce — asserted always.
+- bs4_expected: what the reference's BeautifulSoup(text,'lxml').text chain
+  produces — asserted only where bs4+lxml exist (gate-skipped otherwise).
+  UNPINNED sentinel = parser-version-dependent corner, divergence
+  direction documented in the note instead (None means a genuine NULL
+  output).
+"""
+
+UNPINNED = object()
+
+GOLDENS = [
+    # (input, regex_expected, bs4_expected, note)
+    ("plain text here", "plain text here", "plain text here", "no markup"),
+    ("<b>bold</b> move", "bold move", "bold move", "well-formed tags"),
+    ("unclosed <b>bold", "unclosed bold", "unclosed bold", "auto-closed tag"),
+    (
+        "a < b and c > d",
+        "a d",
+        "a < b and c > d",
+        "DIVERGES: '<'+space is literal text to an HTML parser; the regex "
+        "greedily strips '< b and c >'",
+    ),
+    (
+        "5<6 but 7>2",
+        "52",
+        "5<6 but 7>2",
+        "DIVERGES: '<'+digit is literal text to an HTML parser",
+    ),
+    ("M&amp;M", "M&amp;M", "M&M", "DIVERGES: regex path never decodes entities"),
+    ("x&nbsp;y", "x&nbsp;y", "x y", "DIVERGES: &nbsp; entity not decoded"),
+    ("x\xa0\xa0y", "x y", "x y", "literal NBSP chars handled identically"),
+    (
+        "<script>var x = 1;</script>after",
+        "var x = 1;after",
+        "var x = 1;after",
+        "get_text() includes script bodies; both paths keep them",
+    ),
+    ("<p>a</p>\n<p>b</p>", "a b", "a b", "newline collapse + tags"),
+    ("", None, None, "empty → NULL"),
+    ("   ", None, None, "no word char → NULL"),
+    ("<br/>", None, None, "tag-only → NULL"),
+    (
+        "<a href='x>y'>link</a>",
+        "y'>link",
+        "link",
+        "DIVERGES: regex terminates the tag at the '>' inside a quoted "
+        "attribute value",
+    ),
+    (
+        "<<b>>double",
+        ">double",
+        UNPINNED,
+        "UNPINNED: doubled brackets — lxml recovery is version-dependent "
+        "(regex strips '<<b>' leaving '>double')",
+    ),
+    ("a\r\nb\tc", "a b c", "a b c", "control-char collapse"),
+    ('<div class="x">hi</div>', "hi", "hi", "attributes stripped"),
+    ("1 &lt; 2", "1 &lt; 2", "1 < 2", "DIVERGES: &lt; entity not decoded"),
+    ("<em>nested <strong>tags</strong></em>!", "nested tags!", "nested tags!", "nesting"),
+    (" leading space", "leading space", "leading space", "leading strip"),
+    (
+        "trailing space ",
+        "trailing space ",
+        "trailing space ",
+        "single trailing space survives (reference strips leading only)",
+    ),
+    ("<p>unclosed paragraph", "unclosed paragraph", "unclosed paragraph", "auto-close"),
+    (
+        "text with <!-- comment --> inside",
+        "text with inside",
+        UNPINNED,
+        "UNPINNED: bs4 comment inclusion in get_text changed across "
+        "versions (regex strips the comment)",
+    ),
+    (
+        "<p>α β</p> γ",
+        "α β γ",
+        "α β γ",
+        "Unicode word chars must survive the \\w gate ((?U) in Java regex — "
+        "the round-5 parity fix this corpus caught)",
+    ),
+    ("<tag attr=>x", "x", "x", "empty attribute value"),
+    (
+        "5 < 6 > 3",
+        "5 3",
+        "5 < 6 > 3",
+        "DIVERGES: bare comparison operators eaten by the regex",
+    ),
+    ("<b>a</b> <i>b</i>  <u>c</u>", "a b c", "a b c", "inter-tag whitespace collapse"),
+    ("&#65;BC", "&#65;BC", "ABC", "DIVERGES: numeric entity not decoded"),
+    (
+        "<style>p{color:red}</style>text",
+        "p{color:red}text",
+        "p{color:red}text",
+        "style bodies kept by get_text(); both paths keep them",
+    ),
+    (
+        "no tags, but <this looks like one> ok",
+        "no tags, but ok",
+        "no tags, but ok",
+        "'<'+letter parses as a tag in both paths",
+    ),
+    ("\t\t<td>cell</td>\r\n", "cell ", "cell ", "orphan table cell; text survives"),
+    ("x<y>z", "xz", "xz", "minimal tag"),
+    (
+        "math: a<b>c>d",
+        "math: ac>d",
+        "math: ac>d",
+        "first '>' terminates the tag in both paths; trailing '>' is text",
+    ),
+]

@@ -311,6 +311,50 @@ class TestPorterStemming:
         assert tokenize_notebook(None) == []
         assert tokenize_notebook("a b") == []  # single-letter tokens dropped
 
+    # spaCy-parity golden (VERDICT r4 item 5): one fixture paragraph of
+    # POS-unambiguous words, with the expected output of BOTH F16 paths
+    # recorded, so the primary path's divergence (no POS filter → function
+    # words and verbs survive) is pinned, not unknown.
+    POS_FIXTURE = (
+        "The quick brown fox jumped over the lazy dog. A clever scientist "
+        "measured the heavy stone with a simple instrument."
+    )
+    # primary path: regex clean + len>1 + Porter — keeps everything
+    POS_PRIMARY_EXPECTED = [
+        "the", "quick", "brown", "fox", "jump", "over", "the", "lazi",
+        "dog", "clever", "scientist", "measur", "the", "heavi", "stone",
+        "with", "simpl", "instrument",
+    ]
+    # reference path (outliers.ipynb cell 3): spaCy en_core_web_sm keeps
+    # NOUN/ADJ only — dets, verbs and adpositions drop
+    POS_SPACY_EXPECTED = [
+        "quick", "brown", "fox", "lazi", "dog", "clever", "scientist",
+        "heavi", "stone", "simpl", "instrument",
+    ]
+
+    def test_primary_tokeniser_golden(self):
+        from synth_transform_spark.functions.stemming import tokenize_notebook
+
+        assert tokenize_notebook(self.POS_FIXTURE) == self.POS_PRIMARY_EXPECTED
+        # divergence inventory: primary minus reference = the non-NOUN/ADJ
+        # survivors — exactly the POS filter's job
+        extra = [t for t in self.POS_PRIMARY_EXPECTED if t not in self.POS_SPACY_EXPECTED]
+        assert extra == ["the", "jump", "over", "the", "measur", "the", "with"]
+
+    def test_spacy_pos_path_golden(self, spark):
+        import pytest
+
+        spacy = pytest.importorskip("spacy")
+        try:
+            spacy.load("en_core_web_sm")
+        except OSError:
+            pytest.skip("en_core_web_sm model not installed")
+        from synth_transform_spark.functions.stemming import tokens_pos_stemmed_udf
+
+        df = spark.createDataFrame([(self.POS_FIXTURE,)], "t string")
+        got = df.select(tokens_pos_stemmed_udf()(F.col("t")).alias("o")).first().o
+        assert got == self.POS_SPACY_EXPECTED
+
     def test_stemmed_tokens_udf(self, spark):
         from synth_transform_spark.functions.stemming import (
             tokenize_notebook,

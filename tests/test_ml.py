@@ -93,6 +93,21 @@ def test_accuracy_floor_on_learnable_label(spark):
     assert out.correct.mean() >= 0.9
 
 
+def test_svc_family_accuracy_floor_and_schema(spark):
+    """The reference trains an sklearn SVC (classifiers.ipynb cells 12-18);
+    the OneVsRest(LinearSVC) twin must clear the same learnable-label floor
+    and emit the identical verdict relation as the LR path."""
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "derived",
+        F.when(F.array_contains(F.split(F.col("text"), " "), "key"), "has-key")
+        .otherwise("other"),
+    )
+    out = ml.train_and_predict(docs, label_col="derived", family="svc").toPandas()
+    assert list(out.columns) == ["doc_id", "label_str", "predicted_str", "correct"]
+    assert set(out.label_str) == {"has-key", "other"}
+    assert out.correct.mean() >= 0.9
+
+
 def test_pickled_scorer_matches_spark_model(spark):
     """Export → broadcast → mapInPandas scoring must reproduce the Spark
     model's own probabilities (max per row) and predicted labels."""

@@ -36,6 +36,7 @@ def test_q08_broadcasts_dims(spark):
 # seconds of real execution per scan loop.
 HEAVY_EXECUTING = {
     "q41_tfidf_classifier",
+    "q214_svc_classifier",  # OneVsRest(LinearSVC) training at plan build
     "q55_model_outliers",
     "q57_streaming_running_totals",
     "q62_pca_project",
@@ -51,6 +52,7 @@ HEAVY_EXECUTING = {
     "q135_kcore",  # iterative peeling: plan build runs jobs
     "q145_streaming_first_event",  # streaming replay at build time
     "q147_kmeans",  # iterative Lloyd rounds: plan build runs jobs
+    "q217_semdedup",  # k-means rounds at plan build (q147 + drop verdict)
     "q149_hierarchy_rollup",  # iterative doubling rounds: plan build runs jobs
     "q171_percent_of_parent",  # iterative doubling rounds: plan build runs jobs
     "q178_weighted_pagerank",  # iterative rank rounds: plan build runs jobs

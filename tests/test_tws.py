@@ -103,9 +103,13 @@ def test_running_profile_end_to_end(spark):
     from synth_transform_spark.streaming import events as se
 
     stream = se.read_events_stream(spark, "/root/testdata/sf0.001")
-    out = se.run_available_now(
-        tws.running_profile(stream), "tws_profile", output_mode="update"
-    )
+    # rocksdb_state_store scopes the provider conf to this run (set at
+    # query start, restored after termination) — the documented contract
+    # for isolating running_profile's session-conf side effect.
+    with tws.rocksdb_state_store(spark):
+        out = se.run_available_now(
+            tws.running_profile(stream), "tws_profile", output_mode="update"
+        )
     final = out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
