@@ -167,3 +167,107 @@ def q116_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("gram"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q218 — content-defined chunking (CDC) + chunk-level cross-doc dedup: the
+# rsync/FastCDC idea applied at word granularity, the chunking tier used by
+# dataset pipelines so that chunk boundaries MOVE WITH CONTENT — an insert
+# near the top of a document shifts every fixed-size window but leaves all
+# content-defined chunks after the edit identical, so chunk-hash dedup
+# still hits. A word w closes a chunk when md5(w) % DIVISOR == 0
+# (E[chunk] = DIVISOR words); each chunk's fingerprint is the md5 of its
+# space-joined words; a chunk is "shared" when its fingerprint occurs in
+# more than one distinct document.
+# Per doc: (doc_id, n_chunks, n_shared, shared_frac).
+#
+# 100 TB posture: the boundary test is a narrow per-token expression; the
+# chunk index is a per-DOC running sum (window partitioned by doc_id — the
+# natural unit, never global); fingerprints are one uniform content-hash
+# shuffle; the share join is fingerprint-keyed. No quadratic term at all —
+# this is what makes CDC the scale path vs all-pairs text comparison.
+# ---------------------------------------------------------------------------
+CDC_DIVISOR = 16
+
+
+@register(
+    "q218_cdc_chunk_dedup",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+),
+marked AS (
+    SELECT doc_id, tok, i,
+           CASE WHEN CAST(('0x' || SUBSTR(MD5(tok), 1, 8))::UBIGINT AS BIGINT)
+                     % {CDC_DIVISOR} = 0 THEN 1 ELSE 0 END AS is_b
+    FROM toks
+),
+chunked AS (
+    SELECT doc_id, tok, i,
+           SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i) - is_b AS chunk_idx
+    FROM marked
+),
+chunks AS (
+    SELECT doc_id, chunk_idx,
+           MD5(STRING_AGG(tok, ' ' ORDER BY i)) AS fp
+    FROM chunked GROUP BY doc_id, chunk_idx
+),
+shared AS (
+    SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp
+)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       ROUND(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS shared_frac
+FROM chunks c JOIN shared s ON s.fp = c.fp
+GROUP BY c.doc_id
+""",
+    tags=("dedup-chunk", "training-prep", "W2"),
+)
+def q218_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-hash cross-doc dedup:
+    (doc_id, n_chunks, n_shared, shared_frac). Boundary = md5(word) %
+    DIVISOR == 0 (boundary word CLOSES its chunk); fingerprint = md5 of
+    the space-joined chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("i", "tok")
+    ).select("doc_id", (F.col("i") + 1).alias("i"), "tok")
+    is_b = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % CDC_DIVISOR
+        == 0
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    chunked = toks.withColumn("is_b", is_b).withColumn(
+        "chunk_idx", F.sum("is_b").over(w) - F.col("is_b")
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("tok")))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("fp")
+    )
+    shared = chunks.groupBy("fp").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        chunks.join(shared, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") > 1).cast("long")).alias("n_shared"),
+            F.round(
+                F.sum((F.col("n_docs") > 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("shared_frac"),
+        )
+    )

@@ -2190,3 +2190,202 @@ def q206_cooldown_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return temporal.cooldown_alerts(events)
+
+
+# ---------------------------------------------------------------------------
+# q219 — MAD robust outliers (Iglewicz–Hoaglin modified z-score): the
+# robust sibling of the W4 z-score family (q14/q91/...). Per event_type:
+# med = median(value), mad = median(|value - med|), modified z =
+# 0.6745*(value - med)/mad, outlier when |z| > 3.5. Medians resist the
+# very outliers being hunted — the reason production monitoring uses MAD
+# where plain z-scores mask heavy tails.
+# Scale: two per-type aggregates (type-keyed, 5..thousands of groups —
+# uniform) broadcast back; the detail side never shuffles twice for the
+# same key thanks to the broadcast joins; no global window. Median
+# interpolation is identical IEEE arithmetic in both engines (the proven
+# percentile==QUANTILE_CONT contract), boundaries rounded 4dp.
+# ---------------------------------------------------------------------------
+@register(
+    "q219_mad_outliers",
+    oracle="""
+WITH med AS (
+    SELECT event_type, ROUND(QUANTILE_CONT(value, 0.5), 4) AS med
+    FROM events GROUP BY event_type
+),
+mad AS (
+    SELECT e.event_type,
+           ROUND(QUANTILE_CONT(ABS(e.value - m.med), 0.5), 4) AS mad
+    FROM events e JOIN med m ON m.event_type = e.event_type
+    GROUP BY e.event_type
+),
+scored AS (
+    SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+           ROUND(0.6745 * (e.value - m.med) / d.mad, 4) AS mod_z
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    WHERE d.mad > 0
+)
+SELECT event_id, event_type, value, mod_z
+FROM scored WHERE ABS(mod_z) > 3.5
+""",
+    tags=("W4", "robust-stats", "quality"),
+)
+def q219_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type MAD modified z-score outliers: (event_id, event_type,
+    value, mod_z) where |mod_z| > 3.5 — median/MAD computed as two
+    broadcast per-type aggregates, no global window."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)), 4
+            ).alias("mad")
+        )
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(
+                F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 4
+            ).alias("mod_z"),
+        )
+        .filter(F.abs("mod_z") > 3.5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q220 — STL-style seasonal decomposition of the daily event-value series
+# per event_type: trend = centered 7-day moving average of the daily mean,
+# seasonal = day-of-week mean of the detrended series, residual = daily -
+# trend - seasonal, anomaly when |residual| > 2 * stddev_pop(residual).
+# The monitoring decomposition behind "is today actually unusual, or is it
+# just Sunday" — composes with q205's CUSUM (level shifts) and q219's MAD
+# (point outliers).
+# Scale: the raw corpus collapses FIRST to (type, day) daily means — one
+# type+day-keyed aggregate — so every window below runs over #types ×
+# #days rows, bounded by the calendar, never by event volume. Windows are
+# partitioned by event_type (no global window); the anomaly gate is a
+# per-type 1-row broadcast.
+# Parity: EVERYTHING is exact integer deci-milli units from the first
+# aggregate on (per-event values quantized to ints, then FLOOR means —
+# 4dp-rounding ANY cross-row average lands on .00005 half-boundaries
+# where the engines' ROUND semantics diverge, the q216 lesson):
+# integer window sums, FLOOR averages, and the 2-sigma gate as
+# the all-integer inequality r²·n² > 4·(n·Σr² − (Σr)²) — no sqrt, no
+# stddev implementation differences. DuckDB DAYOFWEEK is Sunday=0 → +1
+# matches Spark's Sunday=1.
+# ---------------------------------------------------------------------------
+@register(
+    "q220_seasonal_decompose",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, DATE_TRUNC('day', ts) AS day,
+           DAYOFWEEK(ts) + 1 AS dow,
+           CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT))
+                           AS DOUBLE) / COUNT(*)) AS BIGINT) AS d_int
+    FROM events GROUP BY event_type, DATE_TRUNC('day', ts), DAYOFWEEK(ts)
+),
+trended AS (
+    SELECT event_type, day, dow, d_int,
+           CAST(ROUND(CAST(SUM(d_int) OVER w AS DOUBLE)
+                      / COUNT(*) OVER w) AS BIGINT) AS t_int
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+seas AS (
+    SELECT event_type, dow,
+           CAST(FLOOR(CAST(SUM(d_int - t_int) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS s_int
+    FROM trended GROUP BY event_type, dow
+),
+resid AS (
+    SELECT t.event_type, t.day, t.d_int, t.t_int, s.s_int,
+           t.d_int - t.t_int - s.s_int AS r_int
+    FROM trended t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+),
+gate AS (
+    SELECT event_type, COUNT(*) AS n, SUM(r_int) AS s1,
+           SUM(r_int * r_int) AS s2
+    FROM resid GROUP BY event_type
+)
+SELECT r.event_type, STRFTIME(r.day, '%Y-%m-%d') AS day,
+       r.d_int / 10000.0 AS daily_avg,
+       r.t_int / 10000.0 AS trend,
+       r.s_int / 10000.0 AS seasonal,
+       r.r_int / 10000.0 AS residual,
+       CAST(CASE WHEN r.r_int * r.r_int * g.n * g.n
+                      > 4 * (g.n * g.s2 - g.s1 * g.s1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM resid r JOIN gate g ON g.event_type = r.event_type
+""",
+    tags=("temporal", "W4", "quality"),
+)
+def q220_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily trend/seasonal/residual decomposition per event_type with
+    2-sigma residual anomaly flags: (event_type, day, daily_avg, trend,
+    seasonal, residual, is_anomaly). Exact-integer pipeline after the
+    daily mean (see the registration comment)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek("ts").alias("dow"),
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("value") * F.lit(10000.0)).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("d_int")
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = daily.withColumn(
+        "t_int",
+        F.round(
+            F.sum("d_int").over(w).cast("double") / F.count(F.lit(1)).over(w)
+        ).cast("long"),
+    )
+    seas = trended.groupBy("event_type", "dow").agg(
+        F.floor(
+            F.sum(F.col("d_int") - F.col("t_int")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("s_int")
+    )
+    resid = trended.join(F.broadcast(seas), ["event_type", "dow"]).withColumn(
+        "r_int", F.col("d_int") - F.col("t_int") - F.col("s_int")
+    )
+    gate = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r_int").alias("s1"),
+        F.sum(F.col("r_int") * F.col("r_int")).alias("s2"),
+    )
+    return resid.join(F.broadcast(gate), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("d_int") / F.lit(10000.0)).alias("daily_avg"),
+        (F.col("t_int") / F.lit(10000.0)).alias("trend"),
+        (F.col("s_int") / F.lit(10000.0)).alias("seasonal"),
+        (F.col("r_int") / F.lit(10000.0)).alias("residual"),
+        (
+            F.col("r_int") * F.col("r_int") * F.col("n") * F.col("n")
+            > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+        )
+        .cast("long")
+        .alias("is_anomaly"),
+    )
