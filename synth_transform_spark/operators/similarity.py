@@ -808,3 +808,91 @@ def semdedup_drops(
     return sim.groupBy(F.col("id_b").alias(id_col), "cluster").agg(
         F.count(F.lit(1)).alias("n_dups"), F.max("cosine").alias("max_cos")
     )
+
+
+def kcenter_coreset(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the classic
+    2-approximation (Gonzalez 1985) used for training-data pruning and
+    active-learning seed sets: start from the lowest id, then repeatedly
+    add the point FARTHEST from the current selection (squared L2, 4dp
+    rounded, min-id tie-break — fully deterministic).
+
+    Returns (sel_rank, vec_id, dist_to_set): rank 1 is the seed with
+    dist 0.0; rank t's dist is its distance to the set BEFORE joining.
+
+    Scale: each of the k rounds scores the corpus against ONE new
+    broadcast literal vector (narrow, zero-shuffle) and takes a
+    TakeOrderedAndProject top-1 — work is k linear passes, the driver
+    only ever holds k (id, vector) rows (the BPE argmax-per-round
+    contract). The min-dist state is recomputed per round from the
+    packed selection rather than persisted — k·d is tiny.
+    """
+    spark = vectors.sparkSession
+    vd = vectors.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
+    ).localCheckpoint(eager=True)
+    seed_id = vd.agg(F.min(id_col)).first()[0]
+    seed_vec = vd.filter(F.col(id_col) == seed_id).first()["_v"]
+    picked = [(1, int(seed_id), 0.0)]
+    sel_vecs = [seed_vec]
+    for t in range(2, k + 1):
+        packed = F.array(*[F.array(*[F.lit(float(x)) for x in v]) for v in sel_vecs])
+        mind = F.array_min(
+            F.transform(packed, lambda s: F.round(_d2(F.col("_v"), s), 4))
+        )
+        row = (
+            vd.select(F.col(id_col), mind.alias("d"))
+            .orderBy(F.desc("d"), F.asc(id_col))
+            .limit(1)
+            .first()
+        )
+        picked.append((t, int(row[id_col]), float(row["d"])))
+        sel_vecs.append(vd.filter(F.col(id_col) == row[id_col]).first()["_v"])
+    return spark.createDataFrame(picked, f"sel_rank long, {id_col} long, dist_to_set double")
+
+
+def kcenter_oracle(k: int = 8) -> str:
+    """DuckDB SQL replaying kcenter_coreset's exact greedy recurrence as
+    unrolled CTEs: per round, distances to the previous pick fold into a
+    running LEAST min-dist, then a (dist DESC, id ASC) LIMIT 1 argmax."""
+    parts = ["""
+WITH vflat AS MATERIALIZED (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+p1 AS (SELECT MIN(vec_id) AS pid, 0.0 AS d FROM vflat),
+m1 AS MATERIALIZED (
+    SELECT v.vec_id, ROUND(SUM((v.x - s.x) * (v.x - s.x)), 4) AS mind
+    FROM vflat v
+    JOIN p1 ON TRUE
+    JOIN vflat s ON s.vec_id = p1.pid AND s.i = v.i
+    GROUP BY v.vec_id
+)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+p{t} AS MATERIALIZED (
+    SELECT vec_id AS pid, mind AS d FROM m{t - 1}
+    ORDER BY mind DESC, vec_id ASC LIMIT 1
+),
+m{t} AS MATERIALIZED (
+    SELECT m.vec_id, LEAST(m.mind, nd.nd) AS mind
+    FROM m{t - 1} m JOIN (
+        SELECT v.vec_id, ROUND(SUM((v.x - s.x) * (v.x - s.x)), 4) AS nd
+        FROM vflat v
+        JOIN p{t} ON TRUE
+        JOIN vflat s ON s.vec_id = p{t}.pid AND s.i = v.i
+        GROUP BY v.vec_id
+    ) nd ON nd.vec_id = m.vec_id
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS sel_rank, pid AS vec_id, d AS dist_to_set FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    return "".join(parts) + "\n" + sel

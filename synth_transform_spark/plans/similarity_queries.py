@@ -654,3 +654,32 @@ def q217_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     clusters = kmeans_assignments(emb, k=_KM_K, n_iter=_KM_ITER)
     return semdedup_drops(emb, clusters, threshold=_SD_T, max_cluster=_SD_MAXC)
+
+
+# --------------------------------------------------------------------------
+# q222 — greedy k-center coreset (Gonzalez 1985 farthest-point, the
+# data-pruning / active-learning seed-set selector): 8 deterministic
+# rounds, each a linear corpus pass against one new broadcast vector plus
+# a top-1 TakeOrderedAndProject — the BPE argmax-per-round contract.
+# Oracle unrolls the identical greedy recurrence (running LEAST min-dist,
+# (dist DESC, id ASC) argmax) as MATERIALIZED CTEs.
+# --------------------------------------------------------------------------
+def _kcenter_oracle() -> str:
+    from ..operators.similarity import kcenter_oracle
+
+    return kcenter_oracle(k=8)
+
+
+@register(
+    "q222_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("training-prep", "sampling", "iterative"),
+)
+def q222_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset over the embedding corpus (k=8):
+    (sel_rank, vec_id, dist_to_set). Iterative — one argmax collect per
+    round."""
+    from ..operators.similarity import kcenter_coreset
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=8)

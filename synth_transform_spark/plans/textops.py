@@ -1720,3 +1720,118 @@ def q215_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         (F.col("ppl") <= F.col("t2")).cast("long").alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# q221 — Stupid Backoff scoring (Brants et al. 2007, "Large Language
+# Models in Machine Translation"): the web-scale n-gram smoothing used at
+# Google BECAUSE it distributes — no discount mass bookkeeping, just
+# S(w2|w1) = c(w1 w2)/c(w1) when the bigram was seen, else 0.4·c(w2)/N
+# (0.4·0.5/N when even the unigram is unseen — documented OOV floor).
+# The LM trains on the SMALL doc_id % 13 == 1 slice and scores the
+# disjoint doc_id % 13 == 0 held-out slice — sized so backoff genuinely
+# triggers on unseen bigrams (~10% of held-out bigrams at sf0.01; a
+# train-on-everything split saw every bigram and never backed off). Per doc: mean log-score in exact integer micro-nats + the
+# backoff count — all-integer outputs, zero rounding knife-edges.
+# Scale: counting aggregates with map-side partials; LM tables broadcast
+# at vocab scale (shuffle-hash on uniform token keys beyond that); one
+# doc-keyed aggregate. No global window.
+# --------------------------------------------------------------------------
+@register(
+    "q221_stupid_backoff",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+),
+train_toks AS (SELECT * FROM toks WHERE doc_id % 13 = 1),
+n_tot AS (SELECT COUNT(*) AS n FROM train_toks),
+big_tr AS (
+    SELECT a.tok AS prev, b.tok AS cur, COUNT(*) AS n2
+    FROM train_toks a JOIN train_toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    GROUP BY a.tok, b.tok
+),
+c1 AS (SELECT prev, SUM(n2) AS n1 FROM big_tr GROUP BY prev),
+cu AS (SELECT tok, COUNT(*) AS nu FROM train_toks GROUP BY tok),
+held AS (
+    SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    WHERE a.doc_id % 13 = 0
+),
+scored AS (
+    SELECT h.doc_id,
+           CASE WHEN b.n2 IS NOT NULL THEN 0 ELSE 1 END AS backed,
+           CAST(ROUND(LN(
+               CASE WHEN b.n2 IS NOT NULL
+                    THEN CAST(b.n2 AS DOUBLE) / c1.n1
+                    ELSE 0.4 * (COALESCE(CAST(u.nu AS DOUBLE), 0.5) / t.n)
+               END) * 1000000.0) AS BIGINT) AS ls
+    FROM held h
+    LEFT JOIN big_tr b ON b.prev = h.prev AND b.cur = h.cur
+    LEFT JOIN c1 ON c1.prev = h.prev
+    LEFT JOIN cu u ON u.tok = h.cur
+    CROSS JOIN n_tot t
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(backed) AS BIGINT) AS n_backoff,
+       CAST(FLOOR(CAST(SUM(ls) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS avg_score_micro
+FROM scored GROUP BY doc_id
+""",
+    tags=("text-lm", "training-prep", "quality"),
+)
+def q221_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out documents scored under a Stupid Backoff bigram LM trained
+    on the other split: (doc_id, n_bigrams, n_backoff, avg_score_micro) —
+    integer micro-nat outputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_analysis.tokens_raw(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    big_all = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+            )
+        ).alias("_bg"),
+    ).select("doc_id", F.col("_bg.0").alias("prev"), F.col("_bg.1").alias("cur"))
+    train_toks = docs.filter(F.col("doc_id") % 13 == 1).select(
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok")
+    )
+    n_tot = train_toks.agg(F.count(F.lit(1)).alias("n"))
+    big_tr = (
+        big_all.filter(F.col("doc_id") % 13 == 1)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    c1 = big_tr.groupBy("prev").agg(F.sum("n2").alias("n1"))
+    cu = train_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("nu"))
+    held = big_all.filter(F.col("doc_id") % 13 == 0)
+    score = F.when(
+        F.col("n2").isNotNull(), F.col("n2").cast("double") / F.col("n1")
+    ).otherwise(
+        F.lit(0.4) * (F.coalesce(F.col("nu").cast("double"), F.lit(0.5)) / F.col("n"))
+    )
+    scored = (
+        held.join(F.broadcast(big_tr), ["prev", "cur"], "left")
+        .join(F.broadcast(c1), "prev", "left")
+        .join(F.broadcast(cu.withColumnRenamed("tok", "cur")), "cur", "left")
+        .join(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            F.when(F.col("n2").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("backed"),
+            F.round(F.log(score) * F.lit(1000000.0)).cast("long").alias("ls"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("backed").alias("n_backoff"),
+        F.floor(F.sum("ls").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_score_micro"),
+    )

@@ -53,6 +53,7 @@ HEAVY_EXECUTING = {
     "q145_streaming_first_event",  # streaming replay at build time
     "q147_kmeans",  # iterative Lloyd rounds: plan build runs jobs
     "q217_semdedup",  # k-means rounds at plan build (q147 + drop verdict)
+    "q222_kcenter_coreset",  # greedy argmax rounds at plan build
     "q149_hierarchy_rollup",  # iterative doubling rounds: plan build runs jobs
     "q171_percent_of_parent",  # iterative doubling rounds: plan build runs jobs
     "q178_weighted_pagerank",  # iterative rank rounds: plan build runs jobs
@@ -293,6 +294,15 @@ def test_model_table_joins_broadcast(spark):
         "q152_bigram_logprob",
         "q153_seasonal_anomalies",
         "q154_transition_matrix",
+        # round-5 model/boundary relations: bigram LM + terciles (q215),
+        # token LM ratio table + quartile threshold (q216), per-type
+        # median/MAD (q219), seasonal/gate relations (q220), chunk share
+        # counts (q218 — fingerprint-keyed, may legitimately SMJ, so only
+        # the no-cartesian clause applies there via the generic scan)
+        "q215_perplexity_filter",
+        "q216_dsir_weights",
+        "q219_mad_outliers",
+        "q220_seasonal_decompose",
     ):
         plan = _plan(REGISTRY[name].spark(spark, SF_DIR))
         assert "BroadcastHashJoin" in plan, name
