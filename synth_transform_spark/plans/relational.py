@@ -1954,3 +1954,101 @@ def q171_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q224 — Neyman-allocation stratified sampling (the survey-statistics
+# optimum: sample size per stratum ∝ N_h·S_h, so volatile strata get more
+# budget than proportional allocation would give): strata = market
+# segment, variable = account balance, total budget 100. The per-stratum
+# std dev comes from EXACT integer sufficient statistics on cent-quantised
+# balances (var·n_h² = n_h·Σx² − (Σx)² — no engine variance algorithms,
+# no rounding knife-edges); the draw itself is the deterministic md5-order
+# sample (A13 family).
+# Scale: one stratum-keyed exact-integer aggregate (map-side partials),
+# a |strata|-row broadcast allocation table, and a per-stratum md5-rank
+# window (partitioned by the stratum key — never global).
+# --------------------------------------------------------------------------
+_NEYMAN_BUDGET = 100
+
+
+@register(
+    "q224_neyman_sample",
+    oracle=f"""
+WITH cents AS (
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(c_acctbal * 100.0) AS BIGINT) AS cb
+    FROM customer
+),
+stats AS (
+    SELECT c_mktsegment, COUNT(*) AS nh, SUM(cb) AS s1,
+           SUM(cb * cb) AS s2
+    FROM cents GROUP BY c_mktsegment
+),
+wgt AS (
+    SELECT c_mktsegment, nh,
+           nh * SQRT(CAST(nh * s2 - s1 * s1 AS DOUBLE)) / nh AS w
+    FROM stats
+),
+alloc AS (
+    SELECT c_mktsegment, nh,
+           CAST(ROUND({_NEYMAN_BUDGET}.0 * w / (SELECT SUM(w) FROM wgt))
+                AS BIGINT) AS n_alloc
+    FROM wgt
+),
+ranked AS (
+    SELECT c.c_custkey, c.c_mktsegment,
+           ROW_NUMBER() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY MD5(CAST(c.c_custkey AS VARCHAR)), c.c_custkey
+           ) AS rk
+    FROM cents c
+)
+SELECT r.c_mktsegment, CAST(r.rk AS BIGINT) AS rk, r.c_custkey, a.n_alloc
+FROM ranked r JOIN alloc a ON a.c_mktsegment = r.c_mktsegment
+WHERE r.rk <= a.n_alloc
+""",
+    tags=("A13", "sampling", "training-prep"),
+)
+def q224_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample of customers by segment:
+    (c_mktsegment, rk, c_custkey, n_alloc) — per-stratum budget ∝ N_h·S_h
+    from exact integer moments, rows drawn in deterministic md5 order."""
+    customer = load_table(spark, sf_dir, "customer")
+    cents = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * F.lit(100.0)).cast("long").alias("cb"),
+    )
+    stats = cents.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("cb").alias("s1"),
+        F.sum(F.col("cb") * F.col("cb")).alias("s2"),
+    )
+    wgt = stats.select(
+        "c_mktsegment",
+        "nh",
+        (
+            F.col("nh")
+            * F.sqrt((F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("nh")
+        ).alias("w"),
+    )
+    tot = wgt.agg(F.sum("w").alias("tw"))
+    alloc = wgt.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        F.round(F.lit(float(_NEYMAN_BUDGET)) * F.col("w") / F.col("tw"))
+        .cast("long")
+        .alias("n_alloc"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy(
+            F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+        )
+    )
+    return (
+        cents.withColumn("rk", rk.cast("long"))
+        .join(F.broadcast(alloc), "c_mktsegment")
+        .filter(F.col("rk") <= F.col("n_alloc"))
+        .select("c_mktsegment", "rk", "c_custkey", "n_alloc")
+    )

@@ -683,3 +683,120 @@ def q222_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kcenter_coreset(emb, k=8)
+
+
+# --------------------------------------------------------------------------
+# q225 — Matryoshka prefix-dimension recall (Kusupati et al. 2022, MRL):
+# how much of the full-dimension exact top-5 survives when cosine runs on
+# only the FIRST d dims of the embedding — the evaluation behind serving
+# truncated Matryoshka embeddings (coarse prefix search → full-dim
+# re-rank). For d ∈ {8, 16, 32}: per query, n_hits = |top5_d ∩ top5_full|
+# and recall = n_hits/5.
+# Scale: each dim level is the q23 sharded two-phase exact top-k over
+# sliced (narrower!) arrays; the intersection join is keyed on
+# (query, neighbor) over k-sized relations. No new shuffle shapes.
+# --------------------------------------------------------------------------
+_MRL_DIMS = (8, 16, 32)
+
+
+def _mrl_oracle() -> str:
+    def cte(d: int) -> str:
+        return f"""
+qf{d} AS (
+    SELECT vec_id AS query_id, CAST(UNNEST(embedding[1:{d}]) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding[1:{d}], 1) AS i
+    FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+vf{d} AS (
+    SELECT vec_id AS neighbor_id, CAST(UNNEST(embedding[1:{d}]) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding[1:{d}], 1) AS i
+    FROM embeddings
+),
+nr{d} AS (SELECT neighbor_id AS vid, SQRT(SUM(x * x)) AS nrm FROM vf{d} GROUP BY neighbor_id),
+dt{d} AS (
+    SELECT q.query_id, v.neighbor_id, SUM(q.x * v.x) AS dot
+    FROM qf{d} q JOIN vf{d} v ON v.i = q.i
+    WHERE q.query_id <> v.neighbor_id
+    GROUP BY q.query_id, v.neighbor_id
+),
+tk{d} AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY ROUND(d.dot / (nq.nrm * nv.nrm), 4) DESC,
+                            d.neighbor_id ASC) AS rk
+        FROM dt{d} d
+        JOIN nr{d} nq ON nq.vid = d.query_id
+        JOIN nr{d} nv ON nv.vid = d.neighbor_id
+    ) t WHERE rk <= {_K}
+)"""
+
+    dims_ctes = ",".join(cte(d) for d in (64,) + _MRL_DIMS)
+    hit_parts = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS BIGINT) AS dim, p.query_id,
+       CAST(COUNT(f.neighbor_id) AS BIGINT) AS n_hits
+FROM tk{d} p LEFT JOIN tk64 f
+     ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+GROUP BY p.query_id"""
+        for d in _MRL_DIMS
+    )
+    return f"""
+WITH {dims_ctes},
+hits AS (
+{hit_parts}
+)
+SELECT dim, query_id, n_hits, CAST(n_hits AS DOUBLE) / {_K}.0 AS recall
+FROM hits
+"""
+
+
+@register(
+    "q225_matryoshka_recall",
+    oracle=_mrl_oracle(),
+    tags=("similarity-topk", "quality"),
+)
+def q225_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of prefix-dim cosine top-5 vs the full 64-dim top-5 for
+    d ∈ {8,16,32}: (dim, query_id, n_hits, recall)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+
+    def topk_at(d: int) -> DataFrame:
+        sl = lambda df: df.select(  # noqa: E731
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        return similarity.cosine_topk(sl(emb), sl(queries), k=_K).select(
+            "query_id", "neighbor_id"
+        )
+
+    full = topk_at(64)
+    parts = None
+    for d in _MRL_DIMS:
+        hits = (
+            topk_at(d)
+            .join(
+                full.withColumnRenamed("neighbor_id", "f_neighbor"),
+                [
+                    "query_id",
+                ],
+            )
+            .filter(F.col("neighbor_id") == F.col("f_neighbor"))
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        base = (
+            queries.select(F.col("vec_id").alias("query_id"))
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            )
+        )
+        parts = base if parts is None else parts.unionByName(base)
+    return parts.withColumn(
+        "recall", F.col("n_hits").cast("double") / F.lit(float(_K))
+    )

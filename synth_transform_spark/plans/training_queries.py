@@ -1044,3 +1044,126 @@ def q216_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_log_ratio_micro",
         (F.col("avg_log_ratio_micro") >= F.col("q3")).cast("long").alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining"),
+# deterministic re-expression: each source domain's "excess loss" is its
+# mean token negative-log-probability under the corpus unigram LM minus
+# the best domain's (the proxy-model loss signal), and K=5 rounds of
+# multiplicative-weights updates w ∝ w·exp(η·excess) produce the final
+# mixture. Losses live in exact integer micro-nats; each round's weights
+# re-round to integer micro so the recurrence is pure algebra the oracle
+# unrolls (the q147/q186 iterative contract).
+# Scale: corpus-scale work is ONE token count + one domain-keyed exact-
+# integer aggregate; the K-round recurrence runs over a |domains|-row
+# relation (collected driver-side, bounded like the BPE argmax rows).
+# ---------------------------------------------------------------------------
+_DRM_ETA = 0.5
+_DRM_ROUNDS = 5
+
+
+def _doremi_round_ctes(rounds: int) -> str:
+    parts = []
+    prev = "w0"
+    for t in range(1, rounds + 1):
+        parts.append(f"""
+u{t} AS (
+    SELECT d.source, (w.w_micro / 1000000.0)
+           * EXP({_DRM_ETA} * ((d.loss_micro - mn.m) / 1000000.0)) AS u
+    FROM dom d JOIN {prev} w ON w.source = d.source CROSS JOIN mnl mn
+),
+w{t} AS (
+    SELECT source,
+           CAST(ROUND(u / (SELECT SUM(u) FROM u{t}) * 1000000.0) AS BIGINT)
+               AS w_micro
+    FROM u{t}
+)""")
+        prev = f"w{t}"
+    return ",".join(parts)
+
+
+@register(
+    "q223_doremi_weights",
+    oracle=f"""
+WITH toks AS (
+    SELECT d.source,
+           UNNEST(LIST_FILTER(STRING_SPLIT(d.text, ' '), t -> t <> '')) AS tok
+    FROM documents d
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+lp AS (
+    SELECT tok,
+           CAST(ROUND(LN(COUNT(*) / tot.n) * 1000000.0) AS BIGINT) AS lp_micro
+    FROM toks CROSS JOIN tot GROUP BY tok, tot.n
+),
+dom AS (
+    SELECT t.source,
+           -CAST(FLOOR(CAST(SUM(l.lp_micro) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS loss_micro
+    FROM toks t JOIN lp l ON l.tok = t.tok
+    GROUP BY t.source
+),
+mnl AS (SELECT MIN(loss_micro) AS m FROM dom),
+w0 AS (
+    SELECT source, CAST(ROUND(1000000.0 / (SELECT COUNT(*) FROM dom)) AS BIGINT)
+           AS w_micro
+    FROM dom
+),
+{{_ROUNDS_}}
+SELECT d.source, d.loss_micro, w.w_micro AS weight_micro
+FROM dom d JOIN w{_DRM_ROUNDS} w ON w.source = d.source
+""".replace("{_ROUNDS_}", _doremi_round_ctes(_DRM_ROUNDS)),
+    tags=("training-prep", "sampling", "iterative"),
+)
+def q223_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final DoReMi mixture weights per source domain after 5
+    multiplicative-weights rounds on unigram-LM excess loss:
+    (source, loss_micro, weight_micro) — exact-integer state per round."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok")
+    )
+    n_tot = float(toks.count())
+    lp = toks.groupBy("tok").agg(
+        F.round(F.log(F.count(F.lit(1)) / F.lit(n_tot)) * F.lit(1000000.0))
+        .cast("long")
+        .alias("lp_micro")
+    )
+    dom_rows = (
+        toks.join(F.broadcast(lp), "tok")
+        .groupBy("source")
+        .agg(
+            (-F.floor(F.sum("lp_micro").cast("double") / F.count(F.lit(1))))
+            .cast("long")
+            .alias("loss_micro")
+        )
+        .collect()
+    )  # bounded: one row per domain
+    losses = {r["source"]: r["loss_micro"] for r in dom_rows}
+    mn = min(losses.values())
+    d = len(losses)
+    w = {s: int(round(1000000.0 / d)) for s in losses}
+    for _ in range(_DRM_ROUNDS):
+        u = {
+            s: (w[s] / 1000000.0)
+            * math.exp(_DRM_ETA * ((losses[s] - mn) / 1000000.0))
+            for s in sorted(w)
+        }
+        tot = sum(u.values())
+        w = {s: _py_round_half_away(u[s] / tot * 1000000.0) for s in u}
+    out = [(s, int(losses[s]), int(w[s])) for s in sorted(losses)]
+    return spark.createDataFrame(
+        out, "source string, loss_micro long, weight_micro long"
+    )
+
+
+def _py_round_half_away(y: float) -> int:
+    """Match SQL ROUND(x) (half away from zero) — Python's round() is
+    banker's and would diverge on exact halves."""
+    import math
+
+    return int(math.floor(y + 0.5)) if y >= 0 else -int(math.floor(-y + 0.5))
