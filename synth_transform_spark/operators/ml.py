@@ -444,7 +444,12 @@ def deterministic_pca_project(
         .collect()
     )  # bounded: d*d + d + 1 rows regardless of corpus size
     by_key = {(r["i"], r["j"]): r["v"] for r in sums}
-    n = by_key[(-1, -1)]
+    n = by_key.get((-1, -1), 0)
+    if n == 0:  # empty corpus → empty projection, same schema (totality)
+        schema = ", ".join(
+            [f"{id_col} long"] + [f"pc{c + 1} double" for c in range(k)]
+        )
+        return vectors.sparkSession.createDataFrame([], schema)
     S1 = [by_key[(i, -1)] for i in range(dim)]
     S2 = [[by_key[(i, j)] for j in range(dim)] for i in range(dim)]
 

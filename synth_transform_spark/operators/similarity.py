@@ -833,10 +833,15 @@ def kcenter_coreset(
     packed selection rather than persisted — k·d is tiny.
     """
     spark = vectors.sparkSession
+    out_schema = f"sel_rank long, {id_col} long, dist_to_set double"
     vd = vectors.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     ).localCheckpoint(eager=True)
+    n_rows = vd.count()
+    if n_rows == 0:  # empty corpus → empty selection (totality)
+        return spark.createDataFrame([], out_schema)
+    k = min(k, n_rows)  # never re-select a point once the corpus is exhausted
     seed_id = vd.agg(F.min(id_col)).first()[0]
     seed_vec = vd.filter(F.col(id_col) == seed_id).first()["_v"]
     picked = [(1, int(seed_id), 0.0)]
@@ -854,7 +859,7 @@ def kcenter_coreset(
         )
         picked.append((t, int(row[id_col]), float(row["d"])))
         sel_vecs.append(vd.filter(F.col(id_col) == row[id_col]).first()["_v"])
-    return spark.createDataFrame(picked, f"sel_rank long, {id_col} long, dist_to_set double")
+    return spark.createDataFrame(picked, out_schema)
 
 
 def kcenter_oracle(k: int = 8) -> str:

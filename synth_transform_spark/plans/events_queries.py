@@ -2389,3 +2389,102 @@ def q220_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q227 — split-conformal outlier detection (Vovk et al.; the
+# distribution-free calibration tier modern monitoring stacks put on top
+# of raw scores): calibration half (even event_id) fits per-type centres;
+# nonconformity = |value − centre|; the per-type threshold is the
+# ⌈(n+1)·0.9⌉-th smallest calibration score (the finite-sample correction
+# that makes the 90% coverage guarantee EXACT, not asymptotic); the test
+# half (odd event_id) is flagged where its score exceeds the threshold.
+# Everything is exact integers: 1e4-quantised values, FLOOR means,
+# integer rank arithmetic k = (9·(n+1)+9) div 10, and the threshold is an
+# ORDER STATISTIC (a value that exists in the data — no interpolation).
+# Scale: per-type aggregates broadcast back; the rank window partitions by
+# event_type over the calibration half only. No global window.
+# ---------------------------------------------------------------------------
+@register(
+    "q227_conformal_outliers",
+    oracle="""
+WITH vint AS (
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 10000.0) AS BIGINT) AS v
+    FROM events
+),
+cal AS (SELECT * FROM vint WHERE event_id % 2 = 0),
+centre AS (
+    SELECT event_type,
+           CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu,
+           COUNT(*) AS n_cal
+    FROM cal GROUP BY event_type
+),
+cal_scored AS (
+    SELECT c.event_type, ABS(c.v - ct.mu) AS score,
+           ROW_NUMBER() OVER (PARTITION BY c.event_type
+                              ORDER BY ABS(c.v - ct.mu) ASC, c.event_id ASC) AS rk,
+           ct.n_cal
+    FROM cal c JOIN centre ct ON ct.event_type = c.event_type
+),
+thr AS (
+    SELECT event_type, score AS thr
+    FROM cal_scored
+    WHERE rk = LEAST((9 * (n_cal + 1) + 9) // 10, n_cal)
+)
+SELECT t.event_id, t.event_type,
+       ABS(t.v - ct.mu) AS score_milli,
+       CAST(CASE WHEN ABS(t.v - ct.mu) > th.thr THEN 1 ELSE 0 END AS BIGINT)
+           AS is_outlier
+FROM vint t
+JOIN centre ct ON ct.event_type = t.event_type
+JOIN thr th ON th.event_type = t.event_type
+WHERE t.event_id % 2 = 1
+""",
+    tags=("quality", "W4", "robust-stats"),
+)
+def q227_conformal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% outlier flags on the odd-event half, calibrated
+    on the even half: (event_id, event_type, score_milli, is_outlier)."""
+    events = load_table(spark, sf_dir, "events")
+    vint = events.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(10000.0)).cast("long").alias("v"),
+    )
+    cal = vint.filter(F.col("event_id") % 2 == 0)
+    centre = cal.groupBy("event_type").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mu"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    cal_scored = cal.join(F.broadcast(centre), "event_type").select(
+        "event_type",
+        "n_cal",
+        F.abs(F.col("v") - F.col("mu")).alias("score"),
+        "event_id",
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.asc("score"), F.asc("event_id"))
+    )
+    thr = (
+        cal_scored.withColumn("rk", rk)
+        .filter(
+            F.col("rk")
+            == F.least((9 * (F.col("n_cal") + 1) + 9).cast("long") / 10, F.col("n_cal"))
+            .cast("long")
+        )
+        .select("event_type", F.col("score").alias("thr"))
+    )
+    return (
+        vint.filter(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(centre), "event_type")
+        .join(F.broadcast(thr), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.abs(F.col("v") - F.col("mu")).alias("score_milli"),
+            (F.abs(F.col("v") - F.col("mu")) > F.col("thr")).cast("long").alias("is_outlier"),
+        )
+    )

@@ -800,3 +800,94 @@ def q225_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.withColumn(
         "recall", F.col("n_hits").cast("double") / F.lit(float(_K))
     )
+
+
+# --------------------------------------------------------------------------
+# q226 — embedding distribution drift (diagonal Fréchet distance): per
+# dimension, mean and standard deviation of each corpus half (vec_id
+# parity plays "reference build" vs "new build"), and the dimension's FID
+# contribution (μa−μb)² + (σa−σb)² — the diagonal-covariance Fréchet
+# distance production pipelines monitor to catch embedding-model or
+# upstream-data drift between corpus builds (the full FID's off-diagonal
+# term needs a matrix sqrt; the diagonal form is the standard monitoring
+# tier). Moments are EXACT integer sums on 1e4-quantised values; μ and σ
+# derive by identical single IEEE ops both engines (σ via
+# SQRT(n·Σx²−(Σx)²)/(n·1e4) — no engine stddev algorithms).
+# Scale: one posexplode + one (half, dim)-keyed exact-integer aggregate
+# with map-side partials; the final compute is 2×64 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q226_embedding_drift",
+    oracle="""
+WITH xint AS (
+    SELECT vec_id % 2 AS half, i,
+           CAST(ROUND(CAST(x AS DOUBLE)*10000.0) AS BIGINT) AS xi
+    FROM (SELECT vec_id, UNNEST(embedding) AS x,
+                 GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings)
+),
+mom AS (
+    SELECT half, i, COUNT(*) AS n, SUM(xi) AS s1, SUM(xi * xi) AS s2
+    FROM xint GROUP BY half, i
+),
+stats AS (
+    SELECT half, i,
+           CAST(s1 AS DOUBLE) / n / 10000.0 AS mu,
+           SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n / 10000.0 AS sigma
+    FROM mom
+)
+SELECT a.i AS dim,
+       ROUND(a.mu, 6) AS mu_a, ROUND(b.mu, 6) AS mu_b,
+       ROUND(a.sigma, 6) AS sigma_a, ROUND(b.sigma, 6) AS sigma_b,
+       ROUND((a.mu - b.mu) * (a.mu - b.mu)
+             + (a.sigma - b.sigma) * (a.sigma - b.sigma), 6) AS fid_contrib
+FROM stats a JOIN stats b ON b.i = a.i AND a.half = 0 AND b.half = 1
+""",
+    tags=("quality", "similarity-topk", "A12"),
+)
+def q226_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension diagonal-Fréchet drift between the two corpus halves:
+    (dim, mu_a, mu_b, sigma_a, sigma_b, fid_contrib)."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xint = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding")).alias("i0", "x"),
+    ).select(
+        "half",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * F.lit(10000.0)).cast("long").alias("xi"),
+    )
+    mom = xint.groupBy("half", "i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("s1"),
+        F.sum(F.col("xi") * F.col("xi")).alias("s2"),
+    )
+    stats = mom.select(
+        "half",
+        "i",
+        (F.col("s1").cast("double") / F.col("n") / F.lit(10000.0)).alias("mu"),
+        (
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("n")
+            / F.lit(10000.0)
+        ).alias("sigma"),
+    )
+    a = stats.filter(F.col("half") == 0).select(
+        F.col("i"), F.col("mu").alias("mu_a0"), F.col("sigma").alias("sg_a0")
+    )
+    b = stats.filter(F.col("half") == 1).select(
+        F.col("i"), F.col("mu").alias("mu_b0"), F.col("sigma").alias("sg_b0")
+    )
+    return a.join(b, "i").select(
+        F.col("i").cast("long").alias("dim"),
+        F.round("mu_a0", 6).alias("mu_a"),
+        F.round("mu_b0", 6).alias("mu_b"),
+        F.round("sg_a0", 6).alias("sigma_a"),
+        F.round("sg_b0", 6).alias("sigma_b"),
+        F.round(
+            (F.col("mu_a0") - F.col("mu_b0")) * (F.col("mu_a0") - F.col("mu_b0"))
+            + (F.col("sg_a0") - F.col("sg_b0")) * (F.col("sg_a0") - F.col("sg_b0")),
+            6,
+        ).alias("fid_contrib"),
+    )

@@ -143,3 +143,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` plans work too."""
     for t, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(t)
+
+
+def load_binary_dir(
+    spark: SparkSession, path: str, pattern: str | None = None
+) -> DataFrame:
+    """Ingest raw media/payload files as binary rows via the binaryFile
+    source: (path, modificationTime, length, content binary). This is how
+    image/audio/video corpora actually land before becoming the parquet
+    binary columns the multimodal operators (operators/multimodal.py)
+    consume — partition planning and predicate pushdown on path/length
+    come free from the file index.
+
+    Scale: the source lists files distributed and assigns them to tasks by
+    size (spark.sql.files.maxPartitionBytes), so a directory of millions
+    of media files parallelises without a driver-side listing loop.
+    """
+    r = spark.read.format("binaryFile")
+    if pattern is not None:
+        r = r.option("pathGlobFilter", pattern)
+    return r.load(path)
+
+
+def load_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One-document-per-line raw text ingestion (the commonest LLM corpus
+    interchange): (doc_id, text) with a deterministic two-pass id — the
+    W1 scalable assigner keyed by (file, line offset) would be the 100 TB
+    path; here monotonically_increasing_id is re-based per run so tests
+    pin ROW CONTENT, not ids."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias("doc_id"), F.col("value").alias("text"))
+    )

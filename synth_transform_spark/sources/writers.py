@@ -68,3 +68,44 @@ def write_bucketed(
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read back a partitioned table (partition columns are inferred)."""
     return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Multi-format round-trip surface. The reference's sink is MySQL-only; a
+# Spark engine's users expect the standard columnar/text formats too. ORC
+# and JSON/CSV ship in Spark core; each writer pairs with a schema-pinned
+# reader (CSV/JSON infer types lossily — reading back with the WRITER's
+# schema is the only way a round-trip is bit-stable).
+# ---------------------------------------------------------------------------
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
+    """Write ``df`` at ``path`` in one of parquet/orc/json/csv.
+
+    CSV gets explicit quoting/escaping + header so string cells containing
+    delimiters or quotes survive; JSON/CSV of timestamp columns use ISO
+    format (Spark default) so the paired reader reparses losslessly.
+    """
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    w = df.write.mode(mode)
+    if fmt == "csv":
+        w = w.option("header", True).option("quote", '"').option("escape", '"')
+    getattr(w, fmt)(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Read a table written by ``write_table``. For the self-describing
+    columnar formats (parquet/orc) the schema comes from the footer; for
+    JSON/CSV pass the writer's ``df.schema`` — inference would widen ints,
+    lose timestamp zones, and misread empty strings."""
+    if fmt not in _FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", True).option("quote", '"').option("escape", '"')
+    return getattr(r, fmt)(path)

@@ -50,3 +50,31 @@ def test_sketches_on_empty(spark):
     df = _empty_like(spark, "g string, v string")
     assert sketches.hll_distinct(df, ["g"], "v").count() == 0
     assert sketches.kmv_set_estimates(df, "g", "v", k=8).count() == 0
+
+
+def test_round5_operators_on_empty(spark):
+    from synth_transform_spark.operators.ml import deterministic_pca_project
+    from synth_transform_spark.operators.similarity import (
+        kcenter_coreset,
+        semdedup_drops,
+    )
+
+    emb = _empty_like(spark, "vec_id long, embedding array<float>")
+    assert deterministic_pca_project(emb, k=2, dim=64).count() == 0
+    assert kcenter_coreset(emb, k=8).count() == 0
+    clusters = _empty_like(spark, "vec_id long, cluster int")
+    assert semdedup_drops(emb, clusters, threshold=0.35).count() == 0
+
+
+def test_kcenter_smaller_corpus_than_k(spark):
+    """k-center must cap at the corpus size, never re-select a point."""
+    from synth_transform_spark.operators.similarity import kcenter_coreset
+    from synth_transform_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter("vec_id < 3")
+    out = kcenter_coreset(emb, k=8).toPandas()
+    assert len(out) == 3
+    assert sorted(out.vec_id.tolist()) == [0, 1, 2]
+    assert out.sel_rank.tolist() == sorted(out.sel_rank.tolist())

@@ -93,3 +93,52 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderpriority" in plan
     assert q.count() == src.filter("o_orderpriority = '1-URGENT'").count()
+
+
+class TestMultiFormatRoundTrip:
+    """write_table/read_table: every supported format must round-trip the
+    documents table bit-stably (schema pinned on the lossy text formats)."""
+
+    def test_all_formats_round_trip(self, spark, tmp_path):
+        from synth_transform_spark.sources.readers import load_table
+        from synth_transform_spark.sources.writers import read_table, write_table
+
+        from conftest import SF_DIR
+
+        df = load_table(spark, SF_DIR, "documents")
+        expect = sorted(map(tuple, df.collect()))
+        for fmt in ("parquet", "orc", "json", "csv"):
+            p = str(tmp_path / f"rt_{fmt}")
+            write_table(df, p, fmt=fmt)
+            back = read_table(spark, p, fmt=fmt, schema=df.schema)
+            assert back.schema == df.schema, fmt
+            assert sorted(map(tuple, back.collect())) == expect, fmt
+
+    def test_binary_dir_ingestion_feeds_multimodal(self, spark, tmp_path):
+        from synth_transform_spark.sources.readers import load_binary_dir
+
+        import pyspark.sql.functions as F
+
+        payloads = {f"blob_{i}.bin": bytes([i] * (10 + i)) for i in range(4)}
+        for name, data in payloads.items():
+            (tmp_path / name).write_bytes(data)
+        (tmp_path / "ignored.txt").write_text("not matched")
+        df = load_binary_dir(spark, str(tmp_path), pattern="*.bin")
+        rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+        assert set(rows) == set(payloads)
+        for name, data in payloads.items():
+            assert bytes(rows[name].content) == data
+            assert rows[name].length == len(data)
+        # the binary column drops straight into the multimodal operators
+        agg = df.select(F.sum(F.length("content")).alias("n")).first()
+        assert agg.n == sum(len(v) for v in payloads.values())
+
+    def test_text_lines_ingestion(self, spark, tmp_path):
+        from synth_transform_spark.sources.readers import load_text_lines
+
+        p = tmp_path / "corpus.txt"
+        p.write_text("alpha beta\ngamma\ndelta epsilon zeta\n")
+        df = load_text_lines(spark, str(p))
+        texts = sorted(r.text for r in df.collect())
+        assert texts == ["alpha beta", "delta epsilon zeta", "gamma"]
+        assert df.select("doc_id").distinct().count() == 3
