@@ -2488,3 +2488,86 @@ def q227_conformal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(F.col("v") - F.col("mu")) > F.col("thr")).cast("long").alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q229 — CUPED variance reduction (Deng et al. 2013, "Improving the
+# Sensitivity of Online Controlled Experiments"): the standard trick every
+# experimentation platform applies before the t-test — adjust each user's
+# experiment-period metric by their PRE-period metric,
+# adjusted = post − θ·(pre − mean(pre)), θ = cov(pre, post)/var(pre),
+# which strips the between-user variance the pre-period explains. Pre =
+# first 15 days, post = rest; variant = user parity (the q175 A/B frame).
+# θ and mean come from EXACT integer moments across users (cov·n² =
+# n·Σxy − Σx·Σy); the adjustment is identical-operand double algebra
+# rounded 4dp.
+# Scale: one user-keyed conditional aggregate builds (pre, post); the
+# moment aggregate is one 1-row broadcast. No window at all.
+# ---------------------------------------------------------------------------
+@register(
+    "q229_cuped_adjustment",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(user_id % 2 AS BIGINT) AS variant,
+           SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(ROUND(value * 10000.0) AS BIGINT) ELSE 0 END) AS pre_v,
+           SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(ROUND(value * 10000.0) AS BIGINT) ELSE 0 END) AS post_v
+    FROM events GROUP BY user_id
+),
+mom AS (
+    SELECT COUNT(*) AS n, SUM(pre_v) AS sx, SUM(post_v) AS sy,
+           SUM(pre_v * pre_v) AS sxx, SUM(pre_v * post_v) AS sxy
+    FROM per_user
+),
+theta AS (
+    SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+           CAST(sx AS DOUBLE) / n AS mu_pre
+    FROM mom
+)
+SELECT u.user_id, u.variant,
+       CAST(u.pre_v AS BIGINT) AS pre_milli, CAST(u.post_v AS BIGINT) AS post_milli,
+       ROUND((u.post_v - t.th * (u.pre_v - t.mu_pre)) / 10000.0, 4) AS adjusted
+FROM per_user u CROSS JOIN theta t
+""",
+    tags=("A12", "quality", "W4"),
+)
+def q229_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUPED-adjusted experiment metric:
+    (user_id, variant, pre_milli, post_milli, adjusted)."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    v = F.round(F.col("value") * F.lit(10000.0)).cast("long")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, v).otherwise(F.lit(0))).alias("pre_v"),
+        F.sum(F.when(F.col("ts") >= cutoff, v).otherwise(F.lit(0))).alias("post_v"),
+    ).withColumn("variant", (F.col("user_id") % 2).cast("long"))
+    # moments in DECIMAL(38,0): n·Σxx on milli-quantised values exceeds
+    # int64 around 1.5k users × 1e7-scale sums (a silent long wrap in
+    # non-ANSI Spark — DuckDB's HUGEINT doesn't wrap, so the hash gate
+    # caught it at sf0.1); θ then derives driver-side in Python bigints,
+    # exactly the float(int)/float(int) single ops the oracle performs.
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pre_v").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("post_v").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("pre_v") * F.col("pre_v")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("pre_v") * F.col("post_v")).cast("decimal(38,0)")).alias("sxy"),
+    ).first()
+    n = int(mom["n"])
+    sx, sy, sxx, sxy = (int(mom[c]) for c in ("sx", "sy", "sxx", "sxy"))
+    th = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    mu_pre = float(sx) / float(n)
+    return per_user.select(
+        "user_id",
+        "variant",
+        F.col("pre_v").alias("pre_milli"),
+        F.col("post_v").alias("post_milli"),
+        F.round(
+            (F.col("post_v") - F.lit(th) * (F.col("pre_v") - F.lit(mu_pre)))
+            / F.lit(10000.0),
+            4,
+        ).alias("adjusted"),
+    )

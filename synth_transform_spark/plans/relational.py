@@ -2052,3 +2052,56 @@ def q224_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.col("n_alloc"))
         .select("c_mktsegment", "rk", "c_custkey", "n_alloc")
     )
+
+
+# --------------------------------------------------------------------------
+# q228 — dataset card profiler: the per-column summary every curation
+# handoff ships (row count, null count, exact distinct count) for the
+# three representative tables, one relation. Exact COUNT(DISTINCT) here;
+# at 100 TB each count flips to the deterministic HLL register sketch
+# (q71's operator) — noted per the no-silent-caps rule.
+# Scale: ONE pass per table (Spark plans multi-distinct aggregates via a
+# single Expand + two-stage partial aggregation — no per-column rescans);
+# output is |columns| rows.
+# --------------------------------------------------------------------------
+_CARD_TABLES = {
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "events": ("event_id", "user_id", "event_type", "value"),
+    "orders": ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+}
+
+
+@register(
+    "q228_dataset_card",
+    oracle="\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS table_name, '{c}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+FROM {t}"""
+        for t, cols in _CARD_TABLES.items()
+        for c in cols
+    ),
+    tags=("A12", "quality", "S4"),
+)
+def q228_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset card over documents/events/orders:
+    (table_name, column_name, n_rows, n_nulls, n_distinct)."""
+    parts = None
+    for t, cols in _CARD_TABLES.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("n_rows")]
+        for c in cols:
+            aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"))
+            aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+        row = df.agg(*aggs)
+        for c in cols:
+            one = row.select(
+                F.lit(t).alias("table_name"),
+                F.lit(c).alias("column_name"),
+                F.col("n_rows"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            parts = one if parts is None else parts.unionByName(one)
+    return parts

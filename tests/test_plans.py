@@ -54,6 +54,8 @@ HEAVY_EXECUTING = {
     "q147_kmeans",  # iterative Lloyd rounds: plan build runs jobs
     "q217_semdedup",  # k-means rounds at plan build (q147 + drop verdict)
     "q222_kcenter_coreset",  # greedy argmax rounds at plan build
+    "q223_doremi_weights",  # domain-loss collect + MW rounds at plan build
+    "q229_cuped_adjustment",  # moment collect (theta) at plan build
     "q149_hierarchy_rollup",  # iterative doubling rounds: plan build runs jobs
     "q171_percent_of_parent",  # iterative doubling rounds: plan build runs jobs
     "q178_weighted_pagerank",  # iterative rank rounds: plan build runs jobs
