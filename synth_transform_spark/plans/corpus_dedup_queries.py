@@ -271,3 +271,158 @@ def q218_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q230 — the round-5 curation funnel: the NEW operator families composed
+# into the one-relation report a data team reads after a corpus build
+# (q106's shape, modern-filter edition). Stages apply cumulatively:
+#   1 raw         — every document
+#   2 perplexity  — q215's CCNet tercile keep (head+middle under the
+#                   corpus bigram LM; docs too short to score drop here)
+#   3 dsir        — q216's top-quartile DSIR importance selection
+#   4 chunk_dedup — q218's CDC verdict: drop docs with > 50% shared chunks
+# The Spark side literally COMPOSES the registered queries (semi-join
+# chain over their keep-sets); the oracle re-derives each keep-set with
+# prefixed CTEs (composing the shared names would collide) and counts the
+# same intersections — so the gate verifies the composition, not just the
+# parts.
+# Scale: each stage is the already-audited plan of its query; the funnel
+# adds three doc-keyed semi-joins and four 1-row counts.
+# ---------------------------------------------------------------------------
+@register(
+    "q230_curation_funnel_v2",
+    oracle="""
+WITH p_toks AS MATERIALIZED (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+),
+p_big AS (
+    SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+    FROM p_toks a JOIN p_toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+p_c2 AS (SELECT prev, cur, COUNT(*) AS n2 FROM p_big GROUP BY prev, cur),
+p_c1 AS (SELECT prev, COUNT(*) AS n1 FROM p_big GROUP BY prev),
+p_v AS (SELECT COUNT(DISTINCT tok) AS v FROM p_toks),
+p_ll AS (
+    SELECT c2.prev, c2.cur,
+           ROUND(LN((c2.n2 + 1) / CAST(c1.n1 + vn.v AS DOUBLE)), 6) AS lp
+    FROM p_c2 c2 JOIN p_c1 c1 ON c1.prev = c2.prev CROSS JOIN p_v vn
+),
+p_scored AS (
+    SELECT b.doc_id, ROUND(EXP(-ROUND(AVG(l.lp), 4)), 4) AS ppl
+    FROM p_big b JOIN p_ll l ON l.prev = b.prev AND l.cur = b.cur
+    GROUP BY b.doc_id
+),
+p_bounds AS (SELECT ROUND(QUANTILE_CONT(ppl, 2.0/3), 4) AS t2 FROM p_scored),
+ppl_keep AS (
+    SELECT s.doc_id FROM p_scored s CROSS JOIN p_bounds b WHERE s.ppl <= b.t2
+),
+d_lang AS (
+    SELECT d.doc_id, d.lang,
+           UNNEST(LIST_FILTER(STRING_SPLIT(d.text, ' '), t -> t <> '')) AS tok
+    FROM documents d
+),
+d_v AS (SELECT COUNT(DISTINCT tok) AS v FROM d_lang),
+d_rt AS (SELECT COUNT(*) AS nr FROM d_lang),
+d_tt AS (SELECT COUNT(*) AS nt FROM d_lang WHERE lang = 'en'),
+d_rc AS (SELECT tok, COUNT(*) AS cr FROM d_lang GROUP BY tok),
+d_tc AS (SELECT tok, COUNT(*) AS ct FROM d_lang WHERE lang = 'en' GROUP BY tok),
+d_lw AS (
+    SELECT r.tok,
+           CAST(ROUND((LN((COALESCE(t.ct, 0) + 1) / CAST(tt.nt + vn.v AS DOUBLE))
+                 - LN((r.cr + 1) / CAST(rt.nr + vn.v AS DOUBLE))) * 1000000.0)
+                AS BIGINT) AS lwi
+    FROM d_rc r
+    LEFT JOIN d_tc t ON t.tok = r.tok
+    CROSS JOIN d_tt tt CROSS JOIN d_rt rt CROSS JOIN d_v vn
+),
+d_scored AS (
+    SELECT k.doc_id,
+           CAST(FLOOR(CAST(SUM(l.lwi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS alr
+    FROM d_lang k JOIN d_lw l ON l.tok = k.tok
+    GROUP BY k.doc_id
+),
+d_thr AS (SELECT QUANTILE_CONT(alr, 0.75) AS q3 FROM d_scored),
+dsir_keep AS (
+    SELECT s.doc_id FROM d_scored s CROSS JOIN d_thr t WHERE s.alr >= t.q3
+),
+c_marked AS (
+    SELECT doc_id, tok, i,
+           CASE WHEN CAST(('0x' || SUBSTR(MD5(tok), 1, 8))::UBIGINT AS BIGINT)
+                     % 16 = 0 THEN 1 ELSE 0 END AS is_b
+    FROM p_toks
+),
+c_chunked AS (
+    SELECT doc_id, tok, i,
+           SUM(is_b) OVER (PARTITION BY doc_id ORDER BY i) - is_b AS chunk_idx
+    FROM c_marked
+),
+c_chunks AS (
+    SELECT doc_id, chunk_idx, MD5(STRING_AGG(tok, ' ' ORDER BY i)) AS fp
+    FROM c_chunked GROUP BY doc_id, chunk_idx
+),
+c_shared AS (SELECT fp, COUNT(DISTINCT doc_id) AS n_docs FROM c_chunks GROUP BY fp),
+cdc_keep AS (
+    SELECT c.doc_id
+    FROM c_chunks c JOIN c_shared s ON s.fp = c.fp
+    GROUP BY c.doc_id
+    HAVING ROUND(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) <= 0.5
+),
+s2 AS (SELECT doc_id FROM documents WHERE doc_id IN (SELECT doc_id FROM ppl_keep)),
+s3 AS (SELECT doc_id FROM s2 WHERE doc_id IN (SELECT doc_id FROM dsir_keep)),
+s4 AS (SELECT doc_id FROM s3 WHERE doc_id IN (SELECT doc_id FROM cdc_keep))
+SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS name,
+       CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL
+SELECT 2, 'perplexity', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'dsir', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+UNION ALL
+SELECT 4, 'chunk_dedup', CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+""",
+    tags=("training-prep", "quality", "dedup-chunk"),
+)
+def q230_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative keep-counts through the round-5 curation filters:
+    (stage, name, n_docs) — composes the registered q215/q216/q218
+    queries as semi-join stages."""
+    from .registry import REGISTRY
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ppl_keep = (
+        REGISTRY["q215_perplexity_filter"].spark(spark, sf_dir)
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    dsir_keep = (
+        REGISTRY["q216_dsir_weights"].spark(spark, sf_dir)
+        .filter(F.col("selected") == 1)
+        .select("doc_id")
+    )
+    cdc_keep = (
+        REGISTRY["q218_cdc_chunk_dedup"].spark(spark, sf_dir)
+        .filter(F.col("shared_frac") <= 0.5)
+        .select("doc_id")
+    )
+    s2 = docs.join(ppl_keep, "doc_id", "left_semi")
+    s3 = s2.join(dsir_keep, "doc_id", "left_semi")
+    s4 = s3.join(cdc_keep, "doc_id", "left_semi")
+    rows = [
+        (1, "raw", docs),
+        (2, "perplexity", s2),
+        (3, "dsir", s3),
+        (4, "chunk_dedup", s4),
+    ]
+    parts = None
+    for stage, name, rel in rows:
+        one = rel.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).cast("long").alias("stage"),
+            F.lit(name).alias("name"),
+            F.col("n_docs"),
+        )
+        parts = one if parts is None else parts.unionByName(one)
+    return parts

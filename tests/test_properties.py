@@ -101,3 +101,139 @@ def test_ancestor_closure_matches_walk(spark, parents):
             cur = pmap[cur]
             want.add((n, cur))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-5 kernels: structural properties that unit examples can't pin.
+# ---------------------------------------------------------------------------
+
+docs_texts = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]),
+        min_size=1,
+        max_size=30,
+    ).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@FEW
+@given(texts=docs_texts)
+def test_cdc_chunks_reassemble_exactly(spark, texts):
+    """Content-defined chunks, concatenated in chunk order, must reproduce
+    every document's token stream exactly — no token lost or duplicated by
+    the boundary rule, for any corpus."""
+    from synth_transform_spark.plans.corpus_dedup_queries import CDC_DIVISOR
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    from pyspark.sql import Window
+
+    toks = df.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    ).filter(F.col("tok") != "")
+    is_b = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+        % CDC_DIVISOR
+        == 0
+    ).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    chunked = toks.withColumn("is_b", is_b).withColumn(
+        "chunk_idx", F.sum("is_b").over(w) - F.col("is_b")
+    )
+    back = (
+        chunked.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("chunk_idx"), F.col("i"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("rejoined")
+        )
+        .collect()
+    )
+    expect = {i: " ".join(t.split()) for i, t in enumerate(texts)}
+    for r in back:
+        assert r.rejoined == expect[r.doc_id]
+
+
+@FEW
+@given(
+    values=st.lists(st.floats(-100, 100, allow_nan=False), min_size=40, max_size=120)
+)
+def test_conformal_threshold_is_order_statistic(spark, values):
+    """The split-conformal threshold must equal the ⌈(n+1)·0.9⌉-th smallest
+    calibration score computed by brute force — the exact finite-sample
+    guarantee hinges on that rank arithmetic."""
+    import math
+
+    n = len(values)
+    mu_int = math.floor(sum(round(v * 10000) for v in values) / n)
+    scores = sorted(abs(round(v * 10000) - mu_int) for v in values)
+    k = min((9 * (n + 1) + 9) // 10, n)
+    expected_thr = scores[k - 1]
+    df = spark.createDataFrame(
+        [(i * 2, "t", float(v)) for i, v in enumerate(values)],
+        "event_id long, event_type string, value double",
+    )
+    from pyspark.sql import Window
+
+    vint = df.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * F.lit(10000.0)).cast("long").alias("v"),
+    )
+    centre = vint.groupBy("event_type").agg(
+        F.floor(F.sum("v").cast("double") / F.count(F.lit(1))).cast("long").alias("mu"),
+        F.count(F.lit(1)).alias("n_cal"),
+    )
+    scored = vint.join(F.broadcast(centre), "event_type").select(
+        "event_type", "n_cal", F.abs(F.col("v") - F.col("mu")).alias("score"), "event_id"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.asc("score"), F.asc("event_id"))
+    )
+    got = (
+        scored.withColumn("rk", rk)
+        .filter(
+            F.col("rk")
+            == F.least(
+                (9 * (F.col("n_cal") + 1) + 9).cast("long") / 10, F.col("n_cal")
+            ).cast("long")
+        )
+        .select("score")
+        .first()
+    )
+    assert got.score == expected_thr
+
+
+@FEW
+@given(
+    pts=st.lists(
+        st.lists(st.integers(-50, 50), min_size=4, max_size=4),
+        min_size=3,
+        max_size=20,
+        unique_by=lambda p: tuple(p),
+    )
+)
+def test_kcenter_greedy_2_approximation(spark, pts):
+    """Gonzalez's guarantee: after selecting k centres, every point's
+    distance to the selection is at most the distance of the NEXT point
+    the greedy would pick — i.e. max-min-dist is non-increasing in rank
+    (the structural fact behind the 2-approximation)."""
+    from synth_transform_spark.operators.similarity import kcenter_coreset
+
+    k = min(6, len(pts))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    out = kcenter_coreset(df, k=k).toPandas().sort_values("sel_rank")
+    dists = out.dist_to_set.tolist()[1:]  # rank-1 seed has dist 0 by definition
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+    assert len(set(out.vec_id)) == len(out)  # never re-selects
