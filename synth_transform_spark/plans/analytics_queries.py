@@ -1260,3 +1260,59 @@ def q213_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# q232 — k-anonymity audit over customer quasi-identifiers. A release is
+# k-anonymous when every quasi-identifier combination (here nation,
+# market segment, account-balance band) covers ≥ k individuals; groups
+# below k re-identify their members. Output: every QI group with its
+# size and violation flag — the relation a privacy gate consumes before
+# exporting a customer cut.
+#
+# 100 TB posture: one grouped aggregation on the QI tuple (bounded
+# cardinality: |nations| × |segments| × |bands|) + one broadcast join to
+# the 25-row nation dim. Band via integer floor — exact on both engines.
+# --------------------------------------------------------------------------
+_KANON_K = 5
+_KANON_BAND = 2000.0
+
+
+@register(
+    "q232_kanonymity",
+    oracle=f"""
+SELECT n.n_name,
+       c.c_mktsegment,
+       CAST(FLOOR(c.c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       CAST(CASE WHEN COUNT(*) < {_KANON_K} THEN 1 ELSE 0 END AS BIGINT)
+           AS violates_k
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name, c.c_mktsegment, bal_band
+ORDER BY n.n_name, c.c_mktsegment, bal_band
+""",
+    tags=("privacy", "A5", "J1"),
+)
+def q232_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: (n_name, c_mktsegment, bal_band, group_n,
+    violates_k) for k=5 over (nation, segment, floor(acctbal/2000))
+    quasi-identifiers. Nation dim broadcast; one QI-keyed aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            "n_name",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / _KANON_BAND).alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            (F.count(F.lit(1)) < _KANON_K).cast("long").alias("violates_k"),
+        )
+        .orderBy("n_name", "c_mktsegment", "bal_band")
+    )

@@ -274,6 +274,83 @@ def q218_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q231 — per-document duplicated-span coverage: the DOCUMENT-level verdict
+# built on q116's gram table (Lee et al. 2022 drop the duplicated SPANS;
+# pipelines that can't splice text instead drop documents whose duplicated
+# coverage is high). For every positional 8-gram of every doc, mark it
+# duplicated when the gram occurs in ≥2 distinct docs; report per doc the
+# gram count, duplicated count and coverage fraction.
+#
+# 100 TB posture: explode → one grouped agg on the gram (uniform
+# content-hash key, two-phase partial distinct) → one gram-keyed join back
+# → one doc-keyed agg. No pair join at all — coverage needs only the
+# per-gram doc count, which is why this scales where all-pairs text
+# comparison cannot.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q231_span_coverage",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, ARRAY_TO_STRING(w[i + 1 : i + {NGRAM_N}], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - {NGRAM_N})) AS t(i)
+    WHERE LEN(w) >= {NGRAM_N}
+),
+shared AS (
+    SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram
+)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       ROUND(SUM(CASE WHEN s.n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+FROM grams g JOIN shared s ON s.gram = g.gram
+GROUP BY g.doc_id
+ORDER BY doc_id
+""",
+    tags=("corpus-dedup", "U4", "A5"),
+)
+def q231_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-8-gram coverage: (doc_id, n_grams, n_dup,
+    dup_frac). Positional grams (occurrences count); a gram is duplicated
+    when ≥2 distinct docs contain it. Docs with <8 tokens have no grams
+    and are absent — same contract as q116."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("w")
+    ).filter(F.size("w") >= NGRAM_N)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, NGRAM_N)),
+            )
+        ).alias("gram"),
+    )
+    shared = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = (F.col("n_docs") > 1).cast("long")
+    return (
+        grams.join(shared, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(dup).alias("n_dup"),
+            F.round(F.sum(dup) / F.count(F.lit(1)).cast("double"), 4).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q230 — the round-5 curation funnel: the NEW operator families composed
 # into the one-relation report a data team reads after a corpus build
 # (q106's shape, modern-filter edition). Stages apply cumulatively:

@@ -810,3 +810,64 @@ def q207_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.filter(F.col("doc_id") < 400)
     delta = docs.filter(F.col("doc_id") >= 400)
     return dedup.lsh_probe(base, delta, threshold=0.8)
+
+
+# --------------------------------------------------------------------------
+# q233 — directed containment near-dup: C(a→b) = |Sh(a) ∩ Sh(b)| / |Sh(a)|.
+# Jaccard misses the quote/superset case (a short doc fully embedded in a
+# long one scores low symmetric similarity but containment 1.0); corpus
+# curation uses containment to drop the CONTAINED side. Exact
+# shared-shingle baseline like q32 — candidate space is every pair sharing
+# ≥1 shingle, the small-scale truth the LSH path (q27 candidates +
+# containment verify instead of jaccard_verify) approximates at 100 TB.
+# --------------------------------------------------------------------------
+_CONTAIN_T = 0.7
+
+
+@register(
+    "q233_containment_pairs",
+    oracle=f"""
+WITH {{sh}},
+pairs AS (
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON b.shingle = a.shingle AND b.doc_id <> a.doc_id
+    GROUP BY src_id, dst_id
+),
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+)
+SELECT src_id, dst_id,
+       ROUND(CAST(n_inter AS DOUBLE) / s.n, 4) AS containment
+FROM pairs p
+JOIN sizes s ON s.doc_id = p.src_id
+WHERE ROUND(CAST(n_inter AS DOUBLE) / s.n, 4) >= {_CONTAIN_T}
+ORDER BY src_id, dst_id
+""".format(sh=_SHINGLES_CTE.strip()),
+    tags=("dedup-ngram", "J13", "U4"),
+)
+def q233_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs ≥ 0.7: (src_id, dst_id,
+    containment) — src is the (near-)contained document. Distinct 3-gram
+    shingles per doc (array-form, no corpus-wide distinct), shared-shingle
+    candidate join, denominator = src's shingle count."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs)
+    import pyspark.sql.functions as F
+
+    pairs = (
+        sh.select(F.col("doc_id").alias("src_id"), "shingle")
+        .join(
+            sh.select(F.col("doc_id").alias("dst_id"), "shingle"), ["shingle"]
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    cont = F.round(F.col("n_inter") / F.col("n").cast("double"), 4)
+    return (
+        pairs.join(sizes, pairs["src_id"] == sizes["doc_id"])
+        .select("src_id", "dst_id", cont.alias("containment"))
+        .filter(F.col("containment") >= _CONTAIN_T)
+        .orderBy("src_id", "dst_id")
+    )
