@@ -354,3 +354,57 @@ def bfs_distances(
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "s",
+    dst_col: str = "d",
+    weight_col: str = "w",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Deterministic synchronous weighted label propagation:
+    (node, community) after a FIXED number of rounds.
+
+    Labels start as the node id; each round every node adopts the label
+    with the highest summed edge weight among its neighbours, ties broken
+    by the smaller label (row_number over (wsum desc, lbl asc)) — so the
+    result is a pure function of the graph and the oracle can chain the
+    same n_rounds algebraic steps. Callers pass a SYMMETRISED edge list
+    (both directions), so every node occurs as a source and keeps a label
+    each round.
+
+    Scale notes (100 TB): per round one shuffle of E on dst (label join),
+    one grouped agg on (src, lbl) with map-side partials, and one per-src
+    argmax window — all keyed on uniform node ids, label relation O(V).
+    Each round localCheckpoint-ed: lineage one round deep; prefer reliable
+    ``checkpoint`` on a real cluster.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"),
+        F.col(dst_col).alias("d"),
+        F.col(weight_col).alias("w"),
+    ).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("s").alias("node"))
+        .union(e.select(F.col("d").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    w_arg = Window.partitionBy("s").orderBy(F.desc("wsum"), F.asc("lbl"))
+    for _ in range(n_rounds):
+        nbr = (
+            e.join(
+                labels.select(F.col("node").alias("d"), "lbl"), "d"
+            )
+            .groupBy("s", "lbl")
+            .agg(F.sum("w").alias("wsum"))
+        )
+        labels = (
+            nbr.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select(F.col("s").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

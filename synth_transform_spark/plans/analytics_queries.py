@@ -1316,3 +1316,199 @@ def q232_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "c_mktsegment", "bal_band")
     )
+
+
+# --------------------------------------------------------------------------
+# q237 — deterministic bootstrap confidence interval for mean order value.
+# Hash-seeded half-sample bootstrap: replica b keeps order o iff
+# md5(o_orderkey || '|' || b) is even — fully reproducible, no RNG state,
+# and any executor can recompute membership locally. Replica sums use
+# exact integer cents so partitioned summation matches the single-node
+# oracle bit-for-bit; the CI trims one replica mean per tail (≈ 2.5/97.5
+# percentiles of B=40).
+#
+# 100 TB posture: the replicate explode is a bounded ×B map-side blow-up
+# feeding ONE aggregation on b with map-side partials (each task emits ≤B
+# partial rows, so the 40-group reduce is never a funnel); the rank step
+# touches exactly B rows inside a single bounded aggregate (array-sort of
+# 40 structs), not a global window over data.
+# --------------------------------------------------------------------------
+_BOOT_B = 40
+
+
+@register(
+    "q237_bootstrap_ci",
+    oracle=f"""
+WITH reps AS (SELECT b FROM UNNEST(GENERATE_SERIES(0, {_BOOT_B - 1})) AS t(b)),
+draws AS (
+    SELECT r.b,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o CROSS JOIN reps r
+    WHERE CAST(('0x' || SUBSTR(MD5(CAST(o.o_orderkey AS VARCHAR) || '|'
+                     || CAST(r.b AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+          % 2 = 0
+),
+rep_means AS (
+    SELECT b, SUM(cents) / (100.0 * COUNT(*)) AS m
+    FROM draws GROUP BY b
+),
+ranked AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rn FROM rep_means
+),
+pt AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+               / (100.0 * COUNT(*)) AS pm
+    FROM orders
+)
+SELECT pt.n_orders,
+       CAST({_BOOT_B} AS BIGINT) AS n_replicas,
+       ROUND(pt.pm, 4) AS point_mean,
+       ROUND((SELECT m FROM ranked WHERE rn = 2), 4) AS ci_lo,
+       ROUND((SELECT m FROM ranked WHERE rn = {_BOOT_B - 1}), 4) AS ci_hi
+FROM pt
+""",
+    tags=("stats", "A12", "A13"),
+)
+def q237_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-seeded half-sample bootstrap CI for mean order value:
+    (n_orders, n_replicas, point_mean, ci_lo, ci_hi) — one row. Replica
+    membership is a pure function of (o_orderkey, b); sums are exact
+    integer cents."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    draws = orders.select(
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        "o_orderkey",
+    ).filter(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    rep_means = draws.groupBy("b").agg(
+        (F.sum("cents") / (100.0 * F.count(F.lit(1)))).alias("m")
+    )
+    bounds = rep_means.agg(
+        F.sort_array(F.collect_list(F.struct("m", "b"))).alias("arr")
+    ).select(
+        F.round(F.element_at("arr", 2)["m"], 4).alias("ci_lo"),
+        F.round(F.element_at("arr", _BOOT_B - 1)["m"], 4).alias("ci_hi"),
+    )
+    pt = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 4).alias(
+            "point_mean"
+        ),
+    )
+    return pt.crossJoin(F.broadcast(bounds)).select(
+        "n_orders",
+        F.lit(_BOOT_B).cast("long").alias("n_replicas"),
+        "point_mean",
+        "ci_lo",
+        "ci_hi",
+    )
+
+
+# --------------------------------------------------------------------------
+# q238 — co-purchase communities via deterministic label propagation.
+# Graph: parts are nodes, an edge joins two parts ordered together, weight
+# = number of shared orders; 3 synchronous LPA rounds with (weight desc,
+# label asc) argmax — a fixed-round pure function of the graph, so the
+# oracle unrolls the identical three algebraic steps and hash-matches.
+# Pair enumeration is per-order (≤7 items → ≤21 pairs, bounded fan-out);
+# each round is an edge-keyed join + (node, label) agg + per-node argmax.
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+_LPA_EDGES_CTE = """
+items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cp AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS w
+    FROM items a
+    JOIN items b ON b.l_orderkey = a.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY pa, pb
+),
+edges AS (
+    SELECT pa AS src, pb AS dst, w FROM cp
+    UNION ALL
+    SELECT pb AS src, pa AS dst, w FROM cp
+),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)
+"""
+
+
+def _lpa_round_ctes(n: int) -> str:
+    parts = []
+    for r in range(1, n + 1):
+        parts.append(f"""
+n{r} AS (
+    SELECT e.src AS node, l.lbl, SUM(e.w) AS wsum
+    FROM edges e JOIN l{r - 1} l ON l.node = e.dst
+    GROUP BY e.src, l.lbl
+),
+l{r} AS (
+    SELECT node, lbl FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (
+                   PARTITION BY node ORDER BY wsum DESC, lbl ASC
+               ) AS rn
+        FROM n{r}
+    ) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+@register(
+    "q238_copurchase_communities",
+    oracle=f"""
+WITH {_LPA_EDGES_CTE},
+{_lpa_round_ctes(_LPA_ROUNDS)}
+SELECT node AS part_id, lbl AS community
+FROM l{_LPA_ROUNDS}
+ORDER BY part_id
+""",
+    tags=("graph", "A4", "W3"),
+)
+def q238_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part communities from 3 deterministic LPA rounds over the
+    co-purchase graph: (part_id, community). Iterative — builds jobs per
+    round (operators/graph.py:label_propagation)."""
+    from ..operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    cp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = cp.select(
+        F.col("pa").alias("s"), F.col("pb").alias("d"), "w"
+    ).unionByName(cp.select(F.col("pb").alias("s"), F.col("pa").alias("d"), "w"))
+    out = label_propagation(edges, n_rounds=_LPA_ROUNDS)
+    return out.select(
+        F.col("node").alias("part_id"), F.col("community")
+    ).orderBy("part_id")

@@ -503,3 +503,83 @@ def q230_curation_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         parts = one if parts is None else parts.unionByName(one)
     return parts
+
+
+# ---------------------------------------------------------------------------
+# q235 — boilerplate template detection: documents sharing an identical
+# opening or closing 12-token run (site headers, license footers, scraped
+# navigation). Cleaning pipelines strip the shared run from every member;
+# this query emits the template groups a curator reviews. Snippets are
+# narrow per-row slices; the only shuffle is one grouped aggregation on
+# (kind, snippet) — content-hash key, uniform unless a template is truly
+# corpus-viral, which is exactly what the report is for.
+# ---------------------------------------------------------------------------
+_BOILER_TOKENS = 12
+
+
+@register(
+    "q235_boilerplate_templates",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+snips AS (
+    SELECT doc_id, 'prefix' AS kind,
+           ARRAY_TO_STRING(w[1:{_BOILER_TOKENS}], ' ') AS snippet
+    FROM docs WHERE LEN(w) > 0
+    UNION ALL
+    SELECT doc_id, 'suffix',
+           ARRAY_TO_STRING(w[GREATEST(LEN(w) - {_BOILER_TOKENS - 1}, 1):LEN(w)], ' ')
+    FROM docs WHERE LEN(w) > 0
+)
+SELECT kind, snippet,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+FROM snips
+GROUP BY kind, snippet
+HAVING COUNT(*) >= 2
+ORDER BY kind, snippet
+""",
+    tags=("corpus-dedup", "quality", "A4"),
+)
+def q235_boilerplate_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared opening/closing 12-token runs across ≥2 docs:
+    (kind, snippet, n_docs, doc_list) — the template groups a boilerplate
+    stripper would remove."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("w")
+    ).filter(F.size("w") > 0)
+    prefix = docs.select(
+        "doc_id",
+        F.lit("prefix").alias("kind"),
+        F.concat_ws(" ", F.slice("w", 1, _BOILER_TOKENS)).alias("snippet"),
+    )
+    suffix = docs.select(
+        "doc_id",
+        F.lit("suffix").alias("kind"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "w",
+                F.greatest(F.size("w") - (_BOILER_TOKENS - 1), F.lit(1)),
+                _BOILER_TOKENS,
+            ),
+        ).alias("snippet"),
+    )
+    return (
+        prefix.unionByName(suffix)
+        .groupBy("kind", "snippet")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("doc_list"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("kind", "snippet")
+    )

@@ -138,3 +138,74 @@ def q181_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_acctbal",
         "segments",
     )
+
+
+@register(
+    "q236_reciprocal_best_match",
+    oracle=f"""
+WITH {_SCORED_PAIRS_CTE},
+cand AS (
+    SELECT id_a, id_b, score FROM fs_scored
+    WHERE score >= {linkage.POSSIBLE_THRESHOLD!r}
+),
+directed AS (
+    SELECT id_a AS src, id_b AS dst, score FROM cand
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst, score FROM cand
+),
+best AS (
+    SELECT src, dst, score,
+           ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY score DESC, dst ASC
+           ) AS rn
+    FROM directed
+)
+SELECT a.src AS id_a, a.dst AS id_b, ROUND(a.score, 4) AS score
+FROM best a
+JOIN best b ON b.src = a.dst AND b.dst = a.src AND b.rn = 1
+WHERE a.rn = 1 AND a.src < a.dst
+ORDER BY id_a, id_b
+""",
+    tags=("linkage", "J13", "W3", "entity-resolution"),
+)
+def q236_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-best-match pairs: among q180's possible-or-better scored
+    pairs, keep (a, b) only when b is a's highest-scoring counterpart AND
+    a is b's — the high-precision 1:1 linkage rule that survives when one
+    record fuzzily resembles many. Argmax per side is a per-src window
+    with (score desc, dst asc) tie-break; the mutual check is one
+    key-mirrored self-join."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    customer = load_table(spark, sf_dir, "customer")
+    cand = linkage.score_customer_pairs(customer).select(
+        "id_a", "id_b", "score"
+    )
+    directed = cand.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "score"
+    ).unionByName(
+        cand.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "score"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    best = directed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    mirror = best.select(
+        F.col("src").alias("m_src"), F.col("dst").alias("m_dst")
+    )
+    return (
+        best.join(
+            mirror,
+            (mirror["m_src"] == best["dst"]) & (mirror["m_dst"] == best["src"]),
+        )
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("id_a"),
+            F.col("dst").alias("id_b"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy("id_a", "id_b")
+    )

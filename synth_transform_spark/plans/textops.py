@@ -1835,3 +1835,90 @@ def q221_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("avg_score_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# q234 — token-entropy gibberish signal. Low-entropy documents (a few
+# tokens repeated over and over) and pathologically high-entropy ones
+# (every token unique, no natural-language redundancy) are both classic
+# crawl junk; the curation gate keeps the interior band. H = log2(n) −
+# (Σ c·log2 c)/n over per-doc token counts — the per-type term is frozen
+# to an exact micro-integer (round(c·log2(c)·1e6)) so the cross-partition
+# sum is integer math: order-independent, hash-identical to DuckDB (the
+# q221 Stupid-Backoff trick). One doc-keyed count agg + one doc-keyed sum;
+# no corpus-wide state at all, so the plan is embarrassingly parallel.
+# --------------------------------------------------------------------------
+_ENTROPY_LO = 2.0
+_ENTROPY_HI = 7.5
+
+
+@register(
+    "q234_token_entropy",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+counts AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+terms AS (
+    SELECT doc_id, c,
+           CAST(ROUND(c * LOG2(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS clc_micro
+    FROM counts
+),
+agg AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           SUM(clc_micro) AS s_micro
+    FROM terms GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       ROUND(LOG2(CAST(n_tokens AS DOUBLE))
+             - (CAST(s_micro AS DOUBLE) / 1000000.0) / n_tokens, 4)
+           AS entropy,
+       CAST(CASE WHEN LOG2(CAST(n_tokens AS DOUBLE))
+                      - (CAST(s_micro AS DOUBLE) / 1000000.0) / n_tokens
+                      BETWEEN {_ENTROPY_LO} AND {_ENTROPY_HI}
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM agg
+ORDER BY doc_id
+""",
+    tags=("quality", "text-analysis", "A5"),
+)
+def q234_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token Shannon entropy + keep-band flag:
+    (doc_id, n_tokens, n_types, entropy, keep). Exact integer sum of
+    micro-scaled c·log2(c) terms so partitioned summation matches the
+    single-node oracle bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    clc_micro = F.round(
+        F.col("c") * F.log2(F.col("c").cast("double")) * 1000000.0
+    ).cast("long")
+    agg = counts.select("doc_id", "c", clc_micro.alias("clc_micro")).groupBy(
+        "doc_id"
+    ).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("clc_micro").alias("s_micro"),
+    )
+    h = F.log2(F.col("n_tokens").cast("double")) - (
+        F.col("s_micro").cast("double") / 1000000.0
+    ) / F.col("n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(h, 4).alias("entropy"),
+        ((h >= _ENTROPY_LO) & (h <= _ENTROPY_HI)).cast("long").alias("keep"),
+    ).orderBy("doc_id")

@@ -1167,3 +1167,69 @@ def _py_round_half_away(y: float) -> int:
     import math
 
     return int(math.floor(y + 0.5)) if y >= 0 else -int(math.floor(-y + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# q239 — tokenizer fertility per language: average BPE pieces emitted per
+# corpus word (weighted by word frequency). THE metric for judging whether
+# a trained vocabulary serves every language fairly — high-fertility
+# languages pay more sequence length per word. Reuses the q186/q187
+# training machinery; the per-language rollup joins the (word → n_tokens)
+# segmentation (vocab-sized, word-keyed shuffle) to per-(lang, word)
+# counts, then one bounded lang-keyed agg. All counts integer → exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q239_tokenizer_fertility",
+    oracle=f"""
+{_bpe_ctes(_BPE_K)},
+fseg AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM s{_BPE_K} GROUP BY word
+),
+f_lw AS (
+    SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT lang,
+               UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS w
+        FROM documents
+    ) GROUP BY lang, w
+)
+SELECT f.lang,
+       CAST(SUM(f.c) AS BIGINT) AS n_words,
+       CAST(SUM(f.c * s.n_tokens) AS BIGINT) AS n_pieces,
+       ROUND(SUM(f.c * s.n_tokens) / CAST(SUM(f.c) AS DOUBLE), 4) AS fertility
+FROM f_lw f JOIN fseg s ON s.word = f.word
+GROUP BY f.lang
+ORDER BY f.lang
+""",
+    tags=("tokenizer", "training-prep", "A5"),
+)
+def q239_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-weighted BPE pieces-per-word by language:
+    (lang, n_words, n_pieces, fertility) under the q186-trained merges."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = bpe.vocab_segmentation(bpe.train(docs, _BPE_K)).select(
+        "word", "n_tokens"
+    )
+    lw = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pieces = F.sum(F.col("c") * F.col("n_tokens"))
+    return (
+        lw.join(seg, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("c").alias("n_words"),
+            pieces.alias("n_pieces"),
+            F.round(pieces / F.sum("c").cast("double"), 4).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
