@@ -66,3 +66,76 @@ def test_q116_counts_occurrences_not_distinct_grams(spark, tmp_path):
     assert len(hit) == 1
     assert hit[0]["n_docs"] == 3
     assert hit[0]["n_occurrences"] == 4  # 2 + 1 + 1
+
+
+# --------------------------------------------------------------------------
+# q231 span coverage / q233 containment / q234 entropy / q235 boilerplate —
+# constructed-corpus semantics the oracle hash asserts but does not explain.
+# --------------------------------------------------------------------------
+from synth_transform_spark.plans.corpus_dedup_queries import (  # noqa: E402
+    q231_span_coverage,
+    q235_boilerplate_templates,
+)
+
+
+def test_q231_coverage_fractions(spark, tmp_path):
+    shared = " ".join(f"s{i}" for i in range(NGRAM_N))      # exactly one gram
+    uniq_a = " ".join(f"a{i}" for i in range(NGRAM_N))
+    rows = [
+        (0, f"{shared}"),                 # 1 gram, duplicated → 1.0
+        (1, f"{shared} x0"),              # 2 grams, 1 duplicated → 0.5
+        (2, uniq_a),                      # 1 gram, unique → 0.0
+        (3, "short doc"),                 # < 8 tokens → absent
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in q231_span_coverage(spark, sf).collect()}
+    assert 3 not in out
+    assert out[0]["dup_frac"] == 1.0 and out[0]["n_grams"] == 1
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup"] == 1
+    assert out[1]["dup_frac"] == 0.5
+    assert out[2]["dup_frac"] == 0.0
+
+
+def test_q233_containment_is_directed(spark, tmp_path):
+    from synth_transform_spark.plans.dedup_queries import q233_containment_pairs
+
+    small = "w1 w2 w3 w4"                       # shingles: 2, all inside big
+    big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"      # shingles: 8
+    rows = [(0, small), (1, big)]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {(r["src_id"], r["dst_id"]): r["containment"]
+           for r in q233_containment_pairs(spark, sf).collect()}
+    # small fully contained in big: C(0→1) = 2/2 = 1.0 survives the 0.7 gate;
+    # the reverse direction C(1→0) = 2/8 does not.
+    assert out == {(0, 1): 1.0}
+
+
+def test_q234_entropy_bounds(spark, tmp_path):
+    from synth_transform_spark.plans.textops import q234_token_entropy
+
+    rows = [
+        (0, "x x x x x x x x"),                              # H = 0
+        (1, " ".join(f"t{i}" for i in range(16))),           # H = log2(16) = 4
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in q234_token_entropy(spark, sf).collect()}
+    assert out[0]["entropy"] == 0.0 and out[0]["keep"] == 0
+    assert out[1]["entropy"] == 4.0 and out[1]["keep"] == 1
+    assert out[1]["n_types"] == 16 and out[1]["n_tokens"] == 16
+
+
+def test_q235_prefix_and_suffix_groups(spark, tmp_path):
+    from synth_transform_spark.plans.corpus_dedup_queries import _BOILER_TOKENS
+
+    header = " ".join(f"h{i}" for i in range(_BOILER_TOKENS))
+    rows = [
+        (0, f"{header} body0 end0"),
+        (1, f"{header} body1 end1"),
+        (2, "lone document text"),
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = q235_boilerplate_templates(spark, sf).collect()
+    assert [(r["kind"], r["n_docs"], r["doc_list"]) for r in out] == [
+        ("prefix", 2, "0,1")
+    ]
+    assert out[0]["snippet"] == header

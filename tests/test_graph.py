@@ -159,3 +159,51 @@ def test_bfs_multi_source_takes_nearest(spark):
     src = spark.createDataFrame([(1,), (4,)], "node long")
     got = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=3).collect()}
     assert got == {1: 0, 4: 0, 2: 1, 3: 1}
+
+
+# --------------------------------------------------------------------------
+# label_propagation (q238)
+# --------------------------------------------------------------------------
+
+
+def _lpa(spark, edges, rounds=3):
+    """edges: undirected (a, b, w) — symmetrised here like q238 does."""
+    df = spark.createDataFrame(edges, ["a", "b", "w"])
+    sym = df.selectExpr("a AS s", "b AS d", "w").unionByName(
+        df.selectExpr("b AS s", "a AS d", "w")
+    )
+    from synth_transform_spark.operators.graph import label_propagation
+
+    out = label_propagation(sym, n_rounds=rounds)
+    return {r["node"]: r["community"] for r in out.collect()}
+
+
+def test_lpa_two_cliques_weak_bridge(spark):
+    # Two triangles joined by one weight-1 bridge: each triangle's heavy
+    # internal weight wins, communities = min label of each triangle.
+    edges = [
+        (1, 2, 5), (2, 3, 5), (1, 3, 5),
+        (4, 5, 5), (5, 6, 5), (4, 6, 5),
+        (3, 4, 1),
+    ]
+    lab = _lpa(spark, edges)
+    assert lab[1] == lab[2] == lab[3]
+    assert lab[4] == lab[5] == lab[6]
+    assert lab[1] != lab[4]
+
+
+def test_lpa_deterministic_tiebreak(spark):
+    # Node 2 sees labels {1, 3} with equal weight after round 1's relabel:
+    # the (wsum desc, lbl asc) argmax must always choose the smaller label,
+    # so repeated runs agree exactly.
+    edges = [(1, 2, 1), (2, 3, 1)]
+    a = _lpa(spark, edges, rounds=2)
+    b = _lpa(spark, edges, rounds=2)
+    assert a == b
+
+
+def test_lpa_round_zero_is_identity_labels(spark):
+    # 0 rounds: every node keeps its own id.
+    edges = [(7, 9, 2)]
+    lab = _lpa(spark, edges, rounds=0)
+    assert lab == {7: 7, 9: 9}

@@ -70,3 +70,34 @@ def test_scoring_plan_stays_jvm_side(spark):
     df = linkage.score_customer_pairs(_mini_customers(spark))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q236_mutual_best_is_one_to_one_and_symmetric(spark, tmp_path):
+    """Write a customer parquet where record 1 fuzzily resembles 2 AND 3,
+    but 2↔1 is each side's best: mutual-best keeps exactly (1,2)."""
+    import pyspark.sql.functions as F
+
+    rows = [
+        # block (1,'A'): 1~2 (name+bal agree), 1~3 (name agrees, bal far),
+        # 2~3 (name agrees, bal far). Best for 1 is 2 (two agreements);
+        # best for 2 is 1; 3's best is 1 (tie on score with 2 → smaller id)
+        # but 1's best is 2 → (1,3) is not mutual.
+        (1, "Customer#000000001", 1, "A", 100.0),
+        (2, "Customer#000000002", 1, "A", 150.0),
+        (3, "Customer#000000003", 1, "A", 5000.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    ).withColumn("c_nationkey", F.col("c_nationkey").cast("int"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    from synth_transform_spark.plans.linkage_queries import (
+        q236_reciprocal_best_match,
+    )
+
+    out = [(r["id_a"], r["id_b"]) for r in
+           q236_reciprocal_best_match(spark, str(tmp_path)).collect()]
+    assert out == [(1, 2)]
+    # 1:1 property: no id appears twice in the pair list
+    flat = [i for p in out for i in p]
+    assert len(flat) == len(set(flat))

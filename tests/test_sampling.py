@@ -38,3 +38,18 @@ def test_draw_is_reproducible(spark):
     a = weighted_sample(_pop(spark), ["stratum"], "item", "w", k=10)
     b = weighted_sample(_pop(spark), ["stratum"], "item", "w", k=10)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_q237_bootstrap_ci_brackets_point_and_is_deterministic(spark):
+    """The trimmed replica-mean interval must bracket the half-sample
+    means' spread around the point estimate, and rerunning must be
+    bit-identical (hash-seeded membership, no RNG)."""
+    from synth_transform_spark.plans.analytics_queries import q237_bootstrap_ci
+
+    sf = "/root/testdata/sf0.001"
+    a = q237_bootstrap_ci(spark, sf).collect()[0]
+    b = q237_bootstrap_ci(spark, sf).collect()[0]
+    assert a == b
+    assert a["n_replicas"] == 40
+    assert a["ci_lo"] <= a["point_mean"] <= a["ci_hi"]
+    assert a["ci_lo"] < a["ci_hi"]
