@@ -1512,3 +1512,260 @@ def q238_copurchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("part_id"), F.col("community")
     ).orderBy("part_id")
+
+
+# --------------------------------------------------------------------------
+# q240 — l-diversity audit, k-anonymity's stronger sibling (q232): a QI
+# group can be large enough for k yet expose everyone in it when all its
+# members share one sensitive value. Here QI = (nation, balance band),
+# sensitive attribute = market segment, l = 3: groups whose members span
+# fewer than 3 distinct segments are flagged. Same bounded shuffle shape
+# as q232 — one grouped agg on the QI tuple with a two-phase partial
+# distinct, plus the 25-row broadcast nation dim.
+# --------------------------------------------------------------------------
+_LDIV_L = 3
+
+
+@register(
+    "q240_ldiversity",
+    oracle=f"""
+SELECT n.n_name,
+       CAST(FLOOR(c.c_acctbal / {_KANON_BAND}) AS BIGINT) AS bal_band,
+       CAST(COUNT(*) AS BIGINT) AS group_n,
+       CAST(COUNT(DISTINCT c.c_mktsegment) AS BIGINT) AS n_sensitive,
+       CAST(CASE WHEN COUNT(DISTINCT c.c_mktsegment) < {_LDIV_L}
+                 THEN 1 ELSE 0 END AS BIGINT) AS violates_l
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name, bal_band
+ORDER BY n.n_name, bal_band
+""",
+    tags=("privacy", "A5", "A10"),
+)
+def q240_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: (n_name, bal_band, group_n, n_sensitive,
+    violates_l) — distinct market segments per (nation, balance-band) QI
+    group, flagged when below l=3."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .groupBy(
+            "n_name",
+            F.floor(F.col("c_acctbal") / _KANON_BAND).alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+            (F.countDistinct("c_mktsegment") < _LDIV_L)
+            .cast("long")
+            .alias("violates_l"),
+        )
+        .orderBy("n_name", "bal_band")
+    )
+
+
+# --------------------------------------------------------------------------
+# q242 — inverse-propensity-weighted treatment effect (observational
+# causal inference next to q175's randomized A/B and q229's CUPED).
+# Unit = user; treatment = ever fired a 'signup' event; outcome = total
+# purchase value; confounder = activity band (floor(n_events / 25) —
+# heavy users both sign up more and buy more, so the naive diff is
+# biased). Propensity is the exact treated share per band; the Hájek
+# estimator reweights each side by 1/p (treated) or 1/(1-p) (control),
+# bands without overlap (all-treated or all-control) are excluded, the
+# standard positivity restriction.
+#
+# Determinism: outcomes freeze to integer micro-value at the event level;
+# per-user weighted terms freeze to integers BEFORE the corpus sum, so
+# every cross-partition aggregate is integer math (the q216/q221 device).
+# Scale: one user-keyed aggregate, one bounded band-keyed aggregate
+# broadcast back, one 1-row final rollup. No window at all.
+# --------------------------------------------------------------------------
+_IPW_BAND = 25
+
+
+@register(
+    "q242_ipw_effect",
+    oracle=f"""
+WITH users AS (
+    SELECT user_id,
+           CAST(FLOOR(COUNT(*) / {_IPW_BAND}.0) AS BIGINT) AS band,
+           CAST(MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                AS BIGINT) AS t,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 10000) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS y_micro
+    FROM events GROUP BY user_id
+),
+bands AS (
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS nb, CAST(SUM(t) AS BIGINT) AS nt
+    FROM users GROUP BY band
+    HAVING SUM(t) > 0 AND SUM(t) < COUNT(*)
+),
+terms AS (
+    SELECT u.t,
+           CAST(ROUND(u.y_micro * CAST(b.nb AS DOUBLE)
+                      / CASE WHEN u.t = 1 THEN b.nt ELSE b.nb - b.nt END)
+                AS BIGINT) AS wy,
+           CAST(ROUND(1000000.0 * b.nb
+                      / CASE WHEN u.t = 1 THEN b.nt ELSE b.nb - b.nt END)
+                AS BIGINT) AS w
+    FROM users u JOIN bands b ON b.band = u.band
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(t) AS BIGINT) AS n_treated,
+       ROUND((SUM(CASE WHEN t = 1 THEN wy ELSE 0 END) / 10000.0)
+             / (SUM(CASE WHEN t = 1 THEN w ELSE 0 END) / 1000000.0), 4)
+           AS mu_treated,
+       ROUND((SUM(CASE WHEN t = 0 THEN wy ELSE 0 END) / 10000.0)
+             / (SUM(CASE WHEN t = 0 THEN w ELSE 0 END) / 1000000.0), 4)
+           AS mu_control,
+       ROUND((SUM(CASE WHEN t = 1 THEN wy ELSE 0 END) / 10000.0)
+             / (SUM(CASE WHEN t = 1 THEN w ELSE 0 END) / 1000000.0)
+             - (SUM(CASE WHEN t = 0 THEN wy ELSE 0 END) / 10000.0)
+             / (SUM(CASE WHEN t = 0 THEN w ELSE 0 END) / 1000000.0), 4)
+           AS ate
+FROM terms
+""",
+    tags=("causal", "A12", "experiment"),
+)
+def q242_ipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hájek IPW treatment-effect estimate, one row: (n_users, n_treated,
+    mu_treated, mu_control, ate). Propensity = exact treated share per
+    activity band; non-overlap bands excluded."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.floor(F.count(F.lit(1)) / float(_IPW_BAND)).alias("band"),
+        F.max((F.col("event_type") == "signup").cast("long")).alias("t"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 10000).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("y_micro"),
+    )
+    bands = (
+        users.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("nb"), F.sum("t").alias("nt"))
+        .filter((F.col("nt") > 0) & (F.col("nt") < F.col("nb")))
+    )
+    denom = F.when(F.col("t") == 1, F.col("nt")).otherwise(
+        F.col("nb") - F.col("nt")
+    )
+    terms = users.join(F.broadcast(bands), "band").select(
+        "t",
+        F.round(F.col("y_micro") * F.col("nb").cast("double") / denom)
+        .cast("long")
+        .alias("wy"),
+        F.round(1000000.0 * F.col("nb") / denom).cast("long").alias("w"),
+    )
+    sum_if = lambda flag, c: F.sum(F.when(F.col("t") == flag, F.col(c)).otherwise(F.lit(0)))  # noqa: E731
+    mu_t = (sum_if(1, "wy") / 10000.0) / (sum_if(1, "w") / 1000000.0)
+    mu_c = (sum_if(0, "wy") / 10000.0) / (sum_if(0, "w") / 1000000.0)
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("t").alias("n_treated"),
+        F.round(mu_t, 4).alias("mu_treated"),
+        F.round(mu_c, 4).alias("mu_control"),
+        F.round(mu_t - mu_c, 4).alias("ate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q243 — local clustering coefficient per node of the co-purchase graph
+# (q101 counts global triangles; curation/graph-QA wants the per-node
+# ratio: how clique-like is each part's neighbourhood). Triangle
+# enumeration uses the oriented-edge algorithm — edges kept as a<b, a
+# triangle is (a<b<c) found by two oriented joins, so each triangle is
+# enumerated exactly once (the standard distributed-triangle trick that
+# avoids 6× duplication and bounds the join by the oriented degree).
+# coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1)).
+#
+# 100 TB posture: two edge-keyed equi-joins + one node-keyed count; the
+# known hazard is high-degree hubs inflating the oriented join — the
+# production mitigation (degree-ordered orientation: point edges from
+# low- to high-degree endpoint, bounding oriented out-degree by √(2E))
+# drops in as a one-line orientation change; id-orientation is kept here
+# because the oracle must enumerate the identical triangle set.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q243_clustering_coefficient",
+    oracle=f"""
+WITH {_LPA_EDGES_CTE},
+tri AS (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM cp e1
+    JOIN cp e2 ON e2.pa = e1.pb
+    JOIN cp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+tnode AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri_n FROM tnode GROUP BY node),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src)
+SELECT d.node AS part_id,
+       d.d AS degree,
+       COALESCE(t.tri_n, 0) AS triangles,
+       ROUND(CASE WHEN d.d >= 2
+                  THEN 2.0 * COALESCE(t.tri_n, 0) / (d.d * (d.d - 1))
+                  ELSE 0 END, 4) AS coeff
+FROM deg d LEFT JOIN tcnt t ON t.node = d.node
+ORDER BY part_id
+""",
+    tags=("graph", "A5", "J15"),
+)
+def q243_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part local clustering coefficient over the co-purchase graph:
+    (part_id, degree, triangles, coeff) via oriented-edge triangle
+    enumeration."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    cp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("pa", "pb")
+    )
+    e1 = cp.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = cp.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = cp.select(F.col("pa").alias("a"), F.col("pb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tnode = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    tcnt = tnode.groupBy("node").agg(F.count(F.lit(1)).alias("tri_n"))
+    deg = (
+        cp.select(F.col("pa").alias("node"))
+        .unionByName(cp.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    coeff = F.when(
+        F.col("d") >= 2,
+        2.0
+        * F.coalesce(F.col("tri_n"), F.lit(0))
+        / (F.col("d") * (F.col("d") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tcnt, "node", "left")
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("tri_n"), F.lit(0)).alias("triangles"),
+            F.round(coeff, 4).alias("coeff"),
+        )
+        .orderBy("part_id")
+    )

@@ -2571,3 +2571,150 @@ def q229_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("adjusted"),
     )
+
+
+# --------------------------------------------------------------------------
+# q241 — Kaplan–Meier survival curves per signup cohort. Unit = user;
+# duration = days between first and last event; a user whose last event
+# falls within 12 hours of the corpus end is CENSORED (might still be
+# active), otherwise the last event marks observed churn. (The horizon
+# is 12 hours because this corpus is a dense 30-day burst — median
+# last-event gap ≈ 7 h; a calendar-weekly horizon censors everyone.) S(t) is the
+# product-limit estimator over churn days; the per-step log factor is
+# frozen to an exact micro-integer so the running product is an integer
+# cumsum (the q216/q221 device), and a step where every at-risk user
+# churns pins the sentinel -100e6 (exp → 0 after rounding) instead of
+# ln(0).
+#
+# 100 TB posture: one user-keyed aggregate collapses the corpus; the two
+# cumulative windows partition by cohort over DISTINCT DURATION rows
+# (bounded by the observation horizon in days — a calendar-bounded
+# relation, same exception class as q220), never over raw events.
+# --------------------------------------------------------------------------
+_KM_CENSOR_HOURS = 12
+
+
+@register(
+    "q241_km_survival",
+    oracle=f"""
+WITH users AS (
+    SELECT user_id,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           CASE WHEN SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0
+                THEN 'registered' ELSE 'guest' END AS cohort
+    FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+durs AS (
+    SELECT u.cohort,
+           CAST(FLOOR(EPOCH(u.last_ts - u.first_ts) / 3600.0) AS BIGINT) AS dur,
+           CASE WHEN u.last_ts <= h.max_ts - INTERVAL {_KM_CENSOR_HOURS} HOUR
+                THEN 1 ELSE 0 END AS churn
+    FROM users u CROSS JOIN horizon h
+),
+steps AS (
+    SELECT cohort, dur,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(churn) AS BIGINT) AS d
+    FROM durs GROUP BY cohort, dur
+),
+risked AS (
+    SELECT cohort, dur, d,
+           SUM(n_all) OVER (
+               PARTITION BY cohort ORDER BY dur DESC
+           ) AS at_risk
+    FROM steps
+),
+logged AS (
+    SELECT cohort, dur, d, at_risk,
+           CASE WHEN d = 0 THEN 0
+                WHEN d < at_risk
+                THEN CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / at_risk)
+                                * 1000000.0) AS BIGINT)
+                ELSE -100000000 END AS li
+    FROM risked
+)
+SELECT cohort,
+       CAST(dur AS BIGINT) AS dur_hours,
+       CAST(at_risk AS BIGINT) AS at_risk,
+       d AS churns,
+       ROUND(EXP(CAST(SUM(li) OVER (
+           PARTITION BY cohort ORDER BY dur ASC
+       ) AS DOUBLE) / 1000000.0), 4) AS survival
+FROM logged
+WHERE d > 0
+ORDER BY cohort, dur_hours
+""",
+    tags=("survival", "A12", "W2"),
+)
+def q241_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-limit survival per cohort: (cohort, dur_hours, at_risk,
+    churns, survival) — duration = whole elapsed hours between a user's
+    first and last event. Censoring = last event within 12 hours of
+    corpus end; survival via exact micro-integer log cumsum."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.when(
+            F.sum((F.col("event_type") == "signup").cast("int")) > 0,
+            F.lit("registered"),
+        )
+        .otherwise(F.lit("guest"))
+        .alias("cohort"),
+    )
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    durs = users.crossJoin(F.broadcast(horizon)).select(
+        "cohort",
+        F.floor(
+            (
+                F.col("last_ts").cast("double")
+                - F.col("first_ts").cast("double")
+            )
+            / 3600.0
+        )
+        .cast("long")
+        .alias("dur"),
+        (
+            F.col("last_ts")
+            <= F.col("max_ts") - F.expr(f"INTERVAL {_KM_CENSOR_HOURS} HOURS")
+        )
+        .cast("long")
+        .alias("churn"),
+    )
+    steps = durs.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("churn").alias("d")
+    )
+    w_risk = Window.partitionBy("cohort").orderBy(F.desc("dur"))
+    risked = steps.withColumn("at_risk", F.sum("n_all").over(w_risk))
+    li = (
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("at_risk"),
+            F.round(
+                F.log(1.0 - F.col("d").cast("double") / F.col("at_risk"))
+                * 1000000.0
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-100000000))
+    )
+    w_surv = Window.partitionBy("cohort").orderBy(F.asc("dur"))
+    return (
+        risked.withColumn("li", li)
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(F.sum("li").over(w_surv).cast("double") / 1000000.0), 4
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            "cohort",
+            F.col("dur").cast("long").alias("dur_hours"),
+            F.col("at_risk").cast("long").alias("at_risk"),
+            F.col("d").alias("churns"),
+            "survival",
+        )
+        .orderBy("cohort", "dur_hours")
+    )
