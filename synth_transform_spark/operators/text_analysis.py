@@ -280,3 +280,63 @@ def redact_pii(
         F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0)).cast("long").alias("n_phone"),
         red.alias("redacted"),
     )
+
+
+def segment_lang_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Per-document mixed-language profile from windowed lang-ID:
+    (id, n_segs, n_langs, top_share, mixed).
+
+    The document is cut into fixed ``seg_tokens`` windows; each window is
+    language-identified with the q25 marker-lexicon argmax (same
+    tie-break: greatest score, then alphabetical code); the profile
+    reports how many distinct languages the windows predict and the
+    dominant language's share — the polyglot-contamination signal a
+    document-level lang-ID (one label per doc) cannot see.
+
+    Scale: segmentation and scoring are narrow per-row array expressions
+    (zero shuffle); the only shuffles are the (doc, pred) count and the
+    per-doc rollup — both doc-keyed, the natural unit.
+    """
+    toks = _tokens(F.col(text_col))
+    n_segs = F.ceil(F.size("w") / F.lit(float(seg_tokens))).cast("int")
+    segs = (
+        docs.select(F.col(id_col), toks.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.slice(F.col("w"), i * seg_tokens + 1, seg_tokens),
+                )
+            ).alias("sw"),
+        )
+    )
+    langs = sorted(LANG_MARKERS)
+    scores = [
+        F.size(
+            F.filter(F.col("sw"), lambda t: t.isin(*LANG_MARKERS[lg]))
+        ).alias(f"score_{lg}")
+        for lg in langs
+    ]
+    scored = segs.select(id_col, *scores)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    per_pred = (
+        scored.select(id_col, pred.alias("pred"))
+        .groupBy(id_col, "pred")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_pred.groupBy(id_col).agg(
+        F.sum("c").alias("n_segs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 4).alias("top_share"),
+        (F.count(F.lit(1)) > 1).cast("long").alias("mixed"),
+    )

@@ -2718,3 +2718,62 @@ def q241_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "dur_hours")
     )
+
+
+# --------------------------------------------------------------------------
+# q246 — recency-decayed engagement score: Σ value·e^(−age/τ) per user
+# (τ = 7 days), the standard feature-store freshness weighting next to
+# q164's interval-weighted average. Each event's term is a pure function
+# of (ts, value, corpus max ts) frozen to an integer micro-unit before
+# the user-keyed sum — exact across partitionings. One 1-row horizon
+# broadcast + one user-keyed aggregate; embarrassingly parallel.
+# --------------------------------------------------------------------------
+_DECAY_TAU_DAYS = 7.0
+
+
+@register(
+    "q246_decay_engagement",
+    oracle=f"""
+WITH horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+terms AS (
+    SELECT e.user_id,
+           CAST(ROUND(e.value
+                      * EXP(-(EPOCH(h.max_ts - e.ts) / 86400.0)
+                            / {_DECAY_TAU_DAYS})
+                      * 10000) AS BIGINT) AS li
+    FROM events e CROSS JOIN horizon h
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(li) / 10000.0, 4) AS decay_score
+FROM terms
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("feature-store", "A5", "W4"),
+)
+def q246_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential recency-decay engagement per user:
+    (user_id, n_events, decay_score), τ = 7 days, exact micro-integer
+    term sums."""
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    age_days = (
+        F.col("max_ts").cast("double") - F.col("ts").cast("double")
+    ) / 86400.0
+    terms = events.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.round(
+            F.col("value") * F.exp(-age_days / _DECAY_TAU_DAYS) * 10000
+        )
+        .cast("long")
+        .alias("li"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("li") / 10000.0, 4).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )

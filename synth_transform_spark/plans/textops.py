@@ -1922,3 +1922,66 @@ def q234_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 4).alias("entropy"),
         ((h >= _ENTROPY_LO) & (h <= _ENTROPY_HI)).cast("long").alias("keep"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q245 — mixed-language (polyglot-contamination) detection: q25's marker
+# lang-ID applied per 10-token window instead of per document, rolled up
+# to how many languages a doc's windows predict and the dominant share.
+# Catches concatenated bilingual crawl pages that a whole-doc argmax
+# labels confidently as one language.
+# --------------------------------------------------------------------------
+_MIXSEG = 10
+
+
+def _mixed_lang_oracle() -> str:
+    langs = sorted(text_analysis.LANG_MARKERS)
+    score_exprs = []
+    for lg in langs:
+        markers = ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[lg])
+        score_exprs.append(
+            f"LEN(LIST_FILTER(sw, x -> x IN ({markers}))) AS score_{lg}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH mdocs AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS w
+    FROM documents
+),
+msegs AS (
+    SELECT doc_id,
+           w[i * {_MIXSEG} + 1 : i * {_MIXSEG} + {_MIXSEG}] AS sw
+    FROM mdocs,
+         UNNEST(GENERATE_SERIES(0,
+             CAST(CEIL(LEN(w) / {_MIXSEG}.0) AS INT) - 1)) AS t(i)
+    WHERE LEN(w) > 0
+),
+ms AS (SELECT doc_id, {", ".join(score_exprs)} FROM msegs),
+mg AS (SELECT *, {greatest} AS best FROM ms),
+mp AS (SELECT doc_id, CASE {case} END AS pred FROM mg),
+mc AS (SELECT doc_id, pred, COUNT(*) AS c FROM mp GROUP BY doc_id, pred)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_segs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 4) AS top_share,
+       CAST(CASE WHEN COUNT(*) > 1 THEN 1 ELSE 0 END AS BIGINT) AS mixed
+FROM mc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "q245_mixed_language",
+    oracle=_mixed_lang_oracle(),
+    tags=("text-langid", "quality", "A5"),
+)
+def q245_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed lang-ID rollup per doc: (doc_id, n_segs, n_langs,
+    top_share, mixed) — operators/text_analysis.segment_lang_profile."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_analysis.segment_lang_profile(
+        docs, seg_tokens=_MIXSEG
+    ).orderBy("doc_id")

@@ -16,7 +16,7 @@ same convention as q51-q53/q58-q61/q66.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..operators import bloom, delta, sketches, temporal, text_analysis
 from ..operators.dedup import contamination
@@ -1230,6 +1230,131 @@ def q239_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("n_words"),
             pieces.alias("n_pieces"),
             F.round(pieces / F.sum("c").cast("double"), 4).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q244 — UniMax sampling budget (Chung et al. 2023): allocate a total
+# training-token budget across languages so every language is as close to
+# uniform as its corpus allows, capped at E epochs of its own data — the
+# waterfilling allocation a_l = min(E·n_l, θ) with θ chosen so
+# Σ a_l = B. θ comes from the classic sorted-caps closed form: saturate
+# the i smallest caps, split the remainder evenly, take the largest
+# feasible i. Complements q81 (proportional temperature mix) and q223
+# (DoReMi learned weights) with the budget-capped uniform tier.
+#
+# Scale: corpus-sized work is ONE lang-keyed token count; everything after
+# runs on the |langs|-row relation (bounded windows, the q220 exception
+# class), broadcast back as a 1-row θ.
+# ---------------------------------------------------------------------------
+_UNIMAX_EPOCHS = 2.0
+_UNIMAX_FRAC = 0.5  # budget = 50% of the corpus token count
+
+
+@register(
+    "q244_unimax_budget",
+    oracle=f"""
+WITH counts AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM (
+        SELECT lang,
+               UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS w
+        FROM documents
+    ) GROUP BY lang
+),
+caps AS (
+    SELECT lang, n_tokens,
+           {_UNIMAX_EPOCHS} * n_tokens AS cap,
+           ROW_NUMBER() OVER (ORDER BY n_tokens ASC, lang ASC) AS i,
+           CAST(COUNT(*) OVER () AS BIGINT) AS k,
+           SUM({_UNIMAX_EPOCHS} * n_tokens)
+               OVER (ORDER BY n_tokens ASC, lang ASC) AS cum,
+           CAST(FLOOR({_UNIMAX_FRAC} * SUM(n_tokens) OVER ()) AS BIGINT) AS b
+    FROM counts
+),
+theta AS (
+    -- Lang i saturates iff the rest could still afford its cap as the
+    -- common water level: cum_i + cap_i·(k−i) ≤ B. Feasible i form a
+    -- prefix and cum is increasing, so MAX over the feasible rows gives
+    -- both i-star and its cumulative cap without a nested lookup.
+    SELECT MAX(CASE WHEN cum + cap * (k - i) <= b THEN i ELSE 0 END)
+               AS i_star,
+           MAX(k) AS n_langs,
+           MIN(b) - COALESCE(
+               MAX(CASE WHEN cum + cap * (k - i) <= b THEN cum END), 0)
+               AS remainder
+    FROM caps
+)
+SELECT c.lang, c.n_tokens,
+       CAST(c.cap AS BIGINT) AS cap_tokens,
+       CAST(FLOOR(CASE WHEN t.i_star = t.n_langs THEN c.cap
+                       ELSE LEAST(c.cap, t.remainder / (t.n_langs - t.i_star))
+                  END) AS BIGINT) AS alloc_tokens,
+       ROUND(CASE WHEN t.i_star = t.n_langs THEN c.cap
+                  ELSE LEAST(c.cap, t.remainder / (t.n_langs - t.i_star))
+             END / c.n_tokens, 4) AS epochs
+FROM caps c CROSS JOIN theta t
+ORDER BY c.lang
+""",
+    tags=("training-prep", "mix", "A13"),
+)
+def q244_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget-capped uniform allocation per language:
+    (lang, n_tokens, cap_tokens, alloc_tokens, epochs). θ waterfilling
+    over the |langs|-row cap relation; budget = 50% of corpus tokens,
+    epoch cap 2.0."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    w_ord = Window.orderBy(F.asc("n_tokens"), F.asc("lang"))
+    w_all = Window.partitionBy()
+    caps = counts.select(
+        "lang",
+        "n_tokens",
+        (F.lit(_UNIMAX_EPOCHS) * F.col("n_tokens")).alias("cap"),
+        F.row_number().over(w_ord).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("k"),
+        F.sum(F.lit(_UNIMAX_EPOCHS) * F.col("n_tokens"))
+        .over(w_ord)
+        .alias("cum"),
+        F.floor(F.lit(_UNIMAX_FRAC) * F.sum("n_tokens").over(w_all)).alias(
+            "b"
+        ),
+    )
+    feasible = F.col("cum") + F.col("cap") * (
+        F.col("k") - F.col("i")
+    ) <= F.col("b")
+    theta = caps.agg(
+        F.max(F.when(feasible, F.col("i")).otherwise(0)).alias("i_star"),
+        F.max("k").alias("n_langs"),
+        (
+            F.min("b")
+            - F.coalesce(F.max(F.when(feasible, F.col("cum"))), F.lit(0.0))
+        ).alias("remainder"),
+    )
+    alloc = F.when(
+        F.col("i_star") == F.col("n_langs"), F.col("cap")
+    ).otherwise(
+        F.least(
+            F.col("cap"),
+            F.col("remainder") / (F.col("n_langs") - F.col("i_star")),
+        )
+    )
+    return (
+        caps.crossJoin(F.broadcast(theta))
+        .select(
+            "lang",
+            "n_tokens",
+            F.col("cap").cast("long").alias("cap_tokens"),
+            F.floor(alloc).cast("long").alias("alloc_tokens"),
+            F.round(alloc / F.col("n_tokens"), 4).alias("epochs"),
         )
         .orderBy("lang")
     )

@@ -139,3 +139,19 @@ def test_q235_prefix_and_suffix_groups(spark, tmp_path):
         ("prefix", 2, "0,1")
     ]
     assert out[0]["snippet"] == header
+
+
+def test_q245_flags_bilingual_concatenation(spark, tmp_path):
+    """A doc whose first window is marker-English and second is
+    marker-French must come back mixed with two languages; a uniform doc
+    must not."""
+    from synth_transform_spark.plans.textops import q245_mixed_language
+
+    en = "the a and of fast the a and of fast"          # 10 en-marker tokens
+    fr = "le et je ne pas le et je ne pas"              # 10 fr-ish tokens
+    rows = [(0, f"{en} {fr}"), (1, en)]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in q245_mixed_language(spark, sf).collect()}
+    assert out[0]["mixed"] == 1 and out[0]["n_langs"] == 2
+    assert out[0]["top_share"] == 0.5
+    assert out[1]["mixed"] == 0 and out[1]["n_langs"] == 1

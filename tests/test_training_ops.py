@@ -181,3 +181,30 @@ def test_repetition_signals_keeps_two_token_docs(spark):
     assert set(got) == {1, 2}
     assert got[1].top3_frac is None and got[1].dup3_frac is None
     assert got[1].top2_frac == 1.0  # the single 2-gram is 100% of 2-grams
+
+
+def test_q244_unimax_allocation_invariants(spark):
+    """Waterfilling contract: no language exceeds its epoch cap, the
+    budget is exhausted up to flooring slack (or all caps saturate), and
+    unsaturated languages share one common water level."""
+    from synth_transform_spark.plans.training_queries import (
+        _UNIMAX_EPOCHS,
+        _UNIMAX_FRAC,
+        q244_unimax_budget,
+    )
+
+    rows = q244_unimax_budget(spark, "/root/testdata/sf0.001").collect()
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    budget = int(_UNIMAX_FRAC * total_tokens)
+    for r in rows:
+        assert r["alloc_tokens"] <= r["cap_tokens"]
+        assert r["epochs"] <= _UNIMAX_EPOCHS + 1e-9
+    alloc_sum = sum(r["alloc_tokens"] for r in rows)
+    if all(r["alloc_tokens"] == r["cap_tokens"] for r in rows):
+        assert alloc_sum <= budget
+    else:
+        # flooring each lang loses < 1 token per lang
+        assert budget - len(rows) < alloc_sum <= budget
+        levels = {r["alloc_tokens"] for r in rows
+                  if r["alloc_tokens"] < r["cap_tokens"]}
+        assert len(levels) == 1
