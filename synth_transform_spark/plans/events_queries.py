@@ -2777,3 +2777,248 @@ def q246_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — autocorrelation function (ACF) of the per-type daily event-count
+# series at lags 1..7: the diagnostic behind "does volume have weekly
+# memory", feeding seasonality choices (q220's period) and anomaly-window
+# sizing. Standard estimator r_k = Σ_{t>k}(c_t−μ)(c_{t−k}−μ) / Σ(c_t−μ)².
+# Parity: multiply through by n² so every term is integer — with
+# a_t = n·c_t − S (S = Σc, both integers) r_k = Σ a_t·a_{t−k} / Σ a_t²
+# exactly, no float mean, no summation-order ulps; the single division
+# happens once at the end on integer operands.
+# Scale: the corpus collapses FIRST to (type, day) counts — one bounded
+# aggregate (#types × #days rows ≤ calendar); per-type row numbers are
+# per-type-partitioned windows; the lag alignment is an equi-join of the
+# tiny series to itself on (type, rn−k); (n, S) ride a per-type broadcast.
+# Nothing downstream of the first aggregate scales with event volume.
+# ---------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q247_acf",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, DATE_TRUNC('day', ts) AS day, COUNT(*) AS c
+    FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+),
+numbered AS (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+    FROM daily
+),
+stats AS (
+    SELECT event_type, COUNT(*) AS n, SUM(c) AS s FROM numbered
+    GROUP BY event_type
+),
+centered AS (
+    SELECT nb.event_type, nb.rn, st.n, nb.c * st.n - st.s AS a
+    FROM numbered nb JOIN stats st ON st.event_type = nb.event_type
+),
+dens AS (
+    SELECT event_type, MAX(n) AS n_days, SUM(a * a) AS den FROM centered
+    GROUP BY event_type
+),
+nums AS (
+    SELECT cur.event_type, lg.lag, SUM(cur.a * prev.a) AS num
+    FROM centered cur
+    JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_ACF_MAX_LAG})) AS lag) lg ON TRUE
+    JOIN centered prev
+      ON prev.event_type = cur.event_type AND prev.rn = cur.rn - lg.lag
+    GROUP BY cur.event_type, lg.lag
+)
+SELECT nm.event_type, CAST(nm.lag AS BIGINT) AS lag,
+       ROUND(CAST(nm.num AS DOUBLE) / dn.den, 4) AS acf,
+       CAST(dn.n_days AS BIGINT) AS n_days
+FROM nums nm JOIN dens dn ON dn.event_type = nm.event_type
+ORDER BY nm.event_type, lag
+""",
+    tags=("temporal", "W4", "A5"),
+)
+def q247_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-count autocorrelation at lags 1..7:
+    (event_type, lag, acf, n_days). Exact n²-scaled integer algebra — see
+    the registration comment."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    numbered = daily.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+    ).select("event_type", "rn", "c")
+    stats = numbered.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+    )
+    centered = numbered.join(F.broadcast(stats), "event_type").select(
+        "event_type", "rn", "n", (F.col("c") * F.col("n") - F.col("s")).alias("a")
+    )
+    dens = centered.groupBy("event_type").agg(
+        F.max("n").alias("n_days"), F.sum(F.col("a") * F.col("a")).alias("den")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    cur = centered.crossJoin(F.broadcast(lags))
+    prev = centered.select(
+        F.col("event_type").alias("p_type"),
+        F.col("rn").alias("p_rn"),
+        F.col("a").alias("p_a"),
+    )
+    nums = (
+        cur.join(
+            prev,
+            (F.col("p_type") == F.col("event_type"))
+            & (F.col("p_rn") == F.col("rn") - F.col("lag")),
+        )
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.col("a") * F.col("p_a")).alias("num"))
+    )
+    return (
+        nums.join(F.broadcast(dens), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("long").alias("lag"),
+            F.round(F.col("num").cast("double") / F.col("den"), 4).alias("acf"),
+            F.col("n_days").cast("long").alias("n_days"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q248 — EWMA control chart over the per-type daily mean value: smooth the
+# PRIOR 7 days with exponentially-decaying weights (α = 0.3) and flag days
+# whose deviation from that forecast exceeds 2σ of the per-type deviation
+# distribution — the classic monitoring chart next to q205's CUSUM (level
+# shifts) and q220's STL residuals (seasonality-aware). Excluding the
+# current day from the smoother is what makes it a forecast residual.
+# Parity: daily means are FLOOR'd micro-ints (q220 discipline); the decay
+# weights are integer literals round(0.7^j·10⁶) inlined IDENTICALLY in
+# both engines (no pow() at runtime); the smoother is an integer
+# weighted-sum ratio FLOOR'd once; the 2σ gate is the all-integer
+# inequality d²·n² > 4·(n·Σd² − (Σd)²) — no sqrt anywhere.
+# Scale: collapses to (type, day) first (bounded by the calendar); lag
+# windows are per-type partitioned; the σ gate is a per-type 1-row
+# broadcast. Nothing downstream scales with event volume.
+# ---------------------------------------------------------------------------
+_EWMA_W = [1000000, 700000, 490000, 343000, 240100, 168070, 117649]
+
+
+def _ewma_oracle() -> str:
+    lag_cols = ",\n           ".join(
+        f"LAG(x_int, {j + 1}) OVER w AS l{j}" for j in range(len(_EWMA_W))
+    )
+    num = " + ".join(
+        f"COALESCE(l{j} * {w}, 0)" for j, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NULL THEN 0 ELSE {w} END"
+        for j, w in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH daily AS (
+    SELECT event_type, DATE_TRUNC('day', ts) AS day,
+           CAST(FLOOR(CAST(SUM(CAST(ROUND(value * 10000.0) AS BIGINT))
+                           AS DOUBLE) / COUNT(*)) AS BIGINT) AS x_int
+    FROM events GROUP BY event_type, DATE_TRUNC('day', ts)
+),
+lagged AS (
+    SELECT event_type, day, x_int,
+           {lag_cols}
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+),
+smoothed AS (
+    SELECT event_type, day, x_int,
+           CAST(FLOOR(CAST({num} AS DOUBLE) / ({den})) AS BIGINT) AS e_int
+    FROM lagged WHERE l0 IS NOT NULL
+),
+devs AS (
+    SELECT event_type, day, x_int, e_int, x_int - e_int AS d_int
+    FROM smoothed
+),
+gate AS (
+    SELECT event_type, COUNT(*) AS n, SUM(d_int) AS s1,
+           SUM(d_int * d_int) AS s2
+    FROM devs GROUP BY event_type
+)
+SELECT d.event_type, STRFTIME(d.day, '%Y-%m-%d') AS day,
+       d.x_int / 10000.0 AS daily_avg,
+       d.e_int / 10000.0 AS ewma,
+       d.d_int / 10000.0 AS dev,
+       CAST(CASE WHEN d.d_int * d.d_int * g.n * g.n
+                      > 4 * (g.n * g.s2 - g.s1 * g.s1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS alert
+FROM devs d JOIN gate g ON g.event_type = d.event_type
+ORDER BY d.event_type, day
+"""
+
+
+@register(
+    "q248_ewma_control",
+    oracle=_ewma_oracle(),
+    tags=("temporal", "W4", "quality"),
+)
+def q248_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prior-7-day EWMA forecast residual chart per event_type:
+    (event_type, day, daily_avg, ewma, dev, alert). Integer decay weights,
+    integer 2σ gate — see the registration comment."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.floor(
+            F.sum(F.round(F.col("value") * F.lit(10000.0)).cast("long")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("x_int")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "day",
+        "x_int",
+        *[
+            F.lag("x_int", j + 1).over(w).alias(f"l{j}")
+            for j in range(len(_EWMA_W))
+        ],
+    )
+    num = None
+    den = None
+    for j, wt in enumerate(_EWMA_W):
+        t_num = F.coalesce(F.col(f"l{j}") * F.lit(wt), F.lit(0))
+        t_den = F.when(F.col(f"l{j}").isNull(), F.lit(0)).otherwise(F.lit(wt))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    devs = (
+        lagged.filter(F.col("l0").isNotNull())
+        .withColumn(
+            "e_int", F.floor(num.cast("double") / den).cast("long")
+        )
+        .withColumn("d_int", F.col("x_int") - F.col("e_int"))
+    )
+    gate = devs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d_int").alias("s1"),
+        F.sum(F.col("d_int") * F.col("d_int")).alias("s2"),
+    )
+    return (
+        devs.join(F.broadcast(gate), "event_type")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("x_int") / F.lit(10000.0)).alias("daily_avg"),
+            (F.col("e_int") / F.lit(10000.0)).alias("ewma"),
+            (F.col("d_int") / F.lit(10000.0)).alias("dev"),
+            (
+                F.col("d_int") * F.col("d_int") * F.col("n") * F.col("n")
+                > 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+            )
+            .cast("long")
+            .alias("alert"),
+        )
+        .orderBy("event_type", "day")
+    )
