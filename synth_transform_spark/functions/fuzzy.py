@@ -118,3 +118,59 @@ def partial_ratio_window(a: Column, b: Column) -> Column:
         .otherwise(F.array_max(scores))
         .cast("long")
     )
+
+
+def levenshtein_band_pairs(
+    df,
+    text_col: str,
+    max_dist: int = 2,
+):
+    """Length-banded exact edit-distance self-join over DISTINCT values of
+    ``text_col``: (name_a, name_b, dist) with dist ≤ ``max_dist`` and
+    name_a < name_b.
+
+    The Ed-Join-style blocking is provably complete: levenshtein(a, b) ≥
+    |len(a) − len(b)|, so candidates only need |len diff| ≤ max_dist.
+    Values are bucketed by ``len // (max_dist + 1)`` and the probe side is
+    exploded into its 3 admissible buckets — the join is an equi-join on
+    the bucket id (hash-shuffle, never all-pairs), and each unordered pair
+    meets exactly once because each value owns one bucket. The verify
+    filter uses Spark's threshold-bounded ``levenshtein(l, r, t)`` kernel
+    which abandons rows early at t+1.
+
+    Scale: dedup-to-distinct FIRST bounds the join input by vocabulary
+    size, not corpus size; the banded equi-join keys are uniform unless
+    one length dominates, in which case the band key can be salted.
+    """
+    width = max_dist + 1
+    names = df.select(F.col(text_col).alias("name")).distinct()
+    left = names.select(
+        "name",
+        F.length("name").alias("len"),
+        F.floor(F.length("name") / width).alias("bucket"),
+    )
+    right = names.select(
+        F.col("name").alias("name_r"), F.length("name").alias("len_r")
+    ).withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                F.floor(F.length("name_r") / width) - 1,
+                F.floor(F.length("name_r") / width),
+                F.floor(F.length("name_r") / width) + 1,
+            )
+        ),
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(
+            (F.col("name") < F.col("name_r"))
+            & (F.abs(F.col("len") - F.col("len_r")) <= max_dist)
+            & (F.levenshtein("name", "name_r", max_dist) >= 0)
+        )
+        .select(
+            F.col("name").alias("name_a"),
+            F.col("name_r").alias("name_b"),
+            F.levenshtein("name", "name_r").cast("long").alias("dist"),
+        )
+    )

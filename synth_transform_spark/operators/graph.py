@@ -408,3 +408,73 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def hits(
+    edges: DataFrame,
+    src_col: str = "s",
+    dst_col: str = "d",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed-iteration HITS over a bipartite edge list: (node, side, score)
+    where side 'hub' scores sources and side 'auth' scores destinations.
+
+    Kleinberg's mutual-reinforcement update with MAX-normalisation instead
+    of the usual L2 norm: auth(d) ← Σ hub(s over in-edges), hub(s) ←
+    Σ auth(d over out-edges), each rescaled so the max score is 1. Max
+    (unlike a sum or an L2 norm) is order-independent, and scores are
+    frozen to (score·10⁶) div max — INTEGER floor division, no doubles —
+    after every rescale, so every cross-row sum the engines perform is an
+    integer sum and the result is bit-for-bit reproducible (a ROUND here
+    lands on .5 boundaries where engines diverge — the q220 lesson): the
+    DuckDB oracle chains the same n_iter algebraic steps with `//` and
+    hash-matches after the 4dp round.
+
+    Scale (100 TB): per iteration one shuffle of E on dst (auth partial
+    agg) and one on src (hub partial agg) — same budget as ``pagerank``;
+    the 1-row max rides a broadcast; score relations are O(V) and eagerly
+    localCheckpoint-ed so lineage stays one round deep.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).distinct().localCheckpoint(eager=True)
+    hub = e.select("s").distinct().select("s", F.lit(1000000).alias("h"))
+    auth = None
+    for _ in range(n_iter):
+        raw_a = (
+            e.join(hub, "s").groupBy("d").agg(F.sum("h").alias("ra"))
+        )
+        amax = raw_a.agg(F.max("ra").alias("mx"))
+        auth = (
+            raw_a.crossJoin(F.broadcast(amax))
+            .select(
+                "d",
+                F.expr("(ra * CAST(1000000 AS BIGINT)) div mx")
+                .cast("long")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        raw_h = e.join(auth, "d").groupBy("s").agg(F.sum("a").alias("rh"))
+        hmax = raw_h.agg(F.max("rh").alias("mx"))
+        hub = (
+            raw_h.crossJoin(F.broadcast(hmax))
+            .select(
+                "s",
+                F.expr("(rh * CAST(1000000 AS BIGINT)) div mx")
+                .cast("long")
+                .alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    # no 4dp ROUND here: micro-int/10⁶ already has ≤6 exact decimal digits
+    # and rounding would land on .00005 half-boundaries (the q220 lesson)
+    return hub.select(
+        F.col("s").alias("node"), F.lit("hub").alias("side"),
+        (F.col("h") / 1000000.0).alias("score"),
+    ).union(
+        auth.select(
+            F.col("d").alias("node"), F.lit("auth").alias("side"),
+            (F.col("a") / 1000000.0).alias("score"),
+        )
+    )

@@ -901,3 +901,45 @@ m{t} AS MATERIALIZED (
         for t in range(1, k + 1)
     )
     return "".join(parts) + "\n" + sel
+
+
+def srp_bit_vector(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 64,
+    dim: int = 64,
+) -> DataFrame:
+    """Full (un-banded) SRP sign bits per vector: (id, bits array<long>).
+
+    Same deterministic md5 hyperplanes and floor-quantized integer dot
+    products as ``srp_signatures`` (sign bits can never flip with
+    summation order), but keeps all ``n_planes`` bits so callers can
+    measure Hamming distances directly — the Johnson–Lindenstrauss /
+    SimHash distance-estimation use, rather than banded bucketing.
+    Narrow per-row compute, zero shuffle.
+    """
+    signs = srp_sign_matrix(n_planes, dim)
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(SRP_QUANT)).cast("long"),
+    )
+    sigs = vectors.select(F.col(id_col), xq.alias("_xq"))
+    bits = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_xq"),
+                        F.array(*[F.lit(s).cast("long") for s in signs[j]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                >= 0
+            ).cast("long")
+            for j in range(n_planes)
+        ]
+    )
+    return sigs.select(F.col(id_col), bits.alias("bits"))

@@ -1769,3 +1769,409 @@ def q243_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — expected calibration error (ECE) of a deterministic confidence
+# score against a binary outcome, 10 equal-width bins: the standard
+# reliability diagram behind "is this classifier's probability honest",
+# completing the eval family (q198 ranking, q202 confusion). Score =
+# min-max-normalised first embedding coordinate; outcome = label ≥ 5 —
+# deterministic stand-ins exercising the exact bin/gap algebra.
+# Parity: conf is frozen to a micro-int round(conf·10⁶) immediately (one
+# double division (x−min)/(max−min), identical in both engines); bins are
+# integer arithmetic on that micro-int; per-bin sums are integer; the gap
+# |acc − avg_conf| and ECE Σ(n_b/N)|acc_b − conf_b| reduce to
+# |n_pos_b·10⁶ − Σconf_int| — integer inside the abs, one division at the
+# end. No float accumulates across rows anywhere.
+# Scale: one pass to (min, max) (1-row broadcast), one map, one 10-row
+# aggregate; the ECE total is a broadcast of that 10-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q249_calibration_ece",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+           CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+    FROM embeddings
+),
+rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM base),
+conf AS (
+    SELECT b.vec_id, b.y,
+           CAST(ROUND((b.x - r.lo) / (r.hi - r.lo) * 1000000) AS BIGINT)
+               AS ci
+    FROM base b CROSS JOIN rng r
+),
+binned AS (
+    SELECT LEAST(CAST(FLOOR((ci * 10) / 1000000.0) AS BIGINT), 9) AS bin,
+           y, ci
+    FROM conf
+),
+per_bin AS (
+    SELECT bin, COUNT(*) AS n, CAST(SUM(ci) AS BIGINT) AS sci,
+           CAST(SUM(y) AS BIGINT) AS npos
+    FROM binned GROUP BY bin
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(SUM(ABS(npos * 1000000 - sci)) AS BIGINT) AS gap_sum
+    FROM per_bin
+)
+SELECT p.bin, CAST(p.n AS BIGINT) AS n,
+       ROUND(p.sci / 1000000.0 / p.n, 4) AS avg_conf,
+       ROUND(CAST(p.npos AS DOUBLE) / p.n, 4) AS acc,
+       ROUND(ABS(p.npos * 1000000 - p.sci) / 1000000.0 / p.n, 4) AS gap,
+       ROUND(t.gap_sum / 1000000.0 / t.nn, 4) AS ece
+FROM per_bin p CROSS JOIN tot t
+ORDER BY p.bin
+""",
+    tags=("ml-eval", "A12", "W4"),
+)
+def q249_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins + expected calibration error:
+    (bin, n, avg_conf, acc, gap, ece). Micro-int confidence algebra — see
+    the registration comment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    rng = base.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    conf = base.crossJoin(F.broadcast(rng)).select(
+        "y",
+        F.round(
+            (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 1000000
+        )
+        .cast("long")
+        .alias("ci"),
+    )
+    binned = conf.select(
+        F.least(F.floor((F.col("ci") * 10) / F.lit(1000000.0)).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        "y",
+        "ci",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ci").alias("sci"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    tot = per_bin.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.abs(F.col("npos") * 1000000 - F.col("sci"))).alias("gap_sum"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sci") / 1000000.0 / F.col("n"), 4).alias("avg_conf"),
+            F.round(F.col("npos").cast("double") / F.col("n"), 4).alias("acc"),
+            F.round(
+                F.abs(F.col("npos") * 1000000 - F.col("sci")) / 1000000.0 / F.col("n"), 4
+            ).alias("gap"),
+            F.round(F.col("gap_sum") / 1000000.0 / F.col("nn"), 4).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250 — categorical-association audit between event_type and 6-hour
+# time-of-day bucket: χ² statistic, degrees of freedom, Cramér's V, and
+# mutual information — the feature-selection screen run before one-hot
+# encoding ("does this feature carry any signal about that one").
+# Parity: every χ² term is scaled to integers by multiplying through by N
+# — (N·o − r·c)²/(N·r·c) has integer numerator/denominator; each term and
+# each MI term o·ln(N·o/(r·c)) is frozen to a micro-int before the
+# cross-term sum, so summation order cannot move the hash (single ln/sqrt
+# calls are IEEE-deterministic on identical double inputs).
+# Scale: one aggregate to the #types × #buckets contingency table
+# (bounded, ~20 cells); marginals are broadcast joins of that tiny table.
+# ---------------------------------------------------------------------------
+@register(
+    "q250_categorical_association",
+    oracle="""
+WITH obs AS (
+    SELECT event_type AS a, CAST(FLOOR(HOUR(ts) / 6) AS BIGINT) AS b,
+           COUNT(*) AS o
+    FROM events GROUP BY event_type, CAST(FLOOR(HOUR(ts) / 6) AS BIGINT)
+),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY a),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY b),
+nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+terms AS (
+    SELECT o.a, o.b,
+           CAST(ROUND(1000000.0 * POWER(n.n * o.o - ra.r * cb.c, 2)
+                      / (CAST(n.n AS DOUBLE) * ra.r * cb.c)) AS BIGINT)
+               AS chi_li,
+           CAST(ROUND(1000000.0 * o.o
+                      * LN(CAST(n.n AS DOUBLE) * o.o / (ra.r * cb.c)))
+                AS BIGINT) AS mi_li
+    FROM obs o
+    JOIN ra ON ra.a = o.a
+    JOIN cb ON cb.b = o.b
+    CROSS JOIN nn n
+),
+dims AS (
+    SELECT (SELECT COUNT(*) FROM ra) AS nr, (SELECT COUNT(*) FROM cb) AS nc
+)
+SELECT n.n,
+       CAST((d.nr - 1) * (d.nc - 1) AS BIGINT) AS dof,
+       ROUND(SUM(t.chi_li) / 1000000.0, 4) AS chi2,
+       ROUND(SQRT(SUM(t.chi_li) / 1000000.0
+                  / (n.n * LEAST(d.nr - 1, d.nc - 1))), 4) AS cramers_v,
+       ROUND(SUM(t.mi_li) / 1000000.0 / n.n, 4) AS mi_nats
+FROM terms t CROSS JOIN nn n CROSS JOIN dims d
+GROUP BY n.n, d.nr, d.nc
+""",
+    tags=("ml-eval", "A5", "A12"),
+)
+def q250_categorical_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ²/Cramér's V/mutual information between event_type and 6-hour
+    bucket: single row (n, dof, chi2, cramers_v, mi_nats). Integer-scaled
+    χ² terms — see the registration comment."""
+    events = load_table(spark, sf_dir, "events")
+    obs = events.groupBy(
+        F.col("event_type").alias("a"),
+        F.floor(F.hour("ts") / 6).cast("long").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("r"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("c"))
+    nn = obs.agg(F.sum("o").alias("n"))
+    dims = ra.agg(F.count(F.lit(1)).alias("nr")).crossJoin(
+        cb.agg(F.count(F.lit(1)).alias("nc"))
+    )
+    terms = (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.round(
+                1000000.0
+                * F.pow(F.col("n") * F.col("o") - F.col("r") * F.col("c"), 2)
+                / (F.col("n").cast("double") * F.col("r") * F.col("c"))
+            )
+            .cast("long")
+            .alias("chi_li"),
+            F.round(
+                1000000.0
+                * F.col("o")
+                * F.log(
+                    F.col("n").cast("double") * F.col("o")
+                    / (F.col("r") * F.col("c"))
+                )
+            )
+            .cast("long")
+            .alias("mi_li"),
+        )
+    )
+    agg = terms.agg(
+        F.sum("chi_li").alias("chi_sum"), F.sum("mi_li").alias("mi_sum")
+    )
+    return (
+        agg.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.round(F.col("chi_sum") / 1000000.0, 4).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.col("chi_sum")
+                    / 1000000.0
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                4,
+            ).alias("cramers_v"),
+            F.round(F.col("mi_sum") / 1000000.0 / F.col("n"), 4).alias("mi_nats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q252 — HITS hubs & authorities over the customer→supplier bipartite
+# purchase graph (who are the hub buyers, who are the authoritative
+# suppliers): Kleinberg's mutual-reinforcement centrality, the directed
+# complement of q82/q178's PageRank. Max-normalised, micro-int-frozen per
+# round so every cross-row sum is an integer sum — the oracle chains the
+# identical 3 unrolled iterations (operators/graph.hits).
+# Scale: per iteration one edge shuffle on each side with map-side
+# combine; 1-row max broadcasts; O(V) score relations checkpointed.
+# ---------------------------------------------------------------------------
+def _hits_oracle(n_iter: int = 3) -> str:
+    ctes = [
+        "e AS (SELECT DISTINCT o.o_custkey AS s, l.l_suppkey AS d "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)",
+        "hub0 AS (SELECT DISTINCT s, CAST(1000000 AS BIGINT) AS h FROM e)",
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        ctes += [
+            f"rawa{i} AS (SELECT e.d, CAST(SUM(hub{p}.h) AS BIGINT) AS ra "
+            f"FROM e JOIN hub{p} ON hub{p}.s = e.s GROUP BY e.d)",
+            f"amax{i} AS (SELECT MAX(ra) AS mx FROM rawa{i})",
+            f"auth{i} AS (SELECT d, CAST((ra * 1000000) // mx AS BIGINT) AS a "
+            f"FROM rawa{i} CROSS JOIN amax{i})",
+            f"rawh{i} AS (SELECT e.s, CAST(SUM(auth{i}.a) AS BIGINT) AS rh "
+            f"FROM e JOIN auth{i} ON auth{i}.d = e.d GROUP BY e.s)",
+            f"hmax{i} AS (SELECT MAX(rh) AS mx FROM rawh{i})",
+            f"hub{i} AS (SELECT s, CAST((rh * 1000000) // mx AS BIGINT) AS h "
+            f"FROM rawh{i} CROSS JOIN hmax{i})",
+        ]
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT s AS node, 'hub' AS side, h / 1000000.0 AS score FROM hub{n_iter}
+UNION ALL
+SELECT d AS node, 'auth' AS side, a / 1000000.0 AS score FROM auth{n_iter}
+ORDER BY side, node
+"""
+
+
+@register(
+    "q252_hits",
+    oracle=_hits_oracle(),
+    tags=("graph", "J2", "A5"),
+)
+def q252_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS centrality over customer→supplier purchases:
+    (node, side, score) — operators/graph.hits, 3 unrolled iterations."""
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        lineitem, lineitem["l_orderkey"] == orders["o_orderkey"]
+    ).select(F.col("o_custkey").alias("s"), F.col("l_suppkey").alias("d"))
+    return graph.hits(edges).orderBy("side", "node")
+
+
+# ---------------------------------------------------------------------------
+# q253 — t-closeness audit over the order release: for each customer
+# nation (the quasi-identifier group), the order-1 earth-mover's distance
+# between the group's distribution of the ordered sensitive attribute
+# (o_orderpriority, ranks 1-URGENT … 5-LOW) and the global distribution.
+# Completes the privacy-audit trio (q232 k-anonymity, q240 l-diversity):
+# a release is t-close when every group's EMD ≤ t.
+# Parity: for the ordered attribute with unit spacing,
+# EMD_g = (1/(m−1)) · Σ_i |Σ_{j≤i} (p_gj − q_j)|; scaling through by
+# N·n_g makes every cumulative term the INTEGER cum(n_gj)·N − cum(N_j)·n_g,
+# so the sum inside the abs is exact and the single final division is the
+# only float op. The t-flag is the pure-integer comparison
+# 50·Σ|diff| > N·n_g·(m−1)  ⇔  EMD > 1/50 — no float in the gate at all.
+# Scale: two grouped aggregations (group×priority, priority) over bounded
+# cardinality (25 nations × 5 priorities); the grid completion and all
+# joins ride broadcasts of those tiny relations.
+# ---------------------------------------------------------------------------
+@register(
+    "q253_t_closeness",
+    oracle="""
+WITH obs AS (
+    SELECT c.c_nationkey AS gk, o.o_orderpriority AS pr, COUNT(*) AS n
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_nationkey, o.o_orderpriority
+),
+prs AS (
+    SELECT pr, ROW_NUMBER() OVER (ORDER BY pr) AS i,
+           CAST(SUM(n) AS BIGINT) AS np
+    FROM obs GROUP BY pr
+),
+tot AS (
+    SELECT CAST(SUM(np) AS BIGINT) AS nn,
+           CAST(COUNT(*) AS BIGINT) AS m
+    FROM prs
+),
+grp AS (SELECT gk, CAST(SUM(n) AS BIGINT) AS ng FROM obs GROUP BY gk),
+grid AS (
+    SELECT g.gk, g.ng, p.pr, p.i, p.np, COALESCE(o.n, 0) AS n
+    FROM grp g CROSS JOIN prs p
+    LEFT JOIN obs o ON o.gk = g.gk AND o.pr = p.pr
+),
+cums AS (
+    SELECT gk, ng, i,
+           CAST(SUM(n) OVER (PARTITION BY gk ORDER BY i) AS BIGINT) AS cg,
+           CAST(SUM(np) OVER (PARTITION BY gk ORDER BY i) AS BIGINT) AS cp
+    FROM grid
+),
+emd AS (
+    SELECT c.gk, c.ng,
+           CAST(SUM(ABS(c.cg * t.nn - c.cp * c.ng)) AS BIGINT) AS sad,
+           t.nn, t.m
+    FROM cums c CROSS JOIN tot t
+    GROUP BY c.gk, c.ng, t.nn, t.m
+)
+SELECT n.n_name,
+       CAST(e.ng AS BIGINT) AS n_orders,
+       ROUND(CAST(e.sad AS DOUBLE) / (e.nn * e.ng * (e.m - 1)), 4)
+           AS t_emd,
+       CAST(CASE WHEN e.sad * 50 > e.nn * e.ng * (e.m - 1)
+                 THEN 1 ELSE 0 END AS BIGINT) AS violates_t
+FROM emd e JOIN nation n ON n.n_nationkey = e.gk
+ORDER BY n.n_name
+""",
+    tags=("privacy", "A12", "W2"),
+)
+def q253_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: (n_name, n_orders, t_emd, violates_t) — order-1
+    EMD between per-nation and global o_orderpriority distributions,
+    integer cumulative algebra, t = 1/50 as a pure-integer gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    obs = (
+        orders.join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("gk"),
+            F.col("o_orderpriority").alias("pr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    prs = (
+        obs.groupBy("pr")
+        .agg(F.sum("n").alias("np"))
+        .withColumn("i", F.row_number().over(Window.orderBy("pr")))
+    )
+    tot = prs.agg(
+        F.sum("np").alias("nn"), F.count(F.lit(1)).alias("m")
+    )
+    grp = obs.groupBy("gk").agg(F.sum("n").alias("ng"))
+    grid = (
+        grp.crossJoin(F.broadcast(prs))
+        .join(obs, ["gk", "pr"], "left")
+        .select("gk", "ng", "i", "np", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    wc = Window.partitionBy("gk").orderBy("i")
+    cums = grid.select(
+        "gk",
+        "ng",
+        F.sum("n").over(wc).alias("cg"),
+        F.sum("np").over(wc).alias("cp"),
+    )
+    emd = (
+        cums.crossJoin(F.broadcast(tot))
+        .groupBy("gk", "ng", "nn", "m")
+        .agg(
+            F.sum(F.abs(F.col("cg") * F.col("nn") - F.col("cp") * F.col("ng")))
+            .alias("sad")
+        )
+    )
+    return (
+        emd.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("gk"),
+        )
+        .select(
+            "n_name",
+            F.col("ng").cast("long").alias("n_orders"),
+            F.round(
+                F.col("sad").cast("double")
+                / (F.col("nn") * F.col("ng") * (F.col("m") - 1)),
+                4,
+            ).alias("t_emd"),
+            (F.col("sad") * 50 > F.col("nn") * F.col("ng") * (F.col("m") - 1))
+            .cast("long")
+            .alias("violates_t"),
+        )
+        .orderBy("n_name")
+    )

@@ -583,3 +583,214 @@ def q235_boilerplate_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("kind", "snippet")
     )
+
+
+# --------------------------------------------------------------------------
+# q256 — sorted-neighbour prefix dedup (the "sort once, compare adjacent"
+# scale pattern): candidates for prefix duplication are found WITHOUT any
+# pairwise join by sorting the corpus lexicographically and comparing
+# each doc only to its predecessor. Completeness: any pair sharing a
+# ≥16-char prefix shares the first-16-chars bucket, and within a bucket
+# lexicographic adjacency visits every maximal prefix-run, so runs of
+# prefix-dups appear as chains of adjacent pairs. The shared-prefix
+# length is bucketed at checkpoints 16/32/64/128/256 (exact LCP needs a
+# per-char loop; checkpoint equality is pure SQL on both engines).
+# Parity: sort keys (text, doc_id) are a total order; all outputs are
+# integers/strings — no float anywhere.
+# Scale: the window partitions by the 16-char prefix bucket (never a
+# global sort); bucket sizes are bounded by prefix-group cardinality and
+# the heavy-bucket case is exactly the boilerplate-prefix case a curator
+# wants surfaced. One shuffle total.
+# --------------------------------------------------------------------------
+@register(
+    "q256_prefix_neighbor_dups",
+    oracle="""
+WITH b AS (
+    SELECT doc_id, text, SUBSTR(text, 1, 16) AS bucket FROM documents
+),
+adj AS (
+    SELECT bucket, doc_id, text,
+           LAG(doc_id) OVER (PARTITION BY bucket
+                             ORDER BY text, doc_id) AS prev_id,
+           LAG(text) OVER (PARTITION BY bucket
+                           ORDER BY text, doc_id) AS prev_text
+    FROM b
+)
+SELECT prev_id AS doc_a, doc_id AS doc_b,
+       CAST(CASE
+            WHEN SUBSTR(text, 1, 256) = SUBSTR(prev_text, 1, 256) THEN 256
+            WHEN SUBSTR(text, 1, 128) = SUBSTR(prev_text, 1, 128) THEN 128
+            WHEN SUBSTR(text, 1, 64) = SUBSTR(prev_text, 1, 64) THEN 64
+            WHEN SUBSTR(text, 1, 32) = SUBSTR(prev_text, 1, 32) THEN 32
+            ELSE 16 END AS BIGINT) AS lcp_ge
+FROM adj
+WHERE prev_id IS NOT NULL
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup-prefix", "W2", "O1"),
+)
+def q256_prefix_neighbor_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate candidates via sorted-neighbour comparison:
+    (doc_a, doc_b, lcp_ge) — adjacent pairs in (16-char-prefix bucket,
+    text, doc_id) order with the shared-prefix checkpoint (16/32/64/128/
+    256). Zero pairwise joins — the distributed suffix-dedup shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id", "text", F.substring("text", 1, 16).alias("bucket")
+    )
+    w = Window.partitionBy("bucket").orderBy("text", "doc_id")
+    adj = b.select(
+        "doc_id",
+        "text",
+        F.lag("doc_id").over(w).alias("prev_id"),
+        F.lag("text").over(w).alias("prev_text"),
+    )
+    lcp = (
+        F.when(
+            F.substring("text", 1, 256) == F.substring("prev_text", 1, 256),
+            256,
+        )
+        .when(
+            F.substring("text", 1, 128) == F.substring("prev_text", 1, 128),
+            128,
+        )
+        .when(F.substring("text", 1, 64) == F.substring("prev_text", 1, 64), 64)
+        .when(F.substring("text", 1, 32) == F.substring("prev_text", 1, 32), 32)
+        .otherwise(16)
+    )
+    return (
+        adj.filter(F.col("prev_id").isNotNull())
+        .select(
+            F.col("prev_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            lcp.cast("long").alias("lcp_ge"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_WINNOW_K = 8   # char-gram width (whitespace stripped first, MOSS-style)
+_WINNOW_W = 8   # winnowing window: one fingerprint per w consecutive grams
+_WINNOW_MIN_SHARED = 12
+_WINNOW_MAX_BUCKET = 50
+
+
+@register(
+    "q258_winnowing_fingerprints",
+    oracle=f"""
+WITH norm AS (
+    SELECT doc_id, REPLACE(LOWER(text), ' ', '') AS t FROM documents
+),
+grams AS (
+    SELECT n.doc_id, p.p,
+           CAST(('0x' || SUBSTR(MD5(SUBSTR(n.t, p.p, {_WINNOW_K})), 1, 15))::UBIGINT
+                AS BIGINT) AS h
+    FROM norm n,
+         LATERAL (SELECT UNNEST(GENERATE_SERIES(1,
+                     GREATEST(LENGTH(n.t) - {_WINNOW_K} + 1, 1))) AS p) p
+),
+wins AS (
+    SELECT doc_id, p,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW
+                        AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS ng
+    FROM grams
+),
+fps AS (
+    SELECT DISTINCT doc_id, fp FROM wins
+    WHERE p <= ng - {_WINNOW_W} + 1
+),
+ok_fp AS (
+    SELECT fp FROM fps GROUP BY fp
+    HAVING COUNT(*) BETWEEN 2 AND {_WINNOW_MAX_BUCKET}
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+    FROM fps a
+    JOIN ok_fp k ON k.fp = a.fp
+    JOIN fps b ON b.fp = a.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared
+FROM pairs WHERE shared >= {_WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b
+""",
+    tags=("dedup-fingerprint", "lsh", "A5"),
+)
+def q258_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-winnowing document fingerprints (Schleimer et al. 2003, the
+    MOSS algorithm) + shared-fingerprint pair candidates:
+    (doc_a, doc_b, shared) with ≥12 shared fingerprints.
+
+    Pipeline: strip whitespace → 8-char rolling grams → 60-bit md5 hash
+    (the q26 compact-hash convention) → per-window minimum over every 8
+    consecutive grams (a per-doc ordered window, rows-frame) → distinct
+    (doc, fp) → fingerprint-bucket join capped at 50 docs/bucket (the
+    max_bucket guard of the LSH family). Guarantees: any substring match
+    of length ≥ k + w − 1 = 15 chars shares ≥1 fingerprint.
+
+    Parity: md5 hashes are integers; window minima, distincts and counts
+    are integer-exact. Scale: the gram explode is linear in corpus bytes;
+    the winnowing window partitions per doc; the candidate join is
+    bucketed with a cap — never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id", F.replace(F.lower("text"), F.lit(" "), F.lit("")).alias("t")
+    )
+    grams = norm.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length("t") - (_WINNOW_K - 1), F.lit(1)),
+            )
+        ).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "p",
+        F.conv(
+            F.substring(F.md5(F.expr(f"substring(t, p, {_WINNOW_K})")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    wmin = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    wdoc = Window.partitionBy("doc_id")
+    wins = grams.select(
+        "doc_id",
+        "p",
+        F.min("h").over(wmin).alias("fp"),
+        F.count(F.lit(1)).over(wdoc).alias("ng"),
+    )
+    fps = (
+        wins.filter(F.col("p") <= F.col("ng") - (_WINNOW_W - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    ok_fp = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= _WINNOW_MAX_BUCKET))
+        .select("fp")
+    )
+    fa = fps.join(ok_fp, "fp", "left_semi")
+    pairs = (
+        fa.select("fp", F.col("doc_id").alias("doc_a"))
+        .join(fa.select("fp", F.col("doc_id").alias("doc_b")), "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.filter(F.col("shared") >= _WINNOW_MIN_SHARED)
+        .select("doc_a", "doc_b", F.col("shared").cast("long").alias("shared"))
+        .orderBy("doc_a", "doc_b")
+    )

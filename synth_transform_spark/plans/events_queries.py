@@ -3022,3 +3022,183 @@ def q248_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# q255 — item-item collaborative filtering over order baskets: cosine
+# similarity on the order-incidence vectors (cos = cooc/√(n_i·n_j)) with
+# the top-3 neighbours per part — the classic "customers who bought X
+# also bought Y" precompute (Amazon item-to-item CF), upgrading q169's
+# raw pair counts with normalisation + ranked neighbour lists.
+# Parity: cooc/n_i/n_j are exact integers; the cosine is ONE double
+# division of integers (no cross-row float accumulation), so the rank
+# comparison is on identical doubles in both engines; ties break on
+# neighbour id. 4dp round on output only.
+# Scale: the pair blow-up is per-order and bounded by lines-per-order
+# (≤ 13 here ⇒ ≤ 78 pairs/order) — map-side, then one partial-agg
+# shuffle on the pair key; supports broadcast; the top-3 window is
+# partitioned per item and gets WindowGroupLimit pushdown on Spark 4.
+# --------------------------------------------------------------------------
+@register(
+    "q255_item_item_cf",
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+supp AS (SELECT pk, COUNT(*) AS s FROM items GROUP BY pk),
+pairs AS (
+    SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS cooc
+    FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+    GROUP BY a.pk, b.pk
+),
+both_dir AS (
+    SELECT pa AS item, pb AS neighbor, cooc FROM pairs
+    UNION ALL
+    SELECT pb AS item, pa AS neighbor, cooc FROM pairs
+),
+scored AS (
+    SELECT d.item, d.neighbor, d.cooc,
+           d.cooc / SQRT(CAST(si.s AS DOUBLE) * sj.s) AS cosine
+    FROM both_dir d
+    JOIN supp si ON si.pk = d.item
+    JOIN supp sj ON sj.pk = d.neighbor
+    WHERE d.cooc >= 2
+),
+ranked AS (
+    SELECT item, neighbor, cooc, cosine,
+           ROW_NUMBER() OVER (PARTITION BY item
+                              ORDER BY cosine DESC, neighbor ASC) AS rnk
+    FROM scored
+)
+SELECT CAST(item AS BIGINT) AS item, CAST(neighbor AS BIGINT) AS neighbor,
+       CAST(cooc AS BIGINT) AS cooc, ROUND(cosine, 4) AS cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY item, rnk
+""",
+    tags=("recsys", "A5", "W2", "O4"),
+)
+def q255_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF neighbour lists: (item, neighbor, cooc, cosine, rnk)
+    — top-3 cosine neighbours per part over order-basket co-occurrence
+    (cooc ≥ 2). Exact-integer counts, one-division cosine."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    items = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    supp = items.groupBy("pk").agg(F.count(F.lit(1)).alias("s"))
+    a = items.select("ok", F.col("pk").alias("pa"))
+    b = items.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+    )
+    both_dir = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("neighbor"), "cooc"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("item"), F.col("pa").alias("neighbor"), "cooc"
+        )
+    )
+    si = supp.select(F.col("pk").alias("item"), F.col("s").alias("si"))
+    sj = supp.select(F.col("pk").alias("neighbor"), F.col("s").alias("sj"))
+    scored = (
+        both_dir.filter(F.col("cooc") >= 2)
+        .join(si, "item")
+        .join(sj, "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "cooc",
+            (
+                F.col("cooc")
+                / F.sqrt(F.col("si").cast("double") * F.col("sj"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("item").cast("long").alias("item"),
+            F.col("neighbor").cast("long").alias("neighbor"),
+            F.col("cooc").cast("long").alias("cooc"),
+            F.round("cosine", 4).alias("cosine"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("item", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q259 — behavioural sequence-pattern mining: each user's event history
+# becomes a character string (one char per event, time-ordered) and a
+# regex counts non-overlapping view→click→purchase funnels with no
+# intervening purchase — the MATCH_RECOGNIZE-style pattern query, as a
+# regex over materialised sequences.
+# Parity: the sequence string is built from an array_sort over
+# (ts, event_id, chr) structs — a total order, so both engines emit the
+# identical string; regex counting is leftmost non-overlapping greedy in
+# both Java regex and RE2 for this pattern class. All outputs integers.
+# Scale: one groupBy(user) collecting per-user events — bounded by
+# per-user history length (the same contract as sessionization); the
+# regex scan is linear per user. No joins, no windows.
+# --------------------------------------------------------------------------
+@register(
+    "q259_sequence_patterns",
+    oracle="""
+WITH seqs AS (
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           STRING_AGG(SUBSTR(event_type, 1, 1), ''
+                      ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(LEN(REGEXP_EXTRACT_ALL(seq, 'v[^p]*c[^p]*p')) AS BIGINT)
+           AS n_funnels
+FROM seqs
+WHERE LEN(REGEXP_EXTRACT_ALL(seq, 'v[^p]*c[^p]*p')) >= 1
+ORDER BY user_id
+""",
+    tags=("sequence", "A5", "F23"),
+)
+def q259_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex funnel counting over per-user event-character sequences:
+    (user_id, n_events, n_funnels) for users with ≥1 non-overlapping
+    view→click→purchase (no intervening purchase) match."""
+    events = load_table(spark, sf_dir, "events")
+    seqs = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("chr"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("ev")), lambda x: x["chr"]
+                ),
+                "",
+            ).alias("seq"),
+        )
+    )
+    counted = seqs.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.size(F.regexp_extract_all("seq", F.lit("v[^p]*c[^p]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_funnels"),
+    )
+    return counted.filter(F.col("n_funnels") >= 1).orderBy("user_id")

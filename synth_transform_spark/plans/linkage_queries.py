@@ -209,3 +209,63 @@ def q236_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q251 — banded exact edit-distance self-join over the distinct part-name
+# vocabulary: catalog-normalisation fuzzy matching ("smalll ring" vs
+# "small ring") next to q54's partial-ratio join (token-containment
+# similarity) and q182's prefix-filter Jaccard (set similarity) — this one
+# is CHARACTER-level edit distance with the Ed-Join length-band blocking,
+# the remaining classic of the similarity-join family.
+# Scale: dedup to DISTINCT names first (vocabulary-bounded, not
+# corpus-bounded), then a bucket equi-join on len//(d+1) — levenshtein ≥
+# |len diff| makes the 3-bucket probe provably complete; never all-pairs.
+# The verify filter runs Spark's threshold-bounded levenshtein kernel.
+# Occurrence counts rejoin per name via broadcast.
+# Parity: edit distance is integer; DuckDB's levenshtein is the same
+# unit-cost metric. No floats anywhere.
+# ---------------------------------------------------------------------------
+@register(
+    "q251_edit_distance_join",
+    oracle="""
+WITH names AS (SELECT p_name, COUNT(*) AS n FROM part GROUP BY p_name),
+pairs AS (
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b
+    FROM names a JOIN names b
+      ON a.p_name < b.p_name
+     AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 2
+)
+SELECT name_a, name_b, dist, n_a, n_b
+FROM pairs WHERE dist <= 2
+ORDER BY name_a, name_b
+""",
+    tags=("J13", "fuzzy", "dedup-near"),
+)
+def q251_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names at edit distance ≤ 2:
+    (name_a, name_b, dist, n_a, n_b) — functions/fuzzy.levenshtein_band_pairs
+    (length-banded, distinct-vocabulary blocking)."""
+    import pyspark.sql.functions as F
+
+    from ..functions import fuzzy
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = fuzzy.levenshtein_band_pairs(part, "p_name", max_dist=2)
+    counts = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pairs.join(
+            F.broadcast(counts.select(F.col("name").alias("name_a"), F.col("n").alias("n_a"))),
+            "name_a",
+        )
+        .join(
+            F.broadcast(counts.select(F.col("name").alias("name_b"), F.col("n").alias("n_b"))),
+            "name_b",
+        )
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+        .orderBy("name_a", "name_b")
+    )

@@ -891,3 +891,337 @@ def q226_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("fid_contrib"),
     )
+
+
+_Q254_K = 5
+_Q254_OUT = 20
+
+
+@register(
+    "q254_knn_shapley",
+    oracle=f"""
+WITH frozen AS (
+    SELECT vec_id, label,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000)
+                                    AS BIGINT)) AS r
+    FROM embeddings
+),
+tflat AS (
+    SELECT vec_id AS query_id, label AS qy,
+           UNNEST(r) AS a, GENERATE_SUBSCRIPTS(r, 1) AS i
+    FROM frozen WHERE vec_id < {_N_QUERIES}
+),
+jflat AS (
+    SELECT vec_id AS train_id, label AS ty,
+           UNNEST(r) AS b, GENERATE_SUBSCRIPTS(r, 1) AS i
+    FROM frozen WHERE vec_id >= {_N_QUERIES}
+),
+dists AS (
+    SELECT t.query_id, j.train_id,
+           MAX(t.qy) AS qy, MAX(j.ty) AS ty,
+           CAST(SUM((t.a - j.b) * (t.a - j.b)) AS BIGINT) AS dist
+    FROM tflat t JOIN jflat j ON j.i = t.i
+    GROUP BY t.query_id, j.train_id
+),
+ranked AS (
+    SELECT query_id, train_id,
+           CAST(CASE WHEN ty = qy THEN 1 ELSE 0 END AS BIGINT) AS ind,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY dist, train_id) AS i
+    FROM dists
+),
+terms AS (
+    SELECT query_id, train_id, i, ind,
+           LEAD(ind) OVER (PARTITION BY query_id ORDER BY i) AS ind_next,
+           COUNT(*) OVER (PARTITION BY query_id) AS nt,
+           CAST((ind - COALESCE(LEAD(ind) OVER (PARTITION BY query_id
+                                                ORDER BY i), ind))
+                * CAST(ROUND(1000000000.0 * LEAST({_Q254_K}, i)
+                             / ({_Q254_K} * i)) AS BIGINT)
+                AS BIGINT) AS t_li
+    FROM ranked
+),
+suff AS (
+    SELECT query_id, train_id, i, nt,
+           MAX(CASE WHEN ind_next IS NULL THEN ind END)
+               OVER (PARTITION BY query_id) AS last_ind,
+           CAST(SUM(t_li) OVER (PARTITION BY query_id ORDER BY i
+                                ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING) AS BIGINT) AS sfx
+    FROM terms
+)
+SELECT query_id, train_id, CAST(i AS BIGINT) AS rank,
+       ROUND((CAST(ROUND(1000000000.0 * last_ind / nt) AS BIGINT) + sfx)
+             / 1000000000.0, 4) AS shapley
+FROM suff
+WHERE i <= {_Q254_OUT}
+ORDER BY query_id, rank
+""",
+    tags=("ml-eval", "similarity", "W2"),
+)
+def q254_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al. 2019 closed form) of
+    every training embedding against the 5 query points, top-20 ranks out:
+    (query_id, train_id, rank, shapley).
+
+    The recursion s_i = s_(i+1) + (1[y_i=y] − 1[y_(i+1)=y])/K · min(K,i)/i
+    unrolls into a SUFFIX SUM along the distance-sorted order, computed
+    as a window sum of per-row terms. Parity: coordinates are frozen to
+    round(x·10⁴) BIGINTs so squared distances are exact integers (rank
+    order cannot wobble); each term is sign · round(10⁹·min(K,i)/(K·i))
+    — the magnitude rounded once, then multiplied by the ±1/0 integer
+    sign, so negative-half rounding asymmetry can't occur — and the
+    suffix sum is an integer sum. One final /10⁹ + 4dp round.
+
+    Scale: distances are the q23 brute-force shape (broadcast 5-query
+    set, map-side integer aggregation). The per-query sorted suffix scan
+    is the algorithm's sequential core; it runs as a per-query window
+    here, and at 100 TB becomes a range-partitioned sort per query with
+    a two-pass per-range suffix offset (the ids.py two-pass pattern)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    frozen = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10000).cast("long"),
+        ).alias("r"),
+    )
+    tests = frozen.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qy"),
+        F.col("r").alias("qr"),
+    )
+    train = frozen.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("label").alias("ty"),
+        "r",
+    )
+    dists = train.crossJoin(F.broadcast(tests)).select(
+        "query_id",
+        "train_id",
+        (F.col("ty") == F.col("qy")).cast("long").alias("ind"),
+        F.aggregate(
+            F.zip_with("qr", "r", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "train_id")
+    ranked = dists.withColumn("i", F.row_number().over(w))
+    wi = Window.partitionBy("query_id").orderBy("i")
+    wall = Window.partitionBy("query_id")
+    terms = ranked.select(
+        "query_id",
+        "train_id",
+        "i",
+        "ind",
+        F.lead("ind").over(wi).alias("ind_next"),
+        F.count(F.lit(1)).over(wall).alias("nt"),
+        (
+            (F.col("ind") - F.coalesce(F.lead("ind").over(wi), F.col("ind")))
+            * F.round(
+                1000000000.0
+                * F.least(F.lit(_Q254_K), F.col("i"))
+                / (_Q254_K * F.col("i"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("t_li"),
+    )
+    wsfx = (
+        Window.partitionBy("query_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    suff = terms.select(
+        "query_id",
+        "train_id",
+        "i",
+        "nt",
+        F.max(F.when(F.col("ind_next").isNull(), F.col("ind")))
+        .over(wall)
+        .alias("last_ind"),
+        F.sum("t_li").over(wsfx).cast("long").alias("sfx"),
+    )
+    return (
+        suff.filter(F.col("i") <= _Q254_OUT)
+        .select(
+            "query_id",
+            "train_id",
+            F.col("i").cast("long").alias("rank"),
+            F.round(
+                (
+                    F.round(1000000000.0 * F.col("last_ind") / F.col("nt")).cast(
+                        "long"
+                    )
+                    + F.col("sfx")
+                )
+                / 1000000000.0,
+                4,
+            ).alias("shapley"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_Q257_PLANES = 64
+_Q257_COHORT = 25
+
+
+@register(
+    "q257_srp_distortion",
+    oracle=f"""
+WITH planes AS (
+    SELECT j.j, i.i,
+           CASE WHEN ('0x' || SUBSTR(MD5('srp|' || j.j || '|' || i.i), 1, 1))::INT % 2 = 0
+                THEN 1 ELSE -1 END AS s
+    FROM (SELECT UNNEST(GENERATE_SERIES(0, {_Q257_PLANES - 1})) AS j) j,
+         (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS i) i
+),
+vq AS (
+    SELECT vec_id,
+           CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS xq,
+           GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS i
+    FROM embeddings
+),
+bits AS (
+    SELECT v.vec_id, p.j,
+           CAST(CASE WHEN SUM(v.xq * p.s) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS bit
+    FROM vq v JOIN planes p ON p.i = v.i
+    GROUP BY v.vec_id, p.j
+),
+cohort_pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM (SELECT DISTINCT vec_id FROM vq) a
+    JOIN (SELECT DISTINCT vec_id FROM vq) b
+      ON b.vec_id // {_Q257_COHORT} = a.vec_id // {_Q257_COHORT}
+     AND a.vec_id < b.vec_id
+),
+hams AS (
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS BIGINT)
+               AS hamming
+    FROM cohort_pairs c
+    JOIN bits ba ON ba.vec_id = c.id_a
+    JOIN bits bb ON bb.vec_id = c.id_b AND bb.j = ba.j
+    GROUP BY c.id_a, c.id_b
+),
+geo AS (
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(a.xq * b.xq) AS BIGINT) AS dot,
+           CAST(SUM(a.xq * a.xq) AS BIGINT) AS na2,
+           CAST(SUM(b.xq * b.xq) AS BIGINT) AS nb2
+    FROM cohort_pairs c
+    JOIN vq a ON a.vec_id = c.id_a
+    JOIN vq b ON b.vec_id = c.id_b AND b.i = a.i
+    GROUP BY c.id_a, c.id_b
+),
+scored AS (
+    SELECT h.hamming,
+           CAST(ROUND(1000000.0 * g.dot
+                      / SQRT(CAST(g.na2 AS DOUBLE) * g.nb2)) AS BIGINT)
+               AS cos_mi
+    FROM hams h JOIN geo g ON g.id_a = h.id_a AND g.id_b = h.id_b
+)
+SELECT hamming,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(hamming / {_Q257_PLANES}.0, 4) AS est_theta_frac,
+       ROUND(SUM(cos_mi) / 1000000.0 / COUNT(*), 4) AS mean_cos,
+       ROUND(MIN(cos_mi) / 1000000.0, 4) AS min_cos,
+       ROUND(MAX(cos_mi) / 1000000.0, 4) AS max_cos
+FROM scored
+GROUP BY hamming
+ORDER BY hamming
+""",
+    tags=("similarity", "lsh", "A12"),
+)
+def q257_srp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distance-preservation audit of the 64-bit SRP
+    sketch: per Hamming-distance bucket, the count and the exact-cosine
+    spread of the pairs landing there — (hamming, n_pairs, est_theta_frac,
+    mean_cos, min_cos, max_cos). A tight, monotone mean_cos/hamming
+    relationship certifies the sketch preserves angular distance
+    (Charikar: P[bit differs] = θ/π, so hamming/64 estimates θ/π).
+
+    Parity: bits and Hamming distances are exact integers
+    (floor-quantized integer dots, like q117); each pair's true cosine is
+    frozen to round(10⁶·dot/√(na²·nb²)) — one double op per pair — before
+    any cross-row aggregation, so bucket means are integer sums.
+
+    Scale: pair generation is the q211 fixed-cohort shape (≤ C(25,2)
+    pairs per cohort, never corpus×corpus); bit vectors are narrow
+    zero-shuffle compute; the audit aggregate has ≤ 65 output rows."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    frozen = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000.0).cast("long"),
+        ).alias("xq"),
+        F.floor(F.col("vec_id") / _Q257_COHORT).alias("cohort"),
+    )
+    bits = similarity.srp_bit_vector(emb, n_planes=_Q257_PLANES)
+    side_a = frozen.select(
+        "cohort",
+        F.col("vec_id").alias("id_a"),
+        F.col("xq").alias("xa"),
+    ).join(bits.select(F.col("vec_id").alias("id_a"), F.col("bits").alias("ba")), "id_a")
+    side_b = frozen.select(
+        "cohort",
+        F.col("vec_id").alias("id_b"),
+        F.col("xq").alias("xb"),
+    ).join(bits.select(F.col("vec_id").alias("id_b"), F.col("bits").alias("bb")), "id_b")
+    pairs = side_a.join(side_b, "cohort").filter(F.col("id_a") < F.col("id_b"))
+
+    def _isum(arr):
+        return F.aggregate(
+            arr, F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+
+    scored = pairs.select(
+        _isum(
+            F.zip_with("ba", "bb", lambda a, b: (a != b).cast("long"))
+        ).alias("hamming"),
+        F.round(
+            1000000.0
+            * _isum(F.zip_with("xa", "xb", lambda a, b: a * b))
+            / F.sqrt(
+                _isum(F.zip_with("xa", "xa", lambda a, b: a * b)).cast(
+                    "double"
+                )
+                * _isum(F.zip_with("xb", "xb", lambda a, b: a * b))
+            )
+        )
+        .cast("long")
+        .alias("cos_mi"),
+    )
+    return (
+        scored.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("cos_mi").alias("scm"),
+            F.min("cos_mi").alias("mnc"),
+            F.max("cos_mi").alias("mxc"),
+        )
+        .select(
+            F.col("hamming").cast("long").alias("hamming"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("hamming") / float(_Q257_PLANES), 4).alias(
+                "est_theta_frac"
+            ),
+            F.round(F.col("scm") / 1000000.0 / F.col("n_pairs"), 4).alias(
+                "mean_cos"
+            ),
+            F.round(F.col("mnc") / 1000000.0, 4).alias("min_cos"),
+            F.round(F.col("mxc") / 1000000.0, 4).alias("max_cos"),
+        )
+        .orderBy("hamming")
+    )
