@@ -2175,3 +2175,101 @@ def q253_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# q267 — personalized PageRank (random walk with restart) over the
+# symmetrised customer↔supplier purchase graph, teleporting only to a
+# deterministic seed set of customers (custkey % 97 == 0): the TrustRank
+# shape — "how close is every participant to the trusted cohort", the
+# propagation model used to extend a small vetted whitelist across an
+# interaction graph. Node ids are namespaced (cust·10, supp·10+1) so the
+# two key spaces cannot collide.
+# Parity: operators/graph.personalized_pagerank runs the whole recurrence
+# in integer micro-units (B=10⁹) with floor-division damping — the oracle
+# chains the identical 3 unrolled integer steps, so scores match exactly
+# before the 4dp round.
+# Scale: the q82 pagerank budget (per round one edge shuffle each way,
+# O(V) checkpointed score relations); seed set broadcast.
+# ---------------------------------------------------------------------------
+def _ppr_oracle(n_iter: int = 3, d: int = 85) -> str:
+    head = """
+raw AS (
+    SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+e AS (
+    SELECT ck * 10 AS s, sk * 10 + 1 AS d FROM raw
+    UNION
+    SELECT sk * 10 + 1 AS s, ck * 10 AS d FROM raw
+),
+nodes AS (
+    SELECT DISTINCT s AS node FROM e UNION SELECT DISTINCT d FROM e
+),
+seed AS (
+    SELECT node FROM nodes WHERE node % 10 = 0 AND (node / 10) % 97 = 0
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seed),
+outdeg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY s),
+base AS (
+    SELECT n.node,
+           CAST(CASE WHEN sd.node IS NOT NULL
+                THEN (15 * CAST(1000000000 AS BIGINT)) // (100 * ns.n) ELSE 0 END AS BIGINT)
+               AS b
+    FROM nodes n CROSS JOIN ns LEFT JOIN seed sd ON sd.node = n.node
+),
+r0 AS (SELECT node, b AS r FROM base)"""
+    its = []
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""
+c{i} AS (
+    SELECT e.d AS node, CAST(SUM(r.r // o.od) AS BIGINT) AS in_sum
+    FROM e JOIN {prev} r ON r.node = e.s JOIN outdeg o ON o.s = e.s
+    GROUP BY e.d
+),
+it{i} AS (
+    SELECT b.node,
+           CAST(b.b + ({d} * COALESCE(c.in_sum, 0)) // 100 AS BIGINT) AS r
+    FROM base b LEFT JOIN c{i} c ON c.node = b.node
+)""")
+        prev = f"it{i}"
+    return head + "," + ",".join(its) + f"""
+SELECT node, ROUND(r / 1000000000.0, 4) AS score
+FROM it{n_iter} ORDER BY node
+"""
+
+
+@register(
+    "q267_personalized_pagerank",
+    oracle="WITH " + _ppr_oracle(),
+    tags=("graph", "J2", "A5"),
+)
+def q267_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank-style personalized PageRank from seed customers over the
+    purchase graph: (node, score) — operators/graph.personalized_pagerank,
+    3 unrolled integer iterations."""
+    from ..operators import graph
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(lineitem, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 10).alias("cn"),
+            (F.col("l_suppkey") * 10 + 1).alias("sn"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("cn").alias("s"), F.col("sn").alias("d")).union(
+        raw.select(F.col("sn").alias("s"), F.col("cn").alias("d"))
+    )
+    seeds = (
+        orders.select((F.col("o_custkey") * 10).alias("node"))
+        .filter((F.col("node") / 10 % 97) == 0)
+        .distinct()
+    )
+    ppr = graph.personalized_pagerank(edges, seeds, n_iter=3, damping_pct=85)
+    return ppr.select(
+        "node", F.round("score", 4).alias("score")
+    ).orderBy("node")

@@ -871,3 +871,218 @@ def q233_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= _CONTAIN_T)
         .orderBy("src_id", "dst_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q261 — KMV-sketch source-overlap: the bounded-state twin of q203's exact
+# shingle-Jaccard contamination matrix. Each source keeps only the k=64
+# SMALLEST distinct 60-bit shingle hashes (a k-minimum-values sketch,
+# Bar-Yossef et al. 2002); a pair's Jaccard estimate is
+# |U_k ∩ A ∩ B| / |U_k| where U_k is the k smallest of the merged pair —
+# the estimator cross-engine exact because every ingredient is an integer
+# rank over md5 hashes. The exact Jaccard rides along so the relation IS
+# the sketch-accuracy audit (df-style: est, exact, abs_err per pair).
+# Parity: hashes, ranks, counts all integers; the two divisions happen on
+# integers at the end, 4dp round.
+# Scale: at 100 TB only the sketches are computed — per-source state is
+# EXACTLY k rows regardless of corpus size, and the pair stage joins
+# 20×64-row relations. The rank ≤ k filter compiles to Spark 4's
+# WindowGroupLimit (partial, map-side) so the full shingle relation is
+# never sorted per source; the exact columns here are the test-SF truth
+# (q203's contract) and would be dropped at scale.
+# --------------------------------------------------------------------------
+_KMV_K = 64
+
+
+@register(
+    "q261_kmv_source_jaccard",
+    oracle=f"""
+WITH sdocs AS (
+    SELECT doc_id, source, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+stoks AS (
+    SELECT doc_id, source, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) AS i
+    FROM sdocs
+),
+sh AS (
+    SELECT DISTINCT a.source,
+           CAST(('0x' || SUBSTR(MD5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15))::UBIGINT
+                AS BIGINT) AS h
+    FROM stoks a
+    JOIN stoks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    JOIN stoks c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+),
+sk AS (
+    SELECT source, h
+    FROM (SELECT source, h,
+                 ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+          FROM sh)
+    WHERE rn <= {_KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM sh),
+prs AS (
+    SELECT a.source AS source_a, b.source AS source_b
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+merged AS (
+    SELECT p.source_a, p.source_b, s.h,
+           MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+           MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+    FROM prs p
+    JOIN sk s ON s.source IN (p.source_a, p.source_b)
+    GROUP BY p.source_a, p.source_b, s.h
+),
+topu AS (
+    SELECT source_a, source_b, in_a, in_b,
+           ROW_NUMBER() OVER (PARTITION BY source_a, source_b
+                              ORDER BY h) AS rn
+    FROM merged
+),
+est AS (
+    SELECT source_a, source_b,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both,
+           CAST(COUNT(*) AS BIGINT) AS denom
+    FROM topu WHERE rn <= {_KMV_K}
+    GROUP BY source_a, source_b
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sh GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS ov
+    FROM sh a JOIN sh b ON b.h = a.h AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT e.source_a, e.source_b,
+       ROUND(CAST(e.n_both AS DOUBLE) / e.denom, 4) AS est_jaccard,
+       ROUND(CAST(COALESCE(i.ov, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(i.ov, 0)), 4) AS exact_jaccard,
+       ROUND(ABS(CAST(e.n_both AS DOUBLE) / e.denom
+                 - CAST(COALESCE(i.ov, 0) AS DOUBLE)
+                   / (sa.sz + sb.sz - COALESCE(i.ov, 0))), 4) AS abs_err
+FROM est e
+LEFT JOIN inter i ON i.source_a = e.source_a AND i.source_b = e.source_b
+JOIN sizes sa ON sa.source = e.source_a
+JOIN sizes sb ON sb.source = e.source_b
+ORDER BY e.source_a, e.source_b
+""",
+    tags=("sketch", "dedup-setsim", "A6"),
+)
+def q261_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV-sketch Jaccard between every source pair, with the exact value
+    as audit: (source_a, source_b, est_jaccard, exact_jaccard, abs_err).
+    Per-source state is exactly k=64 hash rows — the bounded-memory path
+    q203 flips to at corpus scale."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda t: t != "")
+    sh = (
+        docs.select("source", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    from ..caching import persist_tracked
+
+    sh = persist_tracked(sh)
+    wsk = Window.partitionBy("source").orderBy("h")
+    sk = (
+        sh.withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    srcs = sh.select("source").distinct()
+    prs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(
+            srcs.select(F.col("source").alias("source_b")),
+            F.col("source_a") < F.col("source_b"),
+        )
+    )
+    merged = (
+        prs.join(
+            F.broadcast(sk),
+            (F.col("source") == F.col("source_a"))
+            | (F.col("source") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max((F.col("source") == F.col("source_a")).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("source") == F.col("source_b")).cast("int")).alias(
+                "in_b"
+            ),
+        )
+    )
+    wtu = Window.partitionBy("source_a", "source_b").orderBy("h")
+    est = (
+        merged.withColumn("rn", F.row_number().over(wtu))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                ((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long")
+            ).alias("n_both"),
+            F.count(F.lit(1)).alias("denom"),
+        )
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.select(F.col("source").alias("source_a"), "h")
+        .join(
+            sh.select(F.col("source").alias("source_b"), "h"),
+            "h",
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    ej = F.col("n_both").cast("double") / F.col("denom")
+    xj = F.coalesce(F.col("ov"), F.lit(0)).cast("double") / (
+        F.col("sza") + F.col("szb") - F.coalesce(F.col("ov"), F.lit(0))
+    )
+    return (
+        est.join(inter, ["source_a", "source_b"], "left")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"), F.col("sz").alias("sza")
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"), F.col("sz").alias("szb")
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(ej, 4).alias("est_jaccard"),
+            F.round(xj, 4).alias("exact_jaccard"),
+            F.round(F.abs(ej - xj), 4).alias("abs_err"),
+        )
+        .orderBy("source_a", "source_b")
+    )

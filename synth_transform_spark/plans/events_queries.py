@@ -3202,3 +3202,101 @@ def q259_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_funnels"),
     )
     return counted.filter(F.col("n_funnels") >= 1).orderBy("user_id")
+
+
+# --------------------------------------------------------------------------
+# q264 — group-sequential A/B monitoring: the cumulative two-proportion
+# z statistic of purchase rate (cohort = user parity) recomputed after
+# every day of data, with a crossing flag against a ±2.7 boundary (an
+# O'Brien–Fleming-style conservative constant) — the "peek every day
+# without lying to yourself" relation a continuous experimentation
+# pipeline materialises. q175 is the one-shot end-of-test z; this is its
+# sequential-monitoring sibling.
+# Parity: daily and cumulative counts are integers (conditional sums +
+# a cumulative window over the bounded day series); each day's z is one
+# closed-form double expression over 4 integers — identical operands and
+# operation order in both engines; 4dp on output.
+# Scale: corpus collapses FIRST to per-(day, cohort) counts (one keyed
+# aggregate with map-side partials); every window after runs over
+# calendar-bounded rows (the declared bounded-window exception).
+# --------------------------------------------------------------------------
+@register(
+    "q264_sequential_ab",
+    oracle="""
+WITH daily AS (
+    SELECT DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS day,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS cb
+    FROM events GROUP BY DATE_TRUNC('day', CAST(ts AS TIMESTAMP))
+),
+cum AS (
+    SELECT day,
+           CAST(SUM(na) OVER w AS BIGINT) AS cna,
+           CAST(SUM(ca) OVER w AS BIGINT) AS cca,
+           CAST(SUM(nb) OVER w AS BIGINT) AS cnb,
+           CAST(SUM(cb) OVER w AS BIGINT) AS ccb
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+),
+scored AS (
+    SELECT day, cna, cnb, cca, ccb,
+           (CAST(cca AS DOUBLE) / cna - CAST(ccb AS DOUBLE) / cnb)
+           / SQRT((CAST(cca + ccb AS DOUBLE) / (cna + cnb))
+                  * (1 - CAST(cca + ccb AS DOUBLE) / (cna + cnb))
+                  * (1.0 / cna + 1.0 / cnb)) AS z
+    FROM cum
+)
+SELECT day, cna, cnb, cca, ccb,
+       ROUND(z, 4) AS z_stat,
+       CAST(CASE WHEN ABS(z) > 2.7 THEN 1 ELSE 0 END AS BIGINT) AS crossed
+FROM scored
+ORDER BY day
+""",
+    tags=("ab-test", "A12", "W2"),
+)
+def q264_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cumulative two-proportion z monitoring of purchase rate:
+    (day, cna, cnb, cca, ccb, z_stat, crossed) — crossed = |z| > 2.7."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum((F.col("user_id") % 2 == 0).cast("long")).alias("na"),
+        F.sum(
+            ((F.col("user_id") % 2 == 0) & (F.col("event_type") == "purchase"))
+            .cast("long")
+        ).alias("ca"),
+        F.sum((F.col("user_id") % 2 == 1).cast("long")).alias("nb"),
+        F.sum(
+            ((F.col("user_id") % 2 == 1) & (F.col("event_type") == "purchase"))
+            .cast("long")
+        ).alias("cb"),
+    )
+    wd = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("na").over(wd).alias("cna"),
+        F.sum("ca").over(wd).alias("cca"),
+        F.sum("nb").over(wd).alias("cnb"),
+        F.sum("cb").over(wd).alias("ccb"),
+    )
+    p = (F.col("cca") + F.col("ccb")).cast("double") / (
+        F.col("cna") + F.col("cnb")
+    )
+    z = (
+        F.col("cca").cast("double") / F.col("cna")
+        - F.col("ccb").cast("double") / F.col("cnb")
+    ) / F.sqrt(p * (1 - p) * (1.0 / F.col("cna") + 1.0 / F.col("cnb")))
+    return cum.select(
+        "day",
+        F.col("cna").cast("long").alias("cna"),
+        F.col("cnb").cast("long").alias("cnb"),
+        F.col("cca").cast("long").alias("cca"),
+        F.col("ccb").cast("long").alias("ccb"),
+        F.round(z, 4).alias("z_stat"),
+        (F.abs(z) > 2.7).cast("long").alias("crossed"),
+    ).orderBy("day")

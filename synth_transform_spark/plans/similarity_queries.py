@@ -1225,3 +1225,446 @@ def q257_srp_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming")
     )
+
+
+_Q260_BINS = 10
+_Q260_TOPK = 20
+
+
+@register(
+    "q260_hbos_outliers",
+    oracle=f"""
+WITH flat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+rng AS (
+    SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+binned AS (
+    SELECT f.vec_id, f.i,
+           LEAST(CAST(FLOOR((f.x - r.lo) / (r.hi - r.lo) * {_Q260_BINS})
+                      AS BIGINT), {_Q260_BINS - 1}) AS bin
+    FROM flat f JOIN rng r ON r.i = f.i
+),
+hist AS (
+    SELECT i, bin, CAST(COUNT(*) AS BIGINT) AS nb
+    FROM binned GROUP BY i, bin
+),
+weights AS (
+    SELECT h.i, h.bin,
+           CAST(ROUND(1000000.0 * LN(CAST(n.n AS DOUBLE) / h.nb)) AS BIGINT)
+               AS w
+    FROM hist h CROSS JOIN nn n
+),
+scores AS (
+    SELECT b.vec_id, CAST(SUM(w.w) AS BIGINT) AS s
+    FROM binned b JOIN weights w ON w.i = b.i AND w.bin = b.bin
+    GROUP BY b.vec_id
+)
+SELECT vec_id, ROUND(s / 1000000.0, 4) AS hbos
+FROM scores
+ORDER BY s DESC, vec_id ASC
+LIMIT {_Q260_TOPK}
+""",
+    tags=("outliers", "A12", "O6"),
+)
+def q260_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-based outlier score (HBOS, Goldstein & Dengel 2012) over
+    the embedding corpus: per dimension a 10-bin equal-width histogram,
+    per vector the sum of log-inverse-density terms, top-20 outliers out
+    as (vec_id, hbos).
+
+    Parity: bins come from identical double arithmetic on (min, max)
+    broadcasts; each log term is frozen to round(10⁶·ln(N/n_bin)) ON THE
+    640-row histogram relation, so the per-vector score is an integer sum
+    and the ranking can't wobble; one final /10⁶ + 4dp round.
+
+    Scale: histogram + range are bounded (64 dims × 10 bins) broadcast
+    relations; the per-row scoring joins the exploded corpus to those tiny
+    tables and re-aggregates per vec_id (map-side partials); top-20 is
+    TakeOrderedAndProject. Linear end-to-end — the reason HBOS is the
+    density-outlier detector that actually runs at 100 TB."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    rng = flat.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    nn = emb.agg(F.count(F.lit(1)).alias("n"))
+    binned = flat.join(F.broadcast(rng), "i").select(
+        "vec_id",
+        "i",
+        F.least(
+            F.floor(
+                (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * _Q260_BINS
+            ).cast("long"),
+            F.lit(_Q260_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("i", "bin").agg(F.count(F.lit(1)).alias("nb"))
+    weights = hist.crossJoin(F.broadcast(nn)).select(
+        "i",
+        "bin",
+        F.round(1000000.0 * F.log(F.col("n").cast("double") / F.col("nb")))
+        .cast("long")
+        .alias("w"),
+    )
+    scores = (
+        binned.join(F.broadcast(weights), ["i", "bin"])
+        .groupBy("vec_id")
+        .agg(F.sum("w").alias("s"))
+    )
+    return (
+        scores.orderBy(F.col("s").desc(), F.col("vec_id").asc())
+        .limit(_Q260_TOPK)
+        .select("vec_id", F.round(F.col("s") / 1000000.0, 4).alias("hbos"))
+    )
+
+
+_Q262_FOLDS = 5
+
+
+@register(
+    "q262_kfold_cv",
+    oracle=f"""
+WITH vecs AS (
+    SELECT vec_id, label,
+           CAST(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 2))::INT
+                % {_Q262_FOLDS} AS BIGINT) AS fold,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000)
+                                    AS BIGINT)) AS xq
+    FROM embeddings
+),
+flat AS (
+    SELECT vec_id, label, fold, UNNEST(xq) AS xq,
+           GENERATE_SUBSCRIPTS(xq, 1) AS i
+    FROM vecs
+),
+nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM vecs GROUP BY label),
+nlf AS (
+    SELECT label, fold, CAST(COUNT(*) AS BIGINT) AS nf
+    FROM vecs GROUP BY label, fold
+),
+sl AS (
+    SELECT label, i, CAST(SUM(xq) AS BIGINT) AS s
+    FROM flat GROUP BY label, i
+),
+slf AS (
+    SELECT label, fold, i, CAST(SUM(xq) AS BIGINT) AS sf
+    FROM flat GROUP BY label, fold, i
+),
+folds AS (SELECT DISTINCT fold FROM vecs),
+cents AS (
+    SELECT f.fold, s.label AS clabel, s.i,
+           CAST(ROUND(100.0 * (s.s - COALESCE(sf.sf, 0))
+                      / (n.n - COALESCE(nf.nf, 0))) AS BIGINT) AS c
+    FROM sl s
+    CROSS JOIN folds f
+    LEFT JOIN slf sf ON sf.label = s.label AND sf.fold = f.fold AND sf.i = s.i
+    LEFT JOIN nlf nf ON nf.label = s.label AND nf.fold = f.fold
+    JOIN nl n ON n.label = s.label
+),
+dists AS (
+    SELECT t.vec_id, t.label AS true_label, t.fold, c.clabel,
+           CAST(SUM((t.xq * 100 - c.c) * (t.xq * 100 - c.c)) AS BIGINT) AS d2
+    FROM flat t
+    JOIN cents c ON c.fold = t.fold AND c.i = t.i
+    GROUP BY t.vec_id, t.label, t.fold, c.clabel
+),
+preds AS (
+    SELECT vec_id, true_label, fold, clabel,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, clabel) AS rk
+    FROM dists
+)
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN clabel = true_label THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN clabel = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS accuracy
+FROM preds WHERE rk = 1
+GROUP BY fold
+ORDER BY fold
+""",
+    tags=("ml-eval", "A13", "W3"),
+)
+def q262_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated nearest-centroid classification, per-fold
+    accuracy out: (fold, n_test, n_correct, accuracy).
+
+    The per-fold training centroids are NEVER recomputed from scratch:
+    total per-(label, dim) sums minus the fold's own sums give every
+    leave-fold-out centroid from ONE pass of sufficient statistics —
+    centroid(f, l) = (S_l − S_{l,f}) / (n_l − n_{l,f}) — the algebra that
+    makes k-fold CV a constant number of aggregates instead of k corpus
+    scans. Folds are md5-hash assignments (any executor recomputes
+    membership locally; no RNG state).
+
+    Parity: coordinates frozen to round(x·10⁴) ints; centroids frozen to
+    round(100·ratio) (x·10⁶ units); squared distances are exact integer
+    sums so the argmin can't wobble; ties break on label.
+
+    Scale: sufficient statistics are bounded relations (labels × folds ×
+    dims = 3,200 rows) that broadcast; scoring joins the exploded corpus
+    to that tiny table (linear × |labels|); the argmin window partitions
+    per vector. One corpus pass for stats + one for scoring."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10)
+            .cast("long")
+            % _Q262_FOLDS
+        ).alias("fold"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10000).cast("long"),
+        ).alias("xq"),
+    )
+    flat = vecs.select(
+        "vec_id",
+        "label",
+        "fold",
+        F.posexplode("xq").alias("i0", "xq"),
+    ).select(
+        "vec_id", "label", "fold", (F.col("i0") + 1).alias("i"), "xq"
+    )
+    nl = vecs.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    nlf = vecs.groupBy("label", "fold").agg(F.count(F.lit(1)).alias("nf"))
+    sl = flat.groupBy("label", "i").agg(F.sum("xq").alias("s"))
+    slf = flat.groupBy("label", "fold", "i").agg(F.sum("xq").alias("sf"))
+    folds = vecs.select("fold").distinct()
+    cents = (
+        sl.crossJoin(F.broadcast(folds))
+        .join(F.broadcast(slf), ["label", "fold", "i"], "left")
+        .join(F.broadcast(nlf), ["label", "fold"], "left")
+        .join(F.broadcast(nl), "label")
+        .select(
+            "fold",
+            F.col("label").alias("clabel"),
+            "i",
+            F.round(
+                100.0
+                * (F.col("s") - F.coalesce(F.col("sf"), F.lit(0)))
+                / (F.col("n") - F.coalesce(F.col("nf"), F.lit(0)))
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    dists = (
+        flat.join(F.broadcast(cents), ["fold", "i"])
+        .groupBy(
+            "vec_id", F.col("label").alias("true_label"), "fold", "clabel"
+        )
+        .agg(
+            F.sum(
+                (F.col("xq") * 100 - F.col("c"))
+                * (F.col("xq") * 100 - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy("d2", "clabel")
+    preds = dists.withColumn("rk", F.row_number().over(wv)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        preds.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("clabel") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "fold",
+            F.col("n_test").cast("long").alias("n_test"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("fold")
+    )
+
+
+_Q263_BANDS = 10
+_Q263_TEST_BANDS = (8, 9)
+_Q263_STEPS = (2, 4, 6, 8)
+
+
+@register(
+    "q263_learning_curve",
+    oracle=f"""
+WITH vecs AS (
+    SELECT vec_id, label,
+           CAST(('0x' || SUBSTR(MD5(CAST(vec_id AS VARCHAR)), 1, 2))::INT
+                % {_Q263_BANDS} AS BIGINT) AS band,
+           LIST_TRANSFORM(embedding,
+                          x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000)
+                                    AS BIGINT)) AS xq
+    FROM embeddings
+),
+flat AS (
+    SELECT vec_id, label, band, UNNEST(xq) AS xq,
+           GENERATE_SUBSCRIPTS(xq, 1) AS i
+    FROM vecs
+),
+nlb AS (
+    SELECT label, band, CAST(COUNT(*) AS BIGINT) AS n
+    FROM vecs GROUP BY label, band
+),
+slb AS (
+    SELECT label, band, i, CAST(SUM(xq) AS BIGINT) AS s
+    FROM flat GROUP BY label, band, i
+),
+steps AS (SELECT UNNEST(ARRAY{list(_Q263_STEPS)}) AS t),
+cents AS (
+    SELECT st.t, s.label AS clabel, s.i,
+           CAST(ROUND(100.0 * SUM(s.s) / SUM(n.n)) AS BIGINT) AS c,
+           CAST(SUM(n.n) / 64 AS BIGINT) AS n_train_part
+    FROM steps st
+    JOIN slb s ON s.band < st.t
+    JOIN nlb n ON n.label = s.label AND n.band = s.band
+    GROUP BY st.t, s.label, s.i
+),
+ntr AS (
+    SELECT st.t, CAST(SUM(n.n) AS BIGINT) AS n_train
+    FROM steps st JOIN nlb n ON n.band < st.t GROUP BY st.t
+),
+test AS (
+    SELECT vec_id, label, xq, i FROM flat
+    WHERE band IN {_Q263_TEST_BANDS}
+),
+dists AS (
+    SELECT c.t, te.vec_id, te.label AS true_label, c.clabel,
+           CAST(SUM((te.xq * 100 - c.c) * (te.xq * 100 - c.c)) AS BIGINT)
+               AS d2
+    FROM test te JOIN cents c ON c.i = te.i
+    GROUP BY c.t, te.vec_id, te.label, c.clabel
+),
+preds AS (
+    SELECT t, vec_id, true_label, clabel,
+           ROW_NUMBER() OVER (PARTITION BY t, vec_id
+                              ORDER BY d2, clabel) AS rk
+    FROM dists
+)
+SELECT CAST(t * {100 // _Q263_BANDS} AS BIGINT) AS train_frac_pct,
+       n.n_train,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(CAST(SUM(CASE WHEN clabel = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS accuracy
+FROM preds JOIN ntr n USING (t)
+WHERE rk = 1
+GROUP BY t, n.n_train
+ORDER BY train_frac_pct
+""",
+    tags=("ml-eval", "A13", "W3"),
+)
+def q263_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learning curve of the nearest-centroid classifier: accuracy on a
+    FIXED held-out 20% against nested training subsets of 20/40/60/80% —
+    (train_frac_pct, n_train, n_test, accuracy), the "does more data
+    help" diagnostic a curation pipeline runs after every filter change.
+
+    Nested subsets come from md5-hash bands (band < t ⊂ band < t+2, so
+    each curve point trains on a superset — the property that makes the
+    curve monotone-comparable); per-step centroids are band-sliced sums
+    of ONE sufficient-statistics relation, never recomputed from rows
+    (the q262 algebra, here cumulated over bands).
+
+    Parity: same integer freezing as q262 (coords ·10⁴, centroids
+    round(100·ratio), integer squared distances, label tie-break).
+    Scale: statistics are bounded (labels × bands × dims); scoring joins
+    the fixed test slice to the broadcast centroid table — corpus touched
+    twice regardless of the number of curve points."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id",
+        "label",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2), 16, 10
+            )
+            .cast("long")
+            % _Q263_BANDS
+        ).alias("band"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 10000).cast("long"),
+        ).alias("xq"),
+    )
+    flat = vecs.select(
+        "vec_id", "label", "band", F.posexplode("xq").alias("i0", "xq")
+    ).select("vec_id", "label", "band", (F.col("i0") + 1).alias("i"), "xq")
+    nlb = vecs.groupBy("label", "band").agg(F.count(F.lit(1)).alias("n"))
+    slb = flat.groupBy("label", "band", "i").agg(F.sum("xq").alias("s"))
+    steps = spark.createDataFrame([(t,) for t in _Q263_STEPS], "t long")
+    cents = (
+        steps.join(F.broadcast(slb), F.col("band") < F.col("t"))
+        .join(F.broadcast(nlb), ["label", "band"])
+        .groupBy("t", F.col("label").alias("clabel"), "i")
+        .agg(
+            F.round(100.0 * F.sum("s") / F.sum("n")).cast("long").alias("c")
+        )
+    )
+    ntr = (
+        steps.join(F.broadcast(nlb), F.col("band") < F.col("t"))
+        .groupBy("t")
+        .agg(F.sum("n").alias("n_train"))
+    )
+    test = flat.filter(F.col("band").isin(*_Q263_TEST_BANDS))
+    dists = (
+        test.join(F.broadcast(cents), "i")
+        .groupBy("t", "vec_id", F.col("label").alias("true_label"), "clabel")
+        .agg(
+            F.sum(
+                (F.col("xq") * 100 - F.col("c"))
+                * (F.col("xq") * 100 - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    wv = Window.partitionBy("t", "vec_id").orderBy("d2", "clabel")
+    preds = dists.withColumn("rk", F.row_number().over(wv)).filter(
+        F.col("rk") == 1
+    )
+    return (
+        preds.join(F.broadcast(ntr), "t")
+        .groupBy("t", "n_train")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (F.col("clabel") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            (F.col("t") * (100 // _Q263_BANDS)).cast("long").alias(
+                "train_frac_pct"
+            ),
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_test").cast("long").alias("n_test"),
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n_test"), 4
+            ).alias("accuracy"),
+        )
+        .orderBy("train_frac_pct")
+    )

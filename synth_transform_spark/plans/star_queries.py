@@ -128,3 +128,95 @@ def q84_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q266 — join-key skew audit across the schema's hot shuffle keys: for
+# each fact-table key a big join or aggregation would shuffle on
+# (lineitem.l_partkey, lineitem.l_suppkey, orders.o_custkey,
+# events.user_id), the cardinality, the heaviest key's share, the top-10
+# concentration, and the skew ratio max_n·n_keys/n_rows (1.0 = perfectly
+# uniform). This is the relation an engine operator consults BEFORE
+# picking a shuffle strategy — salting, AQE skew-join thresholds,
+# broadcast cutoffs — made queryable.
+# Parity: per-key counts, maxima and top-10 sums are exact integers; the
+# three ratios are single divisions at the end, 4dp.
+# Scale: one keyed partial-agg per column (the audit costs what ONE
+# aggregation on that key costs); the top-10 is TakeOrderedAndProject
+# (never a global sort); the final row is a crossJoin of 1-row aggregates.
+# --------------------------------------------------------------------------
+def _skew_oracle_part(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS key_col,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_key_n,
+       ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS max_share,
+       ROUND((SELECT CAST(SUM(n) AS DOUBLE) FROM (
+            SELECT n FROM (SELECT {col} AS k, COUNT(*) AS n FROM {table}
+                           GROUP BY {col})
+            ORDER BY n DESC, k ASC LIMIT 10)) / SUM(n), 4) AS top10_share,
+       ROUND(CAST(MAX(n) AS DOUBLE) * COUNT(*) / SUM(n), 4) AS skew_ratio
+FROM (SELECT {col} AS k, COUNT(*) AS n FROM {table} GROUP BY {col})
+"""
+
+
+_Q266_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+@register(
+    "q266_key_skew_audit",
+    oracle="\nUNION ALL\n".join(
+        _skew_oracle_part(t, c) for t, c in _Q266_KEYS
+    )
+    + "\nORDER BY key_col",
+    tags=("ops-audit", "A5", "O6"),
+)
+def q266_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit: (key_col, n_rows, n_keys, max_key_n,
+    max_share, top10_share, skew_ratio) for every hot join/agg key."""
+    out = None
+    for table, col in _Q266_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        overall = counts.agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_key_n"),
+        )
+        top10 = (
+            counts.orderBy(F.col("n").desc(), F.col("k").asc())
+            .limit(10)
+            .agg(F.sum("n").alias("t10"))
+        )
+        row = (
+            overall.crossJoin(F.broadcast(top10))
+            .select(
+                F.lit(f"{table}.{col}").alias("key_col"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_keys").cast("long").alias("n_keys"),
+                F.col("max_key_n").cast("long").alias("max_key_n"),
+                F.round(
+                    F.col("max_key_n").cast("double") / F.col("n_rows"), 4
+                ).alias("max_share"),
+                F.round(
+                    F.col("t10").cast("double") / F.col("n_rows"), 4
+                ).alias("top10_share"),
+                F.round(
+                    F.col("max_key_n").cast("double")
+                    * F.col("n_keys")
+                    / F.col("n_rows"),
+                    4,
+                ).alias("skew_ratio"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("key_col")

@@ -1985,3 +1985,98 @@ def q245_mixed_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.segment_lang_profile(
         docs, seg_tokens=_MIXSEG
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q265 — distinct-n diversity per source: the generation-diversity metric
+# (ratio of DISTINCT n-grams to total n-grams, n = 1, 2, 3) computed per
+# corpus source — low distinct-n means templated/repetitive text, the
+# signal mixing pipelines use to down-weight a source before training.
+# Parity: gram totals and distinct counts are exact integers (positional
+# grams, md5-free — the strings themselves are the keys); three divisions
+# at the end, 4dp.
+# Scale: one explode per n (narrow, linear in corpus tokens) feeding one
+# (source, gram)-keyed partial-distinct aggregate each — the same
+# two-phase COUNT(DISTINCT) plan as q116; output is |sources| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q265_distinct_n_diversity",
+    oracle="""
+WITH docs AS (
+    SELECT source, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+g1 AS (
+    SELECT source, UNNEST(w) AS gram FROM docs
+),
+g2 AS (
+    SELECT source, ARRAY_TO_STRING(w[i + 1 : i + 2], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - 2)) AS t(i)
+    WHERE LEN(w) >= 2
+),
+g3 AS (
+    SELECT source, ARRAY_TO_STRING(w[i + 1 : i + 3], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - 3)) AS t(i)
+    WHERE LEN(w) >= 3
+),
+s1 AS (SELECT source, COUNT(*) AS n1, COUNT(DISTINCT gram) AS d1 FROM g1 GROUP BY source),
+s2 AS (SELECT source, COUNT(*) AS n2, COUNT(DISTINCT gram) AS d2 FROM g2 GROUP BY source),
+s3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT gram) AS d3 FROM g3 GROUP BY source)
+SELECT s1.source,
+       CAST(n1 AS BIGINT) AS n_tokens,
+       ROUND(CAST(d1 AS DOUBLE) / n1, 4) AS distinct_1,
+       ROUND(CAST(d2 AS DOUBLE) / n2, 4) AS distinct_2,
+       ROUND(CAST(d3 AS DOUBLE) / n3, 4) AS distinct_3
+FROM s1 JOIN s2 ON s2.source = s1.source JOIN s3 ON s3.source = s1.source
+ORDER BY s1.source
+""",
+    tags=("text-diversity", "A5", "A12"),
+)
+def q265_distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 n-gram diversity ratios per source:
+    (source, n_tokens, distinct_1, distinct_2, distinct_3)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.filter(F.split("text", " "), lambda t: t != "").alias("w")
+    )
+
+    def grams(n: int):
+        if n == 1:
+            return docs.select("source", F.explode("w").alias("gram"))
+        return docs.filter(F.size("w") >= n).select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - n),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n)),
+                )
+            ).alias("gram"),
+        )
+
+    stats = [
+        grams(n)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias(f"n{n}"),
+            F.countDistinct("gram").alias(f"d{n}"),
+        )
+        for n in (1, 2, 3)
+    ]
+    return (
+        stats[0]
+        .join(stats[1], "source")
+        .join(stats[2], "source")
+        .select(
+            "source",
+            F.col("n1").cast("long").alias("n_tokens"),
+            F.round(F.col("d1").cast("double") / F.col("n1"), 4).alias(
+                "distinct_1"
+            ),
+            F.round(F.col("d2").cast("double") / F.col("n2"), 4).alias(
+                "distinct_2"
+            ),
+            F.round(F.col("d3").cast("double") / F.col("n3"), 4).alias(
+                "distinct_3"
+            ),
+        )
+        .orderBy("source")
+    )
