@@ -245,3 +245,239 @@ def test_sequence_patterns_counts_non_overlapping(spark):
     assert (df["n_funnels"] >= 1).all()
     # a funnel needs ≥3 events
     assert (df["n_events"] >= 3 * df["n_funnels"]).all()
+
+
+# -- q260-q267 semantics ----------------------------------------------------
+
+
+def test_hbos_matches_numpy_recompute(spark):
+    """q260's integer-frozen HBOS must equal a literal numpy recompute of
+    Goldstein & Dengel's estimator under the same freezing."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from synth_transform_spark.plans.similarity_queries import (
+        _Q260_BINS,
+        _Q260_TOPK,
+    )
+
+    df = REGISTRY["q260_hbos_outliers"].spark(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    n, d = X.shape
+    lo, hi = X.min(axis=0), X.max(axis=0)
+    bins = np.minimum(
+        np.floor((X - lo) / (hi - lo) * _Q260_BINS).astype(np.int64),
+        _Q260_BINS - 1,
+    )
+    scores = np.zeros(n, dtype=np.int64)
+    for i in range(d):
+        counts = np.bincount(bins[:, i], minlength=_Q260_BINS)
+        w = np.array(
+            [
+                round(1_000_000.0 * math.log(n / c)) if c else 0
+                for c in counts
+            ],
+            dtype=np.int64,
+        )
+        scores += w[bins[:, i]]
+    order = sorted(range(n), key=lambda j: (-scores[j], emb["vec_id"][j]))
+    top = [(int(emb["vec_id"][j]), scores[j] / 1e6) for j in order[:_Q260_TOPK]]
+    assert len(df) == _Q260_TOPK
+    assert list(df["vec_id"]) == [t[0] for t in top]
+    for got, (_, want) in zip(df["hbos"], top):
+        assert got == round(want, 4)
+
+
+def test_kmv_jaccard_error_identity_and_bounds(spark):
+    df = REGISTRY["q261_kmv_source_jaccard"].spark(spark, SF_DIR).toPandas()
+    n_src = len(set(df["source_a"]) | set(df["source_b"]))
+    assert len(df) == n_src * (n_src - 1) // 2  # every unordered pair once
+    assert ((df["est_jaccard"] >= 0) & (df["est_jaccard"] <= 1)).all()
+    assert ((df["exact_jaccard"] >= 0) & (df["exact_jaccard"] <= 1)).all()
+    # abs_err is |est - exact| of the UNROUNDED values, so it may differ
+    # from the rounded columns' difference by at most the rounding slack
+    gap = (df["abs_err"] - (df["est_jaccard"] - df["exact_jaccard"]).abs()).abs()
+    assert (gap <= 1e-4 + 1e-12).all()
+    # k=64 sketch on these corpus sizes: estimator stays in the coarse band
+    assert (df["abs_err"] <= 0.35).all()
+
+
+def test_kfold_partitions_and_accuracy_identity(spark):
+    import pandas as pd
+    import hashlib
+
+    from synth_transform_spark.plans.similarity_queries import _Q262_FOLDS
+
+    df = REGISTRY["q262_kfold_cv"].spark(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    folds = [
+        int(hashlib.md5(str(v).encode()).hexdigest()[:2], 16) % _Q262_FOLDS
+        for v in emb["vec_id"]
+    ]
+    sizes = pd.Series(folds).value_counts()
+    assert len(df) == _Q262_FOLDS
+    assert int(df["n_test"].sum()) == len(emb)  # folds partition the corpus
+    for _, r in df.iterrows():
+        assert int(r["n_test"]) == int(sizes[int(r["fold"])])
+        assert r["accuracy"] == round(r["n_correct"] / r["n_test"], 4)
+        assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_learning_curve_nested_and_fixed_test(spark):
+    from synth_transform_spark.plans.similarity_queries import (
+        _Q263_STEPS,
+        _Q263_BANDS,
+    )
+
+    df = (
+        REGISTRY["q263_learning_curve"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("train_frac_pct")
+    )
+    assert list(df["train_frac_pct"]) == [
+        t * (100 // _Q263_BANDS) for t in _Q263_STEPS
+    ]
+    # fixed held-out slice: identical n_test at every curve point
+    assert df["n_test"].nunique() == 1
+    # nested subsets: n_train strictly grows along the curve
+    assert df["n_train"].is_monotonic_increasing
+    assert (df["n_train"].diff().dropna() > 0).all()
+    assert ((df["accuracy"] >= 0) & (df["accuracy"] <= 1)).all()
+
+
+def test_sequential_ab_z_matches_naive(spark):
+    """q264's daily cumulative z must equal the closed-form two-proportion
+    statistic recomputed in Python from the raw events."""
+    import math
+
+    import pandas as pd
+
+    df = REGISTRY["q264_sequential_ab"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    ev["a"] = ev["user_id"] % 2 == 0
+    ev["conv"] = ev["event_type"] == "purchase"
+    daily = (
+        ev.groupby("day")
+        .apply(
+            lambda g: pd.Series(
+                {
+                    "na": int(g["a"].sum()),
+                    "ca": int((g["a"] & g["conv"]).sum()),
+                    "nb": int((~g["a"]).sum()),
+                    "cb": int((~g["a"] & g["conv"]).sum()),
+                }
+            ),
+            include_groups=False,
+        )
+        .sort_index()
+        .cumsum()
+    )
+    assert len(df) == len(daily)
+    got = df.sort_values("day").reset_index(drop=True)
+    for i, (_, r) in enumerate(daily.iterrows()):
+        assert int(got.loc[i, "cna"]) == r["na"]
+        assert int(got.loc[i, "cca"]) == r["ca"]
+        assert int(got.loc[i, "cnb"]) == r["nb"]
+        assert int(got.loc[i, "ccb"]) == r["cb"]
+        p = (r["ca"] + r["cb"]) / (r["na"] + r["nb"])
+        z = (r["ca"] / r["na"] - r["cb"] / r["nb"]) / math.sqrt(
+            p * (1 - p) * (1 / r["na"] + 1 / r["nb"])
+        )
+        assert got.loc[i, "z_stat"] == round(z, 4)
+        assert got.loc[i, "crossed"] == (1 if abs(z) > 2.7 else 0)
+
+
+def test_distinct_n_diversity_token_totals(spark):
+    import pandas as pd
+
+    df = REGISTRY["q265_distinct_n_diversity"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs["nw"] = docs["text"].map(lambda t: len([w for w in t.split(" ") if w]))
+    want = docs.groupby("source")["nw"].sum()
+    for _, r in df.iterrows():
+        assert int(r["n_tokens"]) == int(want[r["source"]])
+        for c in ("distinct_1", "distinct_2", "distinct_3"):
+            assert 0.0 < r[c] <= 1.0
+
+
+def test_key_skew_audit_matches_pandas(spark):
+    import pandas as pd
+
+    df = (
+        REGISTRY["q266_key_skew_audit"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("key_col")
+    )
+    assert len(df) == 4
+    for table, col in (
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ):
+        counts = (
+            pd.read_parquet(f"{SF_DIR}/{table}.parquet")[col]
+            .value_counts()
+            .sort_values(ascending=False)
+        )
+        r = df.loc[f"{table}.{col}"]
+        n_rows, n_keys, mx = counts.sum(), len(counts), counts.iloc[0]
+        assert int(r["n_rows"]) == n_rows
+        assert int(r["n_keys"]) == n_keys
+        assert int(r["max_key_n"]) == mx
+        assert r["max_share"] == round(mx / n_rows, 4)
+        assert r["skew_ratio"] == round(mx * n_keys / n_rows, 4)
+        assert r["top10_share"] >= r["max_share"]
+        # top-10 share identity (tie-break on key asc never changes the sum)
+        assert r["top10_share"] == round(counts.iloc[:10].sum() / n_rows, 4)
+
+
+def test_personalized_pagerank_integer_recurrence(spark):
+    """operators/graph.personalized_pagerank on a hand-sized graph must
+    equal the literal integer recurrence run in pure Python."""
+    from synth_transform_spark.operators.graph import personalized_pagerank
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (4, 1)]
+    seeds = [1]
+    e = spark.createDataFrame(edges, "s long, d long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    got = {
+        r["node"]: r["score"]
+        for r in personalized_pagerank(e, s, n_iter=3).collect()
+    }
+
+    B, d_pct = 1_000_000_000, 85
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    od = {}
+    for u, _ in edges:
+        od[u] = od.get(u, 0) + 1
+    base = {v: ((100 - d_pct) * B) // (100 * len(seeds)) if v in seeds else 0
+            for v in nodes}
+    r = dict(base)
+    for _ in range(3):
+        in_sum = {v: 0 for v in nodes}
+        for u, v in edges:
+            in_sum[v] += r[u] // od[u]
+        r = {v: base[v] + (d_pct * in_sum[v]) // 100 for v in nodes}
+    for v in nodes:
+        assert got[v] == r[v] / B, (v, got[v], r[v] / B)
+    # teleport mass only reaches the seed: node 4 has no in-edges → 0
+    assert got[4] == 0.0
+
+
+def test_personalized_pagerank_mass_bounded(spark):
+    """Floor division only loses mass: Σ score ≤ 1 on the q267 graph."""
+    df = (
+        REGISTRY["q267_personalized_pagerank"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+    )
+    assert not df.empty
+    assert (df["score"] >= 0).all()
+    assert df["score"].sum() <= 1.0 + 1e-9
