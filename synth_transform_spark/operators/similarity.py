@@ -943,3 +943,70 @@ def srp_bit_vector(
         ]
     )
     return sigs.select(F.col(id_col), bits.alias("bits"))
+
+
+def mmr_select(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool_size: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    greedily pick ``k`` results that trade relevance against redundancy,
+
+        next = argmax  lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)
+
+    over a relevance-pruned candidate pool. Returns (mmr_rank, vec_id, rel,
+    score); the first pick's redundancy term is 0 (pure relevance).
+
+    Two-phase, like ``bpe.train``'s per-round argmax: phase 1 is fully
+    distributed (the sharded exact top-``pool_size`` relevance scan +
+    one broadcast self-join for the pool's pairwise similarity matrix —
+    pool_size**2 rows); phase 2 is the inherently sequential greedy over
+    that BOUNDED pool, run driver-side on <= pool_size**2 collected rows
+    (constants, never corpus-sized). rel/sim are 4dp-rounded engine
+    doubles, so the driver arithmetic (plain IEEE multiply/subtract) is
+    bit-identical to any engine's.
+    """
+    pool = cosine_topk(
+        vectors, queries, k=pool_size, id_col=id_col, vec_col=vec_col
+    ).select("neighbor_id", F.col("cosine").alias("rel"))
+    pv = pool.join(
+        vectors.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v")
+        ),
+        "neighbor_id",
+    )
+    a = pv.select(F.col("neighbor_id").alias("a"), F.col("v").alias("va"))
+    b = pv.select(F.col("neighbor_id").alias("b"), F.col("v").alias("vb"))
+    sims = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("sim"))
+    )
+    rel_rows = {r["neighbor_id"]: r["rel"] for r in pool.collect()}
+    sim_rows = {(r["a"], r["b"]): r["sim"] for r in sims.collect()}
+
+    selected: list[tuple[int, int, float, float]] = []
+    chosen: list = []
+    for rank in range(1, k + 1):
+        best = None
+        for d, rel in rel_rows.items():
+            if d in chosen:
+                continue
+            maxsim = max((sim_rows[(d, s)] for s in chosen), default=0.0)
+            raw = lam * rel - (1 - lam) * maxsim
+            if best is None or raw > best[0] or (raw == best[0] and d < best[1]):
+                best = (raw, d)
+        raw, d = best
+        selected.append((rank, d, rel_rows[d], raw))
+        chosen.append(d)
+
+    # round engine-side (F.round is HALF_UP away-from-zero like the SQL
+    # oracles; Python's round() is banker's and would diverge on .00005)
+    spark = vectors.sparkSession
+    return spark.createDataFrame(
+        selected, "mmr_rank long, vec_id long, rel double, score_raw double"
+    ).select("mmr_rank", "vec_id", "rel", F.round("score_raw", 4).alias("score"))

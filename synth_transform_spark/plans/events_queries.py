@@ -3300,3 +3300,300 @@ def q264_sequential_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z_stat"),
         (F.abs(z) > 2.7).cast("long").alias("crossed"),
     ).orderBy("day")
+
+
+# --------------------------------------------------------------------------
+# q271 - Theil-Sen robust trend per event type: the median of all pairwise
+# slopes of the daily-count series - the robust regression line a
+# monitoring pipeline fits when spikes would wreck OLS (up to ~29%
+# contamination tolerated vs 0 for q144's least squares).
+# Parity: day indices are exact DATEDIFF integers; every pairwise slope
+# is frozen to round(10^6 * (c_j - c_i)/(j - i)) BEFORE the median, so
+# the median is over integers; even counts average two integers (exact
+# .5 halves); one /10^6 + 4dp at the end.
+# Scale: the corpus collapses first to per-(type, day) counts (one keyed
+# aggregate); the pairwise self-join runs on the calendar-bounded daily
+# series (30 rows -> <=435 pairs per type, the q247 bounded-series
+# exception); the median is a per-type window over those bounded pairs.
+# --------------------------------------------------------------------------
+@register(
+    "q271_theil_sen",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '2024-01-01',
+                    CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS t,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+slopes AS (
+    SELECT a.event_type,
+           CAST(ROUND(1000000.0 * (b.c - a.c) / (b.t - a.t)) AS BIGINT)
+               AS s
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.t > a.t
+),
+ranked AS (
+    SELECT event_type, s,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY s) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM slopes
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(AVG(s) / 1000000.0, 4) AS sen_slope
+FROM ranked
+WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("robust-stats", "A12", "W2"),
+)
+def q271_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of the daily event-count series per type:
+    (event_type, n_pairs, sen_slope)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select("event_type", F.col("t").alias("ta"), F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("t").alias("tb"), F.col("c").alias("cb"))
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("tb") > F.col("ta"))
+        .select(
+            "event_type",
+            F.round(
+                1000000.0
+                * (F.col("cb") - F.col("ca"))
+                / (F.col("tb") - F.col("ta"))
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("s")
+    wn = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_pairs"),
+            F.round(F.avg("s") / 1000000.0, 4).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q272 - rolling-origin forecast backtest: evaluate the two standard
+# zero-parameter baselines (seasonal-naive "same day last week" and
+# naive-1 "yesterday") on every day of the series, per event type - the
+# relation a forecasting pipeline materialises to decide whether a model
+# beats the naives at all (and the denominator of every MASE).
+# Parity: forecasts are equi-joins on (type, day - 7)/(type, day - 1);
+# absolute errors are integer; the MAEs are single divisions and skill is
+# one arithmetic expression over them, 4dp.
+# Scale: corpus -> per-(type, day) counts first (one keyed aggregate with
+# map-side partials); both forecast joins and the eval aggregate run on
+# the calendar-bounded daily relation.
+# --------------------------------------------------------------------------
+@register(
+    "q272_forecast_backtest",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+eval AS (
+    SELECT d.event_type,
+           ABS(d.c - s.c) AS e_snaive,
+           ABS(d.c - n.c) AS e_naive1
+    FROM daily d
+    JOIN daily s ON s.event_type = d.event_type AND s.day + 7 = d.day
+    JOIN daily n ON n.event_type = d.event_type AND n.day + 1 = d.day
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       ROUND(CAST(SUM(e_snaive) AS DOUBLE) / COUNT(*), 4) AS mae_snaive,
+       ROUND(CAST(SUM(e_naive1) AS DOUBLE) / COUNT(*), 4) AS mae_naive1,
+       ROUND(1.0 - (CAST(SUM(e_snaive) AS DOUBLE) / COUNT(*))
+                   / (CAST(SUM(e_naive1) AS DOUBLE) / COUNT(*)), 4)
+           AS skill_vs_naive1
+FROM eval
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("forecast-eval", "A12", "J14"),
+)
+def q272_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive vs naive-1 backtest of daily counts per type:
+    (event_type, n_eval, mae_snaive, mae_naive1, skill_vs_naive1)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    d = daily.select("event_type", "day", F.col("c").alias("c"))
+    s = daily.select(
+        "event_type", F.date_add("day", 7).alias("day"), F.col("c").alias("cs")
+    )
+    n = daily.select(
+        "event_type", F.date_add("day", 1).alias("day"), F.col("c").alias("cn")
+    )
+    ev = (
+        d.join(s, ["event_type", "day"])
+        .join(n, ["event_type", "day"])
+        .select(
+            "event_type",
+            F.abs(F.col("c") - F.col("cs")).alias("e_snaive"),
+            F.abs(F.col("c") - F.col("cn")).alias("e_naive1"),
+        )
+    )
+    mae_s = F.sum("e_snaive").cast("double") / F.count(F.lit(1))
+    mae_n = F.sum("e_naive1").cast("double") / F.count(F.lit(1))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(mae_s, 4).alias("mae_snaive"),
+            F.round(mae_n, 4).alias("mae_naive1"),
+            F.round(1.0 - mae_s / mae_n, 4).alias("skill_vs_naive1"),
+        )
+        .select(
+            "event_type",
+            F.col("n_eval").cast("long").alias("n_eval"),
+            "mae_snaive",
+            "mae_naive1",
+            "skill_vs_naive1",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q273 - randomized-response local-DP frequency estimation: simulate the
+# classic k-ary randomized-response mechanism (report the true category
+# with p = 3/4, otherwise a uniform category) over the event stream, then
+# invert the mechanism to recover unbiased frequency estimates - the
+# local-differential-privacy counting pattern (Warner 1965; RAPPOR's
+# ancestor), with the privatised report the ONLY thing the aggregate ever
+# reads. Completes the privacy family (q232 k-anonymity, q240
+# l-diversity, q253 t-closeness) with the local model.
+# Parity: the mechanism's randomness is the deterministic md5(event_id)
+# stream (two independent hex slices: keep/flip draw and replacement
+# draw), so reported counts are exact integers in both engines; the
+# debiasing estimate n_hat = (c_t - n/(4*5)) * (4/3) is spelled with the
+# identical literal arithmetic on both sides; 4dp.
+# Scale: one narrow map (two hash slices + a 5-row broadcast join for
+# the replacement category) and one per-category aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q273_randomized_response",
+    oracle="""
+WITH cats AS (
+    SELECT event_type AS cat,
+           ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx,
+           CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM events GROUP BY event_type
+),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cats),
+draws AS (
+    SELECT e.event_type,
+           ('0x' || SUBSTR(MD5(CAST(e.event_id AS VARCHAR)), 1, 8))::UBIGINT
+               % 100 AS keep_draw,
+           CAST(('0x' || SUBSTR(MD5(CAST(e.event_id AS VARCHAR)), 9, 8))::UBIGINT
+               % (SELECT k FROM k) AS BIGINT) AS repl_idx
+    FROM events e
+),
+reported AS (
+    SELECT CASE WHEN d.keep_draw < 75 THEN d.event_type ELSE c.cat END
+               AS report
+    FROM draws d JOIN cats c ON c.idx = d.repl_idx
+),
+rc AS (
+    SELECT report, CAST(COUNT(*) AS BIGINT) AS n_reported
+    FROM reported GROUP BY report
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT c.cat AS event_type,
+       c.n_true,
+       COALESCE(rc.n_reported, 0) AS n_reported,
+       ROUND((COALESCE(rc.n_reported, 0)
+              - CAST(n.n AS DOUBLE) * (1.0 - 0.75) / (SELECT k FROM k))
+             / 0.75, 4) AS n_hat,
+       ROUND(ABS((COALESCE(rc.n_reported, 0)
+                  - CAST(n.n AS DOUBLE) * (1.0 - 0.75) / (SELECT k FROM k))
+                 / 0.75 - c.n_true) / c.n_true, 4) AS rel_err
+FROM cats c
+LEFT JOIN rc ON rc.report = c.cat
+CROSS JOIN n
+ORDER BY event_type
+""",
+    tags=("privacy", "A5", "F21"),
+)
+def q273_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ary randomized response + unbiased debiasing per event type:
+    (event_type, n_true, n_reported, n_hat, rel_err)."""
+    events = load_table(spark, sf_dir, "events")
+    cats = (
+        events.groupBy(F.col("event_type").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .withColumn(
+            "idx", F.row_number().over(Window.orderBy("cat")) - 1
+        )
+    )
+    k = cats.count()
+    n_total = events.count()
+    md5 = F.md5(F.col("event_id").cast("string"))
+    draws = events.select(
+        "event_type",
+        (F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % 100).alias(
+            "keep_draw"
+        ),
+        (F.conv(F.substring(md5, 9, 8), 16, 10).cast("long") % k).alias(
+            "repl_idx"
+        ),
+    )
+    reported = draws.join(
+        F.broadcast(cats.select("idx", F.col("cat").alias("repl_cat"))),
+        F.col("repl_idx") == F.col("idx"),
+    ).select(
+        F.when(F.col("keep_draw") < 75, F.col("event_type"))
+        .otherwise(F.col("repl_cat"))
+        .alias("report")
+    )
+    rc = reported.groupBy("report").agg(F.count(F.lit(1)).alias("n_reported"))
+    est = (
+        F.coalesce(F.col("n_reported"), F.lit(0)).cast("double")
+        - F.lit(float(n_total)) * (1.0 - 0.75) / k
+    ) / 0.75
+    return (
+        cats.join(rc, cats["cat"] == rc["report"], "left")
+        .select(
+            F.col("cat").alias("event_type"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.coalesce("n_reported", F.lit(0)).cast("long").alias(
+                "n_reported"
+            ),
+            F.round(est, 4).alias("n_hat"),
+            F.round(F.abs(est - F.col("n_true")) / F.col("n_true"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("event_type")
+    )

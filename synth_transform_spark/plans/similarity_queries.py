@@ -1668,3 +1668,121 @@ def q263_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_frac_pct")
     )
+
+
+# --------------------------------------------------------------------------
+# q270 - MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
+# maximal-marginal-relevance re-ranking of query vec 0's top-20 relevance
+# pool down to 5 results that are relevant AND mutually dissimilar - the
+# standard redundancy-removal pass between ANN retrieval and a context
+# window. lam = 0.7.
+# Parity: rel/sim are the q23 4dp-rounded cosines; each greedy step's
+# objective is the fixed double expression 0.7*rel - (1.0-0.7)*maxsim
+# over those rounded inputs ((1.0-0.7) spelled identically on both sides
+# so the IEEE constant matches); the oracle unrolls the 5 sequential
+# argmax steps as chained CTEs (the q267/q186 device).
+# Scale: phase 1 is the q23 sharded exact top-k corpus scan + a
+# pool**2-row broadcast self-join; the sequential greedy touches only
+# that bounded pool (driver-side, like bpe.train's per-round argmax).
+# --------------------------------------------------------------------------
+_MMR_K = 5
+_MMR_POOL = 20
+
+
+def _mmr_oracle(k: int = _MMR_K, pool: int = _MMR_POOL) -> str:
+    steps = []
+    for j in range(1, k + 1):
+        if j == 1:
+            steps.append(
+                "s1 AS (\n"
+                "    SELECT neighbor_id, rel, 0.7 * rel AS raw FROM pool\n"
+                "    ORDER BY rel DESC, neighbor_id ASC LIMIT 1\n)"
+            )
+            continue
+        sim_joins = "\n    ".join(
+            f"JOIN sims x{i} ON x{i}.a = p.neighbor_id"
+            f" AND x{i}.b = (SELECT neighbor_id FROM s{i})"
+            for i in range(1, j)
+        )
+        if j == 2:
+            gexpr = "x1.sim"
+        else:
+            gexpr = "GREATEST(" + ", ".join(
+                f"x{i}.sim" for i in range(1, j)
+            ) + ")"
+        not_in = ", ".join(f"(SELECT neighbor_id FROM s{i})" for i in range(1, j))
+        steps.append(
+            f"""s{j} AS (
+    SELECT p.neighbor_id, p.rel, 0.7 * p.rel - (1.0 - 0.7) * {gexpr} AS raw
+    FROM pool p
+    {sim_joins}
+    WHERE p.neighbor_id NOT IN ({not_in})
+    ORDER BY raw DESC, p.neighbor_id ASC LIMIT 1
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {j} AS mmr_rank, neighbor_id, rel, raw FROM s{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+WITH qflat AS (
+    SELECT CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings WHERE vec_id = 0
+),
+vflat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+norms AS (
+    SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM vflat GROUP BY vec_id
+),
+rel AS (
+    SELECT v.vec_id AS neighbor_id,
+           ROUND(SUM(q.x * v.x)
+                 / ((SELECT nrm FROM norms WHERE vec_id = 0) * n.nrm), 4)
+               AS rel
+    FROM vflat v JOIN qflat q ON q.i = v.i
+    JOIN norms n ON n.vec_id = v.vec_id
+    WHERE v.vec_id <> 0
+    GROUP BY v.vec_id, n.nrm
+),
+pool AS (
+    SELECT neighbor_id, rel FROM rel
+    ORDER BY rel DESC, neighbor_id ASC LIMIT {pool}
+),
+sims AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(SUM(a.x * b.x) / (na.nrm * nb.nrm), 4) AS sim
+    FROM vflat a
+    JOIN vflat b ON b.i = a.i AND b.vec_id <> a.vec_id
+    JOIN pool pa ON pa.neighbor_id = a.vec_id
+    JOIN pool pb ON pb.neighbor_id = b.vec_id
+    JOIN norms na ON na.vec_id = a.vec_id
+    JOIN norms nb ON nb.vec_id = b.vec_id
+    GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+{",".join(steps)}
+SELECT CAST(mmr_rank AS BIGINT) AS mmr_rank, neighbor_id AS vec_id, rel,
+       ROUND(raw, 4) AS score
+FROM ({union})
+ORDER BY mmr_rank
+"""
+
+
+@register(
+    "q270_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("similarity-topk", "O6", "W3"),
+)
+def q270_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 for query vector 0 from its top-20 relevance
+    pool: (mmr_rank, vec_id, rel, score) - operators/similarity.mmr_select."""
+    import pyspark.sql.functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") == 0)
+    return similarity.mmr_select(
+        emb, queries, k=_MMR_K, pool_size=_MMR_POOL, lam=0.7
+    ).orderBy("mmr_rank")

@@ -220,3 +220,137 @@ def q266_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("key_col")
+
+
+# --------------------------------------------------------------------------
+# q275 - zone-map pruning audit: simulate parquet/Delta data skipping for
+# the predicate l_shipdate IN [1996-01-01, 1996-03-31] under two physical
+# layouts - natural order (blocks of contiguous l_orderkey ranges, i.e.
+# insertion order) vs date-clustered (blocks of 4-week l_shipdate
+# ranges, what q90's z-order/sort-before-write produces) - by building
+# each layout's per-block (min, max) zone map and counting which blocks
+# a reader must scan. The relation that justifies a re-clustering job:
+# it prices the layout change in scanned-row terms before anyone runs it.
+# Parity: block ids are integer floor-divisions of exact day/key values;
+# zone maps are min/max/count aggregates; overlap flags are integer
+# comparisons; the two fractions are single divisions, 4dp.
+# Scale: one keyed aggregate per layout (blocks are data-independent
+# ranges, so the group-by keys never concentrate); the audit costs two
+# scans - strictly cheaper than the full-table scan it prevents.
+# --------------------------------------------------------------------------
+_Q275_LO = "1996-01-01"
+_Q275_HI = "1996-03-31"
+
+
+@register(
+    "q275_zonemap_audit",
+    oracle=f"""
+WITH keyed AS (
+    SELECT l_orderkey // 4096 AS nat_block,
+           DATEDIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 28
+               AS clu_block,
+           CAST(l_shipdate AS DATE) AS sd
+    FROM lineitem
+),
+layouts AS (
+    SELECT 'natural' AS layout, nat_block AS block, sd FROM keyed
+    UNION ALL
+    SELECT 'date_clustered' AS layout, clu_block AS block, sd FROM keyed
+),
+zones AS (
+    SELECT layout, block,
+           MIN(sd) AS lo, MAX(sd) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM layouts GROUP BY layout, block
+),
+flagged AS (
+    SELECT layout, n,
+           CASE WHEN lo <= DATE '{_Q275_HI}' AND hi >= DATE '{_Q275_LO}'
+                THEN 1 ELSE 0 END AS scanned
+    FROM zones
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(scanned) AS BIGINT) AS n_scanned,
+       CAST(SUM(n) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN scanned = 1 THEN n ELSE 0 END) AS BIGINT)
+           AS rows_scanned,
+       ROUND(CAST(SUM(scanned) AS DOUBLE) / COUNT(*), 4) AS block_scan_frac,
+       ROUND(CAST(SUM(CASE WHEN scanned = 1 THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n), 4) AS row_scan_frac
+FROM flagged
+GROUP BY layout
+ORDER BY layout
+""",
+    tags=("storage-ops", "A1", "P10"),
+)
+def q275_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) effectiveness of natural vs
+    date-clustered block layouts for a shipdate range predicate:
+    (layout, n_blocks, n_scanned, rows_total, rows_scanned,
+    block_scan_frac, row_scan_frac)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_orderkey") / 4096).alias("nat_block"),
+        F.floor(
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.lit("1995-01-01").cast("date"),
+            )
+            / 28
+        ).alias("clu_block"),
+        F.col("l_shipdate").cast("date").alias("sd"),
+    )
+    layouts = li.select(
+        F.lit("natural").alias("layout"), F.col("nat_block").alias("block"), "sd"
+    ).unionByName(
+        li.select(
+            F.lit("date_clustered").alias("layout"),
+            F.col("clu_block").alias("block"),
+            "sd",
+        )
+    )
+    zones = layouts.groupBy("layout", "block").agg(
+        F.min("sd").alias("lo"),
+        F.max("sd").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = zones.select(
+        "layout",
+        "n",
+        (
+            (F.col("lo") <= F.lit(_Q275_HI).cast("date"))
+            & (F.col("hi") >= F.lit(_Q275_LO).cast("date"))
+        )
+        .cast("long")
+        .alias("scanned"),
+    )
+    return (
+        flagged.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("scanned").alias("n_scanned"),
+            F.sum("n").alias("rows_total"),
+            F.sum(F.when(F.col("scanned") == 1, F.col("n")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.round(
+                F.sum("scanned").cast("double") / F.count(F.lit(1)), 4
+            ).alias("block_scan_frac"),
+            F.round(
+                F.sum(F.when(F.col("scanned") == 1, F.col("n")).otherwise(0))
+                .cast("double")
+                / F.sum("n"),
+                4,
+            ).alias("row_scan_frac"),
+        )
+        .select(
+            "layout",
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.col("n_scanned").cast("long").alias("n_scanned"),
+            F.col("rows_total").cast("long").alias("rows_total"),
+            F.col("rows_scanned").cast("long").alias("rows_scanned"),
+            "block_scan_frac",
+            "row_scan_frac",
+        )
+        .orderBy("layout")
+    )

@@ -2080,3 +2080,212 @@ def q265_distinct_n_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q268 - trigram-index substring search (the pg_trgm pattern): build a
+# character-trigram posting relation over the corpus, answer a batch of
+# LIKE '%pattern%' probes through the index (candidate = doc containing
+# EVERY pattern trigram), verify candidates with an exact containment
+# check, and report index effectiveness. This is how a curation pipeline
+# runs thousands of keyword/blocklist probes in ONE corpus pass instead
+# of thousands of full scans.
+# Parity: trigram sets, posting joins and containment flags are exact
+# integer/string algebra; precision is one division, 4dp.
+# Scale: the posting relation is a narrow per-doc explode (<=3x corpus
+# bytes, the shingle budget); the pattern trigram table is a broadcast;
+# candidate testing is one (pattern, doc) aggregate with map-side
+# partials; exact verification touches only candidates (trigram
+# containment is necessary for substring match - no false negatives).
+# --------------------------------------------------------------------------
+_Q268_PATTERNS = (
+    "table scan",
+    "batch batch batch",
+    "merge data",
+    "vector join vector",
+    "hash scan join",
+)
+
+
+def _q268_pattern_sql() -> str:
+    rows = ", ".join(f"('{p}')" for p in _Q268_PATTERNS)
+    return f"(VALUES {rows}) AS pats(pattern)"
+
+
+@register(
+    "q268_trigram_search",
+    oracle=f"""
+WITH pats AS (SELECT pattern FROM {_q268_pattern_sql()}),
+ptg AS (
+    SELECT DISTINCT pattern, SUBSTR(pattern, i, 3) AS tg
+    FROM pats, UNNEST(GENERATE_SERIES(1, LEN(pattern) - 2)) AS t(i)
+),
+pneed AS (
+    SELECT pattern, CAST(COUNT(*) AS BIGINT) AS need FROM ptg GROUP BY pattern
+),
+dtg AS (
+    SELECT DISTINCT doc_id, SUBSTR(text, i, 3) AS tg
+    FROM documents, UNNEST(GENERATE_SERIES(1, LEN(text) - 2)) AS t(i)
+),
+hits AS (
+    SELECT p.pattern, d.doc_id, CAST(COUNT(*) AS BIGINT) AS got
+    FROM ptg p JOIN dtg d ON d.tg = p.tg
+    GROUP BY p.pattern, d.doc_id
+),
+cand AS (
+    SELECT h.pattern, h.doc_id
+    FROM hits h JOIN pneed n ON n.pattern = h.pattern
+    WHERE h.got = n.need
+),
+verified AS (
+    SELECT c.pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN POSITION(c.pattern IN d.text) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+    FROM cand c JOIN documents d ON d.doc_id = c.doc_id
+    GROUP BY c.pattern
+)
+SELECT p.pattern,
+       COALESCE(v.n_candidates, 0) AS n_candidates,
+       COALESCE(v.n_matches, 0) AS n_matches,
+       CASE WHEN COALESCE(v.n_candidates, 0) > 0
+            THEN ROUND(CAST(v.n_matches AS DOUBLE) / v.n_candidates, 4)
+            END AS match_precision
+FROM pats p LEFT JOIN verified v ON v.pattern = p.pattern
+ORDER BY p.pattern
+""",
+    tags=("text-search", "P6", "A5"),
+)
+def q268_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch substring probes through a char-trigram inverted index:
+    (pattern, n_candidates, n_matches, match_precision)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(
+        [(p,) for p in _Q268_PATTERNS], "pattern string"
+    )
+
+    def trigrams(col):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(col) - 2),
+                lambda i: F.substr(col, i, F.lit(3)),
+            )
+        )
+
+    ptg = pats.select(
+        "pattern", F.explode(trigrams(F.col("pattern"))).alias("tg")
+    )
+    pneed = ptg.groupBy("pattern").agg(F.count(F.lit(1)).alias("need"))
+    dtg = docs.select(
+        "doc_id", F.explode(trigrams(F.col("text"))).alias("tg")
+    )
+    hits = (
+        dtg.join(F.broadcast(ptg), "tg")
+        .groupBy("pattern", "doc_id")
+        .agg(F.count(F.lit(1)).alias("got"))
+    )
+    cand = hits.join(F.broadcast(pneed), "pattern").filter(
+        F.col("got") == F.col("need")
+    )
+    verified = (
+        cand.join(docs, "doc_id")
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(
+                (F.instr("text", F.col("pattern")) > 0).cast("long")
+            ).alias("n_matches"),
+        )
+    )
+    return (
+        pats.join(verified, "pattern", "left")
+        .select(
+            "pattern",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) > 0,
+                F.round(
+                    F.col("n_matches").cast("double") / F.col("n_candidates"),
+                    4,
+                ),
+            ).alias("match_precision"),
+        )
+        .orderBy("pattern")
+    )
+
+
+# --------------------------------------------------------------------------
+# q269 - readability scoring per source (Flesch-Kincaid grade / Flesch
+# reading ease over pooled per-source totals): the classic text-quality
+# signal mixing pipelines bucket sources by before assigning weights.
+# Syllables use the plain vowel-group estimator (runs of [aeiouy]); the
+# synthetic corpus has no sentence terminators, so sentence := document
+# (documented corpus-specific segmentation - the formulas are unchanged).
+# Parity: word / syllable / doc totals are exact integers; the two
+# formulas are fixed double expressions over 3 integers with identical
+# literal constants and operation order in both engines; 4dp.
+# Scale: one narrow map (two regexp counts per doc) feeding one per-source
+# aggregate with map-side partials; output is |sources| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q269_readability",
+    oracle="""
+WITH per_doc AS (
+    SELECT source,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))
+                AS BIGINT) AS words,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiouy]+')) AS BIGINT)
+               AS syllables
+    FROM documents
+),
+pooled AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(syllables) AS BIGINT) AS n_syllables
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_syllables,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_docs)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+           AS fk_grade,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_docs)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+           AS flesch_ease
+FROM pooled
+ORDER BY source
+""",
+    tags=("text-quality", "A12", "F19"),
+)
+def q269_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade + reading ease per source from pooled word /
+    syllable / sentence(=doc) totals: (source, n_docs, n_words,
+    n_syllables, fk_grade, flesch_ease)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != "")).cast(
+            "long"
+        ).alias("words"),
+        F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), F.lit(0)))
+        .cast("long")
+        .alias("syllables"),
+    )
+    pooled = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("n_words"),
+        F.sum("syllables").alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_docs")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return pooled.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
+        F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
+    ).orderBy("source")

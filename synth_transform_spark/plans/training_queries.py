@@ -1358,3 +1358,98 @@ def q244_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q274 - temperature-scaled sampling weights per source: the multinomial
+# mixing weights w_i proportional to n_i^T for T in {1, 1/2, 1/4} plus the
+# effective epoch count each temperature implies (how many times a small
+# source repeats when the mixture is sampled for one total-corpus pass) -
+# the mLM-style (XLM-R / mT5) counterpart to q244's UniMax and q223's
+# DoReMi weights.
+# Parity: n_i^(1/2) and n_i^(1/4) are computed as SQRT / SQRT(SQRT) -
+# IEEE-correctly-rounded in both engines (the reason for choosing dyadic
+# temperatures over pow()) - then frozen to round(10^6 * x) integers, so
+# the normalising sums are integer sums; every output is one division of
+# frozen integers, 4dp.
+# Scale: one per-source token aggregate (map-side partials), then all
+# arithmetic on the |sources|-row relation (1-row broadcast for totals).
+# --------------------------------------------------------------------------
+@register(
+    "q274_temperature_weights",
+    oracle="""
+WITH toks AS (
+    SELECT source,
+           CAST(SUM(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY source
+),
+frozen AS (
+    SELECT source, n_tokens,
+           CAST(ROUND(1000000.0 * SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+               AS s05,
+           CAST(ROUND(1000000.0 * SQRT(SQRT(CAST(n_tokens AS DOUBLE))))
+                AS BIGINT) AS s025
+    FROM toks
+),
+tot AS (
+    SELECT CAST(SUM(n_tokens) AS BIGINT) AS t100,
+           CAST(SUM(s05) AS BIGINT) AS t05,
+           CAST(SUM(s025) AS BIGINT) AS t025
+    FROM frozen
+)
+SELECT f.source, f.n_tokens,
+       ROUND(CAST(f.n_tokens AS DOUBLE) / t.t100, 4) AS w_t100,
+       ROUND(CAST(f.s05 AS DOUBLE) / t.t05, 4) AS w_t050,
+       ROUND(CAST(f.s025 AS DOUBLE) / t.t025, 4) AS w_t025,
+       ROUND((CAST(f.s05 AS DOUBLE) / t.t05) * t.t100 / f.n_tokens, 4)
+           AS epochs_t050
+FROM frozen f CROSS JOIN tot t
+ORDER BY f.source
+""",
+    tags=("training-mix", "A12", "F19"),
+)
+def q274_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mixture weights per source for T = 1, 0.5,
+    0.25 and the implied T=0.5 epoch multiplier: (source, n_tokens,
+    w_t100, w_t050, w_t025, epochs_t050)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda t: t != ""))
+        ).alias("n_tokens")
+    )
+    frozen = toks.select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(1000000.0 * F.sqrt(F.col("n_tokens").cast("double")))
+        .cast("long")
+        .alias("s05"),
+        F.round(1000000.0 * F.sqrt(F.sqrt(F.col("n_tokens").cast("double"))))
+        .cast("long")
+        .alias("s025"),
+    )
+    tot = frozen.agg(
+        F.sum("n_tokens").alias("t100"),
+        F.sum("s05").alias("t05"),
+        F.sum("s025").alias("t025"),
+    )
+    w05 = F.col("s05").cast("double") / F.col("t05")
+    return (
+        frozen.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(F.col("n_tokens").cast("double") / F.col("t100"), 4).alias(
+                "w_t100"
+            ),
+            F.round(w05, 4).alias("w_t050"),
+            F.round(F.col("s025").cast("double") / F.col("t025"), 4).alias(
+                "w_t025"
+            ),
+            F.round(w05 * F.col("t100") / F.col("n_tokens"), 4).alias(
+                "epochs_t050"
+            ),
+        )
+        .orderBy("source")
+    )
