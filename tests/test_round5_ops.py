@@ -481,3 +481,197 @@ def test_personalized_pagerank_mass_bounded(spark):
     assert not df.empty
     assert (df["score"] >= 0).all()
     assert df["score"].sum() <= 1.0 + 1e-9
+
+
+# -- q268-q275 semantics ----------------------------------------------------
+
+
+def test_trigram_index_never_misses(spark):
+    """Trigram containment is necessary for substring match, so candidates
+    must be a superset of true matches - and n_matches must equal the
+    exact per-pattern containment count."""
+    import pandas as pd
+
+    from synth_transform_spark.plans.textops import _Q268_PATTERNS
+
+    df = (
+        REGISTRY["q268_trigram_search"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("pattern")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for p in _Q268_PATTERNS:
+        true_matches = int(docs["text"].str.contains(p, regex=False).sum())
+        r = df.loc[p]
+        assert int(r["n_matches"]) == true_matches
+        assert int(r["n_candidates"]) >= true_matches
+
+
+def test_readability_matches_pooled_recompute(spark):
+    import re
+
+    import pandas as pd
+
+    df = (
+        REGISTRY["q269_readability"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("source")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs["w"] = docs["text"].map(lambda t: len([x for x in t.split(" ") if x]))
+    docs["syl"] = docs["text"].map(lambda t: len(re.findall(r"[aeiouy]+", t)))
+    g = docs.groupby("source").agg(
+        n_docs=("doc_id", "size"), n_words=("w", "sum"), n_syl=("syl", "sum")
+    )
+    for src, r in g.iterrows():
+        got = df.loc[src]
+        assert int(got["n_words"]) == r["n_words"]
+        assert int(got["n_syllables"]) == r["n_syl"]
+        fk = 0.39 * (r["n_words"] / r["n_docs"]) + 11.8 * (
+            r["n_syl"] / r["n_words"]
+        ) - 15.59
+        assert abs(got["fk_grade"] - fk) < 1e-3
+
+
+def test_mmr_greedy_invariants(spark):
+    """Rank 1 is the pure-relevance argmax; scores are non-increasing
+    (each later pick optimises over a shrunken, more-penalised set); all
+    picks distinct; score never exceeds 0.7 * rel."""
+    df = (
+        REGISTRY["q270_mmr_rerank"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("mmr_rank")
+    )
+    assert list(df["mmr_rank"]) == [1, 2, 3, 4, 5]
+    assert df["vec_id"].nunique() == 5
+    assert abs(df.iloc[0]["score"] - round(0.7 * df.iloc[0]["rel"], 4)) <= 1e-9
+    assert (df["score"].diff().dropna() <= 1e-9).all()
+    # |sim| <= 1 bounds the redundancy term (sims may be NEGATIVE, which
+    # legitimately pushes a score above 0.7 * rel)
+    assert (df["score"] <= 0.7 * df["rel"] + 0.3 + 1e-9).all()
+    assert (df["score"] >= 0.7 * df["rel"] - 0.3 - 1e-9).all()
+
+
+def test_mmr_matches_numpy_greedy(spark):
+    """Replicate pool selection + greedy in numpy (raw doubles, no 4dp
+    freeze) and require the same picked ids - on this corpus no cosine
+    pair sits within 1e-4 of a decision boundary, so the frozen and raw
+    greedies agree."""
+    import numpy as np
+    import pandas as pd
+
+    df = (
+        REGISTRY["q270_mmr_rerank"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("mmr_rank")
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values("vec_id")
+    X = np.array([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    q = Xn[ids == 0][0]
+    rel = Xn @ q
+    rel[ids == 0] = -2
+    order = sorted(range(len(ids)), key=lambda j: (-round(rel[j], 4), ids[j]))
+    pool = order[:20]
+    sims = Xn[pool] @ Xn[pool].T
+    chosen = []
+    for _ in range(5):
+        best = None
+        for pj, j in enumerate(pool):
+            if pj in chosen:
+                continue
+            maxsim = max((sims[pj, c] for c in chosen), default=0.0)
+            raw = 0.7 * rel[j] - 0.3 * maxsim
+            key = (raw, -ids[j])
+            if best is None or key > best[0]:
+                best = (key, pj)
+        chosen.append(best[1])
+    assert list(df["vec_id"]) == [int(ids[pool[c]]) for c in chosen]
+
+
+def test_theil_sen_matches_python(spark):
+    import statistics
+
+    import pandas as pd
+
+    df = (
+        REGISTRY["q271_theil_sen"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    daily = ev.groupby(["event_type", "day"]).size()
+    for et in daily.index.get_level_values(0).unique():
+        s = daily[et].sort_index()
+        ts = [(d.toordinal(), c) for d, c in s.items()]
+        slopes = [
+            round(1e6 * (cj - ci) / (tj - ti))
+            for k, (ti, ci) in enumerate(ts)
+            for tj, cj in ts[k + 1 :]
+        ]
+        r = df.loc[et]
+        assert int(r["n_pairs"]) == len(slopes)
+        assert r["sen_slope"] == round(statistics.median(slopes) / 1e6, 4)
+
+
+def test_backtest_skill_identity(spark):
+    df = REGISTRY["q272_forecast_backtest"].spark(spark, SF_DIR).toPandas()
+    assert (df["n_eval"] == 23).all()  # 30 contiguous days - 7
+    for _, r in df.iterrows():
+        # query computes skill from UNROUNDED MAEs; recomputing from the
+        # 4dp-rounded output columns can drift a little past 1e-4
+        assert abs(
+            r["skill_vs_naive1"]
+            - (1.0 - r["mae_snaive"] / r["mae_naive1"])
+        ) <= 5e-4
+
+
+def test_randomized_response_debias_identities(spark):
+    df = REGISTRY["q273_randomized_response"].spark(spark, SF_DIR).toPandas()
+    n = int(df["n_true"].sum())
+    assert int(df["n_reported"].sum()) == n  # mechanism never drops a row
+    # estimator identity per category
+    k = len(df)
+    for _, r in df.iterrows():
+        est = (r["n_reported"] - n * 0.25 / k) / 0.75
+        assert abs(r["n_hat"] - est) <= 1e-3
+    # debiasing is exactly mass-preserving: sum n_hat == n
+    assert abs(df["n_hat"].sum() - n) <= 1e-2
+
+
+def test_temperature_weights_flatten_with_temperature(spark):
+    df = REGISTRY["q274_temperature_weights"].spark(spark, SF_DIR).toPandas()
+    for c in ("w_t100", "w_t050", "w_t025"):
+        assert abs(df[c].sum() - 1.0) <= 1e-2  # 4dp-rounded weights sum to 1
+    # lower temperature -> flatter distribution
+    assert df["w_t100"].var() >= df["w_t050"].var() >= df["w_t025"].var()
+    # small sources get boosted, large ones damped
+    small = df.loc[df["n_tokens"].idxmin()]
+    large = df.loc[df["n_tokens"].idxmax()]
+    assert small["w_t050"] >= small["w_t100"]
+    assert large["w_t050"] <= large["w_t100"]
+    assert small["epochs_t050"] >= 1.0 >= large["epochs_t050"]
+
+
+def test_zonemap_clustering_actually_prunes(spark):
+    df = (
+        REGISTRY["q275_zonemap_audit"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("layout")
+    )
+    nat, clu = df.loc["natural"], df.loc["date_clustered"]
+    assert int(nat["rows_total"]) == int(clu["rows_total"])
+    # same rows survive the predicate regardless of layout; clustering
+    # must scan no MORE than natural order
+    assert clu["row_scan_frac"] <= nat["row_scan_frac"]
+    assert clu["rows_scanned"] <= nat["rows_scanned"]
+    # and the clustered layout must genuinely skip blocks
+    assert int(clu["n_scanned"]) < int(clu["n_blocks"])
