@@ -147,3 +147,140 @@ def vocab_segmentation(result: BpeResult) -> DataFrame:
         ).alias("segmented"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def unigram_viterbi(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece: int = 4,
+    max_word_len: int = 12,
+) -> DataFrame:
+    """SentencePiece-style unigram-LM E-step: Viterbi-segment every
+    vocabulary word under substring-frequency piece probabilities.
+
+    Pieces are all substrings of length 1..``max_piece``; p(piece) is its
+    corpus-weighted occurrence share; the Viterbi DP maximises the summed
+    log-probability of a segmentation (ties: fewer pieces, then the
+    smallest split point). Returns (word, corpus_freq, n_pieces,
+    logprob).
+
+    The DP is VECTORISED over the vocabulary relation: position j's best
+    prefix score is one join+argmax over positions j-max_piece..j-1, so
+    the whole E-step is ``max_word_len`` relational steps (no UDF, no
+    per-word loop) - each step a vocabulary-keyed join, which is exactly
+    the shape that scales: 100 TB of text collapses to a vocabulary
+    relation first, and every DP step shuffles only that.
+
+    Log scores are frozen to round(10^6 * ln(pf/total)) integers so the
+    argmax cannot wobble across engines; ties break deterministically.
+    """
+    from ..caching import persist_tracked
+
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+            ).alias("word")
+        )
+        .filter(F.length("word") <= max_word_len)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    words = persist_tracked(words)
+    sub = (
+        words.select(
+            "word",
+            "f",
+            F.explode(F.sequence(F.lit(0), F.length("word") - 1)).alias("i"),
+        )
+        .select(
+            "word",
+            "f",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece), F.length("word") - F.col("i")),
+                )
+            ).alias("L"),
+        )
+        .select(
+            "word",
+            "f",
+            "i",
+            (F.col("i") + F.col("L")).alias("j"),
+            F.substr(F.col("word"), F.col("i") + 1, F.col("L")).alias("piece"),
+        )
+    )
+    pf = sub.groupBy("piece").agg(F.sum("f").alias("pf"))
+    tot = pf.agg(F.sum("pf").alias("tot"))
+    sc = pf.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.round(
+            1000000.0 * F.log(F.col("pf").cast("double") / F.col("tot"))
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    pp = persist_tracked(
+        sub.join(sc, "piece").select("word", "i", "j", "s")
+    )
+
+    b: list[DataFrame] = [
+        words.select(
+            "word",
+            F.lit(0).cast("long").alias("sc"),
+            F.lit(0).cast("long").alias("np"),
+        )
+    ]
+    for j in range(1, max_word_len + 1):
+        cands = None
+        for i in range(max(0, j - max_piece), j):
+            c = (
+                pp.filter((F.col("i") == i) & (F.col("j") == j))
+                .join(b[i], "word")
+                .select(
+                    "word",
+                    (F.col("sc") + F.col("s")).alias("csc"),
+                    (F.col("np") + 1).alias("cnp"),
+                    F.lit(i).cast("long").alias("bi"),
+                )
+            )
+            cands = c if cands is None else cands.unionByName(c)
+        best = (
+            cands.groupBy("word")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("csc").alias("sc"),
+                        (-F.col("cnp")).alias("nnp"),
+                        (-F.col("bi")).alias("nbi"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "word",
+                F.col("m.sc").alias("sc"),
+                (-F.col("m.nnp")).cast("long").alias("np"),
+            )
+        )
+        # localCheckpoint (not persist): each level references up to
+        # ``max_piece`` prior levels, so an un-truncated lineage would grow
+        # ~4^12 analyzer nodes - checkpointing keeps every DP step's plan
+        # flat (the graph.py iterative-operator pattern).
+        b.append(best.localCheckpoint(eager=True))
+
+    out = None
+    for j in range(1, max_word_len + 1):
+        part = (
+            words.filter(F.length("word") == j)
+            .join(b[j], "word")
+            .select(
+                "word",
+                F.col("f").cast("long").alias("corpus_freq"),
+                F.col("np").cast("long").alias("n_pieces"),
+                F.round(F.col("sc") / 1000000.0, 4).alias("logprob"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

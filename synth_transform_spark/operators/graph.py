@@ -559,3 +559,74 @@ def personalized_pagerank(
     return ranks.select(
         "node", (F.col("r") / float(B)).alias("score")
     )
+
+
+def removal_effect_attribution(
+    trans_probs: DataFrame,
+    channels: tuple[str, ...],
+    start: str = "_START",
+    conv: str = "purchase",
+    end: str = "_END",
+    n_iter: int = 12,
+    B: int = 100_000_000_000,
+    P: int = 1_000_000,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014): from a
+    first-order transition matrix over user journeys, the conversion
+    probability of the full chain and of each chain with one channel
+    removed (walks that would enter the removed channel are lost), the
+    per-channel removal effect (P_full - P_c) / P_full, and the
+    normalised attribution shares.
+
+    ``trans_probs`` is (s, t, p) with p already frozen to integer
+    micro-units (floor((n_st * P) / n_s)). The chain algebra runs in
+    integers end to end: mass starts at B on ``start``; each step moves
+    floor(m * p / P) along every edge; ``conv`` mass is accumulated, and
+    mass entering ``end`` (or the removed channel) is dropped. Fixed
+    ``n_iter`` unrolled steps - bit-identical on any engine.
+
+    Scale: the transition matrix is |states|^2 <= 49 rows - the ONE
+    bounded collect (the bpe.train per-round pattern); everything
+    corpus-sized happened upstream in the keyed count aggregate.
+    """
+    p = {(r["s"], r["t"]): r["p"] for r in trans_probs.collect()}
+
+    def pconv(removed: str | None) -> int:
+        v = {start: B}
+        total = 0
+        for _ in range(n_iter):
+            total += sum(
+                (m * p.get((s, conv), 0)) // P for s, m in v.items()
+            )
+            nv: dict[str, int] = {}
+            for (s, t), pp in p.items():
+                if s in v and t not in (conv, end) and t != removed:
+                    nv[t] = nv.get(t, 0) + (v[s] * pp) // P
+            v = nv
+        return total
+
+    full = pconv(None)
+    effs = {c: full - pconv(c) for c in channels}
+    tot_eff = sum(effs.values())
+    rows = [
+        (
+            c,
+            full / B,
+            (full - effs[c]) / B,
+            (effs[c] / full) if full else None,
+            (effs[c] / tot_eff) if tot_eff else None,
+        )
+        for c in channels
+    ]
+    spark = trans_probs.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "channel string, p_full double, p_removed double,"
+        " removal_effect double, attribution double",
+    ).select(
+        "channel",
+        F.round("p_full", 4).alias("p_full"),
+        F.round("p_removed", 4).alias("p_removed"),
+        F.round("removal_effect", 4).alias("removal_effect"),
+        F.round("attribution", 4).alias("attribution"),
+    )

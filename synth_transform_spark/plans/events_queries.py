@@ -3597,3 +3597,425 @@ def q273_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q278 - Benjamini-Hochberg FDR control over a 35-test family: for every
+# (event_type, ISO weekday) cell, a binomial z-test of whether that type
+# concentrates on that weekday beyond the calendar share of such
+# weekdays, then the BH step-up procedure at alpha = 0.10 across all 35
+# p-values - multiple-testing discipline for metric sweeps, where
+# uncorrected per-cell tests would flag ~3.5 false positives by chance.
+# Parity: counts and calendar day-shares are exact integers; z is one
+# closed-form double expression; the normal CDF is the Abramowitz-Stegun
+# 7.1.26 polynomial with identical literal coefficients on both sides
+# (exp()'s sub-ulp engine variance is ~1e-16 relative, far below the 4dp
+# round); the BH threshold comparison and rejection flags are computed
+# over the bounded 35-row relation.
+# Scale: corpus -> per-(type, weekday) counts in one keyed aggregate;
+# everything after runs on 35 rows (the bounded-window exception).
+# --------------------------------------------------------------------------
+_BH_ALPHA = 0.10
+
+
+
+@register(
+    "q278_bh_fdr",
+    oracle=f"""
+WITH ev AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events
+),
+days AS (
+    SELECT DISTINCT day FROM ev
+),
+wd_share AS (
+    SELECT ISODOW(day) AS wd, CAST(COUNT(*) AS BIGINT) AS n_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM days) AS total_days
+    FROM days GROUP BY ISODOW(day)
+),
+cells AS (
+    SELECT event_type, ISODOW(day) AS wd, CAST(COUNT(*) AS BIGINT) AS k
+    FROM ev GROUP BY event_type, ISODOW(day)
+),
+totals AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY event_type
+),
+zed AS (
+    SELECT c.event_type, c.wd, c.k, t.n,
+           (c.k - t.n * (CAST(w.n_days AS DOUBLE) / w.total_days))
+           / SQRT(t.n * (CAST(w.n_days AS DOUBLE) / w.total_days)
+                  * (1.0 - CAST(w.n_days AS DOUBLE) / w.total_days)) AS z
+    FROM cells c
+    JOIN totals t ON t.event_type = c.event_type
+    JOIN wd_share w ON w.wd = c.wd
+),
+pv AS (
+    SELECT event_type, wd, k, n, z,
+           1.0 / (1.0 + 0.2316419 * ABS(z)) AS t_as,
+           ABS(z) AS az
+    FROM zed
+),
+pvals AS (
+    SELECT event_type, wd, k, n, z,
+           2.0 * (0.3989422804014327 * EXP(-(az * az) / 2.0)
+                  * (0.319381530 * t_as
+                     - 0.356563782 * t_as * t_as
+                     + 1.781477937 * t_as * t_as * t_as
+                     - 1.821255978 * t_as * t_as * t_as * t_as
+                     + 1.330274429 * t_as * t_as * t_as * t_as * t_as)) AS p
+    FROM pv
+),
+ranked AS (
+    SELECT event_type, wd, k, n, z, p,
+           ROW_NUMBER() OVER (ORDER BY p, event_type, wd) AS rk,
+           COUNT(*) OVER () AS m
+    FROM pvals
+),
+kmax AS (
+    SELECT COALESCE(MAX(CASE WHEN p <= rk * {_BH_ALPHA} / m THEN rk END), 0)
+               AS kmax
+    FROM ranked
+)
+SELECT event_type, CAST(wd AS BIGINT) AS weekday, k AS n_cell, n AS n_type,
+       ROUND(z, 4) AS z_stat, ROUND(p, 4) AS p_value,
+       CAST(CASE WHEN rk <= km.kmax THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM ranked CROSS JOIN kmax km
+ORDER BY event_type, weekday
+""",
+    tags=("ab-test", "A12", "W2"),
+)
+def q278_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, weekday) binomial z-tests with Benjamini-Hochberg FDR
+    control at alpha=0.10: (event_type, weekday, n_cell, n_type, z_stat,
+    p_value, rejected)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    days = ev.select("day").distinct()
+    wd_share = (
+        days.groupBy((F.weekday("day") + 1).alias("wd"))
+        .agg(F.count(F.lit(1)).alias("n_days"))
+        .crossJoin(F.broadcast(days.agg(F.count(F.lit(1)).alias("total_days"))))
+    )
+    cells = ev.groupBy(
+        "event_type", (F.weekday("day") + 1).alias("wd")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    p0 = F.col("n_days").cast("double") / F.col("total_days")
+    zed = (
+        cells.join(F.broadcast(totals), "event_type")
+        .join(F.broadcast(wd_share), "wd")
+        .select(
+            "event_type",
+            "wd",
+            "k",
+            "n",
+            (
+                (F.col("k") - F.col("n") * p0)
+                / F.sqrt(F.col("n") * p0 * (1.0 - p0))
+            ).alias("z"),
+        )
+    )
+    az = F.abs(F.col("z"))
+    t_as = 1.0 / (1.0 + 0.2316419 * az)
+    phi_tail = (
+        0.3989422804014327
+        * F.exp(-(az * az) / 2.0)
+        * (
+            0.319381530 * t_as
+            - 0.356563782 * t_as * t_as
+            + 1.781477937 * t_as * t_as * t_as
+            - 1.821255978 * t_as * t_as * t_as * t_as
+            + 1.330274429 * t_as * t_as * t_as * t_as * t_as
+        )
+    )
+    pvals = zed.withColumn("p", 2.0 * phi_tail)
+    w_rk = Window.orderBy("p", "event_type", "wd")
+    w_all = Window.partitionBy()
+    ranked = pvals.select(
+        "event_type",
+        "wd",
+        "k",
+        "n",
+        "z",
+        "p",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p") <= F.col("rk") * _BH_ALPHA / F.col("m"),
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kmax")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(kmax))
+        .select(
+            "event_type",
+            F.col("wd").cast("long").alias("weekday"),
+            F.col("k").cast("long").alias("n_cell"),
+            F.col("n").cast("long").alias("n_type"),
+            F.round("z", 4).alias("z_stat"),
+            F.round("p", 4).alias("p_value"),
+            (F.col("rk") <= F.col("kmax")).cast("long").alias("rejected"),
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
+# --------------------------------------------------------------------------
+# q279 - next-event prediction accuracy of the Markov baseline: train the
+# global argmax-next-state predictor from the q154 transition matrix and
+# evaluate it in-corpus - per state, how often does the most common
+# successor actually follow? The sanity floor any sequence model must
+# beat before it earns its training cost.
+# Parity: transitions come from the (ts, event_id)-ordered per-user walk
+# (the sessionization contract); counts/argmax/hit sums are exact
+# integers; hit_rate is one division, 4dp.
+# Scale: one per-user window for successor pairs, one keyed aggregate to
+# the bounded |states|^2 matrix, argmax over it, and one broadcast join
+# back for scoring.
+# --------------------------------------------------------------------------
+@register(
+    "q279_next_event_accuracy",
+    oracle="""
+WITH walk AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+trans AS (
+    SELECT event_type AS s, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM walk WHERE nxt IS NOT NULL
+    GROUP BY event_type, nxt
+),
+top AS (
+    SELECT s, t AS top_next
+    FROM (SELECT s, t, ROW_NUMBER() OVER (PARTITION BY s
+                                          ORDER BY c DESC, t ASC) AS rk
+          FROM trans)
+    WHERE rk = 1
+)
+SELECT tr.s AS state,
+       CAST(SUM(tr.c) AS BIGINT) AS n_trans,
+       MAX(tp.top_next) AS top_next,
+       ROUND(CAST(SUM(CASE WHEN tr.t = tp.top_next THEN tr.c ELSE 0 END)
+                  AS DOUBLE) / SUM(tr.c), 4) AS hit_rate
+FROM trans tr JOIN top tp ON tp.s = tr.s
+GROUP BY tr.s
+ORDER BY state
+""",
+    tags=("sequence", "W2", "W3"),
+)
+def q279_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov argmax next-event predictor and its in-corpus accuracy:
+    (state, n_trans, top_next, hit_rate)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = events.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = walk.groupBy(
+        F.col("event_type").alias("s"), F.col("nxt").alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_top = Window.partitionBy("s").orderBy(F.col("c").desc(), F.col("t").asc())
+    top = (
+        trans.withColumn("rk", F.row_number().over(w_top))
+        .filter(F.col("rk") == 1)
+        .select("s", F.col("t").alias("top_next"))
+    )
+    return (
+        trans.join(F.broadcast(top), "s")
+        .groupBy(F.col("s").alias("state"))
+        .agg(
+            F.sum("c").cast("long").alias("n_trans"),
+            F.max("top_next").alias("top_next"),
+            F.round(
+                F.sum(
+                    F.when(F.col("t") == F.col("top_next"), F.col("c")).otherwise(0)
+                ).cast("double")
+                / F.sum("c"),
+                4,
+            ).alias("hit_rate"),
+        )
+        .orderBy("state")
+    )
+
+
+# --------------------------------------------------------------------------
+# q277 - Markov removal-effect attribution (Anderl et al. 2014): build
+# the first-order journey chain per user (START -> events -> first
+# purchase absorbs, otherwise END), estimate transition probabilities,
+# and credit each non-conversion channel by how much total conversion
+# probability disappears when walks through it are removed - the
+# principled alternative to q184's heuristic multi-touch rules.
+# Parity: transition probs are floor((n_st * 10^6) / n_s) integers; the
+# chain recurrence (12 unrolled steps) moves floor(m * p / 10^6) integer
+# mass per edge from B = 10^11 starting units, so conversion masses are
+# exact integers; the oracle unrolls the identical integer algebra per
+# scenario (the q267/q270 device); ratios are single double divisions,
+# 4dp.
+# Scale: corpus work is one per-user ordering window + one keyed count
+# aggregate to the <=49-row matrix; the 5-scenario recurrence runs on
+# that bounded relation (driver-side, bpe.train argmax pattern).
+# --------------------------------------------------------------------------
+_MK_CHANNELS = ("click", "error", "signup", "view")
+_MK_ITERS = 12
+_MK_B = 100_000_000_000
+
+
+def _markov_oracle(n_iter: int = _MK_ITERS) -> str:
+    scen = {"full": None}
+    for c in _MK_CHANNELS:
+        scen[c] = c
+    ctes = []
+    for name, removed in scen.items():
+        not_in = "'purchase', '_END'" + (f", '{removed}'" if removed else "")
+        ctes.append(
+            f"v_{name}_0 AS MATERIALIZED (SELECT '_START' AS state,"
+            f" CAST({_MK_B} AS BIGINT) AS m)"
+        )
+        for k in range(1, n_iter + 1):
+            ctes.append(
+                f"""g_{name}_{k} AS MATERIALIZED (
+    SELECT CAST(COALESCE(SUM((v.m * p.p) // 1000000), 0) AS BIGINT) AS g
+    FROM v_{name}_{k - 1} v JOIN p ON p.s = v.state AND p.t = 'purchase'
+)"""
+            )
+            ctes.append(
+                f"""v_{name}_{k} AS MATERIALIZED (
+    SELECT p.t AS state, CAST(SUM((v.m * p.p) // 1000000) AS BIGINT) AS m
+    FROM v_{name}_{k - 1} v JOIN p ON p.s = v.state
+    WHERE p.t NOT IN ({not_in})
+    GROUP BY p.t
+)"""
+            )
+        gsum = " + ".join(
+            f"(SELECT g FROM g_{name}_{k})" for k in range(1, n_iter + 1)
+        )
+        ctes.append(
+            f"conv_{name} AS MATERIALIZED (SELECT CAST({gsum} AS BIGINT) AS conv)"
+        )
+    eff_terms = " + ".join(
+        f"((SELECT conv FROM conv_full) - (SELECT conv FROM conv_{c}))"
+        for c in _MK_CHANNELS
+    )
+    ctes.append(f"te AS (SELECT CAST({eff_terms} AS BIGINT) AS te)")
+    selects = []
+    for c in _MK_CHANNELS:
+        selects.append(
+            f"""SELECT '{c}' AS channel,
+       ROUND(CAST((SELECT conv FROM conv_full) AS DOUBLE) / {_MK_B}, 4)
+           AS p_full,
+       ROUND(CAST((SELECT conv FROM conv_{c}) AS DOUBLE) / {_MK_B}, 4)
+           AS p_removed,
+       ROUND(CASE WHEN (SELECT conv FROM conv_full) > 0 THEN
+           CAST((SELECT conv FROM conv_full) - (SELECT conv FROM conv_{c})
+                AS DOUBLE) / (SELECT conv FROM conv_full) END, 4)
+           AS removal_effect,
+       ROUND(CASE WHEN (SELECT te FROM te) > 0 THEN
+           CAST((SELECT conv FROM conv_full) - (SELECT conv FROM conv_{c})
+                AS DOUBLE) / (SELECT te FROM te) END, 4) AS attribution"""
+        )
+    union = "\nUNION ALL\n".join(selects)
+    joined_ctes = ",\n".join(ctes)
+    return f"""
+WITH walk AS MATERIALIZED (
+    SELECT user_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+    FROM events
+),
+fp AS (
+    SELECT user_id, MIN(rn) AS fp_rn FROM walk
+    WHERE event_type = 'purchase' GROUP BY user_id
+),
+kept AS MATERIALIZED (
+    SELECT w.user_id, w.event_type, w.rn
+    FROM walk w LEFT JOIN fp ON fp.user_id = w.user_id
+    WHERE fp.fp_rn IS NULL OR w.rn <= fp.fp_rn
+),
+mx AS (SELECT user_id, MAX(rn) AS mxr FROM kept GROUP BY user_id),
+steps AS (
+    SELECT a.event_type AS s, b.event_type AS t
+    FROM kept a JOIN kept b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    UNION ALL
+    SELECT '_START' AS s, event_type AS t FROM kept WHERE rn = 1
+    UNION ALL
+    SELECT k.event_type AS s, '_END' AS t
+    FROM kept k
+    JOIN mx ON mx.user_id = k.user_id AND k.rn = mx.mxr
+    LEFT JOIN fp ON fp.user_id = k.user_id
+    WHERE fp.user_id IS NULL
+),
+cnt AS (SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c FROM steps GROUP BY s, t),
+outd AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY s),
+p AS MATERIALIZED (
+    SELECT c.s, c.t, CAST((c.c * 1000000) // o.n AS BIGINT) AS p
+    FROM cnt c JOIN outd o ON o.s = c.s
+),
+{joined_ctes}
+SELECT * FROM ({union})
+ORDER BY channel
+"""
+
+
+@register(
+    "q277_markov_attribution",
+    oracle=_markov_oracle(),
+    tags=("attribution", "W2", "J10"),
+)
+def q277_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect channel attribution from the user-journey Markov
+    chain: (channel, p_full, p_removed, removal_effect, attribution) -
+    operators/graph.removal_effect_attribution."""
+    from ..operators import graph
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = events.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    )
+    fp = (
+        walk.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("fp_rn"))
+    )
+    kept = (
+        walk.join(fp, "user_id", "left")
+        .filter(F.col("fp_rn").isNull() | (F.col("rn") <= F.col("fp_rn")))
+        .select("user_id", "event_type", "rn")
+    )
+    mx = kept.groupBy("user_id").agg(F.max("rn").alias("mxr"))
+    a = kept.select("user_id", F.col("event_type").alias("s"), "rn")
+    b = kept.select(
+        "user_id", F.col("event_type").alias("t"), (F.col("rn") - 1).alias("rn")
+    )
+    internal = a.join(b, ["user_id", "rn"]).select("s", "t")
+    starts = kept.filter(F.col("rn") == 1).select(
+        F.lit("_START").alias("s"), F.col("event_type").alias("t")
+    )
+    ends = (
+        kept.join(mx, "user_id")
+        .filter(F.col("rn") == F.col("mxr"))
+        .join(fp, "user_id", "left_anti")
+        .select(F.col("event_type").alias("s"), F.lit("_END").alias("t"))
+    )
+    steps = internal.unionByName(starts).unionByName(ends)
+    cnt = steps.groupBy("s", "t").agg(F.count(F.lit(1)).alias("c"))
+    outd = cnt.groupBy("s").agg(F.sum("c").alias("n"))
+    probs = cnt.join(outd, "s").select(
+        "s", "t", F.expr("(c * 1000000) div n").cast("long").alias("p")
+    )
+    return graph.removal_effect_attribution(
+        probs, channels=_MK_CHANNELS, n_iter=_MK_ITERS, B=_MK_B
+    ).orderBy("channel")

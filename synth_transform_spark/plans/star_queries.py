@@ -354,3 +354,109 @@ def q275_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# --------------------------------------------------------------------------
+# q281 - ABC (Pareto) inventory classification per brand: parts ranked by
+# revenue within their brand, cumulative-share cutoffs at 80%/95% assign
+# classes A/B/C, and the output aggregates each (brand, class) cell -
+# the classic 80/20 working-capital analysis, here keyed so every window
+# is brand-partitioned (never a global sort).
+# Parity: per-part revenue is frozen to round(10^4 * price*(1-disc))
+# integers before summation; the two cutoff comparisons are INTEGER
+# cross-multiplications (5*cum <= 4*tot, 20*cum <= 19*tot), so no float
+# sits anywhere near a class boundary; the two output ratios divide
+# frozen integers, 4dp.
+# Scale: one (brand, part) keyed aggregate; the rank/cumsum window
+# partitions by brand (the W2 contract - sortWithinPartitions per key,
+# no single-reducer funnel); output is |brands| x 3 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q281_abc_classes",
+    oracle="""
+WITH rev AS (
+    SELECT p.p_brand, l.l_partkey,
+           CAST(SUM(CAST(ROUND(10000.0 * l.l_extendedprice
+                               * (1.0 - l.l_discount)) AS BIGINT))
+                AS BIGINT) AS r
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, l.l_partkey
+),
+ranked AS (
+    SELECT p_brand, l_partkey, r,
+           SUM(r) OVER (PARTITION BY p_brand
+                        ORDER BY r DESC, l_partkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(r) OVER (PARTITION BY p_brand) AS tot
+    FROM rev
+),
+classed AS (
+    SELECT p_brand, r, tot,
+           CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+                WHEN 20 * cum <= 19 * tot THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT p_brand, abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(r) AS DOUBLE) / MAX(tot), 4) AS rev_share
+FROM classed
+GROUP BY p_brand, abc_class
+ORDER BY p_brand, abc_class
+""",
+    tags=("analytics", "W2", "A9"),
+)
+def q281_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC Pareto classes of parts by revenue within brand:
+    (p_brand, abc_class, n_parts, rev_share)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    10000.0
+                    * F.col("l_extendedprice")
+                    * (1.0 - F.col("l_discount"))
+                ).cast("long")
+            ).alias("r")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("r").desc(), F.col("l_partkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("p_brand")
+    ranked = rev.select(
+        "p_brand",
+        "r",
+        F.sum("r").over(w_cum).alias("cum"),
+        F.sum("r").over(w_tot).alias("tot"),
+    )
+    classed = ranked.select(
+        "p_brand",
+        "r",
+        "tot",
+        F.when(5 * F.col("cum") <= 4 * F.col("tot"), F.lit("A"))
+        .when(20 * F.col("cum") <= 19 * F.col("tot"), F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return (
+        classed.groupBy("p_brand", "abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(
+                F.sum("r").cast("double") / F.max("tot"), 4
+            ).alias("rev_share"),
+        )
+        .orderBy("p_brand", "abc_class")
+    )

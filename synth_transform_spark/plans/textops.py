@@ -2289,3 +2289,156 @@ def q269_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.39 * wps + 11.8 * spw - 15.59, 4).alias("fk_grade"),
         F.round(206.835 - 1.015 * wps - 84.6 * spw, 4).alias("flesch_ease"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q280 - classifier-vs-gold agreement audit: confusion of the q25 marker
+# lang-ID against the gold `lang` column, per-language precision /
+# recall / F1 plus chance-corrected Cohen's kappa - the relation a
+# labeling pipeline materialises before trusting a cheap heuristic as a
+# training-data filter (raw accuracy lies when classes are imbalanced;
+# kappa doesn't).
+# Parity: the confusion matrix is exact integers from the q25 argmax
+# (deterministic score + alphabetic tie-break); po/pe/kappa and P/R/F1
+# are fixed double expressions over those integers, 4dp.
+# Scale: lang_id is a narrow JVM map; ONE (gold, pred) aggregate makes
+# the bounded confusion matrix; all metrics run on its |langs|^2 rows.
+# --------------------------------------------------------------------------
+def _kappa_oracle() -> str:
+    langs = sorted(text_analysis.LANG_MARKERS)
+    score_exprs = []
+    for lg in langs:
+        markers = ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[lg])
+        score_exprs.append(
+            f"LEN(LIST_FILTER(toks, x -> x IN ({markers}))) AS score_{lg}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+WITH t AS (
+    SELECT doc_id, lang,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+s AS (SELECT doc_id, lang, {", ".join(score_exprs)} FROM t),
+g AS (SELECT *, {greatest} AS best FROM s),
+pairs AS (SELECT lang, CASE {case} END AS pred_lang FROM g),
+conf AS (
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+    FROM pairs GROUP BY lang, pred_lang
+),
+gold AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_gold FROM conf GROUP BY lang),
+predt AS (
+    SELECT pred_lang AS lang, CAST(SUM(c) AS BIGINT) AS n_pred
+    FROM conf GROUP BY pred_lang
+),
+diag AS (
+    SELECT lang, c AS n_correct FROM conf WHERE lang = pred_lang
+),
+per_lang AS (
+    SELECT COALESCE(g.lang, p.lang) AS lang,
+           COALESCE(g.n_gold, 0) AS n_gold,
+           COALESCE(p.n_pred, 0) AS n_pred,
+           COALESCE(d.n_correct, 0) AS n_correct
+    FROM gold g
+    FULL JOIN predt p ON p.lang = g.lang
+    LEFT JOIN diag d ON d.lang = COALESCE(g.lang, p.lang)
+),
+tot AS (
+    SELECT CAST(SUM(n_gold) AS BIGINT) AS n,
+           CAST(SUM(n_correct) AS BIGINT) AS agree,
+           CAST(SUM(n_gold * n_pred) AS BIGINT) AS chance_num
+    FROM per_lang
+)
+SELECT pl.lang, pl.n_gold, pl.n_pred, pl.n_correct,
+       ROUND(CASE WHEN pl.n_pred > 0
+                  THEN CAST(pl.n_correct AS DOUBLE) / pl.n_pred END, 4)
+           AS p_precision,
+       ROUND(CASE WHEN pl.n_gold > 0
+                  THEN CAST(pl.n_correct AS DOUBLE) / pl.n_gold END, 4)
+           AS p_recall,
+       ROUND(CASE WHEN (CASE WHEN pl.n_pred > 0
+                             THEN CAST(pl.n_correct AS DOUBLE) / pl.n_pred END
+                        + CASE WHEN pl.n_gold > 0
+                               THEN CAST(pl.n_correct AS DOUBLE) / pl.n_gold END)
+                       > 0
+                  THEN 2.0 * (CAST(pl.n_correct AS DOUBLE) / pl.n_pred)
+                           * (CAST(pl.n_correct AS DOUBLE) / pl.n_gold)
+                       / (CAST(pl.n_correct AS DOUBLE) / pl.n_pred
+                          + CAST(pl.n_correct AS DOUBLE) / pl.n_gold)
+                  ELSE 0.0 END, 4) AS f1,
+       ROUND((CAST(t.agree AS DOUBLE) / t.n
+              - CAST(t.chance_num AS DOUBLE) / (t.n * t.n))
+             / (1.0 - CAST(t.chance_num AS DOUBLE) / (t.n * t.n)), 4)
+           AS kappa
+FROM per_lang pl CROSS JOIN tot t
+ORDER BY pl.lang
+"""
+
+
+@register(
+    "q280_cohens_kappa",
+    oracle=_kappa_oracle(),
+    tags=("ml-eval", "A6", "A12"),
+)
+def q280_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language P/R/F1 of the q25 lang-ID against gold labels, with
+    Cohen's kappa replicated on every row: (lang, n_gold, n_pred,
+    n_correct, p_precision, p_recall, f1, kappa)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = text_analysis.lang_id(docs).select("doc_id", "pred_lang")
+    pairs = docs.select("doc_id", "lang").join(pred, "doc_id")
+    conf = pairs.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    gold = conf.groupBy("lang").agg(F.sum("c").alias("n_gold"))
+    predt = conf.groupBy(F.col("pred_lang").alias("lang")).agg(
+        F.sum("c").alias("n_pred")
+    )
+    diag = conf.filter(F.col("lang") == F.col("pred_lang")).select(
+        "lang", F.col("c").alias("n_correct")
+    )
+    per_lang = (
+        gold.join(predt, "lang", "full")
+        .join(diag, "lang", "left")
+        .select(
+            "lang",
+            F.coalesce("n_gold", F.lit(0)).cast("long").alias("n_gold"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+        )
+    )
+    tot = per_lang.agg(
+        F.sum("n_gold").alias("n"),
+        F.sum("n_correct").alias("agree"),
+        F.sum(F.col("n_gold") * F.col("n_pred")).alias("chance_num"),
+    )
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = F.col("chance_num").cast("double") / (F.col("n") * F.col("n"))
+    prec = F.when(
+        F.col("n_pred") > 0,
+        F.col("n_correct").cast("double") / F.col("n_pred"),
+    )
+    rec = F.when(
+        F.col("n_gold") > 0,
+        F.col("n_correct").cast("double") / F.col("n_gold"),
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_gold",
+            "n_pred",
+            "n_correct",
+            F.round(prec, 4).alias("p_precision"),
+            F.round(rec, 4).alias("p_recall"),
+            F.round(
+                F.when(
+                    prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("f1"),
+            F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
+        )
+        .orderBy("lang")
+    )

@@ -1453,3 +1453,105 @@ def q274_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q276 - unigram-LM tokenizer E-step (SentencePiece, Kudo 2018): Viterbi
+# segmentation of the corpus vocabulary under substring-frequency piece
+# probabilities - the algorithmic sibling of q186's BPE (greedy merges)
+# that trains the OTHER mainstream subword tokenizer family. Per word:
+# optimal piece count and frozen log-probability.
+# Parity: piece scores are round(10^6 * ln(pf/total)) integers on a
+# bounded piece relation; the DP is integer addition + argmax with a
+# deterministic (score desc, pieces asc, split asc) tie-break; the
+# oracle unrolls the 12 DP positions as chained MATERIALIZED CTEs (the
+# q277 device).
+# Scale: the corpus collapses FIRST to the vocabulary relation (one
+# keyed aggregate); pieces are a bounded explode over it (<= 4x word
+# bytes); each of the 12 DP steps is one vocabulary-keyed join+argmax -
+# no UDF, no per-word loop, no driver state.
+# --------------------------------------------------------------------------
+_UV_MAXP = 4
+_UV_MAXW = 12
+
+
+def _unigram_oracle(max_piece: int = _UV_MAXP, max_word: int = _UV_MAXW) -> str:
+    bctes = [
+        "b0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS sc,"
+        " CAST(0 AS BIGINT) AS np FROM wf)"
+    ]
+    for j in range(1, max_word + 1):
+        unions = "\n        UNION ALL\n".join(
+            f"""        SELECT p.word, b.sc + p.s AS sc, b.np + 1 AS np,
+               CAST({i} AS BIGINT) AS bi
+        FROM pp p JOIN b{i} b ON b.word = p.word
+        WHERE p.i = {i} AND p.j = {j}"""
+            for i in range(max(0, j - max_piece), j)
+        )
+        bctes.append(
+            f"""b{j} AS MATERIALIZED (
+    SELECT word, sc, np FROM (
+        SELECT word, sc, np,
+               ROW_NUMBER() OVER (PARTITION BY word
+                                  ORDER BY sc DESC, np ASC, bi ASC) AS rk
+        FROM (
+{unions}
+        )
+    ) WHERE rk = 1
+)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"""SELECT w.word, w.f AS corpus_freq, b.np AS n_pieces,
+       ROUND(b.sc / 1000000.0, 4) AS logprob
+FROM wf w JOIN b{j} b ON b.word = w.word WHERE LEN(w.word) = {j}"""
+        for j in range(1, max_word + 1)
+    )
+    joined = ",\n".join(bctes)
+    return f"""
+WITH wtoks AS (
+    SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS word
+    FROM documents
+),
+wf AS MATERIALIZED (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS f FROM wtoks
+    WHERE LEN(word) <= {max_word} GROUP BY word
+),
+sub AS MATERIALIZED (
+    SELECT word, f, i, L, SUBSTR(word, i + 1, L) AS piece, i + L AS j
+    FROM wf,
+         UNNEST(GENERATE_SERIES(0, LEN(word) - 1)) AS t(i),
+         UNNEST(GENERATE_SERIES(1, LEAST({max_piece}, LEN(word) - i))) AS u(L)
+),
+pf AS MATERIALIZED (
+    SELECT piece, CAST(SUM(f) AS BIGINT) AS pf FROM sub GROUP BY piece
+),
+tot AS (SELECT CAST(SUM(pf) AS BIGINT) AS tot FROM pf),
+sc AS MATERIALIZED (
+    SELECT piece,
+           CAST(ROUND(1000000.0 * LN(CAST(pf AS DOUBLE)
+                                     / (SELECT tot FROM tot))) AS BIGINT) AS s
+    FROM pf
+),
+pp AS MATERIALIZED (
+    SELECT sub.word, sub.i, sub.j, sc.s FROM sub JOIN sc ON sc.piece = sub.piece
+),
+{joined}
+SELECT * FROM ({finals})
+ORDER BY word
+"""
+
+
+@register(
+    "q276_unigram_viterbi",
+    oracle=_unigram_oracle(),
+    tags=("tokenizer", "A8", "W3"),
+)
+def q276_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi segmentation of the corpus vocabulary:
+    (word, corpus_freq, n_pieces, logprob) - operators/bpe.unigram_viterbi."""
+    from ..operators.bpe import unigram_viterbi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_viterbi(
+        docs, max_piece=_UV_MAXP, max_word_len=_UV_MAXW
+    ).orderBy("word")
