@@ -675,3 +675,174 @@ def test_zonemap_clustering_actually_prunes(spark):
     assert clu["rows_scanned"] <= nat["rows_scanned"]
     # and the clustered layout must genuinely skip blocks
     assert int(clu["n_scanned"]) < int(clu["n_blocks"])
+
+
+# -- q276-q281 semantics ----------------------------------------------------
+
+
+def test_unigram_viterbi_matches_python_dp(spark):
+    """Full Python recompute: piece frequencies, frozen log scores, and
+    the (score desc, pieces asc, split asc) Viterbi DP must reproduce
+    every word's n_pieces and logprob."""
+    import math
+
+    import pandas as pd
+
+    df = (
+        REGISTRY["q276_unigram_viterbi"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("word")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    wf: dict[str, int] = {}
+    for t in docs["text"]:
+        for w in t.split(" "):
+            if w and len(w) <= 12:
+                wf[w] = wf.get(w, 0) + 1
+    pf: dict[str, int] = {}
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for L in range(1, min(4, len(w) - i) + 1):
+                pf[w[i : i + L]] = pf.get(w[i : i + L], 0) + f
+    tot = sum(pf.values())
+    s = {p: round(1e6 * math.log(c / tot)) for p, c in pf.items()}
+    for w, f in wf.items():
+        best = {0: (0, 0)}  # j -> (score, npieces)
+        for j in range(1, len(w) + 1):
+            cands = []
+            for i in range(max(0, j - 4), j):
+                if i in best:
+                    sc, np_ = best[i]
+                    cands.append((sc + s[w[i:j]], -(np_ + 1), -i))
+            top = max(cands)
+            best[j] = (top[0], -top[1])
+        sc, np_ = best[len(w)]
+        r = df.loc[w]
+        assert int(r["n_pieces"]) == np_, (w, np_, r["n_pieces"])
+        assert r["logprob"] == round(sc / 1e6, 4), (w, sc)
+    assert len(df) == len(wf)
+
+
+def test_removal_effect_on_hand_chain(spark):
+    """START splits 50/50 to a and b, both convert: removing either
+    channel halves conversion, attribution is an exact 50/50 split."""
+    from synth_transform_spark.operators.graph import (
+        removal_effect_attribution,
+    )
+
+    probs = spark.createDataFrame(
+        [
+            ("_START", "a", 500000),
+            ("_START", "b", 500000),
+            ("a", "purchase", 1000000),
+            ("b", "purchase", 1000000),
+        ],
+        "s string, t string, p long",
+    )
+    rows = {
+        r["channel"]: r
+        for r in removal_effect_attribution(probs, ("a", "b")).collect()
+    }
+    for c in ("a", "b"):
+        assert rows[c]["p_full"] == 1.0
+        assert rows[c]["p_removed"] == 0.5
+        assert rows[c]["removal_effect"] == 0.5
+        assert rows[c]["attribution"] == 0.5
+
+
+def test_markov_attribution_invariants(spark):
+    df = REGISTRY["q277_markov_attribution"].spark(spark, SF_DIR).toPandas()
+    assert len(df) == 4
+    assert df["p_full"].nunique() == 1
+    assert (df["p_removed"] <= df["p_full"] + 1e-9).all()
+    assert ((df["removal_effect"] >= 0) & (df["removal_effect"] <= 1)).all()
+    assert abs(df["attribution"].sum() - 1.0) <= 2e-4
+
+
+def test_bh_rejections_are_a_p_value_prefix(spark):
+    df = (
+        REGISTRY["q278_bh_fdr"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values(["p_value", "event_type", "weekday"])
+        .reset_index(drop=True)
+    )
+    assert len(df) == 35
+    assert ((df["p_value"] >= 0) & (df["p_value"] <= 1.0001)).all()
+    rej = list(df["rejected"])
+    # BH rejects exactly the kmax smallest p-values - a prefix
+    assert rej == sorted(rej, reverse=True)
+    # cell counts partition the type totals
+    assert (df.groupby("event_type")["n_cell"].sum()
+            == df.groupby("event_type")["n_type"].first()).all()
+
+
+def test_next_event_argmax_matches_pandas(spark):
+    import pandas as pd
+
+    df = (
+        REGISTRY["q279_next_event_accuracy"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("state")
+    )
+    ev = (
+        pd.read_parquet(f"{SF_DIR}/events.parquet")
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ev["nxt"] = ev.groupby("user_id")["event_type"].shift(-1)
+    tr = ev.dropna(subset=["nxt"]).groupby(["event_type", "nxt"]).size()
+    for s in tr.index.get_level_values(0).unique():
+        g = tr[s]
+        top = sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        r = df.loc[s]
+        assert r["top_next"] == top
+        assert int(r["n_trans"]) == int(g.sum())
+        assert r["hit_rate"] == round(g[top] / g.sum(), 4)
+
+
+def test_cohens_kappa_matches_sklearn_formula(spark):
+    df = REGISTRY["q280_cohens_kappa"].spark(spark, SF_DIR).toPandas()
+    n = df["n_gold"].sum()
+    po = df["n_correct"].sum() / n
+    pe = (df["n_gold"] * df["n_pred"]).sum() / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert df["kappa"].nunique() == 1
+    assert abs(df["kappa"].iloc[0] - kappa) <= 1e-4
+    # marginals consistent
+    assert df["n_pred"].sum() == n
+    assert (df["n_correct"] <= df[["n_gold", "n_pred"]].min(axis=1)).all()
+
+
+def test_abc_classes_match_pandas_cutoffs(spark):
+    import pandas as pd
+
+    df = REGISTRY["q281_abc_classes"].spark(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_DIR}/part.parquet")[["p_partkey", "p_brand"]]
+    li = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    li["r"] = (
+        (10000.0 * li["l_extendedprice"] * (1.0 - li["l_discount"]))
+        .round()
+        .astype("int64")
+    )
+    rev = li.groupby(["p_brand", "l_partkey"])["r"].sum().reset_index()
+    got = df.set_index(["p_brand", "abc_class"])
+    for brand, g in rev.groupby("p_brand"):
+        g = g.sort_values(["r", "l_partkey"], ascending=[False, True])
+        tot = int(g["r"].sum())
+        cum, classes = 0, []
+        for r in g["r"]:
+            cum += int(r)
+            classes.append(
+                "A" if 5 * cum <= 4 * tot else ("B" if 20 * cum <= 19 * tot else "C")
+            )
+        g["cls"] = classes
+        for cls, cg in g.groupby("cls"):
+            row = got.loc[(brand, cls)]
+            assert int(row["n_parts"]) == len(cg)
+            assert row["rev_share"] == round(cg["r"].sum() / tot, 4)
+    # every brand's shares sum to ~1
+    s = df.groupby("p_brand")["rev_share"].sum()
+    assert ((s - 1.0).abs() <= 2e-4).all()
