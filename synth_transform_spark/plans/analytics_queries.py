@@ -2273,3 +2273,119 @@ def q267_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr.select(
         "node", F.round("score", 4).alias("score")
     ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# q282 - k-truss peeling of the co-purchase graph (k = 4): per-edge
+# triangle support, then two fixed peel rounds removing every edge with
+# support < k - 2 - the community-core extraction that survives hubs
+# where plain connected components blur everything together (a 4-truss
+# edge sits in >= 2 triangles among surviving edges).
+# Parity: supports are exact triangle counts; peel thresholds are
+# integer comparisons; the oracle unrolls the two rounds as MATERIALIZED
+# CTEs mirroring the same joins.
+# Scale: support is the q101 triangle pattern - one adjacency self-join
+# per round with partial-agg counting; peel rounds are FIXED (2), each a
+# filter + recount, no driver state; edge relations are
+# localCheckpoint-free because the unroll depth is constant.
+# --------------------------------------------------------------------------
+_TRUSS_K = 4
+
+
+def _truss_support_sql(edges: str, out: str) -> str:
+    return f"""{out} AS MATERIALIZED (
+    SELECT e.pa, e.pb, CAST(COUNT(y.yb) AS BIGINT) AS sup
+    FROM {edges} e
+    LEFT JOIN (SELECT pa AS xa, pb AS xb FROM {edges}
+               UNION ALL SELECT pb AS xa, pa AS xb FROM {edges}) x
+      ON x.xa = e.pa
+    LEFT JOIN (SELECT pa AS ya, pb AS yb FROM {edges}
+               UNION ALL SELECT pb AS ya, pa AS yb FROM {edges}) y
+      ON y.ya = e.pb AND y.yb = x.xb
+    GROUP BY e.pa, e.pb
+)"""
+
+
+@register(
+    "q282_ktruss_peel",
+    oracle=f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+e0 AS MATERIALIZED (
+    SELECT a.pk AS pa, b.pk AS pb
+    FROM items a JOIN items b ON b.ok = a.ok AND a.pk < b.pk
+    GROUP BY a.pk, b.pk
+    HAVING COUNT(*) >= 2
+),
+{_truss_support_sql("e0", "s0")},
+e1 AS MATERIALIZED (
+    SELECT pa, pb FROM s0 WHERE sup >= {_TRUSS_K - 2}
+),
+{_truss_support_sql("e1", "s1")},
+e2 AS MATERIALIZED (
+    SELECT pa, pb FROM s1 WHERE sup >= {_TRUSS_K - 2}
+)
+SELECT CAST(1 AS BIGINT) AS peel_round,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0) AS n_edges_in,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e0)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_removed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges_out
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS peel_round,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e1),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e1)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM e2),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+ORDER BY peel_round
+""",
+    tags=("graph", "A5", "U3"),
+)
+def q282_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two k-truss peel rounds (k=4) over the cooc>=2 co-purchase graph:
+    (peel_round, n_edges_in, n_removed, n_edges_out)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = items.select("ok", F.col("pk").alias("pa"))
+    b = items.select("ok", F.col("pk").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+        .select("pa", "pb")
+    )
+
+    def support(e: DataFrame) -> DataFrame:
+        adj = e.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionByName(
+            e.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        )
+        xa = adj.select(F.col("u").alias("pa"), F.col("v").alias("x"))
+        yb = adj.select(F.col("u").alias("pb"), F.col("v").alias("x"))
+        tri = (
+            e.join(xa, "pa")
+            .join(yb, ["pb", "x"])
+            .groupBy("pa", "pb")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+        return e.join(tri, ["pa", "pb"], "left").select(
+            "pa", "pb", F.coalesce("sup", F.lit(0)).cast("long").alias("sup")
+        )
+
+    from ..caching import persist_tracked
+
+    e0 = persist_tracked(edges)
+    s0 = support(e0)
+    e1 = persist_tracked(
+        s0.filter(F.col("sup") >= _TRUSS_K - 2).select("pa", "pb")
+    )
+    s1 = support(e1)
+    e2 = s1.filter(F.col("sup") >= _TRUSS_K - 2).select("pa", "pb")
+    n0, n1, n2 = e0.count(), e1.count(), e2.count()
+    return spark.createDataFrame(
+        [(1, n0, n0 - n1, n1), (2, n1, n1 - n2, n2)],
+        "peel_round long, n_edges_in long, n_removed long, n_edges_out long",
+    ).orderBy("peel_round")

@@ -4019,3 +4019,331 @@ def q277_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.removal_effect_attribution(
         probs, channels=_MK_CHANNELS, n_iter=_MK_ITERS, B=_MK_B
     ).orderBy("channel")
+
+
+# --------------------------------------------------------------------------
+# q283 - exact ROC-AUC from score-domain count algebra: AUC of the event
+# `value` as a purchase-vs-rest classifier, computed WITHOUT a global
+# row sort: collapse to per-distinct-score (pos, neg) counts, one cum
+# window over the score domain, then the tie-corrected Mann-Whitney U.
+# 2U = sum_i(2 * p_i * negs_below_i + p_i * n_i) keeps everything
+# integer (ties contribute exact halves), so AUC = 2U / (2 * P * N) is
+# one division - no rank averaging, no float accumulation.
+# Parity: scores frozen to round(10^4 * value); all counts/U integer.
+# Scale: the corpus collapses to the score-domain relation first (one
+# keyed aggregate); the cum window runs over distinct scores, not rows
+# (range-partitioned two-pass at 100 TB, the ids.py pattern - declared
+# bounded-domain exception at test scale).
+# --------------------------------------------------------------------------
+@register(
+    "q283_roc_auc",
+    oracle="""
+WITH scored AS (
+    SELECT CAST(ROUND(10000.0 * value) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+g AS (
+    SELECT v,
+           CAST(SUM(pos) AS BIGINT) AS p,
+           CAST(SUM(1 - pos) AS BIGINT) AS n
+    FROM scored GROUP BY v
+),
+cum AS (
+    SELECT v, p, n,
+           CAST(COALESCE(SUM(n) OVER (ORDER BY v
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+               AS neg_below
+    FROM g
+),
+u AS (
+    SELECT CAST(SUM(2 * p * neg_below + p * n) AS BIGINT) AS two_u,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(SUM(n) AS BIGINT) AS n_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_scores
+    FROM cum
+)
+SELECT n_pos, n_neg, n_scores,
+       ROUND(CAST(two_u AS DOUBLE) / (2.0 * n_pos * n_neg), 4) AS auc
+FROM u
+""",
+    tags=("ml-eval", "A12", "W4"),
+)
+def q283_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of `value` predicting purchase:
+    (n_pos, n_neg, n_scores, auc)."""
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        F.round(10000.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = scored.groupBy("v").agg(
+        F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("n")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = g.select(
+        "p", "n", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("neg_below")
+    )
+    u = cum.agg(
+        F.sum(2 * F.col("p") * F.col("neg_below") + F.col("p") * F.col("n"))
+        .alias("two_u"),
+        F.sum("p").alias("n_pos"),
+        F.sum("n").alias("n_neg"),
+        F.count(F.lit(1)).alias("n_scores"),
+    )
+    return u.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.col("n_scores").cast("long").alias("n_scores"),
+        F.round(
+            F.col("two_u").cast("double") / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            4,
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q284 - difference-in-differences: the 2x2 (treated x pre/post) design
+# over event values with the mid-month cutover - treated cohort = odd
+# user ids, outcome = mean event value. DID = (T_post - T_pre) -
+# (C_post - C_pre), with the classical unpooled SE and t statistic. The
+# before/after-with-control estimator that survives level differences
+# between cohorts (complements q229 CUPED and q242 IPW).
+# Parity: values frozen to round(10^4 * value); the 12 sufficient
+# statistics (n, sum, sum-of-squares per cell) are exact integers from
+# ONE conditional-aggregation pass; means/vars/did/se/t are a fixed
+# double expression tree over them, 4dp. Values freeze at 10^2 units
+# (the data's native 2 decimals), keeping sum(x^2) < 2^63 even at
+# 10^9+ rows.
+# Scale: a single full-table aggregate with map-side partials; zero
+# joins, zero windows, 1 output row.
+# --------------------------------------------------------------------------
+_DID_CUT = "2024-01-16"
+
+
+def _did_cells() -> list[tuple[str, str]]:
+    return [("t", "post"), ("t", "pre"), ("c", "post"), ("c", "pre")]
+
+
+def _did_oracle() -> str:
+    aggs = []
+    for co, pe in _did_cells():
+        cond = (
+            f"user_id % 2 = {1 if co == 't' else 0} AND "
+            + (
+                f"CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_DID_CUT} 00:00:00'"
+                if pe == "post"
+                else f"CAST(ts AS TIMESTAMP) < TIMESTAMP '{_DID_CUT} 00:00:00'"
+            )
+        )
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_{co}_{pe},"
+        )
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN x ELSE 0 END) AS BIGINT)"
+            f" AS s1_{co}_{pe},"
+        )
+        aggs.append(
+            f"CAST(SUM(CASE WHEN {cond} THEN x * x ELSE 0 END) AS BIGINT)"
+            f" AS s2_{co}_{pe},"
+        )
+    agg_sql = "\n           ".join(aggs).rstrip(",")
+    mean = {
+        f"{co}_{pe}": f"(CAST(s1_{co}_{pe} AS DOUBLE) / n_{co}_{pe})"
+        for co, pe in _did_cells()
+    }
+    var = {
+        f"{co}_{pe}": (
+            f"((s2_{co}_{pe} - CAST(s1_{co}_{pe} AS DOUBLE)"
+            f" * s1_{co}_{pe} / n_{co}_{pe}) / (n_{co}_{pe} - 1))"
+        )
+        for co, pe in _did_cells()
+    }
+    did = (
+        f"(({mean['t_post']} - {mean['t_pre']})"
+        f" - ({mean['c_post']} - {mean['c_pre']}))"
+    )
+    se = (
+        "SQRT("
+        + " + ".join(f"{var[k]} / n_{k}" for k in mean)
+        + ")"
+    )
+    return f"""
+WITH s AS (
+    SELECT user_id, ts, CAST(ROUND(100.0 * value) AS BIGINT) AS x
+    FROM events
+),
+cells AS (
+    SELECT {agg_sql}
+    FROM s
+)
+SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       ROUND({did} / 100.0, 4) AS did,
+       ROUND({se} / 100.0, 4) AS se,
+       ROUND({did} / {se}, 4) AS t_stat
+FROM cells
+"""
+
+
+@register(
+    "q284_diff_in_diff",
+    oracle=_did_oracle(),
+    tags=("causal", "A12"),
+)
+def q284_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 difference-in-differences on event values:
+    (n_t_pre, n_t_post, n_c_pre, n_c_post, did, se, t_stat)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.select(
+        "user_id",
+        "ts",
+        F.round(100.0 * F.col("value")).cast("long").alias("x"),
+    )
+    cut = F.lit(f"{_DID_CUT} 00:00:00").cast("timestamp")
+    conds = {}
+    for co, pe in _did_cells():
+        c = F.col("user_id") % 2 == (1 if co == "t" else 0)
+        c = c & (
+            (F.col("ts") >= cut) if pe == "post" else (F.col("ts") < cut)
+        )
+        conds[f"{co}_{pe}"] = c
+    aggs = []
+    for k, c in conds.items():
+        aggs.append(F.sum(F.when(c, 1).otherwise(0)).alias(f"n_{k}"))
+        aggs.append(
+            F.sum(F.when(c, F.col("x")).otherwise(0)).alias(f"s1_{k}")
+        )
+        aggs.append(
+            F.sum(F.when(c, F.col("x") * F.col("x")).otherwise(0)).alias(
+                f"s2_{k}"
+            )
+        )
+    cells = s.agg(*aggs)
+
+    def mean(k):
+        return F.col(f"s1_{k}").cast("double") / F.col(f"n_{k}")
+
+    def var(k):
+        return (
+            F.col(f"s2_{k}")
+            - F.col(f"s1_{k}").cast("double")
+            * F.col(f"s1_{k}")
+            / F.col(f"n_{k}")
+        ) / (F.col(f"n_{k}") - 1)
+
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    se = F.sqrt(
+        sum(var(k) / F.col(f"n_{k}") for k in ("t_post", "t_pre", "c_post", "c_pre"))
+    )
+    return cells.select(
+        F.col("n_t_pre").cast("long").alias("n_t_pre"),
+        F.col("n_t_post").cast("long").alias("n_t_post"),
+        F.col("n_c_pre").cast("long").alias("n_c_pre"),
+        F.col("n_c_post").cast("long").alias("n_c_post"),
+        F.round(did / 100.0, 4).alias("did"),
+        F.round(se / 100.0, 4).alias("se"),
+        F.round(did / se, 4).alias("t_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q285 - recommender coverage / novelty audit of the q255 neighbour
+# lists: what share of the catalogue ever gets recommended (coverage),
+# how popular the recommended items are (mean self-information,
+# -ln(popularity share), in nats - low = rich-get-richer lists), plus
+# list-size and co-occurrence diagnostics. The offline health check that
+# catches popularity collapse before an A/B does.
+# Parity: the rec lists are q255's exact relation (its oracle text is
+# embedded as a MATERIALIZED CTE); popularity shares and their frozen
+# round(10^6 * -ln(share)) self-information are per-item integers; the
+# final means divide integer sums, 4dp.
+# Scale: q255's budget plus one broadcast join of the rec list to the
+# per-item popularity relation and two tiny aggregates.
+# --------------------------------------------------------------------------
+def _q285_oracle() -> str:
+    from .registry import REGISTRY as _R
+
+    q255 = _R["q255_item_item_cf"].oracle
+    return f"""
+WITH recs AS MATERIALIZED ({q255}),
+catalog AS (
+    SELECT l_partkey AS pk, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS s
+    FROM lineitem GROUP BY l_partkey
+),
+n_orders AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem
+),
+info AS (
+    SELECT c.pk,
+           CAST(ROUND(1000000.0 * -LN(CAST(c.s AS DOUBLE)
+                                      / (SELECT n FROM n_orders)))
+                AS BIGINT) AS si
+    FROM catalog c
+),
+per_rec AS (
+    SELECT r.item, r.neighbor, r.cooc, i.si
+    FROM recs r JOIN info i ON i.pk = r.neighbor
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM catalog) AS n_catalog,
+       CAST(COUNT(DISTINCT neighbor) AS BIGINT) AS n_recommended,
+       ROUND(CAST(COUNT(DISTINCT neighbor) AS DOUBLE)
+             / (SELECT COUNT(*) FROM catalog), 4) AS coverage,
+       CAST(COUNT(*) AS BIGINT) AS n_list_rows,
+       ROUND(AVG(CAST(cooc AS DOUBLE)), 4) AS mean_cooc,
+       ROUND(CAST(SUM(si) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+           AS mean_novelty_nats
+FROM per_rec
+"""
+
+
+@register(
+    "q285_rec_coverage_novelty",
+    oracle=_q285_oracle(),
+    tags=("recsys", "A12", "A10"),
+)
+def q285_rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage/novelty audit of q255's item-item lists: (n_catalog,
+    n_recommended, coverage, n_list_rows, mean_cooc, mean_novelty_nats)."""
+    recs = q255_item_item_cf(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    catalog = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.countDistinct("l_orderkey").alias("s")
+    )
+    n_orders = li.agg(F.countDistinct("l_orderkey").alias("n"))
+    info = catalog.crossJoin(F.broadcast(n_orders)).select(
+        "pk",
+        F.round(
+            1000000.0
+            * -F.log(F.col("s").cast("double") / F.col("n"))
+        )
+        .cast("long")
+        .alias("si"),
+    )
+    per_rec = recs.join(
+        info.withColumnRenamed("pk", "neighbor"), "neighbor"
+    )
+    n_cat = catalog.agg(F.count(F.lit(1)).alias("n_catalog"))
+    return (
+        per_rec.agg(
+            F.countDistinct("neighbor").alias("n_recommended"),
+            F.count(F.lit(1)).alias("n_list_rows"),
+            F.round(F.avg(F.col("cooc").cast("double")), 4).alias("mean_cooc"),
+            F.sum("si").alias("si_sum"),
+        )
+        .crossJoin(F.broadcast(n_cat))
+        .select(
+            F.col("n_catalog").cast("long").alias("n_catalog"),
+            F.col("n_recommended").cast("long").alias("n_recommended"),
+            F.round(
+                F.col("n_recommended").cast("double") / F.col("n_catalog"), 4
+            ).alias("coverage"),
+            F.col("n_list_rows").cast("long").alias("n_list_rows"),
+            "mean_cooc",
+            F.round(
+                F.col("si_sum").cast("double") / F.col("n_list_rows") / 1000000.0,
+                4,
+            ).alias("mean_novelty_nats"),
+        )
+    )
