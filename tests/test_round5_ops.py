@@ -846,3 +846,82 @@ def test_abc_classes_match_pandas_cutoffs(spark):
     # every brand's shares sum to ~1
     s = df.groupby("p_brand")["rev_share"].sum()
     assert ((s - 1.0).abs() <= 2e-4).all()
+
+
+# -- q282-q285 semantics ----------------------------------------------------
+
+
+def test_ktruss_peel_monotone_and_consistent(spark):
+    df = (
+        REGISTRY["q282_ktruss_peel"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("peel_round")
+        .reset_index(drop=True)
+    )
+    assert list(df["peel_round"]) == [1, 2]
+    # flow conservation and monotone shrinkage
+    assert (df["n_edges_in"] - df["n_removed"] == df["n_edges_out"]).all()
+    assert df.loc[1, "n_edges_in"] == df.loc[0, "n_edges_out"]
+    assert (df["n_removed"] >= 0).all()
+    # round 2 removes no more than round 1 (supports only drop after a peel,
+    # but survivors already had support >= 2, so the second cut is smaller)
+    assert df.loc[1, "n_removed"] <= df.loc[0, "n_removed"]
+
+
+def test_roc_auc_matches_sklearn_free_recompute(spark):
+    """Exact AUC recompute via pandas rank (average ranks = tie-corrected
+    Mann-Whitney) must equal the count-algebra result."""
+    import pandas as pd
+
+    row = REGISTRY["q283_roc_auc"].spark(spark, SF_DIR).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    v = (10000.0 * ev["value"]).round()
+    pos = (ev["event_type"] == "purchase").astype(int)
+    ranks = pd.Series(v).rank(method="average")
+    n_pos, n_neg = int(pos.sum()), int((1 - pos).sum())
+    u = ranks[pos == 1].sum() - n_pos * (n_pos + 1) / 2
+    auc = u / (n_pos * n_neg)
+    assert int(row["n_pos"]) == n_pos and int(row["n_neg"]) == n_neg
+    assert abs(row["auc"] - auc) <= 1e-4
+
+
+def test_did_matches_statsmodels_free_recompute(spark):
+    import math
+
+    import pandas as pd
+
+    row = REGISTRY["q284_diff_in_diff"].spark(spark, SF_DIR).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["x"] = (100.0 * ev["value"]).round()
+    ev["post"] = pd.to_datetime(ev["ts"]) >= pd.Timestamp("2024-01-16")
+    ev["t"] = ev["user_id"] % 2 == 1
+    cells = {}
+    for t in (True, False):
+        for post in (True, False):
+            g = ev[(ev["t"] == t) & (ev["post"] == post)]["x"]
+            cells[(t, post)] = (len(g), g.mean(), g.var(ddof=1))
+    did = (cells[(True, True)][1] - cells[(True, False)][1]) - (
+        cells[(False, True)][1] - cells[(False, False)][1]
+    )
+    se = math.sqrt(sum(v / n for n, _, v in cells.values()))
+    assert int(row["n_t_post"]) == cells[(True, True)][0]
+    assert abs(row["did"] - did / 100.0) <= 1e-3
+    assert abs(row["se"] - se / 100.0) <= 1e-3
+    assert abs(row["t_stat"] - did / se) <= 1e-3
+
+
+def test_rec_coverage_bounds_and_list_size(spark):
+    row = (
+        REGISTRY["q285_rec_coverage_novelty"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    assert 0 < row["coverage"] <= 1.0
+    assert row["n_recommended"] <= row["n_catalog"]
+    # every list row is one of <=3 neighbours of some item
+    recs = REGISTRY["q255_item_item_cf"].spark(spark, SF_DIR).toPandas()
+    assert int(row["n_list_rows"]) == len(recs)
+    assert row["mean_novelty_nats"] > 0  # no item covers every order
+    assert abs(row["mean_cooc"] - round(recs["cooc"].mean(), 4)) <= 1e-4
