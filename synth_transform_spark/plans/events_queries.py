@@ -4347,3 +4347,228 @@ def q285_rec_coverage_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_novelty_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q288 - linear-interpolation gap fill: simulate sensor dropout (every
+# 3rd calendar day per type is missing) over the daily mean-value series
+# and reconstruct interior gaps by linear interpolation between the
+# surrounding present days - the numeric upgrade of q166's LOCF
+# (which repeats the last value; interpolation follows the trend).
+# Parity: daily means are frozen floor(sum(100x)/n) integers; the
+# interpolation v_prev + (v_next - v_prev) * (d - d_prev) / (d_next -
+# d_prev) is ONE double expression over 5 integers; 4dp.
+# Scale: corpus -> per-(type, day) aggregate first; gap detection and
+# both neighbour lookups are windows over the calendar-bounded daily
+# series (the q166 contract). Boundary gaps (no neighbour on one side)
+# are dropped, not extrapolated.
+# --------------------------------------------------------------------------
+@register(
+    "q288_linear_interp",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '2024-01-01',
+                    CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS d,
+           CAST(SUM(CAST(ROUND(100.0 * value) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+present AS (SELECT * FROM daily WHERE d % 3 <> 0),
+missing AS (SELECT event_type, d FROM daily WHERE d % 3 = 0),
+prevn AS (
+    SELECT m.event_type, m.d,
+           MAX(p.d) AS pd
+    FROM missing m JOIN present p
+      ON p.event_type = m.event_type AND p.d < m.d
+    GROUP BY m.event_type, m.d
+),
+nextn AS (
+    SELECT m.event_type, m.d,
+           MIN(p.d) AS nd
+    FROM missing m JOIN present p
+      ON p.event_type = m.event_type AND p.d > m.d
+    GROUP BY m.event_type, m.d
+)
+SELECT m.event_type, m.d AS day_idx,
+       ROUND((pv.x + (nv.x - pv.x) * CAST(m.d - pn.pd AS DOUBLE)
+              / (nn.nd - pn.pd)) / 100.0, 4) AS value_interp,
+       CAST(nn.nd - pn.pd AS BIGINT) AS gap_span
+FROM missing m
+JOIN prevn pn ON pn.event_type = m.event_type AND pn.d = m.d
+JOIN nextn nn ON nn.event_type = m.event_type AND nn.d = m.d
+JOIN present pv ON pv.event_type = m.event_type AND pv.d = pn.pd
+JOIN present nv ON nv.event_type = m.event_type AND nv.d = nn.nd
+ORDER BY m.event_type, day_idx
+""",
+    tags=("timeseries", "J14", "F19"),
+)
+def q288_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of simulated every-3rd-day gaps in the daily
+    mean-value series: (event_type, day_idx, value_interp, gap_span)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("d"),
+    ).agg(
+        F.floor(
+            F.sum(F.round(100.0 * F.col("value")).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("x")
+    )
+    present = daily.filter(F.col("d") % 3 != 0)
+    missing = daily.filter(F.col("d") % 3 == 0).select("event_type", "d")
+    p = present.select("event_type", F.col("d").alias("pd"), F.col("x").alias("px"))
+    n = present.select("event_type", F.col("d").alias("nd"), F.col("x").alias("nx"))
+    prevn = (
+        missing.join(p, "event_type")
+        .filter(F.col("pd") < F.col("d"))
+        .groupBy("event_type", "d")
+        .agg(F.max("pd").alias("pd"))
+        .join(p, ["event_type", "pd"])
+    )
+    nextn = (
+        missing.join(n, "event_type")
+        .filter(F.col("nd") > F.col("d"))
+        .groupBy("event_type", "d")
+        .agg(F.min("nd").alias("nd"))
+        .join(n, ["event_type", "nd"])
+    )
+    joined = prevn.join(nextn, ["event_type", "d"])
+    interp = (
+        F.col("px")
+        + (F.col("nx") - F.col("px"))
+        * (F.col("d") - F.col("pd")).cast("double")
+        / (F.col("nd") - F.col("pd"))
+    ) / 100.0
+    return joined.select(
+        "event_type",
+        F.col("d").cast("long").alias("day_idx"),
+        F.round(interp, 4).alias("value_interp"),
+        (F.col("nd") - F.col("pd")).cast("long").alias("gap_span"),
+    ).orderBy("event_type", "day_idx")
+
+
+# --------------------------------------------------------------------------
+# q289 - cumulative gain / lift decile table for the q283 classifier
+# (event value predicting purchase): rank the population by score,
+# decile it WITHOUT a row-level ntile (ties share a decile: decile =
+# floor(10 * rows_above / N) at score granularity - deterministic where
+# ntile's tie-splitting is not), and report per-decile capture and lift.
+# The targeting curve every uplift/propensity model ships with.
+# Parity: deciles, counts and cumulative positives are exact integers on
+# the score-domain relation; capture/lift are single divisions, 4dp.
+# Scale: same collapse-first shape as q283 - one keyed aggregate to
+# score-domain counts, one cum window over distinct scores, one 10-row
+# aggregate. No row sort, no ntile.
+# --------------------------------------------------------------------------
+@register(
+    "q289_gain_chart",
+    oracle="""
+WITH scored AS (
+    SELECT CAST(ROUND(10000.0 * value) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+g AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+    FROM scored GROUP BY v
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp FROM g
+),
+cum AS (
+    SELECT v, n, p,
+           CAST(COALESCE(SUM(n) OVER (ORDER BY v DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT)
+               AS rows_above
+    FROM g
+),
+dec AS (
+    SELECT CAST(LEAST(10 * c.rows_above // t.nn, 9) AS BIGINT) AS decile,
+           c.n, c.p
+    FROM cum c CROSS JOIN tot t
+),
+agg AS (
+    SELECT decile, CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(SUM(p) AS BIGINT) AS n_pos
+    FROM dec GROUP BY decile
+),
+run AS (
+    SELECT decile, n_rows, n_pos,
+           CAST(SUM(n_pos) OVER (ORDER BY decile
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_pos
+    FROM agg
+)
+SELECT r.decile, r.n_rows, r.n_pos,
+       ROUND(CAST(r.cum_pos AS DOUBLE) / t.pp, 4) AS capture,
+       ROUND((CAST(r.n_pos AS DOUBLE) / r.n_rows)
+             / (CAST(t.pp AS DOUBLE) / t.nn), 4) AS lift
+FROM run r CROSS JOIN tot t
+ORDER BY r.decile
+""",
+    tags=("ml-eval", "A12", "W2"),
+)
+def q289_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile gain/lift table of value-as-propensity for purchase:
+    (decile, n_rows, n_pos, capture, lift)."""
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        F.round(10000.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = scored.groupBy("v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    tot = g.agg(F.sum("n").alias("nn"), F.sum("p").alias("pp"))
+    w = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = g.select(
+        "n", "p", F.coalesce(F.sum("n").over(w), F.lit(0)).alias("rows_above")
+    )
+    dec = cum.crossJoin(F.broadcast(tot)).select(
+        F.least(
+            F.floor(10 * F.col("rows_above") / F.col("nn")).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("decile"),
+        "n",
+        "p",
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("n").alias("n_rows"), F.sum("p").alias("n_pos")
+    )
+    wd = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = agg.select(
+        "decile",
+        "n_rows",
+        "n_pos",
+        F.sum("n_pos").over(wd).alias("cum_pos"),
+    )
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.round(F.col("cum_pos").cast("double") / F.col("pp"), 4).alias(
+                "capture"
+            ),
+            F.round(
+                (F.col("n_pos").cast("double") / F.col("n_rows"))
+                / (F.col("pp").cast("double") / F.col("nn")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )

@@ -460,3 +460,219 @@ def q281_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand", "abc_class")
     )
+
+
+# --------------------------------------------------------------------------
+# q286 - declarative expectation suite (the Great-Expectations pattern):
+# a battery of data-contract rules - not-null, domain range, value-set,
+# cross-column ordering, referential integrity - evaluated over the
+# order/lineitem tables with per-rule checked/failed counts and pass
+# rates, ALL single-pass per table plus one anti-join for the FK rule.
+# The relation a pipeline gates deploys on; q96's dq_audit generalised
+# to a rule catalogue.
+# Parity: every rule is an integer conditional count; pass_rate is one
+# division, 4dp.
+# Scale: one conditional-aggregation pass over each fact table (rules
+# share the scan - the point of the suite); the FK rule is a broadcast
+# anti-join counted in the same style.
+# --------------------------------------------------------------------------
+@register(
+    "q286_expectation_suite",
+    oracle="""
+WITH li AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS f_qty_null,
+           SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+               AS f_disc_range,
+           SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 ELSE 0 END)
+               AS f_flag_set,
+           SUM(CASE WHEN l_tax < 0 OR l_tax > 1 THEN 1 ELSE 0 END)
+               AS f_tax_range
+    FROM lineitem
+),
+shiporder AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS f
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+o AS (
+    SELECT COUNT(*) AS n,
+           SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS f_price_pos
+    FROM orders
+),
+fk AS (
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS f
+)
+SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_failed AS BIGINT) AS n_failed,
+       ROUND(1.0 - CAST(n_failed AS DOUBLE) / n_checked, 4) AS pass_rate
+FROM (
+    SELECT 'lineitem.l_quantity not_null' AS rule, n AS n_checked,
+           f_qty_null AS n_failed FROM li
+    UNION ALL
+    SELECT 'lineitem.l_discount in [0,1]', n, f_disc_range FROM li
+    UNION ALL
+    SELECT 'lineitem.l_returnflag in (A,N,R)', n, f_flag_set FROM li
+    UNION ALL
+    SELECT 'lineitem.l_tax in [0,1]', n, f_tax_range FROM li
+    UNION ALL
+    SELECT 'lineitem.l_shipdate >= orders.o_orderdate', n, f FROM shiporder
+    UNION ALL
+    SELECT 'orders.o_totalprice > 0', n, f_price_pos FROM o
+    UNION ALL
+    SELECT 'lineitem.l_orderkey fk orders', n, f FROM fk
+)
+ORDER BY rule
+""",
+    tags=("data-quality", "P1", "P10", "P5"),
+)
+def q286_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract rule battery with per-rule pass rates:
+    (rule, n_checked, n_failed, pass_rate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    li_stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("f_qty_null"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("f_disc_range"),
+        F.sum(
+            (~F.col("l_returnflag").isin("A", "N", "R")).cast("long")
+        ).alias("f_flag_set"),
+        F.sum(
+            ((F.col("l_tax") < 0) | (F.col("l_tax") > 1)).cast("long")
+        ).alias("f_tax_range"),
+    ).collect()[0]
+    ship = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("l_shipdate") < F.col("o_orderdate")).cast("long")
+            ).alias("f"),
+        )
+        .collect()[0]
+    )
+    o_stats = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("f_price_pos"),
+    ).collect()[0]
+    fk_failed = li.join(
+        orders.select("o_orderkey"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left_anti",
+    ).count()
+    rows = [
+        ("lineitem.l_quantity not_null", li_stats["n"], li_stats["f_qty_null"]),
+        ("lineitem.l_discount in [0,1]", li_stats["n"], li_stats["f_disc_range"]),
+        ("lineitem.l_returnflag in (A,N,R)", li_stats["n"], li_stats["f_flag_set"]),
+        ("lineitem.l_tax in [0,1]", li_stats["n"], li_stats["f_tax_range"]),
+        (
+            "lineitem.l_shipdate >= orders.o_orderdate",
+            ship["n"],
+            ship["f"],
+        ),
+        ("orders.o_totalprice > 0", o_stats["n"], o_stats["f_price_pos"]),
+        ("lineitem.l_orderkey fk orders", li_stats["n"], fk_failed),
+    ]
+    return (
+        spark.createDataFrame(
+            [(r, int(n), int(f)) for r, n, f in rows],
+            "rule string, n_checked long, n_failed long",
+        )
+        .select(
+            "rule",
+            "n_checked",
+            "n_failed",
+            F.round(
+                1.0 - F.col("n_failed").cast("double") / F.col("n_checked"), 4
+            ).alias("pass_rate"),
+        )
+        .orderBy("rule")
+    )
+
+
+# --------------------------------------------------------------------------
+# q287 - central-DP histogram via deterministic inverse-CDF Laplace
+# noise: per-event-type counts released with Laplace(1/eps) noise at
+# eps = 0.5, the uniform draw coming from the md5(event_type) hash
+# stream so the release is reproducible and oracle-checkable (a seeded
+# DP release - the mechanism is real, the randomness is pinned).
+# Complements q273's LOCAL model with the central model.
+# Parity: u = (hash % 10^6 + 0.5) / 10^6 is exact; the Laplace quantile
+# sign * b * ln(1 - 2|u - 0.5|) is frozen to an integer noise term
+# before addition, so noisy counts are exact integers; errors are
+# integer differences, 4dp on the one ratio.
+# Scale: one keyed count aggregate; noise is a narrow map on the
+# |categories|-row relation.
+# --------------------------------------------------------------------------
+_DP_EPS_INV = 2  # b = 1/eps = 2  (eps = 0.5)
+
+
+@register(
+    "q287_dp_histogram",
+    oracle=f"""
+WITH counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM events GROUP BY event_type
+),
+draw AS (
+    SELECT event_type, n_true,
+           (('0x' || SUBSTR(MD5(event_type), 1, 8))::UBIGINT % 1000000
+            + 0.5) / 1000000.0 AS u
+    FROM counts
+),
+noised AS (
+    SELECT event_type, n_true,
+           CAST(ROUND(CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END
+                      * {_DP_EPS_INV} * LN(1.0 - 2.0 * ABS(u - 0.5)))
+                AS BIGINT) AS noise
+    FROM draw
+)
+SELECT event_type, n_true,
+       n_true + noise AS n_noisy,
+       noise AS noise_added,
+       ROUND(ABS(CAST(noise AS DOUBLE)) / n_true, 4) AS rel_err
+FROM noised
+ORDER BY event_type
+""",
+    tags=("privacy", "A5"),
+)
+def q287_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded central-DP Laplace release of the event-type histogram at
+    eps=0.5: (event_type, n_true, n_noisy, noise_added, rel_err)."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    u = (
+        F.conv(F.substring(F.md5("event_type"), 1, 8), 16, 10).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    noise = (
+        F.round(
+            F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * _DP_EPS_INV
+            * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+        )
+    ).cast("long")
+    return (
+        counts.select(
+            "event_type",
+            F.col("n_true").cast("long").alias("n_true"),
+            (F.col("n_true") + noise).cast("long").alias("n_noisy"),
+            noise.alias("noise_added"),
+            F.round(F.abs(noise.cast("double")) / F.col("n_true"), 4).alias(
+                "rel_err"
+            ),
+        )
+        .orderBy("event_type")
+    )
