@@ -925,3 +925,104 @@ def test_rec_coverage_bounds_and_list_size(spark):
     assert int(row["n_list_rows"]) == len(recs)
     assert row["mean_novelty_nats"] > 0  # no item covers every order
     assert abs(row["mean_cooc"] - round(recs["cooc"].mean(), 4)) <= 1e-4
+
+
+# -- q286-q289 semantics ----------------------------------------------------
+
+
+def test_expectation_suite_matches_pandas(spark):
+    import pandas as pd
+
+    df = (
+        REGISTRY["q286_expectation_suite"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("rule")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    assert int(df.loc["lineitem.l_quantity not_null", "n_failed"]) == int(
+        li["l_quantity"].isna().sum()
+    )
+    assert int(df.loc["lineitem.l_discount in [0,1]", "n_failed"]) == int(
+        ((li["l_discount"] < 0) | (li["l_discount"] > 1)).sum()
+    )
+    assert int(df.loc["orders.o_totalprice > 0", "n_failed"]) == int(
+        (orders["o_totalprice"] <= 0).sum()
+    )
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    assert int(
+        df.loc["lineitem.l_shipdate >= orders.o_orderdate", "n_failed"]
+    ) == int((j["l_shipdate"] < j["o_orderdate"]).sum())
+    fk = (~li["l_orderkey"].isin(orders["o_orderkey"])).sum()
+    assert int(df.loc["lineitem.l_orderkey fk orders", "n_failed"]) == int(fk)
+    for _, r in df.iterrows():
+        assert r["pass_rate"] == round(1.0 - r["n_failed"] / r["n_checked"], 4)
+
+
+def test_dp_histogram_noise_is_laplace_quantile(spark):
+    """Reproduce the seeded noise from the md5 stream and verify the
+    release is exactly true + noise."""
+    import hashlib
+    import math
+
+    df = REGISTRY["q287_dp_histogram"].spark(spark, SF_DIR).toPandas()
+    for _, r in df.iterrows():
+        u = (
+            int(hashlib.md5(r["event_type"].encode()).hexdigest()[:8], 16)
+            % 1000000
+            + 0.5
+        ) / 1000000.0
+        noise = round(
+            (1.0 if u < 0.5 else -1.0) * 2 * math.log(1.0 - 2.0 * abs(u - 0.5))
+        )
+        assert int(r["noise_added"]) == noise
+        assert int(r["n_noisy"]) == int(r["n_true"]) + noise
+
+
+def test_linear_interp_lies_between_neighbors(spark):
+    import pandas as pd
+
+    df = REGISTRY["q288_linear_interp"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["d"] = (
+        pd.to_datetime(ev["ts"]).dt.floor("D")
+        - pd.Timestamp("2024-01-01")
+    ).dt.days
+    ev["x"] = (100.0 * ev["value"]).round().astype("int64")
+    daily = (
+        ev.groupby(["event_type", "d"])["x"]
+        .apply(lambda g: int(g.sum()) // len(g))
+        .reset_index()
+    )
+    present = daily[daily["d"] % 3 != 0].set_index(["event_type", "d"])["x"]
+    # day 0 has no left neighbour -> dropped; all other %3 days interpolated
+    assert (df["day_idx"] % 3 == 0).all()
+    assert 0 not in set(df["day_idx"])
+    for _, r in df.iterrows():
+        et, d = r["event_type"], int(r["day_idx"])
+        pd_ = max(dd for (e, dd) in present.index if e == et and dd < d)
+        nd = min(dd for (e, dd) in present.index if e == et and dd > d)
+        px, nx = present[(et, pd_)], present[(et, nd)]
+        want = (px + (nx - px) * (d - pd_) / (nd - pd_)) / 100.0
+        assert abs(r["value_interp"] - want) <= 1e-4
+        lo, hi = min(px, nx) / 100.0, max(px, nx) / 100.0
+        assert lo - 1e-9 <= r["value_interp"] <= hi + 1e-9
+
+
+def test_gain_chart_identities(spark):
+    df = (
+        REGISTRY["q289_gain_chart"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("decile")
+    )
+    auc_row = REGISTRY["q283_roc_auc"].spark(spark, SF_DIR).toPandas().iloc[0]
+    n, p = auc_row["n_pos"] + auc_row["n_neg"], auc_row["n_pos"]
+    assert int(df["n_rows"].sum()) == n
+    assert int(df["n_pos"].sum()) == p
+    assert abs(df["capture"].iloc[-1] - 1.0) <= 1e-9  # last decile captures all
+    assert df["capture"].is_monotonic_increasing
+    # lift identity: n-weighted mean lift == 1
+    wmean = (df["lift"] * df["n_rows"]).sum() / n
+    assert abs(wmean - 1.0) <= 1e-3
