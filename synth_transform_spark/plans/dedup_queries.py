@@ -1086,3 +1086,109 @@ def q261_kmv_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q290 - duplicate-cluster purity audit: for every q63 near-dup cluster
+# (size >= 2), how concentrated are its members' sources? (size,
+# n_sources, top source share, source entropy). High-entropy clusters
+# mean the same text circulates across sources - the signal that drives
+# cross-source decontamination policy rather than per-source dedup.
+# Parity: cluster labels are q63's exact connected components (its
+# recursive-CTE oracle chain is embedded); per-cluster entropy terms are
+# frozen round(10^6 * c_i * ln(S/c_i)) integers BEFORE the cross-source
+# sum (a float sum over sources would be order-sensitive), one /(10^6*S)
+# at the end; top_share is one division. 4dp.
+# Scale: q63's budget (bucketed LSH pairs -> pointer-doubling CC) plus
+# one broadcast join to doc sources and two keyed aggregates over the
+# cluster relation.
+# --------------------------------------------------------------------------
+@register(
+    "q290_cluster_purity",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+{_CLUSTER_CTES},
+members AS (
+    SELECT l.cluster_id, d.source
+    FROM lab l JOIN documents d ON d.doc_id = l.doc_id
+),
+bysrc AS (
+    SELECT cluster_id, source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM members GROUP BY cluster_id, source
+),
+size_ AS (
+    SELECT cluster_id, CAST(SUM(c) AS BIGINT) AS s FROM bysrc
+    GROUP BY cluster_id HAVING SUM(c) >= 2
+),
+terms AS (
+    SELECT b.cluster_id,
+           CAST(ROUND(1000000.0 * b.c
+                      * LN(CAST(z.s AS DOUBLE) / b.c)) AS BIGINT) AS t,
+           b.c
+    FROM bysrc b JOIN size_ z ON z.cluster_id = b.cluster_id
+)
+SELECT t.cluster_id,
+       z.s AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(CAST(MAX(t.c) AS DOUBLE) / z.s, 4) AS top_share,
+       ROUND(CAST(SUM(t.t) AS DOUBLE) / (1000000.0 * z.s), 4)
+           AS entropy_nats
+FROM terms t JOIN size_ z ON z.cluster_id = t.cluster_id
+GROUP BY t.cluster_id, z.s
+ORDER BY t.cluster_id
+""",
+    tags=("dedup-clusters", "A6", "U4"),
+)
+def q290_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source purity/entropy of each q63 near-dup cluster (size >= 2):
+    (cluster_id, cluster_size, n_sources, top_share, entropy_nats)."""
+    import pyspark.sql.functions as F
+
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    clusters = graph.duplicate_clusters(pairs).select("doc_id", "cluster_id")
+    members = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    bysrc = members.groupBy("cluster_id", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    size_ = (
+        bysrc.groupBy("cluster_id")
+        .agg(F.sum("c").alias("s"))
+        .filter(F.col("s") >= 2)
+    )
+    terms = bysrc.join(size_, "cluster_id").select(
+        "cluster_id",
+        "c",
+        "s",
+        F.round(
+            1000000.0
+            * F.col("c")
+            * F.log(F.col("s").cast("double") / F.col("c"))
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    return (
+        terms.groupBy("cluster_id", "s")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.round(F.max("c").cast("double") / F.col("s"), 4).alias(
+                "top_share"
+            ),
+            F.round(
+                F.sum("t").cast("double") / (1000000.0 * F.col("s")), 4
+            ).alias("entropy_nats"),
+        )
+        .select(
+            "cluster_id",
+            F.col("s").cast("long").alias("cluster_size"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            "top_share",
+            "entropy_nats",
+        )
+        .orderBy("cluster_id")
+    )

@@ -4572,3 +4572,211 @@ def q289_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q291 - covariate balance table (standardized mean differences): before
+# trusting q284's DID or q242's IPW, check whether treated (odd user
+# ids) and control actually look alike on pre-treatment covariates -
+# event value, hour-of-day, ISO weekday. |SMD| < 0.1 is the conventional
+# "balanced" bar; this is the diagnostics relation every causal report
+# leads with.
+# Parity: the three covariates are frozen integers (value x100, hour,
+# weekday); per-arm n / sum / sum-of-squares come from ONE conditional
+# aggregation; mean/var/SMD are a fixed double expression, 4dp.
+# Scale: a single full-table aggregate with map-side partials (all three
+# covariates share the scan), then three bounded output rows.
+# --------------------------------------------------------------------------
+def _q291_covs() -> list[tuple[str, str]]:
+    return [
+        ("value_x100", "CAST(ROUND(100.0 * value) AS BIGINT)"),
+        ("hour_of_day", "CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+        ("iso_weekday", "CAST(ISODOW(CAST(ts AS TIMESTAMP)) AS BIGINT)"),
+    ]
+
+
+def _q291_oracle() -> str:
+    aggs = []
+    for name, expr in _q291_covs():
+        for arm, cond in (("t", "user_id % 2 = 1"), ("c", "user_id % 2 = 0")):
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_{arm}_{name},"
+            )
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN {expr} ELSE 0 END) AS BIGINT)"
+                f" AS s1_{arm}_{name},"
+            )
+            aggs.append(
+                f"CAST(SUM(CASE WHEN {cond} THEN {expr} * {expr} ELSE 0 END)"
+                f" AS BIGINT) AS s2_{arm}_{name},"
+            )
+    agg_sql = "\n           ".join(aggs).rstrip(",")
+    rows = []
+    for name, _ in _q291_covs():
+
+        def m(arm: str) -> str:
+            return f"(CAST(s1_{arm}_{name} AS DOUBLE) / n_{arm}_{name})"
+
+        def v(arm: str) -> str:
+            return (
+                f"((s2_{arm}_{name} - CAST(s1_{arm}_{name} AS DOUBLE)"
+                f" * s1_{arm}_{name} / n_{arm}_{name})"
+                f" / (n_{arm}_{name} - 1))"
+            )
+
+        smd = f"(({m('t')} - {m('c')}) / SQRT(({v('t')} + {v('c')}) / 2.0))"
+        rows.append(
+            f"""SELECT '{name}' AS covariate,
+       ROUND({m('t')}, 4) AS mean_treated,
+       ROUND({m('c')}, 4) AS mean_control,
+       ROUND({smd}, 4) AS smd,
+       CAST(CASE WHEN ABS({smd}) < 0.1 THEN 1 ELSE 0 END AS BIGINT)
+           AS balanced
+FROM cells"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH cells AS (
+    SELECT {agg_sql}
+    FROM events
+)
+SELECT * FROM ({union})
+ORDER BY covariate
+"""
+
+
+@register(
+    "q291_covariate_balance",
+    oracle=_q291_oracle(),
+    tags=("causal", "A12"),
+)
+def q291_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standardized-mean-difference balance table for the odd/even user
+    cohorts: (covariate, mean_treated, mean_control, smd, balanced)."""
+    events = load_table(spark, sf_dir, "events")
+    covs = {
+        "value_x100": F.round(100.0 * F.col("value")).cast("long"),
+        "hour_of_day": F.hour("ts").cast("long"),
+        "iso_weekday": (F.weekday("ts") + 1).cast("long"),
+    }
+    t_cond = F.col("user_id") % 2 == 1
+    aggs = []
+    for name, expr in covs.items():
+        for arm, cond in (("t", t_cond), ("c", ~t_cond)):
+            aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{arm}_{name}"))
+            aggs.append(
+                F.sum(F.when(cond, expr).otherwise(0)).alias(f"s1_{arm}_{name}")
+            )
+            aggs.append(
+                F.sum(F.when(cond, expr * expr).otherwise(0)).alias(
+                    f"s2_{arm}_{name}"
+                )
+            )
+    cells = events.agg(*aggs)
+    out = None
+    for name in covs:
+
+        def m(arm: str):
+            return F.col(f"s1_{arm}_{name}").cast("double") / F.col(
+                f"n_{arm}_{name}"
+            )
+
+        def v(arm: str):
+            return (
+                F.col(f"s2_{arm}_{name}")
+                - F.col(f"s1_{arm}_{name}").cast("double")
+                * F.col(f"s1_{arm}_{name}")
+                / F.col(f"n_{arm}_{name}")
+            ) / (F.col(f"n_{arm}_{name}") - 1)
+
+        smd = (m("t") - m("c")) / F.sqrt((v("t") + v("c")) / 2.0)
+        row = cells.select(
+            F.lit(name).alias("covariate"),
+            F.round(m("t"), 4).alias("mean_treated"),
+            F.round(m("c"), 4).alias("mean_control"),
+            F.round(smd, 4).alias("smd"),
+            (F.abs(smd) < 0.1).cast("long").alias("balanced"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("covariate")
+
+
+# --------------------------------------------------------------------------
+# q292 - broadcast-strategy advisor: per dimension table, the row count
+# and a deterministic size estimate (8 bytes per numeric/date column +
+# OCTET_LENGTH of every string column), with the broadcast verdict at
+# the conventional 10 MB threshold - q266's skew audit answered the
+# OTHER planning question (how to shuffle); this one answers whether to
+# shuffle at all. The relation an engine's join planner consults, made
+# queryable.
+# Parity: byte estimates are exact integer sums over the same column
+# lists; the verdict is an integer comparison.
+# Scale: one aggregate per dimension table (map-side partials); output
+# is |tables| rows.
+# --------------------------------------------------------------------------
+_Q292_TABLES: dict[str, tuple[tuple[str, ...], tuple[str, ...]]] = {
+    # table -> (string columns, fixed-width columns)
+    "region": (("r_name",), ("r_regionkey",)),
+    "nation": (("n_name",), ("n_nationkey", "n_regionkey")),
+    "supplier": (("s_name",), ("s_suppkey", "s_nationkey", "s_acctbal")),
+    "customer": (
+        ("c_name", "c_mktsegment"),
+        ("c_custkey", "c_nationkey", "c_acctbal"),
+    ),
+    "part": (
+        ("p_name", "p_brand", "p_type"),
+        ("p_partkey", "p_size", "p_retailprice"),
+    ),
+}
+_Q292_THRESHOLD = 10 * 1024 * 1024
+
+
+def _q292_oracle() -> str:
+    parts = []
+    for t, (strs, fixed) in _Q292_TABLES.items():
+        str_sum = " + ".join(f"STRLEN({c})" for c in strs)
+        per_row = f"{str_sum} + {8 * len(fixed)}"
+        parts.append(
+            f"""SELECT '{t}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM({per_row}) AS BIGINT) AS est_bytes,
+       CAST(CASE WHEN SUM({per_row}) < {_Q292_THRESHOLD} THEN 1 ELSE 0 END
+            AS BIGINT) AS broadcastable
+FROM {t}"""
+        )
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY table_name"
+
+
+@register(
+    "q292_broadcast_advisor",
+    oracle=_q292_oracle(),
+    tags=("ops-audit", "A12", "J1"),
+)
+def q292_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-table broadcast verdicts at the 10 MB bar:
+    (table_name, n_rows, est_bytes, broadcastable)."""
+    out = None
+    for t, (strs, fixed) in _Q292_TABLES.items():
+        per_row = None
+        for c in strs:
+            term = F.octet_length(F.col(c)).cast("long")
+            per_row = term if per_row is None else per_row + term
+        per_row = per_row + F.lit(8 * len(fixed)).cast("long")
+        row = (
+            load_table(spark, sf_dir, t)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(per_row).alias("est_bytes"),
+            )
+            .select(
+                F.lit(t).alias("table_name"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("est_bytes").cast("long").alias("est_bytes"),
+                (F.col("est_bytes") < _Q292_THRESHOLD).cast("long").alias(
+                    "broadcastable"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")

@@ -2442,3 +2442,88 @@ def q280_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q293 - quantile normalization across sources: map every document's
+# n_chars onto the GLOBAL n_chars distribution at the same within-source
+# quantile (the microarray-normalization trick, used on corpora to
+# remove per-source length bias before mixing). doc at within-source
+# rank r of n maps to the global value at position
+# round((r-1) * (N-1) / (n-1)) + 1.
+# Parity: both ranks order by (n_chars, doc_id) so ties are
+# deterministic; the target position uses exact round-half-up INTEGER
+# arithmetic ((2*(r-1)*(N-1) + (n-1)) // (2*(n-1)) + 1); the output is a
+# join, no float anywhere.
+# Scale: the within-source rank is a W2 partitioned window; the GLOBAL
+# rank reuses operators/ids.assign_ids_scalable (repartitionByRange +
+# per-partition offsets - NO single-reducer sort); the mapping join is
+# keyed on the dense global position.
+# --------------------------------------------------------------------------
+@register(
+    "q293_quantile_normalize",
+    oracle="""
+WITH g AS (
+    SELECT doc_id, source, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS gr,
+           COUNT(*) OVER () AS nn
+    FROM documents
+),
+s AS (
+    SELECT doc_id, source, n_chars, nn,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM g
+),
+mapped AS (
+    SELECT doc_id, source, n_chars,
+           CASE WHEN n = 1 THEN (nn + 1) // 2
+                ELSE (2 * (r - 1) * (nn - 1) + (n - 1)) // (2 * (n - 1)) + 1
+           END AS tp
+    FROM s
+)
+SELECT m.doc_id, m.source, m.n_chars,
+       CAST(g.n_chars AS BIGINT) AS qnorm_chars
+FROM mapped m JOIN g ON g.gr = m.tp
+ORDER BY m.doc_id
+""",
+    tags=("normalization", "W2", "W1"),
+)
+def q293_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize per-source n_chars onto the global
+    distribution: (doc_id, source, n_chars, qnorm_chars)."""
+    from ..operators.ids import assign_ids_scalable
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    g = assign_ids_scalable(docs, ["n_chars", "doc_id"], id_name="gr")
+    nn_df = g.agg(F.count(F.lit(1)).alias("nn"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    s = (
+        g.crossJoin(F.broadcast(nn_df))
+        .withColumn("r", F.row_number().over(ws).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+    )
+    tp = F.when(
+        F.col("n") == 1, F.expr("(nn + 1) div 2").cast("long")
+    ).otherwise(
+        F.expr(
+            "(2 * (r - 1) * (nn - 1) + (n - 1)) div (2 * (n - 1))"
+        ).cast("long")
+        + 1
+    )
+    mapped = s.select("doc_id", "source", "n_chars", tp.alias("tp"))
+    target = g.select(F.col("gr").alias("tp"), F.col("n_chars").alias("qnorm_chars"))
+    return (
+        mapped.join(target, "tp")
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("qnorm_chars").cast("long").alias("qnorm_chars"),
+        )
+        .orderBy("doc_id")
+    )
