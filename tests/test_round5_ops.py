@@ -1026,3 +1026,93 @@ def test_gain_chart_identities(spark):
     # lift identity: n-weighted mean lift == 1
     wmean = (df["lift"] * df["n_rows"]).sum() / n
     assert abs(wmean - 1.0) <= 1e-3
+
+
+# -- q290-q293 semantics ----------------------------------------------------
+
+
+def test_cluster_purity_entropy_identities(spark):
+    import math
+
+    df = REGISTRY["q290_cluster_purity"].spark(spark, SF_DIR).toPandas()
+    assert not df.empty
+    assert (df["cluster_size"] >= 2).all()
+    assert (df["n_sources"] <= df["cluster_size"]).all()
+    # entropy bounds: 0 (pure) .. ln(n_sources) (uniform)
+    assert (df["entropy_nats"] >= -1e-9).all()
+    for _, r in df.iterrows():
+        assert r["entropy_nats"] <= math.log(r["n_sources"]) + 1e-4
+        assert r["top_share"] >= 1.0 / r["n_sources"] - 1e-4  # 4dp slack
+        if r["n_sources"] == 1:
+            assert r["entropy_nats"] == 0.0 and r["top_share"] == 1.0
+
+
+def test_covariate_balance_matches_pandas(spark):
+    import math
+
+    import pandas as pd
+
+    df = (
+        REGISTRY["q291_covariate_balance"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("covariate")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["value_x100"] = (100.0 * ev["value"]).round()
+    ts = pd.to_datetime(ev["ts"])
+    ev["hour_of_day"] = ts.dt.hour
+    ev["iso_weekday"] = ts.dt.dayofweek + 1
+    t = ev[ev["user_id"] % 2 == 1]
+    c = ev[ev["user_id"] % 2 == 0]
+    for cov in ("value_x100", "hour_of_day", "iso_weekday"):
+        smd = (t[cov].mean() - c[cov].mean()) / math.sqrt(
+            (t[cov].var(ddof=1) + c[cov].var(ddof=1)) / 2
+        )
+        r = df.loc[cov]
+        assert abs(r["mean_treated"] - t[cov].mean()) <= 1e-3
+        assert abs(r["smd"] - smd) <= 1e-3
+        assert r["balanced"] == (1 if abs(smd) < 0.1 else 0)
+
+
+def test_broadcast_advisor_sizes_match_pandas(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans.events_queries import _Q292_TABLES
+
+    df = (
+        REGISTRY["q292_broadcast_advisor"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("table_name")
+    )
+    for t, (strs, fixed) in _Q292_TABLES.items():
+        tab = pd.read_parquet(f"{SF_DIR}/{t}.parquet")
+        est = sum(tab[c].str.encode("utf-8").str.len().sum() for c in strs)
+        est += 8 * len(fixed) * len(tab)
+        r = df.loc[t]
+        assert int(r["n_rows"]) == len(tab)
+        assert int(r["est_bytes"]) == int(est)
+        assert r["broadcastable"] == (1 if est < 10 * 1024 * 1024 else 0)
+
+
+def test_quantile_normalize_preserves_marginals(spark):
+    """Quantile normalization must (a) keep every doc, (b) map within-
+    source order monotonically, (c) draw every normalized value from the
+    global value multiset."""
+    import pandas as pd
+
+    df = REGISTRY["q293_quantile_normalize"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    assert len(df) == len(docs)
+    global_vals = set(docs["n_chars"])
+    assert set(df["qnorm_chars"]) <= global_vals
+    for _, g in df.groupby("source"):
+        g = g.sort_values(["n_chars", "doc_id"])
+        assert g["qnorm_chars"].is_monotonic_increasing
+    # extremes map to (near-)extremes: the source minimum maps to the
+    # global minimum region, the maximum to the top
+    gmin, gmax = docs["n_chars"].min(), docs["n_chars"].max()
+    for _, g in df.groupby("source"):
+        assert g["qnorm_chars"].min() == gmin  # source rank 1 -> global pos 1
+        assert g["qnorm_chars"].max() == gmax  # source rank n -> global pos N
