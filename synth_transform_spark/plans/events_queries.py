@@ -4780,3 +4780,543 @@ def q292_broadcast_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("table_name")
+
+
+# --------------------------------------------------------------------------
+# q294 - Mann-Kendall trend test per event type: the nonparametric
+# monotone-trend test (S = sum of pairwise sign comparisons of the daily
+# count series, tie-corrected variance, continuity-corrected z, two-
+# sided p) - the significance companion to q271's Theil-Sen slope (MK
+# says WHETHER the trend is real, Sen says how steep).
+# Parity: S and the x18 variance numerator are exact integers (pairwise
+# signs + tie-group algebra); z is one closed-form double; p reuses the
+# q278 Abramowitz-Stegun polynomial with identical literals; 4dp.
+# Scale: collapse-first to per-(type, day) counts; the pairwise
+# self-join and tie groups run on the calendar-bounded daily series
+# (<= 435 pairs/type - the q247 bounded-series exception).
+# --------------------------------------------------------------------------
+@register(
+    "q294_mann_kendall",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '2024-01-01',
+                    CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS t,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+s_stat AS (
+    SELECT a.event_type,
+           CAST(SUM(CASE WHEN b.c > a.c THEN 1
+                         WHEN b.c < a.c THEN -1 ELSE 0 END) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM daily a JOIN daily b
+      ON b.event_type = a.event_type AND b.t > a.t
+    GROUP BY a.event_type
+),
+nn AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM daily GROUP BY event_type
+),
+ties AS (
+    SELECT event_type,
+           CAST(COALESCE(SUM(tg * (tg - 1) * (2 * tg + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS tg
+          FROM daily GROUP BY event_type, c)
+    WHERE tg > 1
+    GROUP BY event_type
+),
+var18 AS (
+    SELECT n.event_type,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+                - COALESCE(t.tie_term, 0) AS BIGINT) AS v18,
+           n.n
+    FROM nn n LEFT JOIN ties t ON t.event_type = n.event_type
+),
+zed AS (
+    SELECT s.event_type, s.s, s.n_pairs, v.n, v.v18,
+           CASE WHEN s.s > 0 THEN (s.s - 1) / SQRT(v.v18 / 18.0)
+                WHEN s.s < 0 THEN (s.s + 1) / SQRT(v.v18 / 18.0)
+                ELSE 0.0 END AS z
+    FROM s_stat s JOIN var18 v ON v.event_type = s.event_type
+),
+pv AS (
+    SELECT event_type, s, n_pairs, z, ABS(z) AS az,
+           1.0 / (1.0 + 0.2316419 * ABS(z)) AS t_as
+    FROM zed
+)
+SELECT event_type, s AS s_stat, n_pairs,
+       ROUND(z, 4) AS z_stat,
+       ROUND(2.0 * (0.3989422804014327 * EXP(-(az * az) / 2.0)
+                    * (0.319381530 * t_as
+                       - 0.356563782 * t_as * t_as
+                       + 1.781477937 * t_as * t_as * t_as
+                       - 1.821255978 * t_as * t_as * t_as * t_as
+                       + 1.330274429 * t_as * t_as * t_as * t_as * t_as)),
+             4) AS p_value
+FROM pv
+ORDER BY event_type
+""",
+    tags=("robust-stats", "A12", "W2"),
+)
+def q294_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test of the daily count series:
+    (event_type, s_stat, n_pairs, z_stat, p_value)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a = daily.select("event_type", F.col("t").alias("ta"), F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("t").alias("tb"), F.col("c").alias("cb"))
+    s_stat = (
+        a.join(b, "event_type")
+        .filter(F.col("tb") > F.col("ta"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    nn = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("tg"))
+        .filter(F.col("tg") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("tg") * (F.col("tg") - 1) * (2 * F.col("tg") + 5)
+            ).alias("tie_term")
+        )
+    )
+    var18 = nn.join(ties, "event_type", "left").select(
+        "event_type",
+        "n",
+        (
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.coalesce("tie_term", F.lit(0))
+        ).alias("v18"),
+    )
+    zed = s_stat.join(var18, "event_type").select(
+        "event_type",
+        "s",
+        "n_pairs",
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("v18") / 18.0))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("v18") / 18.0))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    az = F.abs(F.col("z"))
+    t_as = 1.0 / (1.0 + 0.2316419 * az)
+    p = 2.0 * (
+        0.3989422804014327
+        * F.exp(-(az * az) / 2.0)
+        * (
+            0.319381530 * t_as
+            - 0.356563782 * t_as * t_as
+            + 1.781477937 * t_as * t_as * t_as
+            - 1.821255978 * t_as * t_as * t_as * t_as
+            + 1.330274429 * t_as * t_as * t_as * t_as * t_as
+        )
+    )
+    return zed.select(
+        "event_type",
+        F.col("s").cast("long").alias("s_stat"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.round("z", 4).alias("z_stat"),
+        F.round(p, 4).alias("p_value"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q295 - USER-level differential privacy via contribution bounding: cap
+# every user at 5 events per type (first 5 by time - the clipping step
+# that turns event-level sensitivity into user-level sensitivity), then
+# release the capped histogram with seeded Laplace(5/eps) noise at
+# eps = 0.5. q287 protects EVENTS; this protects USERS - the distinction
+# that decides whether a power user can be singled out.
+# Parity: the cap is a per-(user, type) row_number window with the
+# deterministic (ts, event_id) order; capped counts are exact; the noise
+# draw is the q287 seeded inverse-CDF on md5(event_type || ':u'); 4dp on
+# the one ratio.
+# Scale: one per-(user, type) window (the sessionization contract) +
+# one keyed count; noise is a narrow map on |categories| rows.
+# --------------------------------------------------------------------------
+_Q295_CAP = 5
+_Q295_B = 10  # b = cap / eps = 5 / 0.5
+
+
+@register(
+    "q295_userlevel_dp",
+    oracle=f"""
+WITH ranked AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS rn
+    FROM events
+),
+capped AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_capped
+    FROM ranked WHERE rn <= {_Q295_CAP} GROUP BY event_type
+),
+truec AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+    FROM events GROUP BY event_type
+),
+draw AS (
+    SELECT c.event_type, t.n_true, c.n_capped,
+           (('0x' || SUBSTR(MD5(c.event_type || ':u'), 1, 8))::UBIGINT
+            % 1000000 + 0.5) / 1000000.0 AS u
+    FROM capped c JOIN truec t ON t.event_type = c.event_type
+),
+noised AS (
+    SELECT event_type, n_true, n_capped,
+           CAST(ROUND(CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END
+                      * {_Q295_B} * LN(1.0 - 2.0 * ABS(u - 0.5)))
+                AS BIGINT) AS noise
+    FROM draw
+)
+SELECT event_type, n_true, n_capped,
+       n_capped + noise AS n_noisy,
+       noise AS noise_added,
+       ROUND(CAST(n_true - n_capped AS DOUBLE) / n_true, 4) AS clipped_frac
+FROM noised
+ORDER BY event_type
+""",
+    tags=("privacy", "W2", "A5"),
+)
+def q295_userlevel_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level DP release with per-user contribution cap 5:
+    (event_type, n_true, n_capped, n_noisy, noise_added, clipped_frac)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    capped = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _Q295_CAP)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_capped"))
+    )
+    truec = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("event_type"), F.lit(":u"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+        + 0.5
+    ) / 1000000.0
+    noise = (
+        F.round(
+            F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * _Q295_B
+            * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+        )
+    ).cast("long")
+    return (
+        capped.join(truec, "event_type")
+        .select(
+            "event_type",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_capped").cast("long").alias("n_capped"),
+            (F.col("n_capped") + noise).cast("long").alias("n_noisy"),
+            noise.alias("noise_added"),
+            F.round(
+                (F.col("n_true") - F.col("n_capped")).cast("double")
+                / F.col("n_true"),
+                4,
+            ).alias("clipped_frac"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q296 - self-join-size estimation audit: the exact fan-out sum(n_k^2)
+# of a key (what a self-join on it would produce - and exactly the
+# quadratic term the LSH max_bucket cap bounds) versus the 10% hash-
+# sampled estimate a planner would compute without touching every key.
+# Run for the three hot keys; the relation that tells you whether
+# sampling is good enough to size a dedup/blocking job.
+# Parity: exact sums and sampled sums are integers (hash-deterministic
+# key sample, x10 scale-up); rel_err is one division, 4dp.
+# Scale: one keyed count per audited key (same budget as q266); the
+# estimate aggregates the 10% key slice of the SAME relation - the
+# audit shares the scan.
+# --------------------------------------------------------------------------
+_Q296_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+)
+
+
+def _q296_part(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS key_col,
+       CAST(SUM(n * n) AS BIGINT) AS exact_size,
+       CAST(10 * SUM(CASE WHEN ('0x' || SUBSTR(MD5(CAST(k AS VARCHAR)), 1, 8))
+                               ::UBIGINT % 10 = 0
+                          THEN n * n ELSE 0 END) AS BIGINT) AS est_size,
+       ROUND(ABS(10.0 * SUM(CASE WHEN ('0x' || SUBSTR(MD5(CAST(k AS VARCHAR)), 1, 8))
+                                      ::UBIGINT % 10 = 0
+                                 THEN n * n ELSE 0 END)
+                 - SUM(n * n)) / SUM(n * n), 4) AS rel_err
+FROM (SELECT {col} AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM {table} GROUP BY {col})
+"""
+
+
+@register(
+    "q296_joinsize_estimate",
+    oracle="\nUNION ALL\n".join(_q296_part(t, c) for t, c in _Q296_KEYS)
+    + "\nORDER BY key_col",
+    tags=("ops-audit", "A5", "A12"),
+)
+def q296_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs 10%-key-sampled self-join size per hot key:
+    (key_col, exact_size, est_size, rel_err)."""
+    out = None
+    for table, col in _Q296_KEYS:
+        counts = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        in_sample = (
+            F.conv(
+                F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 10
+            == 0
+        )
+        row = counts.agg(
+            F.sum(F.col("n") * F.col("n")).alias("exact_size"),
+            (
+                10
+                * F.sum(
+                    F.when(in_sample, F.col("n") * F.col("n")).otherwise(0)
+                )
+            ).alias("est_size"),
+        ).select(
+            F.lit(f"{table}.{col}").alias("key_col"),
+            F.col("exact_size").cast("long").alias("exact_size"),
+            F.col("est_size").cast("long").alias("est_size"),
+            F.round(
+                F.abs(
+                    F.col("est_size").cast("double") - F.col("exact_size")
+                )
+                / F.col("exact_size"),
+                4,
+            ).alias("rel_err"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("key_col")
+
+
+# --------------------------------------------------------------------------
+# q297 - dynamic time warping between event-type series: DTW distance on
+# the 10-bucket (3-day) mean-value series for every type pair, with the
+# lock-step L1 distance as the baseline it improves on. DTW is the
+# classic alignment-tolerant series similarity (shifted-but-same-shape
+# series score close; L1 punishes the shift).
+# Parity: bucket means are frozen floor(sum(100x)/n) integers, so every
+# DP cell is an exact integer; the recurrence is unrolled over the 19
+# anti-diagonals (each cell needs only the two previous diagonals - the
+# wavefront schedule), identically as MATERIALIZED CTEs in the oracle
+# and localCheckpoint-ed relations in Spark (the q276 device).
+# Scale: the corpus collapses to |types| x 10 bucket means first; the
+# whole DP runs on the bounded pair x cell relation (<= 100 cells per
+# diagonal). Wavefront depth is fixed by series length, not data size.
+# --------------------------------------------------------------------------
+_DTW_N = 10
+_DTW_BIG = 1 << 60
+
+
+def _dtw_oracle(n: int = _DTW_N) -> str:
+    ctes = [
+        """d2 AS MATERIALIZED (
+    SELECT pair, i, j, c AS d FROM cost WHERE i = 1 AND j = 1
+)""",
+        # diagonal 1 is out of grid - empty relation so k=3's dg join resolves
+        "d1 AS (SELECT pair, i, j, d FROM d2 WHERE FALSE)",
+    ]
+    for k in range(3, 2 * n + 1):
+        ctes.append(
+            f"""d{k} AS MATERIALIZED (
+    SELECT t.pair, t.i, t.j,
+           t.c + LEAST(COALESCE(up.d, {_DTW_BIG}),
+                       COALESCE(lf.d, {_DTW_BIG}),
+                       COALESCE(dg.d, {_DTW_BIG})) AS d
+    FROM cost t
+    LEFT JOIN d{k - 1} up ON up.pair = t.pair AND up.i = t.i - 1 AND up.j = t.j
+    LEFT JOIN d{k - 1} lf ON lf.pair = t.pair AND lf.i = t.i AND lf.j = t.j - 1
+    LEFT JOIN d{k - 2} dg ON dg.pair = t.pair AND dg.i = t.i - 1
+                          AND dg.j = t.j - 1
+    WHERE t.i + t.j = {k}
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH daily AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '2024-01-01',
+                    CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               // 3 AS b,
+           CAST(SUM(CAST(ROUND(100.0 * value) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS x
+    FROM events
+    GROUP BY 1, 2
+),
+series AS (SELECT event_type, b + 1 AS i, x FROM daily WHERE b < {n}),
+cost AS MATERIALIZED (
+    SELECT a.event_type || '|' || b.event_type AS pair,
+           a.i AS i, b.i AS j, ABS(a.x - b.x) AS c
+    FROM series a JOIN series b ON a.event_type < b.event_type
+),
+lock AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(SUM(ABS(a.x - b.x)) AS BIGINT) AS l1
+    FROM series a
+    JOIN series b ON b.event_type > a.event_type AND b.i = a.i
+    GROUP BY a.event_type, b.event_type
+),
+{joined}
+SELECT l.type_a, l.type_b,
+       ROUND(d.d / 100.0, 4) AS dtw,
+       ROUND(l.l1 / 100.0, 4) AS l1_lockstep
+FROM d{2 * n} d
+JOIN lock l ON l.type_a || '|' || l.type_b = d.pair
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "q297_dtw_distance",
+    oracle=_dtw_oracle(),
+    tags=("timeseries", "J13", "W2"),
+)
+def q297_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW vs lock-step L1 distance between every pair of event-type
+    series (10 x 3-day buckets): (type_a, type_b, dtw, l1_lockstep)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr(
+            "datediff(cast(date_trunc('day', ts) as date),"
+            " cast('2024-01-01' as date)) div 3"
+        ).alias("b"),
+    ).agg(
+        F.floor(
+            F.sum(F.round(100.0 * F.col("value")).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        )
+        .cast("long")
+        .alias("x")
+    )
+    series = daily.filter(F.col("b") < _DTW_N).select(
+        "event_type", (F.col("b") + 1).alias("i"), "x"
+    )
+    a = series.select(
+        F.col("event_type").alias("ta"), F.col("i").alias("i"), F.col("x").alias("xa")
+    )
+    b = series.select(
+        F.col("event_type").alias("tb"), F.col("i").alias("j"), F.col("x").alias("xb")
+    )
+    cost = (
+        a.join(b, F.col("ta") < F.col("tb"))
+        .select(
+            F.concat(F.col("ta"), F.lit("|"), F.col("tb")).alias("pair"),
+            "i",
+            "j",
+            F.abs(F.col("xa") - F.col("xb")).alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lock = (
+        a.join(b, (F.col("tb") > F.col("ta")) & (F.col("j") == F.col("i")))
+        .groupBy(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"))
+        .agg(F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("l1"))
+    )
+    big = F.lit(_DTW_BIG).cast("long")
+    d2 = cost.filter((F.col("i") == 1) & (F.col("j") == 1)).select(
+        "pair", "i", "j", F.col("c").alias("d")
+    )
+    # diagonal 1 is out of grid: empty same-schema relation
+    diags: dict[int, DataFrame] = {1: d2.filter(F.lit(False)), 2: d2}
+    for k in range(3, 2 * _DTW_N + 1):
+        up = diags[k - 1].select(
+            F.col("pair").alias("u_pair"), F.col("i").alias("u_i"),
+            F.col("j").alias("u_j"), F.col("d").alias("up_d"),
+        )
+        lf = diags[k - 1].select(
+            F.col("pair").alias("l_pair"), F.col("i").alias("l_i"),
+            F.col("j").alias("l_j"), F.col("d").alias("lf_d"),
+        )
+        dg = diags[k - 2].select(
+            F.col("pair").alias("g_pair"), F.col("i").alias("g_i"),
+            F.col("j").alias("g_j"), F.col("d").alias("dg_d"),
+        )
+        cells = cost.filter(F.col("i") + F.col("j") == k)
+        step = (
+            cells.join(
+                up,
+                (F.col("u_pair") == F.col("pair"))
+                & (F.col("u_i") == F.col("i") - 1)
+                & (F.col("u_j") == F.col("j")),
+                "left",
+            )
+            .join(
+                lf,
+                (F.col("l_pair") == F.col("pair"))
+                & (F.col("l_i") == F.col("i"))
+                & (F.col("l_j") == F.col("j") - 1),
+                "left",
+            )
+            .join(
+                dg,
+                (F.col("g_pair") == F.col("pair"))
+                & (F.col("g_i") == F.col("i") - 1)
+                & (F.col("g_j") == F.col("j") - 1),
+                "left",
+            )
+        )
+        diags[k] = step.select(
+            "pair",
+            "i",
+            "j",
+            (
+                F.col("c")
+                + F.least(
+                    F.coalesce("up_d", big),
+                    F.coalesce("lf_d", big),
+                    F.coalesce("dg_d", big),
+                )
+            ).alias("d"),
+        ).localCheckpoint(eager=True)
+    final = diags[2 * _DTW_N].select("pair", "d")
+    return (
+        lock.withColumn(
+            "pair", F.concat(F.col("type_a"), F.lit("|"), F.col("type_b"))
+        )
+        .join(final, "pair")
+        .select(
+            "type_a",
+            "type_b",
+            F.round(F.col("d") / 100.0, 4).alias("dtw"),
+            F.round(F.col("l1") / 100.0, 4).alias("l1_lockstep"),
+        )
+        .orderBy("type_a", "type_b")
+    )
