@@ -1116,3 +1116,115 @@ def test_quantile_normalize_preserves_marginals(spark):
     for _, g in df.groupby("source"):
         assert g["qnorm_chars"].min() == gmin  # source rank 1 -> global pos 1
         assert g["qnorm_chars"].max() == gmax  # source rank n -> global pos N
+
+
+# -- q294-q297 semantics ----------------------------------------------------
+
+
+def test_mann_kendall_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    df = (
+        REGISTRY["q294_mann_kendall"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    daily = ev.groupby(["event_type", "day"]).size()
+    for et in daily.index.get_level_values(0).unique():
+        c = list(daily[et].sort_index())
+        n = len(c)
+        s = sum(
+            (1 if c[j] > c[i] else (-1 if c[j] < c[i] else 0))
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(c).values() if t > 1
+        )
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        z = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var)
+        r = df.loc[et]
+        assert int(r["s_stat"]) == s
+        assert abs(r["z_stat"] - z) <= 1e-3
+        assert 0.0 <= r["p_value"] <= 1.0001
+
+
+def test_userlevel_dp_cap_is_respected(spark):
+    import pandas as pd
+
+    df = REGISTRY["q295_userlevel_dp"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    per_user = ev.groupby(["event_type", "user_id"]).size().clip(upper=5)
+    want = per_user.groupby("event_type").sum()
+    for _, r in df.iterrows():
+        assert int(r["n_capped"]) == int(want[r["event_type"]])
+        assert r["n_capped"] <= r["n_true"]
+        assert int(r["n_noisy"]) == int(r["n_capped"]) + int(r["noise_added"])
+        # Laplace(b=10) noise stays within a few scale units at this seed
+        assert abs(int(r["noise_added"])) <= 10 * 14  # b * ln(1e6) bound
+
+
+def test_joinsize_exact_matches_pandas(spark):
+    import pandas as pd
+
+    df = (
+        REGISTRY["q296_joinsize_estimate"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("key_col")
+    )
+    for table, col in (
+        ("lineitem", "l_partkey"),
+        ("lineitem", "l_suppkey"),
+        ("orders", "o_custkey"),
+    ):
+        counts = pd.read_parquet(f"{SF_DIR}/{table}.parquet")[col].value_counts()
+        exact = int((counts**2).sum())
+        r = df.loc[f"{table}.{col}"]
+        assert int(r["exact_size"]) == exact
+        assert int(r["est_size"]) % 10 == 0  # x10 scale-up of a subset sum
+        assert r["rel_err"] == round(abs(r["est_size"] - exact) / exact, 4)
+
+
+def test_dtw_not_above_lockstep_and_matches_python(spark):
+    """DTW over equal-length series can never exceed the lock-step L1
+    path (which is one admissible alignment); verify against a literal
+    Python DP on the same frozen buckets."""
+    import pandas as pd
+
+    df = REGISTRY["q297_dtw_distance"].spark(spark, SF_DIR).toPandas()
+    assert (df["dtw"] <= df["l1_lockstep"] + 1e-9).all()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["b"] = (
+        (pd.to_datetime(ev["ts"]).dt.floor("D") - pd.Timestamp("2024-01-01"))
+        .dt.days
+        // 3
+    )
+    ev["x"] = (100.0 * ev["value"]).round().astype("int64")
+    ser = {}
+    g = ev[ev["b"] < 10].groupby(["event_type", "b"])["x"]
+    agg = g.apply(lambda s: int(s.sum()) // len(s))
+    for (et, b), v in agg.items():
+        ser.setdefault(et, {})[b] = v
+    types = sorted(ser)
+    got = df.set_index(["type_a", "type_b"])["dtw"]
+    for ai in range(len(types)):
+        for bi in range(ai + 1, len(types)):
+            a = [ser[types[ai]][k] for k in range(10)]
+            b = [ser[types[bi]][k] for k in range(10)]
+            INF = 1 << 60
+            D = [[INF] * 11 for _ in range(11)]
+            D[0][0] = 0
+            for i in range(1, 11):
+                for j in range(1, 11):
+                    D[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                        D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                    )
+            assert got[(types[ai], types[bi])] == round(D[10][10] / 100.0, 4)
