@@ -5320,3 +5320,199 @@ def q297_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q299 - stratified uplift (post-stratification ATE): purchase-rate
+# uplift of the odd-user cohort within fixed value bands, then the
+# stratum-size-weighted pooled effect - the estimator that removes
+# stratum-composition bias a raw A/B difference keeps (the bridge
+# between q175's one-shot z and q242's IPW).
+# Parity: per-(stratum, arm) counts are exact integers from one keyed
+# aggregate; uplifts/weights/ATE are fixed double expressions, 4dp; the
+# pooled ATE is replicated per row from a 1-row broadcast whose
+# summation is over the frozen 5-row relation in stratum order (an
+# ordered integer-weighted sum, not a float reduce over rows -
+# ate terms are micro-int-frozen before summing).
+# Scale: one conditional aggregate to the bounded strata relation; all
+# algebra on <= 5 rows.
+# --------------------------------------------------------------------------
+_Q299_BANDS = (0, 100, 200, 300, 400)
+
+
+@register(
+    "q299_stratified_uplift",
+    oracle="""
+WITH tagged AS (
+    SELECT CASE WHEN value < 100 THEN 0 WHEN value < 200 THEN 1
+                WHEN value < 300 THEN 2 WHEN value < 400 THEN 3
+                ELSE 4 END AS stratum,
+           CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events
+),
+cells AS (
+    SELECT stratum,
+           CAST(SUM(treated) AS BIGINT) AS n_t,
+           CAST(SUM(treated * conv) AS BIGINT) AS c_t,
+           CAST(SUM(1 - treated) AS BIGINT) AS n_c,
+           CAST(SUM((1 - treated) * conv) AS BIGINT) AS c_c
+    FROM tagged GROUP BY stratum
+    HAVING SUM(treated) > 0 AND SUM(1 - treated) > 0
+),
+scored AS (
+    SELECT stratum, n_t, c_t, n_c, c_c,
+           CAST(n_t + n_c AS BIGINT) AS n_s,
+           (CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c) AS uplift,
+           CAST(ROUND(1000000.0 * (n_t + n_c)
+                      * (CAST(c_t AS DOUBLE) / n_t
+                         - CAST(c_c AS DOUBLE) / n_c)) AS BIGINT) AS term
+    FROM cells
+),
+pooled AS (
+    SELECT CAST(SUM(term) AS BIGINT) AS tsum, CAST(SUM(n_s) AS BIGINT) AS nn
+    FROM scored
+)
+SELECT CAST(s.stratum AS BIGINT) AS stratum, s.n_t, s.n_c,
+       ROUND(CAST(s.c_t AS DOUBLE) / s.n_t, 4) AS rate_treated,
+       ROUND(CAST(s.c_c AS DOUBLE) / s.n_c, 4) AS rate_control,
+       ROUND(s.uplift, 4) AS uplift,
+       ROUND(CAST(p.tsum AS DOUBLE) / (1000000.0 * p.nn), 4) AS pooled_ate
+FROM scored s CROSS JOIN pooled p
+ORDER BY s.stratum
+""",
+    tags=("causal", "A12", "A9"),
+)
+def q299_stratified_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-rate uplift by value stratum with size-weighted pooled
+    ATE: (stratum, n_t, n_c, rate_treated, rate_control, uplift,
+    pooled_ate)."""
+    events = load_table(spark, sf_dir, "events")
+    stratum = (
+        F.when(F.col("value") < 100, 0)
+        .when(F.col("value") < 200, 1)
+        .when(F.col("value") < 300, 2)
+        .when(F.col("value") < 400, 3)
+        .otherwise(4)
+    )
+    tagged = events.select(
+        stratum.alias("stratum"),
+        (F.col("user_id") % 2 == 1).cast("long").alias("treated"),
+        (F.col("event_type") == "purchase").cast("long").alias("conv"),
+    )
+    cells = (
+        tagged.groupBy("stratum")
+        .agg(
+            F.sum("treated").alias("n_t"),
+            F.sum(F.col("treated") * F.col("conv")).alias("c_t"),
+            F.sum(1 - F.col("treated")).alias("n_c"),
+            F.sum((1 - F.col("treated")) * F.col("conv")).alias("c_c"),
+        )
+        # strata missing either arm have no defined uplift - dropped from
+        # the table AND the pooled sum on both engines
+        .filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    )
+    uplift = (
+        F.col("c_t").cast("double") / F.col("n_t")
+        - F.col("c_c").cast("double") / F.col("n_c")
+    )
+    scored = cells.select(
+        "stratum",
+        "n_t",
+        "c_t",
+        "n_c",
+        "c_c",
+        (F.col("n_t") + F.col("n_c")).alias("n_s"),
+        uplift.alias("uplift"),
+        F.round(1000000.0 * (F.col("n_t") + F.col("n_c")) * uplift)
+        .cast("long")
+        .alias("term"),
+    )
+    pooled = scored.agg(
+        F.sum("term").alias("tsum"), F.sum("n_s").alias("nn")
+    )
+    return (
+        scored.crossJoin(F.broadcast(pooled))
+        .select(
+            F.col("stratum").cast("long").alias("stratum"),
+            F.col("n_t").cast("long").alias("n_t"),
+            F.col("n_c").cast("long").alias("n_c"),
+            F.round(F.col("c_t").cast("double") / F.col("n_t"), 4).alias(
+                "rate_treated"
+            ),
+            F.round(F.col("c_c").cast("double") / F.col("n_c"), 4).alias(
+                "rate_control"
+            ),
+            F.round("uplift", 4).alias("uplift"),
+            F.round(
+                F.col("tsum").cast("double") / (1000000.0 * F.col("nn")), 4
+            ).alias("pooled_ate"),
+        )
+        .orderBy("stratum")
+    )
+
+
+# --------------------------------------------------------------------------
+# q300 - power-law (Zipf tail) MLE on the user-activity degree
+# distribution: the Clauset-Shalizi-Newman closed form
+# alpha = 1 + n / sum(ln(k_i / (kmin - 1/2))) over per-user event
+# counts - the "is this graph/usage heavy-tailed" diagnostic that
+# decides whether mean-based capacity planning is even valid. kmin = 1.
+# Parity: the corpus collapses to the DEGREE DOMAIN (distinct count
+# values with multiplicities); each ln(k/0.5) term is frozen to
+# round(10^6 * ln) per distinct degree and weighted by its multiplicity,
+# so the denominator is an integer sum; alpha is one division, 4dp.
+# Scale: one per-user count, one degree-domain aggregate (bounded by
+# max activity, not user count), 1 output row.
+# --------------------------------------------------------------------------
+@register(
+    "q300_powerlaw_alpha",
+    oracle="""
+WITH deg AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k FROM events GROUP BY user_id
+),
+dom AS (
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(ROUND(1000000.0 * LN(CAST(k AS DOUBLE) / 0.5)) AS BIGINT)
+               AS lnk
+    FROM deg GROUP BY k
+),
+agg AS (
+    SELECT CAST(SUM(m) AS BIGINT) AS n,
+           CAST(SUM(m * lnk) AS BIGINT) AS denom,
+           CAST(MAX(k) AS BIGINT) AS kmax,
+           CAST(MIN(k) AS BIGINT) AS kmin
+    FROM dom
+)
+SELECT n AS n_users, kmin AS min_degree, kmax AS max_degree,
+       ROUND(1.0 + CAST(n AS DOUBLE) * 1000000.0 / denom, 4) AS alpha
+FROM agg
+""",
+    tags=("graph", "A12", "A5"),
+)
+def q300_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSN power-law exponent of user activity degrees:
+    (n_users, min_degree, max_degree, alpha)."""
+    events = load_table(spark, sf_dir, "events")
+    deg = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+    dom = deg.groupBy("k").agg(F.count(F.lit(1)).alias("m")).select(
+        "k",
+        "m",
+        F.round(1000000.0 * F.log(F.col("k").cast("double") / 0.5))
+        .cast("long")
+        .alias("lnk"),
+    )
+    agg = dom.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("lnk")).alias("denom"),
+        F.max("k").alias("kmax"),
+        F.min("k").alias("kmin"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("kmin").cast("long").alias("min_degree"),
+        F.col("kmax").cast("long").alias("max_degree"),
+        F.round(
+            1.0 + F.col("n").cast("double") * 1000000.0 / F.col("denom"), 4
+        ).alias("alpha"),
+    )

@@ -676,3 +676,147 @@ def q287_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q298 - exact closed-form multiple regression (distributed normal
+# equations): fit dollars(l_extendedprice) ~ 1 + l_quantity +
+# discount_pct across the whole fact table by reducing it to 12 integer
+# sufficient statistics (X'X and X'y) in ONE aggregate pass, then
+# solving the 3x3 system by Cramer's rule on EXACT integers - DuckDB in
+# HUGEINT, the driver in Python bignums - so the betas agree to the last
+# bit before the one double division. The multi-feature upgrade of
+# q144's slope/intercept, done the way distributed OLS actually works
+# (statistics, not rows, cross the wire).
+# Parity: all minors/determinants are exact integer arithmetic (magnitude
+# < 1e33, inside HUGEINT); beta = det_num/det double division; R^2 is a
+# fixed double expression over the same integers; 4dp.
+# Scale: one conditional-aggregation pass with map-side partials; the
+# 3x3 solve touches 12 scalars.
+# --------------------------------------------------------------------------
+def _q298_det_sql(c1: str, c2: str, c3: str) -> str:
+    """3x3 determinant of columns (c1,c2,c3) stacked as rows r1..r3 of
+    the symmetric system; each cN is a tuple of three stat names."""
+    a, b, c = c1
+    d, e, f = c2
+    g, h, i = c3
+    def H(x: str) -> str:
+        return f"CAST({x} AS HUGEINT)"
+    return (
+        f"({H(a)} * ({H(e)} * {H(i)} - {H(f)} * {H(h)})"
+        f" - {H(b)} * ({H(d)} * {H(i)} - {H(f)} * {H(g)})"
+        f" + {H(c)} * ({H(d)} * {H(h)} - {H(e)} * {H(g)}))"
+    )
+
+
+def _q298_oracle() -> str:
+    # symmetric X'X rows: [n, sq, sd], [sq, sqq, sqd], [sd, sqd, sdd]
+    rows = [("n", "sq", "sd"), ("sq", "sqq", "sqd"), ("sd", "sqd", "sdd")]
+    det = _q298_det_sql(*rows)
+    bcol = ("sy", "sqy", "sdy")
+    nums = []
+    for j in range(3):
+        rep = [tuple(bcol[r] if k == j else rows[r][k] for k in range(3))
+               for r in range(3)]
+        nums.append(_q298_det_sql(*rep))
+    betas = [f"(CAST({n} AS DOUBLE) / CAST({det} AS DOUBLE))" for n in nums]
+    sse = (
+        f"(CAST(syy AS DOUBLE) - ({betas[0]} * sy + {betas[1]} * sqy"
+        f" + {betas[2]} * sdy))"
+    )
+    sst = "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n)"
+    return f"""
+WITH s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_quantity) AS BIGINT) AS sq,
+           CAST(SUM(CAST(ROUND(100.0 * l_discount) AS BIGINT)) AS BIGINT) AS sd,
+           CAST(SUM(l_quantity * l_quantity) AS BIGINT) AS sqq,
+           CAST(SUM(l_quantity * CAST(ROUND(100.0 * l_discount) AS BIGINT))
+                AS BIGINT) AS sqd,
+           CAST(SUM(CAST(ROUND(100.0 * l_discount) AS BIGINT)
+                    * CAST(ROUND(100.0 * l_discount) AS BIGINT)) AS BIGINT)
+               AS sdd,
+           CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+           CAST(SUM(l_quantity * CAST(ROUND(l_extendedprice) AS BIGINT))
+                AS BIGINT) AS sqy,
+           CAST(SUM(CAST(ROUND(100.0 * l_discount) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS sdy,
+           CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                    * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS syy
+    FROM lineitem
+)
+SELECT f.feature,
+       ROUND(CASE f.feature
+             WHEN 'intercept' THEN {betas[0]}
+             WHEN 'quantity' THEN {betas[1]}
+             ELSE {betas[2]} END, 4) AS beta,
+       ROUND(1.0 - {sse} / {sst}, 4) AS r_squared
+FROM s, (VALUES ('discount_pct'), ('intercept'), ('quantity')) AS f(feature)
+ORDER BY f.feature
+"""
+
+
+@register(
+    "q298_exact_ols",
+    oracle=_q298_oracle(),
+    tags=("ml-train", "A12"),
+)
+def q298_exact_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-feature OLS via integer sufficient statistics + Cramer:
+    (feature, beta, r_squared)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    d = F.round(100.0 * F.col("l_discount")).cast("long")
+    y = F.round(F.col("l_extendedprice")).cast("long")
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(q * d).alias("sqd"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(y).alias("sy"),
+        F.sum(q * y).alias("sqy"),
+        F.sum(d * y).alias("sdy"),
+        F.sum(y * y).alias("syy"),
+    ).collect()[0]
+
+    def det3(r1, r2, r3):
+        (a, b, c), (d_, e, f), (g, h, i) = r1, r2, r3
+        return a * (e * i - f * h) - b * (d_ * i - f * g) + c * (d_ * h - e * g)
+
+    n, sq, sd = stats["n"], stats["sq"], stats["sd"]
+    sqq, sqd, sdd = stats["sqq"], stats["sqd"], stats["sdd"]
+    sy, sqy, sdy, syy = stats["sy"], stats["sqy"], stats["sdy"], stats["syy"]
+    A = [(n, sq, sd), (sq, sqq, sqd), (sd, sqd, sdd)]
+    bv = (sy, sqy, sdy)
+    det = det3(*A)
+    betas = []
+    for j in range(3):
+        rep = [
+            tuple(bv[r] if k == j else A[r][k] for k in range(3))
+            for r in range(3)
+        ]
+        betas.append(det3(*rep) / det)  # exact-int / exact-int -> double
+    sse = syy - (betas[0] * sy + betas[1] * sqy + betas[2] * sdy)
+    sst = syy - sy * sy / n
+    r2 = 1.0 - sse / sst
+    rows = [
+        ("discount_pct", betas[2]),
+        ("intercept", betas[0]),
+        ("quantity", betas[1]),
+    ]
+    return (
+        spark.createDataFrame(
+            [(f, b, r2) for f, b in rows],
+            "feature string, beta_raw double, r2_raw double",
+        )
+        .select(
+            "feature",
+            F.round("beta_raw", 4).alias("beta"),
+            F.round("r2_raw", 4).alias("r_squared"),
+        )
+        .orderBy("feature")
+    )

@@ -310,3 +310,36 @@ def test_model_table_joins_broadcast(spark):
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_round5_additions_stay_scale_shaped(spark):
+    """Round-5 operators keep their promised plan shapes: the trigram
+    posting join is a hash join (never cartesian), the AUC/gain-chart
+    aggregations are partial before their bounded-domain windows, the
+    ABC windows stay brand-partitioned, and the quantile normalizer
+    reuses the range-partitioned two-pass id assigner."""
+    p268 = _plan(REGISTRY["q268_trigram_search"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in p268
+    assert "PythonUDF" not in p268
+
+    p283 = _plan(REGISTRY["q283_roc_auc"].spark(spark, SF_DIR))
+    assert "partial_" in p283  # score-domain collapse happens map-side
+
+    p289 = _plan(REGISTRY["q289_gain_chart"].spark(spark, SF_DIR))
+    assert "partial_" in p289
+
+    p281 = _plan(REGISTRY["q281_abc_classes"].spark(spark, SF_DIR))
+    assert "Exchange SinglePartition" not in p281  # brand-partitioned only
+
+    p293 = _plan(REGISTRY["q293_quantile_normalize"].spark(spark, SF_DIR))
+    assert "rangepartitioning" in p293.lower()  # ids.assign_ids_scalable
+
+    # none of the new relational paths fall back to row-at-a-time Python
+    for name in (
+        "q269_readability",
+        "q271_theil_sen",
+        "q278_bh_fdr",
+        "q283_roc_auc",
+        "q294_mann_kendall",
+    ):
+        assert "PythonUDF" not in _plan(REGISTRY[name].spark(spark, SF_DIR)), name
