@@ -1228,3 +1228,68 @@ def test_dtw_not_above_lockstep_and_matches_python(spark):
                         D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
                     )
             assert got[(types[ai], types[bi])] == round(D[10][10] / 100.0, 4)
+
+
+# -- q298-q300 semantics ----------------------------------------------------
+
+
+def test_exact_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+    import pandas as pd
+
+    df = (
+        REGISTRY["q298_exact_ols"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("feature")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    X = np.column_stack(
+        [
+            np.ones(len(li)),
+            li["l_quantity"].to_numpy(dtype=np.float64),
+            (100.0 * li["l_discount"]).round(),
+        ]
+    )
+    y = li["l_extendedprice"].round().to_numpy(dtype=np.float64)
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(df.loc["intercept", "beta"] - beta[0]) <= 1e-2
+    assert abs(df.loc["quantity", "beta"] - beta[1]) <= 1e-3
+    assert abs(df.loc["discount_pct", "beta"] - beta[2]) <= 1e-3
+    pred = X @ beta
+    r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(df["r_squared"].iloc[0] - r2) <= 1e-3
+
+
+def test_stratified_uplift_pools_correctly(spark):
+    df = (
+        REGISTRY["q299_stratified_uplift"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("stratum")
+    )
+    assert df["pooled_ate"].nunique() == 1
+    n_s = df["n_t"] + df["n_c"]
+    pooled = (df["uplift"] * n_s).sum() / n_s.sum()
+    assert abs(df["pooled_ate"].iloc[0] - pooled) <= 2e-4
+    for _, r in df.iterrows():
+        assert abs(
+            r["uplift"] - (r["rate_treated"] - r["rate_control"])
+        ) <= 2e-4
+        assert r["n_t"] > 0 and r["n_c"] > 0  # empty-arm strata dropped
+
+
+def test_powerlaw_alpha_matches_python(spark):
+    import math
+
+    import pandas as pd
+
+    row = (
+        REGISTRY["q300_powerlaw_alpha"].spark(spark, SF_DIR).toPandas().iloc[0]
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    deg = ev.groupby("user_id").size()
+    alpha = 1.0 + len(deg) / sum(math.log(k / 0.5) for k in deg)
+    assert int(row["n_users"]) == len(deg)
+    assert int(row["max_degree"]) == int(deg.max())
+    assert abs(row["alpha"] - alpha) <= 1e-3
