@@ -5229,89 +5229,34 @@ def q297_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = daily.filter(F.col("b") < _DTW_N).select(
         "event_type", (F.col("b") + 1).alias("i"), "x"
     )
-    a = series.select(
-        F.col("event_type").alias("ta"), F.col("i").alias("i"), F.col("x").alias("xa")
-    )
-    b = series.select(
-        F.col("event_type").alias("tb"), F.col("i").alias("j"), F.col("x").alias("xb")
-    )
-    cost = (
-        a.join(b, F.col("ta") < F.col("tb"))
-        .select(
-            F.concat(F.col("ta"), F.lit("|"), F.col("tb")).alias("pair"),
-            "i",
-            "j",
-            F.abs(F.col("xa") - F.col("xb")).alias("c"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    lock = (
-        a.join(b, (F.col("tb") > F.col("ta")) & (F.col("j") == F.col("i")))
-        .groupBy(F.col("ta").alias("type_a"), F.col("tb").alias("type_b"))
-        .agg(F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("l1"))
-    )
-    big = F.lit(_DTW_BIG).cast("long")
-    d2 = cost.filter((F.col("i") == 1) & (F.col("j") == 1)).select(
-        "pair", "i", "j", F.col("c").alias("d")
-    )
-    # diagonal 1 is out of grid: empty same-schema relation
-    diags: dict[int, DataFrame] = {1: d2.filter(F.lit(False)), 2: d2}
-    for k in range(3, 2 * _DTW_N + 1):
-        up = diags[k - 1].select(
-            F.col("pair").alias("u_pair"), F.col("i").alias("u_i"),
-            F.col("j").alias("u_j"), F.col("d").alias("up_d"),
-        )
-        lf = diags[k - 1].select(
-            F.col("pair").alias("l_pair"), F.col("i").alias("l_i"),
-            F.col("j").alias("l_j"), F.col("d").alias("lf_d"),
-        )
-        dg = diags[k - 2].select(
-            F.col("pair").alias("g_pair"), F.col("i").alias("g_i"),
-            F.col("j").alias("g_j"), F.col("d").alias("dg_d"),
-        )
-        cells = cost.filter(F.col("i") + F.col("j") == k)
-        step = (
-            cells.join(
-                up,
-                (F.col("u_pair") == F.col("pair"))
-                & (F.col("u_i") == F.col("i") - 1)
-                & (F.col("u_j") == F.col("j")),
-                "left",
-            )
-            .join(
-                lf,
-                (F.col("l_pair") == F.col("pair"))
-                & (F.col("l_i") == F.col("i"))
-                & (F.col("l_j") == F.col("j") - 1),
-                "left",
-            )
-            .join(
-                dg,
-                (F.col("g_pair") == F.col("pair"))
-                & (F.col("g_i") == F.col("i") - 1)
-                & (F.col("g_j") == F.col("j") - 1),
-                "left",
-            )
-        )
-        diags[k] = step.select(
-            "pair",
-            "i",
-            "j",
-            (
-                F.col("c")
-                + F.least(
-                    F.coalesce("up_d", big),
-                    F.coalesce("lf_d", big),
-                    F.coalesce("dg_d", big),
-                )
-            ).alias("d"),
-        ).localCheckpoint(eager=True)
-    final = diags[2 * _DTW_N].select("pair", "d")
+    # The DP depth is fixed (19 wavefronts) but each relational step costs
+    # a scheduler round trip; the series relation is BOUNDED (|types| x 10
+    # calendar buckets), so the exact-integer DP runs driver-side on the
+    # collected rows instead (the q277 kernel pattern). The corpus-sized
+    # work - the bucket aggregate - stays distributed.
+    rows = series.collect()
+    ser: dict[str, dict[int, int]] = {}
+    for r in rows:
+        ser.setdefault(r["event_type"], {})[r["i"]] = r["x"]
+    types = sorted(t for t, m in ser.items() if len(m) == _DTW_N)
+    out = []
+    for ai in range(len(types)):
+        for bi in range(ai + 1, len(types)):
+            a = [ser[types[ai]][k] for k in range(1, _DTW_N + 1)]
+            b = [ser[types[bi]][k] for k in range(1, _DTW_N + 1)]
+            D = [[_DTW_BIG] * (_DTW_N + 1) for _ in range(_DTW_N + 1)]
+            D[0][0] = 0
+            for i in range(1, _DTW_N + 1):
+                for j in range(1, _DTW_N + 1):
+                    D[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                        D[i - 1][j], D[i][j - 1], D[i - 1][j - 1]
+                    )
+            l1 = sum(abs(x - y) for x, y in zip(a, b))
+            out.append((types[ai], types[bi], D[_DTW_N][_DTW_N], l1))
     return (
-        lock.withColumn(
-            "pair", F.concat(F.col("type_a"), F.lit("|"), F.col("type_b"))
+        spark.createDataFrame(
+            out, "type_a string, type_b string, d long, l1 long"
         )
-        .join(final, "pair")
         .select(
             "type_a",
             "type_b",
