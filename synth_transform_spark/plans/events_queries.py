@@ -5461,3 +5461,54 @@ def q300_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 + F.col("n").cast("double") * 1000000.0 / F.col("denom"), 4
         ).alias("alpha"),
     )
+
+
+# --------------------------------------------------------------------------
+# q301 - chained streaming aggregations (multiple stateful operators in
+# ONE query, Spark 3.4+): hourly per-type counts re-aggregated into an
+# hourly shape summary (n_types, total, max) - the two-level rollup that
+# previously required two jobs and an intermediate sink, executed AS A
+# STREAM through the availableNow gate. Append mode (mandatory for
+# chained state) emits exactly the windows the final watermark closed:
+# window_end <= max(ts) - 2h - the oracle reproduces that boundary, so
+# the check pins BOTH the aggregation algebra and the emission contract.
+# Parity: counts are exact integers; no floats anywhere.
+# Scale: two shuffle stages keyed by (window[, type]) with watermark-
+# bounded state - the streaming twin of a two-level batch rollup; state
+# size is windows-in-flight, not history.
+# --------------------------------------------------------------------------
+@register(
+    "q301_streaming_two_level",
+    oracle="""
+WITH e AS (
+    SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+mx AS (SELECT MAX(ts) AS m FROM e),
+l1 AS (
+    SELECT TIME_BUCKET(INTERVAL '1 hour', ts) AS w, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e GROUP BY 1, 2
+),
+l2 AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(MAX(n) AS BIGINT) AS max_type_n
+    FROM l1 GROUP BY w
+)
+SELECT l2.w AS window_start, n_types, total_events, max_type_n
+FROM l2 CROSS JOIN mx
+WHERE l2.w + INTERVAL '1 hour' <= mx.m - INTERVAL '2 hours'
+ORDER BY window_start
+""",
+    tags=("streaming-tumbling", "A9", "A1"),
+)
+def q301_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained two-level streaming rollup through the availableNow gate:
+    (window_start, n_types, total_events, max_type_n) for every window
+    the final watermark closed."""
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.two_level_hourly(stream), "q301_sink", output_mode="append"
+    ).orderBy("window_start")

@@ -262,3 +262,30 @@ def dedup_within_watermark(
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def two_level_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """CHAINED stateful aggregations in one streaming query (the multiple-
+    stateful-operators capability, Spark 3.4+): level 1 is the watermarked
+    hourly count per (window, event_type); level 2 re-aggregates those
+    window results per hour - (window_start, n_types, total_events,
+    max_type_n). Append mode is mandatory for chained stateful ops, so
+    only windows the final watermark has closed are emitted - the exact
+    boundary the q301 oracle reproduces.
+    """
+    l1 = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    l2 = l1.groupBy(F.window(F.window_time("window"), "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("n").alias("total_events"),
+        F.max("n").alias("max_type_n"),
+    )
+    return l2.select(
+        F.col("window.start").alias("window_start"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("total_events").cast("long").alias("total_events"),
+        F.col("max_type_n").cast("long").alias("max_type_n"),
+    )
