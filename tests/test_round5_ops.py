@@ -1293,3 +1293,29 @@ def test_powerlaw_alpha_matches_python(spark):
     assert int(row["n_users"]) == len(deg)
     assert int(row["max_degree"]) == int(deg.max())
     assert abs(row["alpha"] - alpha) <= 1e-3
+
+
+# -- q301 semantics ---------------------------------------------------------
+
+
+def test_streaming_two_level_matches_batch_below_boundary(spark):
+    """The chained streaming rollup must equal the batch two-level rollup
+    on every window the final watermark closed, and emit nothing past
+    the boundary."""
+    import pandas as pd
+
+    df = REGISTRY["q301_streaming_two_level"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["w"] = pd.to_datetime(ev["ts"]).dt.floor("h")
+    l1 = ev.groupby(["w", "event_type"]).size()
+    l2 = l1.groupby("w").agg(["count", "sum", "max"])
+    boundary = pd.to_datetime(ev["ts"]).max() - pd.Timedelta(hours=2)
+    want = l2[l2.index + pd.Timedelta(hours=1) <= boundary]
+    assert len(df) == len(want)
+    got = df.set_index("window_start")
+    for w, r in want.iterrows():
+        g = got.loc[w]
+        assert int(g["n_types"]) == r["count"]
+        assert int(g["total_events"]) == r["sum"]
+        assert int(g["max_type_n"]) == r["max"]
+    assert (got.index + pd.Timedelta(hours=1) <= boundary).all()
