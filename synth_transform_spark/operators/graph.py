@@ -519,6 +519,10 @@ def personalized_pagerank(
     )
     seed = seeds.select("node").distinct().join(nodes, "node", "left_semi")
     n_seeds = seed.count()
+    if n_seeds == 0:
+        # no reachable seeds -> no teleport mass -> every score is 0
+        # (also covers an empty edge relation, whose node set is empty)
+        return nodes.select("node", F.lit(0.0).alias("score"))
     outdeg = e.groupBy("s").agg(F.count(F.lit(1)).alias("od"))
     weighted = e.join(outdeg, "s").localCheckpoint(eager=True)
     base = nodes.join(

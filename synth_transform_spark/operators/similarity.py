@@ -1000,6 +1000,8 @@ def mmr_select(
             raw = lam * rel - (1 - lam) * maxsim
             if best is None or raw > best[0] or (raw == best[0] and d < best[1]):
                 best = (raw, d)
+        if best is None:  # pool exhausted (pool_size < k, or empty corpus)
+            break
         raw, d = best
         selected.append((rank, d, rel_rows[d], raw))
         chosen.append(d)

@@ -78,3 +78,42 @@ def test_kcenter_smaller_corpus_than_k(spark):
     assert len(out) == 3
     assert sorted(out.vec_id.tolist()) == [0, 1, 2]
     assert out.sel_rank.tolist() == sorted(out.sel_rank.tolist())
+
+
+def test_round5b_operators_on_empty_and_degenerate(spark):
+    """q267/q270/q276/q277 kernels: zero seeds -> all-zero scores, empty
+    corpora -> empty results, pools smaller than k -> short result, an
+    empty transition matrix -> zero conversion everywhere."""
+    from synth_transform_spark.operators.bpe import unigram_viterbi
+    from synth_transform_spark.operators.graph import (
+        personalized_pagerank,
+        removal_effect_attribution,
+    )
+    from synth_transform_spark.operators.similarity import mmr_select
+
+    e = spark.createDataFrame([(1, 2)], "s long, d long")
+    no_seeds = personalized_pagerank(e, _empty_like(spark, "node long"))
+    assert [r["score"] for r in no_seeds.collect()] == [0.0, 0.0]
+    assert (
+        personalized_pagerank(
+            _empty_like(spark, "s long, d long"),
+            spark.createDataFrame([(1,)], "node long"),
+        ).count()
+        == 0
+    )
+
+    emb = _empty_like(spark, "vec_id long, embedding array<float>")
+    assert mmr_select(emb, emb, k=3, pool_size=5).count() == 0
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    short = mmr_select(emb2, emb2.filter("vec_id = 0"), k=5, pool_size=5)
+    assert short.count() == 2  # pool exhausted before k
+
+    assert unigram_viterbi(_empty_like(spark, "doc_id long, text string")).count() == 0
+
+    mk = removal_effect_attribution(
+        _empty_like(spark, "s string, t string, p long"), ("a", "b")
+    ).collect()
+    assert all(r["p_full"] == 0.0 and r["attribution"] is None for r in mk)
