@@ -5133,13 +5133,15 @@ def q296_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classic alignment-tolerant series similarity (shifted-but-same-shape
 # series score close; L1 punishes the shift).
 # Parity: bucket means are frozen floor(sum(100x)/n) integers, so every
-# DP cell is an exact integer; the recurrence is unrolled over the 19
-# anti-diagonals (each cell needs only the two previous diagonals - the
-# wavefront schedule), identically as MATERIALIZED CTEs in the oracle
-# and localCheckpoint-ed relations in Spark (the q276 device).
-# Scale: the corpus collapses to |types| x 10 bucket means first; the
-# whole DP runs on the bounded pair x cell relation (<= 100 cells per
-# diagonal). Wavefront depth is fixed by series length, not data size.
+# DP cell is an exact integer; the oracle unrolls the recurrence over
+# the 19 anti-diagonals (each cell needs only the two previous
+# diagonals - the wavefront schedule) as MATERIALIZED CTEs; the Spark
+# side runs the identical integer DP driver-side over the BOUNDED
+# collected series (the q277 kernel pattern - a relational wavefront
+# paid a scheduler round trip per diagonal for constant-size data).
+# Scale: the corpus collapses to |types| x 10 bucket means first (the
+# only corpus-sized work); everything after touches <= |types| x 10
+# rows. DP depth is fixed by series length, not data size.
 # --------------------------------------------------------------------------
 _DTW_N = 10
 _DTW_BIG = 1 << 60
