@@ -5514,3 +5514,471 @@ def q301_streaming_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.run_available_now(
         se.two_level_hourly(stream), "q301_sink", output_mode="append"
     ).orderBy("window_start")
+
+
+# --------------------------------------------------------------------------
+# q302 - population stability index (PSI) per event type: the standard
+# model-monitoring drift score between the first and second half of the
+# month over 10 fixed value bands, with the conventional 0.1/0.25
+# watch/alert verdicts. q156 measures corpus drift in KL over tokens;
+# PSI is its banded, score-distribution sibling every scoring pipeline
+# reports.
+# Parity: band counts are exact integers; each PSI term
+# (p_i - q_i) * ln(p_i / q_i) is frozen to round(10^9 * term) BEFORE the
+# cross-band sum (Laplace +1 smoothing keeps every band populated so the
+# log never sees zero); one /10^9 + 4dp at the end.
+# Scale: one conditional aggregate to the (type, band) relation; all
+# algebra on <= |types| x 10 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q302_psi_drift",
+    oracle="""
+WITH tagged AS (
+    SELECT event_type,
+           CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+                THEN 0 ELSE 1 END AS half,
+           LEAST(CAST(FLOOR(value / 50.0) AS BIGINT), 9) AS band
+    FROM events
+),
+cells AS (
+    SELECT event_type, band,
+           CAST(SUM(1 - half) + 1 AS BIGINT) AS a,
+           CAST(SUM(half) + 1 AS BIGINT) AS b
+    FROM tagged GROUP BY event_type, band
+),
+tot AS (
+    SELECT event_type, CAST(SUM(a) AS BIGINT) AS ta,
+           CAST(SUM(b) AS BIGINT) AS tb
+    FROM cells GROUP BY event_type
+),
+terms AS (
+    SELECT c.event_type,
+           CAST(ROUND(1000000000.0
+                * (CAST(c.a AS DOUBLE) / t.ta - CAST(c.b AS DOUBLE) / t.tb)
+                * LN((CAST(c.a AS DOUBLE) / t.ta)
+                     / (CAST(c.b AS DOUBLE) / t.tb))) AS BIGINT) AS term
+    FROM cells c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type,
+       ROUND(CAST(SUM(term) AS DOUBLE) / 1000000000.0, 4) AS psi,
+       CAST(CASE WHEN SUM(term) >= 250000000 THEN 2
+                 WHEN SUM(term) >= 100000000 THEN 1 ELSE 0 END AS BIGINT)
+           AS drift_level
+FROM terms
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("ml-monitoring", "A6", "A12"),
+)
+def q302_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI between month halves over 10 value bands per type:
+    (event_type, psi, drift_level) - 0 ok / 1 watch / 2 alert."""
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    tagged = events.select(
+        "event_type",
+        (F.col("ts") >= cut).cast("long").alias("half"),
+        F.least(
+            F.floor(F.col("value") / 50.0).cast("long"), F.lit(9).cast("long")
+        ).alias("band"),
+    )
+    cells = tagged.groupBy("event_type", "band").agg(
+        (F.sum(1 - F.col("half")) + 1).alias("a"),
+        (F.sum("half") + 1).alias("b"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("a").alias("ta"), F.sum("b").alias("tb")
+    )
+    pa = F.col("a").cast("double") / F.col("ta")
+    pb = F.col("b").cast("double") / F.col("tb")
+    terms = cells.join(tot, "event_type").select(
+        "event_type",
+        F.round(1000000000.0 * (pa - pb) * F.log(pa / pb))
+        .cast("long")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(F.sum("term").alias("tsum"))
+        .select(
+            "event_type",
+            F.round(F.col("tsum").cast("double") / 1000000000.0, 4).alias("psi"),
+            F.when(F.col("tsum") >= 250000000, 2)
+            .when(F.col("tsum") >= 100000000, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("drift_level"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q303 - activity-segment migration matrix: classify each user by fixed
+# spend bands (summed event value: low < $1300, mid < $1900, high)
+# in each month half, then the transition matrix between halves including 'new' /
+# 'churned' edge states - the cohort-migration relation a retention
+# dashboard is built on (q88 tracks cohorts over time; this tracks
+# SEGMENT MOVEMENT between periods).
+# Parity: per-half spend is an exact x100-frozen integer sum; segment
+# assignment is integer thresholding on it; matrix cells and row shares
+# are integers + one division, 4dp.
+# Scale: two keyed per-(user, half) aggregates -> full-outer join on
+# user -> one (from, to) aggregate; the matrix is bounded (4 x 4).
+# --------------------------------------------------------------------------
+@register(
+    "q303_segment_migration",
+    oracle="""
+WITH perhalf AS (
+    SELECT user_id,
+           CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+                THEN 0 ELSE 1 END AS half,
+           CAST(SUM(CAST(ROUND(100.0 * value) AS BIGINT)) AS BIGINT) AS s
+    FROM events GROUP BY 1, 2
+),
+seg AS (
+    SELECT user_id, half,
+           CASE WHEN s < 130000 THEN 'low' WHEN s < 190000 THEN 'mid'
+                ELSE 'high' END AS segment
+    FROM perhalf
+),
+joined AS (
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+           COALESCE(a.segment, 'new') AS from_seg,
+           COALESCE(b.segment, 'churned') AS to_seg
+    FROM (SELECT * FROM seg WHERE half = 0) a
+    FULL JOIN (SELECT * FROM seg WHERE half = 1) b
+      ON b.user_id = a.user_id
+),
+cells AS (
+    SELECT from_seg, to_seg, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM joined GROUP BY from_seg, to_seg
+),
+rows_ AS (
+    SELECT from_seg, CAST(SUM(n_users) AS BIGINT) AS row_n FROM cells
+    GROUP BY from_seg
+)
+SELECT c.from_seg, c.to_seg, c.n_users,
+       ROUND(CAST(c.n_users AS DOUBLE) / r.row_n, 4) AS row_share
+FROM cells c JOIN rows_ r ON r.from_seg = c.from_seg
+ORDER BY c.from_seg, c.to_seg
+""",
+    tags=("cohort", "A6", "J8"),
+)
+def q303_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-to-half activity segment transition matrix:
+    (from_seg, to_seg, n_users, row_share)."""
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    perhalf = events.groupBy(
+        "user_id", (F.col("ts") >= cut).cast("long").alias("half")
+    ).agg(F.sum(F.round(100.0 * F.col("value")).cast("long")).alias("s"))
+    seg = perhalf.select(
+        "user_id",
+        "half",
+        F.when(F.col("s") < 130000, "low")
+        .when(F.col("s") < 190000, "mid")
+        .otherwise("high")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 0).select(
+        "user_id", F.col("segment").alias("from_seg")
+    )
+    b = seg.filter(F.col("half") == 1).select(
+        "user_id", F.col("segment").alias("to_seg")
+    )
+    joined = a.join(b, "user_id", "full").select(
+        F.coalesce("from_seg", F.lit("new")).alias("from_seg"),
+        F.coalesce("to_seg", F.lit("churned")).alias("to_seg"),
+    )
+    cells = joined.groupBy("from_seg", "to_seg").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    rows_ = cells.groupBy("from_seg").agg(F.sum("n_users").alias("row_n"))
+    return (
+        cells.join(rows_, "from_seg")
+        .select(
+            "from_seg",
+            "to_seg",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col("n_users").cast("double") / F.col("row_n"), 4
+            ).alias("row_share"),
+        )
+        .orderBy("from_seg", "to_seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# q304 - exact distributed quantiles from value-domain counts: p50 /
+# p90 / p99 of `value` per event type WITHOUT any row sort - collapse to
+# per-(type, frozen value) counts, one cumulative window over the
+# bounded value DOMAIN, then pick the lower-nearest order statistic at
+# ceil(p * n). This is the scale path q64's sort-based percentile()
+# cannot take at 100 TB (its per-group sort is row-scaled; this window
+# is domain-scaled), and unlike t-digest it is EXACT.
+# Parity: k-th order statistics are integer selections (value = smallest
+# v with cum >= ceil(p*n), via integer arithmetic (p*n + 99) // 100);
+# the only double is the final /100 display scaling, 4dp.
+# Scale: one keyed aggregate to the (type, value-domain) relation; the
+# cum window partitions per type over distinct values; three broadcast-
+# joined threshold lookups.
+# --------------------------------------------------------------------------
+_Q304_PCTS = (50, 90, 99)
+
+
+def _q304_pick(p: int) -> str:
+    return f"""(
+    SELECT event_type, MIN(v) AS v FROM cum
+    JOIN nn USING (event_type)
+    WHERE cum >= ({p} * n + 99) // 100
+    GROUP BY event_type
+)"""
+
+
+@register(
+    "q304_domain_quantiles",
+    oracle=f"""
+WITH frozen AS (
+    SELECT event_type, CAST(ROUND(100.0 * value) AS BIGINT) AS v
+    FROM events
+),
+g AS (
+    SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM frozen GROUP BY event_type, v
+),
+nn AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM g GROUP BY event_type
+),
+cum AS (
+    SELECT event_type, v, c,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM g
+)
+SELECT n.event_type, n.n,
+       ROUND(p50.v / 100.0, 4) AS p50,
+       ROUND(p90.v / 100.0, 4) AS p90,
+       ROUND(p99.v / 100.0, 4) AS p99
+FROM nn n
+JOIN {_q304_pick(50)} p50 ON p50.event_type = n.event_type
+JOIN {_q304_pick(90)} p90 ON p90.event_type = n.event_type
+JOIN {_q304_pick(99)} p99 ON p99.event_type = n.event_type
+ORDER BY n.event_type
+""",
+    tags=("quantiles", "A12", "W2"),
+)
+def q304_domain_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 per type from value-domain counts (no row
+    sort): (event_type, n, p50, p90, p99)."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        "event_type",
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    nn = g.groupBy("event_type").agg(F.sum("c").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select("event_type", "v", F.sum("c").over(w).alias("cum")).join(
+        F.broadcast(nn), "event_type"
+    )
+    out = nn
+    for p in _Q304_PCTS:
+        pick = (
+            cum.filter(
+                F.col("cum") >= F.expr(f"({p} * n + 99) div 100")
+            )
+            .groupBy("event_type")
+            .agg(F.min("v").alias(f"v{p}"))
+        )
+        out = out.join(pick, "event_type")
+    return out.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        *[
+            F.round(F.col(f"v{p}") / 100.0, 4).alias(f"p{p}")
+            for p in _Q304_PCTS
+        ],
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q305 - two-sample Kolmogorov-Smirnov test (treated vs control value
+# distributions): the max CDF gap computed on the value DOMAIN (merged
+# distinct values, two cumulative counts, one argmax) - no row sort -
+# with the asymptotic two-sided p approximation
+# p = 2 exp(-2 D^2 n_e), n_e = n1 n2 / (n1 + n2). The distribution-free
+# "did the whole shape move" test the mean-based q284/q291 cannot see.
+# Parity: CDF gaps are compared as INTEGER cross-products
+# |c1 * n2 - c2 * n1| (never a float CDF), so D's argmax is exact; D and
+# p are closed-form doubles from three integers; 4dp.
+# Scale: one keyed aggregate to the value domain, two domain-window
+# cumsums, one 1-row argmax aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q305_ks_test",
+    oracle="""
+WITH frozen AS (
+    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS v,
+           CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+    FROM events
+),
+g AS (
+    SELECT v, CAST(SUM(t) AS BIGINT) AS c1, CAST(SUM(1 - t) AS BIGINT) AS c2
+    FROM frozen GROUP BY v
+),
+nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM g
+),
+cum AS (
+    SELECT v,
+           CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS k1,
+           CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS k2
+    FROM g
+),
+gap AS (
+    SELECT CAST(MAX(ABS(k1 * (SELECT n2 FROM nn) - k2 * (SELECT n1 FROM nn)))
+                AS BIGINT) AS num
+    FROM cum
+)
+SELECT n.n1, n.n2,
+       ROUND(CAST(g.num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2), 4) AS d_stat,
+       ROUND(2.0 * EXP(-2.0
+             * (CAST(g.num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
+             * (CAST(g.num AS DOUBLE) / (CAST(n.n1 AS DOUBLE) * n.n2))
+             * (CAST(n.n1 AS DOUBLE) * n.n2 / (n.n1 + n.n2))), 4) AS p_value
+FROM gap g CROSS JOIN nn n
+""",
+    tags=("ab-test", "A12", "W2"),
+)
+def q305_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test of treated vs control values on the value
+    domain: (n1, n2, d_stat, p_value)."""
+    events = load_table(spark, sf_dir, "events")
+    frozen = events.select(
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("user_id") % 2 == 1).cast("long").alias("t"),
+    )
+    g = frozen.groupBy("v").agg(
+        F.sum("t").alias("c1"), F.sum(1 - F.col("t")).alias("c2")
+    )
+    nn = g.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = g.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    ).crossJoin(F.broadcast(nn))
+    gap = cum.agg(
+        F.max(
+            F.abs(F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1"))
+        ).alias("num")
+    )
+    d = F.col("num").cast("double") / (F.col("n1").cast("double") * F.col("n2"))
+    ne = F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    return (
+        gap.crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(d, 4).alias("d_stat"),
+            F.round(2.0 * F.exp(-2.0 * d * d * ne), 4).alias("p_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q306 - Spearman rank correlation between event types' daily count
+# series: average-rank rho over the 30-day calendar for every type pair
+# - the monotone-association complement to q174's rolling Pearson
+# (Spearman survives outlier days and nonlinear coupling).
+# Parity: average ranks are exact rationals frozen as 2x-integers
+# (2*rank is integer even for tied halves); rho's numerator/denominator
+# are integer sums over the bounded series; one division, 4dp.
+# Scale: collapse-first to daily counts; ranking windows partition per
+# type over the calendar-bounded series; the pair join is |types|^2 x 30.
+# --------------------------------------------------------------------------
+@register(
+    "q306_spearman_daily",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT event_type, day,
+           CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY c)
+                + COUNT(*) OVER (PARTITION BY event_type, c) - 1 AS BIGINT)
+               AS r2
+    FROM daily
+),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.r2 AS ra, b.r2 AS rb
+    FROM ranked a
+    JOIN ranked b ON b.day = a.day AND a.event_type < b.event_type
+),
+stats AS (
+    SELECT type_a, type_b,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ra) AS BIGINT) AS sa, CAST(SUM(rb) AS BIGINT) AS sb,
+           CAST(SUM(ra * rb) AS BIGINT) AS sab,
+           CAST(SUM(ra * ra) AS BIGINT) AS saa,
+           CAST(SUM(rb * rb) AS BIGINT) AS sbb
+    FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, n,
+       ROUND((n * sab - CAST(sa AS DOUBLE) * sb)
+             / SQRT((n * saa - CAST(sa AS DOUBLE) * sa)
+                    * (n * sbb - CAST(sb AS DOUBLE) * sb)), 4) AS rho
+FROM stats
+ORDER BY type_a, type_b
+""",
+    tags=("robust-stats", "A12", "W2"),
+)
+def q306_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between daily count series for every type pair:
+    (type_a, type_b, n, rho)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("event_type").orderBy("c")
+    wt = Window.partitionBy("event_type", "c")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).cast("long").alias("r2"),
+    )
+    a = ranked.select(
+        F.col("event_type").alias("type_a"), "day", F.col("r2").alias("ra")
+    )
+    b = ranked.select(
+        F.col("event_type").alias("type_b"), "day", F.col("r2").alias("rb")
+    )
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    stats = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+        * (F.col("n") * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    return stats.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 4).alias("rho"),
+    ).orderBy("type_a", "type_b")
