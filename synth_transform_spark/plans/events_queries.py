@@ -5982,3 +5982,469 @@ def q306_spearman_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(num / den, 4).alias("rho"),
     ).orderBy("type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# q307 - lead-lag cross-correlation: Pearson correlation of daily count
+# series at every shift in [-3, +3] days for each type pair, and the
+# best lag by |r| - "does error activity LEAD purchases by two days?",
+# the question q306's same-day rho cannot answer.
+# Parity: per-(pair, lag) sums over the aligned overlap are exact
+# integers (the overlap set is a deterministic day join); r is the
+# closed-form expression over 6 integers; the argmax lag orders by
+# (round(|r|, 4) desc, lag asc) so ties are deterministic; 4dp.
+# Scale: collapse-first to daily counts; the lag join is |types|^2 x 7
+# x 30 bounded rows; one (pair, lag) aggregate + one tiny argmax window.
+# --------------------------------------------------------------------------
+@register(
+    "q307_lead_lag",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           DATEDIFF('day', DATE '2024-01-01',
+                    CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE))
+               AS t,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+lags AS (SELECT UNNEST(GENERATE_SERIES(-3, 3)) AS lag),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b, l.lag,
+           a.c AS ca, b.c AS cb
+    FROM daily a
+    CROSS JOIN lags l
+    JOIN daily b ON b.event_type <> a.event_type
+               AND a.event_type < b.event_type
+               AND b.t = a.t + l.lag
+),
+stats AS (
+    SELECT type_a, type_b, lag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ca) AS BIGINT) AS sa, CAST(SUM(cb) AS BIGINT) AS sb,
+           CAST(SUM(ca * cb) AS BIGINT) AS sab,
+           CAST(SUM(ca * ca) AS BIGINT) AS saa,
+           CAST(SUM(cb * cb) AS BIGINT) AS sbb
+    FROM pairs GROUP BY type_a, type_b, lag
+),
+scored AS (
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n,
+           ROUND((n * sab - CAST(sa AS DOUBLE) * sb)
+                 / SQRT((n * saa - CAST(sa AS DOUBLE) * sa)
+                        * (n * sbb - CAST(sb AS DOUBLE) * sb)), 4) AS r
+    FROM stats
+),
+best AS (
+    SELECT type_a, type_b, lag AS best_lag, r AS best_r,
+           ROW_NUMBER() OVER (PARTITION BY type_a, type_b
+                              ORDER BY ABS(r) DESC, lag ASC) AS rk
+    FROM scored
+)
+SELECT type_a, type_b, best_lag, best_r
+FROM best WHERE rk = 1
+ORDER BY type_a, type_b
+""",
+    tags=("timeseries", "A12", "W3"),
+)
+def q307_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best lead-lag (by |r|, lags -3..3) between daily count series:
+    (type_a, type_b, best_lag, best_r)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        ).alias("t"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    lags = spark.createDataFrame([(l,) for l in range(-3, 4)], "lag long")
+    a = daily.select(
+        F.col("event_type").alias("type_a"), F.col("t").alias("ta"),
+        F.col("c").alias("ca"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"), F.col("t").alias("tb"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("tb") == F.col("ta") + F.col("lag")),
+        )
+    )
+    stats = pairs.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sab"),
+        F.sum(F.col("ca") * F.col("ca")).alias("saa"),
+        F.sum(F.col("cb") * F.col("cb")).alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa").cast("double") * F.col("sb")
+    den = F.sqrt(
+        (F.col("n") * F.col("saa") - F.col("sa").cast("double") * F.col("sa"))
+        * (F.col("n") * F.col("sbb") - F.col("sb").cast("double") * F.col("sb"))
+    )
+    scored = stats.select(
+        "type_a",
+        "type_b",
+        F.col("lag").cast("long").alias("lag"),
+        F.round(num / den, 4).alias("r"),
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy(
+        F.abs(F.col("r")).desc(), F.col("lag").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").alias("best_lag"),
+            F.col("r").alias("best_r"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q308 - greedy maximum-coverage source selection: pick 5 sources whose
+# union covers the most distinct word trigrams, one greedy step at a time
+# (the classic (1 - 1/e) submodular algorithm - budgeted data
+# acquisition: "which 5 corpora buy the most vocabulary"). Each step is
+# RELATIONAL: marginal gain = per-source count of tokens not yet
+# covered (anti-join), argmax with source tie-break.
+# Parity: token sets and marginal counts are exact; the oracle unrolls
+# the 5 greedy steps as MATERIALIZED CTEs (the q270 device).
+# Scale: the (source, token) distinct relation is the only corpus-sized
+# object (one keyed distinct); each greedy step is one anti-join + one
+# per-source count over it - 5 fixed rounds, no driver state beyond the
+# picked source ids.
+# --------------------------------------------------------------------------
+_Q308_K = 5
+
+
+def _q308_oracle(k: int = _Q308_K) -> str:
+    ctes = [
+        "cov0 AS (SELECT DISTINCT tok FROM st WHERE FALSE)",
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""gain{i} AS MATERIALIZED (
+    SELECT s.source, CAST(COUNT(*) AS BIGINT) AS gain
+    FROM st s
+    WHERE NOT EXISTS (SELECT 1 FROM cov{i - 1} c WHERE c.tok = s.tok)
+      AND s.source NOT IN (SELECT source FROM picked{i - 1})
+    GROUP BY s.source
+)"""
+        )
+        ctes.append(
+            f"""sel{i} AS MATERIALIZED (
+    SELECT source, gain FROM gain{i}
+    ORDER BY gain DESC, source ASC LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""picked{i} AS MATERIALIZED (
+    SELECT source FROM picked{i - 1} UNION ALL SELECT source FROM sel{i}
+)"""
+        )
+        ctes.append(
+            f"""cov{i} AS MATERIALIZED (
+    SELECT DISTINCT tok FROM st
+    WHERE source IN (SELECT source FROM picked{i})
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, source, gain AS new_tokens,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM cov{i}) AS covered_total"
+        f" FROM sel{i}"
+        for i in range(1, k + 1)
+    )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH dw AS (
+    SELECT source, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+st AS MATERIALIZED (
+    SELECT DISTINCT source, ARRAY_TO_STRING(w[i + 1 : i + 3], ' ') AS tok
+    FROM dw, UNNEST(GENERATE_SERIES(0, LEN(w) - 3)) AS t(i)
+    WHERE LEN(w) >= 3
+),
+picked0 AS (SELECT source FROM st WHERE FALSE),
+{joined}
+SELECT * FROM ({union})
+ORDER BY step
+"""
+
+
+@register(
+    "q308_greedy_coverage",
+    oracle=_q308_oracle(),
+    tags=("training-mix", "P5", "W3"),
+)
+def q308_greedy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy 5-source maximum vocabulary coverage:
+    (step, source, new_tokens, covered_total)."""
+    from ..caching import persist_tracked
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split("text", " "), lambda t: t != "")
+    st = persist_tracked(
+        docs.select("source", w.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 3)),
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    picked: list[str] = []
+    out = []
+    covered = st.filter(F.lit(False)).select("tok")
+    for step in range(1, _Q308_K + 1):
+        gains = (
+            st.filter(~F.col("source").isin(picked) if picked else F.lit(True))
+            .join(covered, "tok", "left_anti")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("gain"))
+            .orderBy(F.col("gain").desc(), F.col("source").asc())
+            .limit(1)
+            .collect()
+        )
+        if not gains:  # every remaining source adds zero coverage - the
+            break      # oracle's sel CTE goes empty at the same step
+        src, gain = gains[0]["source"], gains[0]["gain"]
+        picked.append(src)
+        covered = (
+            st.filter(F.col("source").isin(picked)).select("tok").distinct()
+        ).localCheckpoint(eager=True)
+        out.append((step, src, gain, covered.count()))
+    return spark.createDataFrame(
+        out, "step long, source string, new_tokens long, covered_total long"
+    ).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# q309 - entropy rate of the user-journey Markov chain: H = -sum_s pi_s
+# sum_t p(s,t) ln p(s,t), with pi the empirical state frequencies and p
+# the q154/q279 transition matrix - how predictable the NEXT event is
+# given the current one, in nats (0 = deterministic journeys; ln|S| =
+# uniform chaos). Also reports each state's conditional entropy, giving
+# the per-state predictability profile q279's argmax accuracy only
+# scratches.
+# Parity: transition counts are exact; each -c_st * ln(c_st / c_s) term
+# is frozen to round(10^6 * term) per matrix cell before ANY cross-cell
+# sum; pi weighting happens in exact integer arithmetic (term sums are
+# divided by the GLOBAL transition count once at the end); 4dp.
+# Scale: one per-user successor window + one keyed aggregate to the
+# bounded |states|^2 matrix; everything after is algebra on it.
+# --------------------------------------------------------------------------
+@register(
+    "q309_entropy_rate",
+    oracle="""
+WITH walk AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+trans AS (
+    SELECT event_type AS s, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+    FROM walk WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+),
+outd AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM trans GROUP BY s),
+terms AS (
+    SELECT tr.s, o.n,
+           CAST(ROUND(1000000.0 * tr.c
+                      * LN(CAST(o.n AS DOUBLE) / tr.c)) AS BIGINT) AS term
+    FROM trans tr JOIN outd o ON o.s = tr.s
+),
+per_state AS (
+    SELECT s, CAST(MAX(n) AS BIGINT) AS n_out,
+           CAST(SUM(term) AS BIGINT) AS tsum
+    FROM terms GROUP BY s
+),
+tot AS (
+    SELECT CAST(SUM(n_out) AS BIGINT) AS nn,
+           CAST(SUM(tsum) AS BIGINT) AS all_terms
+    FROM per_state
+)
+SELECT p.s AS state, p.n_out,
+       ROUND(CAST(p.tsum AS DOUBLE) / (1000000.0 * p.n_out), 4)
+           AS h_conditional,
+       ROUND(CAST(t.all_terms AS DOUBLE) / (1000000.0 * t.nn), 4)
+           AS entropy_rate
+FROM per_state p CROSS JOIN tot t
+ORDER BY state
+""",
+    tags=("sequence", "A12", "W2"),
+)
+def q309_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain entropy rate + per-state conditional entropy:
+    (state, n_out, h_conditional, entropy_rate)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    walk = events.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = walk.groupBy(
+        F.col("event_type").alias("s"), F.col("nxt").alias("t")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    outd = trans.groupBy("s").agg(F.sum("c").alias("n"))
+    terms = trans.join(outd, "s").select(
+        "s",
+        "n",
+        F.round(
+            1000000.0
+            * F.col("c")
+            * F.log(F.col("n").cast("double") / F.col("c"))
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    per_state = terms.groupBy("s").agg(
+        F.max("n").alias("n_out"), F.sum("term").alias("tsum")
+    )
+    tot = per_state.agg(
+        F.sum("n_out").alias("nn"), F.sum("tsum").alias("all_terms")
+    )
+    return (
+        per_state.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").alias("state"),
+            F.col("n_out").cast("long").alias("n_out"),
+            F.round(
+                F.col("tsum").cast("double") / (1000000.0 * F.col("n_out")), 4
+            ).alias("h_conditional"),
+            F.round(
+                F.col("all_terms").cast("double") / (1000000.0 * F.col("nn")),
+                4,
+            ).alias("entropy_rate"),
+        )
+        .orderBy("state")
+    )
+
+
+# --------------------------------------------------------------------------
+# q310 - histogram planning audit (Freedman-Diaconis): per event type,
+# the IQR from exact domain quantiles (the q304 machinery at p25/p75),
+# the FD bin width 2*IQR/n^(1/3), and the implied bin count over the
+# observed range - the relation a profiling UI consults before drawing
+# anything, computed the domain-scaled way.
+# Parity: IQR and range are exact integer differences of order
+# statistics; cbrt is frozen to round(10^6 * cbrt(n)) (engines' cbrt may
+# differ in the last ulp - the freeze absorbs it); width and bins are
+# fixed double expressions, 4dp / exact integer ceil.
+# Scale: the q304 budget - value-domain counts + per-type cum window.
+# --------------------------------------------------------------------------
+@register(
+    "q310_fd_histogram_plan",
+    oracle="""
+WITH frozen AS (
+    SELECT event_type, CAST(ROUND(100.0 * value) AS BIGINT) AS v
+    FROM events
+),
+g AS (
+    SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM frozen GROUP BY event_type, v
+),
+nn AS (
+    SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+           CAST(MIN(v) AS BIGINT) AS vmin, CAST(MAX(v) AS BIGINT) AS vmax
+    FROM g GROUP BY event_type
+),
+cum AS (
+    SELECT event_type, v,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM g
+),
+p25 AS (
+    SELECT c.event_type, MIN(c.v) AS v FROM cum c JOIN nn USING (event_type)
+    WHERE c.cum >= (25 * n + 99) // 100 GROUP BY c.event_type
+),
+p75 AS (
+    SELECT c.event_type, MIN(c.v) AS v FROM cum c JOIN nn USING (event_type)
+    WHERE c.cum >= (75 * n + 99) // 100 GROUP BY c.event_type
+),
+planned AS (
+    SELECT n.event_type, n.n,
+           CAST(p75.v - p25.v AS BIGINT) AS iqr,
+           CAST(n.vmax - n.vmin AS BIGINT) AS rng,
+           CAST(ROUND(1000000.0 * CBRT(CAST(n.n AS DOUBLE))) AS BIGINT)
+               AS cbrt_n
+    FROM nn n
+    JOIN p25 ON p25.event_type = n.event_type
+    JOIN p75 ON p75.event_type = n.event_type
+)
+SELECT event_type, n, ROUND(iqr / 100.0, 4) AS iqr,
+       ROUND(2.0 * iqr * 1000000.0 / cbrt_n / 100.0, 4) AS fd_width,
+       CAST(CEIL(CAST(rng AS DOUBLE) * cbrt_n / (2.0 * iqr * 1000000.0))
+            AS BIGINT) AS n_bins
+FROM planned
+ORDER BY event_type
+""",
+    tags=("quantiles", "A12", "F19"),
+)
+def q310_fd_histogram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freedman-Diaconis histogram plan per type: (event_type, n, iqr,
+    fd_width, n_bins)."""
+    events = load_table(spark, sf_dir, "events")
+    g = events.groupBy(
+        "event_type",
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    nn = g.groupBy("event_type").agg(
+        F.sum("c").alias("n"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select("event_type", "v", F.sum("c").over(w).alias("cum")).join(
+        F.broadcast(nn.select("event_type", "n")), "event_type"
+    )
+    picks = {}
+    for p in (25, 75):
+        picks[p] = (
+            cum.filter(F.col("cum") >= F.expr(f"({p} * n + 99) div 100"))
+            .groupBy("event_type")
+            .agg(F.min("v").alias(f"v{p}"))
+        )
+    planned = (
+        nn.join(picks[25], "event_type")
+        .join(picks[75], "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("v75") - F.col("v25")).alias("iqr_i"),
+            (F.col("vmax") - F.col("vmin")).alias("rng"),
+            F.round(1000000.0 * F.cbrt(F.col("n").cast("double")))
+            .cast("long")
+            .alias("cbrt_n"),
+        )
+    )
+    return planned.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("iqr_i") / 100.0, 4).alias("iqr"),
+        F.round(
+            2.0 * F.col("iqr_i") * 1000000.0 / F.col("cbrt_n") / 100.0, 4
+        ).alias("fd_width"),
+        F.ceil(
+            F.col("rng").cast("double")
+            * F.col("cbrt_n")
+            / (2.0 * F.col("iqr_i") * 1000000.0)
+        )
+        .cast("long")
+        .alias("n_bins"),
+    ).orderBy("event_type")
