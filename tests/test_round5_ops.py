@@ -1402,3 +1402,83 @@ def test_spearman_matches_pandas_corr(spark):
     for _, r in df.iterrows():
         assert abs(r["rho"] - rho.loc[r["type_a"], r["type_b"]]) <= 1e-3
     assert (df["rho"].abs() <= 1.0 + 1e-9).all()
+
+
+# -- q307-q310 semantics ----------------------------------------------------
+
+
+def test_lead_lag_zero_lag_agrees_with_pearson(spark):
+    """At lag 0 the full overlap is the 30-day series; the chosen best
+    lag's |r| must be >= the lag-0 |r| (argmax property), and lag-0 r
+    must match pandas Pearson."""
+    import pandas as pd
+
+    df = REGISTRY["q307_lead_lag"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    mat = ev.groupby(["day", "event_type"]).size().unstack()
+    corr = mat.corr()
+    for _, r in df.iterrows():
+        r0 = corr.loc[r["type_a"], r["type_b"]]
+        assert abs(r["best_r"]) >= abs(round(r0, 4)) - 1e-9, r
+        assert -3 <= r["best_lag"] <= 3
+
+
+def test_greedy_coverage_is_monotone_submodular(spark):
+    import pandas as pd
+
+    df = (
+        REGISTRY["q308_greedy_coverage"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("step")
+    )
+    # diminishing returns: marginal gains never increase along the greedy
+    assert (df["new_tokens"].diff().dropna() <= 0).all()
+    # coverage telescopes exactly
+    assert (df["covered_total"] == df["new_tokens"].cumsum()).all()
+    assert df["source"].nunique() == len(df)
+    # greedy step 1 is the globally best single source
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def grams(t):
+        w = [x for x in t.split(" ") if x]
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    per_src: dict[str, set] = {}
+    for _, d in docs.iterrows():
+        per_src.setdefault(d["source"], set()).update(grams(d["text"]))
+    best = max(sorted(per_src), key=lambda s: len(per_src[s]))
+    assert df.iloc[0]["source"] == best
+    assert int(df.iloc[0]["new_tokens"]) == len(per_src[best])
+
+
+def test_entropy_rate_is_mixture_of_conditionals(spark):
+    import math
+
+    df = REGISTRY["q309_entropy_rate"].spark(spark, SF_DIR).toPandas()
+    assert df["entropy_rate"].nunique() == 1
+    n = df["n_out"].sum()
+    mix = (df["h_conditional"] * df["n_out"]).sum() / n
+    assert abs(df["entropy_rate"].iloc[0] - mix) <= 2e-4
+    # bounded by log of the state count
+    assert 0 <= df["entropy_rate"].iloc[0] <= math.log(len(df)) + 1e-9
+
+
+def test_fd_plan_matches_quantiles(spark):
+    q304 = (
+        REGISTRY["q304_domain_quantiles"].spark(spark, SF_DIR).toPandas()
+    )
+    df = (
+        REGISTRY["q310_fd_histogram_plan"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert (df["iqr"] > 0).all()
+    for _, r in df.iterrows():
+        # FD width identity: width = 2 * IQR / cbrt(n) (4dp slack)
+        want = 2.0 * r["iqr"] / (r["n"] ** (1.0 / 3.0))
+        assert abs(r["fd_width"] - want) <= 1e-3
+        assert r["n_bins"] >= 1
+    assert set(df.index) == set(q304["event_type"])
