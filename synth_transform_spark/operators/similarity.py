@@ -971,6 +971,19 @@ def mmr_select(
     doubles, so the driver arithmetic (plain IEEE multiply/subtract) is
     bit-identical to any engine's.
     """
+    n_queries = queries.count()
+    if n_queries > 1:
+        raise ValueError(
+            "mmr_select supports exactly one query vector per call: the "
+            "greedy pool/similarity state is per-query (call it once per "
+            "query, or fan out with a loop)"
+        )
+    if n_queries == 0:  # total on empty input, like the other operators
+        spark = vectors.sparkSession
+        id_type = dict(vectors.dtypes)[id_col]
+        return spark.createDataFrame(
+            [], f"mmr_rank long, vec_id {id_type}, rel double, score double"
+        )
     pool = cosine_topk(
         vectors, queries, k=pool_size, id_col=id_col, vec_col=vec_col
     ).select("neighbor_id", F.col("cosine").alias("rel"))
@@ -1009,6 +1022,8 @@ def mmr_select(
     # round engine-side (F.round is HALF_UP away-from-zero like the SQL
     # oracles; Python's round() is banker's and would diverge on .00005)
     spark = vectors.sparkSession
+    id_type = dict(vectors.dtypes)[id_col]
     return spark.createDataFrame(
-        selected, "mmr_rank long, vec_id long, rel double, score_raw double"
+        selected,
+        f"mmr_rank long, vec_id {id_type}, rel double, score_raw double",
     ).select("mmr_rank", "vec_id", "rel", F.round("score_raw", 4).alias("score"))

@@ -4415,12 +4415,14 @@ def q288_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("2024-01-01").cast("date"),
         ).alias("d"),
     ).agg(
-        F.floor(
-            F.sum(F.round(100.0 * F.col("value")).cast("long")).cast("double")
-            / F.count(F.lit(1))
-        )
-        .cast("long")
-        .alias("x")
+        F.sum(F.round(100.0 * F.col("value")).cast("long")).alias("_s"),
+        F.count(F.lit(1)).alias("_c"),
+    ).select(
+        "event_type", "d",
+        # exact integer floor division (sums are non-negative): a double
+        # divide would round the numerator past 2^53 and break the
+        # integer-parity contract at extreme scale
+        F.expr("_s div _c").cast("long").alias("x"),
     )
     present = daily.filter(F.col("d") % 3 != 0)
     missing = daily.filter(F.col("d") % 3 == 0).select("event_type", "d")
@@ -4537,7 +4539,7 @@ def q289_gain_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dec = cum.crossJoin(F.broadcast(tot)).select(
         F.least(
-            F.floor(10 * F.col("rows_above") / F.col("nn")).cast("long"),
+            F.expr("(10 * rows_above) div nn").cast("long"),
             F.lit(9).cast("long"),
         ).alias("decile"),
         "n",
@@ -5182,7 +5184,14 @@ WITH daily AS (
     FROM events
     GROUP BY 1, 2
 ),
-series AS (SELECT event_type, b + 1 AS i, x FROM daily WHERE b < {n}),
+series0 AS (SELECT event_type, b + 1 AS i, x FROM daily WHERE b < {n}),
+complete AS (
+    SELECT event_type FROM series0 GROUP BY event_type
+    HAVING COUNT(*) = {n}
+),
+series AS (
+    SELECT s.* FROM series0 s JOIN complete c USING (event_type)
+),
 cost AS MATERIALIZED (
     SELECT a.event_type || '|' || b.event_type AS pair,
            a.i AS i, b.i AS j, ABS(a.x - b.x) AS c
@@ -5221,12 +5230,10 @@ def q297_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             " cast('2024-01-01' as date)) div 3"
         ).alias("b"),
     ).agg(
-        F.floor(
-            F.sum(F.round(100.0 * F.col("value")).cast("long")).cast("double")
-            / F.count(F.lit(1))
-        )
-        .cast("long")
-        .alias("x")
+        F.sum(F.round(100.0 * F.col("value")).cast("long")).alias("_s"),
+        F.count(F.lit(1)).alias("_c"),
+    ).select(
+        "event_type", "b", F.expr("_s div _c").cast("long").alias("x")
     )
     series = daily.filter(F.col("b") < _DTW_N).select(
         "event_type", (F.col("b") + 1).alias("i"), "x"

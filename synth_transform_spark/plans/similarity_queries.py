@@ -1241,6 +1241,7 @@ WITH flat AS (
 ),
 rng AS (
     SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM flat GROUP BY i
+    HAVING MAX(x) > MIN(x)
 ),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
 binned AS (
@@ -1297,7 +1298,13 @@ def q260_hbos_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("i0") + 1).alias("i"),
         F.col("xf").cast("double").alias("x"),
     )
-    rng = flat.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    # constant dimensions carry no density signal and would make the bin
+    # expression 0/0 (NaN: DuckDB cast error vs Spark silent 0) - drop them
+    rng = (
+        flat.groupBy("i")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .filter(F.col("hi") > F.col("lo"))
+    )
     nn = emb.agg(F.count(F.lit(1)).alias("n"))
     binned = flat.join(F.broadcast(rng), "i").select(
         "vec_id",
@@ -1374,6 +1381,7 @@ cents AS (
     LEFT JOIN slf sf ON sf.label = s.label AND sf.fold = f.fold AND sf.i = s.i
     LEFT JOIN nlf nf ON nf.label = s.label AND nf.fold = f.fold
     JOIN nl n ON n.label = s.label
+    WHERE n.n > COALESCE(nf.nf, 0)
 ),
 dists AS (
     SELECT t.vec_id, t.label AS true_label, t.fold, c.clabel,
@@ -1455,6 +1463,10 @@ def q262_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(slf), ["label", "fold", "i"], "left")
         .join(F.broadcast(nlf), ["label", "fold"], "left")
         .join(F.broadcast(nl), "label")
+        # a label whose members ALL hash into this fold has an empty
+        # leave-fold-out training set (n - nf = 0): no centroid (the
+        # oracle's WHERE n > COALESCE(nf, 0) guard)
+        .filter(F.col("n") > F.coalesce(F.col("nf"), F.lit(0)))
         .select(
             "fold",
             F.col("label").alias("clabel"),
@@ -1537,8 +1549,7 @@ slb AS (
 steps AS (SELECT UNNEST(ARRAY{list(_Q263_STEPS)}) AS t),
 cents AS (
     SELECT st.t, s.label AS clabel, s.i,
-           CAST(ROUND(100.0 * SUM(s.s) / SUM(n.n)) AS BIGINT) AS c,
-           CAST(SUM(n.n) / 64 AS BIGINT) AS n_train_part
+           CAST(ROUND(100.0 * SUM(s.s) / SUM(n.n)) AS BIGINT) AS c
     FROM steps st
     JOIN slb s ON s.band < st.t
     JOIN nlb n ON n.label = s.label AND n.band = s.band

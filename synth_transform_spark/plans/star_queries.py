@@ -549,7 +549,9 @@ def q286_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     ship = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_orderdate")),
+            # orders is a FACT table - no broadcast hint (AQE may still
+            # choose one at test SF, but pinning it would OOM at scale)
+            orders.select("o_orderkey", "o_orderdate"),
             li["l_orderkey"] == F.col("o_orderkey"),
         )
         .agg(
