@@ -822,3 +822,103 @@ def q298_exact_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --------------------------------------------------------------------------
+# q311 - order/line financial reconciliation: recompute every order's
+# total from its lines (sum of extendedprice * (1 - discount) *
+# (1 + tax), frozen to cents per line) and reconcile against
+# o_totalprice at a 1-dollar tolerance, reported per order priority -
+# the invariant check a billing pipeline runs nightly (and the audit
+# that catches silent line-loss after a bad join).
+# Parity: per-line charges are round-to-cents integers, per-order sums
+# and gaps are exact integers, the tolerance test is an integer
+# comparison; the two ratios are single divisions, 4dp.
+# Scale: one keyed per-order aggregate over lineitem + one broadcast-
+# free equi-join to orders + one per-priority rollup; the audit costs
+# one pass of each table.
+# --------------------------------------------------------------------------
+@register(
+    "q311_order_reconciliation",
+    oracle="""
+WITH line_tot AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(100.0 * l_extendedprice * (1.0 - l_discount)
+                               * (1.0 + l_tax)) AS BIGINT)) AS BIGINT)
+               AS computed_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+),
+recon AS (
+    SELECT o.o_orderpriority,
+           ABS(CAST(ROUND(100.0 * o.o_totalprice) AS BIGINT)
+               - COALESCE(lt.computed_cents, 0)) AS gap_cents,
+           CASE WHEN lt.l_orderkey IS NULL THEN 1 ELSE 0 END AS lineless
+    FROM orders o LEFT JOIN line_tot lt ON lt.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN gap_cents > 100 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mismatched,
+       CAST(SUM(lineless) AS BIGINT) AS n_lineless,
+       CAST(MAX(gap_cents) AS BIGINT) AS max_gap_cents,
+       ROUND(CAST(SUM(CASE WHEN gap_cents > 100 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS mismatch_rate
+FROM recon
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("data-quality", "A1", "J8"),
+)
+def q311_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-total vs line-sum reconciliation per priority:
+    (o_orderpriority, n_orders, n_mismatched, n_lineless, max_gap_cents,
+    mismatch_rate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    line_tot = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                100.0
+                * F.col("l_extendedprice")
+                * (1.0 - F.col("l_discount"))
+                * (1.0 + F.col("l_tax"))
+            ).cast("long")
+        ).alias("computed_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    recon = orders.join(
+        line_tot, orders["o_orderkey"] == line_tot["l_orderkey"], "left"
+    ).select(
+        "o_orderpriority",
+        F.abs(
+            F.round(100.0 * F.col("o_totalprice")).cast("long")
+            - F.coalesce("computed_cents", F.lit(0))
+        ).alias("gap_cents"),
+        F.col("l_orderkey").isNull().cast("long").alias("lineless"),
+    )
+    return (
+        recon.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum((F.col("gap_cents") > 100).cast("long")).alias(
+                "n_mismatched"
+            ),
+            F.sum("lineless").alias("n_lineless"),
+            F.max("gap_cents").alias("max_gap_cents"),
+            F.round(
+                F.sum((F.col("gap_cents") > 100).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mismatch_rate"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("n_mismatched").cast("long").alias("n_mismatched"),
+            F.col("n_lineless").cast("long").alias("n_lineless"),
+            F.col("max_gap_cents").cast("long").alias("max_gap_cents"),
+            "mismatch_rate",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1482,3 +1482,18 @@ def test_fd_plan_matches_quantiles(spark):
         assert abs(r["fd_width"] - want) <= 1e-3
         assert r["n_bins"] >= 1
     assert set(df.index) == set(q304["event_type"])
+
+
+def test_order_reconciliation_counts(spark):
+    import pandas as pd
+
+    df = REGISTRY["q311_order_reconciliation"].spark(spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    assert int(df["n_orders"].sum()) == len(orders)
+    # lineless counts match the true FK gap
+    lineless = (~orders["o_orderkey"].isin(li["l_orderkey"])).sum()
+    assert int(df["n_lineless"].sum()) == int(lineless)
+    assert (df["n_mismatched"] <= df["n_orders"]).all()
+    for _, r in df.iterrows():
+        assert r["mismatch_rate"] == round(r["n_mismatched"] / r["n_orders"], 4)
