@@ -6455,3 +6455,211 @@ def q310_fd_histogram_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_bins"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q312 - delete-one-day jackknife SE of the coefficient of variation:
+# the resampling standard error for a NONLINEAR statistic (cv = sd/mean,
+# where no closed-form iid SE exists), computed without replicate scans:
+# each delete-one cv falls out of (s - x_i, ss - x_i^2, n - 1) on the
+# bounded daily relation, so the whole jackknife is algebra over 30 rows
+# per type (vs q237's bootstrap, which re-aggregates B replicates).
+# Parity: daily means are exact _s div _c integers; every delete-one cv
+# is frozen to round(10^8 * cv) BEFORE the cross-day sums (a float sum
+# over rows would be order-sensitive); the final SE is one double
+# expression over two integer sums; 4dp.
+# Scale: collapse-first to daily means; everything after is a
+# calendar-bounded per-type aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q312_jackknife_cv_se",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(100.0 * value) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS s,
+           CAST(SUM(x * x) AS BIGINT) AS ss
+    FROM daily GROUP BY event_type
+),
+loo AS (
+    SELECT d.event_type, t.n,
+           CAST(ROUND(100000000.0
+                * SQRT(((t.ss - d.x * d.x)
+                        - CAST(t.s - d.x AS DOUBLE) * (t.s - d.x) / (t.n - 1))
+                       / (t.n - 2))
+                / (CAST(t.s - d.x AS DOUBLE) / (t.n - 1))) AS BIGINT) AS cvi
+    FROM daily d JOIN stats t ON t.event_type = d.event_type
+),
+jack AS (
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(SUM(cvi) AS BIGINT) AS sc,
+           CAST(SUM(cvi * cvi) AS BIGINT) AS scc
+    FROM loo GROUP BY event_type
+)
+SELECT j.event_type, j.n,
+       ROUND(SQRT((CAST(t.ss AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s / t.n)
+                  / (t.n - 1))
+             / (CAST(t.s AS DOUBLE) / t.n), 4) AS cv,
+       ROUND(SQRT(CAST(j.n - 1 AS DOUBLE) / j.n
+                  * (j.scc - CAST(j.sc AS DOUBLE) * j.sc / j.n))
+             / 100000000.0, 4) AS jackknife_se
+FROM jack j JOIN stats t ON t.event_type = j.event_type
+ORDER BY j.event_type
+""",
+    tags=("robust-stats", "A12", "J14"),
+)
+def q312_jackknife_cv_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-day jackknife SE of the daily-mean CV:
+    (event_type, n, cv, jackknife_se)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(100.0 * F.col("value")).cast("long")).alias("_s"),
+        F.count(F.lit(1)).alias("_c"),
+    ).select("event_type", "day", F.expr("_s div _c").cast("long").alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    sm = F.col("s") - F.col("x")
+    ssm = F.col("ss") - F.col("x") * F.col("x")
+    cvi = F.round(
+        100000000.0
+        * F.sqrt(
+            (ssm - sm.cast("double") * sm / (F.col("n") - 1)) / (F.col("n") - 2)
+        )
+        / (sm.cast("double") / (F.col("n") - 1))
+    ).cast("long")
+    loo = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type", F.col("n").alias("n"), cvi.alias("cvi")
+    )
+    jack = loo.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("cvi").alias("sc"),
+        F.sum(F.col("cvi") * F.col("cvi")).alias("scc"),
+    )
+    cv_full = F.sqrt(
+        (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    ) / (F.col("s").cast("double") / F.col("n"))
+    se = (
+        F.sqrt(
+            (F.col("n") - 1).cast("double")
+            / F.col("n")
+            * (F.col("scc") - F.col("sc").cast("double") * F.col("sc") / F.col("n"))
+        )
+        / 100000000.0
+    )
+    return (
+        jack.join(
+            stats.select("event_type", F.col("s"), F.col("ss"), F.col("n").alias("n2")),
+            "event_type",
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.sqrt(
+                    (
+                        F.col("ss").cast("double")
+                        - F.col("s").cast("double") * F.col("s") / F.col("n2")
+                    )
+                    / (F.col("n2") - 1)
+                )
+                / (F.col("s").cast("double") / F.col("n2")),
+                4,
+            ).alias("cv"),
+            F.round(se, 4).alias("jackknife_se"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q313 - unseen-vocabulary estimation per source: Chao1 richness
+# (V + F1^2 / (2 F2)) and the Good-Turing unseen probability mass
+# (P0 = F1 / N) from each source's token frequency-of-frequencies - "how
+# much vocabulary does this source still hide", the coverage diagnostic
+# behind crawl-more/stop decisions (complements q173 Heaps growth and
+# q141 OOV, which only measure what was SEEN).
+# Parity: V, F1, F2, N are exact integers from two nested keyed
+# aggregates; chao1/p0 are single-expression doubles, 4dp; sources
+# with F2 = 0 use the bias-corrected Chao1 form F1*(F1-1)/2 (identical
+# CASE on both sides, no division by zero).
+# Scale: (source, token) counts -> frequency-of-frequencies (two keyed
+# aggregates with map-side partials); output is |sources| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q313_chao1_richness",
+    oracle="""
+WITH tok AS (
+    SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))
+               AS tok
+    FROM documents
+),
+tf AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok GROUP BY source, tok
+),
+fof AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS v,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+    FROM tf GROUP BY source
+)
+SELECT source, n AS n_tokens, v AS vocab, f1, f2,
+       ROUND(v + CASE WHEN f2 > 0
+                      THEN CAST(f1 AS DOUBLE) * f1 / (2.0 * f2)
+                      ELSE CAST(f1 AS DOUBLE) * (f1 - 1) / 2.0 END, 4)
+           AS chao1,
+       ROUND(CAST(f1 AS DOUBLE) / n, 4) AS p_unseen_gt
+FROM fof
+ORDER BY source
+""",
+    tags=("text-diversity", "A5", "A12"),
+)
+def q313_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 vocabulary richness + Good-Turing unseen mass per source:
+    (source, n_tokens, vocab, f1, f2, chao1, p_unseen_gt)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    tf = tok.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    fof = tf.groupBy("source").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("c").alias("n"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    chao1 = F.col("v") + F.when(
+        F.col("f2") > 0,
+        F.col("f1").cast("double") * F.col("f1") / (2.0 * F.col("f2")),
+    ).otherwise(
+        F.col("f1").cast("double") * (F.col("f1") - 1) / 2.0
+    )
+    return fof.select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("v").cast("long").alias("vocab"),
+        F.col("f1").cast("long").alias("f1"),
+        F.col("f2").cast("long").alias("f2"),
+        F.round(chao1, 4).alias("chao1"),
+        F.round(F.col("f1").cast("double") / F.col("n"), 4).alias(
+            "p_unseen_gt"
+        ),
+    ).orderBy("source")

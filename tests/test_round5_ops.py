@@ -1497,3 +1497,56 @@ def test_order_reconciliation_counts(spark):
     assert (df["n_mismatched"] <= df["n_orders"]).all()
     for _, r in df.iterrows():
         assert r["mismatch_rate"] == round(r["n_mismatched"] / r["n_orders"], 4)
+
+
+def test_jackknife_cv_matches_python(spark):
+    """Literal delete-one recompute in Python must reproduce the closed-
+    form jackknife SE (same 1e8 freeze)."""
+    import math
+
+    import pandas as pd
+
+    df = (
+        REGISTRY["q312_jackknife_cv_se"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    ev["xi"] = (100.0 * ev["value"]).round().astype("int64")
+    daily = (
+        ev.groupby(["event_type", "day"])["xi"]
+        .apply(lambda g: int(g.sum()) // len(g))
+        .reset_index()
+    )
+    for et, g in daily.groupby("event_type"):
+        xs = list(g["xi"])
+        n = len(xs)
+        cvis = []
+        for i in range(n):
+            rest = xs[:i] + xs[i + 1 :]
+            m = sum(rest) / (n - 1)
+            var = (sum(x * x for x in rest) - sum(rest) ** 2 / (n - 1)) / (n - 2)
+            cvis.append(round(1e8 * math.sqrt(var) / m))
+        mean_cvi = sum(cvis) / n
+        se = math.sqrt(
+            (n - 1) / n * sum((c - mean_cvi) ** 2 for c in cvis)
+        ) / 1e8
+        r = df.loc[et]
+        assert int(r["n"]) == n
+        assert abs(r["jackknife_se"] - se) <= 1e-3
+        assert r["jackknife_se"] > 0
+
+
+def test_chao1_bounds_and_identities(spark):
+    df = REGISTRY["q313_chao1_richness"].spark(spark, SF_DIR).toPandas()
+    assert (df["chao1"] >= df["vocab"]).all()  # estimate never below seen
+    assert (df["f1"] + df["f2"] <= df["vocab"]).all()
+    assert ((df["p_unseen_gt"] >= 0) & (df["p_unseen_gt"] <= 1)).all()
+    for _, r in df.iterrows():
+        if r["f2"] > 0:
+            want = r["vocab"] + r["f1"] ** 2 / (2 * r["f2"])
+        else:
+            want = r["vocab"] + r["f1"] * (r["f1"] - 1) / 2
+        assert abs(r["chao1"] - want) <= 1e-3
