@@ -18,6 +18,7 @@ from . import (  # noqa: F401
     relational,
     similarity_queries,
     star_queries,
+    stats_queries,
     subquery_queries,
     temporal_queries,
     textops,

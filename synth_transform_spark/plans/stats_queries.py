@@ -1,0 +1,972 @@
+"""Inferential-statistics and evaluation queries (round 5, q314+).
+
+Rank-based tests, paired-classifier comparison, and precision/recall
+evaluation — all computed on collapsed value DOMAINS (never a global row
+sort), with integer sufficient statistics frozen before any cross-group
+float sum so Spark's partitioned accumulation and DuckDB's single-node
+accumulation hash identically.
+
+Reference provenance: the reference repo's analysis notebooks compute
+group comparisons and classifier evaluations with scipy/sklearn over
+pandas frames (reference notebooks/classifiers.ipynb, outliers.ipynb);
+here the same statistics are exact relational algebra.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.readers import load_table
+from .registry import register
+
+
+# --------------------------------------------------------------------------
+# q314 - Mann-Whitney rank-sum significance test per event type: does the
+# value distribution differ between the odd-user and even-user cohorts?
+# Complements q283 (the AUC effect size = U/n1n2, global) and q305 (KS on
+# the pooled table) with the per-type tie-corrected z statistic.
+# Computed WITHOUT a row sort: collapse to per-distinct-score cohort
+# counts, one cum window over the score domain, then
+#   2*R1 = sum_v a_v * (2*below_v + t_v + 1)        (exact integer)
+#   2*U1 = 2*R1 - n1*(n1+1)                          (exact integer)
+#   var  = n1*n2/12 * ((N+1) - T/(N*(N-1))),  T = sum_v (t_v^3 - t_v)
+#   z    = (2*U1 - n1*n2) / (2*sqrt(var))
+# Parity: scores frozen to round(1e4*value); 2R1/2U1/T are exact integers;
+# z is one double expression over five integers, 4dp.
+# Scale: one keyed aggregate to the (type, score) domain, one per-type
+# domain window, one per-type aggregate. Domain-scaled, not row-scaled.
+# --------------------------------------------------------------------------
+@register(
+    "q314_rank_sum_test",
+    oracle="""
+WITH frozen AS (
+    SELECT event_type,
+           CAST(ROUND(10000.0 * value) AS BIGINT) AS v,
+           CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+    FROM events
+),
+g AS (
+    SELECT event_type, v,
+           CAST(SUM(t) AS BIGINT) AS a,
+           CAST(SUM(1 - t) AS BIGINT) AS b
+    FROM frozen GROUP BY event_type, v
+),
+cum AS (
+    SELECT event_type, v, a, b, a + b AS t,
+           CAST(COALESCE(SUM(a + b) OVER (PARTITION BY event_type ORDER BY v
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING), 0) AS BIGINT)
+               AS below
+    FROM g
+),
+s AS (
+    SELECT event_type,
+           CAST(SUM(a) AS BIGINT) AS n1,
+           CAST(SUM(b) AS BIGINT) AS n2,
+           CAST(SUM(a * (2 * below + t + 1)) AS BIGINT) AS two_r1,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+    FROM cum GROUP BY event_type
+)
+SELECT event_type, n1, n2,
+       two_r1 - n1 * (n1 + 1) AS two_u,
+       ROUND((CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) - CAST(n1 AS DOUBLE) * n2)
+             / (2.0 * SQRT(CAST(n1 AS DOUBLE) * n2 / 12.0
+                           * ((n1 + n2 + 1)
+                              - CAST(ties AS DOUBLE)
+                                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1))))),
+             4) AS z
+FROM s
+ORDER BY event_type
+""",
+    tags=("ab-test", "A12", "W2"),
+)
+def q314_rank_sum_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney rank-sum z per event type, odd vs even
+    user cohorts: (event_type, n1, n2, two_u, z)."""
+    events = load_table(spark, sf_dir, "events")
+    frozen = events.select(
+        "event_type",
+        F.round(10000.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("user_id") % 2 == 1).cast("long").alias("t"),
+    )
+    g = frozen.groupBy("event_type", "v").agg(
+        F.sum("t").alias("a"), F.sum(1 - F.col("t")).alias("b")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = g.select(
+        "event_type",
+        "a",
+        "b",
+        (F.col("a") + F.col("b")).alias("t"),
+        F.coalesce(F.sum(F.col("a") + F.col("b")).over(w), F.lit(0)).alias(
+            "below"
+        ),
+    )
+    s = cum.groupBy("event_type").agg(
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+        F.sum(
+            F.col("a") * (2 * F.col("below") + F.col("t") + 1)
+        ).alias("two_r1"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    two_u = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    n1d = F.col("n1").cast("double")
+    var = (
+        n1d
+        * F.col("n2")
+        / 12.0
+        * (
+            (F.col("n1") + F.col("n2") + 1)
+            - F.col("ties").cast("double")
+            / (
+                (F.col("n1") + F.col("n2")).cast("double")
+                * (F.col("n1") + F.col("n2") - 1)
+            )
+        )
+    )
+    return s.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        two_u.cast("long").alias("two_u"),
+        F.round(
+            (two_u.cast("double") - n1d * F.col("n2")) / (2.0 * F.sqrt(var)), 4
+        ).alias("z"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q315 - Kruskal-Wallis H test per language: does document length
+# (n_chars) differ across the 20 sources within each language? The k-group
+# generalisation of q314 (and the rank-based alternative to a one-way
+# ANOVA), again on the collapsed length domain:
+#   2*R_j = sum_v c_jv * (2*below_v + t_v + 1)      (exact integer)
+#   H     = 12/(N(N+1)) * sum_j R_j^2/n_j - 3(N+1)
+#   H'    = H / (1 - T/(N^3 - N))                    (tie corrected)
+# Parity: ranks and T are exact integers; each group's R_j^2/(4 n_j) term
+# is computed as an identical double expression and frozen to
+# round(1e4 * term) BEFORE the cross-group sum (a raw float sum over 20
+# groups would be order-sensitive between engines); H, H' 4dp.
+# Scale: two keyed aggregates ((lang, source, len) then (lang, len)), one
+# per-lang domain window, one per-lang aggregate over <= |sources| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q315_kruskal_wallis",
+    oracle="""
+WITH g AS (
+    SELECT lang, source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY lang, source, n_chars
+),
+dom AS (
+    SELECT lang, v, CAST(SUM(c) AS BIGINT) AS t
+    FROM g GROUP BY lang, v
+),
+cum AS (
+    SELECT lang, v, t,
+           CAST(COALESCE(SUM(t) OVER (PARTITION BY lang ORDER BY v
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT) AS below
+    FROM dom
+),
+rj AS (
+    SELECT g.lang, g.source,
+           CAST(SUM(g.c) AS BIGINT) AS nj,
+           CAST(SUM(g.c * (2 * cum.below + cum.t + 1)) AS BIGINT) AS two_r
+    FROM g JOIN cum ON cum.lang = g.lang AND cum.v = g.v
+    GROUP BY g.lang, g.source
+),
+terms AS (
+    SELECT lang, nj, two_r,
+           CAST(ROUND(10000.0 * (CAST(two_r AS DOUBLE) * two_r
+                                 / (4.0 * nj))) AS BIGINT) AS term
+    FROM rj
+),
+tt AS (
+    SELECT lang, CAST(SUM(t * t * t - t) AS BIGINT) AS ties,
+           CAST(SUM(t) AS BIGINT) AS n
+    FROM dom GROUP BY lang
+),
+h AS (
+    SELECT t.lang, t.n, CAST(COUNT(*) AS BIGINT) AS k,
+           12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1))
+               * (CAST(SUM(term) AS DOUBLE) / 10000.0)
+               - 3.0 * (t.n + 1) AS h_raw,
+           CAST(MAX(t.ties) AS DOUBLE) AS ties
+    FROM terms JOIN tt t ON t.lang = terms.lang
+    GROUP BY t.lang, t.n
+)
+SELECT lang, n, k, ROUND(h_raw, 4) AS h,
+       ROUND(h_raw / (1.0 - ties
+                      / (CAST(n AS DOUBLE) * n * n - n)), 4) AS h_tie_corr
+FROM h
+ORDER BY lang
+""",
+    tags=("robust-stats", "A12", "W2"),
+)
+def q315_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H of n_chars across sources, per language:
+    (lang, n, k, h, h_tie_corr)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(
+        "lang", "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    dom = g.groupBy("lang", "v").agg(F.sum("c").alias("t"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = dom.select(
+        "lang",
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below"),
+    )
+    rj = (
+        g.join(cum, ["lang", "v"])
+        .groupBy("lang", "source")
+        .agg(
+            F.sum("c").alias("nj"),
+            F.sum(
+                F.col("c") * (2 * F.col("below") + F.col("t") + 1)
+            ).alias("two_r"),
+        )
+    )
+    terms = rj.select(
+        "lang",
+        "nj",
+        F.round(
+            10000.0
+            * (
+                F.col("two_r").cast("double")
+                * F.col("two_r")
+                / (4.0 * F.col("nj"))
+            )
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    tt = dom.groupBy("lang").agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias(
+            "ties"
+        ),
+        F.sum("t").alias("n"),
+    )
+    h = (
+        terms.join(F.broadcast(tt), "lang")
+        .groupBy("lang", "n")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            (
+                12.0
+                / (F.col("n").cast("double") * (F.col("n") + 1))
+                * (F.sum("term").cast("double") / 10000.0)
+                - 3.0 * (F.col("n") + 1)
+            ).alias("h_raw"),
+            F.max("ties").cast("double").alias("ties"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return h.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(F.col("h_raw"), 4).alias("h"),
+        F.round(
+            F.col("h_raw") / (1.0 - F.col("ties") / (nd * nd * nd - nd)), 4
+        ).alias("h_tie_corr"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# q316 - exact average precision (area under the precision-recall curve,
+# step-wise, sklearn's average_precision definition) of `value` ranking
+# purchases: AP = sum_i (R_i - R_{i-1}) * P_i over distinct score
+# thresholds descending = (1/P) * sum_v p_v * cumpos_v / cumall_v.
+# The PR-curve companion to q283's ROC-AUC — the metric that matters when
+# positives are rare (class-imbalanced quality classifiers).
+# Parity: scores frozen to round(1e4*value); p_v, cumpos_v, cumall_v are
+# exact integers; each threshold's term is an identical double expression
+# frozen to round(1e6 * term) before the cross-threshold sum; 4dp.
+# Scale: one keyed aggregate to the score domain, one domain window
+# (descending), one 1-row aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q316_average_precision",
+    oracle="""
+WITH scored AS (
+    SELECT CAST(ROUND(10000.0 * value) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+g AS (
+    SELECT v, CAST(SUM(pos) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS c
+    FROM scored GROUP BY v
+),
+cum AS (
+    SELECT v, p,
+           CAST(SUM(p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumpos,
+           CAST(SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumall
+    FROM g
+),
+s AS (
+    SELECT CAST(SUM(CAST(ROUND(1000000.0 * (CAST(p AS DOUBLE) * cumpos
+                                            / cumall)) AS BIGINT))
+                AS BIGINT) AS num,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(MAX(cumall) AS BIGINT) AS n
+    FROM cum
+)
+SELECT n, n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / n, 4) AS prevalence,
+       ROUND(CAST(num AS DOUBLE) / 1000000.0 / n_pos, 4) AS avg_precision
+FROM s
+""",
+    tags=("ml-eval", "A12", "W4"),
+)
+def q316_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-exact average precision of `value` ranking purchases:
+    (n, n_pos, prevalence, avg_precision)."""
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        F.round(10000.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = scored.groupBy("v").agg(
+        F.sum("pos").alias("p"), F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "p",
+        F.sum("p").over(w).alias("cumpos"),
+        F.sum("c").over(w).alias("cumall"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.round(
+                1000000.0
+                * (
+                    F.col("p").cast("double")
+                    * F.col("cumpos")
+                    / F.col("cumall")
+                )
+            ).cast("long")
+        ).alias("num"),
+        F.sum("p").alias("n_pos"),
+        F.max("cumall").alias("n"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 4).alias(
+            "prevalence"
+        ),
+        F.round(
+            F.col("num").cast("double") / 1000000.0 / F.col("n_pos"), 4
+        ).alias("avg_precision"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q317 - McNemar's paired test: do two rule-based is-English classifiers
+# disagree more than chance on the SAME documents? Classifier A: the
+# token 'the' appears in the text; classifier B: mean token length < 5.5
+# chars. Ground truth: lang = 'en'. The paired design uses only the
+# discordant counts b (A right, B wrong) and c (B right, A wrong):
+# chi2_cc = (|b - c| - 1)^2 / (b + c), the continuity-corrected form —
+# the right test for "is the new heuristic actually better on the same
+# eval set", where two independent accuracy CIs (q175-style) are wrong.
+# Parity: predictions are deterministic string algebra; all four
+# concordance counts are exact integers from one conditional aggregate;
+# chi2 is one double expression, 4dp; b + c = 0 yields chi2 = 0.0 via an
+# identical CASE on both sides.
+# Scale: one full-table conditional aggregate with map-side partials;
+# zero joins, zero windows, 1 output row.
+# --------------------------------------------------------------------------
+@register(
+    "q317_mcnemar",
+    oracle="""
+WITH preds AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %'
+                THEN 1 ELSE 0 END AS pa,
+           CASE WHEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                     / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       t -> t <> '')) < 5.5
+                THEN 1 ELSE 0 END AS pb
+    FROM documents
+),
+cc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_right,
+           CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_wrong,
+           CAST(SUM(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT) AS a_right,
+           CAST(SUM(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT) AS b_right
+    FROM preds
+)
+SELECT n, both_right, b, c, both_wrong,
+       ROUND(CAST(a_right AS DOUBLE) / n, 4) AS acc_a,
+       ROUND(CAST(b_right AS DOUBLE) / n, 4) AS acc_b,
+       CASE WHEN b + c = 0 THEN 0.0
+            ELSE ROUND((ABS(CAST(b AS DOUBLE) - c) - 1)
+                       * (ABS(CAST(b AS DOUBLE) - c) - 1) / (b + c), 4)
+       END AS chi2_cc
+FROM cc
+""",
+    tags=("ml-eval", "A12", "P12"),
+)
+def q317_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar continuity-corrected chi-square for two paired is-English
+    heuristics: (n, both_right, b, c, both_wrong, acc_a, acc_b, chi2_cc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    preds = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+        .contains(" the ")
+        .cast("int")
+        .alias("pa"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks)
+            < 5.5
+        )
+        .cast("int")
+        .alias("pb"),
+    )
+    cc = preds.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y"))).cast(
+                "long"
+            )
+        ).alias("both_right"),
+        F.sum(
+            ((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))).cast(
+                "long"
+            )
+        ).alias("b"),
+        F.sum(
+            ((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))).cast(
+                "long"
+            )
+        ).alias("c"),
+        F.sum(
+            ((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y"))).cast(
+                "long"
+            )
+        ).alias("both_wrong"),
+        F.sum((F.col("pa") == F.col("y")).cast("long")).alias("a_right"),
+        F.sum((F.col("pb") == F.col("y")).cast("long")).alias("b_right"),
+    )
+    bd = F.col("b").cast("double")
+    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.abs(bd - F.col("c")) - 1)
+            * (F.abs(bd - F.col("c")) - 1)
+            / (F.col("b") + F.col("c")),
+            4,
+        )
+    )
+    return cc.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("both_right").cast("long").alias("both_right"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("both_wrong").cast("long").alias("both_wrong"),
+        F.round(F.col("a_right").cast("double") / F.col("n"), 4).alias(
+            "acc_a"
+        ),
+        F.round(F.col("b_right").cast("double") / F.col("n"), 4).alias(
+            "acc_b"
+        ),
+        chi2.alias("chi2_cc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q318 - 1-D Wasserstein (earth mover's) distance per event type between
+# the odd-user and even-user value distributions: W1 = integral
+# |F1 - F2| dv on the collapsed value domain. The magnitude-aware drift
+# measure in PHYSICAL units that q305's KS (max gap) and q302's PSI
+# (binned, unitless) cannot give.
+# Parity: values frozen to cents; per-segment terms are exact integer
+# cross-products |k1*n2 - k2*n1| * (v_next - v); one bigint sum per type;
+# W1 = sum / (n1*n2) / 100 back in value units, 4dp. (Integer bound:
+# n1*n2*range(cents) per term — exact through ~1e9 rows/type at this
+# value range; beyond that the term drops to the identical double
+# expression both engines share.)
+# Scale: one keyed aggregate to the (type, value) domain, one per-type
+# domain window (cum counts + lead), one per-type reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q318_wasserstein",
+    oracle="""
+WITH frozen AS (
+    SELECT event_type, CAST(ROUND(100.0 * value) AS BIGINT) AS v,
+           CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t
+    FROM events
+),
+g AS (
+    SELECT event_type, v,
+           CAST(SUM(t) AS BIGINT) AS c1,
+           CAST(SUM(1 - t) AS BIGINT) AS c2
+    FROM frozen GROUP BY event_type, v
+),
+cum AS (
+    SELECT event_type, v,
+           CAST(SUM(c1) OVER w AS BIGINT) AS k1,
+           CAST(SUM(c2) OVER w AS BIGINT) AS k2,
+           LEAD(v, 1, v) OVER (PARTITION BY event_type ORDER BY v) AS v_next
+    FROM g
+    WINDOW w AS (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+nn AS (
+    SELECT event_type,
+           CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+    FROM g GROUP BY event_type
+),
+s AS (
+    SELECT c.event_type,
+           CAST(SUM(ABS(c.k1 * n.n2 - c.k2 * n.n1) * (c.v_next - c.v))
+                AS BIGINT) AS num
+    FROM cum c JOIN nn n ON n.event_type = c.event_type
+    GROUP BY c.event_type
+)
+SELECT s.event_type, n.n1, n.n2,
+       ROUND(CAST(s.num AS DOUBLE)
+             / (CAST(n.n1 AS DOUBLE) * n.n2) / 100.0, 4) AS w1
+FROM s JOIN nn n ON n.event_type = s.event_type
+ORDER BY s.event_type
+""",
+    tags=("ab-test", "A12", "W2"),
+)
+def q318_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth mover's distance between odd/even cohort value distributions
+    per event type: (event_type, n1, n2, w1)."""
+    events = load_table(spark, sf_dir, "events")
+    frozen = events.select(
+        "event_type",
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("user_id") % 2 == 1).cast("long").alias("t"),
+    )
+    g = frozen.groupBy("event_type", "v").agg(
+        F.sum("t").alias("c1"), F.sum(1 - F.col("t")).alias("c2")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlead = Window.partitionBy("event_type").orderBy("v")
+    cum = g.select(
+        "event_type",
+        "v",
+        F.sum("c1").over(wcum).alias("k1"),
+        F.sum("c2").over(wcum).alias("k2"),
+        F.lead("v", 1).over(wlead).alias("v_next"),
+    ).withColumn("v_next", F.coalesce("v_next", F.col("v")))
+    nn = g.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    s = (
+        cum.join(F.broadcast(nn), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("k1") * F.col("n2") - F.col("k2") * F.col("n1")
+                )
+                * (F.col("v_next") - F.col("v"))
+            ).alias("num")
+        )
+    )
+    return (
+        s.join(F.broadcast(nn), "event_type")
+        .select(
+            "event_type",
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.round(
+                F.col("num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2"))
+                / 100.0,
+                4,
+            ).alias("w1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q319 - isotonic calibration curve (pool-adjacent-violators) of `value`
+# as a purchase-probability score, on 20 equal-width score bins: the
+# monotone-nondecreasing fit via the exact minimax identity
+#   iso_k = max_{i<=k} min_{j>=k} (pos_{i..j}) / (n_{i..j}),
+# computed relationally from bin prefix sums (no sequential PAVA loop).
+# The calibrated-probability companion to q249's ECE: q249 measures
+# miscalibration, this produces the monotone recalibration map itself.
+# Parity: bin edges from exact integer min/max; pooled rates are
+# identical double divisions of exact integer prefix differences; the
+# minimax is over identical values on both engines; 4dp.
+# Scale: corpus collapses to <= 20 bin rows in one keyed aggregate (plus
+# a 1-row min/max broadcast); the O(bins^3) minimax expansion is algebra
+# over a bounded relation that never touches the corpus again.
+# --------------------------------------------------------------------------
+_ISO_BINS = 20
+
+
+@register(
+    "q319_isotonic_calibration",
+    oracle=f"""
+WITH scored AS (
+    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+mm AS (
+    SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM scored
+),
+binned AS (
+    SELECT CAST(((s.v - m.vmin) * {_ISO_BINS})
+                // (m.vmax - m.vmin + 1) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s.pos) AS BIGINT) AS pos
+    FROM scored s CROSS JOIN mm m
+    GROUP BY 1
+),
+idx AS (
+    SELECT bin, n, pos,
+           CAST(SUM(n) OVER w AS BIGINT) AS cn,
+           CAST(SUM(pos) OVER w AS BIGINT) AS cp
+    FROM binned
+    WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+),
+pairs AS (
+    SELECT i.bin AS i, j.bin AS j,
+           CAST(j.cp - i.cp + i.pos AS DOUBLE)
+               / (j.cn - i.cn + i.n) AS ratio
+    FROM idx i JOIN idx j ON i.bin <= j.bin
+),
+mins AS (
+    SELECT p.i, k.bin AS k, MIN(p.ratio) AS lo
+    FROM pairs p JOIN idx k ON p.i <= k.bin AND k.bin <= p.j
+    GROUP BY p.i, k.bin
+),
+iso AS (
+    SELECT k, MAX(lo) AS iso_rate FROM mins GROUP BY k
+)
+SELECT b.bin, b.n, b.pos,
+       ROUND(CAST(b.pos AS DOUBLE) / b.n, 4) AS raw_rate,
+       ROUND(i.iso_rate, 4) AS iso_rate
+FROM binned b JOIN iso i ON i.k = b.bin
+ORDER BY b.bin
+""",
+    tags=("ml-eval", "A12", "W2"),
+)
+def q319_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAVA isotonic calibration of value->purchase on 20 score bins:
+    (bin, n, pos, raw_rate, iso_rate)."""
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    mm = scored.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    binned = (
+        scored.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(
+                f"CAST(((v - vmin) * {_ISO_BINS})"
+                " div (vmax - vmin + 1) AS BIGINT)"
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("pos"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = binned.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    i = idx.select(
+        F.col("bin").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("pos").alias("pi"),
+        F.col("cn").alias("cni"),
+        F.col("cp").alias("cpi"),
+    )
+    j = idx.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    pairs = i.join(j, F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cpj") - F.col("cpi") + F.col("pi")).cast("double")
+            / (F.col("cnj") - F.col("cni") + F.col("ni"))
+        ).alias("ratio"),
+    )
+    k = idx.select(F.col("bin").alias("k"))
+    mins = (
+        pairs.join(
+            k, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j"))
+        )
+        .groupBy("i", "k")
+        .agg(F.min("ratio").alias("lo"))
+    )
+    iso = mins.groupBy("k").agg(F.max("lo").alias("iso_rate"))
+    return (
+        binned.join(iso, binned["bin"] == iso["k"])
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("pos").cast("double") / F.col("n"), 4).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso_rate"), 4).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q320 - peak concurrency per event type (sweep line over the interval
+# domain): each event holds a resource for 60*(1 + user_id % 5) seconds;
+# the peak number of simultaneously-open intervals and the earliest
+# instant it is reached. Classic capacity-planning output (max concurrent
+# sessions/connections) computed WITHOUT pairwise interval joins: +1/-1
+# deltas collapse per instant, one cum window over the per-type time
+# domain, one argmax. Half-open [s, e) semantics: an interval ending at t
+# frees its slot before one starting at t takes it (both engines collapse
+# the instant to one net row, so the within-instant order is identity).
+# Parity: all counts exact integers; peak_at is an exact timestamp.
+# Scale: 2 narrow rows per event -> one keyed aggregate to the (type,
+# instant) domain -> per-type cum window -> 1-row-per-type argmax.
+# --------------------------------------------------------------------------
+@register(
+    "q320_peak_concurrency",
+    oracle="""
+WITH deltas AS (
+    SELECT event_type, CAST(ts AS TIMESTAMP) AS t, 1 AS d FROM events
+    UNION ALL
+    SELECT event_type,
+           CAST(ts AS TIMESTAMP)
+               + INTERVAL (60 * (1 + user_id % 5)) SECOND AS t,
+           -1 AS d
+    FROM events
+),
+net AS (
+    SELECT event_type, t, CAST(SUM(d) AS BIGINT) AS net
+    FROM deltas GROUP BY event_type, t
+),
+cum AS (
+    SELECT event_type, t,
+           CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open
+    FROM net
+),
+peak AS (
+    SELECT event_type, CAST(MAX(open) AS BIGINT) AS peak
+    FROM cum GROUP BY event_type
+)
+SELECT p.event_type, p.peak, MIN(c.t) AS peak_at
+FROM peak p JOIN cum c ON c.event_type = p.event_type AND c.open = p.peak
+GROUP BY p.event_type, p.peak
+ORDER BY p.event_type
+""",
+    tags=("capacity", "A1", "W2"),
+)
+def q320_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak concurrent intervals per event type:
+    (event_type, peak, peak_at)."""
+    events = load_table(spark, sf_dir, "events")
+    starts = events.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = events.select(
+        "event_type",
+        F.expr("timestampadd(SECOND, 60 * (1 + user_id % 5), ts)").alias(
+            "t"
+        ),
+        F.lit(-1).alias("d"),
+    )
+    net = (
+        starts.unionByName(ends)
+        .groupBy("event_type", "t")
+        .agg(F.sum("d").alias("net"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = net.select(
+        "event_type", "t", F.sum("net").over(w).alias("open")
+    )
+    peak = cum.groupBy("event_type").agg(F.max("open").alias("peak"))
+    return (
+        cum.join(
+            F.broadcast(peak),
+            ["event_type"],
+        )
+        .filter(F.col("open") == F.col("peak"))
+        .groupBy("event_type", "peak")
+        .agg(F.min("t").alias("peak_at"))
+        .select(
+            "event_type",
+            F.col("peak").cast("long").alias("peak"),
+            "peak_at",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q321 - shard-rebalancing audit: when the cluster grows from 8 to 9
+# shards, what fraction of keys move under (a) mod-N assignment vs (b) a
+# consistent-hash ring with 16 virtual nodes per shard? The infra-planning
+# companion to q292 (broadcast advisor) and q266 (skew audit): mod-N
+# reshuffles ~8/9 of the corpus, the ring only the ~1/9 arc the new
+# shard claims — this query measures both exactly on the real key set.
+# The ring points are md5 digests precomputed at plan-build time and
+# embedded as SORTED literal arrays on BOTH engines; a key's shard is the
+# first ring point >= md5(key) (wrapping to the smallest point), so the
+# whole assignment is narrow JVM array algebra — no join, no explode.
+# Ring growth only ADDS points, so a key moved <=> its successor point
+# changed.
+# Parity: md5 hex strings compare identically everywhere; counts exact.
+# Scale: one narrow map over the keys + one 2-row aggregate. O(|ring|)
+# comparisons per key, zero shuffles beyond the final reduce.
+# --------------------------------------------------------------------------
+import hashlib as _hashlib
+
+_RING_VNODES = 16
+
+
+def _ring_points(n_shards: int) -> list[str]:
+    pts = [
+        _hashlib.md5(f"node{n}:{r}".encode()).hexdigest()
+        for n in range(n_shards)
+        for r in range(_RING_VNODES)
+    ]
+    return sorted(pts)
+
+
+_RING8 = _ring_points(8)
+_RING9 = _ring_points(9)
+
+
+def _succ_sql(ring: list[str], h: str) -> str:
+    lit = "[" + ", ".join(f"'{p}'" for p in ring) + "]"
+    return (
+        f"COALESCE(LIST_MIN(LIST_FILTER({lit}, p -> p >= {h})),"
+        f" '{ring[0]}')"
+    )
+
+
+@register(
+    "q321_rebalance_audit",
+    oracle=f"""
+WITH keys AS (
+    SELECT doc_id, MD5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+flags AS (
+    SELECT CASE WHEN doc_id % 8 <> doc_id % 9 THEN 1 ELSE 0 END AS mod_moved,
+           CASE WHEN {_succ_sql(_RING8, "h")} <> {_succ_sql(_RING9, "h")}
+                THEN 1 ELSE 0 END AS ring_moved
+    FROM keys
+)
+SELECT 'mod' AS strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(mod_moved) AS BIGINT) AS n_moved,
+       ROUND(CAST(SUM(mod_moved) AS DOUBLE) / COUNT(*), 4) AS moved_frac
+FROM flags
+UNION ALL
+SELECT 'ring' AS strategy,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(ring_moved) AS BIGINT) AS n_moved,
+       ROUND(CAST(SUM(ring_moved) AS DOUBLE) / COUNT(*), 4) AS moved_frac
+FROM flags
+ORDER BY strategy
+""",
+    tags=("capacity", "A12", "P12"),
+)
+def q321_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moved-key fraction growing 8->9 shards, mod-N vs consistent-hash
+    ring: (strategy, n_keys, n_moved, moved_frac)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def succ(ring: list[str]):
+        arr = F.array(*[F.lit(p) for p in ring])
+        return F.coalesce(
+            F.array_min(F.filter(arr, lambda p: p >= F.col("h"))),
+            F.lit(ring[0]),
+        )
+
+    flags = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+    ).select(
+        (F.col("doc_id") % 8 != F.col("doc_id") % 9)
+        .cast("long")
+        .alias("mod_moved"),
+        (succ(_RING8) != succ(_RING9)).cast("long").alias("ring_moved"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("mod_moved").alias("mod_moved"),
+        F.sum("ring_moved").alias("ring_moved"),
+    )
+    out = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("mod").alias("strategy"),
+                    F.col("n_keys").cast("long").alias("n_keys"),
+                    F.col("mod_moved").cast("long").alias("n_moved"),
+                    F.round(
+                        F.col("mod_moved").cast("double") / F.col("n_keys"),
+                        4,
+                    ).alias("moved_frac"),
+                ),
+                F.struct(
+                    F.lit("ring").alias("strategy"),
+                    F.col("n_keys").cast("long").alias("n_keys"),
+                    F.col("ring_moved").cast("long").alias("n_moved"),
+                    F.round(
+                        F.col("ring_moved").cast("double") / F.col("n_keys"),
+                        4,
+                    ).alias("moved_frac"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return out.orderBy("strategy")

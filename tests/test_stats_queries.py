@@ -1,0 +1,294 @@
+"""Semantic tests for the inferential-stats / eval queries (q314+):
+each statistic is recomputed literally in Python (naive ranks / pair
+counts) and must agree with the domain-collapsed relational form."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from synth_transform_spark.plans import REGISTRY
+
+from conftest import SF_DIR
+
+
+def _avg_ranks(values):
+    """Average ranks (1-based, ties share the mean rank)."""
+    order = sorted(range(len(values)), key=lambda i: values[i])
+    ranks = [0.0] * len(values)
+    i = 0
+    while i < len(order):
+        j = i
+        while j + 1 < len(order) and values[order[j + 1]] == values[order[i]]:
+            j += 1
+        r = (i + j + 2) / 2.0  # mean of 1-based positions i+1..j+1
+        for k in range(i, j + 1):
+            ranks[order[k]] = r
+        i = j + 1
+    return ranks
+
+
+def test_rank_sum_matches_naive_ranks(spark):
+    df = (
+        REGISTRY["q314_rank_sum_test"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["v"] = (10000.0 * ev["value"]).round().astype("int64")
+    for et, g in ev.groupby("event_type"):
+        vals = list(g["v"])
+        grp = list((g["user_id"] % 2 == 1).astype(int))
+        ranks = _avg_ranks(vals)
+        n1 = sum(grp)
+        n2 = len(grp) - n1
+        r1 = sum(r for r, t in zip(ranks, grp) if t == 1)
+        u1 = r1 - n1 * (n1 + 1) / 2.0
+        n = n1 + n2
+        # tie term from value multiplicities
+        from collections import Counter
+
+        ties = sum(c**3 - c for c in Counter(vals).values())
+        var = n1 * n2 / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        z = (u1 - n1 * n2 / 2.0) / math.sqrt(var)
+        row = df.loc[et]
+        assert int(row["n1"]) == n1 and int(row["n2"]) == n2
+        assert int(row["two_u"]) == round(2 * u1)
+        assert abs(row["z"] - z) <= 1e-3
+    # z must flag nothing absurd: cohorts are a random split
+    assert df["z"].abs().max() < 10
+
+
+def test_kruskal_wallis_matches_naive(spark):
+    df = (
+        REGISTRY["q315_kruskal_wallis"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    from collections import Counter
+
+    for lang, g in docs.groupby("lang"):
+        vals = list(g["n_chars"])
+        ranks = _avg_ranks(vals)
+        n = len(vals)
+        srcs = list(g["source"])
+        groups = sorted(set(srcs))
+        h = 0.0
+        for s in groups:
+            rj = sum(r for r, src in zip(ranks, srcs) if src == s)
+            nj = srcs.count(s)
+            h += rj * rj / nj
+        h = 12.0 / (n * (n + 1)) * h - 3.0 * (n + 1)
+        ties = sum(c**3 - c for c in Counter(vals).values())
+        h_corr = h / (1.0 - ties / (n**3 - n))
+        row = df.loc[lang]
+        assert int(row["n"]) == n
+        assert int(row["k"]) == len(groups)
+        assert abs(row["h"] - h) <= 2e-3
+        assert abs(row["h_tie_corr"] - h_corr) <= 2e-3
+        assert row["h_tie_corr"] >= row["h"] - 1e-9  # correction inflates H
+
+
+def test_average_precision_matches_naive(spark):
+    df = REGISTRY["q316_average_precision"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    v = (10000.0 * ev["value"]).round().astype("int64")
+    pos = (ev["event_type"] == "purchase").astype(int)
+    agg = (
+        pd.DataFrame({"v": v, "pos": pos})
+        .groupby("v")
+        .agg(p=("pos", "sum"), c=("pos", "size"))
+        .sort_index(ascending=False)
+    )
+    cumpos = agg["p"].cumsum()
+    cumall = agg["c"].cumsum()
+    n_pos = int(agg["p"].sum())
+    ap = float((agg["p"] * cumpos / cumall).sum() / n_pos)
+    row = df.iloc[0]
+    assert int(row["n_pos"]) == n_pos
+    assert int(row["n"]) == int(agg["c"].sum())
+    assert abs(row["avg_precision"] - ap) <= 1e-3
+    # AP of a random-ish score sits near prevalence, never below a tenth
+    assert row["avg_precision"] >= row["prevalence"] * 0.5
+    assert row["avg_precision"] <= 1.0
+
+
+def test_mcnemar_counts_partition(spark):
+    df = REGISTRY["q317_mcnemar"].spark(spark, SF_DIR).toPandas()
+    row = df.iloc[0]
+    n = int(row["n"])
+    parts = (
+        int(row["both_right"])
+        + int(row["b"])
+        + int(row["c"])
+        + int(row["both_wrong"])
+    )
+    assert parts == n  # the four cells partition the eval set
+    # accuracies decompose from the same cells
+    assert row["acc_a"] == round((row["both_right"] + row["b"]) / n, 4)
+    assert row["acc_b"] == round((row["both_right"] + row["c"]) / n, 4)
+    b, c = int(row["b"]), int(row["c"])
+    if b + c:
+        want = (abs(b - c) - 1) ** 2 / (b + c)
+        assert abs(row["chi2_cc"] - want) <= 1e-3
+    else:
+        assert row["chi2_cc"] == 0.0
+
+
+def test_mcnemar_predictions_literal(spark):
+    """The two heuristics themselves recomputed in Python."""
+    df = REGISTRY["q317_mcnemar"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    y = docs["lang"] == "en"
+    pa = (" " + docs["text"].str.lower() + " ").str.contains(" the ", regex=False)
+    toks = docs["text"].str.split(" ").apply(lambda t: [x for x in t if x])
+    avg_len = docs["text"].str.replace(" ", "", regex=False).str.len() / toks.str.len()
+    pb = avg_len < 5.5
+    row = df.iloc[0]
+    assert int(row["b"]) == int(((pa == y) & (pb != y)).sum())
+    assert int(row["c"]) == int(((pa != y) & (pb == y)).sum())
+
+
+def test_wasserstein_matches_naive(spark):
+    df = (
+        REGISTRY["q318_wasserstein"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["v"] = (100.0 * ev["value"]).round().astype("int64")
+    ev["t"] = (ev["user_id"] % 2 == 1).astype(int)
+    for et, g in ev.groupby("event_type"):
+        a = sorted(g.loc[g["t"] == 1, "v"])
+        b = sorted(g.loc[g["t"] == 0, "v"])
+        dom = sorted(set(a) | set(b))
+        n1, n2 = len(a), len(b)
+        import bisect
+
+        w1 = 0.0
+        for lo, hi in zip(dom, dom[1:]):
+            f1 = bisect.bisect_right(a, lo) / n1
+            f2 = bisect.bisect_right(b, lo) / n2
+            w1 += abs(f1 - f2) * (hi - lo)
+        row = df.loc[et]
+        assert int(row["n1"]) == n1 and int(row["n2"]) == n2
+        assert abs(row["w1"] - w1 / 100.0) <= 1e-3
+        assert row["w1"] >= 0
+
+
+def test_isotonic_matches_literal_pava(spark):
+    df = (
+        REGISTRY["q319_isotonic_calibration"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("bin")
+    )
+    # monotone nondecreasing fit
+    iso = list(df["iso_rate"])
+    assert all(x <= y + 1e-9 for x, y in zip(iso, iso[1:]))
+    # literal pool-adjacent-violators over the same (n, pos) bins
+    pools = [[int(n), int(p)] for n, p in zip(df["n"], df["pos"])]
+    stack = []
+    for n, p in pools:
+        stack.append([n, p])
+        while len(stack) > 1 and (
+            stack[-2][1] * stack[-1][0] >= stack[-1][1] * stack[-2][0]
+        ):
+            n2, p2 = stack.pop()
+            stack[-1][0] += n2
+            stack[-1][1] += p2
+    # expand pooled rates back to bins
+    rates = []
+    for n, p in stack:
+        rates.append((n, p / n))
+    expanded = []
+    bin_counts = list(df["n"].astype(int))
+    i = 0
+    for n, r in rates:
+        taken = 0
+        while taken < n:
+            taken += bin_counts[i]
+            expanded.append(r)
+            i += 1
+    assert len(expanded) == len(iso)
+    for got, exp in zip(iso, expanded):
+        assert abs(got - exp) <= 1e-3
+    # weighted mean is conserved by PAVA
+    tot = (df["n"] * df["iso_rate"]).sum()
+    assert abs(tot - df["pos"].sum()) <= df["n"].sum() * 1e-3
+
+
+def test_peak_concurrency_matches_naive_sweep(spark):
+    df = (
+        REGISTRY["q320_peak_concurrency"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["end"] = pd.to_datetime(ev["ts"]) + pd.to_timedelta(
+        60 * (1 + ev["user_id"] % 5), unit="s"
+    )
+    for et, g in ev.groupby("event_type"):
+        deltas = {}
+        for t in pd.to_datetime(g["ts"]):
+            deltas[t] = deltas.get(t, 0) + 1
+        for t in g["end"]:
+            deltas[t] = deltas.get(t, 0) - 1
+        run = 0
+        peak = 0
+        peak_at = None
+        for t in sorted(deltas):
+            run += deltas[t]
+            if run > peak:
+                peak = run
+                peak_at = t
+        row = df.loc[et]
+        assert int(row["peak"]) == peak
+        assert pd.Timestamp(row["peak_at"]) == peak_at
+        assert peak >= 1
+
+
+def test_rebalance_audit_exact(spark):
+    import bisect
+    import hashlib
+
+    df = (
+        REGISTRY["q321_rebalance_audit"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("strategy")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ids = list(docs["doc_id"])
+    mod_moved = sum(1 for i in ids if i % 8 != i % 9)
+
+    def ring(n_shards):
+        return sorted(
+            hashlib.md5(f"node{n}:{r}".encode()).hexdigest()
+            for n in range(n_shards)
+            for r in range(16)
+        )
+
+    r8, r9 = ring(8), ring(9)
+
+    def succ(ring_pts, h):
+        i = bisect.bisect_left(ring_pts, h)
+        return ring_pts[i] if i < len(ring_pts) else ring_pts[0]
+
+    ring_moved = 0
+    for i in ids:
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        if succ(r8, h) != succ(r9, h):
+            ring_moved += 1
+    assert int(df.loc["mod", "n_moved"]) == mod_moved
+    assert int(df.loc["ring", "n_moved"]) == ring_moved
+    # the whole point: the ring moves far fewer keys than mod-N
+    assert df.loc["ring", "moved_frac"] < df.loc["mod", "moved_frac"]
+    assert df.loc["mod", "moved_frac"] > 0.5
+    assert df.loc["ring", "moved_frac"] < 0.5
