@@ -970,3 +970,499 @@ def q321_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.*")
     return out.orderBy("strategy")
+
+
+# --------------------------------------------------------------------------
+# q322 - cross-split contamination audit: how many EXACT near-duplicate
+# pairs (shingle Jaccard >= 0.5, the q182 prefix-filter truth) straddle
+# the q104 train/val/test split? Near-dups of a test document sitting in
+# train are silent eval leakage — the #1 "my benchmark is inflated"
+# failure in LLM data pipelines. Composes the two proven operators: the
+# PPJoin-family exact set-similarity join and the md5-percentile split.
+# Parity: both components already hash-match individually; the composite
+# adds one split lookup per pair endpoint and a bounded (split, split)
+# rollup, with (sa, sb) ordered lexicographically so the pair direction
+# is canonical.
+# Scale: the prefix-filter join bounds the candidate space (q182's
+# posture); split assignment is a narrow md5 map joined onto the pair
+# endpoints (two hash joins on doc id); the rollup is <= 9 rows.
+# --------------------------------------------------------------------------
+def _q322_oracle() -> str:
+    from .dedup_queries import _SHINGLES_CTE
+
+    return f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS ov
+    FROM sh a JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT ia, ib
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = ia
+    JOIN sizes sb ON sb.doc_id = ib
+    WHERE ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) >= 0.5
+),
+splits AS (
+    SELECT doc_id,
+           CASE WHEN u < 80 THEN 'train' WHEN u < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT AS BIGINT) % 100 AS u
+        FROM documents
+    ) t
+)
+SELECT LEAST(x.split, y.split) AS split_a,
+       GREATEST(x.split, y.split) AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaky
+FROM pairs p
+JOIN splits x ON x.doc_id = p.ia
+JOIN splits y ON y.doc_id = p.ib
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("q322_split_leakage", oracle=_q322_oracle(), tags=("training-prep", "dedup-setsim", "A4"))
+def q322_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs straddling the train/val/test split:
+    (split_a, split_b, n_pairs, n_leaky)."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.prefix_jaccard_join(docs, threshold=0.5).select(
+        "id_a", "id_b"
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    splits = docs.select(
+        "doc_id",
+        F.when(u < 80, F.lit("train"))
+        .when(u < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    joined = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        joined.groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum((F.col("sa") != F.col("sb")).cast("long")).alias(
+                "n_leaky"
+            ),
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q323 - seeded sign-permutation test for the odd-vs-even cohort daily
+# effect, per event type: the exact-resampling alternative to q314's
+# asymptotic z when the day count is small. The statistic is the sum of
+# per-day cohort mean differences; the null distribution comes from B=199
+# deterministic sign flips s(b, day) = md5 parity, so BOTH engines
+# enumerate the identical permutation set:
+#   p = (1 + #{b : |T_b| >= |T_obs|}) / (B + 1).
+# Parity: daily means are exact `div` integers (the q312 freeze), so
+# every T_b is an exact integer and the |T_b| >= |T_obs| comparisons are
+# integer — no float anywhere until the final p.
+# Scale: the corpus collapses to the (type, day) relation FIRST (one
+# keyed aggregate); the B-fold expansion runs on the bounded daily
+# relation (|types| x days x B rows), never on raw events.
+# --------------------------------------------------------------------------
+_PERM_B = 199
+
+
+@register(
+    "q323_permutation_test",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(SUM(CASE WHEN user_id % 2 = 1
+                         THEN CAST(ROUND(100.0 * value) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c1,
+           CAST(SUM(CASE WHEN user_id % 2 = 0
+                         THEN CAST(ROUND(100.0 * value) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS s0,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c0
+    FROM events GROUP BY 1, 2
+),
+diffs AS (
+    SELECT event_type, day, (s1 // c1) - (s0 // c0) AS d
+    FROM daily WHERE c1 > 0 AND c0 > 0
+),
+obs AS (
+    SELECT event_type, CAST(SUM(d) AS BIGINT) AS t_obs,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM diffs GROUP BY event_type
+),
+perms AS (
+    SELECT d.event_type, b.b,
+           CAST(SUM(CASE WHEN CAST(('0x' || SUBSTR(
+                         MD5(CAST(b.b AS VARCHAR) || ':'
+                             || CAST(d.day AS VARCHAR)), 1, 8))::UBIGINT
+                         AS BIGINT) % 2 = 0
+                    THEN d.d ELSE -d.d END) AS BIGINT) AS t_b
+    FROM diffs d CROSS JOIN (SELECT UNNEST(RANGE(1, {_PERM_B} + 1)) AS b) b
+    GROUP BY 1, 2
+)
+SELECT o.event_type, o.n_days, o.t_obs,
+       ROUND((1.0 + SUM(CASE WHEN ABS(p.t_b) >= ABS(o.t_obs)
+                             THEN 1 ELSE 0 END))
+             / ({_PERM_B} + 1.0), 4) AS p_value
+FROM obs o JOIN perms p ON p.event_type = o.event_type
+GROUP BY o.event_type, o.n_days, o.t_obs
+ORDER BY o.event_type
+""",
+    tags=("ab-test", "A12", "J14"),
+)
+def q323_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded sign-permutation test of the daily cohort effect per type:
+    (event_type, n_days, t_obs, p_value)."""
+    events = load_table(spark, sf_dir, "events")
+    x = F.round(100.0 * F.col("value")).cast("long")
+    odd = (F.col("user_id") % 2 == 1).cast("long")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(x * odd).alias("s1"),
+        F.sum(odd).alias("c1"),
+        F.sum(x * (1 - odd)).alias("s0"),
+        F.sum(1 - odd).alias("c0"),
+    )
+    diffs = daily.filter((F.col("c1") > 0) & (F.col("c0") > 0)).select(
+        "event_type",
+        "day",
+        (F.expr("s1 div c1") - F.expr("s0 div c0")).alias("d"),
+    )
+    obs = diffs.groupBy("event_type").agg(
+        F.sum("d").alias("t_obs"), F.count(F.lit(1)).alias("n_days")
+    )
+    b = spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+    sign = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("day").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.col("d"),
+    ).otherwise(-F.col("d"))
+    perms = (
+        diffs.crossJoin(F.broadcast(b))
+        .groupBy("event_type", "b")
+        .agg(F.sum(sign).alias("t_b"))
+    )
+    return (
+        perms.join(F.broadcast(obs), "event_type")
+        .groupBy("event_type", "n_days", "t_obs")
+        .agg(
+            F.round(
+                (
+                    1.0
+                    + F.sum(
+                        (F.abs(F.col("t_b")) >= F.abs(F.col("t_obs"))).cast(
+                            "long"
+                        )
+                    )
+                )
+                / (_PERM_B + 1.0),
+                4,
+            ).alias("p_value")
+        )
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("t_obs").cast("long").alias("t_obs"),
+            "p_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q324 - Krippendorff's alpha (nominal, binary) for three rule-based
+# is-English raters with MISSING ratings: rater A (has-'the') rates every
+# document, rater B (short mean token) abstains below 150 chars, rater C
+# (short-word fraction) abstains below 30 tokens. The chance-corrected
+# agreement coefficient that q280's kappa cannot give once raters abstain
+# (kappa needs a complete 2-rater grid); units with < 2 ratings drop out,
+# exactly per the coincidence-matrix definition:
+#   alpha = 1 - (n-1) * q01 / (2 * nc1 * nc0)
+# with q01 = sum_u 2*n1u*n0u/(m_u - 1), o_cc = sum_u n_cu(n_cu-1)/(m_u-1),
+# nc = o_cc + q01/2, n = total pairable ratings.
+# Parity: with m_u <= 3 every coincidence term is an exact integer (the
+# /(m_u-1) divisions cancel), so alpha is ONE double division; 4dp.
+# Scale: one narrow per-document projection + one 1-row conditional
+# aggregate with map-side partials; no joins, no windows.
+# --------------------------------------------------------------------------
+@register(
+    "q324_krippendorff_alpha",
+    oracle="""
+WITH rated AS (
+    SELECT CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %'
+                THEN 1 ELSE 0 END AS ra,
+           CASE WHEN n_chars >= 150 THEN
+                CASE WHEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                          / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                            t -> t <> '')) < 5.5
+                     THEN 1 ELSE 0 END
+           END AS rb,
+           CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                     t -> t <> '')) >= 30 THEN
+                CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t <> '' AND LENGTH(t) <= 2))
+                               AS DOUBLE)
+                          / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                            t -> t <> '')) >= 0.15
+                     THEN 1 ELSE 0 END
+           END AS rc
+    FROM documents
+),
+units AS (
+    SELECT (ra IS NOT NULL)::INT + (rb IS NOT NULL)::INT
+               + (rc IS NOT NULL)::INT AS m,
+           COALESCE(ra, 0) + COALESCE(rb, 0) + COALESCE(rc, 0) AS n1
+    FROM rated
+),
+coin AS (
+    SELECT CAST(SUM(m) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(2 * n1 * (m - n1) / (m - 1)) AS BIGINT) AS q01,
+           CAST(SUM(n1 * (n1 - 1) / (m - 1)) AS BIGINT) AS o11,
+           CAST(SUM((m - n1) * (m - n1 - 1) / (m - 1)) AS BIGINT) AS o00
+    FROM units WHERE m >= 2
+)
+SELECT n_units, n, o11, o00, q01,
+       ROUND(1.0 - CAST(n - 1 AS DOUBLE) * q01
+             / (2.0 * (o11 + q01 / 2) * (o00 + q01 / 2)), 4) AS alpha
+FROM coin
+""",
+    tags=("ml-eval", "A12", "P12"),
+)
+def q324_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over three partially-abstaining raters:
+    (n_units, n, o11, o00, q01, alpha)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    short = F.filter(
+        F.split("text", " "), lambda t: (t != "") & (F.length(t) <= 2)
+    )
+    ra = (
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+        .contains(" the ")
+        .cast("int")
+    )
+    rb = F.when(
+        F.col("n_chars") >= 150,
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks)
+            < 5.5
+        ).cast("int"),
+    )
+    rc = F.when(
+        F.size(toks) >= 30,
+        (F.size(short).cast("double") / F.size(toks) >= 0.15).cast("int"),
+    )
+    units = docs.select(
+        (
+            ra.isNotNull().cast("int")
+            + rb.isNotNull().cast("int")
+            + rc.isNotNull().cast("int")
+        ).alias("m"),
+        (
+            F.coalesce(ra, F.lit(0))
+            + F.coalesce(rb, F.lit(0))
+            + F.coalesce(rc, F.lit(0))
+        ).alias("n1"),
+    ).filter(F.col("m") >= 2)
+    coin = units.agg(
+        F.sum("m").alias("n"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(
+            F.expr("2 * n1 * (m - n1) div (m - 1)")
+        ).alias("q01"),
+        F.sum(F.expr("n1 * (n1 - 1) div (m - 1)")).alias("o11"),
+        F.sum(
+            F.expr("(m - n1) * (m - n1 - 1) div (m - 1)")
+        ).alias("o00"),
+    )
+    return coin.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n").cast("long").alias("n"),
+        F.col("o11").cast("long").alias("o11"),
+        F.col("o00").cast("long").alias("o00"),
+        F.col("q01").cast("long").alias("q01"),
+        F.round(
+            1.0
+            - (F.col("n") - 1).cast("double")
+            * F.col("q01")
+            / (
+                2.0
+                * (F.col("o11") + F.col("q01") / 2)
+                * (F.col("o00") + F.col("q01") / 2)
+            ),
+            4,
+        ).alias("alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q325 - multimodal near-duplicate pairs by byte-histogram shape: two
+# media payloads are near-dups when their per-mille 16-bin byte
+# histograms differ by L1 <= 60 (6% total mass). Candidate generation is
+# BANDED, never all-pairs: the coarse signature (each per-mille share
+# quantized to 2.5% steps, present buckets only, bucket-ordered) must
+# match exactly, so candidates come from one equi-join on the signature
+# string — the multimodal sibling of q56's banded SimHash. Feature
+# extraction runs through the Arrow mapInPandas byte-histogram operator
+# (operators/multimodal.py), i.e. the REAL media plumbing, then
+# everything downstream is relational.
+# Parity: per-mille shares are exact `div` integers; signatures are
+# deterministic strings; L1 is an exact integer sum (same-signature pairs
+# provably share the same present-bucket set, so an inner bucket join is
+# total). Oracle rebuilds the identical histogram from ASCII codes.
+# Scale: histogram is narrow per-doc work (no shuffle); one signature
+# equi-join bounds the pair space by bucket co-membership (Σ bucket²,
+# same argument as q27/q56); the verify join is candidate-driven.
+# --------------------------------------------------------------------------
+@register(
+    "q325_media_histogram_dups",
+    oracle="""
+WITH chars AS (
+    SELECT doc_id, ASCII(UNNEST(STRING_SPLIT_REGEX(text, ''))) % 16 AS b
+    FROM documents
+),
+hist AS (
+    SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM chars
+    WHERE b IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM hist GROUP BY 1),
+h AS (
+    SELECT hist.doc_id, hist.b, (hist.c * 1000) // tot.t AS p
+    FROM hist JOIN tot USING (doc_id)
+),
+sig AS (
+    SELECT doc_id,
+           STRING_AGG(CAST(b AS VARCHAR) || ':' || CAST(p // 25 AS VARCHAR),
+                      ',' ORDER BY b) AS s
+    FROM h GROUP BY doc_id
+),
+cand AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sig a JOIN sig b ON b.s = a.s AND a.doc_id < b.doc_id
+),
+l1 AS (
+    SELECT c.id_a, c.id_b, CAST(SUM(ABS(ha.p - hb.p)) AS BIGINT) AS l1
+    FROM cand c
+    JOIN h ha ON ha.doc_id = c.id_a
+    JOIN h hb ON hb.doc_id = c.id_b AND hb.b = ha.b
+    GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b, l1 FROM l1 WHERE l1 <= 60
+ORDER BY id_a, id_b
+""",
+    tags=("multimodal-features", "dedup-setsim", "mapInPandas"),
+)
+def q325_media_histogram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded byte-histogram near-dup media pairs: (id_a, id_b, l1)."""
+    from ..operators import multimodal
+
+    media = multimodal.attach_media(load_table(spark, sf_dir, "documents"))
+    hist = multimodal.byte_histogram(media, n_bins=16)
+    tot = hist.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    h = hist.join(tot, "doc_id").select(
+        "doc_id",
+        F.col("bucket").alias("b"),
+        F.expr("(n * 1000) div t").alias("p"),
+    )
+    sig = h.groupBy("doc_id").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("b", F.expr("p div 25").alias("q"))
+                    )
+                ),
+                lambda r: F.concat(
+                    r["b"].cast("string"), F.lit(":"), r["q"].cast("string")
+                ),
+            ),
+        ).alias("s")
+    )
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("x").select(
+                F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")
+            ),
+            (F.col("s") == F.col("sb")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            F.col("doc_id").alias("id_a"), F.col("doc_b").alias("id_b")
+        )
+    )
+    l1 = (
+        cand.join(
+            h.select(
+                F.col("doc_id").alias("id_a"), "b", F.col("p").alias("pa")
+            ),
+            "id_a",
+        )
+        .join(
+            h.select(
+                F.col("doc_id").alias("id_b"), "b", F.col("p").alias("pb")
+            ),
+            ["id_b", "b"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.abs(F.col("pa") - F.col("pb"))).alias("l1"))
+    )
+    return (
+        l1.filter(F.col("l1") <= 60)
+        .select("id_a", "id_b", F.col("l1").cast("long").alias("l1"))
+        .orderBy("id_a", "id_b")
+    )

@@ -292,3 +292,153 @@ def test_rebalance_audit_exact(spark):
     assert df.loc["ring", "moved_frac"] < df.loc["mod", "moved_frac"]
     assert df.loc["mod", "moved_frac"] > 0.5
     assert df.loc["ring", "moved_frac"] < 0.5
+
+
+def test_split_leakage_consistency(spark):
+    """Leaky pair counts must equal composing the two proven parts by
+    hand: exact Jaccard pairs x md5 split."""
+    import hashlib
+
+    from synth_transform_spark.operators import dedup
+
+    docs_df = __import__("pandas").read_parquet(f"{SF_DIR}/documents.parquet")
+
+    def split_of(doc_id):
+        u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if u < 80 else ("val" if u < 90 else "test")
+
+    from synth_transform_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = (
+        dedup.prefix_jaccard_join(docs, threshold=0.5)
+        .select("id_a", "id_b")
+        .toPandas()
+    )
+    want = {}
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        sa, sb = sorted((split_of(a), split_of(b)))
+        k = (sa, sb)
+        n, leaky = want.get(k, (0, 0))
+        want[k] = (n + 1, leaky + (1 if sa != sb else 0))
+    df = REGISTRY["q322_split_leakage"].spark(spark, SF_DIR).toPandas()
+    got = {
+        (r["split_a"], r["split_b"]): (int(r["n_pairs"]), int(r["n_leaky"]))
+        for _, r in df.iterrows()
+    }
+    assert got == want
+    # same-split rows never count as leaky
+    same = df[df["split_a"] == df["split_b"]]
+    assert (same["n_leaky"] == 0).all()
+
+
+def test_permutation_test_properties(spark):
+    df = REGISTRY["q323_permutation_test"].spark(spark, SF_DIR).toPandas()
+    # valid p range with the +1 smoothing: [1/200, 1]
+    assert (df["p_value"] >= 1.0 / 200).all()
+    assert (df["p_value"] <= 1.0).all()
+    # a random odd/even split should not be wildly significant everywhere
+    assert (df["p_value"] > 0.005).any()
+    # sf0.001 is sparse: some types miss a cohort on a few days
+    assert (df["n_days"] >= 20).all()
+
+
+def test_permutation_test_literal_replay(spark):
+    """Replay one event type's permutation set literally in Python."""
+    import hashlib
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev[ev["event_type"] == "purchase"].copy()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D").dt.date
+    ev["x"] = (100.0 * ev["value"]).round().astype("int64")
+    ev["odd"] = (ev["user_id"] % 2 == 1).astype(int)
+    ds = []
+    for day, g in ev.groupby("day"):
+        s1, c1 = int(g.loc[g["odd"] == 1, "x"].sum()), int((g["odd"] == 1).sum())
+        s0, c0 = int(g.loc[g["odd"] == 0, "x"].sum()), int((g["odd"] == 0).sum())
+        if c1 and c0:
+            ds.append((str(day), s1 // c1 - s0 // c0))
+    t_obs = sum(d for _, d in ds)
+    worse = 0
+    for b in range(1, 200):
+        t_b = 0
+        for day, d in ds:
+            par = int(hashlib.md5(f"{b}:{day}".encode()).hexdigest()[:8], 16) % 2
+            t_b += d if par == 0 else -d
+        if abs(t_b) >= abs(t_obs):
+            worse += 1
+    p = round((1 + worse) / 200.0, 4)
+    df = (
+        REGISTRY["q323_permutation_test"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert int(df.loc["purchase", "t_obs"]) == t_obs
+    assert abs(df.loc["purchase", "p_value"] - p) <= 1e-9
+
+
+def test_krippendorff_matches_literal(spark):
+    """Unit-by-unit coincidence recomputation in Python."""
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n = n_units = q01 = o11 = o00 = 0
+    for _, r in docs.iterrows():
+        text = r["text"]
+        toks = [t for t in text.split(" ") if t]
+        ra = 1 if " the " in f" {text.lower()} " else 0
+        ratings = [ra]
+        if r["n_chars"] >= 150:
+            ratings.append(
+                1 if len(text.replace(" ", "")) / len(toks) < 5.5 else 0
+            )
+        if len(toks) >= 30:
+            short = sum(1 for t in toks if len(t) <= 2)
+            ratings.append(1 if short / len(toks) >= 0.15 else 0)
+        m = len(ratings)
+        if m < 2:
+            continue
+        n1 = sum(ratings)
+        n0 = m - n1
+        n_units += 1
+        n += m
+        q01 += 2 * n1 * n0 // (m - 1)
+        o11 += n1 * (n1 - 1) // (m - 1)
+        o00 += n0 * (n0 - 1) // (m - 1)
+    df = REGISTRY["q324_krippendorff_alpha"].spark(spark, SF_DIR).toPandas()
+    row = df.iloc[0]
+    assert int(row["n_units"]) == n_units
+    assert int(row["n"]) == n
+    assert int(row["q01"]) == q01
+    assert int(row["o11"]) == o11
+    assert int(row["o00"]) == o00
+    nc1 = o11 + q01 // 2
+    nc0 = o00 + q01 // 2
+    alpha = 1.0 - (n - 1) * q01 / (2.0 * nc1 * nc0)
+    assert abs(row["alpha"] - alpha) <= 1e-3
+    assert -1.0 <= row["alpha"] <= 1.0
+
+
+def test_media_histogram_dups_verified(spark):
+    """Every emitted pair must truly satisfy L1 <= 60 on the exact
+    per-mille histograms, recomputed from raw text bytes."""
+    df = REGISTRY["q325_media_histogram_dups"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet").set_index("doc_id")
+
+    def hist(text):
+        from collections import Counter
+
+        c = Counter(b % 16 for b in text.encode())
+        t = sum(c.values())
+        return {b: (v * 1000) // t for b, v in c.items()}
+
+    for _, r in df.iterrows():
+        ha = hist(docs.loc[int(r["id_a"]), "text"])
+        hb = hist(docs.loc[int(r["id_b"]), "text"])
+        l1 = sum(
+            abs(ha.get(b, 0) - hb.get(b, 0)) for b in set(ha) | set(hb)
+        )
+        assert l1 == int(r["l1"])
+        assert l1 <= 60
+    assert (df["id_a"] < df["id_b"]).all()
