@@ -1466,3 +1466,339 @@ def q325_media_histogram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("l1").cast("long").alias("l1"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q326 - Lomb-lite periodogram over the daily event-count series per
+# type: spectral power at candidate periods 2..10 days from the
+# mean-centered counts,
+#   A_p = sum_d X_d cos(2*pi*t_d/p),  B_p = ... sin ...,
+#   power_p = (A_p^2 + B_p^2) / (n_days * sum_d X_d^2)   (in [0, 1]-ish)
+# with X_d = n_days*c_d - S (exact integer mean-centering, scaled by
+# n_days to avoid fractions). The "is there a weekly cadence" detector
+# complementing q247's ACF (lag domain) with the frequency domain.
+# Parity: X_d and t_d are exact integers; cos/sin are frozen to
+# round(1e6 * trig) per (day, period) BEFORE the cross-day sums (the
+# q310 cbrt treatment — absorbs engines' last-ulp libm drift); A/B are
+# exact integers of the frozen trig; power is one double expression, 4dp.
+# Scale: collapse-first to the (type, day) calendar-bounded relation; the
+# 9-period expansion and all trig run on that bounded relation only.
+# --------------------------------------------------------------------------
+_PGRAM_PERIODS = list(range(2, 11))
+
+
+@register(
+    "q326_periodogram",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+base AS (
+    SELECT event_type, CAST(MIN(day) AS DATE) AS d0,
+           CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS s
+    FROM daily GROUP BY event_type
+),
+x AS (
+    SELECT d.event_type, b.nd,
+           DATEDIFF('day', b.d0, d.day) AS t,
+           d.c * b.nd - b.s AS xd
+    FROM daily d JOIN base b ON b.event_type = d.event_type
+),
+terms AS (
+    SELECT x.event_type, x.nd, p.p,
+           x.xd * CAST(ROUND(1000000.0 * COS(2 * PI() * x.t / p.p))
+                       AS BIGINT) AS ct,
+           x.xd * CAST(ROUND(1000000.0 * SIN(2 * PI() * x.t / p.p))
+                       AS BIGINT) AS st,
+           x.xd * x.xd AS x2
+    FROM x CROSS JOIN (SELECT UNNEST({_PGRAM_PERIODS}) AS p) p
+),
+pw AS (
+    SELECT event_type, p, CAST(MAX(nd) AS BIGINT) AS nd,
+           CAST(SUM(ct) AS BIGINT) AS a, CAST(SUM(st) AS BIGINT) AS b,
+           CAST(SUM(x2) AS BIGINT) AS sx2
+    FROM terms GROUP BY event_type, p
+)
+SELECT event_type, CAST(p AS BIGINT) AS period,
+       ROUND((CAST(a AS DOUBLE) * a + CAST(b AS DOUBLE) * b)
+             / 1000000000000.0 / (CAST(nd AS DOUBLE) * sx2), 4) AS power
+FROM pw
+ORDER BY event_type, period
+""",
+    tags=("timeseries", "A12", "J14"),
+)
+def q326_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-count spectral power at periods 2..10 days per type:
+    (event_type, period, power)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    base = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"),
+        F.count(F.lit(1)).alias("nd"),
+        F.sum("c").alias("s"),
+    )
+    x = daily.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "nd",
+        F.datediff("day", "d0").alias("t"),
+        (F.col("c") * F.col("nd") - F.col("s")).alias("xd"),
+    )
+    p = spark.range(2, 11).select(F.col("id").alias("p"))
+    two_pi = 2.0 * 3.141592653589793
+    ct = F.round(
+        1000000.0 * F.cos(two_pi * F.col("t") / F.col("p"))
+    ).cast("long")
+    st = F.round(
+        1000000.0 * F.sin(two_pi * F.col("t") / F.col("p"))
+    ).cast("long")
+    terms = x.crossJoin(F.broadcast(p)).select(
+        "event_type",
+        "nd",
+        "p",
+        (F.col("xd") * ct).alias("ct"),
+        (F.col("xd") * st).alias("st"),
+        (F.col("xd") * F.col("xd")).alias("x2"),
+    )
+    pw = terms.groupBy("event_type", "p").agg(
+        F.max("nd").alias("nd"),
+        F.sum("ct").alias("a"),
+        F.sum("st").alias("b"),
+        F.sum("x2").alias("sx2"),
+    )
+    return pw.select(
+        "event_type",
+        F.col("p").cast("long").alias("period"),
+        F.round(
+            (
+                F.col("a").cast("double") * F.col("a")
+                + F.col("b").cast("double") * F.col("b")
+            )
+            / 1.0e12
+            / (F.col("nd").cast("double") * F.col("sx2")),
+            4,
+        ).alias("power"),
+    ).orderBy("event_type", "period")
+
+
+# --------------------------------------------------------------------------
+# q327 - Cochran-Armitage trend test: does the high-price-order rate
+# (o_totalprice > 250000) TREND monotonically across the five ordered
+# priority classes (score = leading digit of o_orderpriority)? The
+# ordered-dose test that q250's unordered chi-square association cannot
+# express:
+#   Z = sum_i s_i (r_i - n_i R/N)
+#       / sqrt(R/N (1-R/N) [sum_i s_i^2 n_i - (sum_i s_i n_i)^2 / N]).
+# Parity: the five (n_i, r_i) cells and all score moments are exact
+# integers from one conditional aggregate; Z is one double expression
+# over seven integers (the numerator is scaled by N to stay integer:
+# num*N = N sum s_i r_i - R sum s_i n_i); 4dp.
+# Scale: one full-table aggregate with map-side partials over orders;
+# the five-row cell relation reduces on the driver-free single row.
+# --------------------------------------------------------------------------
+@register(
+    "q327_trend_test",
+    oracle="""
+WITH cells AS (
+    SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS r
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+           CAST(SUM(s * n) AS BIGINT) AS sn,
+           CAST(SUM(s * s * n) AS BIGINT) AS ssn,
+           CAST(SUM(s * r) AS BIGINT) AS sr,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM cells
+)
+SELECT nn AS n, rr AS n_high, k,
+       ROUND((CAST(nn AS DOUBLE) * sr - CAST(rr AS DOUBLE) * sn)
+             / (CAST(nn AS DOUBLE)
+                * SQRT((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)
+                       * (ssn - CAST(sn AS DOUBLE) * sn / nn))), 4) AS z
+FROM tot
+""",
+    tags=("ab-test", "A12", "P12"),
+)
+def q327_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend of high-price rate across ordered priority
+    scores: (n, n_high, k, z)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_totalprice") > 250000).cast("long")).alias("r"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.sum("r").alias("rr"),
+        F.sum(F.col("s") * F.col("n")).alias("sn"),
+        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("ssn"),
+        F.sum(F.col("s") * F.col("r")).alias("sr"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    nnd = F.col("nn").cast("double")
+    rrd = F.col("rr").cast("double")
+    z = (nnd * F.col("sr") - rrd * F.col("sn")) / (
+        nnd
+        * F.sqrt(
+            (rrd / F.col("nn"))
+            * (1.0 - rrd / F.col("nn"))
+            * (F.col("ssn") - F.col("sn").cast("double") * F.col("sn") / F.col("nn"))
+        )
+    )
+    return tot.select(
+        F.col("nn").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("n_high"),
+        F.col("k").cast("long").alias("k"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q328 - Mantel-Haenszel stratified odds ratio: the odd-user cohort's
+# odds of a high-value event (value >= 50) vs the even cohort, adjusted
+# for day-of-week strata — the confounder-adjusted effect the crude 2x2
+# odds ratio conflates when traffic mix shifts by weekday:
+#   OR_MH = sum_k (a_k d_k / n_k) / sum_k (b_k c_k / n_k),
+# reported next to the crude OR so the confounding gap is visible.
+# Parity: the 7x4 cell counts are exact integers from one conditional
+# aggregate; each stratum's a*d/n and b*c/n are identical double
+# expressions frozen to round(1e6 * term) before the cross-stratum sum;
+# ORs are single double divisions, 4dp.
+# Scale: one full-table aggregate to the 7-stratum relation; everything
+# after is algebra on 7 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q328_mantel_haenszel",
+    oracle="""
+WITH cells AS (
+    SELECT DAYOFWEEK(CAST(ts AS TIMESTAMP)) AS dow,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 AND value >= 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN user_id % 2 = 1 AND value < 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND value >= 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN user_id % 2 = 0 AND value < 50
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM events GROUP BY 1
+),
+terms AS (
+    SELECT a, b, c, d, a + b + c + d AS n,
+           CAST(ROUND(1000000.0 * (CAST(a AS DOUBLE) * d / (a + b + c + d)))
+                AS BIGINT) AS ad_n,
+           CAST(ROUND(1000000.0 * (CAST(b AS DOUBLE) * c / (a + b + c + d)))
+                AS BIGINT) AS bc_n
+    FROM cells
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+           CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(d) AS BIGINT) AS sd,
+           CAST(SUM(ad_n) AS BIGINT) AS num, CAST(SUM(bc_n) AS BIGINT) AS den
+    FROM terms
+)
+SELECT n_strata,
+       ROUND(CAST(sa AS DOUBLE) * sd / (CAST(sb AS DOUBLE) * sc), 4)
+           AS or_crude,
+       ROUND(CAST(num AS DOUBLE) / den, 4) AS or_mh
+FROM agg
+""",
+    tags=("ab-test", "A12", "P12"),
+)
+def q328_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week-stratified Mantel-Haenszel odds ratio vs the crude OR:
+    (n_strata, or_crude, or_mh)."""
+    events = load_table(spark, sf_dir, "events")
+    odd = F.col("user_id") % 2 == 1
+    hi = F.col("value") >= 50
+    cells = events.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.sum((odd & hi).cast("long")).alias("a"),
+        F.sum((odd & ~hi).cast("long")).alias("b"),
+        F.sum((~odd & hi).cast("long")).alias("c"),
+        F.sum((~odd & ~hi).cast("long")).alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(1000000.0 * (F.col("a").cast("double") * F.col("d") / n))
+        .cast("long")
+        .alias("ad_n"),
+        F.round(1000000.0 * (F.col("b").cast("double") * F.col("c") / n))
+        .cast("long")
+        .alias("bc_n"),
+    )
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum("c").alias("sc"),
+        F.sum("d").alias("sd"),
+        F.sum("ad_n").alias("num"),
+        F.sum("bc_n").alias("den"),
+    )
+    return agg.select(
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.round(
+            F.col("sa").cast("double")
+            * F.col("sd")
+            / (F.col("sb").cast("double") * F.col("sc")),
+            4,
+        ).alias("or_crude"),
+        F.round(F.col("num").cast("double") / F.col("den"), 4).alias(
+            "or_mh"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q329 - LATERAL correlated subquery surface (Spark 4 / ANSI): richest
+# three customers per nation via a LATERAL per-nation top-k — the
+# SQL-surface twin of q15's per-key limit, exercising the correlated
+# LATERAL planner path (decorrelates to a ranked window, not a per-row
+# re-scan). Deterministic tie-break on (c_acctbal DESC, c_custkey).
+# Parity: pure SQL on both engines; balances rounded 4dp.
+# Scale: Catalyst rewrites the lateral to a partitioned window with
+# WindowGroupLimit pushdown — no per-nation re-scan of customer.
+# --------------------------------------------------------------------------
+@register(
+    "q329_lateral_topk",
+    oracle="""
+SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 4) AS acctbal
+FROM nation n,
+     LATERAL (SELECT c_name, c_acctbal FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+ORDER BY n.n_name, acctbal DESC, c.c_name
+""",
+    tags=("sql-surface", "O4", "J1"),
+)
+def q329_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation lateral top-3 customers by balance:
+    (n_name, c_name, acctbal)."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("q329_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "q329_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, ROUND(c.c_acctbal, 4) AS acctbal
+        FROM q329_nation n,
+             LATERAL (SELECT c_name, c_acctbal FROM q329_customer
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        ORDER BY n.n_name, acctbal DESC, c.c_name
+        """
+    )

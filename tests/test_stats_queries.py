@@ -442,3 +442,110 @@ def test_media_histogram_dups_verified(spark):
         assert l1 == int(r["l1"])
         assert l1 <= 60
     assert (df["id_a"] < df["id_b"]).all()
+
+
+def test_periodogram_matches_naive(spark):
+    df = REGISTRY["q326_periodogram"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    for et, g in ev.groupby("event_type"):
+        daily = g.groupby("day").size().sort_index()
+        nd = len(daily)
+        s = int(daily.sum())
+        d0 = daily.index.min()
+        sub = df[df["event_type"] == et].set_index("period")
+        xs = []
+        for day, c in daily.items():
+            t = (day - d0).days
+            xs.append((t, int(c) * nd - s))
+        sx2 = sum(x * x for _, x in xs)
+        for p in range(2, 11):
+            a = sum(
+                x * round(1e6 * math.cos(2 * math.pi * t / p)) for t, x in xs
+            )
+            b = sum(
+                x * round(1e6 * math.sin(2 * math.pi * t / p)) for t, x in xs
+            )
+            power = (a * a + b * b) / 1e12 / (nd * sx2)
+            assert abs(sub.loc[p, "power"] - power) <= 1e-3
+        # normalized power stays in a sane band
+        assert (sub["power"] >= 0).all()
+        assert (sub["power"] <= 2.0).all()
+
+
+def test_trend_test_matches_naive(spark):
+    df = REGISTRY["q327_trend_test"].spark(spark, SF_DIR).toPandas()
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    orders["s"] = orders["o_orderpriority"].str[0].astype(int)
+    orders["y"] = (orders["o_totalprice"] > 250000).astype(int)
+    n = len(orders)
+    r = int(orders["y"].sum())
+    sn = int((orders["s"]).sum())
+    ssn = int((orders["s"] ** 2).sum())
+    sr = int((orders["s"] * orders["y"]).sum())
+    p = r / n
+    num = sr - r * sn / n
+    var = p * (1 - p) * (ssn - sn * sn / n)
+    z = num / math.sqrt(var)
+    row = df.iloc[0]
+    assert int(row["n"]) == n
+    assert int(row["n_high"]) == r
+    assert int(row["k"]) == orders["s"].nunique()
+    assert abs(row["z"] - z) <= 1e-3
+
+
+def test_mantel_haenszel_matches_naive(spark):
+    df = REGISTRY["q328_mantel_haenszel"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["dow"] = pd.to_datetime(ev["ts"]).dt.dayofweek
+    ev["t"] = (ev["user_id"] % 2 == 1).astype(int)
+    ev["y"] = (ev["value"] >= 50).astype(int)
+    num = den = 0.0
+    sa = sb = sc = sd = 0
+    for _, g in ev.groupby("dow"):
+        a = int(((g["t"] == 1) & (g["y"] == 1)).sum())
+        b = int(((g["t"] == 1) & (g["y"] == 0)).sum())
+        c = int(((g["t"] == 0) & (g["y"] == 1)).sum())
+        d = int(((g["t"] == 0) & (g["y"] == 0)).sum())
+        n = a + b + c + d
+        num += round(1e6 * a * d / n)
+        den += round(1e6 * b * c / n)
+        sa, sb, sc, sd = sa + a, sb + b, sc + c, sd + d
+    row = df.iloc[0]
+    assert int(row["n_strata"]) == ev["dow"].nunique()
+    assert abs(row["or_crude"] - sa * sd / (sb * sc)) <= 1e-3
+    assert abs(row["or_mh"] - num / den) <= 1e-3
+    # a random split: both ORs hover near 1
+    assert 0.5 < row["or_mh"] < 2.0
+
+
+def test_lateral_topk_matches_naive(spark):
+    df = REGISTRY["q329_lateral_topk"].spark(spark, SF_DIR).toPandas()
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    nation = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    for _, nrow in nation.iterrows():
+        top = (
+            cust[cust["c_nationkey"] == nrow["n_nationkey"]]
+            .sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+            .head(3)
+        )
+        got = df[df["n_name"] == nrow["n_name"]]
+        assert len(got) == len(top)
+        assert set(got["c_name"]) == set(top["c_name"])
+    # exactly 3 per nation with customers
+    counts = df.groupby("n_name").size()
+    assert (counts <= 3).all()
+
+
+def test_lateral_topk_plan_no_rescan(spark):
+    """The lateral must decorrelate: customer scanned once, ranked by a
+    partitioned window — not re-scanned per nation row."""
+    df = REGISTRY["q329_lateral_topk"].spark(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # nation + customer, once each ("formatted" lists each scan node in
+    # both the tree and the detail section, so count locations instead)
+    assert plan.count("Location: InMemoryFileIndex") == 2
+    assert "Window" in plan  # rank rewrite, not a per-nation re-scan
+    assert "CartesianProduct" not in plan
