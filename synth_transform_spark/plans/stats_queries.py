@@ -1802,3 +1802,190 @@ def q329_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, acctbal DESC, c.c_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q330 - bag-semantics set operations (INTERSECT ALL / EXCEPT ALL): the
+# multiplicity-preserving variants q100's set-semantics INTERSECT/EXCEPT
+# cannot express. Which (custkey, month) purchase-activity pairs recur in
+# BOTH eras (pre/post 1998), counted WITH multiplicity (a customer ordering twice
+# in March of both eras contributes two intersect rows), and how many
+# pre-1998 activity rows have no post-1998 counterpart (EXCEPT ALL keeps the excess
+# copies). Output is the per-month rollup of both bag results.
+# Parity: bag semantics are engine-portable (min/greatest-of-difference
+# on per-key multiplicities); both engines run the literal INTERSECT ALL
+# / EXCEPT ALL SQL; counts exact.
+# Scale: two keyed aggregates + one equi-join on the (custkey, month)
+# key (Spark plans INTERSECT/EXCEPT ALL as a single shuffle + generate);
+# rollup is 12 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q330_set_ops_all",
+    oracle="""
+WITH h1 AS (
+    SELECT o_custkey, MONTH(o_orderdate) AS m FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+),
+h2 AS (
+    SELECT o_custkey, MONTH(o_orderdate) AS m FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+),
+both_all AS (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2),
+only1_all AS (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)
+SELECT m AS month,
+       CAST(SUM(CASE WHEN src = 'both' THEN 1 ELSE 0 END) AS BIGINT) AS n_recurring,
+       CAST(SUM(CASE WHEN src = 'only1' THEN 1 ELSE 0 END) AS BIGINT) AS n_h1_excess
+FROM (
+    SELECT m, 'both' AS src FROM both_all
+    UNION ALL
+    SELECT m, 'only1' AS src FROM only1_all
+)
+GROUP BY m
+ORDER BY month
+""",
+    tags=("sql-surface", "U3", "A10"),
+)
+def q330_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL multiplicity rollup by month:
+    (month, n_recurring, n_h1_excess)."""
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey", F.month("o_orderdate").alias("m"))
+    h2 = orders.filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey", F.month("o_orderdate").alias("m"))
+    both_all = h1.intersectAll(h2).select("m", F.lit("both").alias("src"))
+    only1_all = h1.exceptAll(h2).select("m", F.lit("only1").alias("src"))
+    return (
+        both_all.unionByName(only1_all)
+        .groupBy(F.col("m").cast("long").alias("month"))
+        .agg(
+            F.sum((F.col("src") == "both").cast("long")).alias(
+                "n_recurring"
+            ),
+            F.sum((F.col("src") == "only1").cast("long")).alias(
+                "n_h1_excess"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# --------------------------------------------------------------------------
+# q331 - weekly top-k churn: the overlap (set Jaccard) between each
+# week's top-20 parts by shipped quantity and the previous week's — the
+# "how fast does the head of the distribution rotate" ops metric that
+# distribution-level drift (q156 KL, q302 PSI) hides: two weeks can have
+# identical histograms with a fully-rotated top set.
+# Parity: weekly quantity sums are exact integer cents; the top-20 rank
+# is deterministic (qty DESC, partkey ASC); overlap/Jaccard are exact
+# integers per consecutive-week pair, 4dp on the final ratio.
+# Scale: one keyed (week, part) aggregate; per-week top-20 via a
+# partitioned rank window (WindowGroupLimit pushdown); the week-to-week
+# self-join carries 20 rows per week. Calendar-bounded tail.
+# --------------------------------------------------------------------------
+@register(
+    "q331_topk_churn",
+    oracle="""
+WITH wk AS (
+    SELECT DATE_TRUNC('week', CAST(l_shipdate AS TIMESTAMP)) AS week,
+           l_partkey,
+           CAST(SUM(CAST(ROUND(100.0 * l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+    SELECT week, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY week
+                              ORDER BY qty DESC, l_partkey) AS rk
+    FROM wk
+),
+top AS (SELECT week, l_partkey FROM ranked WHERE rk <= 20),
+weeks AS (
+    SELECT week, LAG(week) OVER (ORDER BY week) AS prev_week
+    FROM (SELECT DISTINCT week FROM top)
+),
+ov AS (
+    SELECT w.week, w.prev_week, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM weeks w
+    JOIN top a ON a.week = w.week
+    JOIN top b ON b.week = w.prev_week AND b.l_partkey = a.l_partkey
+    GROUP BY w.week, w.prev_week
+),
+sizes AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS sz FROM top GROUP BY week)
+SELECT w.week, COALESCE(o.overlap, 0) AS overlap,
+       ROUND(CAST(COALESCE(o.overlap, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(o.overlap, 0)), 4) AS jaccard
+FROM weeks w
+JOIN sizes sa ON sa.week = w.week
+JOIN sizes sb ON sb.week = w.prev_week
+LEFT JOIN ov o ON o.week = w.week
+WHERE w.prev_week IS NOT NULL
+ORDER BY w.week
+""",
+    tags=("ops-drift", "O6", "W2"),
+)
+def q331_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week top-20 part churn: (week, overlap, jaccard)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.date_trunc("week", "l_shipdate").alias("week"),
+        "l_partkey",
+    ).agg(
+        F.sum(F.round(100.0 * F.col("l_quantity")).cast("long")).alias("qty")
+    )
+    rw = Window.partitionBy("week").orderBy(
+        F.desc("qty"), F.asc("l_partkey")
+    )
+    top = (
+        wk.select("week", "l_partkey", F.row_number().over(rw).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("week", "l_partkey")
+    )
+    weeks = (
+        top.select("week")
+        .distinct()
+        .select(
+            "week", F.lag("week").over(Window.orderBy("week")).alias("prev_week")
+        )
+    )
+    ov = (
+        weeks.join(top.alias("a"), "week")
+        .join(
+            top.alias("b").select(
+                F.col("week").alias("prev_week"),
+                F.col("l_partkey").alias("pk_b"),
+            ),
+            ["prev_week"],
+        )
+        .filter(F.col("l_partkey") == F.col("pk_b"))
+        .groupBy("week", "prev_week")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sizes = top.groupBy("week").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        weeks.filter(F.col("prev_week").isNotNull())
+        .join(sizes.select(F.col("week"), F.col("sz").alias("sza")), "week")
+        .join(
+            sizes.select(
+                F.col("week").alias("prev_week"), F.col("sz").alias("szb")
+            ),
+            "prev_week",
+        )
+        .join(ov, ["week", "prev_week"], "left")
+        .select(
+            "week",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce("overlap", F.lit(0)).cast("double")
+                / (
+                    F.col("sza")
+                    + F.col("szb")
+                    - F.coalesce("overlap", F.lit(0))
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("week")
+    )

@@ -549,3 +549,65 @@ def test_lateral_topk_plan_no_rescan(spark):
     assert plan.count("Location: InMemoryFileIndex") == 2
     assert "Window" in plan  # rank rewrite, not a per-nation re-scan
     assert "CartesianProduct" not in plan
+
+
+def test_set_ops_all_multiplicity(spark):
+    """Bag semantics recomputed from per-key multiplicities:
+    intersect-all count = sum min(m1, m2); except-all = sum max(m1-m2, 0)."""
+    df = (
+        REGISTRY["q330_set_ops_all"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("month")
+    )
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    od = pd.to_datetime(orders["o_orderdate"])
+    orders["m"] = od.dt.month
+    h1 = orders[od < "1998-01-01"]
+    h2 = orders[od >= "1998-01-01"]
+    c1 = h1.groupby(["o_custkey", "m"]).size()
+    c2 = h2.groupby(["o_custkey", "m"]).size()
+    both = c1.to_frame("a").join(c2.to_frame("b"), how="left").fillna(0)
+    inter = both[["a", "b"]].min(axis=1)
+    excess = (both["a"] - both["b"]).clip(lower=0)
+    for m in df.index:
+        want_i = int(inter[inter.index.get_level_values("m") == m].sum())
+        want_e = int(excess[excess.index.get_level_values("m") == m].sum())
+        assert int(df.loc[m, "n_recurring"]) == want_i
+        assert int(df.loc[m, "n_h1_excess"]) == want_e
+    # identity: recurring + excess = H1 activity rows for that month
+    h1_counts = h1.groupby("m").size()
+    for m in df.index:
+        assert int(df.loc[m, "n_recurring"] + df.loc[m, "n_h1_excess"]) == int(
+            h1_counts.get(m, 0)
+        )
+
+
+def test_topk_churn_matches_naive(spark):
+    df = REGISTRY["q331_topk_churn"].spark(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    li["week"] = (
+        pd.to_datetime(li["l_shipdate"])
+        .dt.to_period("W-SUN")
+        .dt.start_time
+    )
+    li["q"] = (100.0 * li["l_quantity"]).round().astype("int64")
+    wk = li.groupby(["week", "l_partkey"])["q"].sum().reset_index()
+    tops = {}
+    for w, g in wk.groupby("week"):
+        g = g.sort_values(["q", "l_partkey"], ascending=[False, True])
+        tops[w] = set(g.head(20)["l_partkey"])
+    weeks = sorted(tops)
+    want = {}
+    for prev, cur in zip(weeks, weeks[1:]):
+        ov = len(tops[cur] & tops[prev])
+        want[cur] = (ov, round(ov / (len(tops[cur]) + len(tops[prev]) - ov), 4))
+    assert len(df) == len(want)
+    for _, r in df.iterrows():
+        w = pd.Timestamp(r["week"])
+        ov, jac = want[w]
+        assert int(r["overlap"]) == ov
+        # Python round() is half-even, the engines round half-up: a raw
+        # ratio landing exactly on x.xxxx5 (e.g. 1/32) differs by 1e-4
+        assert abs(r["jaccard"] - jac) <= 1.1e-4
+    assert (df["jaccard"] <= 1.0).all() and (df["jaccard"] >= 0.0).all()
