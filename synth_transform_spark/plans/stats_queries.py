@@ -1989,3 +1989,341 @@ def q331_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+# --------------------------------------------------------------------------
+# q332 - one-way ANOVA F per language: document length across the 20
+# sources, the parametric twin of q315's Kruskal-Wallis (mean-based vs
+# rank-based, reported from the same design so the two tests can be read
+# together):
+#   SSB = sum_j n_j (mean_j - mean)^2 = sum_j S_j^2/n_j - S^2/N
+#   SSW = SS - sum_j S_j^2/n_j
+#   F   = (SSB / (k-1)) / (SSW / (N-k))
+# Parity: N, S, SS and the per-group (n_j, S_j) are exact integers from
+# one keyed aggregate; each group's S_j^2/n_j is an identical double
+# expression frozen to round(1e4 * term) before the cross-group sum;
+# F and the eta^2 effect size are single double expressions, 4dp.
+# Scale: one (lang, source) keyed aggregate with map-side partials; the
+# cross-group reduce runs on <= |langs| x |sources| rows.
+# --------------------------------------------------------------------------
+@register(
+    "q332_anova_f",
+    oracle="""
+WITH g AS (
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS nj,
+           CAST(SUM(n_chars) AS BIGINT) AS sj,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS ssj
+    FROM documents GROUP BY lang, source
+),
+terms AS (
+    SELECT lang, nj, sj, ssj,
+           CAST(ROUND(10000.0 * (CAST(sj AS DOUBLE) * sj / nj)) AS BIGINT)
+               AS t
+    FROM g
+),
+agg AS (
+    SELECT lang,
+           CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(sj) AS BIGINT) AS s, CAST(SUM(ssj) AS BIGINT) AS ss,
+           CAST(SUM(t) AS BIGINT) AS st
+    FROM terms GROUP BY lang
+)
+SELECT lang, n, k,
+       ROUND(((CAST(st AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) * s / n)
+              / (k - 1))
+             / ((CAST(ss AS DOUBLE) - CAST(st AS DOUBLE) / 10000.0)
+                / (n - k)), 4) AS f,
+       ROUND((CAST(st AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) * s / n)
+             / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 4)
+           AS eta_sq
+FROM agg
+ORDER BY lang
+""",
+    tags=("robust-stats", "A12", "W4"),
+)
+def q332_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of n_chars across sources per language:
+    (lang, n, k, f, eta_sq)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("nj"),
+        F.sum("n_chars").alias("sj"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ssj"),
+    )
+    terms = g.select(
+        "lang",
+        "nj",
+        "sj",
+        "ssj",
+        F.round(
+            10000.0 * (F.col("sj").cast("double") * F.col("sj") / F.col("nj"))
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    agg = terms.groupBy("lang").agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sj").alias("s"),
+        F.sum("ssj").alias("ss"),
+        F.sum("t").alias("st"),
+    )
+    ssb = F.col("st").cast("double") / 10000.0 - F.col("s").cast(
+        "double"
+    ) * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - F.col("st").cast("double") / 10000.0
+    sst = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ) / F.col("n")
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+        ).alias("f"),
+        F.round(ssb / sst, 4).alias("eta_sq"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# q333 - Brown-Forsythe robust variance-homogeneity test per language:
+# are the SPREADS of document length equal across sources? (ANOVA/KW
+# compare locations; pipelines also need "did one source's variance
+# blow up".) The Levene statistic on absolute deviations from the GROUP
+# MEDIAN: z_ij = |x_ij - med_j|, then the one-way ANOVA F over z.
+# Two exact passes: (1) per-(lang, source) median via the q304 domain
+# collapse (cum counts over the distinct n_chars domain, integer
+# order-statistic pick — lower median, an identical convention on both
+# engines); (2) the q332 sufficient-statistics F over z.
+# Parity: medians and z are exact integers; per-group Sz_j^2/n_j terms
+# frozen to round(1e4 * term) before the cross-group sum; F 4dp.
+# Scale: both passes are keyed aggregates / bounded-domain windows; the
+# corpus is touched twice, never sorted globally.
+# --------------------------------------------------------------------------
+@register(
+    "q333_brown_forsythe",
+    oracle="""
+WITH dom AS (
+    SELECT lang, source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2, 3
+),
+cum AS (
+    SELECT lang, source, v, c,
+           CAST(SUM(c) OVER (PARTITION BY lang, source ORDER BY v
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k,
+           CAST(SUM(c) OVER (PARTITION BY lang, source) AS BIGINT) AS n
+    FROM dom
+),
+med AS (
+    SELECT lang, source, CAST(MIN(v) AS BIGINT) AS m
+    FROM cum WHERE k >= (n + 1) // 2
+    GROUP BY lang, source
+),
+z AS (
+    SELECT d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS nj,
+           CAST(SUM(ABS(d.n_chars - m.m)) AS BIGINT) AS sj,
+           CAST(SUM((d.n_chars - m.m) * (d.n_chars - m.m)) AS BIGINT) AS ssj
+    FROM documents d JOIN med m ON m.lang = d.lang AND m.source = d.source
+    GROUP BY d.lang, d.source
+),
+terms AS (
+    SELECT lang, nj, sj, ssj,
+           CAST(ROUND(10000.0 * (CAST(sj AS DOUBLE) * sj / nj)) AS BIGINT)
+               AS t
+    FROM z
+),
+agg AS (
+    SELECT lang,
+           CAST(SUM(nj) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(sj) AS BIGINT) AS s, CAST(SUM(ssj) AS BIGINT) AS ss,
+           CAST(SUM(t) AS BIGINT) AS st
+    FROM terms GROUP BY lang
+)
+SELECT lang, n, k,
+       ROUND(((CAST(st AS DOUBLE) / 10000.0 - CAST(s AS DOUBLE) * s / n)
+              / (k - 1))
+             / ((CAST(ss AS DOUBLE) - CAST(st AS DOUBLE) / 10000.0)
+                / (n - k)), 4) AS f
+FROM agg
+ORDER BY lang
+""",
+    tags=("robust-stats", "A12", "W2"),
+)
+def q333_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe spread-homogeneity F across sources per language:
+    (lang, n, k, f)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dom = docs.groupBy(
+        "lang", "source", F.col("n_chars").alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("lang", "source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("lang", "source")
+    cum = dom.select(
+        "lang",
+        "source",
+        "v",
+        F.sum("c").over(wcum).alias("k"),
+        F.sum("c").over(wtot).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("k") >= F.expr("(n + 1) div 2"))
+        .groupBy("lang", "source")
+        .agg(F.min("v").alias("m"))
+    )
+    z = (
+        docs.join(F.broadcast(med), ["lang", "source"])
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("nj"),
+            F.sum(F.abs(F.col("n_chars") - F.col("m"))).alias("sj"),
+            F.sum(
+                (F.col("n_chars") - F.col("m"))
+                * (F.col("n_chars") - F.col("m"))
+            ).alias("ssj"),
+        )
+    )
+    terms = z.select(
+        "lang",
+        "nj",
+        "sj",
+        "ssj",
+        F.round(
+            10000.0 * (F.col("sj").cast("double") * F.col("sj") / F.col("nj"))
+        )
+        .cast("long")
+        .alias("t"),
+    )
+    agg = terms.groupBy("lang").agg(
+        F.sum("nj").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("sj").alias("s"),
+        F.sum("ssj").alias("ss"),
+        F.sum("t").alias("st"),
+    )
+    ssb = F.col("st").cast("double") / 10000.0 - F.col("s").cast(
+        "double"
+    ) * F.col("s") / F.col("n")
+    ssw = F.col("ss").cast("double") - F.col("st").cast("double") / 10000.0
+    return agg.select(
+        "lang",
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round(
+            (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4
+        ).alias("f"),
+    ).orderBy("lang")
+
+
+# --------------------------------------------------------------------------
+# q334 - partial correlation of daily purchase and error counts
+# CONTROLLING for total daily traffic: does the purchase-error link
+# survive once "busy days are busy everywhere" is partialled out?
+#   r_xy.z = (r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2))
+# from the three pairwise Pearson correlations of the bounded daily
+# series — the confounder-adjusted companion to q306's raw Spearman and
+# q328's stratified OR.
+# Parity: daily counts are exact integers; each pairwise r is one double
+# expression over six integer sufficient statistics (computed on the
+# SAME 30-row relation on both engines); r_xy, r_xz, r_yz and the
+# partial r are 4dp.
+# Scale: one conditional keyed aggregate to the calendar-bounded daily
+# relation; one 1-row reduce. Nothing row-scaled after the collapse.
+# --------------------------------------------------------------------------
+@register(
+    "q334_partial_correlation",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS z
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(z) AS BIGINT) AS sz,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(z * z) AS BIGINT) AS szz,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * z) AS BIGINT) AS sxz,
+           CAST(SUM(y * z) AS BIGINT) AS syz
+    FROM daily
+),
+r AS (
+    SELECT n,
+           (n * sxy - CAST(sx AS DOUBLE) * sy)
+               / (SQRT(n * sxx - CAST(sx AS DOUBLE) * sx)
+                  * SQRT(n * syy - CAST(sy AS DOUBLE) * sy)) AS rxy,
+           (n * sxz - CAST(sx AS DOUBLE) * sz)
+               / (SQRT(n * sxx - CAST(sx AS DOUBLE) * sx)
+                  * SQRT(n * szz - CAST(sz AS DOUBLE) * sz)) AS rxz,
+           (n * syz - CAST(sy AS DOUBLE) * sz)
+               / (SQRT(n * syy - CAST(sy AS DOUBLE) * sy)
+                  * SQRT(n * szz - CAST(sz AS DOUBLE) * sz)) AS ryz
+    FROM s
+)
+SELECT n AS n_days, ROUND(rxy, 4) AS r_xy, ROUND(rxz, 4) AS r_xz,
+       ROUND(ryz, 4) AS r_yz,
+       ROUND((rxy - rxz * ryz)
+             / SQRT((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 4)
+           AS r_partial
+FROM r
+""",
+    tags=("timeseries", "A12", "J14"),
+)
+def q334_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation of daily purchases vs errors given traffic:
+    (n_days, r_xy, r_xz, r_yz, r_partial)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("y"),
+        F.count(F.lit(1)).alias("z"),
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        n = F.col("n")
+        return (n * F.col(sab) - F.col(sa).cast("double") * F.col(sb)) / (
+            F.sqrt(n * F.col(saa) - F.col(sa).cast("double") * F.col(sa))
+            * F.sqrt(n * F.col(sbb) - F.col(sb).cast("double") * F.col(sb))
+        )
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(rxy, 4).alias("r_xy"),
+        F.round(rxz, 4).alias("r_xz"),
+        F.round(ryz, 4).alias("r_yz"),
+        F.round(
+            (rxy - rxz * ryz)
+            / F.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)),
+            4,
+        ).alias("r_partial"),
+    )

@@ -611,3 +611,81 @@ def test_topk_churn_matches_naive(spark):
         # ratio landing exactly on x.xxxx5 (e.g. 1/32) differs by 1e-4
         assert abs(r["jaccard"] - jac) <= 1.1e-4
     assert (df["jaccard"] <= 1.0).all() and (df["jaccard"] >= 0.0).all()
+
+
+def test_anova_matches_naive(spark):
+    df = (
+        REGISTRY["q332_anova_f"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for lang, g in docs.groupby("lang"):
+        grand = g["n_chars"].mean()
+        ssb = sum(
+            len(s) * (s["n_chars"].mean() - grand) ** 2
+            for _, s in g.groupby("source")
+        )
+        ssw = sum(
+            ((s["n_chars"] - s["n_chars"].mean()) ** 2).sum()
+            for _, s in g.groupby("source")
+        )
+        k = g["source"].nunique()
+        n = len(g)
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        row = df.loc[lang]
+        assert int(row["n"]) == n and int(row["k"]) == k
+        assert abs(row["f"] - f) <= 2e-3
+        assert abs(row["eta_sq"] - ssb / (ssb + ssw)) <= 2e-3
+        assert 0.0 <= row["eta_sq"] <= 1.0
+
+
+def test_brown_forsythe_matches_naive(spark):
+    df = (
+        REGISTRY["q333_brown_forsythe"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    for lang, g in docs.groupby("lang"):
+        zs = []
+        for src, s in g.groupby("source"):
+            vals = sorted(s["n_chars"])
+            med = vals[(len(vals) + 1) // 2 - 1]  # lower median
+            zs.append([abs(v - med) for v in vals])
+        n = sum(len(z) for z in zs)
+        k = len(zs)
+        grand = sum(sum(z) for z in zs) / n
+        ssb = sum(len(z) * (sum(z) / len(z) - grand) ** 2 for z in zs)
+        ssw = sum(
+            sum((v - sum(z) / len(z)) ** 2 for v in z) for z in zs
+        )
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        row = df.loc[lang]
+        assert int(row["n"]) == n and int(row["k"]) == k
+        assert abs(row["f"] - f) <= 2e-3
+        assert row["f"] >= 0
+
+
+def test_partial_correlation_matches_naive(spark):
+    df = REGISTRY["q334_partial_correlation"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.floor("D")
+    daily = ev.groupby("day").agg(
+        x=("event_type", lambda s: int((s == "purchase").sum())),
+        y=("event_type", lambda s: int((s == "error").sum())),
+        z=("event_type", "size"),
+    )
+    rxy = daily["x"].corr(daily["y"])
+    rxz = daily["x"].corr(daily["z"])
+    ryz = daily["y"].corr(daily["z"])
+    part = (rxy - rxz * ryz) / math.sqrt((1 - rxz**2) * (1 - ryz**2))
+    row = df.iloc[0]
+    assert int(row["n_days"]) == len(daily)
+    assert abs(row["r_xy"] - rxy) <= 1e-3
+    assert abs(row["r_xz"] - rxz) <= 1e-3
+    assert abs(row["r_yz"] - ryz) <= 1e-3
+    assert abs(row["r_partial"] - part) <= 1e-3
+    assert -1.0 <= row["r_partial"] <= 1.0
