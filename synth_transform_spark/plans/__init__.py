@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     analytics_queries,
     corpus_dedup_queries,
     dedup_queries,
+    eval_queries,
     events_queries,
     incremental_queries,
     linkage_queries,

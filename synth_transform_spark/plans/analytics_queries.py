@@ -2389,3 +2389,227 @@ def q282_ktruss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(1, n0, n0 - n1, n1), (2, n1, n1 - n2, n2)],
         "peel_round long, n_edges_in long, n_removed long, n_edges_out long",
     ).orderBy("peel_round")
+
+
+# ---------------------------------------------------------------------------
+# q350 — shuffle-partition-count advisor: for candidate partition counts
+# (8, 32, 128), bucket the events fact by an engine-portable hash of the
+# groupBy key (user_id) and report, per candidate, the partition-size
+# distribution a planner actually cares about — max/avg skew ratio,
+# empty-partition count, and the largest partition's share. The "should
+# spark.sql.shuffle.partitions be raised before this aggregate" relation,
+# completing q266 (key skew) / q292 (broadcast advisor) / q296 (join
+# size): those audit the DATA, this audits the PARTITIONING of the data.
+# Parity: the bucket hash is the shared md5-prefix→int convention; all
+# per-bucket counts are exact integers; ratios are single double
+# expressions, 4dp.
+# Scale: one narrow map explodes each row to 3 (cand, bucket) pairs, one
+# keyed aggregate (map-side combinable), then per-cand reduces over ≤128
+# rows. The audit costs ONE pass regardless of candidate count.
+# ---------------------------------------------------------------------------
+@register(
+    "q350_shuffle_advisor",
+    oracle="""
+WITH cand AS (SELECT UNNEST([8, 32, 128]) AS c),
+hashed AS (
+    SELECT CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                ::UBIGINT AS BIGINT) AS h
+    FROM events
+),
+bucketed AS (
+    SELECT c.c, h.h % c.c AS bucket, COUNT(*) AS n
+    FROM hashed h CROSS JOIN cand c
+    GROUP BY c.c, h.h % c.c
+),
+per_cand AS (
+    SELECT c,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(SUM(n) AS BIGINT) AS total_rows
+    FROM bucketed GROUP BY c
+)
+SELECT CAST(c AS BIGINT) AS n_partitions, n_used,
+       CAST(c AS BIGINT) - n_used AS n_empty,
+       max_rows,
+       ROUND(CAST(max_rows AS DOUBLE) * c / total_rows, 4) AS skew_ratio,
+       ROUND(CAST(max_rows AS DOUBLE) / total_rows, 4) AS max_share
+FROM per_cand
+ORDER BY n_partitions
+""",
+    tags=("capacity", "A5", "W4"),
+)
+def q350_shuffle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-size audit of hash-partitioning events by user_id at
+    candidate partition counts:
+    (n_partitions, n_used, n_empty, max_rows, skew_ratio, max_share)."""
+    events = load_table(spark, sf_dir, "events")
+    hashed = events.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        )
+        .cast("long")
+        .alias("h")
+    )
+    bucketed = (
+        hashed.select(
+            "h", F.explode(F.array(*[F.lit(c) for c in (8, 32, 128)])).alias("c")
+        )
+        .groupBy("c", (F.col("h") % F.col("c")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_cand = bucketed.groupBy("c").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.max("n").alias("max_rows"),
+        F.sum("n").alias("total_rows"),
+    )
+    return (
+        per_cand.select(
+            F.col("c").cast("long").alias("n_partitions"),
+            F.col("n_used").cast("long").alias("n_used"),
+            (F.col("c").cast("long") - F.col("n_used")).alias("n_empty"),
+            F.col("max_rows").cast("long").alias("max_rows"),
+            F.round(
+                F.col("max_rows").cast("double") * F.col("c")
+                / F.col("total_rows"),
+                4,
+            ).alias("skew_ratio"),
+            F.round(
+                F.col("max_rows").cast("double") / F.col("total_rows"), 4
+            ).alias("max_share"),
+        )
+        .orderBy("n_partitions")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q352 — Bloom-filter false-positive audit: build a deterministic Bloom
+# filter (m = 4096 bits, k = 3 md5-derived hash functions) over the
+# English doc_ids, probe it with every non-English doc_id, and report the
+# MEASURED false-positive rate next to the THEORETICAL
+# (1 − (1 − 1/m)^(k·n))^k — the sketch-quality audit behind q80's
+# bloom semi-join ("is the fpp we budgeted the fpp we got").
+# Parity: bit positions use the shared md5-prefix→int convention; member
+# and probe sets are exact; a probe is a false positive iff all k of its
+# positions are set (count of DISTINCT matched hash slots == k); theory
+# is one double pow expression of exact integers, 4dp.
+# Scale: bit-position generation is a narrow k× explode; the probe is a
+# left-semi join on uniform hash-slot keys; the verdict is one probe-keyed
+# aggregate. Never materializes a bitmap on the driver.
+# ---------------------------------------------------------------------------
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+@register(
+    "q352_bloom_fpp_audit",
+    oracle=f"""
+WITH members AS (SELECT DISTINCT doc_id FROM documents WHERE lang = 'en'),
+probes AS (SELECT DISTINCT doc_id FROM documents WHERE lang <> 'en'),
+ks AS (SELECT UNNEST([1, 2, 3]) AS i),
+bits AS (
+    SELECT DISTINCT
+        CAST(('0x' || SUBSTR(MD5(CAST(k.i AS VARCHAR) || ':'
+                             || CAST(m.doc_id AS VARCHAR)), 1, 8))
+             ::UBIGINT AS BIGINT) % {_BLOOM_M} AS pos
+    FROM members m CROSS JOIN ks k
+),
+probe_pos AS (
+    SELECT p.doc_id, k.i,
+           CAST(('0x' || SUBSTR(MD5(CAST(k.i AS VARCHAR) || ':'
+                                || CAST(p.doc_id AS VARCHAR)), 1, 8))
+                ::UBIGINT AS BIGINT) % {_BLOOM_M} AS pos
+    FROM probes p CROSS JOIN ks k
+),
+hits AS (
+    SELECT pp.doc_id, COUNT(DISTINCT pp.i) AS n_hit
+    FROM probe_pos pp JOIN bits b ON b.pos = pp.pos
+    GROUP BY pp.doc_id
+),
+counts AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probes) AS n_probes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM hits
+            WHERE n_hit = {_BLOOM_K}) AS fp_count
+)
+SELECT n_members, n_probes,
+       CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+       CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+       n_bits_set, fp_count,
+       ROUND(CAST(fp_count AS DOUBLE) / n_probes, 4) AS fp_rate,
+       ROUND(POW(1.0 - POW(1.0 - 1.0 / {_BLOOM_M},
+                           {_BLOOM_K}.0 * n_members), {_BLOOM_K}), 4)
+           AS fp_theory
+FROM counts
+""",
+    tags=("sketches", "capacity", "P4"),
+)
+def q352_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs theoretical Bloom false-positive rate (m=4096, k=3)
+    over English-member / non-English-probe doc_ids: (n_members,
+    n_probes, m_bits, k_hashes, n_bits_set, fp_count, fp_rate,
+    fp_theory)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ks = F.array(*[F.lit(i) for i in range(1, _BLOOM_K + 1)])
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("i").cast("string"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BLOOM_M
+    )
+    members = docs.filter(F.col("lang") == "en").select("doc_id").distinct()
+    probes = docs.filter(F.col("lang") != "en").select("doc_id").distinct()
+    bits = (
+        members.select("doc_id", F.explode(ks).alias("i"))
+        .select(pos.alias("pos"))
+        .distinct()
+    )
+    probe_pos = probes.select("doc_id", F.explode(ks).alias("i")).select(
+        "doc_id", "i", pos.alias("pos")
+    )
+    hits = (
+        probe_pos.join(bits, "pos")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("i").alias("n_hit"))
+    )
+    fp = hits.filter(F.col("n_hit") == _BLOOM_K).agg(
+        F.count(F.lit(1)).alias("fp_count")
+    )
+    counts = (
+        members.agg(F.count(F.lit(1)).alias("n_members"))
+        .crossJoin(probes.agg(F.count(F.lit(1)).alias("n_probes")))
+        .crossJoin(bits.agg(F.count(F.lit(1)).alias("n_bits_set")))
+        .crossJoin(F.broadcast(fp))
+    )
+    theory = F.pow(
+        1.0
+        - F.pow(
+            F.lit(1.0) - 1.0 / _BLOOM_M,
+            F.lit(float(_BLOOM_K)) * F.col("n_members"),
+        ),
+        _BLOOM_K,
+    )
+    return counts.select(
+        "n_members",
+        "n_probes",
+        F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+        F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+        "n_bits_set",
+        F.col("fp_count").cast("long").alias("fp_count"),
+        F.round(F.col("fp_count").cast("double") / F.col("n_probes"), 4).alias(
+            "fp_rate"
+        ),
+        F.round(theory, 4).alias("fp_theory"),
+    )

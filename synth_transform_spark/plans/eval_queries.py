@@ -1,0 +1,745 @@
+"""Round-5 eval wave — model-eval and LM-quality relations, every query
+deterministic and oracle-matched.
+
+- q343 interpolated Kneser–Ney bigram LM scoring of the held-out split
+  (the smoothing that actually wins LM benchmarks, vs q221's Stupid
+  Backoff) — integer micro-nat outputs.
+- q344 per-class precision/recall/F1 + macro-F1/accuracy from the
+  nearest-centroid assignment (the classification-eval closeout of
+  q202's confusion counts).
+- q345 Brier score with its Murphy (1973) decomposition: reliability −
+  resolution + uncertainty + within-bin variance, all from one binned
+  pass over a frozen micro-int confidence.
+- q346 degree assortativity of the co-purchase graph (Newman 2002
+  r over directed edge endpoint degrees) — "do hubs link to hubs".
+- q347 TextRank keyword extraction (Mihalcea & Tarau 2004): damped
+  power iteration over the token co-occurrence graph, unrolled to a
+  fixed round count with per-edge integer freezing so both engines walk
+  bit-identical iterates.
+
+Reference provenance: the reference repo's analytics surface stops at
+SQLAlchemy rollups (synth_transform/transform.py); these are the
+model-eval / corpus-quality extensions a training-data pipeline bolts on
+top, re-expressed Spark-first per SURVEY.md §2's "beyond the reference"
+mandate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..sources.readers import load_table
+from .registry import register
+from ..operators import text_analysis
+
+# --------------------------------------------------------------------------
+# q343 — interpolated Kneser–Ney bigram scoring. Train on the
+# doc_id % 13 == 1 slice, score the disjoint % 13 == 0 slice (q221's
+# split — sized so unseen histories genuinely occur). With discount
+# D = 0.75:
+#   p(cur|prev) = max(c2 − D, 0)/c1 + (D·n_follow(prev)/c1)·p_cont(cur)
+#   p_cont(cur) = n_hist(cur)/T   (distinct-continuation counts over the
+#                                  T distinct train bigram types)
+# unseen prev → p = p_cont(cur); cur never a continuation → 0.5/T floor.
+# Parity: c2/c1/n_follow/n_hist/T are exact integer counts; p is one
+# double expression over them; the log-score is frozen per bigram to
+# round(1e6·ln p) so the per-doc sum is integer math on both engines.
+# Scale: counting aggregates with map-side partials; LM tables broadcast
+# at vocab scale; one doc-keyed aggregate. No global window.
+# --------------------------------------------------------------------------
+@register(
+    "q343_kneser_ney",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents
+),
+big AS (
+    SELECT a.doc_id, a.tok AS prev, b.tok AS cur
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+big_tr AS (
+    SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS n2
+    FROM big WHERE doc_id % 13 = 1 GROUP BY prev, cur
+),
+c1 AS (SELECT prev, CAST(SUM(n2) AS BIGINT) AS n1,
+              CAST(COUNT(*) AS BIGINT) AS n_follow
+       FROM big_tr GROUP BY prev),
+hist AS (SELECT cur, CAST(COUNT(*) AS BIGINT) AS n_hist
+         FROM big_tr GROUP BY cur),
+tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM big_tr),
+held AS (SELECT doc_id, prev, cur FROM big WHERE doc_id % 13 = 0),
+scored AS (
+    SELECT h.doc_id,
+           CASE WHEN c1.n1 IS NULL THEN 1 ELSE 0 END AS unseen_prev,
+           CAST(ROUND(LN(
+               CASE WHEN c1.n1 IS NULL
+                    THEN COALESCE(CAST(hi.n_hist AS DOUBLE), 0.5) / tt.t
+                    ELSE GREATEST(COALESCE(CAST(b.n2 AS DOUBLE), 0.0) - 0.75,
+                                  0.0) / c1.n1
+                         + (0.75 * c1.n_follow / c1.n1)
+                           * (COALESCE(CAST(hi.n_hist AS DOUBLE), 0.5)
+                              / tt.t)
+               END) * 1000000.0) AS BIGINT) AS ls
+    FROM held h
+    LEFT JOIN big_tr b ON b.prev = h.prev AND b.cur = h.cur
+    LEFT JOIN c1 ON c1.prev = h.prev
+    LEFT JOIN hist hi ON hi.cur = h.cur
+    CROSS JOIN tt
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(unseen_prev) AS BIGINT) AS n_unseen_prev,
+       CAST(FLOOR(CAST(SUM(ls) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           AS avg_score_micro
+FROM scored GROUP BY doc_id
+""",
+    tags=("text-lm", "training-prep", "quality"),
+)
+def q343_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out documents scored under an interpolated Kneser–Ney bigram
+    LM (D=0.75) trained on the other split:
+    (doc_id, n_bigrams, n_unseen_prev, avg_score_micro)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", text_analysis.tokens_raw(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    big_all = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1),
+                F.slice("ts", 2, F.size("ts") - 1),
+            )
+        ).alias("_bg"),
+    ).select(
+        "doc_id", F.col("_bg.0").alias("prev"), F.col("_bg.1").alias("cur")
+    )
+    big_tr = (
+        big_all.filter(F.col("doc_id") % 13 == 1)
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("n2"))
+    )
+    c1 = big_tr.groupBy("prev").agg(
+        F.sum("n2").alias("n1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    hist = big_tr.groupBy("cur").agg(F.count(F.lit(1)).alias("n_hist"))
+    tt = big_tr.agg(F.count(F.lit(1)).alias("t"))
+    held = big_all.filter(F.col("doc_id") % 13 == 0)
+    pcont = F.coalesce(F.col("n_hist").cast("double"), F.lit(0.5)) / F.col("t")
+    p = F.when(F.col("n1").isNull(), pcont).otherwise(
+        F.greatest(
+            F.coalesce(F.col("n2").cast("double"), F.lit(0.0)) - 0.75,
+            F.lit(0.0),
+        )
+        / F.col("n1")
+        + (F.lit(0.75) * F.col("n_follow") / F.col("n1")) * pcont
+    )
+    scored = (
+        held.join(F.broadcast(big_tr), ["prev", "cur"], "left")
+        .join(F.broadcast(c1), "prev", "left")
+        .join(F.broadcast(hist), "cur", "left")
+        .join(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.when(F.col("n1").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("unseen_prev"),
+            F.round(F.log(p) * F.lit(1000000.0)).cast("long").alias("ls"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("unseen_prev").cast("long").alias("n_unseen_prev"),
+        F.floor(F.sum("ls").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("avg_score_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q344 — per-class precision/recall/F1 from the nearest-centroid
+# assignment (q202's confusion, reduced to the metrics a model card
+# actually prints), plus the macro-F1 and overall accuracy repeated on
+# every row. tp/n_true/n_pred are exact integers; each ratio is one
+# double expression; macro-F1 freezes per-class F1 to round(1e4·f1)
+# before averaging so the 10-term sum is integer on both engines.
+# Scale: centroid fit is one (label, dim) aggregate; the per-vector
+# argmin window is bounded by the label count (10), not the corpus;
+# everything after is a ≤10×10 relation.
+# --------------------------------------------------------------------------
+@register(
+    "q344_class_prf",
+    oracle="""
+WITH flat AS (
+    SELECT vec_id, label,
+           GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim,
+           CAST(UNNEST(embedding) AS DOUBLE) AS x
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS c_label, dim, ROUND(AVG(x), 4) AS c
+    FROM flat GROUP BY label, dim
+),
+dists AS (
+    SELECT f.vec_id, f.label AS true_label, c.c_label,
+           ROUND(SUM((f.x - c.c) * (f.x - c.c)), 4) AS d2
+    FROM flat f JOIN cent c ON c.dim = f.dim
+    GROUP BY f.vec_id, f.label, c.c_label
+),
+assigned AS (
+    SELECT vec_id, true_label,
+           c_label AS pred_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC
+           ) AS rk
+    FROM dists
+),
+pred AS (SELECT true_label, pred_label FROM assigned WHERE rk = 1),
+per_class AS (
+    SELECT c.label,
+           CAST(COALESCE(t.n_true, 0) AS BIGINT) AS n_true,
+           CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp
+    FROM (SELECT DISTINCT label FROM embeddings) c
+    LEFT JOIN (SELECT true_label, COUNT(*) AS n_true FROM pred
+               GROUP BY true_label) t ON t.true_label = c.label
+    LEFT JOIN (SELECT pred_label, COUNT(*) AS n_pred FROM pred
+               GROUP BY pred_label) p ON p.pred_label = c.label
+    LEFT JOIN (SELECT true_label, COUNT(*) AS tp FROM pred
+               WHERE true_label = pred_label
+               GROUP BY true_label) tp ON tp.true_label = c.label
+),
+scored AS (
+    SELECT label, n_true, n_pred, tp,
+           CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+                ELSE 0.0 END AS prec,
+           CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE) / n_true
+                ELSE 0.0 END AS rec,
+           CASE WHEN n_pred + n_true > 0
+                THEN 2.0 * tp / (n_pred + n_true) ELSE 0.0 END AS f1
+    FROM per_class
+),
+tot AS (
+    SELECT CAST(ROUND(AVG(CAST(ROUND(10000.0 * f1) AS BIGINT)) / 10000.0
+                      * 10000) AS BIGINT) / 10000.0 AS macro_f1,
+           ROUND(CAST(SUM(tp) AS DOUBLE) / SUM(n_true), 4) AS accuracy
+    FROM scored
+)
+SELECT CAST(s.label AS INT) AS label, s.n_true, s.n_pred, s.tp,
+       ROUND(s.prec, 4) AS prec, ROUND(s.rec, 4) AS rec,
+       ROUND(s.f1, 4) AS f1, t.macro_f1, t.accuracy
+FROM scored s CROSS JOIN tot t
+ORDER BY label
+""",
+    tags=("ml-eval", "A12", "W3"),
+)
+def q344_class_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the nearest-centroid classifier:
+    (label, n_true, n_pred, tp, prec, rec, f1, macro_f1, accuracy)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "xf")
+    ).select(
+        "vec_id", "label", "dim", F.col("xf").cast("double").alias("x")
+    )
+    cent = flat.groupBy(F.col("label").alias("c_label"), "dim").agg(
+        F.round(F.avg("x"), 4).alias("c")
+    )
+    dists = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", F.col("label").alias("true_label"), "c_label")
+        .agg(
+            F.round(F.sum(F.pow(F.col("x") - F.col("c"), 2)), 4).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.asc("d2"), F.asc("c_label")
+    )
+    pred = (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("true_label", F.col("c_label").alias("pred_label"))
+    )
+    classes = emb.select("label").distinct()
+    n_true = pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    n_pred = pred.groupBy(F.col("pred_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        pred.filter(F.col("true_label") == F.col("pred_label"))
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    per_class = (
+        classes.join(F.broadcast(n_true), "label", "left")
+        .join(F.broadcast(n_pred), "label", "left")
+        .join(F.broadcast(tp), "label", "left")
+        .select(
+            "label",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp").cast("double") / F.col("n_true")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        F.col("n_pred") + F.col("n_true") > 0,
+        2.0 * F.col("tp") / (F.col("n_pred") + F.col("n_true")),
+    ).otherwise(F.lit(0.0))
+    scored = per_class.select(
+        "label", "n_true", "n_pred", "tp",
+        prec.alias("prec"), rec.alias("rec"), f1.alias("f1"),
+    )
+    tot = scored.agg(
+        (
+            F.round(
+                F.avg(F.round(10000.0 * F.col("f1")).cast("long"))
+                / 10000.0
+                * 10000
+            ).cast("long")
+            / 10000.0
+        ).alias("macro_f1"),
+        F.round(
+            F.sum("tp").cast("double") / F.sum("n_true"), 4
+        ).alias("accuracy"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n_true", "n_pred", "tp",
+            F.round("prec", 4).alias("prec"),
+            F.round("rec", 4).alias("rec"),
+            F.round("f1", 4).alias("f1"),
+            "macro_f1", "accuracy",
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# q345 — Brier score + Murphy decomposition of q249's deterministic
+# confidence (min-max-normalised first embedding coordinate) against the
+# label ≥ 5 outcome, 10 equal-width bins:
+#   brier = REL − RES + UNC + WBV   (within-bin conf variance)
+#   REL = Σ n_k (p̄_k − ō_k)² / N,  RES = Σ n_k (ō_k − ō)² / N,
+#   UNC = ō(1 − ō).
+# Parity: conf is frozen to a micro-int immediately (q249's trick); each
+# per-row Brier term (ci − y·10⁶)² is an exact integer; every per-bin
+# decomposition term is frozen to round(1e6·term) before the 10-row sum,
+# so no double accumulates across rows on either engine.
+# Scale: one pass to (min, max) (1-row broadcast), one map, one 10-row
+# aggregate, one 1-row reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q345_brier_decomposition",
+    oracle="""
+WITH base AS (
+    SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+           CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+    FROM embeddings
+),
+rng AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM base),
+conf AS (
+    SELECT b.y,
+           CAST(ROUND((b.x - r.lo) / (r.hi - r.lo) * 1000000) AS BIGINT)
+               AS ci
+    FROM base b CROSS JOIN rng r
+),
+binned AS (
+    SELECT LEAST(CAST(FLOOR((ci * 10) / 1000000.0) AS BIGINT), 9) AS bin,
+           y, ci,
+           (ci - y * 1000000) * (ci - y * 1000000) AS bt
+    FROM conf
+),
+per_bin AS (
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ci) AS BIGINT) AS sci,
+           CAST(SUM(y) AS BIGINT) AS npos,
+           CAST(SUM(bt) AS BIGINT) AS sbt
+    FROM binned GROUP BY bin
+),
+tot0 AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(npos) AS BIGINT) AS pos
+    FROM per_bin
+),
+terms AS (
+    SELECT p.bin, p.n, p.sci, p.npos, p.sbt, t.nn, t.pos,
+           CAST(ROUND(1000000.0 * p.n
+                * POW(p.sci / 1000000.0 / p.n
+                      - CAST(p.npos AS DOUBLE) / p.n, 2)) AS BIGINT)
+               AS rel_t,
+           CAST(ROUND(1000000.0 * p.n
+                * POW(CAST(p.npos AS DOUBLE) / p.n
+                      - CAST(t.pos AS DOUBLE) / t.nn, 2)) AS BIGINT)
+               AS res_t
+    FROM per_bin p CROSS JOIN tot0 t
+)
+SELECT CAST(MAX(nn) AS BIGINT) AS n,
+       ROUND(CAST(SUM(sbt) AS DOUBLE) / 1000000000000.0 / MAX(nn), 4)
+           AS brier,
+       ROUND(CAST(SUM(rel_t) AS DOUBLE) / 1000000.0 / MAX(nn), 4)
+           AS reliability,
+       ROUND(CAST(SUM(res_t) AS DOUBLE) / 1000000.0 / MAX(nn), 4)
+           AS resolution,
+       ROUND((CAST(MAX(pos) AS DOUBLE) / MAX(nn))
+             * (1.0 - CAST(MAX(pos) AS DOUBLE) / MAX(nn)), 4)
+           AS uncertainty
+FROM terms
+""",
+    tags=("ml-eval", "A12"),
+)
+def q345_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with Murphy decomposition over 10 reliability bins:
+    (n, brier, reliability, resolution, uncertainty)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    rng = base.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    conf = base.crossJoin(F.broadcast(rng)).select(
+        "y",
+        F.round(
+            (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 1000000
+        )
+        .cast("long")
+        .alias("ci"),
+    )
+    binned = conf.select(
+        F.least(
+            F.floor((F.col("ci") * 10) / F.lit(1000000.0)).cast("long"),
+            F.lit(9).cast("long"),
+        ).alias("bin"),
+        "y",
+        "ci",
+        (
+            (F.col("ci") - F.col("y") * 1000000)
+            * (F.col("ci") - F.col("y") * 1000000)
+        ).alias("bt"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ci").alias("sci"),
+        F.sum("y").cast("long").alias("npos"),
+        F.sum("bt").alias("sbt"),
+    )
+    tot0 = per_bin.agg(
+        F.sum("n").alias("nn"), F.sum("npos").alias("pos")
+    )
+    rel_t = F.round(
+        1000000.0
+        * F.col("n")
+        * F.pow(
+            F.col("sci") / 1000000.0 / F.col("n")
+            - F.col("npos").cast("double") / F.col("n"),
+            2,
+        )
+    ).cast("long")
+    res_t = F.round(
+        1000000.0
+        * F.col("n")
+        * F.pow(
+            F.col("npos").cast("double") / F.col("n")
+            - F.col("pos").cast("double") / F.col("nn"),
+            2,
+        )
+    ).cast("long")
+    terms = per_bin.crossJoin(F.broadcast(tot0)).select(
+        "n", "sbt", "nn", "pos", rel_t.alias("rel_t"), res_t.alias("res_t")
+    )
+    return terms.agg(
+        F.max("nn").cast("long").alias("n"),
+        F.round(
+            F.sum("sbt").cast("double") / 1000000000000.0 / F.max("nn"), 4
+        ).alias("brier"),
+        F.round(
+            F.sum("rel_t").cast("double") / 1000000.0 / F.max("nn"), 4
+        ).alias("reliability"),
+        F.round(
+            F.sum("res_t").cast("double") / 1000000.0 / F.max("nn"), 4
+        ).alias("resolution"),
+        F.round(
+            (F.max("pos").cast("double") / F.max("nn"))
+            * (1.0 - F.max("pos").cast("double") / F.max("nn")),
+            4,
+        ).alias("uncertainty"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q346 — degree assortativity (Newman 2002) of the co-purchase part
+# graph: the Pearson correlation between the degrees at the two ends of
+# every directed edge. Positive r = hubs prefer hubs (social-network
+# shape); negative = hubs fan out to leaves (catalog/star shape) — the
+# one-number summary that decides whether degree-based partitioning will
+# co-locate the heavy rows.
+# Parity: degrees and all five correlation sums are exact integers
+# (Σx, Σy, Σx², Σy², Σxy over the directed edge list); r is a single
+# double expression, 4dp.
+# Scale: the order-bounded co-purchase self-join (q101/q243's shape),
+# one degree aggregate, one broadcast join back to edges, one 1-row
+# reduce. No window, no iteration.
+# --------------------------------------------------------------------------
+@register(
+    "q346_degree_assortativity",
+    oracle="""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cp AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a
+    JOIN items b ON b.l_orderkey = a.l_orderkey
+                AND a.l_partkey < b.l_partkey
+    GROUP BY pa, pb
+),
+edges AS (
+    SELECT pa AS src, pb AS dst FROM cp
+    UNION ALL
+    SELECT pb AS src, pa AS dst FROM cp
+),
+deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM edges GROUP BY src
+),
+pairs AS (
+    SELECT ds.d AS x, dd.d AS y
+    FROM edges e
+    JOIN deg ds ON ds.node = e.src
+    JOIN deg dd ON dd.node = e.dst
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM pairs
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+SELECT s.m AS m_edges, nn.n_nodes,
+       ROUND((CAST(s.m AS DOUBLE) * s.sxy - CAST(s.sx AS DOUBLE) * s.sy)
+             / (SQRT(CAST(s.m AS DOUBLE) * s.sxx
+                     - CAST(s.sx AS DOUBLE) * s.sx)
+                * SQRT(CAST(s.m AS DOUBLE) * s.syy
+                       - CAST(s.sy AS DOUBLE) * s.sy)), 4)
+           AS assortativity
+FROM s CROSS JOIN nn
+""",
+    tags=("graph", "A12", "J15"),
+)
+def q346_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph:
+    (m_edges, n_nodes, assortativity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    cp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select("pa", "pb")
+    )
+    edges = cp.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        cp.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    pairs = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    r = (
+        F.col("m").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("m").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("m").cast("double") * F.col("syy")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return s.crossJoin(F.broadcast(nn)).select(
+        F.col("m").alias("m_edges"),
+        "n_nodes",
+        F.round(r, 4).alias("assortativity"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q347 — TextRank keyword extraction: undirected token co-occurrence
+# graph (adjacent-token pairs over English documents, tokens ≥ 4 chars),
+# damped weighted power iteration r' = 0.15·10⁶ + 0.85·Σ w·r/wdeg
+# unrolled to 4 fixed rounds, top-20 tokens by final score.
+# Parity: scores live as micro-ints; each edge contribution is frozen to
+# round(r·w/wdeg) BEFORE the neighbour sum, so every iterate is exact
+# integer math and both engines walk bit-identical score vectors (the
+# q82 pagerank freezing discipline); final score surfaces as score/10⁶
+# at 4dp. Tie-break by token.
+# Scale: adjacency is a narrow zip over token arrays (no self-join on
+# docs); iterations are fixed-count keyed joins on the token graph —
+# shuffle on uniform token keys; top-20 is TakeOrderedAndProject.
+# --------------------------------------------------------------------------
+_TR_ITERS = 4
+_TR_TOPK = 20
+
+
+def _textrank_ctes(iters: int) -> str:
+    """Unrolled DuckDB CTE chain r0..r{iters} over the `gr` edge list."""
+    parts = [
+        "r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (
+    SELECT g.dst AS node,
+           CAST(ROUND(150000.0 + 0.85 * SUM(
+               CAST(ROUND(CAST(p.r AS DOUBLE) * g.w / g.wdeg) AS BIGINT)
+           )) AS BIGINT) AS r
+    FROM gr g JOIN r{i - 1} p ON p.node = g.src
+    GROUP BY g.dst
+)"""
+        )
+    return ",\n".join(parts)
+
+
+@register(
+    "q347_textrank_keywords",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents WHERE lang = 'en'
+),
+adj AS (
+    SELECT a.tok AS ta, b.tok AS tb
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    WHERE LENGTH(a.tok) >= 4 AND LENGTH(b.tok) >= 4 AND a.tok <> b.tok
+),
+und AS (
+    SELECT LEAST(ta, tb) AS u, GREATEST(ta, tb) AS v,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM adj GROUP BY 1, 2
+),
+gr0 AS (
+    SELECT u AS src, v AS dst, w FROM und
+    UNION ALL
+    SELECT v AS src, u AS dst, w FROM und
+),
+wdeg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM gr0 GROUP BY src),
+gr AS (
+    SELECT g.src, g.dst, g.w, d.wdeg
+    FROM gr0 g JOIN wdeg d ON d.src = g.src
+),
+nodes AS (SELECT src AS node FROM wdeg),
+{_textrank_ctes(_TR_ITERS)}
+SELECT node AS token, ROUND(r / 1000000.0, 4) AS score,
+       CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node ASC) AS BIGINT) AS rk
+FROM r{_TR_ITERS}
+ORDER BY rk LIMIT {_TR_TOPK}
+""",
+    tags=("text-analysis", "graph", "O6"),
+)
+def q347_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 TextRank keywords over the English corpus:
+    (token, score, rk) — 4 frozen-integer damped iterations."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "en"
+    )
+    toks = docs.select(
+        "doc_id", text_analysis.tokens_raw(F.col("text")).alias("ts")
+    ).filter(F.size("ts") >= 2)
+    adj = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                )
+            ).alias("_bg")
+        )
+        .select(F.col("_bg.0").alias("ta"), F.col("_bg.1").alias("tb"))
+        .filter(
+            (F.length("ta") >= 4)
+            & (F.length("tb") >= 4)
+            & (F.col("ta") != F.col("tb"))
+        )
+    )
+    und = adj.groupBy(
+        F.least("ta", "tb").alias("u"), F.greatest("ta", "tb").alias("v")
+    ).agg(F.count(F.lit(1)).alias("w"))
+    gr0 = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w")
+    )
+    wdeg = gr0.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    gr = gr0.join(wdeg, "src")
+    from ..caching import persist_tracked
+
+    gr = persist_tracked(gr)
+    r = wdeg.select(
+        F.col("src").alias("node"), F.lit(1000000).cast("long").alias("r")
+    )
+    for _ in range(_TR_ITERS):
+        contrib = gr.join(
+            r.withColumnRenamed("node", "src"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.round(
+                F.col("r").cast("double") * F.col("w") / F.col("wdeg")
+            )
+            .cast("long")
+            .alias("c"),
+        )
+        r = contrib.groupBy("node").agg(
+            F.round(150000.0 + 0.85 * F.sum("c")).cast("long").alias("r")
+        )
+    # top-k FIRST (TakeOrderedAndProject — no vocab-wide single-partition
+    # shuffle), then rank the 20 survivors with a bounded global window.
+    top = r.orderBy(F.desc("r"), F.asc("node")).limit(_TR_TOPK)
+    return top.select(
+        F.col("node").alias("token"),
+        F.round(F.col("r") / 1000000.0, 4).alias("score"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("r"), F.asc("node")))
+        .cast("long")
+        .alias("rk"),
+    ).orderBy("rk")

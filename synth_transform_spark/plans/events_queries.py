@@ -6663,3 +6663,215 @@ def q313_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_unseen_gt"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q351 — exact Shapley-value channel attribution: each user's coalition
+# is the SET of channels (non-purchase event types) touched before their
+# first purchase (all their channels for non-converters); the coalition
+# value v(S) is the observed conversion rate of users whose touched-set
+# is exactly S (0 for unseen coalitions, v(∅)=0); each channel's credit
+# is the exact Shapley sum φ_c = Σ_{S∌c} |S|!(u−|S|−1)!/u! · (v(S∪c)−v(S))
+# over ALL 2^(u−1) coalitions. The game-theoretic attribution that q184's
+# first/last/linear heuristics and q277's Markov model approximate —
+# tractable exactly here because the channel universe is the event-type
+# dim (u ≤ a handful), so the subset lattice is 2^u rows, not 2^users.
+# Parity: coalitions are bitmasks built from a rank-indexed channel dim;
+# per-coalition (users, conversions) are exact integers; factorial
+# weights are exact integers ≤ u!; each Shapley term is frozen to
+# round(1e8·w·Δv) before the cross-coalition sum. 4dp.
+# Scale: one user-keyed aggregate builds masks (shuffle on uniform
+# user_id); everything after runs on the 2^u × u lattice (≤ a few
+# hundred rows) with broadcast joins. Efficiency identity Σφ = v(full)
+# is asserted in tests.
+# ---------------------------------------------------------------------------
+@register(
+    "q351_shapley_attribution",
+    oracle="""
+WITH fp AS (
+    SELECT user_id, MIN(ts) AS fpts
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+touched AS (
+    SELECT DISTINCT e.user_id, e.event_type AS ch,
+           CASE WHEN f.user_id IS NULL THEN 0 ELSE 1 END AS conv
+    FROM events e LEFT JOIN fp f ON f.user_id = e.user_id
+    WHERE e.event_type <> 'purchase'
+      AND (f.user_id IS NULL OR e.ts < f.fpts)
+),
+chan AS (
+    SELECT ch, CAST(ROW_NUMBER() OVER (ORDER BY ch) - 1 AS BIGINT) AS idx
+    FROM (SELECT DISTINCT ch FROM touched)
+),
+uu AS (SELECT CAST(COUNT(*) AS BIGINT) AS u,
+              CAST(1 AS BIGINT) << COUNT(*) AS tu
+       FROM chan),
+umask AS (
+    SELECT t.user_id, MAX(t.conv) AS conv,
+           CAST(SUM(CAST(1 AS BIGINT) << c.idx) AS BIGINT) AS mask
+    FROM touched t JOIN chan c ON c.ch = t.ch
+    GROUP BY t.user_id
+),
+vm AS (
+    SELECT mask, CAST(COUNT(*) AS BIGINT) AS nu,
+           CAST(SUM(conv) AS BIGINT) AS nc
+    FROM umask GROUP BY mask
+),
+masks AS (
+    SELECT UNNEST(RANGE(0, (SELECT tu FROM uu))) AS m
+),
+terms AS (
+    SELECT c.ch, c.idx,
+           CAST(ROUND(100000000.0
+               * (CAST(FACTORIAL(CAST(BIT_COUNT(m.m) AS INTEGER)) AS DOUBLE)
+                  * FACTORIAL(CAST(u.u - BIT_COUNT(m.m) - 1 AS INTEGER))
+                  / FACTORIAL(CAST(u.u AS INTEGER)))
+               * (COALESCE(CAST(vc.nc AS DOUBLE) / vc.nu, 0.0)
+                  - COALESCE(CAST(vs.nc AS DOUBLE) / vs.nu, 0.0)))
+               AS BIGINT) AS term
+    FROM masks m
+    CROSS JOIN uu u
+    JOIN chan c ON (m.m & (CAST(1 AS BIGINT) << c.idx)) = 0
+    LEFT JOIN vm vs ON vs.mask = m.m AND m.m > 0
+    LEFT JOIN vm vc ON vc.mask = m.m + (CAST(1 AS BIGINT) << c.idx)
+),
+touch_n AS (
+    SELECT c.ch, CAST(COUNT(*) AS BIGINT) AS n_touched
+    FROM umask um JOIN chan c
+      ON (um.mask & (CAST(1 AS BIGINT) << c.idx)) <> 0
+    GROUP BY c.ch
+)
+SELECT t.ch AS channel, tn.n_touched,
+       ROUND(CAST(SUM(t.term) AS BIGINT) / 100000000.0, 4) AS phi
+FROM terms t JOIN touch_n tn ON tn.ch = t.ch
+GROUP BY t.ch, tn.n_touched
+ORDER BY channel
+""",
+    tags=("attribution", "A12", "W2"),
+)
+def q351_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley channel attribution over pre-purchase touch sets:
+    (channel, n_touched, phi)."""
+    events = load_table(spark, sf_dir, "events")
+    fp = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fpts"))
+    )
+    touched = (
+        events.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .filter(F.col("fpts").isNull() | (F.col("ts") < F.col("fpts")))
+        .select(
+            "user_id",
+            F.col("event_type").alias("ch"),
+            F.col("fpts").isNotNull().cast("long").alias("conv"),
+        )
+        .distinct()
+    )
+    # bounded dim (≤ #event types): the global rank window is fine here
+    chan = (
+        touched.select("ch")
+        .distinct()
+        .select(
+            "ch",
+            (F.row_number().over(Window.orderBy("ch")) - 1)
+            .cast("long")
+            .alias("idx"),
+        )
+    )
+    uu = chan.agg(
+        F.count(F.lit(1)).cast("long").alias("u"),
+        F.expr("CAST(1 AS BIGINT) << COUNT(*)").cast("long").alias("tu"),
+    )
+    umask = (
+        touched.join(F.broadcast(chan), "ch")
+        .groupBy("user_id")
+        .agg(
+            F.max("conv").alias("conv"),
+            F.sum(F.expr("CAST(1 AS BIGINT) << idx")).alias("mask"),
+        )
+    )
+    vm = umask.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("conv").cast("long").alias("nc"),
+    )
+    masks = uu.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("tu") - 1)).alias(
+            "m"
+        )
+    )
+    vs = vm.select(
+        F.col("mask").alias("s_mask"),
+        F.col("nu").alias("s_nu"),
+        F.col("nc").alias("s_nc"),
+    )
+    vc = vm.select(
+        F.col("mask").alias("c_mask"),
+        F.col("nu").alias("c_nu"),
+        F.col("nc").alias("c_nc"),
+    )
+    terms = (
+        masks.crossJoin(F.broadcast(uu))
+        .join(
+            F.broadcast(chan),
+            F.expr("(m & (CAST(1 AS BIGINT) << idx)) = 0"),
+        )
+        .join(
+            F.broadcast(vs),
+            (F.col("s_mask") == F.col("m")) & (F.col("m") > 0),
+            "left",
+        )
+        .join(
+            F.broadcast(vc),
+            F.col("c_mask")
+            == F.col("m") + F.expr("CAST(1 AS BIGINT) << idx"),
+            "left",
+        )
+        .select(
+            "ch",
+            F.round(
+                100000000.0
+                * (
+                    F.factorial(F.bit_count("m")).cast("double")
+                    * F.factorial(
+                        (F.col("u") - F.bit_count("m") - 1).cast("int")
+                    )
+                    / F.factorial(F.col("u").cast("int"))
+                )
+                * (
+                    F.coalesce(
+                        F.col("c_nc").cast("double") / F.col("c_nu"),
+                        F.lit(0.0),
+                    )
+                    - F.coalesce(
+                        F.col("s_nc").cast("double") / F.col("s_nu"),
+                        F.lit(0.0),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("term"),
+        )
+    )
+    touch_n = (
+        umask.join(
+            F.broadcast(chan),
+            F.expr("(mask & (CAST(1 AS BIGINT) << idx)) <> 0"),
+        )
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("n_touched"))
+    )
+    return (
+        terms.groupBy("ch")
+        .agg(
+            F.round(F.sum("term").cast("long") / 100000000.0, 4).alias("phi")
+        )
+        .join(F.broadcast(touch_n), "ch")
+        .select(
+            F.col("ch").alias("channel"),
+            F.col("n_touched").cast("long").alias("n_touched"),
+            "phi",
+        )
+        .orderBy("channel")
+    )

@@ -2327,3 +2327,1239 @@ def q334_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r_partial"),
     )
+
+
+# --------------------------------------------------------------------------
+# q335 - simplified silhouette of the label clustering over the
+# embeddings table: a_i = euclidean distance to the OWN label centroid,
+# b_i = distance to the nearest OTHER centroid, s_i = (b-a)/max(a,b);
+# reported as the per-label mean — the cluster-quality score that reads
+# q147/q202's geometry as one number per class (near 1 = compact and
+# separated, near 0 = overlapping, negative = misassigned).
+# Parity: embedding values are frozen to round(1e6*val) + 1e6 (the
+# offset keeps every working value positive so DuckDB's floor `//` and
+# Spark's truncating `div` agree on the centroid mean; the offset cancels
+# in every distance); centroids are exact integer means; squared
+# distances are exact integers; s_i is one double expression frozen to
+# round(1e6*s) before the per-label mean; 4dp.
+# Scale: posexplode is a narrow constant-factor (d=64) expansion;
+# centroids are one (label, dim) keyed aggregate broadcast back (k*d
+# rows); per-point work is O(k*d) with no shuffle beyond the final
+# per-label reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q335_silhouette",
+    oracle="""
+WITH pts AS (
+    SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+           CAST(ROUND(1000000.0 * UNNEST(embedding)) AS BIGINT) + 1000000
+               AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS clabel, dim,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS c
+    FROM pts GROUP BY label, dim
+),
+d2 AS (
+    SELECT p.vec_id, p.label, c.clabel,
+           CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS dd
+    FROM pts p JOIN cent c ON c.dim = p.dim
+    GROUP BY p.vec_id, p.label, c.clabel
+),
+ab AS (
+    SELECT vec_id, label,
+           CAST(MAX(CASE WHEN clabel = label THEN dd END) AS BIGINT) AS a2,
+           CAST(MIN(CASE WHEN clabel <> label THEN dd END) AS BIGINT) AS b2
+    FROM d2 GROUP BY vec_id, label
+),
+s AS (
+    SELECT label,
+           CAST(ROUND(1000000.0 * ((SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+                 / GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE)))))
+               AS BIGINT) AS si
+    FROM ab
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(si) AS DOUBLE) / 1000000.0 / COUNT(*), 4)
+           AS mean_silhouette
+FROM s GROUP BY label
+ORDER BY label
+""",
+    tags=("ml-eval", "similarity", "A12"),
+)
+def q335_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label cluster over embeddings:
+    (label, n, mean_silhouette)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "raw"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        (F.round(1000000.0 * F.col("raw")).cast("long") + 1000000).alias(
+            "v"
+        ),
+    )
+    cent = pts.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("sum(v) div count(*)").cast("long").alias("c")
+    )
+    d2 = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("dd")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dd"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dd"))
+        ).alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    s = ab.select(
+        "label",
+        F.round(1000000.0 * ((sb - sa) / F.greatest(sa, sb)))
+        .cast("long")
+        .alias("si"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("si").cast("double") / 1000000.0 / F.count(F.lit(1)),
+                4,
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            "mean_silhouette",
+        )
+        .orderBy("label")
+    )
+
+
+# --------------------------------------------------------------------------
+# q336 - MinHash-LSH parameter planner: for each target Jaccard
+# threshold, score every (bands b, rows r) layout with b*r <= 64 hash
+# budget by detection probability p(t) = 1 - (1 - t^r)^b at the target
+# minus the false-candidate probability at j = 0.3, and rank layouts per
+# target (score DESC, b ASC). The design-time relation behind q27/q195's
+# chosen 4x3 layout — what a data engineer consults before committing a
+# signature budget.
+# Parity: the (b, r, t) grid is generated identically on both engines
+# (range cross products); p and the score are closed-form double
+# expressions of small integers (no cross-row accumulation, so no
+# freezing needed); rank is deterministic. 4dp.
+# Scale: a constant ~dozens-row relation; no input tables at all.
+# --------------------------------------------------------------------------
+@register(
+    "q336_lsh_planner",
+    oracle="""
+WITH grid AS (
+    SELECT b.b, r.r
+    FROM (SELECT UNNEST([2, 4, 8, 16, 32]) AS b) b
+    CROSS JOIN (SELECT UNNEST([2, 3, 4, 8, 16]) AS r) r
+    WHERE b.b * r.r <= 64
+),
+targets AS (SELECT UNNEST([0.5, 0.7, 0.8, 0.9]) AS t),
+scored AS (
+    SELECT g.b, g.r, tt.t,
+           1.0 - POW(1.0 - POW(tt.t, g.r), g.b) AS p_detect,
+           1.0 - POW(1.0 - POW(0.3, g.r), g.b) AS p_fp
+    FROM grid g CROSS JOIN targets tt
+),
+ranked AS (
+    SELECT t, b, r, p_detect, p_fp, p_detect - p_fp AS score,
+           ROW_NUMBER() OVER (PARTITION BY t
+                              ORDER BY p_detect - p_fp DESC, b, r) AS rk
+    FROM scored
+)
+SELECT t AS target_j, CAST(b AS BIGINT) AS bands, CAST(r AS BIGINT) AS rows_per_band,
+       ROUND(p_detect, 4) AS p_detect, ROUND(p_fp, 4) AS p_fp,
+       ROUND(score, 4) AS score, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY target_j, rk
+""",
+    tags=("dedup-setsim", "capacity", "O6"),
+)
+def q336_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 (bands, rows) LSH layouts per target Jaccard threshold:
+    (target_j, bands, rows_per_band, p_detect, p_fp, score, rk)."""
+    # coalesce(1): local literal frames otherwise spread their handful of
+    # rows over defaultParallelism partitions, turning the two cartesian
+    # products below into a 32x32x4 = 4096-task stage for an 18-row grid.
+    bs = spark.createDataFrame(
+        [(b,) for b in [2, 4, 8, 16, 32]], "b long"
+    ).coalesce(1)
+    rs = spark.createDataFrame(
+        [(r,) for r in [2, 3, 4, 8, 16]], "r long"
+    ).coalesce(1)
+    ts = spark.createDataFrame(
+        [(t,) for t in [0.5, 0.7, 0.8, 0.9]], "t double"
+    ).coalesce(1)
+    grid = bs.crossJoin(rs).filter(F.col("b") * F.col("r") <= 64)
+    p_detect = 1.0 - F.pow(
+        1.0 - F.pow(F.col("t"), F.col("r")), F.col("b")
+    )
+    p_fp = 1.0 - F.pow(1.0 - F.pow(F.lit(0.3), F.col("r")), F.col("b"))
+    scored = grid.crossJoin(ts).select(
+        "b",
+        "r",
+        "t",
+        p_detect.alias("p_detect"),
+        p_fp.alias("p_fp"),
+        (p_detect - p_fp).alias("score"),
+    )
+    w = Window.partitionBy("t").orderBy(
+        F.desc("score"), F.asc("b"), F.asc("r")
+    )
+    return (
+        scored.select(
+            F.col("t").alias("target_j"),
+            F.col("b").alias("bands"),
+            F.col("r").alias("rows_per_band"),
+            F.round("p_detect", 4).alias("p_detect"),
+            F.round("p_fp", 4).alias("p_fp"),
+            F.round("score", 4).alias("score"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "target_j",
+            "bands",
+            "rows_per_band",
+            "p_detect",
+            "p_fp",
+            F.col("score"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+        .orderBy("target_j", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q337 - filter-cascade ordering audit: measure each curation filter's
+# real selectivity on the corpus, price it with its relative per-doc
+# cost, and rank the cascade by drop-per-cost (1 - sel)/cost DESC — the
+# ordering that minimises expected work for independent AND-filters.
+# The cost-based-optimizer view of q106/q230's curation funnels: the
+# funnels apply stages in a fixed order; this query says what order the
+# measured selectivities actually justify.
+# Filters: length (n_chars >= 100, cost 1), lang-id table check
+# (lang = 'en', cost 1), stopword scan ('the' containment, cost 5),
+# tokenize+count (>= 20 tokens, cost 10).
+# Parity: pass counts are exact integers from one conditional aggregate;
+# selectivity and drop-per-cost are single double expressions, 4dp;
+# the rank's tie-break is the filter name.
+# Scale: ONE full-table conditional aggregate; the 4-row planning
+# relation does everything else.
+# --------------------------------------------------------------------------
+@register(
+    "q337_filter_cascade",
+    oracle="""
+WITH counts AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+               AS p_len,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS p_lang,
+           CAST(SUM(CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p_stop,
+           CAST(SUM(CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                              x -> x <> '')) >= 20
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p_tok
+    FROM documents
+),
+f AS (
+    SELECT 'length' AS filter, p_len AS n_pass, 1 AS cost, n FROM counts
+    UNION ALL
+    SELECT 'lang', p_lang, 1, n FROM counts
+    UNION ALL
+    SELECT 'stopword', p_stop, 5, n FROM counts
+    UNION ALL
+    SELECT 'tokens', p_tok, 10, n FROM counts
+)
+SELECT filter, n_pass,
+       ROUND(CAST(n_pass AS DOUBLE) / n, 4) AS sel,
+       CAST(cost AS BIGINT) AS cost,
+       ROUND((1.0 - CAST(n_pass AS DOUBLE) / n) / cost, 4) AS drop_per_cost,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY (1.0 - CAST(n_pass AS DOUBLE) / n) / cost DESC, filter)
+           AS BIGINT) AS opt_rank
+FROM f
+ORDER BY opt_rank
+""",
+    tags=("training-prep", "capacity", "P12"),
+)
+def q337_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-measured cascade ordering for four curation filters:
+    (filter, n_pass, sel, cost, drop_per_cost, opt_rank)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("n_chars") >= 100).cast("long")).alias("p_len"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("p_lang"),
+        F.sum(
+            F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+            .contains(" the ")
+            .cast("long")
+        ).alias("p_stop"),
+        F.sum((F.size(toks) >= 20).cast("long")).alias("p_tok"),
+    )
+    f = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("length").alias("filter"),
+                    F.col("p_len").alias("n_pass"),
+                    F.lit(1).cast("long").alias("cost"),
+                    F.col("n"),
+                ),
+                F.struct(
+                    F.lit("lang").alias("filter"),
+                    F.col("p_lang").alias("n_pass"),
+                    F.lit(1).cast("long").alias("cost"),
+                    F.col("n"),
+                ),
+                F.struct(
+                    F.lit("stopword").alias("filter"),
+                    F.col("p_stop").alias("n_pass"),
+                    F.lit(5).cast("long").alias("cost"),
+                    F.col("n"),
+                ),
+                F.struct(
+                    F.lit("tokens").alias("filter"),
+                    F.col("p_tok").alias("n_pass"),
+                    F.lit(10).cast("long").alias("cost"),
+                    F.col("n"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    dpc = (1.0 - F.col("n_pass").cast("double") / F.col("n")) / F.col("cost")
+    w = Window.orderBy(F.desc(dpc), F.asc("filter"))
+    return (
+        f.select(
+            "filter",
+            F.col("n_pass").cast("long").alias("n_pass"),
+            F.round(F.col("n_pass").cast("double") / F.col("n"), 4).alias(
+                "sel"
+            ),
+            "cost",
+            F.round(dpc, 4).alias("drop_per_cost"),
+            F.row_number().over(w).cast("long").alias("opt_rank"),
+        )
+        .orderBy("opt_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# q338 - Jarque-Bera normality test of the value distribution per event
+# type: skewness, excess kurtosis, and JB = n/6 * (g1^2 + g2^2/4) from
+# exact integer power sums. The distribution-shape gate behind q144's
+# summary stats — "is this metric even plausibly normal before anyone
+# runs a t-test on it?"
+# Parity: values frozen to round(100*value) (<= ~5e4 here, so v^4 fits a
+# 64-bit per-row product); power sums accumulate exactly (Spark
+# DECIMAL(38,0), DuckDB HUGEINT) and cast to double once; every moment /
+# statistic is a single double expression over (n, s1..s4), 4dp.
+# Scale: one map-side-combinable keyed aggregate; nothing row-scaled
+# afterwards.
+# --------------------------------------------------------------------------
+@register(
+    "q338_jarque_bera",
+    oracle="""
+WITH frozen AS (
+    SELECT event_type, CAST(ROUND(100.0 * value) AS BIGINT) AS v
+    FROM events
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) AS s1,
+           CAST(SUM(v * v) AS DOUBLE) AS s2,
+           CAST(SUM(v * v * v) AS DOUBLE) AS s3,
+           CAST(SUM((v * v) * (v * v)) AS DOUBLE) AS s4
+    FROM frozen GROUP BY event_type
+),
+m AS (
+    SELECT event_type, n,
+           s2 / n - (s1 / n) * (s1 / n) AS m2,
+           s3 / n - 3.0 * (s1 / n) * (s2 / n)
+               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+           s4 / n - 4.0 * (s1 / n) * (s3 / n)
+               + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+    FROM s
+),
+g AS (
+    SELECT event_type, n,
+           m3 / (m2 * SQRT(m2)) AS g1,
+           m4 / (m2 * m2) - 3.0 AS g2
+    FROM m
+)
+SELECT event_type, n,
+       ROUND(g1, 4) AS skewness,
+       ROUND(g2, 4) AS ex_kurtosis,
+       ROUND(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 + g2 * g2 / 4.0), 4) AS jb
+FROM g
+ORDER BY event_type
+""",
+    tags=("ab-test", "A12"),
+)
+def q338_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality statistic per event type from exact integer
+    power sums: (event_type, n, skewness, ex_kurtosis, jb)."""
+    events = load_table(spark, sf_dir, "events")
+    frozen = events.select(
+        "event_type",
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+    )
+    v = F.col("v")
+    v2 = v * v
+    s = frozen.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v.cast("decimal(38,0)")).cast("double").alias("s1"),
+        F.sum(v2.cast("decimal(38,0)")).cast("double").alias("s2"),
+        F.sum((v2 * v).cast("decimal(38,0)")).cast("double").alias("s3"),
+        F.sum(
+            (v2.cast("decimal(19,0)") * v2.cast("decimal(19,0)")).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("double")
+        .alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3.0 * mu * (F.col("s2") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mu * (F.col("s3") / n)
+        + 6.0 * mu * mu * (F.col("s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    g = s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        (m3 / (m2 * F.sqrt(m2))).alias("g1"),
+        (m4 / (m2 * m2) - 3.0).alias("g2"),
+    )
+    return g.select(
+        "event_type",
+        "n",
+        F.round("g1", 4).alias("skewness"),
+        F.round("g2", 4).alias("ex_kurtosis"),
+        F.round(
+            F.col("n").cast("double")
+            / 6.0
+            * (
+                F.col("g1") * F.col("g1")
+                + F.col("g2") * F.col("g2") / 4.0
+            ),
+            4,
+        ).alias("jb"),
+    ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q339 - Ljung-Box portmanteau test of the daily event-count series:
+# autocorrelation rho_k at lags 1..7 plus the cumulative Q_k statistic
+# (n(n+2) * sum_{i<=k} rho_i^2/(n-i)). The "is this series white noise"
+# gate that decides whether q272's backtests / q307's lead-lag reads are
+# structure or nothing.
+# Parity: daily counts are exact integers; centering uses d_t = n*x_t - S
+# (exact, no rational mean); lag products and the denominator are exact
+# integer sums; each rho is one double ratio; the cumulative sum is
+# frozen per term (round(1e8 * rho^2/(n-k))) so the 7-term accumulation
+# is integer, then Q is one double expression, 4dp.
+# Scale: one keyed aggregate to the calendar-bounded daily relation
+# (~tens of rows at any SF); the lag windows run on that bounded series.
+# --------------------------------------------------------------------------
+@register(
+    "q339_ljung_box",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+    FROM ranked
+),
+d AS (
+    SELECT r.t, tot.n, tot.n * r.x - tot.s AS dv
+    FROM ranked r CROSS JOIN tot
+),
+den AS (
+    SELECT CAST(SUM(dv * dv) AS BIGINT) AS dd FROM d
+),
+lagged AS (
+    SELECT t, n, dv,
+           LAG(dv, 1) OVER (ORDER BY t) AS l1,
+           LAG(dv, 2) OVER (ORDER BY t) AS l2,
+           LAG(dv, 3) OVER (ORDER BY t) AS l3,
+           LAG(dv, 4) OVER (ORDER BY t) AS l4,
+           LAG(dv, 5) OVER (ORDER BY t) AS l5,
+           LAG(dv, 6) OVER (ORDER BY t) AS l6,
+           LAG(dv, 7) OVER (ORDER BY t) AS l7
+    FROM d
+),
+nums AS (
+    SELECT k, num, n FROM (
+        SELECT 1 AS k, CAST(SUM(dv * l1) AS BIGINT) AS num, MAX(n) AS n FROM lagged
+        UNION ALL
+        SELECT 2, CAST(SUM(dv * l2) AS BIGINT), MAX(n) FROM lagged
+        UNION ALL
+        SELECT 3, CAST(SUM(dv * l3) AS BIGINT), MAX(n) FROM lagged
+        UNION ALL
+        SELECT 4, CAST(SUM(dv * l4) AS BIGINT), MAX(n) FROM lagged
+        UNION ALL
+        SELECT 5, CAST(SUM(dv * l5) AS BIGINT), MAX(n) FROM lagged
+        UNION ALL
+        SELECT 6, CAST(SUM(dv * l6) AS BIGINT), MAX(n) FROM lagged
+        UNION ALL
+        SELECT 7, CAST(SUM(dv * l7) AS BIGINT), MAX(n) FROM lagged
+    ) u
+),
+rho AS (
+    SELECT k, n,
+           CAST(num AS DOUBLE) / den.dd AS r,
+           CAST(ROUND(100000000.0 * (CAST(num AS DOUBLE) / den.dd)
+                      * (CAST(num AS DOUBLE) / den.dd) / (n - k))
+                AS BIGINT) AS term
+    FROM nums CROSS JOIN den
+),
+cum AS (
+    SELECT k, n, r,
+           CAST(SUM(term) OVER (ORDER BY k
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cterm
+    FROM rho
+)
+SELECT CAST(k AS BIGINT) AS lag, ROUND(r, 4) AS rho,
+       ROUND(CAST(n AS DOUBLE) * (n + 2) * (cterm / 100000000.0), 4) AS q_stat
+FROM cum
+ORDER BY lag
+""",
+    tags=("timeseries", "A12", "W2"),
+)
+def q339_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box autocorrelation test of daily event counts, lags 1-7:
+    (lag, rho, q_stat)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    # Bounded calendar series (~tens of rows at any SF): the global
+    # window runs on the post-aggregate relation, never raw rows.
+    ranked = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    tot = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
+    )
+    d = ranked.crossJoin(F.broadcast(tot)).select(
+        "t", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dv")
+    )
+    den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("dd"))
+    wt = Window.orderBy("t")
+    lag_cols = [
+        F.lag("dv", k).over(wt).alias(f"l{k}") for k in range(1, 8)
+    ]
+    lagged = d.select("t", "n", "dv", *lag_cols)
+    nums = None
+    for k in range(1, 8):
+        part = lagged.agg(
+            F.lit(k).alias("k"),
+            F.sum(F.col("dv") * F.col(f"l{k}")).alias("num"),
+            F.max("n").alias("n"),
+        )
+        nums = part if nums is None else nums.unionByName(part)
+    r = F.col("num").cast("double") / F.col("dd")
+    rho = nums.crossJoin(F.broadcast(den)).select(
+        "k",
+        "n",
+        r.alias("r"),
+        F.round(100000000.0 * r * r / (F.col("n") - F.col("k")))
+        .cast("long")
+        .alias("term"),
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cum = rho.select(
+        "k", "n", "r", F.sum("term").over(wk).cast("long").alias("cterm")
+    )
+    return cum.select(
+        F.col("k").cast("long").alias("lag"),
+        F.round("r", 4).alias("rho"),
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("n") + 2)
+            * (F.col("cterm") / 100000000.0),
+            4,
+        ).alias("q_stat"),
+    ).orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# q340 - Durbin-Watson autocorrelation-of-residuals statistic for the
+# daily event-count linear trend: fit count ~ a + b*t by exact OLS
+# (q298's integer sufficient statistics), then DW = sum (e_t - e_{t-1})^2
+# / sum e_t^2 over the residual series. DW ~ 2 means the trend residuals
+# are independent; DW << 2 means q294/q271's trend reads ride on serial
+# correlation the OLS standard errors ignore.
+# Parity: OLS slope/intercept are single double expressions over exact
+# integer sums; residuals are frozen to round(1e6*e) per row (identical
+# expression both engines), so both DW sums are exact integers; the final
+# ratio is one double, 4dp.
+# Scale: one keyed aggregate to the bounded daily relation; residual
+# algebra runs on ~tens of rows.
+# --------------------------------------------------------------------------
+@register(
+    "q340_durbin_watson",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS st,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(t * t) AS BIGINT) AS stt,
+           CAST(SUM(t * x) AS BIGINT) AS stx
+    FROM ranked
+),
+fit AS (
+    SELECT n,
+           CAST(n * stx - st * sx AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE) AS slope,
+           (CAST(sx AS DOUBLE)
+            - (CAST(n * stx - st * sx AS DOUBLE)
+               / CAST(n * stt - st * st AS DOUBLE)) * st) / n AS icept
+    FROM s
+),
+resid AS (
+    SELECT r.t,
+           CAST(ROUND(1000000.0 * (r.x - (f.icept + f.slope * r.t)))
+                AS BIGINT) AS e
+    FROM ranked r CROSS JOIN fit f
+),
+lagged AS (
+    SELECT e, LAG(e, 1) OVER (ORDER BY t) AS ep FROM resid
+),
+dw AS (
+    SELECT CAST(SUM(CASE WHEN ep IS NOT NULL
+                         THEN (e - ep) * (e - ep) END) AS BIGINT) AS num,
+           CAST(SUM(e * e) AS BIGINT) AS den
+    FROM lagged
+)
+SELECT f.n AS n_days, ROUND(f.slope, 4) AS slope,
+       ROUND(CAST(d.num AS DOUBLE) / d.den, 4) AS dw,
+       ROUND(1.0 - (CAST(d.num AS DOUBLE) / d.den) / 2.0, 4) AS rho1_approx
+FROM fit f CROSS JOIN dw d
+""",
+    tags=("timeseries", "A12"),
+)
+def q340_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of daily-count trend residuals:
+    (n_days, slope, dw, rho1_approx)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("x")).alias("stx"),
+    )
+    slope = (
+        F.col("n") * F.col("stx") - F.col("st") * F.col("sx")
+    ).cast("double") / (
+        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    ).cast("double")
+    fit = s.select(
+        "n",
+        slope.alias("slope"),
+        (
+            (F.col("sx").cast("double") - slope * F.col("st")) / F.col("n")
+        ).alias("icept"),
+    )
+    resid = ranked.crossJoin(F.broadcast(fit)).select(
+        "t",
+        F.round(
+            1000000.0
+            * (F.col("x") - (F.col("icept") + F.col("slope") * F.col("t")))
+        )
+        .cast("long")
+        .alias("e"),
+    )
+    lagged = resid.select(
+        "e", F.lag("e", 1).over(Window.orderBy("t")).alias("ep")
+    )
+    dw = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("ep").isNotNull(),
+                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
+            )
+        ).alias("num"),
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+    )
+    ratio = F.col("num").cast("double") / F.col("den")
+    return (
+        fit.select("n", "slope")
+        .crossJoin(F.broadcast(dw))
+        .select(
+            F.col("n").cast("long").alias("n_days"),
+            F.round("slope", 4).alias("slope"),
+            F.round(ratio, 4).alias("dw"),
+            F.round(1.0 - ratio / 2.0, 4).alias("rho1_approx"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q341 - simple-exponential-smoothing one-step-ahead forecast of the
+# daily event-count series with alpha = 0.5: for each day t >= 2 the
+# forecast is the smoothed level of days 1..t-1, unrolled to the closed
+# form l_m = sum_j w_{m,j} x_j with w_{m,1} = 0.5^(m-1) and
+# w_{m,j>=2} = 0.5^(m-j+1). The monitooring baseline q272's backtest
+# compares against.
+# Parity: alpha = 0.5 makes every weight an exact power of two, so each
+# term x_j * w is an exact double; terms are frozen to round(1e6*term)
+# and integer-summed (no cross-row float accumulation); the forecast and
+# error are rationals over those integers, 4dp.
+# Scale: the pair join is over the bounded daily relation (~tens of
+# rows) — quadratic in days, constant in corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q341_ses_forecast",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+levels AS (
+    SELECT a.t AS m,
+           CAST(SUM(CAST(ROUND(1000000.0 * b.x *
+                CASE WHEN b.t = 1 THEN POW(0.5, a.t - 1)
+                     ELSE POW(0.5, a.t - b.t + 1) END) AS BIGINT))
+                AS BIGINT) AS l_int
+    FROM ranked a JOIN ranked b ON b.t <= a.t
+    GROUP BY a.t
+)
+SELECT r.t, CAST(r.day AS VARCHAR) AS day, r.x,
+       CAST(ROUND(l.l_int / 100.0) AS BIGINT) / 10000.0 AS forecast,
+       CAST(ROUND((r.x * 1000000 - l.l_int) / 100.0) AS BIGINT) / 10000.0
+           AS err
+FROM ranked r
+JOIN levels l ON l.m = r.t - 1
+ORDER BY r.t
+""",
+    tags=("timeseries", "W2", "A12"),
+)
+def q341_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-smoothing (alpha=0.5) one-step daily-count forecasts:
+    (t, day, x, forecast, err)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    a = ranked.select(F.col("t").alias("m"))
+    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
+    w = F.when(
+        F.col("j") == 1, F.pow(F.lit(0.5), F.col("m") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("m") - F.col("j") + 1))
+    levels = (
+        a.join(b, F.col("j") <= F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.round(1000000.0 * F.col("xj") * w).cast("long")
+            ).alias("l_int")
+        )
+    )
+    return (
+        ranked.join(
+            levels, F.col("m") == F.col("t") - 1
+        )
+        .select(
+            "t",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            # round at integer scale: l_int/100 lands exactly on .5 at
+            # half-way cases (exactly representable), so both engines
+            # agree; rounding l_int/1e6 to 4dp does not.
+            (
+                F.round(F.col("l_int") / 100.0).cast("long") / 10000.0
+            ).alias("forecast"),
+            (
+                F.round(
+                    (F.col("x") * 1000000 - F.col("l_int")) / 100.0
+                ).cast("long")
+                / 10000.0
+            ).alias("err"),
+        )
+        .orderBy("t")
+    )
+
+
+# --------------------------------------------------------------------------
+# q342 - Hampel filter over the daily event-count series: rolling
+# (+-3 day) median and MAD, flagging days where |x - med| exceeds
+# 3 * 1.4826 * MAD — the robust outlier detector that q153's z-score
+# anomalies can't be (one wild day drags a mean; it barely moves a
+# median). The frame is ROWS-based so series edges use their truncated
+# neighborhoods.
+# Parity: counts are integers, so the interpolated rolling median is an
+# exact multiple of 0.5 and the MAD an exact multiple of 0.25 (linear
+# interpolation over exact values on both engines); the outlier
+# comparison is made on round(1e4*...) frozen sides so a last-ulp
+# difference in the 1.4826 product cannot flip a flag.
+# Scale: the +-3 neighborhood pair join runs on the bounded daily
+# relation (~tens of rows) — constant work regardless of corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q342_hampel_filter",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+med AS (
+    SELECT a.t, QUANTILE_CONT(CAST(b.x AS DOUBLE), 0.5) AS med
+    FROM ranked a JOIN ranked b ON b.t BETWEEN a.t - 3 AND a.t + 3
+    GROUP BY a.t
+),
+mad AS (
+    SELECT a.t, QUANTILE_CONT(ABS(CAST(b.x AS DOUBLE) - m.med), 0.5) AS mad
+    FROM ranked a
+    JOIN med m ON m.t = a.t
+    JOIN ranked b ON b.t BETWEEN a.t - 3 AND a.t + 3
+    GROUP BY a.t
+)
+SELECT r.t, CAST(r.day AS VARCHAR) AS day, r.x,
+       ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * ABS(r.x - m.med)) AS BIGINT)
+                      > CAST(ROUND(10000.0 * (3.0 * 1.4826 * d.mad))
+                             AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+FROM ranked r
+JOIN med m ON m.t = r.t
+JOIN mad d ON d.t = r.t
+ORDER BY r.t
+""",
+    tags=("timeseries", "W4", "A12"),
+)
+def q342_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel rolling-median/MAD outlier flags on daily counts:
+    (t, day, x, med, mad, is_outlier)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    a = ranked.select(F.col("t").alias("ct"))
+    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
+    nbr = a.join(
+        b,
+        (F.col("j") >= F.col("ct") - 3) & (F.col("j") <= F.col("ct") + 3),
+    )
+    med = nbr.groupBy("ct").agg(
+        F.expr("percentile(CAST(xj AS DOUBLE), 0.5)").alias("med")
+    )
+    mad = (
+        nbr.join(med, "ct")
+        .groupBy("ct")
+        .agg(
+            F.expr(
+                "percentile(ABS(CAST(xj AS DOUBLE) - med), 0.5)"
+            ).alias("mad")
+        )
+    )
+    flag = (
+        F.round(10000.0 * F.abs(F.col("x") - F.col("med"))).cast("long")
+        > F.round(10000.0 * (3.0 * 1.4826 * F.col("mad"))).cast("long")
+    ).cast("long")
+    return (
+        ranked.join(med, F.col("ct") == F.col("t"))
+        .drop("ct")
+        .join(mad, F.col("ct") == F.col("t"))
+        .drop("ct")
+        .select(
+            "t",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            flag.alias("is_outlier"),
+        )
+        .orderBy("t")
+    )
+
+
+# --------------------------------------------------------------------------
+# q348 - pairwise Granger-causality screen over the daily event-count
+# series: does yesterday's CLICK count improve the prediction of today's
+# PURCHASE count beyond purchase's own lag? Unrestricted OLS
+# y_t ~ 1 + y_{t-1} + x_{t-1} vs restricted y_t ~ 1 + y_{t-1}; the
+# F statistic ((RSS_r - RSS_u)/1) / (RSS_u/(n-3)) is the Granger test.
+# The causal-screen companion to q307's lead-lag correlations (which
+# measure association at a lag; this one tests incremental predictive
+# value).
+# Parity: both daily series are exact integers; centering uses the
+# n-scaled d = n*v - S trick (q339), so every sufficient statistic
+# (Suu, Svv, Suv, Swu, Swv, Sww) is an exact integer accumulated in
+# DECIMAL(38,0)/HUGEINT (n-scaled squares pass 2^63 at large SF);
+# b1/b2/RSS/F are one fixed double expression over those integers -
+# identical IEEE op sequence on both engines. 4dp.
+# Scale: one conditional aggregate collapses the corpus to the
+# calendar-bounded daily relation; everything after runs on ~tens of
+# rows and three 1-row broadcasts.
+# --------------------------------------------------------------------------
+@register(
+    "q348_granger_causality",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS y,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT y, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+rows_ AS (
+    SELECT a.y AS yt, b.y AS yl, b.x AS xl
+    FROM ranked a JOIN ranked b ON b.t = a.t - 1
+),
+raw AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(yt) AS BIGINT) AS sw,
+           CAST(SUM(yl) AS BIGINT) AS su,
+           CAST(SUM(xl) AS BIGINT) AS sv
+    FROM rows_
+),
+cent AS (
+    SELECT r.n,
+           CAST(SUM(CAST(r.n * w.yl - r.su AS HUGEINT)
+                    * CAST(r.n * w.yl - r.su AS HUGEINT)) AS HUGEINT)
+               AS suu,
+           CAST(SUM(CAST(r.n * w.xl - r.sv AS HUGEINT)
+                    * CAST(r.n * w.xl - r.sv AS HUGEINT)) AS HUGEINT)
+               AS svv,
+           CAST(SUM(CAST(r.n * w.yl - r.su AS HUGEINT)
+                    * CAST(r.n * w.xl - r.sv AS HUGEINT)) AS HUGEINT)
+               AS suv,
+           CAST(SUM(CAST(r.n * w.yt - r.sw AS HUGEINT)
+                    * CAST(r.n * w.yl - r.su AS HUGEINT)) AS HUGEINT)
+               AS swu,
+           CAST(SUM(CAST(r.n * w.yt - r.sw AS HUGEINT)
+                    * CAST(r.n * w.xl - r.sv AS HUGEINT)) AS HUGEINT)
+               AS swv,
+           CAST(SUM(CAST(r.n * w.yt - r.sw AS HUGEINT)
+                    * CAST(r.n * w.yt - r.sw AS HUGEINT)) AS HUGEINT)
+               AS sww
+    FROM rows_ w CROSS JOIN raw r
+    GROUP BY r.n
+)
+SELECT n,
+       ROUND((CAST(swu AS DOUBLE) * CAST(svv AS DOUBLE)
+              - CAST(swv AS DOUBLE) * CAST(suv AS DOUBLE))
+             / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
+                - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)), 4) AS b_ylag,
+       ROUND((CAST(swv AS DOUBLE) * CAST(suu AS DOUBLE)
+              - CAST(swu AS DOUBLE) * CAST(suv AS DOUBLE))
+             / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
+                - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)), 4) AS b_xlag,
+       ROUND(((CAST(sww AS DOUBLE)
+               - CAST(swu AS DOUBLE) * CAST(swu AS DOUBLE)
+                 / CAST(suu AS DOUBLE))
+              - (CAST(sww AS DOUBLE)
+                 - (CAST(swu AS DOUBLE)
+                    * (CAST(swu AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(swv AS DOUBLE) * CAST(suv AS DOUBLE))
+                    + CAST(swv AS DOUBLE)
+                      * (CAST(swv AS DOUBLE) * CAST(suu AS DOUBLE)
+                         - CAST(swu AS DOUBLE) * CAST(suv AS DOUBLE)))
+                   / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
+                      - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE))))
+             / ((CAST(sww AS DOUBLE)
+                 - (CAST(swu AS DOUBLE)
+                    * (CAST(swu AS DOUBLE) * CAST(svv AS DOUBLE)
+                       - CAST(swv AS DOUBLE) * CAST(suv AS DOUBLE))
+                    + CAST(swv AS DOUBLE)
+                      * (CAST(swv AS DOUBLE) * CAST(suu AS DOUBLE)
+                         - CAST(swu AS DOUBLE) * CAST(suv AS DOUBLE)))
+                   / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
+                      - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)))
+                / (n - 3)), 4) AS f_stat
+FROM cent
+""",
+    tags=("timeseries", "ml-eval", "A12"),
+)
+def q348_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger F-test: does the lagged click count improve next-day
+    purchase-count prediction? (n, b_ylag, b_xlag, f_stat)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+    )
+    ranked = daily.select(
+        "y", "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    a = ranked.select(F.col("t").alias("ta"), F.col("y").alias("yt"))
+    b = ranked.select(
+        F.col("t").alias("tb"), F.col("y").alias("yl"), F.col("x").alias("xl")
+    )
+    rows = a.join(b, F.col("tb") == F.col("ta") - 1).select("yt", "yl", "xl")
+    raw = rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yt").alias("sw"),
+        F.sum("yl").alias("su"),
+        F.sum("xl").alias("sv"),
+    )
+    dec = "decimal(38,0)"
+    u = (F.col("n") * F.col("yl") - F.col("su")).cast(dec)
+    v = (F.col("n") * F.col("xl") - F.col("sv")).cast(dec)
+    w = (F.col("n") * F.col("yt") - F.col("sw")).cast(dec)
+    cent = (
+        rows.crossJoin(F.broadcast(raw))
+        .groupBy("n")
+        .agg(
+            F.sum(u * u).alias("suu"),
+            F.sum(v * v).alias("svv"),
+            F.sum(u * v).alias("suv"),
+            F.sum(w * u).alias("swu"),
+            F.sum(w * v).alias("swv"),
+            F.sum(w * w).alias("sww"),
+        )
+    )
+    suu, svv, suv = (
+        F.col("suu").cast("double"),
+        F.col("svv").cast("double"),
+        F.col("suv").cast("double"),
+    )
+    swu, swv, sww = (
+        F.col("swu").cast("double"),
+        F.col("swv").cast("double"),
+        F.col("sww").cast("double"),
+    )
+    den = suu * svv - suv * suv
+    b1 = (swu * svv - swv * suv) / den
+    b2 = (swv * suu - swu * suv) / den
+    rss_u = sww - (swu * (swu * svv - swv * suv)
+                   + swv * (swv * suu - swu * suv)) / den
+    rss_r = sww - swu * swu / suu
+    return cent.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b1, 4).alias("b_ylag"),
+        F.round(b2, 4).alias("b_xlag"),
+        F.round((rss_r - rss_u) / (rss_u / (F.col("n") - 3)), 4).alias(
+            "f_stat"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q349 - partial autocorrelation (PACF) of the daily event-count series
+# at lags 1..5 via the Durbin-Levinson recursion, unrolled to a fixed
+# chain of scalar transforms on a 1-row relation. The AR-order
+# diagnostic that reads q247's ACF correctly ("is lag 3 real signal or
+# just lag-1 echo") - the standard Box-Jenkins identification plot.
+# Parity: each rho_k is frozen to round(1e8*num/den) over the exact
+# n-scaled integer lag sums (q339's centering), so both engines start
+# from identical doubles; the recursion itself is the SAME generated
+# arithmetic string evaluated as a Spark expression and as DuckDB SQL -
+# a fixed IEEE op sequence, bit-identical on identical inputs. 4dp.
+# Scale: one aggregate to the calendar-bounded daily relation; the
+# recursion runs on one row.
+# --------------------------------------------------------------------------
+_PACF_LAGS = 5
+
+
+def _durbin_levinson_selects() -> list[list[tuple[str, str]]]:
+    """Unrolled Durbin-Levinson: per level k, the (column, expression)
+    pairs computing phi_k1..phi_kk and sig_k from level k-1 and the
+    frozen rho columns r1..r5. The SAME strings drive Spark's F.expr and
+    the DuckDB CTE chain, so the engines execute identical arithmetic."""
+    levels = []
+    # level 1
+    levels.append([("p1_1", "r1"), ("sig1", "1.0 - r1 * r1")])
+    for k in range(2, _PACF_LAGS + 1):
+        cols = []
+        num = f"r{k} - (" + " + ".join(
+            f"p{k - 1}_{j} * r{k - j}" for j in range(1, k)
+        ) + ")"
+        cols.append((f"p{k}_{k}", f"({num}) / sig{k - 1}"))
+        for j in range(1, k):
+            cols.append(
+                (f"p{k}_{j}", f"p{k - 1}_{j} - (({num}) / sig{k - 1}) * p{k - 1}_{k - j}")
+            )
+        cols.append(
+            (f"sig{k}",
+             f"sig{k - 1} * (1.0 - (({num}) / sig{k - 1}) * (({num}) / sig{k - 1}))")
+        )
+        levels.append(cols)
+    return levels
+
+
+def _pacf_oracle() -> str:
+    lag_nums = ",\n".join(
+        f"""nums{k} AS (
+    SELECT CAST(SUM(a.dv * b.dv) AS BIGINT) AS num
+    FROM d a JOIN d b ON b.t = a.t + {k}
+)""" for k in range(1, _PACF_LAGS + 1)
+    )
+    rho_cols = ", ".join(
+        f"CAST(ROUND(100000000.0 * nums{k}.num / den.dd) AS BIGINT)"
+        f" / 100000000.0 AS r{k}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    rho_from = " CROSS JOIN ".join(
+        ["den"] + [f"nums{k}" for k in range(1, _PACF_LAGS + 1)]
+    )
+    lev_ctes = []
+    prev = "rho"
+    for i, cols in enumerate(_durbin_levinson_selects(), start=1):
+        exprs = ", ".join(f"{e} AS {c}" for c, e in cols)
+        lev_ctes.append(f"lev{i} AS (SELECT *, {exprs} FROM {prev})")
+        prev = f"lev{i}"
+    pacf_rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS BIGINT) AS lag, ROUND(r{k}, 4) AS rho,"
+        f" ROUND(p{k}_{k}, 4) AS pacf FROM lev{_PACF_LAGS}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
+      FROM ranked),
+d AS (
+    SELECT r.t, r.x * s.n - s.sx AS dv FROM ranked r CROSS JOIN s
+),
+den AS (SELECT CAST(SUM(dv * dv) AS BIGINT) AS dd FROM d),
+{lag_nums},
+rho AS (SELECT {rho_cols} FROM {rho_from}),
+{", ".join(lev_ctes)}
+{pacf_rows}
+ORDER BY lag
+"""
+
+
+@register(
+    "q349_pacf",
+    oracle=_pacf_oracle(),
+    tags=("timeseries", "A12", "W2"),
+)
+def q349_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily event counts, lags 1-5 via
+    unrolled Durbin-Levinson: (lag, rho, pacf)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).alias("t")
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    )
+    d = ranked.crossJoin(F.broadcast(s)).select(
+        "t", (F.col("x") * F.col("n") - F.col("sx")).alias("dv")
+    )
+    den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("dd"))
+    wt = Window.orderBy("t")
+    lagged = d.select(
+        "dv",
+        *[F.lead("dv", k).over(wt).alias(f"l{k}")
+          for k in range(1, _PACF_LAGS + 1)],
+    )
+    nums = lagged.agg(
+        *[F.sum(F.col("dv") * F.col(f"l{k}")).alias(f"num{k}")
+          for k in range(1, _PACF_LAGS + 1)]
+    )
+    rho = nums.crossJoin(F.broadcast(den)).select(
+        *[
+            (
+                F.round(100000000.0 * F.col(f"num{k}") / F.col("dd"))
+                .cast("long")
+                / 100000000.0
+            ).alias(f"r{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ]
+    )
+    lev = rho
+    for cols in _durbin_levinson_selects():
+        lev = lev.select("*", *[F.expr(e).alias(c) for c, e in cols])
+    out = None
+    for k in range(1, _PACF_LAGS + 1):
+        row = lev.select(
+            F.lit(k).cast("long").alias("lag"),
+            F.round(F.col(f"r{k}"), 4).alias("rho"),
+            F.round(F.col(f"p{k}_{k}"), 4).alias("pacf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lag")

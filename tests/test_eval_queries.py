@@ -1,0 +1,414 @@
+"""Semantic tests for the round-5 eval wave (q343–q347): each statistic
+is recomputed literally in Python and must agree with the relational
+form — independent of the DuckDB oracle (which shares no code with
+these recomputations)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from synth_transform_spark.plans import REGISTRY
+
+from conftest import SF_DIR
+
+
+def _doc_tokens():
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    return {
+        int(r["doc_id"]): [t for t in r["text"].split(" ") if t]
+        for _, r in docs.iterrows()
+    }
+
+
+def test_kneser_ney_matches_naive(spark):
+    df = (
+        REGISTRY["q343_kneser_ney"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    toks = _doc_tokens()
+    c2: dict[tuple[str, str], int] = {}
+    for d, ts in toks.items():
+        if d % 13 == 1:
+            for a, b in zip(ts, ts[1:]):
+                c2[(a, b)] = c2.get((a, b), 0) + 1
+    c1: dict[str, int] = {}
+    n_follow: dict[str, int] = {}
+    n_hist: dict[str, int] = {}
+    for (a, b), n in c2.items():
+        c1[a] = c1.get(a, 0) + n
+        n_follow[a] = n_follow.get(a, 0) + 1
+        n_hist[b] = n_hist.get(b, 0) + 1
+    T = len(c2)
+    D = 0.75
+    checked = 0
+    for d, ts in toks.items():
+        if d % 13 != 0 or len(ts) < 2:
+            continue
+        ls_sum, n_big, n_unseen = 0, 0, 0
+        for a, b in zip(ts, ts[1:]):
+            pcont = n_hist.get(b, 0.5) / T if n_hist.get(b) else 0.5 / T
+            if a not in c1:
+                p = pcont
+                n_unseen += 1
+            else:
+                p = max(c2.get((a, b), 0) - D, 0.0) / c1[a] + (
+                    D * n_follow[a] / c1[a]
+                ) * pcont
+            ls_sum += round(1e6 * math.log(p))
+            n_big += 1
+        assert int(df.loc[d, "n_bigrams"]) == n_big
+        assert int(df.loc[d, "n_unseen_prev"]) == n_unseen
+        assert int(df.loc[d, "avg_score_micro"]) == math.floor(
+            ls_sum / n_big
+        )
+        checked += 1
+    assert checked > 3  # the held-out split genuinely exists
+
+
+def test_class_prf_matches_naive(spark):
+    df = (
+        REGISTRY["q344_class_prf"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("label")
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    y = emb["label"].to_numpy()
+    labels = sorted(set(int(v) for v in y))
+    cents = {
+        lab: np.round(X[y == lab].mean(axis=0), 4) for lab in labels
+    }
+    preds = []
+    for i in range(len(X)):
+        d2 = {
+            lab: round(float(((X[i] - c) ** 2).sum()), 4)
+            for lab, c in cents.items()
+        }
+        preds.append(min(labels, key=lambda l: (d2[l], l)))
+    preds = np.array(preds)
+    f1s = []
+    for lab in labels:
+        tp = int(((y == lab) & (preds == lab)).sum())
+        n_true = int((y == lab).sum())
+        n_pred = int((preds == lab).sum())
+        prec = tp / n_pred if n_pred else 0.0
+        rec = tp / n_true if n_true else 0.0
+        f1 = 2 * tp / (n_pred + n_true) if (n_pred + n_true) else 0.0
+        f1s.append(round(1e4 * f1) / 1e4)
+        assert int(df.loc[lab, "tp"]) == tp
+        assert int(df.loc[lab, "n_true"]) == n_true
+        assert int(df.loc[lab, "n_pred"]) == n_pred
+        assert abs(df.loc[lab, "prec"] - prec) <= 1e-4
+        assert abs(df.loc[lab, "rec"] - rec) <= 1e-4
+        assert abs(df.loc[lab, "f1"] - f1) <= 1e-4
+    acc = float((preds == y).mean())
+    assert abs(df["accuracy"].iloc[0] - acc) <= 1e-4
+    assert abs(df["macro_f1"].iloc[0] - sum(f1s) / len(f1s)) <= 2e-4
+
+
+def test_brier_decomposition_matches_naive(spark):
+    row = (
+        REGISTRY["q345_brier_decomposition"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    x = emb["embedding"].apply(lambda v: float(v[0]))
+    y = (emb["label"] >= 5).astype(int).to_numpy()
+    lo, hi = x.min(), x.max()
+    ci = ((x - lo) / (hi - lo) * 1e6).round().astype("int64").to_numpy()
+    p = ci / 1e6
+    n = len(p)
+    brier = float(((p - y) ** 2).mean())
+    bins = np.minimum((ci * 10) // 10**6, 9)
+    rel = res = 0.0
+    obar = y.mean()
+    for b in range(10):
+        m = bins == b
+        nb = int(m.sum())
+        if not nb:
+            continue
+        rel += nb * (p[m].mean() - y[m].mean()) ** 2
+        res += nb * (y[m].mean() - obar) ** 2
+    rel, res = rel / n, res / n
+    unc = obar * (1 - obar)
+    assert int(row["n"]) == n
+    assert abs(row["brier"] - brier) <= 1e-3
+    assert abs(row["reliability"] - rel) <= 1e-3
+    assert abs(row["resolution"] - res) <= 1e-3
+    assert abs(row["uncertainty"] - unc) <= 1e-3
+    # Murphy identity: brier = rel - res + unc + within-bin variance,
+    # and the within-bin variance term is non-negative
+    wbv = brier - (rel - res + unc)
+    assert wbv >= -1e-9
+
+
+def test_degree_assortativity_matches_naive(spark):
+    row = (
+        REGISTRY["q346_degree_assortativity"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    items = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    m = items.merge(items, on="l_orderkey")
+    m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+    und = set(zip(m["l_partkey_x"], m["l_partkey_y"]))
+    edges = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    deg: dict[int, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    xs = [deg[s] for s, _ in edges]
+    ys = [deg[d] for _, d in edges]
+    M = len(edges)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    r = (M * sxy - sx * sy) / (
+        math.sqrt(M * sxx - sx * sx) * math.sqrt(M * syy - sy * sy)
+    )
+    assert int(row["m_edges"]) == M
+    assert int(row["n_nodes"]) == len(deg)
+    assert abs(row["assortativity"] - r) <= 1e-3
+    assert -1.0 <= row["assortativity"] <= 1.0
+
+
+def test_textrank_matches_naive(spark):
+    df = REGISTRY["q347_textrank_keywords"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    docs = docs[docs["lang"] == "en"]
+    w: dict[tuple[str, str], int] = {}
+    for text in docs["text"]:
+        ts = [t for t in text.split(" ") if t]
+        for a, b in zip(ts, ts[1:]):
+            if len(a) >= 4 and len(b) >= 4 and a != b:
+                k = (min(a, b), max(a, b))
+                w[k] = w.get(k, 0) + 1
+    gr: dict[str, dict[str, int]] = {}
+    for (u, v), n in w.items():
+        gr.setdefault(u, {})[v] = n
+        gr.setdefault(v, {})[u] = n
+    wdeg = {u: sum(nb.values()) for u, nb in gr.items()}
+    r = {u: 1_000_000 for u in gr}
+    for _ in range(4):
+        nxt = {}
+        for v in gr:
+            s = sum(
+                round(r[u] * gr[u][v] / wdeg[u]) for u in gr[v]
+            )
+            nxt[v] = round(150000.0 + 0.85 * s)
+        r = nxt
+    top = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert len(df) == min(20, len(top))
+    for i, (tok, score) in enumerate(top[: len(df)], start=1):
+        assert df.iloc[i - 1]["token"] == tok
+        assert int(df.iloc[i - 1]["rk"]) == i
+        assert abs(df.iloc[i - 1]["score"] - round(score / 1e6, 4)) <= 1e-9
+    # damped scores are bounded below by the teleport mass
+    assert (df["score"] >= 0.15).all()
+
+
+def _daily_series(event_type=None):
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    if event_type is not None:
+        ev = ev[ev["event_type"] == event_type]
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    return days.value_counts().sort_index()
+
+
+def test_granger_matches_naive(spark):
+    row = (
+        REGISTRY["q348_granger_causality"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    cal = sorted(days.unique())
+    y = [int(((days == d) & (ev["event_type"] == "purchase")).sum()) for d in cal]
+    x = [int(((days == d) & (ev["event_type"] == "click")).sum()) for d in cal]
+    yt = np.array(y[1:], dtype=float)
+    yl = np.array(y[:-1], dtype=float)
+    xl = np.array(x[:-1], dtype=float)
+    n = len(yt)
+    A = np.column_stack([np.ones(n), yl, xl])
+    bu, *_ = np.linalg.lstsq(A, yt, rcond=None)
+    rss_u = float(((yt - A @ bu) ** 2).sum())
+    Ar = np.column_stack([np.ones(n), yl])
+    br, *_ = np.linalg.lstsq(Ar, yt, rcond=None)
+    rss_r = float(((yt - Ar @ br) ** 2).sum())
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    assert int(row["n"]) == n
+    assert abs(row["b_ylag"] - bu[1]) <= 1e-3
+    assert abs(row["b_xlag"] - bu[2]) <= 1e-3
+    assert abs(row["f_stat"] - f) <= max(1e-2, 1e-3 * abs(f))
+
+
+def test_pacf_matches_naive(spark):
+    df = (
+        REGISTRY["q349_pacf"].spark(spark, SF_DIR).toPandas().set_index("lag")
+    )
+    x = _daily_series().to_numpy(dtype=float)
+    n = len(x)
+    d = n * x - x.sum()
+    den = float((d * d).sum())
+    rho = {
+        k: round(1e8 * float((d[:-k] * d[k:]).sum()) / den) / 1e8
+        for k in range(1, 6)
+    }
+    # Durbin-Levinson
+    phi_prev: dict[int, float] = {}
+    sig = 1.0
+    for k in range(1, 6):
+        if k == 1:
+            pkk = rho[1]
+            phi = {1: pkk}
+            sig = 1.0 - pkk * pkk
+        else:
+            num = rho[k] - sum(
+                phi_prev[j] * rho[k - j] for j in range(1, k)
+            )
+            pkk = num / sig
+            phi = {
+                j: phi_prev[j] - pkk * phi_prev[k - j] for j in range(1, k)
+            }
+            phi[k] = pkk
+            sig = sig * (1.0 - pkk * pkk)
+        phi_prev = phi
+        assert abs(df.loc[k, "rho"] - rho[k]) <= 1e-4
+        assert abs(df.loc[k, "pacf"] - pkk) <= 1e-3
+    # PACF at lag 1 equals ACF at lag 1 by construction
+    assert abs(df.loc[1, "pacf"] - df.loc[1, "rho"]) <= 1e-9
+
+
+def test_shuffle_advisor_matches_naive(spark):
+    import hashlib
+
+    df = (
+        REGISTRY["q350_shuffle_advisor"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("n_partitions")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    hs = [
+        int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16)
+        for u in ev["user_id"]
+    ]
+    for c in (8, 32, 128):
+        counts: dict[int, int] = {}
+        for h in hs:
+            counts[h % c] = counts.get(h % c, 0) + 1
+        mx, tot = max(counts.values()), sum(counts.values())
+        assert int(df.loc[c, "n_used"]) == len(counts)
+        assert int(df.loc[c, "n_empty"]) == c - len(counts)
+        assert int(df.loc[c, "max_rows"]) == mx
+        assert abs(df.loc[c, "skew_ratio"] - mx * c / tot) <= 1e-3
+        assert abs(df.loc[c, "max_share"] - mx / tot) <= 1e-4
+    # more partitions => max_share can only shrink or hold
+    shares = [df.loc[c, "max_share"] for c in (8, 32, 128)]
+    assert shares[0] >= shares[1] >= shares[2]
+
+
+def test_shapley_efficiency_and_naive(spark):
+    import itertools
+    import math as _m
+
+    df = (
+        REGISTRY["q351_shapley_attribution"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("channel")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    fp = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby("user_id")["ts"]
+        .min()
+        .to_dict()
+    )
+    sets: dict[int, set] = {}
+    conv: dict[int, int] = {}
+    for _, r in ev[ev["event_type"] != "purchase"].iterrows():
+        u = int(r["user_id"])
+        if u in fp and not (r["ts"] < fp[u]):
+            continue
+        sets.setdefault(u, set()).add(r["event_type"])
+        conv[u] = 1 if u in fp else 0
+    chans = sorted({c for s in sets.values() for c in s})
+    uN = len(chans)
+    vm: dict[frozenset, list] = {}
+    for u, s in sets.items():
+        k = frozenset(s)
+        vm.setdefault(k, [0, 0])
+        vm[k][0] += 1
+        vm[k][1] += conv[u]
+
+    def v(S):
+        k = frozenset(S)
+        if not k or k not in vm:
+            return 0.0
+        nu, nc = vm[k]
+        return nc / nu
+
+    for c in chans:
+        others = [x for x in chans if x != c]
+        phi = 0
+        for rsz in range(uN):
+            for S in itertools.combinations(others, rsz):
+                w = (
+                    _m.factorial(len(S))
+                    * _m.factorial(uN - len(S) - 1)
+                    / _m.factorial(uN)
+                )
+                phi += round(1e8 * w * (v(set(S) | {c}) - v(S)))
+        want = round(phi / 1e8, 4)
+        assert abs(df.loc[c, "phi"] - want) <= 2e-4
+        assert int(df.loc[c, "n_touched"]) == sum(
+            1 for s in sets.values() if c in s
+        )
+    # efficiency: Σ φ_c = v(full coalition)
+    assert abs(df["phi"].sum() - v(set(chans))) <= 5e-4 * uN
+
+
+def test_bloom_fpp_audit_matches_naive(spark):
+    import hashlib
+
+    row = (
+        REGISTRY["q352_bloom_fpp_audit"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    mem = sorted(set(docs.loc[docs["lang"] == "en", "doc_id"].astype(int)))
+    prb = sorted(set(docs.loc[docs["lang"] != "en", "doc_id"].astype(int)))
+    M, K = 4096, 3
+
+    def pos(i, d):
+        return int(
+            hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16
+        ) % M
+
+    bits = {pos(i, d) for d in mem for i in (1, 2, 3)}
+    fp = sum(
+        1 for d in prb if all(pos(i, d) in bits for i in (1, 2, 3))
+    )
+    theory = (1 - (1 - 1 / M) ** (K * len(mem))) ** K
+    assert int(row["n_members"]) == len(mem)
+    assert int(row["n_probes"]) == len(prb)
+    assert int(row["n_bits_set"]) == len(bits)
+    assert int(row["fp_count"]) == fp
+    assert abs(row["fp_rate"] - fp / len(prb)) <= 1e-4
+    assert abs(row["fp_theory"] - theory) <= 1e-4

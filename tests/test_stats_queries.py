@@ -689,3 +689,217 @@ def test_partial_correlation_matches_naive(spark):
     assert abs(row["r_yz"] - ryz) <= 1e-3
     assert abs(row["r_partial"] - part) <= 1e-3
     assert -1.0 <= row["r_partial"] <= 1.0
+
+
+def test_silhouette_matches_naive(spark):
+    df = (
+        REGISTRY["q335_silhouette"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("label")
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    import numpy as np
+
+    vecs = {
+        int(r["vec_id"]): np.round(1e6 * np.array(r["embedding"])).astype(
+            "int64"
+        )
+        + 1_000_000
+        for _, r in emb.iterrows()
+    }
+    labels = dict(zip(emb["vec_id"].astype(int), emb["label"].astype(int)))
+    cents = {}
+    for lab in sorted(set(labels.values())):
+        ids = [i for i, l in labels.items() if l == lab]
+        m = np.stack([vecs[i] for i in ids])
+        cents[lab] = np.floor_divide(m.sum(axis=0), len(ids))
+    sums = {}
+    counts = {}
+    for i, lab in labels.items():
+        d = {
+            cl: float(np.sqrt(((vecs[i] - c) ** 2).sum()))
+            for cl, c in cents.items()
+        }
+        a = d[lab]
+        b = min(v for cl, v in d.items() if cl != lab)
+        si = round(1e6 * (b - a) / max(a, b))
+        sums[lab] = sums.get(lab, 0) + si
+        counts[lab] = counts.get(lab, 0) + 1
+    for lab in cents:
+        want = round(sums[lab] / 1e6 / counts[lab], 4)
+        assert int(df.loc[lab, "n"]) == counts[lab]
+        assert abs(df.loc[lab, "mean_silhouette"] - want) <= 2e-4
+    # silhouette is bounded
+    assert (df["mean_silhouette"] >= -1.0).all()
+    assert (df["mean_silhouette"] <= 1.0).all()
+
+
+def test_lsh_planner_closed_form(spark):
+    df = REGISTRY["q336_lsh_planner"].spark(spark, SF_DIR).toPandas()
+    for _, r in df.iterrows():
+        b, rr, t = int(r["bands"]), int(r["rows_per_band"]), r["target_j"]
+        assert b * rr <= 64
+        p = 1 - (1 - t**rr) ** b
+        fp = 1 - (1 - 0.3**rr) ** b
+        assert abs(r["p_detect"] - p) <= 1e-3
+        assert abs(r["p_fp"] - fp) <= 1e-3
+        assert abs(r["score"] - (p - fp)) <= 2e-3
+    # top-3 per target, rank-1 score dominates within each target
+    for t, g in df.groupby("target_j"):
+        g = g.sort_values("rk")
+        assert list(g["rk"]) == [1, 2, 3]
+        assert g.iloc[0]["score"] >= g.iloc[1]["score"] - 1e-9
+    # the production 80%-threshold layout family should surface near the
+    # top for t=0.8 (the q27 4-band x 3-row choice trades budget down)
+    t8 = df[df["target_j"] == 0.8]
+    assert t8.iloc[0]["p_detect"] > 0.9
+
+
+def test_filter_cascade_matches_naive(spark):
+    df = REGISTRY["q337_filter_cascade"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    n = len(docs)
+    toks = docs["text"].str.split(" ").apply(lambda t: [x for x in t if x])
+    want = {
+        "length": int((docs["n_chars"] >= 100).sum()),
+        "lang": int((docs["lang"] == "en").sum()),
+        "stopword": int(
+            (" " + docs["text"].str.lower() + " ")
+            .str.contains(" the ", regex=False)
+            .sum()
+        ),
+        "tokens": int((toks.str.len() >= 20).sum()),
+    }
+    costs = {"length": 1, "lang": 1, "stopword": 5, "tokens": 10}
+    got = df.set_index("filter")
+    for f, np_ in want.items():
+        assert int(got.loc[f, "n_pass"]) == np_
+        assert got.loc[f, "sel"] == round(np_ / n, 4)
+        dpc = (1 - np_ / n) / costs[f]
+        assert abs(got.loc[f, "drop_per_cost"] - dpc) <= 1e-3
+    # ranking is by drop-per-cost descending
+    ordered = df.sort_values("opt_rank")["drop_per_cost"]
+    assert all(
+        x >= y - 1e-9 for x, y in zip(ordered, ordered[1:])
+    )
+
+
+def _daily_counts():
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    return days.value_counts().sort_index().to_list()
+
+
+def test_jarque_bera_matches_naive(spark):
+    df = (
+        REGISTRY["q338_jarque_bera"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    for et, g in ev.groupby("event_type"):
+        v = (100.0 * g["value"]).round().astype("int64") / 100.0
+        n = len(v)
+        mu = v.mean()
+        m2 = ((v - mu) ** 2).mean()
+        m3 = ((v - mu) ** 3).mean()
+        m4 = ((v - mu) ** 4).mean()
+        g1 = m3 / m2**1.5
+        g2 = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (g1**2 + g2**2 / 4.0)
+        assert int(df.loc[et, "n"]) == n
+        assert abs(df.loc[et, "skewness"] - g1) <= 1e-3
+        assert abs(df.loc[et, "ex_kurtosis"] - g2) <= 1e-3
+        assert abs(df.loc[et, "jb"] - jb) <= max(1e-2, 1e-3 * jb)
+
+
+def test_ljung_box_matches_naive(spark):
+    df = (
+        REGISTRY["q339_ljung_box"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("lag")
+    )
+    x = _daily_counts()
+    n = len(x)
+    mu = sum(x) / n
+    den = sum((v - mu) ** 2 for v in x)
+    q = 0.0
+    for k in range(1, 8):
+        rho = (
+            sum((x[i] - mu) * (x[i + k] - mu) for i in range(n - k)) / den
+        )
+        q += rho**2 / (n - k)
+        want_q = n * (n + 2) * q
+        assert abs(df.loc[k, "rho"] - rho) <= 1e-3
+        assert abs(df.loc[k, "q_stat"] - want_q) <= max(1e-2, 1e-3 * want_q)
+    # Q is cumulative, so it must be non-decreasing in the lag
+    assert df["q_stat"].is_monotonic_increasing
+
+
+def test_durbin_watson_matches_naive(spark):
+    row = (
+        REGISTRY["q340_durbin_watson"].spark(spark, SF_DIR).toPandas().iloc[0]
+    )
+    x = _daily_counts()
+    n = len(x)
+    ts = list(range(1, n + 1))
+    st, sx = sum(ts), sum(x)
+    stt = sum(t * t for t in ts)
+    stx = sum(t * v for t, v in zip(ts, x))
+    slope = (n * stx - st * sx) / (n * stt - st * st)
+    icept = (sx - slope * st) / n
+    e = [
+        round(1e6 * (v - (icept + slope * t))) / 1e6
+        for t, v in zip(ts, x)
+    ]
+    dw = sum(
+        (e[i] - e[i - 1]) ** 2 for i in range(1, n)
+    ) / sum(v**2 for v in e)
+    assert int(row["n_days"]) == n
+    assert abs(row["slope"] - slope) <= 1e-3
+    assert abs(row["dw"] - dw) <= 1e-3
+    assert abs(row["rho1_approx"] - (1 - dw / 2)) <= 1e-3
+
+
+def test_ses_forecast_matches_naive(spark):
+    df = (
+        REGISTRY["q341_ses_forecast"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("t")
+    )
+    x = _daily_counts()
+    level = float(x[0])
+    for t in range(2, len(x) + 1):
+        # forecast for step t is the level after observing x[0..t-2]
+        assert abs(df.loc[t, "forecast"] - level) <= 2e-3
+        assert int(df.loc[t, "x"]) == x[t - 1]
+        assert abs(df.loc[t, "err"] - (x[t - 1] - level)) <= 4e-3
+        level = 0.5 * x[t - 1] + 0.5 * level
+    assert 1 not in df.index  # no forecast for the first day
+
+
+def test_hampel_filter_matches_naive(spark):
+    df = (
+        REGISTRY["q342_hampel_filter"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("t")
+    )
+    import statistics
+
+    x = _daily_counts()
+    n = len(x)
+    for t in range(1, n + 1):
+        lo, hi = max(1, t - 3), min(n, t + 3)
+        nbr = [float(x[j - 1]) for j in range(lo, hi + 1)]
+        med = statistics.median(nbr)
+        mad = statistics.median([abs(v - med) for v in nbr])
+        flag = 1 if abs(x[t - 1] - med) > 3.0 * 1.4826 * mad else 0
+        assert int(df.loc[t, "x"]) == x[t - 1]
+        assert abs(df.loc[t, "med"] - med) <= 1e-6
+        assert abs(df.loc[t, "mad"] - mad) <= 1e-6
+        assert int(df.loc[t, "is_outlier"]) == flag
