@@ -743,3 +743,120 @@ def q347_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rk"),
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# q357 — decision-stump feature screen: for every embedding dimension,
+# split the corpus at that dimension's median and score the split by
+# weighted Gini impurity over the 10 labels; rank dimensions (lowest
+# impurity = most label-separating single feature). The univariate
+# feature-importance scan run before committing features to a model —
+# the supervised companion to q199's unsupervised feature stats.
+# Parity: values are frozen to micro-ints; the median of micro-ints is
+# an exact multiple of 0.5 on both engines (linear interpolation over
+# integers), and no micro-int ever equals it, so the split is knife-edge
+# free; per-side per-label counts are exact integers and weighted Gini
+# reduces to (n_l − Σc n_lc²/n_l + n_r − Σc n_rc²/n_r)/n — one double
+# expression of integer sums. 4dp.
+# Scale: posexplode is the constant d=64 narrow expansion; medians are
+# one (dim) aggregate; split counts are one (dim, side, label) keyed
+# aggregate (map-side combinable); ranking runs on 64 rows.
+# --------------------------------------------------------------------------
+_STUMP_TOPK = 10
+
+
+@register(
+    "q357_gini_stump_scan",
+    oracle=f"""
+WITH flat AS (
+    SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+           CAST(ROUND(1000000.0 * UNNEST(embedding)) AS BIGINT) AS v
+    FROM embeddings
+),
+med AS (
+    SELECT dim, QUANTILE_CONT(CAST(v AS DOUBLE), 0.5) AS thr
+    FROM flat GROUP BY dim
+),
+sided AS (
+    SELECT f.dim, f.label,
+           CASE WHEN f.v <= m.thr THEN 0 ELSE 1 END AS side
+    FROM flat f JOIN med m ON m.dim = f.dim
+),
+cells AS (
+    SELECT dim, side, label, CAST(COUNT(*) AS BIGINT) AS c
+    FROM sided GROUP BY dim, side, label
+),
+sides AS (
+    SELECT dim, side, CAST(SUM(c) AS BIGINT) AS ns,
+           CAST(SUM(c * c) AS BIGINT) AS sc2
+    FROM cells GROUP BY dim, side
+),
+gini AS (
+    SELECT dim,
+           CAST(SUM(ns) AS BIGINT) AS n,
+           SUM(ns - CAST(sc2 AS DOUBLE) / ns) AS impur_num
+    FROM sides GROUP BY dim
+),
+ranked AS (
+    SELECT CAST(dim AS BIGINT) AS dim, n,
+           ROUND(impur_num / n, 4) AS gini_split,
+           ROW_NUMBER() OVER (ORDER BY ROUND(impur_num / n, 4) ASC,
+                              dim ASC) AS rk
+    FROM gini
+)
+SELECT dim, gini_split, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_STUMP_TOPK}
+ORDER BY rk
+""",
+    tags=("ml-prep", "A12", "O6"),
+)
+def q357_gini_stump_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 label-separating embedding dimensions by median-split
+    weighted Gini impurity: (dim, gini_split, rk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "raw")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.round(1000000.0 * F.col("raw")).cast("long").alias("v"),
+    )
+    med = flat.groupBy("dim").agg(
+        F.expr("percentile(CAST(v AS DOUBLE), 0.5)").alias("thr")
+    )
+    sided = flat.join(F.broadcast(med), "dim").select(
+        "dim",
+        "label",
+        F.when(F.col("v") <= F.col("thr"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("side"),
+    )
+    cells = sided.groupBy("dim", "side", "label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    sides = cells.groupBy("dim", "side").agg(
+        F.sum("c").alias("ns"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    gini = sides.groupBy("dim").agg(
+        F.sum("ns").alias("n"),
+        F.sum(
+            F.col("ns") - F.col("sc2").cast("double") / F.col("ns")
+        ).alias("impur_num"),
+    )
+    scored = gini.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.round(F.col("impur_num") / F.col("n"), 4).alias("gini_split"),
+    )
+    # 64-row relation: top-k via sort+limit, then a bounded rank window
+    top = scored.orderBy(F.asc("gini_split"), F.asc("dim")).limit(
+        _STUMP_TOPK
+    )
+    return top.select(
+        "dim",
+        "gini_split",
+        F.row_number()
+        .over(Window.orderBy(F.asc("gini_split"), F.asc("dim")))
+        .cast("long")
+        .alias("rk"),
+    ).orderBy("rk")

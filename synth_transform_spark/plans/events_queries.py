@@ -6875,3 +6875,225 @@ def q351_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# q355 — funnel conversion rates with Wilson 95% score intervals: per
+# step (click → signup-after-first-click → purchase-after-first-signup),
+# the conversion rate out of the previous step's population plus the
+# Wilson lower/upper bounds — the uncertainty-aware funnel read that
+# q87's point estimates and q237's bootstrap (expensive) bracket. Wilson
+# is closed-form: center (p + z²/2n)/(1 + z²/n), half-width
+# z·sqrt(p(1−p)/n + z²/4n²)/(1 + z²/n) at z = 1.96.
+# Parity: step populations are exact integer counts from min-ts
+# chaining (q201's discipline); every bound is a single double
+# expression over (k, n). 4dp.
+# Scale: three user-keyed min aggregates (uniform user_id shuffles) and
+# 1-row count reduces; the CI algebra runs on 3 rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q355_funnel_wilson_ci",
+    oracle="""
+WITH c AS (
+    SELECT user_id, MIN(ts) AS cts FROM events
+    WHERE event_type = 'click' GROUP BY user_id
+),
+s AS (
+    SELECT e.user_id, MIN(e.ts) AS sts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'signup' AND e.ts > c.cts
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS pts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s.sts
+    GROUP BY e.user_id
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n0 FROM events),
+steps AS (
+    SELECT 1 AS step, 'click' AS name,
+           (SELECT n0 FROM tot) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS k
+    UNION ALL
+    SELECT 2, 'signup_after_click',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s)
+    UNION ALL
+    SELECT 3, 'purchase_after_signup',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+)
+SELECT CAST(step AS BIGINT) AS step, name, n, k,
+       ROUND(CAST(k AS DOUBLE) / n, 4) AS rate,
+       ROUND(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+              - 1.96 * SQRT((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n), 4) AS wilson_lo,
+       ROUND(((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+              + 1.96 * SQRT((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n), 4) AS wilson_hi
+FROM steps ORDER BY step
+""",
+    tags=("attribution", "inferential", "A2"),
+)
+def q355_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step conversions with Wilson 95% intervals:
+    (step, name, n, k, rate, wilson_lo, wilson_hi)."""
+    events = load_table(spark, sf_dir, "events")
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("sts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("sts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    n0 = events.agg(F.countDistinct("user_id").alias("n0"))
+    nc = c.agg(F.count(F.lit(1)).alias("nc"))
+    ns = s.agg(F.count(F.lit(1)).alias("ns"))
+    np_ = p.agg(F.count(F.lit(1)).alias("np"))
+    base = (
+        n0.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(np_))
+    )
+    steps = (
+        base.select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit("click").alias("name"),
+            F.col("n0").cast("long").alias("n"),
+            F.col("nc").cast("long").alias("k"),
+        )
+        .unionByName(
+            base.select(
+                F.lit(2).cast("long").alias("step"),
+                F.lit("signup_after_click").alias("name"),
+                F.col("nc").cast("long").alias("n"),
+                F.col("ns").cast("long").alias("k"),
+            )
+        )
+        .unionByName(
+            base.select(
+                F.lit(3).cast("long").alias("step"),
+                F.lit("purchase_after_signup").alias("name"),
+                F.col("ns").cast("long").alias("n"),
+                F.col("np").cast("long").alias("k"),
+            )
+        )
+    )
+    z = F.lit(1.96)
+    pr = F.col("k").cast("double") / F.col("n")
+    center = pr + z * z / (2.0 * F.col("n"))
+    half = z * F.sqrt(
+        pr * (F.lit(1.0) - pr) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = F.lit(1.0) + z * z / F.col("n")
+    return steps.select(
+        "step",
+        "name",
+        "n",
+        "k",
+        F.round(pr, 4).alias("rate"),
+        F.round((center - half) / denom, 4).alias("wilson_lo"),
+        F.round((center + half) / denom, 4).alias("wilson_hi"),
+    ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# q358 — stream-stream LEFT OUTER interval join EXECUTED AS A STREAM
+# (q67's inner join answers "which errors had a nearby click"; this one
+# also answers "which errors had NONE" — the alerting shape). Unmatched
+# rows are only emitted once the watermark passes l_ts + window and join
+# state is evicted, and under availableNow rows younger than the final
+# watermark never emit — so the DECLARED relation post-filters unmatched
+# rows to the provably-flushed region l_ts + 600s ≤ W − 1h, where
+# W = min(max error ts, max click ts) − 2h. The 1-hour margin keeps the
+# declared boundary strictly inside Spark's eviction boundary, so the
+# engine's internal >-vs-≥ eviction detail can never surface (empirical
+# check: at sf0.001 the stream emits exactly the batch-flushed set).
+# Parity: the batch oracle replicates the join and the same W cutoff on
+# raw µs timestamps; outputs truncate to seconds; matched flag integer.
+# Scale: watermark bounds join state to ±window + delay per user; the
+# post-filter is a broadcast of a 1-row aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q358_streaming_outer_join",
+    oracle="""
+WITH l AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+r AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+m AS (
+    SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts
+    FROM l JOIN r ON r.user_id = l.user_id
+       AND r.ts BETWEEN l.ts - INTERVAL 600 SECONDS
+                    AND l.ts + INTERVAL 600 SECONDS
+),
+wm AS (
+    SELECT LEAST((SELECT MAX(ts) FROM l), (SELECT MAX(ts) FROM r))
+           - INTERVAL 2 HOURS - INTERVAL 1 HOUR AS w
+)
+SELECT event_id, user_id, DATE_TRUNC('second', ts) AS ts,
+       DATE_TRUNC('second', matched_ts) AS matched_ts,
+       CAST(1 AS BIGINT) AS matched
+FROM m
+UNION ALL
+SELECT l.event_id, l.user_id, DATE_TRUNC('second', l.ts) AS ts,
+       NULL AS matched_ts, CAST(0 AS BIGINT) AS matched
+FROM l CROSS JOIN wm
+WHERE l.event_id NOT IN (SELECT event_id FROM m)
+  AND l.ts + INTERVAL 600 SECONDS <= wm.w
+""",
+    tags=("streaming-interval-join", "J8"),
+)
+def q358_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer stream-stream interval join with a watermark-safe
+    declared region: (event_id, user_id, ts, matched_ts, matched)."""
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    out = se.run_available_now(
+        se.interval_join_outer(stream, "error", "click", window_sec=600),
+        "q358_sink",
+    )
+    batch = load_table(spark, sf_dir, "events")
+    wm = (
+        batch.filter(F.col("event_type") == "error")
+        .agg(F.max("ts").alias("ml"))
+        .crossJoin(
+            batch.filter(F.col("event_type") == "click").agg(
+                F.max("ts").alias("mr")
+            )
+        )
+        .select(
+            (
+                F.least("ml", "mr") - F.expr("INTERVAL 3 HOURS")
+            ).alias("w")
+        )
+    )
+    return out.crossJoin(F.broadcast(wm)).filter(
+        F.col("matched_ts").isNotNull()
+        | (F.col("ts") + F.expr("INTERVAL 600 SECONDS") <= F.col("w"))
+    ).select(
+        "event_id",
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts"),
+        F.date_trunc("second", "matched_ts").alias("matched_ts"),
+        F.col("matched_ts").isNotNull().cast("long").alias("matched"),
+    )

@@ -1797,3 +1797,161 @@ def q270_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.mmr_select(
         emb, queries, k=_MMR_K, pool_size=_MMR_POOL, lam=0.7
     ).orderBy("mmr_rank")
+
+
+# ---------------------------------------------------------------------------
+# q356 — kNN-graph quality audit over a deterministic sample: build the
+# exact k=5 cosine-neighbour graph WITHIN an md5-ordered 256-vector
+# sample and report, per label, the mutual-edge rate (a→b with b→a —
+# low mutuality predicts poor ANN recall) and the maximum in-degree
+# (hubness — high-hub spaces break graph-based ANN). The index-health
+# check run BEFORE committing to an HNSW/IVF build, complementing q195
+# (LSH P/R) and q257 (SRP distortion).
+# Parity: the sample is the md5(vec_id) order prefix (engine-portable);
+# cosine is the shared position-joined double formula rounded 4dp before
+# ranking with neighbor-id tie-break; mutuality and in-degree are exact
+# integer counts on the materialized edge list. 4dp rates.
+# Scale: sampling IS the scale story — the audit is statistical, so it
+# runs on a fixed-size sample regardless of corpus size; within the
+# sample the top-k uses the sharded two-phase reducer (no per-query
+# funnel). At 100 TB only the md5 order-prefix scan touches the corpus.
+# ---------------------------------------------------------------------------
+_KNN_SAMPLE = 256
+_KNN_K = 5
+
+
+@register(
+    "q356_knn_graph_audit",
+    oracle=f"""
+WITH sample AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+    LIMIT {_KNN_SAMPLE}
+),
+qflat AS (
+    SELECT vec_id AS query_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM sample
+),
+norms AS (
+    SELECT query_id AS vid, SQRT(SUM(x * x)) AS nrm
+    FROM qflat GROUP BY query_id
+),
+dots AS (
+    SELECT qf.query_id, vf.query_id AS neighbor_id, SUM(qf.x * vf.x) AS dot
+    FROM qflat qf JOIN qflat vf ON vf.i = qf.i
+    WHERE qf.query_id <> vf.query_id
+    GROUP BY qf.query_id, vf.query_id
+),
+scored AS (
+    SELECT d.query_id, d.neighbor_id,
+           ROUND(d.dot / (nq.nrm * nv.nrm), 4) AS cosine
+    FROM dots d
+    JOIN norms nq ON nq.vid = d.query_id
+    JOIN norms nv ON nv.vid = d.neighbor_id
+),
+knn AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC)
+                   AS rk
+        FROM scored
+    ) t WHERE rk <= {_KNN_K}
+),
+mut AS (
+    SELECT a.query_id,
+           CASE WHEN b.query_id IS NULL THEN 0 ELSE 1 END AS m
+    FROM knn a
+    LEFT JOIN knn b ON b.query_id = a.neighbor_id
+                   AND b.neighbor_id = a.query_id
+),
+per_node AS (
+    SELECT s.vec_id, s.label,
+           COALESCE(e.n_edges, 0) AS n_edges,
+           COALESCE(e.n_mutual, 0) AS n_mutual,
+           COALESCE(i.indeg, 0) AS indeg
+    FROM sample s
+    LEFT JOIN (SELECT query_id, COUNT(*) AS n_edges,
+                      SUM(m) AS n_mutual
+               FROM mut GROUP BY query_id) e ON e.query_id = s.vec_id
+    LEFT JOIN (SELECT neighbor_id, COUNT(*) AS indeg
+               FROM knn GROUP BY neighbor_id) i ON i.neighbor_id = s.vec_id
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+       CAST(SUM(n_mutual) AS BIGINT) AS n_mutual,
+       ROUND(CAST(SUM(n_mutual) AS DOUBLE) / SUM(n_edges), 4)
+           AS mutual_rate,
+       CAST(MAX(indeg) AS BIGINT) AS max_indeg
+FROM per_node GROUP BY label ORDER BY label
+""",
+    tags=("similarity", "ml-eval", "A12"),
+)
+def q356_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-rate + hubness audit of the exact k=5 cosine kNN graph on
+    an md5-sampled 256-vector subset:
+    (label, n_nodes, n_edges, n_mutual, mutual_rate, max_indeg)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..caching import persist_tracked
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    sample = persist_tracked(
+        emb.orderBy(
+            F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+        ).limit(_KNN_SAMPLE)
+    )
+    knn = similarity.cosine_topk(
+        sample, sample.select("vec_id", "embedding"), k=_KNN_K
+    ).select("query_id", "neighbor_id")
+    knn = persist_tracked(knn)
+    rev = knn.select(
+        F.col("query_id").alias("r_nb"), F.col("neighbor_id").alias("r_q")
+    )
+    mut = knn.join(
+        rev,
+        (F.col("r_q") == F.col("query_id"))
+        & (F.col("r_nb") == F.col("neighbor_id")),
+        "left",
+    ).select(
+        "query_id",
+        F.when(F.col("r_q").isNull(), F.lit(0)).otherwise(F.lit(1)).alias(
+            "m"
+        ),
+    )
+    e = mut.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_edges"), F.sum("m").alias("n_mutual")
+    )
+    i = knn.groupBy(F.col("neighbor_id")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    per_node = (
+        sample.select("vec_id", "label")
+        .join(F.broadcast(e), F.col("query_id") == F.col("vec_id"), "left")
+        .drop("query_id")
+        .join(
+            F.broadcast(i), F.col("neighbor_id") == F.col("vec_id"), "left"
+        )
+        .drop("neighbor_id")
+        .select(
+            "label",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
+    )
+    return (
+        per_node.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("n_edges").cast("long").alias("n_edges"),
+            F.sum("n_mutual").cast("long").alias("n_mutual"),
+            F.round(
+                F.sum("n_mutual").cast("double") / F.sum("n_edges"), 4
+            ).alias("mutual_rate"),
+            F.max("indeg").cast("long").alias("max_indeg"),
+        )
+        .orderBy("label")
+    )

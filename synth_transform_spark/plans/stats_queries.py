@@ -3563,3 +3563,187 @@ def q349_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lag")
+
+
+# --------------------------------------------------------------------------
+# q353 - Tukey HSD post-hoc pairwise comparisons after q332's one-way
+# ANOVA (n_chars by lang): for every language pair, the studentized-range
+# statistic q = |mean_i - mean_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) with
+# the pooled within-group mean square. The "WHICH groups differ" readout
+# an omnibus F can't give.
+# Parity: per-group n/Sx/Sxx are exact integers; SSW uses the exact
+# identity SSW = sum_i (Sxx_i - Sx_i^2/n_i) evaluated as one double
+# expression per group frozen to round(1e4*term) before the cross-group
+# sum; means, MSW and q are single double expressions. 4dp.
+# Scale: one (lang) keyed aggregate; the pair lattice is the bounded
+# lang dim squared (~tens of rows) with the 1-row MSW broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q353_tukey_hsd",
+    oracle="""
+WITH g AS (
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sx,
+           CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+    FROM documents GROUP BY lang
+),
+ssw AS (
+    SELECT CAST(SUM(CAST(ROUND(10000.0 *
+               (sxx - CAST(sx AS DOUBLE) * sx / n)) AS BIGINT)) AS BIGINT)
+               AS ssw_t,
+           CAST(SUM(n) AS BIGINT) AS nn,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM g
+),
+msw AS (
+    SELECT ssw_t / 10000.0 / (nn - k) AS msw FROM ssw
+)
+SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b,
+       ROUND(CAST(a.sx AS DOUBLE) / a.n
+             - CAST(b.sx AS DOUBLE) / b.n, 4) AS mean_diff,
+       ROUND(ABS(CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+             / SQRT(m.msw / 2.0 * (1.0 / a.n + 1.0 / b.n)), 4) AS q_stat
+FROM g a JOIN g b ON a.lang < b.lang
+CROSS JOIN msw m
+ORDER BY lang_a, lang_b
+""",
+    tags=("inferential", "A12", "J15"),
+)
+def q353_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD pairwise studentized-range statistics for n_chars by
+    lang: (lang_a, lang_b, n_a, n_b, mean_diff, q_stat)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    ssw = g.agg(
+        F.sum(
+            F.round(
+                10000.0
+                * (
+                    F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+                )
+            ).cast("long")
+        ).alias("ssw_t"),
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    msw = ssw.select(
+        (F.col("ssw_t") / 10000.0 / (F.col("nn") - F.col("k"))).alias("msw")
+    )
+    a = g.select(
+        F.col("lang").alias("lang_a"),
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+    )
+    b = g.select(
+        F.col("lang").alias("lang_b"),
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+    )
+    mean_a = F.col("sx_a").cast("double") / F.col("n_a")
+    mean_b = F.col("sx_b").cast("double") / F.col("n_b")
+    return (
+        a.join(F.broadcast(b), F.col("lang_a") < F.col("lang_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "lang_a",
+            "lang_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(mean_a - mean_b, 4).alias("mean_diff"),
+            F.round(
+                F.abs(mean_a - mean_b)
+                / F.sqrt(
+                    F.col("msw")
+                    / 2.0
+                    * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+                ),
+                4,
+            ).alias("q_stat"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q354 - Poisson overdispersion test of per-type daily event counts: the
+# dispersion index D = (n-1)*s^2/mean against its chi-square null, with
+# the normal-approximation z = (D - (n-1)) / sqrt(2*(n-1)). "Is this
+# arrival process Poisson or bursty" - the capacity-planning gate that
+# decides whether mean-based provisioning (q320 peak concurrency reads
+# the other side) is even meaningful.
+# Parity: daily counts are exact integers; n/Sx/Sxx are exact; s^2, D
+# and z are single double expressions over them. 4dp.
+# Scale: one (type, day) keyed aggregate then a (type) keyed reduce over
+# the calendar-bounded relation.
+# --------------------------------------------------------------------------
+@register(
+    "q354_dispersion_test",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM daily GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_daily,
+       ROUND((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+             / (CAST(n AS DOUBLE) * (n - 1)), 4) AS var_daily,
+       ROUND(((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+              / (CAST(n AS DOUBLE) * (n - 1))) * (n - 1)
+             / (CAST(sx AS DOUBLE) / n), 4) AS dispersion,
+       ROUND((((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+               / (CAST(n AS DOUBLE) * (n - 1))) * (n - 1)
+              / (CAST(sx AS DOUBLE) / n) - (n - 1))
+             / SQRT(2.0 * (n - 1)), 4) AS z,
+       CAST(CASE WHEN (((n * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx)
+                        / (CAST(n AS DOUBLE) * (n - 1))) * (n - 1)
+                       / (CAST(sx AS DOUBLE) / n) - (n - 1))
+                      / SQRT(2.0 * (n - 1)) > 2.0
+                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+FROM s ORDER BY event_type
+""",
+    tags=("timeseries", "capacity", "A12"),
+)
+def q354_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion index of daily counts per event type:
+    (event_type, n, mean_daily, var_daily, dispersion, z,
+    overdispersed)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    var = (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1))
+    disp = var * (F.col("n") - 1) / (F.col("sx").cast("double") / F.col("n"))
+    z = (disp - (F.col("n") - 1)) / F.sqrt(2.0 * (F.col("n") - 1))
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("sx").cast("double") / F.col("n"), 4).alias(
+            "mean_daily"
+        ),
+        F.round(var, 4).alias("var_daily"),
+        F.round(disp, 4).alias("dispersion"),
+        F.round(z, 4).alias("z"),
+        (z > 2.0).cast("long").alias("overdispersed"),
+    ).orderBy("event_type")

@@ -289,3 +289,55 @@ def two_level_hourly(stream: DataFrame, watermark: str = "2 hours") -> DataFrame
         F.col("total_events").cast("long").alias("total_events"),
         F.col("max_type_n").cast("long").alias("max_type_n"),
     )
+
+
+def interval_join_outer(
+    stream: DataFrame,
+    left_type: str = "error",
+    right_type: str = "click",
+    window_sec: int = 600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every left event with its
+    right-side matches of the same user within ``±window_sec``, plus a
+    null-match row for left events that found none — emitted once the
+    watermark passes ``l_ts + window_sec`` and the buffered state is
+    evicted (Spark's required shape: watermark directly on BOTH join
+    event-time columns and a two-sided range condition; a derived
+    event-time column — e.g. date_trunc — breaks outer-join eligibility,
+    which is why the condition binds raw ts here unlike interval_join).
+
+    availableNow caveat (the q358 contract): rows younger than the final
+    watermark (min of both sides' max ts − delay) are still in state at
+    query end and never emit a null row. Callers that need a
+    deterministic relation must post-filter unmatched rows to the
+    provably-flushed region — q358 keeps ``l_ts + window ≤ W − 1h``.
+    """
+    l = (
+        stream.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_event_id"),
+            F.col("user_id").alias("l_user_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        stream.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    cond = (
+        (F.col("l_user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_sec} SECONDS"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {window_sec} SECONDS"))
+    )
+    return l.join(r, cond, "leftOuter").select(
+        F.col("l_event_id").alias("event_id"),
+        F.col("l_user_id").alias("user_id"),
+        F.col("l_ts").alias("ts"),
+        F.col("r_ts").alias("matched_ts"),
+    )

@@ -412,3 +412,207 @@ def test_bloom_fpp_audit_matches_naive(spark):
     assert int(row["fp_count"]) == fp
     assert abs(row["fp_rate"] - fp / len(prb)) <= 1e-4
     assert abs(row["fp_theory"] - theory) <= 1e-4
+
+
+def test_tukey_hsd_matches_naive(spark):
+    df = REGISTRY["q353_tukey_hsd"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    g = docs.groupby("lang")["n_chars"]
+    stats = {
+        lang: (len(v), float(v.sum()), float((v**2).sum()))
+        for lang, v in g
+    }
+    ssw = sum(
+        round(1e4 * (sxx - sx * sx / n)) / 1e4
+        for n, sx, sxx in stats.values()
+    )
+    nn = sum(n for n, _, _ in stats.values())
+    msw = ssw / (nn - len(stats))
+    for _, r in df.iterrows():
+        na, sa, _ = stats[r["lang_a"]]
+        nb, sb, _ = stats[r["lang_b"]]
+        md = sa / na - sb / nb
+        q = abs(md) / math.sqrt(msw / 2 * (1 / na + 1 / nb))
+        assert int(r["n_a"]) == na and int(r["n_b"]) == nb
+        assert abs(r["mean_diff"] - md) <= 1e-3
+        assert abs(r["q_stat"] - q) <= 1e-3
+    k = len(stats)
+    assert len(df) == k * (k - 1) // 2
+
+
+def test_dispersion_matches_naive(spark):
+    df = (
+        REGISTRY["q354_dispersion_test"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    for et in sorted(ev["event_type"].unique()):
+        x = days[ev["event_type"] == et].value_counts().to_numpy()
+        n = len(x)
+        var = float(x.var(ddof=1))
+        mean = float(x.mean())
+        d = (n - 1) * var / mean
+        z = (d - (n - 1)) / math.sqrt(2 * (n - 1))
+        assert int(df.loc[et, "n"]) == n
+        assert abs(df.loc[et, "mean_daily"] - mean) <= 1e-3
+        assert abs(df.loc[et, "var_daily"] - var) <= 1e-3
+        assert abs(df.loc[et, "dispersion"] - d) <= 1e-2
+        assert abs(df.loc[et, "z"] - z) <= 1e-3
+        assert int(df.loc[et, "overdispersed"]) == (1 if z > 2 else 0)
+
+
+def test_funnel_wilson_matches_naive(spark):
+    df = (
+        REGISTRY["q355_funnel_wilson_ci"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("step")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    c = ev[ev["event_type"] == "click"].groupby("user_id")["ts"].min()
+    s_rows = ev[ev["event_type"] == "signup"].merge(
+        c.rename("cts"), on="user_id"
+    )
+    s = (
+        s_rows[s_rows["ts"] > s_rows["cts"]]
+        .groupby("user_id")["ts"]
+        .min()
+    )
+    p_rows = ev[ev["event_type"] == "purchase"].merge(
+        s.rename("sts"), on="user_id"
+    )
+    p = (
+        p_rows[p_rows["ts"] > p_rows["sts"]]
+        .groupby("user_id")["ts"]
+        .min()
+    )
+    n0 = ev["user_id"].nunique()
+    z = 1.96
+    for step, (n, k) in {
+        1: (n0, len(c)),
+        2: (len(c), len(s)),
+        3: (len(s), len(p)),
+    }.items():
+        pr = k / n
+        center = pr + z * z / (2 * n)
+        half = z * math.sqrt(pr * (1 - pr) / n + z * z / (4 * n * n))
+        denom = 1 + z * z / n
+        assert int(df.loc[step, "n"]) == n
+        assert int(df.loc[step, "k"]) == k
+        assert abs(df.loc[step, "rate"] - pr) <= 1e-4
+        assert abs(df.loc[step, "wilson_lo"] - (center - half) / denom) <= 1e-4
+        assert abs(df.loc[step, "wilson_hi"] - (center + half) / denom) <= 1e-4
+        # Wilson interval always contains the point estimate
+        assert df.loc[step, "wilson_lo"] <= pr <= df.loc[step, "wilson_hi"]
+
+
+def test_knn_graph_audit_matches_naive(spark):
+    import hashlib
+
+    df = (
+        REGISTRY["q356_knn_graph_audit"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("label")
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    emb = emb.assign(
+        h=[hashlib.md5(str(int(v)).encode()).hexdigest() for v in emb["vec_id"]]
+    ).sort_values(["h", "vec_id"]).head(256)
+    ids = emb["vec_id"].astype(int).to_list()
+    labels = dict(zip(ids, emb["label"].astype(int)))
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    nrm = np.sqrt((X * X).sum(axis=1))
+    S = (X @ X.T) / np.outer(nrm, nrm)
+    knn: set[tuple[int, int]] = set()
+    for qi, q in enumerate(ids):
+        cands = sorted(
+            (
+                (round(S[qi, vi], 4), ids[vi])
+                for vi in range(len(ids))
+                if ids[vi] != q
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        for _, nb in cands:
+            knn.add((q, nb))
+    per_label: dict[int, list] = {}
+    indeg: dict[int, int] = {}
+    for a, b in knn:
+        indeg[b] = indeg.get(b, 0) + 1
+    for lab in sorted(set(labels.values())):
+        nodes = [i for i in ids if labels[i] == lab]
+        edges = [(a, b) for a, b in knn if labels[a] == lab]
+        mutual = [(a, b) for a, b in edges if (b, a) in knn]
+        mx = max((indeg.get(i, 0) for i in nodes), default=0)
+        assert int(df.loc[lab, "n_nodes"]) == len(nodes)
+        assert int(df.loc[lab, "n_edges"]) == len(edges)
+        assert int(df.loc[lab, "n_mutual"]) == len(mutual)
+        assert abs(
+            df.loc[lab, "mutual_rate"] - len(mutual) / len(edges)
+        ) <= 1e-4
+        assert int(df.loc[lab, "max_indeg"]) == mx
+
+
+def test_gini_stump_matches_naive(spark):
+    df = REGISTRY["q357_gini_stump_scan"].spark(spark, SF_DIR).toPandas()
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = np.round(
+        1e6 * np.stack(emb["embedding"].to_numpy()).astype("float64")
+    ).astype("int64")
+    y = emb["label"].to_numpy()
+    n = len(y)
+    scores = {}
+    for d in range(X.shape[1]):
+        thr = float(np.percentile(X[:, d], 50, method="linear"))
+        left = X[:, d] <= thr
+        num = 0.0
+        for side in (left, ~left):
+            ns = int(side.sum())
+            if ns == 0:
+                continue
+            sc2 = sum(
+                int((y[side] == lab).sum()) ** 2 for lab in set(y[side])
+            )
+            num += ns - sc2 / ns
+        scores[d + 1] = round(num / n, 4)
+    want = sorted(scores.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+    for i, (dim, g) in enumerate(want, start=1):
+        row = df[df["rk"] == i].iloc[0]
+        assert int(row["dim"]) == dim
+        assert abs(row["gini_split"] - g) <= 1e-4
+
+
+def test_streaming_outer_join_matches_batch(spark):
+    df = (
+        REGISTRY["q358_streaming_outer_join"].spark(spark, SF_DIR).toPandas()
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    l = ev[ev["event_type"] == "error"][["event_id", "user_id", "ts"]]
+    r = ev[ev["event_type"] == "click"][["user_id", "ts"]].rename(
+        columns={"ts": "rts"}
+    )
+    m = l.merge(r, on="user_id")
+    m = m[
+        (m["rts"] >= m["ts"] - pd.Timedelta(seconds=600))
+        & (m["rts"] <= m["ts"] + pd.Timedelta(seconds=600))
+    ]
+    w = min(l["ts"].max(), r["rts"].max()) - pd.Timedelta(hours=3)
+    matched_ids = set(m["event_id"].astype(int))
+    unmatched = l[
+        ~l["event_id"].isin(matched_ids)
+        & (l["ts"] + pd.Timedelta(seconds=600) <= w)
+    ]
+    got_matched = df[df["matched"] == 1]
+    got_null = df[df["matched"] == 0]
+    assert len(got_matched) == len(m)
+    assert len(got_null) == len(unmatched)
+    assert set(got_null["event_id"].astype(int)) == set(
+        unmatched["event_id"].astype(int)
+    )
+    assert got_null["matched_ts"].isna().all()
