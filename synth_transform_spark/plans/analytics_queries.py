@@ -2613,3 +2613,165 @@ def q352_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(theory, 4).alias("fp_theory"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q363 — join-order estimator calibration audit: for the 3-table chain
+# lineitem ⋈ orders ⋈ customer, both join orders' INTERMEDIATE sizes are
+# estimated with the textbook equi-join formula Catalyst's CBO uses
+# (|R ⋈ S| = |R|·|S| / max(ndv_R(k), ndv_S(k)), the containment-of-values
+# assumption) and compared against the ACTUAL intermediate counts — the
+# "can I trust the optimizer's stats on this schema" audit that decides
+# whether to ANALYZE TABLE or pin a join order, completing q296 (single
+# join-size estimate) and q292 (broadcast advisor).
+# Parity: all row counts and NDVs are exact integers; estimates are
+# single double expressions; ratios 4dp.
+# Scale: four counting aggregates (each one scan with map-side partials)
+# plus the two real intermediate-count joins the audit is measuring; the
+# comparison itself runs on a 2-row relation.
+# ---------------------------------------------------------------------------
+@register(
+    "q363_join_order_audit",
+    oracle="""
+WITH stats AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_l,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_c,
+           (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+            FROM lineitem) AS ndv_l_ok,
+           (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+            FROM orders) AS ndv_o_ok,
+           (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+            FROM orders) AS ndv_o_ck,
+           (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+            FROM customer) AS ndv_c_ck
+),
+act AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+               AS act_lo,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey)
+               AS act_oc,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey) AS act_final
+),
+plans AS (
+    SELECT 'lo_first' AS plan,
+           ROUND(CAST(s.n_l AS DOUBLE) * s.n_o
+                 / GREATEST(s.ndv_l_ok, s.ndv_o_ok), 4) AS est_join1,
+           a.act_lo AS actual_join1,
+           ROUND((CAST(s.n_l AS DOUBLE) * s.n_o
+                  / GREATEST(s.ndv_l_ok, s.ndv_o_ok)) * s.n_c
+                 / GREATEST(s.ndv_o_ck, s.ndv_c_ck), 4) AS est_final,
+           a.act_final AS actual_final
+    FROM stats s CROSS JOIN act a
+    UNION ALL
+    SELECT 'oc_first',
+           ROUND(CAST(s.n_o AS DOUBLE) * s.n_c
+                 / GREATEST(s.ndv_o_ck, s.ndv_c_ck), 4),
+           a.act_oc,
+           ROUND((CAST(s.n_o AS DOUBLE) * s.n_c
+                  / GREATEST(s.ndv_o_ck, s.ndv_c_ck)) * s.n_l
+                 / GREATEST(s.ndv_o_ok, s.ndv_l_ok), 4),
+           a.act_final
+    FROM stats s CROSS JOIN act a
+)
+SELECT plan, est_join1, actual_join1,
+       ROUND(actual_join1 / est_join1, 4) AS calib_join1,
+       est_final, actual_final,
+       ROUND(actual_final / est_final, 4) AS calib_final
+FROM plans ORDER BY plan
+""",
+    tags=("capacity", "J1", "A12"),
+)
+def q363_join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-formula join-size estimates vs actual intermediates
+    for both 3-table join orders: (plan, est_join1, actual_join1,
+    calib_join1, est_final, actual_final, calib_final)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    stats = (
+        li.agg(
+            F.count(F.lit(1)).alias("n_l"),
+            F.countDistinct("l_orderkey").alias("ndv_l_ok"),
+        )
+        .crossJoin(
+            orders.agg(
+                F.count(F.lit(1)).alias("n_o"),
+                F.countDistinct("o_orderkey").alias("ndv_o_ok"),
+                F.countDistinct("o_custkey").alias("ndv_o_ck"),
+            )
+        )
+        .crossJoin(
+            cust.agg(
+                F.count(F.lit(1)).alias("n_c"),
+                F.countDistinct("c_custkey").alias("ndv_c_ck"),
+            )
+        )
+    )
+    lo = li.join(
+        orders, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    act = (
+        lo.agg(F.count(F.lit(1)).alias("act_lo"))
+        .crossJoin(
+            orders.join(
+                cust, F.col("c_custkey") == F.col("o_custkey")
+            ).agg(F.count(F.lit(1)).alias("act_oc"))
+        )
+        .crossJoin(
+            lo.join(cust, F.col("c_custkey") == F.col("o_custkey")).agg(
+                F.count(F.lit(1)).alias("act_final")
+            )
+        )
+    )
+    base = stats.crossJoin(F.broadcast(act))
+    est_lo = (
+        F.col("n_l").cast("double")
+        * F.col("n_o")
+        / F.greatest("ndv_l_ok", "ndv_o_ok")
+    )
+    est_oc = (
+        F.col("n_o").cast("double")
+        * F.col("n_c")
+        / F.greatest("ndv_o_ck", "ndv_c_ck")
+    )
+    p1 = base.select(
+        F.lit("lo_first").alias("plan"),
+        F.round(est_lo, 4).alias("est_join1"),
+        F.col("act_lo").cast("long").alias("actual_join1"),
+        F.round(
+            est_lo * F.col("n_c") / F.greatest("ndv_o_ck", "ndv_c_ck"), 4
+        ).alias("est_final"),
+        F.col("act_final").cast("long").alias("actual_final"),
+    )
+    p2 = base.select(
+        F.lit("oc_first").alias("plan"),
+        F.round(est_oc, 4).alias("est_join1"),
+        F.col("act_oc").cast("long").alias("actual_join1"),
+        F.round(
+            est_oc * F.col("n_l") / F.greatest("ndv_o_ok", "ndv_l_ok"), 4
+        ).alias("est_final"),
+        F.col("act_final").cast("long").alias("actual_final"),
+    )
+    return (
+        p1.unionByName(p2)
+        .select(
+            "plan",
+            "est_join1",
+            "actual_join1",
+            F.round(F.col("actual_join1") / F.col("est_join1"), 4).alias(
+                "calib_join1"
+            ),
+            "est_final",
+            "actual_final",
+            F.round(
+                F.col("actual_final") / F.col("est_final"), 4
+            ).alias("calib_final"),
+        )
+        .orderBy("plan")
+    )

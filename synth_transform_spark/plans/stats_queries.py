@@ -3747,3 +3747,428 @@ def q354_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (z > 2.0).cast("long").alias("overdispersed"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q359 - forecast-accuracy scorecard: MAE / MAPE / sMAPE / MASE of the
+# q341 exponential-smoothing one-step forecasts NEXT TO the naive-1
+# (yesterday's value) baseline over the daily event-count series. MASE
+# (error scaled by the naive MAE) is the metric that makes the two rows
+# directly comparable - MASE < 1 means the model beats persistence.
+# Parity: the SES level is q341's exact integer recurrence (frozen
+# per-term weights summed as integers); every per-day ratio term
+# (|e|/x, 2|e|/(x+f)) is frozen to round(1e8*term) before the per-model
+# sum; MAE sums are exact micro-integers; MASE is one double ratio. 4dp.
+# Scale: collapse-first to the calendar-bounded daily relation; the SES
+# pair join is quadratic in DAYS, constant in corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q359_forecast_eval",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+levels AS (
+    SELECT a.t AS m,
+           CAST(SUM(CAST(ROUND(1000000.0 * b.x *
+                CASE WHEN b.t = 1 THEN POW(0.5, a.t - 1)
+                     ELSE POW(0.5, a.t - b.t + 1) END) AS BIGINT))
+                AS BIGINT) AS l_int
+    FROM ranked a JOIN ranked b ON b.t <= a.t
+    GROUP BY a.t
+),
+fc AS (
+    SELECT 'ses' AS model, r.t, r.x,
+           ABS(r.x * 1000000 - l.l_int) AS ae_micro,
+           CAST(ROUND(100000000.0 * ABS(r.x * 1000000 - l.l_int)
+                / (1000000.0 * r.x)) AS BIGINT) AS ape_t,
+           CAST(ROUND(100000000.0 * 2.0 * ABS(r.x * 1000000 - l.l_int)
+                / (1000000.0 * r.x + l.l_int)) AS BIGINT) AS sape_t
+    FROM ranked r JOIN levels l ON l.m = r.t - 1
+    UNION ALL
+    SELECT 'naive', r.t, r.x,
+           ABS(r.x - p.x) * 1000000 AS ae_micro,
+           CAST(ROUND(100000000.0 * ABS(r.x - p.x)
+                / CAST(r.x AS DOUBLE)) AS BIGINT) AS ape_t,
+           CAST(ROUND(100000000.0 * 2.0 * ABS(r.x - p.x)
+                / CAST(r.x + p.x AS DOUBLE)) AS BIGINT) AS sape_t
+    FROM ranked r JOIN ranked p ON p.t = r.t - 1
+),
+agg AS (
+    SELECT model, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ae_micro) AS BIGINT) AS sae,
+           CAST(SUM(ape_t) AS BIGINT) AS sape_sum,
+           CAST(SUM(sape_t) AS BIGINT) AS ssape_sum
+    FROM fc GROUP BY model
+),
+nmae AS (
+    SELECT CAST(sae AS DOUBLE) / n AS naive_mae FROM agg
+    WHERE model = 'naive'
+)
+SELECT a.model, a.n,
+       ROUND(a.sae / 1000000.0 / a.n, 4) AS mae,
+       ROUND(a.sape_sum / 100000000.0 / a.n, 4) AS mape,
+       ROUND(a.ssape_sum / 100000000.0 / a.n, 4) AS smape,
+       ROUND((CAST(a.sae AS DOUBLE) / a.n) / nm.naive_mae, 4) AS mase
+FROM agg a CROSS JOIN nmae nm
+ORDER BY a.model
+""",
+    tags=("timeseries", "ml-eval", "A12"),
+)
+def q359_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE/MAPE/sMAPE/MASE of SES vs naive-1 daily-count forecasts:
+    (model, n, mae, mape, smape, mase)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    a = ranked.select(F.col("t").alias("m"))
+    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
+    w = F.when(
+        F.col("j") == 1, F.pow(F.lit(0.5), F.col("m") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("m") - F.col("j") + 1))
+    levels = (
+        a.join(b, F.col("j") <= F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.round(1000000.0 * F.col("xj") * w).cast("long")
+            ).alias("l_int")
+        )
+    )
+    ses = ranked.join(levels, F.col("m") == F.col("t") - 1).select(
+        F.lit("ses").alias("model"),
+        "x",
+        F.abs(F.col("x") * 1000000 - F.col("l_int")).alias("ae_micro"),
+        F.round(
+            100000000.0
+            * F.abs(F.col("x") * 1000000 - F.col("l_int"))
+            / (1000000.0 * F.col("x"))
+        )
+        .cast("long")
+        .alias("ape_t"),
+        F.round(
+            100000000.0
+            * 2.0
+            * F.abs(F.col("x") * 1000000 - F.col("l_int"))
+            / (1000000.0 * F.col("x") + F.col("l_int"))
+        )
+        .cast("long")
+        .alias("sape_t"),
+    )
+    prev = ranked.select(
+        (F.col("t") + 1).alias("t"), F.col("x").alias("px")
+    )
+    naive = ranked.join(prev, "t").select(
+        F.lit("naive").alias("model"),
+        "x",
+        (F.abs(F.col("x") - F.col("px")) * 1000000).alias("ae_micro"),
+        F.round(
+            100000000.0
+            * F.abs(F.col("x") - F.col("px"))
+            / F.col("x").cast("double")
+        )
+        .cast("long")
+        .alias("ape_t"),
+        F.round(
+            100000000.0
+            * 2.0
+            * F.abs(F.col("x") - F.col("px"))
+            / (F.col("x") + F.col("px")).cast("double")
+        )
+        .cast("long")
+        .alias("sape_t"),
+    )
+    agg = (
+        ses.unionByName(naive)
+        .groupBy("model")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ae_micro").alias("sae"),
+            F.sum("ape_t").alias("sape_sum"),
+            F.sum("sape_t").alias("ssape_sum"),
+        )
+    )
+    nmae = agg.filter(F.col("model") == "naive").select(
+        (F.col("sae").cast("double") / F.col("n")).alias("naive_mae")
+    )
+    return (
+        agg.crossJoin(F.broadcast(nmae))
+        .select(
+            "model",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sae") / 1000000.0 / F.col("n"), 4).alias("mae"),
+            F.round(
+                F.col("sape_sum") / 100000000.0 / F.col("n"), 4
+            ).alias("mape"),
+            F.round(
+                F.col("ssape_sum") / 100000000.0 / F.col("n"), 4
+            ).alias("smape"),
+            F.round(
+                (F.col("sae").cast("double") / F.col("n"))
+                / F.col("naive_mae"),
+                4,
+            ).alias("mase"),
+        )
+        .orderBy("model")
+    )
+
+
+# --------------------------------------------------------------------------
+# q360 - A/B sample-size / MDE planner anchored to the OBSERVED
+# conversion baseline: with p0 = the measured click->purchase rate, for
+# each candidate per-arm sample size n, the minimum detectable absolute
+# effect at alpha = 0.05 (two-sided), power = 0.80 under the two-
+# proportion normal approximation: MDE solves
+# mde = (z_a*sqrt(2*p0(1-p0)) + z_b*sqrt(p0(1-p0) + p(1-p)))/sqrt(n)
+# iterated twice from p = p0 (the standard fixed-point refinement,
+# unrolled so both engines run the identical two steps). The design
+# relation consulted BEFORE q175's test readout and q264's sequential
+# monitor.
+# Parity: p0 is one ratio of exact integer counts; the candidate grid is
+# a literal single-partition frame; the MDE is a fixed unrolled double
+# expression. 4dp.
+# Scale: two user-keyed aggregates for the baseline; the planner runs on
+# a 6-row constant grid.
+# --------------------------------------------------------------------------
+@register(
+    "q360_power_planner",
+    oracle="""
+WITH clickers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+buyers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+),
+base AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM clickers) AS n_click,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM clickers c JOIN buyers b ON b.user_id = c.user_id)
+               AS n_conv
+),
+grid AS (SELECT UNNEST([1000, 5000, 10000, 50000, 100000, 500000]) AS n),
+p0 AS (SELECT CAST(n_conv AS DOUBLE) / n_click AS p, n_click, n_conv
+       FROM base),
+step1 AS (
+    SELECT g.n, p0.p, p0.n_click, p0.n_conv,
+           (1.959964 * SQRT(2.0 * p0.p * (1.0 - p0.p))
+            + 0.841621 * SQRT(2.0 * p0.p * (1.0 - p0.p))) / SQRT(g.n)
+               AS mde1
+    FROM grid g CROSS JOIN p0
+)
+SELECT CAST(n AS BIGINT) AS n_per_arm, n_click, n_conv,
+       ROUND(p, 4) AS baseline_rate,
+       ROUND((1.959964 * SQRT(2.0 * p * (1.0 - p))
+              + 0.841621 * SQRT(p * (1.0 - p)
+                                + (p + mde1) * (1.0 - p - mde1)))
+             / SQRT(n), 4) AS mde_abs
+FROM step1
+ORDER BY n_per_arm
+""",
+    tags=("inferential", "capacity", "A12"),
+)
+def q360_power_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per candidate A/B arm size at the
+    observed click->purchase baseline:
+    (n_per_arm, n_click, n_conv, baseline_rate, mde_abs)."""
+    events = load_table(spark, sf_dir, "events")
+    clickers = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    base = clickers.agg(F.count(F.lit(1)).alias("n_click")).crossJoin(
+        clickers.join(buyers, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_conv"))
+    )
+    grid = spark.createDataFrame(
+        [(n,) for n in (1000, 5000, 10000, 50000, 100000, 500000)],
+        "n long",
+    ).coalesce(1)
+    za, zb = 1.959964, 0.841621
+    p = F.col("n_conv").cast("double") / F.col("n_click")
+    mde1 = (
+        za * F.sqrt(2.0 * p * (1.0 - p)) + zb * F.sqrt(2.0 * p * (1.0 - p))
+    ) / F.sqrt(F.col("n"))
+    step1 = grid.crossJoin(F.broadcast(base)).select(
+        "n", "n_click", "n_conv", p.alias("p"), mde1.alias("mde1")
+    )
+    mde = (
+        za * F.sqrt(2.0 * F.col("p") * (1.0 - F.col("p")))
+        + zb
+        * F.sqrt(
+            F.col("p") * (1.0 - F.col("p"))
+            + (F.col("p") + F.col("mde1"))
+            * (1.0 - F.col("p") - F.col("mde1"))
+        )
+    ) / F.sqrt(F.col("n"))
+    return step1.select(
+        F.col("n").alias("n_per_arm"),
+        "n_click",
+        "n_conv",
+        F.round("p", 4).alias("baseline_rate"),
+        F.round(mde, 4).alias("mde_abs"),
+    ).orderBy("n_per_arm")
+
+
+# --------------------------------------------------------------------------
+# q362 - anomaly-vote ensemble over the per-type daily count series: the
+# z-score detector (|z| > 2, q153's family), the Hampel/MAD detector
+# (|x - med| > 3*1.4826*MAD, q342's), and the Tukey-fence detector
+# (outside [q1 - 1.5*IQR, q3 + 1.5*IQR], q219's) each vote per
+# (type, day); the ensemble flags days with >= 2 votes. Single detectors
+# disagree exactly where anomalies are ambiguous - the vote is what a
+# production alerting pipeline actually pages on.
+# Parity: counts are integers; mean/std votes compare round(1e4*|z|)
+# (the q342 freezing discipline); medians/quartiles of integer counts
+# are exact multiples of 0.25 on both engines; every fence comparison is
+# made on frozen integer sides. Output is all-integer votes.
+# Scale: one (type, day) aggregate; per-type stats are keyed aggregates
+# over the calendar-bounded relation broadcast back.
+# --------------------------------------------------------------------------
+@register(
+    "q362_anomaly_ensemble",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+st AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           QUANTILE_CONT(CAST(x AS DOUBLE), 0.5) AS med,
+           QUANTILE_CONT(CAST(x AS DOUBLE), 0.25) AS q1,
+           QUANTILE_CONT(CAST(x AS DOUBLE), 0.75) AS q3
+    FROM daily GROUP BY event_type
+),
+mad AS (
+    SELECT d.event_type,
+           QUANTILE_CONT(ABS(CAST(d.x AS DOUBLE) - s.med), 0.5) AS mad
+    FROM daily d JOIN st s ON s.event_type = d.event_type
+    GROUP BY d.event_type
+),
+votes AS (
+    SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.x,
+           CAST(CASE WHEN CAST(ROUND(10000.0 * ABS(d.x - CAST(s.sx AS DOUBLE) / s.n)
+                     / SQRT((s.n * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * s.sx)
+                            / (CAST(s.n AS DOUBLE) * (s.n - 1)))) AS BIGINT)
+                     > 20000 THEN 1 ELSE 0 END AS BIGINT) AS v_z,
+           CAST(CASE WHEN CAST(ROUND(10000.0 * ABS(d.x - s.med)) AS BIGINT)
+                     > CAST(ROUND(10000.0 * (3.0 * 1.4826 * m.mad)) AS BIGINT)
+                     THEN 1 ELSE 0 END AS BIGINT) AS v_mad,
+           CAST(CASE WHEN CAST(ROUND(10000.0 * d.x) AS BIGINT)
+                       < CAST(ROUND(10000.0 * (s.q1 - 1.5 * (s.q3 - s.q1))) AS BIGINT)
+                     OR CAST(ROUND(10000.0 * d.x) AS BIGINT)
+                       > CAST(ROUND(10000.0 * (s.q3 + 1.5 * (s.q3 - s.q1))) AS BIGINT)
+                     THEN 1 ELSE 0 END AS BIGINT) AS v_iqr
+    FROM daily d
+    JOIN st s ON s.event_type = d.event_type
+    JOIN mad m ON m.event_type = d.event_type
+)
+SELECT event_type, day, x, v_z, v_mad, v_iqr,
+       CAST(CASE WHEN v_z + v_mad + v_iqr >= 2 THEN 1 ELSE 0 END AS BIGINT)
+           AS is_anomaly
+FROM votes
+WHERE v_z + v_mad + v_iqr >= 1
+ORDER BY event_type, day
+""",
+    tags=("timeseries", "W4", "A12"),
+)
+def q362_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-of-three anomaly vote (z / MAD / Tukey fence) on per-type
+    daily counts: (event_type, day, x, v_z, v_mad, v_iqr, is_anomaly);
+    only voted days are emitted."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    st = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.expr("percentile(CAST(x AS DOUBLE), 0.5)").alias("med"),
+        F.expr("percentile(CAST(x AS DOUBLE), 0.25)").alias("q1"),
+        F.expr("percentile(CAST(x AS DOUBLE), 0.75)").alias("q3"),
+    )
+    mad = (
+        daily.join(st.select("event_type", "med"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(ABS(CAST(x AS DOUBLE) - med), 0.5)"
+            ).alias("mad")
+        )
+    )
+    j = daily.join(F.broadcast(st), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    std = F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    v_z = (
+        F.round(
+            10000.0
+            * F.abs(
+                F.col("x") - F.col("sx").cast("double") / F.col("n")
+            )
+            / std
+        ).cast("long")
+        > 20000
+    ).cast("long")
+    v_mad = (
+        F.round(10000.0 * F.abs(F.col("x") - F.col("med"))).cast("long")
+        > F.round(10000.0 * (3.0 * 1.4826 * F.col("mad"))).cast("long")
+    ).cast("long")
+    iqr = F.col("q3") - F.col("q1")
+    v_iqr = (
+        (
+            F.round(10000.0 * F.col("x")).cast("long")
+            < F.round(10000.0 * (F.col("q1") - 1.5 * iqr)).cast("long")
+        )
+        | (
+            F.round(10000.0 * F.col("x")).cast("long")
+            > F.round(10000.0 * (F.col("q3") + 1.5 * iqr)).cast("long")
+        )
+    ).cast("long")
+    votes = j.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        v_z.alias("v_z"),
+        v_mad.alias("v_mad"),
+        v_iqr.alias("v_iqr"),
+    )
+    return (
+        votes.withColumn(
+            "is_anomaly",
+            (
+                F.col("v_z") + F.col("v_mad") + F.col("v_iqr") >= 2
+            ).cast("long"),
+        )
+        .filter(F.col("v_z") + F.col("v_mad") + F.col("v_iqr") >= 1)
+        .orderBy("event_type", "day")
+    )

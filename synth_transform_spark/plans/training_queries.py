@@ -1555,3 +1555,110 @@ def q276_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_viterbi(
         docs, max_piece=_UV_MAXP, max_word_len=_UV_MAXW
     ).orderBy("word")
+
+
+# --------------------------------------------------------------------------
+# q361 — chunk-packing planner: for candidate context sizes (64, 128,
+# 256 tokens), the corpus-wide packing economics of fixed-size chunking
+# — number of chunks, fraction that are full, mean fill of each doc's
+# LAST chunk, and the padding-waste share of total slots. The design
+# relation behind q68's chunker and q69's packer: pick the context size
+# BEFORE materializing chunks (a 100 TB re-chunk is the most expensive
+# "oops" in training prep).
+# Parity: per-doc token counts are exact integers; chunk counts and
+# waste are integer arithmetic ((c - n % c) % c summed per doc); rates
+# are single double ratios. 4dp.
+# Scale: ONE corpus pass computes the token counts; all three candidate
+# sizes are evaluated from that counts relation (3× explode of a
+# ~doc-count-sized relation, never of the corpus text).
+# --------------------------------------------------------------------------
+@register(
+    "q361_chunk_planner",
+    oracle="""
+WITH counts AS (
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_tok
+    FROM documents
+),
+grid AS (SELECT UNNEST([64, 128, 256]) AS c),
+per_doc AS (
+    SELECT g.c, k.n_tok,
+           CAST(CEIL(CAST(k.n_tok AS DOUBLE) / g.c) AS BIGINT) AS n_chunks,
+           (g.c - k.n_tok % g.c) % g.c AS waste,
+           CASE WHEN k.n_tok % g.c = 0 THEN g.c
+                ELSE k.n_tok % g.c END AS last_fill
+    FROM counts k CROSS JOIN grid g
+    WHERE k.n_tok > 0
+)
+SELECT CAST(c AS BIGINT) AS chunk_size,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN waste = 0 THEN n_chunks
+                     ELSE n_chunks - 1 END) AS BIGINT) AS n_full,
+       ROUND(CAST(SUM(last_fill) AS DOUBLE) / COUNT(*) / c, 4)
+           AS mean_last_fill,
+       ROUND(CAST(SUM(waste) AS DOUBLE) / (SUM(n_chunks) * c), 4)
+           AS waste_share
+FROM per_doc GROUP BY c ORDER BY chunk_size
+""",
+    tags=("training-prep", "capacity", "A12"),
+)
+def q361_chunk_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing economics per candidate chunk size:
+    (chunk_size, n_chunks, n_full, mean_last_fill, waste_share)."""
+    from ..operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        F.size(text_analysis.tokens_raw(F.col("text"))).cast("long").alias(
+            "n_tok"
+        )
+    ).filter(F.col("n_tok") > 0)
+    per_doc = counts.select(
+        "n_tok",
+        F.explode(F.array(*[F.lit(c) for c in (64, 128, 256)])).alias("c"),
+    ).select(
+        "c",
+        "n_tok",
+        F.ceil(F.col("n_tok").cast("double") / F.col("c"))
+        .cast("long")
+        .alias("n_chunks"),
+        ((F.col("c") - F.col("n_tok") % F.col("c")) % F.col("c")).alias(
+            "waste"
+        ),
+        F.when(F.col("n_tok") % F.col("c") == 0, F.col("c"))
+        .otherwise(F.col("n_tok") % F.col("c"))
+        .alias("last_fill"),
+    )
+    return (
+        per_doc.groupBy("c")
+        .agg(
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum(
+                F.when(
+                    F.col("waste") == 0, F.col("n_chunks")
+                ).otherwise(F.col("n_chunks") - 1)
+            )
+            .cast("long")
+            .alias("n_full"),
+            F.round(
+                F.sum("last_fill").cast("double")
+                / F.count(F.lit(1))
+                / F.first("c"),
+                4,
+            ).alias("mean_last_fill"),
+            F.round(
+                F.sum("waste").cast("double")
+                / (F.sum("n_chunks") * F.first("c")),
+                4,
+            ).alias("waste_share"),
+        )
+        .select(
+            F.col("c").cast("long").alias("chunk_size"),
+            "n_chunks",
+            "n_full",
+            "mean_last_fill",
+            "waste_share",
+        )
+        .orderBy("chunk_size")
+    )

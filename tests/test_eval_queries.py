@@ -616,3 +616,189 @@ def test_streaming_outer_join_matches_batch(spark):
         unmatched["event_id"].astype(int)
     )
     assert got_null["matched_ts"].isna().all()
+
+
+def test_forecast_eval_matches_naive(spark):
+    df = (
+        REGISTRY["q359_forecast_eval"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("model")
+    )
+    x = _daily_series().to_list()
+    # SES levels per q341's frozen recurrence
+    l_int = {}
+    for m in range(1, len(x) + 1):
+        s = 0
+        for j in range(1, m + 1):
+            w = 0.5 ** (m - 1) if j == 1 else 0.5 ** (m - j + 1)
+            s += round(1e6 * x[j - 1] * w)
+        l_int[m] = s
+    metrics = {}
+    for model in ("ses", "naive"):
+        ae = ape = sape = 0
+        n = 0
+        for t in range(2, len(x) + 1):
+            xt = x[t - 1]
+            if model == "ses":
+                f_micro = l_int[t - 1]
+            else:
+                f_micro = x[t - 2] * 1_000_000
+            e = abs(xt * 1_000_000 - f_micro)
+            ae += e
+            ape += round(1e8 * e / (1e6 * xt))
+            sape += round(1e8 * 2 * e / (1e6 * xt + f_micro))
+            n += 1
+        metrics[model] = (n, ae, ape, sape)
+    naive_mae = metrics["naive"][1] / metrics["naive"][0]
+    for model, (n, ae, ape, sape) in metrics.items():
+        row = df.loc[model]
+        assert int(row["n"]) == n
+        assert abs(row["mae"] - ae / 1e6 / n) <= 2e-4
+        assert abs(row["mape"] - ape / 1e8 / n) <= 2e-4
+        assert abs(row["smape"] - sape / 1e8 / n) <= 2e-4
+        assert abs(row["mase"] - (ae / n) / naive_mae) <= 2e-3
+    assert abs(df.loc["naive", "mase"] - 1.0) <= 1e-9  # identity
+
+
+def test_power_planner_matches_naive(spark):
+    df = (
+        REGISTRY["q360_power_planner"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("n_per_arm")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    clickers = set(ev.loc[ev["event_type"] == "click", "user_id"])
+    buyers = set(ev.loc[ev["event_type"] == "purchase", "user_id"])
+    p = len(clickers & buyers) / len(clickers)
+    za, zb = 1.959964, 0.841621
+    for n in (1000, 5000, 10000, 50000, 100000, 500000):
+        mde1 = (
+            za * math.sqrt(2 * p * (1 - p)) + zb * math.sqrt(2 * p * (1 - p))
+        ) / math.sqrt(n)
+        mde = (
+            za * math.sqrt(2 * p * (1 - p))
+            + zb * math.sqrt(p * (1 - p) + (p + mde1) * (1 - p - mde1))
+        ) / math.sqrt(n)
+        assert abs(df.loc[n, "baseline_rate"] - p) <= 1e-4
+        assert abs(df.loc[n, "mde_abs"] - mde) <= 1e-4
+    # more samples, smaller detectable effect
+    mdes = df["mde_abs"].to_list()
+    assert all(a >= b for a, b in zip(mdes, mdes[1:]))
+
+
+def test_chunk_planner_matches_naive(spark):
+    df = (
+        REGISTRY["q361_chunk_planner"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("chunk_size")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    ntoks = [
+        len([t for t in text.split(" ") if t]) for text in docs["text"]
+    ]
+    ntoks = [n for n in ntoks if n > 0]
+    for c in (64, 128, 256):
+        chunks = sum(-(-n // c) for n in ntoks)
+        full = sum(
+            (-(-n // c)) if n % c == 0 else (-(-n // c)) - 1 for n in ntoks
+        )
+        last = sum(c if n % c == 0 else n % c for n in ntoks)
+        waste = sum((c - n % c) % c for n in ntoks)
+        assert int(df.loc[c, "n_chunks"]) == chunks
+        assert int(df.loc[c, "n_full"]) == full
+        assert abs(df.loc[c, "mean_last_fill"] - last / len(ntoks) / c) <= 1e-4
+        assert abs(df.loc[c, "waste_share"] - waste / (chunks * c)) <= 1e-4
+    # tokens conserved: chunk slots minus padding equals the corpus
+    waste64 = sum((64 - n % 64) % 64 for n in ntoks)
+    assert int(df.loc[64, "n_chunks"]) * 64 - waste64 == sum(ntoks)
+
+
+def test_anomaly_ensemble_matches_naive(spark):
+    import statistics
+
+    df = REGISTRY["q362_anomaly_ensemble"].spark(spark, SF_DIR).toPandas()
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    got = {
+        (r["event_type"], r["day"]): r for _, r in df.iterrows()
+    }
+    n_checked = 0
+    for et in sorted(ev["event_type"].unique()):
+        series = days[ev["event_type"] == et].value_counts().sort_index()
+        xs = series.to_list()
+        n = len(xs)
+        mean = sum(xs) / n
+        sd = statistics.stdev(xs)
+        med = statistics.median([float(v) for v in xs])
+        mad = statistics.median([abs(v - med) for v in xs])
+        q1 = float(np.percentile(xs, 25, method="linear"))
+        q3 = float(np.percentile(xs, 75, method="linear"))
+        for day, x in series.items():
+            vz = 1 if round(1e4 * abs(x - mean) / sd) > 20000 else 0
+            vm = (
+                1
+                if round(1e4 * abs(x - med)) > round(1e4 * 3 * 1.4826 * mad)
+                else 0
+            )
+            vi = (
+                1
+                if (
+                    round(1e4 * x) < round(1e4 * (q1 - 1.5 * (q3 - q1)))
+                    or round(1e4 * x) > round(1e4 * (q3 + 1.5 * (q3 - q1)))
+                )
+                else 0
+            )
+            key = (et, day.strftime("%Y-%m-%d"))
+            if vz + vm + vi >= 1:
+                r = got.pop(key)
+                assert int(r["v_z"]) == vz
+                assert int(r["v_mad"]) == vm
+                assert int(r["v_iqr"]) == vi
+                assert int(r["is_anomaly"]) == (1 if vz + vm + vi >= 2 else 0)
+                n_checked += 1
+            else:
+                assert key not in got
+    assert not got  # no extra rows
+    assert n_checked == len(df)
+
+
+def test_join_order_audit_matches_naive(spark):
+    df = (
+        REGISTRY["q363_join_order_audit"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("plan")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    est_lo = len(li) * len(o) / max(
+        li["l_orderkey"].nunique(), o["o_orderkey"].nunique()
+    )
+    est_oc = len(o) * len(c) / max(
+        o["o_custkey"].nunique(), c["c_custkey"].nunique()
+    )
+    act_lo = len(li.merge(o, left_on="l_orderkey", right_on="o_orderkey"))
+    act_oc = len(o.merge(c, left_on="o_custkey", right_on="c_custkey"))
+    act_final = len(
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey").merge(
+            c, left_on="o_custkey", right_on="c_custkey"
+        )
+    )
+    assert abs(df.loc["lo_first", "est_join1"] - round(est_lo, 4)) <= 1e-6
+    assert int(df.loc["lo_first", "actual_join1"]) == act_lo
+    assert abs(df.loc["oc_first", "est_join1"] - round(est_oc, 4)) <= 1e-6
+    assert int(df.loc["oc_first", "actual_join1"]) == act_oc
+    assert int(df.loc["lo_first", "actual_final"]) == act_final
+    assert int(df.loc["oc_first", "actual_final"]) == act_final
+    # both plans estimate the SAME final size up to formula order
+    assert (
+        abs(
+            df.loc["lo_first", "est_final"]
+            - df.loc["oc_first", "est_final"]
+        )
+        <= max(1e-4 * df.loc["lo_first", "est_final"], 1.0)
+    )
