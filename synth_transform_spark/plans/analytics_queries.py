@@ -2775,3 +2775,86 @@ def q363_join_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("plan")
     )
+
+
+# ---------------------------------------------------------------------------
+# q364 — order-dependency mining over lineitem's numeric columns: for
+# every ordered pair (a, b) of {quantity, extendedprice, discount, tax},
+# the violation rate of "a ≤ b" and whether the dependency HOLDS at the
+# 99% threshold — lightweight invariant discovery (the Metanome-style
+# profiling step that seeds q286's expectation suite with candidate
+# cross-field rules instead of hand-written ones).
+# Parity: values are frozen to round(100·v) cents/points integers before
+# comparison, so both engines compare identical integers; all counts are
+# exact; rates are single double ratios. 4dp.
+# Scale: ONE corpus pass computes all 12 pair-violation counts as
+# conditional aggregates (map-side combinable); the unpivot to rows runs
+# on a 1-row relation.
+# ---------------------------------------------------------------------------
+_OD_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _od_pairs():
+    return [
+        (a, b) for a in _OD_COLS for b in _OD_COLS if a != b
+    ]
+
+
+@register(
+    "q364_order_dependency_mining",
+    oracle=f"""
+WITH f AS (
+    SELECT {", ".join(f"CAST(ROUND(100.0 * {c}) AS BIGINT) AS {c}" for c in _OD_COLS)}
+    FROM lineitem
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN {a} > {b} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS v_{i}"
+               for i, (a, b) in enumerate(_od_pairs())
+           )}
+    FROM f
+)
+{" UNION ALL ".join(
+    f"SELECT '{a}' AS lhs, '{b}' AS rhs, n, v_{i} AS n_violations, "
+    f"ROUND(CAST(v_{i} AS DOUBLE) / n, 4) AS violation_rate, "
+    f"CAST(CASE WHEN CAST(v_{i} AS DOUBLE) / n <= 0.01 THEN 1 ELSE 0 END"
+    f" AS BIGINT) AS holds FROM agg"
+    for i, (a, b) in enumerate(_od_pairs())
+)}
+ORDER BY lhs, rhs
+""",
+    tags=("quality", "P2", "A12"),
+)
+def q364_order_dependency_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation rates of every candidate a ≤ b invariant among
+    lineitem's numeric columns: (lhs, rhs, n, n_violations,
+    violation_rate, holds)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        *[
+            F.round(100.0 * F.col(c)).cast("long").alias(c)
+            for c in _OD_COLS
+        ]
+    )
+    agg = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col(a) > F.col(b)).cast("long")).alias(f"v_{i}")
+            for i, (a, b) in enumerate(_od_pairs())
+        ],
+    )
+    out = None
+    for i, (a, b) in enumerate(_od_pairs()):
+        rate = F.col(f"v_{i}").cast("double") / F.col("n")
+        row = agg.select(
+            F.lit(a).alias("lhs"),
+            F.lit(b).alias("rhs"),
+            F.col("n").cast("long").alias("n"),
+            F.col(f"v_{i}").cast("long").alias("n_violations"),
+            F.round(rate, 4).alias("violation_rate"),
+            (rate <= 0.01).cast("long").alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("lhs", "rhs")

@@ -1192,3 +1192,100 @@ def q290_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q365 — weighted-Jaccard source similarity: J_w(A, B) =
+# Σ_t min(c_A(t), c_B(t)) / Σ_t max(c_A(t), c_B(t)) over per-source token
+# COUNT vectors — the multiset refinement of q203's set-shingle overlap
+# (two sources sharing vocabulary but at wildly different frequencies
+# score low here and high there) and the exact ground truth q261's KMV
+# sketch approximates on sets.
+# Parity: counts are exact integers; Σmax is derived exactly as
+# tot_A + tot_B − Σmin so only the INNER token join is materialized;
+# the ratio is one double, 4dp.
+# Scale: one (source, token) keyed aggregate; the cross-source Σmin is a
+# token-keyed self-join (uniform token keys) reduced to source pairs —
+# pair space bounded by the source dim squared, never by the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "q365_weighted_jaccard_sources",
+    oracle="""
+WITH toks AS (
+    SELECT source,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok
+    FROM documents
+),
+cnt AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY source, tok
+),
+tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM cnt GROUP BY source),
+mins AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS smin
+    FROM cnt a JOIN cnt b ON b.tok = a.tok AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT m.source_a, m.source_b, m.smin,
+       ta.tot + tb.tot - m.smin AS smax,
+       ROUND(CAST(m.smin AS DOUBLE) / (ta.tot + tb.tot - m.smin), 4)
+           AS weighted_jaccard
+FROM mins m
+JOIN tot ta ON ta.source = m.source_a
+JOIN tot tb ON tb.source = m.source_b
+ORDER BY source_a, source_b
+""",
+    tags=("dedup-setsim", "text-analysis", "A5"),
+)
+def q365_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted (multiset) Jaccard between every source pair:
+    (source_a, source_b, smin, smax, weighted_jaccard)."""
+    import pyspark.sql.functions as F
+
+    from ..operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
+    )
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("tot"))
+    a = cnt.select(
+        F.col("source").alias("source_a"),
+        "tok",
+        F.col("c").alias("ca"),
+    )
+    b = cnt.select(
+        F.col("source").alias("source_b"),
+        "tok",
+        F.col("c").alias("cb"),
+    )
+    mins = (
+        a.join(b, ["tok"])
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
+    )
+    ta = tot.select(
+        F.col("source").alias("source_a"), F.col("tot").alias("tot_a")
+    )
+    tb = tot.select(
+        F.col("source").alias("source_b"), F.col("tot").alias("tot_b")
+    )
+    smax = F.col("tot_a") + F.col("tot_b") - F.col("smin")
+    return (
+        mins.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("smin").cast("long").alias("smin"),
+            smax.cast("long").alias("smax"),
+            F.round(F.col("smin").cast("double") / smax, 4).alias(
+                "weighted_jaccard"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

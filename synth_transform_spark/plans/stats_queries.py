@@ -4172,3 +4172,98 @@ def q362_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("v_z") + F.col("v_mad") + F.col("v_iqr") >= 1)
         .orderBy("event_type", "day")
     )
+
+
+# --------------------------------------------------------------------------
+# q366 - circular time-of-day statistics per event type: map each event
+# to its angle on the 24h circle (theta = 2*pi*sec_of_day/86400) and
+# report the circular mean hour and the resultant length
+# R = |sum e^{i*theta}|/n - the statistics that get "mean hour of
+# activity" RIGHT when activity straddles midnight (a linear mean of
+# 23:00 and 01:00 says noon; the circular mean says midnight). R near 1
+# = concentrated daily peak, near 0 = uniform around the clock.
+# Parity: sec_of_day is exact integer arithmetic on epoch seconds (UTC-
+# pinned reader); cos/sin are frozen per event to round(1e6*trig) (the
+# q326 libm-ulp treatment) so C and S are exact integer sums; mean hour
+# and R are single double expressions with the SAME atan2 branch handling
+# ((atan2 + 2*pi) fmod 2*pi) on both engines. 4dp.
+# Scale: one narrow map + one (type) keyed aggregate with map-side
+# partials. Nothing downstream of the reduce exceeds the type dim.
+# --------------------------------------------------------------------------
+@register(
+    "q366_circular_stats",
+    oracle="""
+WITH ang AS (
+    SELECT event_type,
+           2.0 * PI()
+           * (CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) % 86400)
+               / 86400.0 AS theta
+    FROM events
+),
+frozen AS (
+    SELECT event_type,
+           CAST(ROUND(1000000.0 * COS(theta)) AS BIGINT) AS c,
+           CAST(ROUND(1000000.0 * SIN(theta)) AS BIGINT) AS s
+    FROM ang
+),
+agg AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(s) AS BIGINT) AS ss
+    FROM frozen GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(FMOD(ATAN2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
+                  + 2.0 * PI(), 2.0 * PI()) / (2.0 * PI()) * 24.0, 4)
+           AS mean_hour,
+       ROUND(SQRT(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
+             / (1000000.0 * n), 4) AS resultant_r
+FROM agg ORDER BY event_type
+""",
+    tags=("timeseries", "A12"),
+)
+def q366_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular mean hour + resultant length per event type:
+    (event_type, n, mean_hour, resultant_r)."""
+    import math as _m
+
+    events = load_table(spark, sf_dir, "events")
+    theta = (
+        2.0
+        * _m.pi
+        * (F.unix_timestamp("ts") % 86400).cast("double")
+        / 86400.0
+    )
+    frozen = events.select(
+        "event_type",
+        F.round(1000000.0 * F.cos(theta)).cast("long").alias("c"),
+        F.round(1000000.0 * F.sin(theta)).cast("long").alias("s"),
+    )
+    agg = frozen.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sc"),
+        F.sum("s").alias("ss"),
+    )
+    two_pi = 2.0 * _m.pi
+    # atan2 ∈ [−π, π], so +2π is strictly positive and a single
+    # positive-operand remainder equals fmod on both engines.
+    mean_hour = (
+        F.expr(
+            f"((ATAN2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))"
+            f" + {two_pi!r}) % {two_pi!r})"
+        )
+        / two_pi
+        * 24.0
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean_hour, 4).alias("mean_hour"),
+        F.round(
+            F.sqrt(
+                F.col("sc").cast("double") * F.col("sc")
+                + F.col("ss").cast("double") * F.col("ss")
+            )
+            / (1000000.0 * F.col("n")),
+            4,
+        ).alias("resultant_r"),
+    ).orderBy("event_type")

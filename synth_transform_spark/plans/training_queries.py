@@ -1662,3 +1662,92 @@ def q361_chunk_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("chunk_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q367 — dedup-impact report: join the exact duplicate groups (q04's
+# md5-of-text grouping, operators/dedup.py:50) back to per-doc token
+# counts and report, per source, how much the corpus SHRINKS under
+# keep-one-per-group dedup — documents dropped, tokens saved, and the
+# share of the source's token budget that was duplicate mass. The
+# stakeholder-facing readout of the dedup pipeline ("dedup buys us X%
+# of the training budget back"), composing q04 with q31's counts.
+# Parity: duplicate docs share identical text hence identical token
+# counts, so every quantity is exact integer arithmetic; shares are
+# single double ratios. 4dp.
+# Scale: one md5-keyed group (uniform), one source-keyed reduce; token
+# counts ride the same pass as the hash (no second text scan).
+# --------------------------------------------------------------------------
+@register(
+    "q367_dedup_impact",
+    oracle="""
+WITH d AS (
+    SELECT doc_id, source, MD5(text) AS h,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_tok
+    FROM documents
+),
+keep AS (
+    SELECT h, MIN(doc_id) AS keeper FROM d GROUP BY h
+),
+verdict AS (
+    SELECT d.source, d.n_tok,
+           CASE WHEN d.doc_id = k.keeper THEN 0 ELSE 1 END AS dropped
+    FROM d JOIN keep k ON k.h = d.h
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN dropped = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_saved,
+       ROUND(CAST(SUM(CASE WHEN dropped = 1 THEN n_tok ELSE 0 END)
+                  AS DOUBLE) / SUM(n_tok), 4) AS save_share
+FROM verdict GROUP BY source ORDER BY source
+""",
+    tags=("dedup-exact", "training-prep", "A5"),
+)
+def q367_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus shrinkage under keep-one exact dedup:
+    (source, n_docs, n_dropped, tokens_total, tokens_saved,
+    save_share)."""
+    from ..operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(text_analysis.tokens_raw(F.col("text")))
+        .cast("long")
+        .alias("n_tok"),
+    )
+    keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    verdict = d.join(keep, "h").select(
+        "source",
+        "n_tok",
+        (F.col("doc_id") != F.col("keeper")).cast("long").alias("dropped"),
+    )
+    return (
+        verdict.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("dropped") == 1, F.col("n_tok")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_saved"),
+            F.round(
+                F.sum(
+                    F.when(F.col("dropped") == 1, F.col("n_tok")).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.sum("n_tok"),
+                4,
+            ).alias("save_share"),
+        )
+        .orderBy("source")
+    )

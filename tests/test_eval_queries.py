@@ -802,3 +802,119 @@ def test_join_order_audit_matches_naive(spark):
         )
         <= max(1e-4 * df.loc["lo_first", "est_final"], 1.0)
     )
+
+
+def test_order_dependency_matches_naive(spark):
+    df = (
+        REGISTRY["q364_order_dependency_mining"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index(["lhs", "rhs"])
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    f = {c: (100.0 * li[c]).round().astype("int64") for c in cols}
+    n = len(li)
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            v = int((f[a] > f[b]).sum())
+            row = df.loc[(a, b)]
+            assert int(row["n"]) == n
+            assert int(row["n_violations"]) == v
+            assert abs(row["violation_rate"] - v / n) <= 1e-4
+            assert int(row["holds"]) == (1 if v / n <= 0.01 else 0)
+    # discount <= tax-level sanity: at least one non-trivial invariant
+    # direction must separate (rates differ between (a,b) and (b,a))
+    assert (
+        df.loc[("l_discount", "l_extendedprice"), "violation_rate"]
+        != df.loc[("l_extendedprice", "l_discount"), "violation_rate"]
+    )
+
+
+def test_weighted_jaccard_matches_naive(spark):
+    df = (
+        REGISTRY["q365_weighted_jaccard_sources"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    cnt: dict[str, dict[str, int]] = {}
+    for _, r in docs.iterrows():
+        d = cnt.setdefault(r["source"], {})
+        for t in r["text"].split(" "):
+            if t:
+                d[t] = d.get(t, 0) + 1
+    srcs = sorted(cnt)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            ca, cb = cnt[a], cnt[b]
+            smin = sum(min(ca[t], cb[t]) for t in ca.keys() & cb.keys())
+            smax = sum(ca.values()) + sum(cb.values()) - smin
+            if smin > 0:
+                want[(a, b)] = (smin, smax)
+    assert len(df) == len(want)
+    for _, r in df.iterrows():
+        smin, smax = want[(r["source_a"], r["source_b"])]
+        assert int(r["smin"]) == smin
+        assert int(r["smax"]) == smax
+        assert abs(r["weighted_jaccard"] - smin / smax) <= 1e-4
+        # multiset Jaccard is bounded by the set Jaccard from above by 1
+        assert 0 < r["weighted_jaccard"] <= 1
+
+
+def test_circular_stats_matches_naive(spark):
+    df = (
+        REGISTRY["q366_circular_stats"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    secs = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 10**9
+    ) % 86400
+    for et in sorted(ev["event_type"].unique()):
+        th = 2 * math.pi * secs[ev["event_type"] == et] / 86400.0
+        c = sum(round(1e6 * math.cos(t)) for t in th)
+        s = sum(round(1e6 * math.sin(t)) for t in th)
+        n = len(th)
+        mh = ((math.atan2(s, c) + 2 * math.pi) % (2 * math.pi)) / (
+            2 * math.pi
+        ) * 24
+        r = math.sqrt(c * c + s * s) / (1e6 * n)
+        assert int(df.loc[et, "n"]) == n
+        assert abs(df.loc[et, "mean_hour"] - mh) <= 1e-3
+        assert abs(df.loc[et, "resultant_r"] - r) <= 1e-4
+        assert 0 <= df.loc[et, "mean_hour"] < 24
+        assert 0 <= df.loc[et, "resultant_r"] <= 1
+
+
+def test_dedup_impact_matches_naive(spark):
+    df = (
+        REGISTRY["q367_dedup_impact"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("source")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    keeper = docs.groupby(docs["text"])["doc_id"].min().to_dict()
+    docs = docs.assign(
+        dropped=[
+            0 if keeper[t] == i else 1
+            for t, i in zip(docs["text"], docs["doc_id"])
+        ],
+        n_tok=[len([t for t in x.split(" ") if t]) for x in docs["text"]],
+    )
+    for src, g in docs.groupby("source"):
+        saved = int(g.loc[g["dropped"] == 1, "n_tok"].sum())
+        assert int(df.loc[src, "n_docs"]) == len(g)
+        assert int(df.loc[src, "n_dropped"]) == int(g["dropped"].sum())
+        assert int(df.loc[src, "tokens_total"]) == int(g["n_tok"].sum())
+        assert int(df.loc[src, "tokens_saved"]) == saved
+        assert abs(
+            df.loc[src, "save_share"] - saved / g["n_tok"].sum()
+        ) <= 1e-4
