@@ -2497,24 +2497,25 @@ ORDER BY target_j, rk
 def q336_lsh_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 (bands, rows) LSH layouts per target Jaccard threshold:
     (target_j, bands, rows_per_band, p_detect, p_fp, score, rk)."""
-    # coalesce(1): local literal frames otherwise spread their handful of
-    # rows over defaultParallelism partitions, turning the two cartesian
-    # products below into a 32x32x4 = 4096-task stage for an 18-row grid.
-    bs = spark.createDataFrame(
-        [(b,) for b in [2, 4, 8, 16, 32]], "b long"
+    # The design lattice is a CONSTANT: enumerate the (b, r, t) rows as
+    # one single-partition literal frame. A crossJoin of literal frames
+    # both sprays 18 rows over defaultParallelism^2 tasks and trips the
+    # no-cartesian plan pin; there is nothing to distribute here.
+    rows = [
+        (b, r, t)
+        for b in [2, 4, 8, 16, 32]
+        for r in [2, 3, 4, 8, 16]
+        if b * r <= 64
+        for t in [0.5, 0.7, 0.8, 0.9]
+    ]
+    grid = spark.createDataFrame(
+        rows, "b long, r long, t double"
     ).coalesce(1)
-    rs = spark.createDataFrame(
-        [(r,) for r in [2, 3, 4, 8, 16]], "r long"
-    ).coalesce(1)
-    ts = spark.createDataFrame(
-        [(t,) for t in [0.5, 0.7, 0.8, 0.9]], "t double"
-    ).coalesce(1)
-    grid = bs.crossJoin(rs).filter(F.col("b") * F.col("r") <= 64)
     p_detect = 1.0 - F.pow(
         1.0 - F.pow(F.col("t"), F.col("r")), F.col("b")
     )
     p_fp = 1.0 - F.pow(1.0 - F.pow(F.lit(0.3), F.col("r")), F.col("b"))
-    scored = grid.crossJoin(ts).select(
+    scored = grid.select(
         "b",
         "r",
         "t",
