@@ -4268,3 +4268,174 @@ def q366_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("resultant_r"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q368 - Friedman test over the (day x event type) block design: within
+# each day, rank the k event types by their daily counts (average ranks
+# on ties, zero-filled missing cells so every block is complete);
+# Q = 12/(n*k*(k+1)) * sum R_j^2 - 3n(k+1), with the tie-corrected
+# Q_c = Q / (1 - sum_b T_b / (n*k*(k^2-1))), T_b = sum(t^3 - t) over each
+# block's tie groups. The within-block companion to q315's
+# Kruskal-Wallis (between-group): "do event types keep a consistent
+# volume ORDERING day after day".
+# Parity: average ranks are exact multiples of 0.5 - doubled ranks are
+# exact integers (min-rank window + tie-group size), so rank sums, tie
+# terms and Q are integer algebra with one double expression at the end.
+# 4dp.
+# Scale: one (type, day) aggregate, a day-dim x type-dim zero-fill grid
+# (calendar x type bounded), partitioned rank windows per day - never a
+# global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q368_friedman_test",
+    oracle="""
+WITH daily AS (
+    SELECT event_type,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2
+),
+grid AS (
+    SELECT d.day, t.event_type, COALESCE(c.x, 0) AS x
+    FROM (SELECT DISTINCT day FROM daily) d
+    CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+    LEFT JOIN daily c ON c.day = d.day AND c.event_type = t.event_type
+),
+ranked AS (
+    SELECT day, event_type, x,
+           CAST(RANK() OVER (PARTITION BY day ORDER BY x) AS BIGINT)
+               AS min_rk,
+           CAST(COUNT(*) OVER (PARTITION BY day, x) AS BIGINT) AS tie_n
+    FROM grid
+),
+r2 AS (
+    SELECT day, event_type,
+           2 * min_rk + tie_n - 1 AS dbl_rank, tie_n
+    FROM ranked
+),
+dims AS (
+    SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+    FROM grid
+),
+rsums AS (
+    SELECT event_type, CAST(SUM(dbl_rank) AS BIGINT) AS r2sum
+    FROM r2 GROUP BY event_type
+),
+tt AS (
+    SELECT CAST(SUM(tie_n * tie_n * tie_n - tie_n) AS BIGINT) AS t_sum
+    FROM (SELECT DISTINCT day, x, tie_n FROM ranked) g
+),
+q AS (
+    SELECT d.n, d.k,
+           12.0 / (d.n * d.k * (d.k + 1))
+               * SUM((CAST(r.r2sum AS DOUBLE) / 2)
+                     * (CAST(r.r2sum AS DOUBLE) / 2))
+               - 3.0 * d.n * (d.k + 1) AS q_stat,
+           MAX(t.t_sum) AS t_sum
+    FROM rsums r CROSS JOIN dims d CROSS JOIN tt t
+    GROUP BY d.n, d.k
+)
+SELECT r.event_type, r.r2sum / 2.0 AS rank_sum,
+       ROUND(r.r2sum / 2.0 / q.n, 4) AS mean_rank,
+       ROUND(q.q_stat, 4) AS q_stat,
+       ROUND(q.q_stat
+             / (1.0 - CAST(q.t_sum AS DOUBLE)
+                      / (q.n * q.k * (q.k * q.k - 1))), 4) AS q_corrected
+FROM rsums r CROSS JOIN q
+ORDER BY event_type
+""",
+    tags=("inferential", "W2", "A12"),
+)
+def q368_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman within-day rank test of event-type volumes:
+    (event_type, rank_sum, mean_rank, q_stat, q_corrected)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce("x", F.lit(0)).alias("x")
+        )
+    )
+    wday = Window.partitionBy("day").orderBy("x")
+    wtie = Window.partitionBy("day", "x")
+    ranked = grid.select(
+        "day",
+        "event_type",
+        "x",
+        F.rank().over(wday).cast("long").alias("min_rk"),
+        F.count(F.lit(1)).over(wtie).cast("long").alias("tie_n"),
+    )
+    r2 = ranked.select(
+        "day",
+        "event_type",
+        (2 * F.col("min_rk") + F.col("tie_n") - 1).alias("dbl_rank"),
+        "tie_n",
+        "x",
+    )
+    dims = grid.agg(
+        F.countDistinct("day").alias("n"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    rsums = r2.groupBy("event_type").agg(
+        F.sum("dbl_rank").alias("r2sum")
+    )
+    tsum = (
+        ranked.select("day", "x", "tie_n")
+        .distinct()
+        .agg(
+            F.sum(
+                F.col("tie_n") * F.col("tie_n") * F.col("tie_n")
+                - F.col("tie_n")
+            ).alias("t_sum")
+        )
+    )
+    qrow = (
+        rsums.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(tsum))
+        .groupBy("n", "k", "t_sum")
+        .agg(
+            (
+                12.0
+                / (F.col("n") * F.col("k") * (F.col("k") + 1))
+                * F.sum(
+                    (F.col("r2sum").cast("double") / 2)
+                    * (F.col("r2sum").cast("double") / 2)
+                )
+                - 3.0 * F.col("n") * (F.col("k") + 1)
+            ).alias("q_stat")
+        )
+    )
+    return (
+        rsums.crossJoin(F.broadcast(qrow))
+        .select(
+            "event_type",
+            (F.col("r2sum") / 2.0).alias("rank_sum"),
+            F.round(F.col("r2sum") / 2.0 / F.col("n"), 4).alias(
+                "mean_rank"
+            ),
+            F.round("q_stat", 4).alias("q_stat"),
+            F.round(
+                F.col("q_stat")
+                / (
+                    1.0
+                    - F.col("t_sum").cast("double")
+                    / (
+                        F.col("n")
+                        * F.col("k")
+                        * (F.col("k") * F.col("k") - 1)
+                    )
+                ),
+                4,
+            ).alias("q_corrected"),
+        )
+        .orderBy("event_type")
+    )

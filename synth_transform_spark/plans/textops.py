@@ -2527,3 +2527,179 @@ def q293_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q370 — UMass coherence of the corpus's top-10 content tokens: for
+# every ordered pair (w_i, w_j) with i < j by document-frequency rank,
+# the coherence term ln((D(w_i, w_j) + 1) / D(w_j)) over document
+# co-occurrence counts, plus the summed coherence score. The topic-
+# quality metric (Mimno et al. 2011) applied to the frequency head —
+# high coherence = the head tokens genuinely co-occur (a topical
+# corpus), low = they live in disjoint documents (a mixed dump). Reads
+# q102's PMI pairs through an eval lens.
+# Parity: document frequencies and co-occurrence counts are exact
+# integers (distinct (doc, token) pairs); each term is frozen to
+# round(1e6·ln(...)) before the total. Rank ties break by token. 4dp.
+# Scale: one (token) doc-frequency aggregate; top-10 via
+# TakeOrderedAndProject; co-occurrence via a doc-keyed self-join of the
+# 10-token-filtered postings (bounded by 10 rows per doc). Never a
+# corpus-wide pair join.
+# --------------------------------------------------------------------------
+@register(
+    "q370_umass_coherence",
+    oracle="""
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                              t -> LENGTH(t) >= 4)) AS tok
+    FROM documents
+),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS d FROM toks GROUP BY tok),
+top AS (
+    SELECT tok, d, CAST(ROW_NUMBER() OVER (ORDER BY d DESC, tok ASC)
+                        AS BIGINT) AS rk
+    FROM df QUALIFY rk <= 10
+),
+posts AS (
+    SELECT t.doc_id, p.tok, p.rk, p.d
+    FROM toks t JOIN top p ON p.tok = t.tok
+),
+co AS (
+    SELECT a.tok AS w_i, a.rk AS rk_i, a.d AS d_i,
+           b.tok AS w_j, b.rk AS rk_j, b.d AS d_j,
+           CAST(COUNT(*) AS BIGINT) AS d_ij
+    FROM posts a JOIN posts b ON b.doc_id = a.doc_id AND a.rk < b.rk
+    GROUP BY a.tok, a.rk, a.d, b.tok, b.rk, b.d
+),
+pairs AS (
+    SELECT i.tok AS w_i, i.rk AS rk_i, i.d AS d_i,
+           j.tok AS w_j, j.rk AS rk_j, j.d AS d_j,
+           COALESCE(c.d_ij, 0) AS d_ij
+    FROM top i
+    JOIN top j ON i.rk < j.rk
+    LEFT JOIN co c ON c.rk_i = i.rk AND c.rk_j = j.rk
+),
+terms AS (
+    SELECT w_i, w_j, rk_i, rk_j, d_i, d_j, d_ij,
+           CAST(ROUND(1000000.0 * LN((CAST(d_ij AS DOUBLE) + 1.0) / d_j))
+                AS BIGINT) AS term
+    FROM pairs
+),
+tot AS (SELECT CAST(SUM(term) AS BIGINT) AS coh FROM terms)
+SELECT t.w_i, t.w_j, t.d_i, t.d_j, t.d_ij,
+       ROUND(t.term / 1000000.0, 4) AS term,
+       ROUND(x.coh / 1000000.0, 4) AS coherence
+FROM terms t CROSS JOIN tot x
+ORDER BY t.rk_i, t.rk_j
+""",
+    tags=("text-analysis", "ml-eval", "A8"),
+)
+def q370_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UMass coherence over the top-10 content tokens' co-occurrence:
+    (w_i, w_j, d_i, d_j, d_ij, term, coherence)."""
+    from ..operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    text_analysis.tokens_raw(F.col("text")),
+                    lambda t: F.length(t) >= 4,
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    top10 = dfreq.orderBy(F.desc("d"), F.asc("tok")).limit(10)
+    top = top10.select(
+        "tok",
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.desc("d"), F.asc("tok")))
+        .cast("long")
+        .alias("rk"),
+    )
+    posts = toks.join(F.broadcast(top), "tok").select(
+        "doc_id", "tok", "rk", "d"
+    )
+    a = posts.select(
+        "doc_id",
+        F.col("tok").alias("w_i"),
+        F.col("rk").alias("rk_i"),
+        F.col("d").alias("d_i"),
+    )
+    b = posts.select(
+        "doc_id",
+        F.col("tok").alias("w_j"),
+        F.col("rk").alias("rk_j"),
+        F.col("d").alias("d_j"),
+    )
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("rk_i") < F.col("rk_j"))
+        .groupBy("w_i", "rk_i", "d_i", "w_j", "rk_j", "d_j")
+        .agg(F.count(F.lit(1)).alias("d_ij"))
+    )
+    ti = top.select(
+        F.col("tok").alias("w_i"),
+        F.col("rk").alias("rk_i"),
+        F.col("d").alias("d_i"),
+    )
+    tj = top.select(
+        F.col("tok").alias("w_j"),
+        F.col("rk").alias("rk_j"),
+        F.col("d").alias("d_j"),
+    )
+    pairs = (
+        ti.join(tj, F.col("rk_i") < F.col("rk_j"))
+        .join(
+            F.broadcast(co.select("rk_i", "rk_j", "d_ij")),
+            ["rk_i", "rk_j"],
+            "left",
+        )
+        .select(
+            "w_i",
+            "w_j",
+            "rk_i",
+            "rk_j",
+            "d_i",
+            "d_j",
+            F.coalesce("d_ij", F.lit(0)).cast("long").alias("d_ij"),
+        )
+    )
+    terms = pairs.select(
+        "w_i",
+        "w_j",
+        "rk_i",
+        "rk_j",
+        "d_i",
+        "d_j",
+        "d_ij",
+        F.round(
+            1000000.0
+            * F.log((F.col("d_ij").cast("double") + 1.0) / F.col("d_j"))
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    tot = terms.agg(F.sum("term").alias("coh"))
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "w_i",
+            "w_j",
+            "d_i",
+            "d_j",
+            "d_ij",
+            F.round(F.col("term") / 1000000.0, 4).alias("term"),
+            F.round(F.col("coh") / 1000000.0, 4).alias("coherence"),
+            "rk_i",
+            "rk_j",
+        )
+        .orderBy("rk_i", "rk_j")
+        .drop("rk_i", "rk_j")
+    )

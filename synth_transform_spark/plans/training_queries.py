@@ -1751,3 +1751,274 @@ def q367_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q369 — training-batch mixing audit: assign every document to one of 16
+# md5 batches (the epoch-shard assignment q155 uses) and report, per
+# batch, the source-mixture health — Shannon entropy of the source
+# distribution, KL divergence to the GLOBAL source mixture, and the
+# largest single-source share. A batch whose KL spikes trains the model
+# on a skewed slice; the audit catches a broken shuffle before the GPU
+# bill does.
+# Parity: batch assignment is the shared md5-prefix→int convention;
+# per-(batch, source) counts are exact; each entropy term c·ln c and
+# each KL term p·ln(p_b/p_g) is frozen to a micro-int before the
+# per-batch sum (q234's discipline). 4dp.
+# Scale: one (batch, source) keyed aggregate (map-side combinable);
+# global mixture is a source-dim aggregate broadcast back; per-batch
+# reduces run on ≤ sources rows each.
+# --------------------------------------------------------------------------
+@register(
+    "q369_batch_mixing_audit",
+    oracle="""
+WITH assigned AS (
+    SELECT CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))
+                ::UBIGINT AS BIGINT) % 16 AS batch,
+           source
+    FROM documents
+),
+cells AS (
+    SELECT batch, source, CAST(COUNT(*) AS BIGINT) AS c
+    FROM assigned GROUP BY batch, source
+),
+bt AS (SELECT batch, CAST(SUM(c) AS BIGINT) AS nb FROM cells GROUP BY batch),
+gl AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cg FROM cells GROUP BY source),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cells),
+terms AS (
+    SELECT c.batch, b.nb, c.c,
+           CAST(ROUND(1000000.0 * c.c * LN(CAST(c.c AS DOUBLE)))
+                AS BIGINT) AS clc,
+           CAST(ROUND(100000000.0 * (CAST(c.c AS DOUBLE) / b.nb)
+                * LN((CAST(c.c AS DOUBLE) / b.nb)
+                     / (CAST(g.cg AS DOUBLE) / t.nn))) AS BIGINT) AS klt
+    FROM cells c
+    JOIN bt b ON b.batch = c.batch
+    JOIN gl g ON g.source = c.source
+    CROSS JOIN tot t
+)
+SELECT batch,
+       MAX(nb) AS n_docs,
+       ROUND(LN(CAST(MAX(nb) AS DOUBLE))
+             - CAST(SUM(clc) AS BIGINT) / 1000000.0 / MAX(nb), 4)
+           AS source_entropy,
+       ROUND(CAST(SUM(klt) AS BIGINT) / 100000000.0, 4) AS kl_to_global,
+       ROUND(CAST(MAX(c) AS DOUBLE) / MAX(nb), 4) AS max_share
+FROM terms GROUP BY batch ORDER BY batch
+""",
+    tags=("training-prep", "quality", "A13"),
+)
+def q369_batch_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture health of 16 md5 training batches:
+    (batch, n_docs, source_entropy, kl_to_global, max_share)."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 16
+        ).alias("batch"),
+        "source",
+    )
+    cells = assigned.groupBy("batch", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bt = cells.groupBy("batch").agg(F.sum("c").alias("nb"))
+    gl = cells.groupBy("source").agg(F.sum("c").alias("cg"))
+    tot = cells.agg(F.sum("c").alias("nn"))
+    terms = (
+        cells.join(F.broadcast(bt), "batch")
+        .join(F.broadcast(gl), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "batch",
+            "nb",
+            "c",
+            F.round(
+                1000000.0
+                * F.col("c")
+                * F.log(F.col("c").cast("double"))
+            )
+            .cast("long")
+            .alias("clc"),
+            F.round(
+                100000000.0
+                * (F.col("c").cast("double") / F.col("nb"))
+                * F.log(
+                    (F.col("c").cast("double") / F.col("nb"))
+                    / (F.col("cg").cast("double") / F.col("nn"))
+                )
+            )
+            .cast("long")
+            .alias("klt"),
+        )
+    )
+    return (
+        terms.groupBy("batch")
+        .agg(
+            F.max("nb").cast("long").alias("n_docs"),
+            F.round(
+                F.log(F.max("nb").cast("double"))
+                - F.sum("clc").cast("long") / 1000000.0 / F.max("nb"),
+                4,
+            ).alias("source_entropy"),
+            F.round(
+                F.sum("klt").cast("long") / 100000000.0, 4
+            ).alias("kl_to_global"),
+            F.round(
+                F.max("c").cast("double") / F.max("nb"), 4
+            ).alias("max_share"),
+        )
+        .orderBy("batch")
+    )
+
+
+# --------------------------------------------------------------------------
+# q371 — LM model selection by AIC/BIC: the in-sample log-likelihood of
+# the training slice under the MLE unigram vs MLE bigram model, each
+# penalized by its parameter count (V types; B bigram types) — the
+# capacity-vs-fit readout that says whether the bigram table earns its
+# parameters (it always wins raw likelihood; AIC/BIC can still reject
+# it). Completes the LM family: q93/q152 score tokens, q221/q343 smooth,
+# this one SELECTS.
+# Parity: all counts exact; each log-lik term c·ln(c/N) or
+# c2·ln(c2/c1) is frozen to a micro-int before the sum; AIC/BIC are
+# single double expressions over (LL, k, N). 4dp.
+# Scale: counting aggregates with map-side combine; nothing downstream
+# of the reduces exceeds 2 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q371_lm_model_selection",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS tok,
+           GENERATE_SUBSCRIPTS(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''), 1) AS i
+    FROM documents WHERE doc_id % 13 = 1
+),
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+       FROM uni),
+uni_ll AS (
+    SELECT CAST(SUM(CAST(ROUND(1000000.0 * u.c *
+               LN(CAST(u.c AS DOUBLE) / t.n)) AS BIGINT)) AS BIGINT) AS ll
+    FROM uni u CROSS JOIN nt t
+),
+big AS (
+    SELECT a.tok AS prev, b.tok AS cur, CAST(COUNT(*) AS BIGINT) AS c2
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+    GROUP BY a.tok, b.tok
+),
+c1 AS (SELECT prev, CAST(SUM(c2) AS BIGINT) AS n1 FROM big GROUP BY prev),
+bstat AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS b_types,
+           CAST(SUM(c2) AS BIGINT) AS n_big
+    FROM big
+),
+big_ll AS (
+    SELECT CAST(SUM(CAST(ROUND(1000000.0 * b.c2 *
+               LN(CAST(b.c2 AS DOUBLE) / c1.n1)) AS BIGINT)) AS BIGINT)
+               AS ll
+    FROM big b JOIN c1 ON c1.prev = b.prev
+),
+models AS (
+    SELECT 'unigram' AS model, t.n AS n_events, t.v AS k_params, u.ll
+    FROM nt t CROSS JOIN uni_ll u
+    UNION ALL
+    SELECT 'bigram', s.n_big, s.b_types, g.ll
+    FROM bstat s CROSS JOIN big_ll g
+)
+SELECT model, n_events, k_params,
+       ROUND(ll / 1000000.0, 4) AS loglik,
+       ROUND(2.0 * k_params - 2.0 * (ll / 1000000.0), 4) AS aic,
+       ROUND(k_params * LN(CAST(n_events AS DOUBLE))
+             - 2.0 * (ll / 1000000.0), 4) AS bic
+FROM models ORDER BY model
+""",
+    tags=("text-lm", "ml-eval", "A12"),
+)
+def q371_lm_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIC/BIC of MLE unigram vs bigram LMs on the training slice:
+    (model, n_events, k_params, loglik, aic, bic)."""
+    from ..operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 13 == 1
+    )
+    toks_arr = docs.select(
+        "doc_id", text_analysis.tokens_raw(F.col("text")).alias("ts")
+    )
+    uni = toks_arr.select(F.explode("ts").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nt = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    uni_ll = uni.crossJoin(F.broadcast(nt)).agg(
+        F.sum(
+            F.round(
+                1000000.0
+                * F.col("c")
+                * F.log(F.col("c").cast("double") / F.col("n"))
+            ).cast("long")
+        ).alias("ll")
+    )
+    big = (
+        toks_arr.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ts", 1, F.size("ts") - 1),
+                    F.slice("ts", 2, F.size("ts") - 1),
+                )
+            ).alias("_bg")
+        )
+        .select(F.col("_bg.0").alias("prev"), F.col("_bg.1").alias("cur"))
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    c1 = big.groupBy("prev").agg(F.sum("c2").alias("n1"))
+    bstat = big.agg(
+        F.count(F.lit(1)).alias("b_types"), F.sum("c2").alias("n_big")
+    )
+    big_ll = big.join(F.broadcast(c1), "prev").agg(
+        F.sum(
+            F.round(
+                1000000.0
+                * F.col("c2")
+                * F.log(F.col("c2").cast("double") / F.col("n1"))
+            ).cast("long")
+        ).alias("ll")
+    )
+    m1 = nt.crossJoin(F.broadcast(uni_ll)).select(
+        F.lit("unigram").alias("model"),
+        F.col("n").cast("long").alias("n_events"),
+        F.col("v").cast("long").alias("k_params"),
+        F.col("ll").alias("ll"),
+    )
+    m2 = bstat.crossJoin(F.broadcast(big_ll)).select(
+        F.lit("bigram").alias("model"),
+        F.col("n_big").cast("long").alias("n_events"),
+        F.col("b_types").cast("long").alias("k_params"),
+        F.col("ll").alias("ll"),
+    )
+    ll = F.col("ll") / 1000000.0
+    return (
+        m1.unionByName(m2)
+        .select(
+            "model",
+            "n_events",
+            "k_params",
+            F.round(ll, 4).alias("loglik"),
+            F.round(2.0 * F.col("k_params") - 2.0 * ll, 4).alias("aic"),
+            F.round(
+                F.col("k_params") * F.log(F.col("n_events").cast("double"))
+                - 2.0 * ll,
+                4,
+            ).alias("bic"),
+        )
+        .orderBy("model")
+    )

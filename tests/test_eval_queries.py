@@ -918,3 +918,153 @@ def test_dedup_impact_matches_naive(spark):
         assert abs(
             df.loc[src, "save_share"] - saved / g["n_tok"].sum()
         ) <= 1e-4
+
+
+def test_friedman_matches_naive(spark):
+    df = (
+        REGISTRY["q368_friedman_test"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    cal = sorted(days.unique())
+    types = sorted(ev["event_type"].unique())
+    n, k = len(cal), len(types)
+    rsum = {t: 0.0 for t in types}
+    t_sum = 0
+    for d in cal:
+        xs = {
+            t: int(((days == d) & (ev["event_type"] == t)).sum())
+            for t in types
+        }
+        vals = sorted(xs.values())
+        ranks = {}
+        for t, x in xs.items():
+            lo = vals.index(x) + 1
+            cnt = vals.count(x)
+            ranks[t] = lo + (cnt - 1) / 2.0
+        for t in types:
+            rsum[t] += ranks[t]
+        for x in set(xs.values()):
+            c = vals.count(x)
+            t_sum += c**3 - c
+    q = 12.0 / (n * k * (k + 1)) * sum(v * v for v in rsum.values()) - 3 * n * (
+        k + 1
+    )
+    qc = q / (1 - t_sum / (n * k * (k * k - 1)))
+    for t in types:
+        assert abs(df.loc[t, "rank_sum"] - rsum[t]) <= 1e-9
+        assert abs(df.loc[t, "mean_rank"] - rsum[t] / n) <= 1e-4
+        assert abs(df.loc[t, "q_stat"] - q) <= 1e-3
+        assert abs(df.loc[t, "q_corrected"] - qc) <= 1e-3
+    # rank sums over all treatments total n*k(k+1)/2
+    assert abs(sum(rsum.values()) - n * k * (k + 1) / 2) <= 1e-9
+
+
+def test_batch_mixing_matches_naive(spark):
+    import hashlib
+
+    df = (
+        REGISTRY["q369_batch_mixing_audit"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("batch")
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    batch = [
+        int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16) % 16
+        for d in docs["doc_id"]
+    ]
+    docs = docs.assign(batch=batch)
+    N = len(docs)
+    glob = docs["source"].value_counts().to_dict()
+    for b, g in docs.groupby("batch"):
+        nb = len(g)
+        cnt = g["source"].value_counts().to_dict()
+        clc = sum(round(1e6 * c * math.log(c)) for c in cnt.values())
+        ent = math.log(nb) - clc / 1e6 / nb
+        klt = sum(
+            round(
+                1e8 * (c / nb) * math.log((c / nb) / (glob[s] / N))
+            )
+            for s, c in cnt.items()
+        )
+        assert int(df.loc[b, "n_docs"]) == nb
+        assert abs(df.loc[b, "source_entropy"] - ent) <= 1e-3
+        assert abs(df.loc[b, "kl_to_global"] - klt / 1e8) <= 1e-3
+        assert abs(
+            df.loc[b, "max_share"] - max(cnt.values()) / nb
+        ) <= 1e-4
+        assert df.loc[b, "kl_to_global"] >= -1e-9  # KL is non-negative
+
+
+def test_lm_model_selection_matches_naive(spark):
+    df = (
+        REGISTRY["q371_lm_model_selection"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("model")
+    )
+    toks = {
+        d: ts for d, ts in _doc_tokens().items() if d % 13 == 1
+    }
+    uni: dict[str, int] = {}
+    big: dict[tuple, int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = sum(uni.values())
+    ll_u = sum(round(1e6 * c * math.log(c / n)) for c in uni.values()) / 1e6
+    c1: dict[str, int] = {}
+    for (a, _), c in big.items():
+        c1[a] = c1.get(a, 0) + c
+    nb = sum(big.values())
+    ll_b = (
+        sum(
+            round(1e6 * c * math.log(c / c1[a]))
+            for (a, _), c in big.items()
+        )
+        / 1e6
+    )
+    for model, (ne, kp, ll) in {
+        "unigram": (n, len(uni), ll_u),
+        "bigram": (nb, len(big), ll_b),
+    }.items():
+        row = df.loc[model]
+        assert int(row["n_events"]) == ne
+        assert int(row["k_params"]) == kp
+        assert abs(row["loglik"] - ll) <= 1e-2
+        assert abs(row["aic"] - (2 * kp - 2 * ll)) <= 2e-2
+        assert abs(row["bic"] - (kp * math.log(ne) - 2 * ll)) <= 2e-2
+    # bigram must fit better raw (higher loglik) — MLE nesting
+    assert df.loc["bigram", "loglik"] > df.loc["unigram", "loglik"]
+
+
+def test_umass_coherence_matches_naive(spark):
+    df = REGISTRY["q370_umass_coherence"].spark(spark, SF_DIR).toPandas()
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    postings: dict[str, set] = {}
+    for _, r in docs.iterrows():
+        for t in set(x for x in r["text"].split(" ") if len(x) >= 4):
+            postings.setdefault(t, set()).add(int(r["doc_id"]))
+    top = sorted(postings.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:10]
+    terms = []
+    for i in range(10):
+        for j in range(i + 1, 10):
+            wi, di = top[i][0], top[i][1]
+            wj, dj = top[j][0], top[j][1]
+            dij = len(di & dj)
+            term = round(1e6 * math.log((dij + 1) / len(dj)))
+            terms.append((wi, wj, len(di), len(dj), dij, term))
+    coh = sum(t[-1] for t in terms) / 1e6
+    assert len(df) == 45
+    for row, (wi, wj, di, dj, dij, term) in zip(df.itertuples(), terms):
+        assert row.w_i == wi and row.w_j == wj
+        assert int(row.d_i) == di and int(row.d_j) == dj
+        assert int(row.d_ij) == dij
+        assert abs(row.term - term / 1e6) <= 1e-4
+        assert abs(row.coherence - coh) <= 1e-3
