@@ -7097,3 +7097,127 @@ def q358_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("second", "matched_ts").alias("matched_ts"),
         F.col("matched_ts").isNotNull().cast("long").alias("matched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q374 — session-gap parameter sweep: sessionize every user's event
+# stream under FOUR candidate inactivity gaps (60s, 300s, 1800s, 7200s)
+# in one job and report, per gap, the session count, mean events per
+# session, and the median/max session duration — the relation consulted
+# before committing q22/q134's 30-minute constant ("how sensitive is our
+# session definition to the gap"). Sessions per gap: a session starts
+# where the same-user inter-event delta exceeds the gap; the session id
+# is the running count of starts (q189's islands construction,
+# parameterized).
+# Parity: timestamps reduce to exact epoch seconds; deltas/flags/ids are
+# integer window algebra; durations are integer seconds; the median of
+# integers is an exact multiple of 0.5 on both engines. 4dp.
+# Scale: one 4× gap explode of the events relation; all windows
+# partition by (gap, user) — uniform keys, never global; per-session
+# reduce is keyed by (gap, user, session).
+# ---------------------------------------------------------------------------
+_GAPS = (60, 300, 1800, 7200)
+
+
+@register(
+    "q374_session_gap_sweep",
+    oracle=f"""
+WITH ev AS (
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+g AS (
+    SELECT e.user_id, e.sec, gap.gap
+    FROM ev e CROSS JOIN (SELECT UNNEST([{", ".join(str(g) for g in _GAPS)}]) AS gap) gap
+),
+flagged AS (
+    SELECT user_id, gap, sec,
+           CASE WHEN sec - LAG(sec) OVER (PARTITION BY gap, user_id
+                                          ORDER BY sec) > gap
+                     OR LAG(sec) OVER (PARTITION BY gap, user_id
+                                       ORDER BY sec) IS NULL
+                THEN 1 ELSE 0 END AS start
+    FROM g
+),
+sess AS (
+    SELECT user_id, gap, sec,
+           CAST(SUM(start) OVER (PARTITION BY gap, user_id ORDER BY sec
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM flagged
+),
+per_sess AS (
+    SELECT gap, user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_ev,
+           CAST(MAX(sec) - MIN(sec) AS BIGINT) AS dur
+    FROM sess GROUP BY gap, user_id, sid
+)
+SELECT CAST(gap AS BIGINT) AS gap_sec,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(CAST(SUM(n_ev) AS DOUBLE) / COUNT(*), 4) AS mean_events,
+       ROUND(QUANTILE_CONT(CAST(dur AS DOUBLE), 0.5), 4)
+           AS p50_duration_sec,
+       CAST(MAX(dur) AS BIGINT) AS max_duration_sec
+FROM per_sess GROUP BY gap ORDER BY gap_sec
+""",
+    tags=("sessionization", "capacity", "W2"),
+)
+def q374_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session statistics under four candidate inactivity gaps:
+    (gap_sec, n_sessions, mean_events, p50_duration_sec,
+    max_duration_sec)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", F.unix_timestamp("ts").alias("sec")
+    )
+    g = ev.select(
+        "user_id",
+        "sec",
+        F.explode(F.array(*[F.lit(x) for x in _GAPS])).alias("gap"),
+    )
+    w = Window.partitionBy("gap", "user_id").orderBy("sec")
+    flagged = g.select(
+        "user_id",
+        "gap",
+        "sec",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > F.col("gap"))
+            | F.lag("sec").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("start"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "gap",
+        "sec",
+        F.sum("start")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("sid"),
+    )
+    per_sess = sess.groupBy("gap", "user_id", "sid").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max("sec") - F.min("sec")).cast("long").alias("dur"),
+    )
+    return (
+        per_sess.groupBy("gap")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(
+                F.sum("n_ev").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_events"),
+            F.round(
+                F.expr("percentile(CAST(dur AS DOUBLE), 0.5)"), 4
+            ).alias("p50_duration_sec"),
+            F.max("dur").cast("long").alias("max_duration_sec"),
+        )
+        .select(
+            F.col("gap").cast("long").alias("gap_sec"),
+            F.col("n_sessions").cast("long").alias("n_sessions"),
+            "mean_events",
+            "p50_duration_sec",
+            "max_duration_sec",
+        )
+        .orderBy("gap_sec")
+    )

@@ -1955,3 +1955,185 @@ def q356_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q373 — rank-biased overlap (RBO, Webber et al. 2010) between the EXACT
+# cosine top-20 ranking and the int8-quantized approximate ranking per
+# query: truncated RBO@20 at p = 0.9, plus the plain top-20 set overlap
+# for contrast. Recall@k (q85's pin) only counts set membership; RBO
+# weights AGREEMENT AT THE TOP, which is what an ANN serving stack
+# actually needs — a sketch can have perfect recall@20 and still ruin
+# rank-1. A common pair contributes to every depth d ≥ max(rank_exact,
+# rank_approx): X_d counts pairs with that max ≤ d, and
+# RBO = (1−p)·Σ_d p^(d−1)·X_d/d.
+# Parity: both rankings round their score to 4dp before ranking with
+# neighbor-id tie-break (the q23/q85 discipline), so ranks are integers
+# both engines agree on; each depth term is frozen to round(1e8·term)
+# before the 20-term sum. 4dp.
+# Scale: both rankers are broadcast-query + sharded two-phase top-k;
+# RBO runs on ≤ queries × 20 rows joined to a 20-row depth literal.
+# ---------------------------------------------------------------------------
+_RBO_K = 20
+_RBO_P = 0.9
+
+
+@register(
+    "q373_rank_biased_overlap",
+    oracle=f"""
+WITH {_COSINE_CTE},
+exact_rk AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, neighbor_id ASC) AS BIGINT) AS ra
+    FROM scored QUALIFY ra <= {_RBO_K}
+),
+svflat AS (
+    SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+scales AS (
+    SELECT vec_id, MAX(ABS(x)) AS s FROM svflat GROUP BY vec_id
+    HAVING MAX(ABS(x)) > 0
+),
+snorms AS (
+    SELECT vec_id, SQRT(SUM(x * x)) AS nrm FROM svflat GROUP BY vec_id
+),
+sqflat AS (
+    SELECT v.vec_id, v.i, CAST(FLOOR(v.x / s.s * 127.0 + 0.5) AS BIGINT) AS q
+    FROM svflat v JOIN scales s ON s.vec_id = v.vec_id
+),
+qdots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           SUM(a.q * b.q) AS qdot
+    FROM sqflat a
+    JOIN sqflat b ON b.i = a.i AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < {_N_QUERIES}
+    GROUP BY a.vec_id, b.vec_id
+),
+approx_rk AS (
+    SELECT query_id, neighbor_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(d.qdot * sa.s * sb.s / 16129.0
+                                / (na.nrm * nb.nrm), 4) DESC,
+                          neighbor_id ASC) AS BIGINT) AS rb
+    FROM qdots d
+    JOIN scales sa ON sa.vec_id = d.query_id
+    JOIN scales sb ON sb.vec_id = d.neighbor_id
+    JOIN snorms na ON na.vec_id = d.query_id
+    JOIN snorms nb ON nb.vec_id = d.neighbor_id
+    QUALIFY rb <= {_RBO_K}
+),
+common AS (
+    SELECT e.query_id, GREATEST(e.ra, a.rb) AS m
+    FROM exact_rk e
+    JOIN approx_rk a ON a.query_id = e.query_id
+                    AND a.neighbor_id = e.neighbor_id
+),
+depths AS (SELECT UNNEST(RANGE(1, {_RBO_K} + 1)) AS d),
+xd AS (
+    SELECT q.query_id, dp.d, CAST(COUNT(c.m) AS BIGINT) AS x_d
+    FROM (SELECT DISTINCT query_id FROM exact_rk) q
+    CROSS JOIN depths dp
+    LEFT JOIN common c ON c.query_id = q.query_id AND c.m <= dp.d
+    GROUP BY q.query_id, dp.d
+),
+terms AS (
+    SELECT query_id, d,
+           CAST(ROUND(100000000.0 * (1.0 - {_RBO_P}) * POW({_RBO_P}, d - 1)
+                * x_d / d) AS BIGINT) AS term,
+           x_d
+    FROM xd
+)
+SELECT t.query_id,
+       ROUND(CAST(SUM(t.term) AS BIGINT) / 100000000.0, 4) AS rbo,
+       MAX(CASE WHEN t.d = {_RBO_K} THEN t.x_d END) AS n_common,
+       ROUND(CAST(MAX(CASE WHEN t.d = {_RBO_K} THEN t.x_d END) AS DOUBLE)
+             / {_RBO_K}, 4) AS overlap_at_k
+FROM terms t GROUP BY t.query_id ORDER BY t.query_id
+""",
+    tags=("similarity", "ml-eval", "O6"),
+)
+def q373_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated RBO@20 (p=0.9) between exact and int8-quantized cosine
+    rankings per query: (query_id, rbo, n_common, overlap_at_k)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        "vec_id", "embedding"
+    )
+    wq = Window.partitionBy("query_id")
+    exact = similarity.cosine_topk(emb, queries, k=_RBO_K).select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(wq.orderBy(F.desc("cosine"), F.asc("neighbor_id")))
+        .cast("long")
+        .alias("ra"),
+    )
+    approx = similarity.quantized_topk(emb, queries, k=_RBO_K).select(
+        "query_id",
+        "neighbor_id",
+        F.row_number()
+        .over(wq.orderBy(F.desc("approx_cos"), F.asc("neighbor_id")))
+        .cast("long")
+        .alias("rb"),
+    )
+    common = exact.join(approx, ["query_id", "neighbor_id"]).select(
+        "query_id", F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.createDataFrame(
+        [(d,) for d in range(1, _RBO_K + 1)], "d long"
+    ).coalesce(1)
+    qids = exact.select("query_id").distinct()
+    xd = (
+        qids.crossJoin(F.broadcast(depths))
+        .join(
+            common,
+            ["query_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            "d",
+            F.when(F.col("m") <= F.col("d"), 1).otherwise(0).alias("hit"),
+        )
+        .groupBy("query_id", "d")
+        .agg(F.sum("hit").cast("long").alias("x_d"))
+    )
+    terms = xd.select(
+        "query_id",
+        "d",
+        "x_d",
+        F.round(
+            100000000.0
+            * (1.0 - _RBO_P)
+            * F.pow(F.lit(_RBO_P), F.col("d") - 1)
+            * F.col("x_d")
+            / F.col("d")
+        )
+        .cast("long")
+        .alias("term"),
+    )
+    return (
+        terms.groupBy("query_id")
+        .agg(
+            F.round(
+                F.sum("term").cast("long") / 100000000.0, 4
+            ).alias("rbo"),
+            F.max(
+                F.when(F.col("d") == _RBO_K, F.col("x_d"))
+            ).alias("n_common"),
+            F.round(
+                F.max(
+                    F.when(F.col("d") == _RBO_K, F.col("x_d"))
+                ).cast("double")
+                / _RBO_K,
+                4,
+            ).alias("overlap_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -2703,3 +2703,117 @@ def q370_umass_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk_i", "rk_j")
         .drop("rk_i", "rk_j")
     )
+
+
+# --------------------------------------------------------------------------
+# q372 — curation-filter disparity audit: per (filter, source), the
+# filter's pass rate against the corpus-wide pass rate, flagging
+# disparate impact under the four-fifths rule (ratio < 0.8). Filters
+# are q337's cascade (length ≥ 100, lang = en, contains-'the', token
+# count ≥ 20). The data-governance read of a curation pipeline: a
+# filter that silently guts one source biases the trained model — this
+# is the relation a dataset card should print.
+# Parity: pass counts are exact conditional aggregates; rates and
+# ratios are single double expressions; the flag compares a frozen
+# round(1e4·ratio) so last-ulp wiggle can't flip it. 4dp.
+# Scale: ONE corpus pass computes all four filters' per-source pass
+# counts as conditional aggregates; global rates are a 4-value reduce
+# of the per-source relation broadcast back.
+# --------------------------------------------------------------------------
+_Q372_FILTERS = [
+    ("length", "n_chars >= 100"),
+    ("lang", "lang = 'en'"),
+    ("stopword", "CONTAINS(' ' || LOWER(text) || ' ', ' the ')"),
+    ("tokens",
+     "LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) >= 20"),
+]
+
+
+@register(
+    "q372_filter_disparity",
+    oracle=f"""
+WITH per_source AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+               f" AS p_{name}"
+               for name, cond in _Q372_FILTERS
+           )}
+    FROM documents GROUP BY source
+),
+gtot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS gn,
+           {", ".join(
+               f"CAST(SUM(p_{name}) AS BIGINT) AS g_{name}"
+               for name, _ in _Q372_FILTERS
+           )}
+    FROM per_source
+),
+rows_ AS (
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS filter, s.source, s.n, s.p_{name} AS n_pass, "
+        f"CAST(g.g_{name} AS DOUBLE) / g.gn AS global_rate "
+        f"FROM per_source s CROSS JOIN gtot g"
+        for name, _ in _Q372_FILTERS
+    )}
+)
+SELECT filter, source, n, n_pass,
+       ROUND(CAST(n_pass AS DOUBLE) / n, 4) AS pass_rate,
+       ROUND((CAST(n_pass AS DOUBLE) / n) / global_rate, 4) AS impact_ratio,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * (CAST(n_pass AS DOUBLE) / n)
+                                 / global_rate) AS BIGINT) < 8000
+                 THEN 1 ELSE 0 END AS BIGINT) AS disparate
+FROM rows_
+ORDER BY filter, source
+""",
+    tags=("quality", "training-prep", "A6"),
+)
+def q372_filter_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-fifths-rule disparity audit of the curation filters per
+    source: (filter, source, n, n_pass, pass_rate, impact_ratio,
+    disparate)."""
+    from ..operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    conds = {
+        "length": F.col("n_chars") >= 100,
+        "lang": F.col("lang") == "en",
+        "stopword": F.concat(
+            F.lit(" "), F.lower("text"), F.lit(" ")
+        ).contains(" the "),
+        "tokens": F.size(text_analysis.tokens_raw(F.col("text"))) >= 20,
+    }
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(c.cast("long")).alias(f"p_{name}")
+            for name, c in conds.items()
+        ],
+    )
+    glob = per_source.agg(
+        F.sum("n").alias("gn"),
+        *[
+            F.sum(f"p_{name}").alias(f"g_{name}")
+            for name in conds
+        ],
+    )
+    out = None
+    for name in conds:
+        rate = F.col(f"p_{name}").cast("double") / F.col("n")
+        grate = F.col(f"g_{name}").cast("double") / F.col("gn")
+        row = (
+            per_source.crossJoin(F.broadcast(glob))
+            .select(
+                F.lit(name).alias("filter"),
+                "source",
+                F.col("n").cast("long").alias("n"),
+                F.col(f"p_{name}").cast("long").alias("n_pass"),
+                F.round(rate, 4).alias("pass_rate"),
+                F.round(rate / grate, 4).alias("impact_ratio"),
+                (
+                    F.round(10000.0 * rate / grate).cast("long") < 8000
+                ).cast("long").alias("disparate"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("filter", "source")

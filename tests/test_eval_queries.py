@@ -1068,3 +1068,139 @@ def test_umass_coherence_matches_naive(spark):
         assert int(row.d_ij) == dij
         assert abs(row.term - term / 1e6) <= 1e-4
         assert abs(row.coherence - coh) <= 1e-3
+
+
+def test_filter_disparity_matches_naive(spark):
+    df = (
+        REGISTRY["q372_filter_disparity"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index(["filter", "source"])
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs["text"].apply(lambda t: len([x for x in t.split(" ") if x]))
+    passes = {
+        "length": docs["n_chars"] >= 100,
+        "lang": docs["lang"] == "en",
+        "stopword": (" " + docs["text"].str.lower() + " ").str.contains(
+            " the ", regex=False
+        ),
+        "tokens": toks >= 20,
+    }
+    for f, mask in passes.items():
+        grate = mask.mean()
+        for src, g in docs.groupby("source"):
+            n = len(g)
+            np_ = int(mask[g.index].sum())
+            ratio = (np_ / n) / grate
+            row = df.loc[(f, src)]
+            assert int(row["n"]) == n
+            assert int(row["n_pass"]) == np_
+            assert abs(row["pass_rate"] - np_ / n) <= 1e-4
+            assert abs(row["impact_ratio"] - ratio) <= 1e-3
+            assert int(row["disparate"]) == (
+                1 if round(1e4 * ratio) < 8000 else 0
+            )
+
+
+def test_rbo_matches_naive(spark):
+    df = (
+        REGISTRY["q373_rank_biased_overlap"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("query_id")
+    )
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ids = emb["vec_id"].astype(int).to_list()
+    X = np.stack(emb["embedding"].to_numpy()).astype("float64")
+    nrm = np.sqrt((X * X).sum(axis=1))
+    # int8 quantization mirror
+    s = np.abs(X).max(axis=1)
+    Q = np.floor(X / s[:, None] * 127.0 + 0.5).astype("int64")
+    K, P = 20, 0.9
+    for qi in range(5):
+        q = ids.index(qi)
+        exact = sorted(
+            (
+                (round(float(X[q] @ X[v]) / (nrm[q] * nrm[v]), 4), ids[v])
+                for v in range(len(ids))
+                if ids[v] != qi
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:K]
+        approx = sorted(
+            (
+                (
+                    round(
+                        float(Q[q] @ Q[v]) * s[q] * s[v] / 16129.0
+                        / (nrm[q] * nrm[v]),
+                        4,
+                    ),
+                    ids[v],
+                )
+                for v in range(len(ids))
+                if ids[v] != qi
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:K]
+        ra = {nb: i + 1 for i, (_, nb) in enumerate(exact)}
+        rb = {nb: i + 1 for i, (_, nb) in enumerate(approx)}
+        common = {nb: max(ra[nb], rb[nb]) for nb in ra.keys() & rb.keys()}
+        rbo = (
+            sum(
+                round(
+                    1e8
+                    * (1 - P)
+                    * P ** (d - 1)
+                    * sum(1 for m in common.values() if m <= d)
+                    / d
+                )
+                for d in range(1, K + 1)
+            )
+            / 1e8
+        )
+        assert abs(df.loc[qi, "rbo"] - round(rbo, 4)) <= 1e-4
+        assert int(df.loc[qi, "n_common"]) == len(common)
+        assert 0 <= df.loc[qi, "rbo"] <= 1
+
+
+def test_session_gap_sweep_matches_naive(spark):
+    df = (
+        REGISTRY["q374_session_gap_sweep"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("gap_sec")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    secs = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 10**9
+    )
+    ev = ev.assign(sec=secs)
+    import statistics
+
+    for gap in (60, 300, 1800, 7200):
+        durs = []
+        nev = []
+        for _, g in ev.groupby("user_id"):
+            ss = sorted(g["sec"])
+            cur = [ss[0]]
+            for a, b in zip(ss, ss[1:]):
+                if b - a > gap:
+                    durs.append(cur[-1] - cur[0])
+                    nev.append(len(cur))
+                    cur = [b]
+                else:
+                    cur.append(b)
+            durs.append(cur[-1] - cur[0])
+            nev.append(len(cur))
+        assert int(df.loc[gap, "n_sessions"]) == len(durs)
+        assert abs(df.loc[gap, "mean_events"] - sum(nev) / len(nev)) <= 1e-4
+        assert abs(
+            df.loc[gap, "p50_duration_sec"]
+            - statistics.median([float(d) for d in durs])
+        ) <= 1e-6
+        assert int(df.loc[gap, "max_duration_sec"]) == max(durs)
+    # wider gap merges sessions: counts must be non-increasing
+    ns = df["n_sessions"].to_list()
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
