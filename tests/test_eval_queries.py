@@ -1204,3 +1204,65 @@ def test_session_gap_sweep_matches_naive(spark):
     # wider gap merges sessions: counts must be non-increasing
     ns = df["n_sessions"].to_list()
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_fpgrowth_matches_naive(spark):
+    df = (
+        REGISTRY["q376_fpgrowth_itemsets"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("itemset")
+    )
+    import itertools
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    baskets = (
+        ev.assign(day=days)
+        .groupby(["user_id", "day"])["event_type"]
+        .apply(frozenset)
+        .to_list()
+    )
+    types = sorted({t for b in baskets for t in b})
+    n = len(baskets)
+    want = {}
+    for sz in range(2, len(types) + 1):
+        for combo in itertools.combinations(types, sz):
+            sup = sum(1 for b in baskets if set(combo) <= b)
+            if sup / n >= 0.05:
+                want[",".join(combo)] = (sz, sup)
+    assert set(df.index) == set(want)
+    for k, (sz, sup) in want.items():
+        assert int(df.loc[k, "n_items"]) == sz
+        assert int(df.loc[k, "support"]) == sup
+        assert abs(df.loc[k, "support_rate"] - sup / n) <= 1e-4
+    # anti-monotonicity: any frequent triple's pairs are also frequent
+    for k, (sz, _) in want.items():
+        if sz == 3:
+            items = k.split(",")
+            for pair in itertools.combinations(items, 2):
+                assert ",".join(pair) in want
+
+
+def test_als_recommendations_sane(spark):
+    df = REGISTRY["q375_als_recommend"].spark(spark, SF_DIR).toPandas()
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    hist = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    parts = set(hist["l_partkey"].astype(int))
+    seen = (
+        hist.groupby("o_custkey")["l_partkey"]
+        .apply(lambda v: set(v.astype(int)))
+        .to_dict()
+    )
+    assert len(df) > 0
+    assert set(df.columns) == {"c_custkey", "l_partkey", "rank"}
+    assert set(df["rank"].unique()) <= {1, 2}
+    assert set(df["l_partkey"].astype(int)) <= parts
+    # recommendations never repeat something the customer already bought
+    for _, r in df.iterrows():
+        assert int(r["l_partkey"]) not in seen[int(r["c_custkey"])]
+    # per-customer at most 2 rows, ranks unique within customer
+    g = df.groupby("c_custkey")["rank"]
+    assert (g.count() <= 2).all()
+    assert (g.nunique() == g.count()).all()
