@@ -392,3 +392,69 @@ def kmv_set_estimates(
             ),
         )
     )
+
+
+# --- parameterized-precision HLL (error-curve audits) ----------------------
+
+# Standard HLL bias constants alpha_m for small register counts; for
+# m >= 128 the closed form 0.7213/(1 + 1.079/m) applies.
+HLL_ALPHAS = {
+    16: 0.673,
+    32: 0.697,
+    64: 0.709,
+}
+
+
+def hll_alpha(m: int) -> float:
+    """alpha_m for an m-register sketch (Flajolet et al. 2007)."""
+    return HLL_ALPHAS.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_registers_b(
+    df: DataFrame, group_cols: Sequence[str], value_col: str, bits: int
+) -> DataFrame:
+    """(group_cols…, bucket, r) registers for a 2^bits-register sketch —
+    the precision-parameterized twin of ``hll_registers`` (which pins
+    bits = 8). Same md5-derived 32-bit hash: top ``bits`` select the
+    bucket, the remaining 32-bits word's leading-zero rank fills it."""
+    h = F.conv(
+        F.substring(F.md5(F.col(value_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    wbits = 32 - bits
+    bucket = (h / F.lit(1 << wbits)).cast("long")
+    w = h % F.lit(1 << wbits)
+    tagged = df.select(
+        *group_cols, bucket.alias("bucket"), w.alias("w")
+    ).withColumn(
+        "rank",
+        F.when(F.col("w") == 0, F.lit(wbits + 1)).otherwise(
+            F.lit(wbits + 1) - F.length(F.bin("w"))
+        ),
+    )
+    return tagged.groupBy(*group_cols, "bucket").agg(
+        F.max("rank").alias("r")
+    )
+
+
+def hll_estimate_b(
+    regs: DataFrame, group_cols: Sequence[str], bits: int
+) -> DataFrame:
+    """Estimate per group from ``hll_registers_b`` registers, applying
+    the m-appropriate alpha and the small-range linear-counting
+    correction. Returns (group_cols…, hll_distinct)."""
+    m = 1 << bits
+    alpha_m2 = hll_alpha(m) * m * m
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("sum_obs"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    mc = F.lit(float(m))
+    zeros = mc - F.col("n_obs")
+    sum_inv = F.col("sum_obs") + zeros
+    raw = F.lit(alpha_m2) / sum_inv
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), mc * F.log(mc / zeros)
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols, F.round(est, 4).alias("hll_distinct")
+    )

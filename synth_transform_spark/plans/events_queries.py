@@ -7390,3 +7390,69 @@ def q375_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q377 — DYNAMIC-gap session windows EXECUTED AS A STREAM: error events
+# cool off in 5 minutes, everything else keeps q134's 30-minute gap
+# (session_window with a gap EXPRESSION — the Spark 3.2+ feature q134's
+# static form can't express). The oracle is the running-max islands
+# construction: an event starts a new session iff its ts reaches the
+# MAX end (ts_i + gap_i) of all earlier events in the user's stream —
+# a LAG against just the previous row is wrong once a long-gap event
+# can outlast several short-gap successors. Session end = max per-event
+# end. Equal-ts events always co-session (every window end exceeds its
+# own ts), so tie order cannot move the partition.
+# Parity: gaps are exact second constants; boundaries are integer
+# timestamp comparisons; value sums rounded 4dp.
+# Scale: streaming state is bounded by the watermark; the batch oracle
+# is one user-partitioned running-max window — uniform keys.
+# ---------------------------------------------------------------------------
+@register(
+    "q377_streaming_dynamic_session",
+    oracle="""
+WITH gapped AS (
+    SELECT user_id, ts, value,
+           CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS gap
+    FROM events
+),
+walled AS (
+    SELECT user_id, ts, value, gap,
+           MAX(ts + gap * INTERVAL 1 SECOND) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_wall
+    FROM gapped
+),
+flagged AS (
+    SELECT user_id, ts, value, gap,
+           CASE WHEN prev_wall IS NULL OR ts >= prev_wall
+                THEN 1 ELSE 0 END AS new_s
+    FROM walled
+),
+sess AS (
+    SELECT user_id, ts, value, gap,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts + gap * INTERVAL 1 SECOND) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sess GROUP BY user_id, sid
+""",
+    tags=("streaming-session", "W2"),
+)
+def q377_streaming_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows run as a stream:
+    (user_id, session_start, session_end, n_events, total_value)."""
+    from ..streaming import events as se
+
+    stream = se.read_events_stream(spark, sf_dir)
+    return se.run_available_now(
+        se.session_windows_dynamic(stream),
+        "q377_sink",
+        output_mode="complete",
+    )

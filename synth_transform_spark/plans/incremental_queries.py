@@ -137,3 +137,237 @@ def q137_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("r"), 4).alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q379 — HLL precision/error curve: estimate the distinct user count
+# with 16-, 64-, 256- and 1024-register sketches next to the exact
+# count, reporting each precision's relative error and whether it lands
+# inside the 3-sigma theoretical band (sigma = 1.04/sqrt(m)). The
+# capacity relation behind choosing q71's precision: registers cost
+# memory per GROUP at 100 TB, and this is the measured error you buy at
+# each size.
+# Parity: the register algebra is bit-for-bit deterministic (md5-derived
+# hash, integer rank, register-max), the q71 discipline generalized to a
+# precision parameter; the estimate and error are single double
+# expressions. 4dp.
+# Scale: each precision is one (bucket) keyed register aggregate with
+# map-side combine — four passes over the key column, or fold into one
+# with a precision explode when scans dominate. The audit itself is a
+# ≤1024-row reduce per precision.
+# ---------------------------------------------------------------------------
+def _q379_oracle() -> str:
+    from ..operators.sketches import hll_alpha
+
+    parts = []
+    for bits in (4, 6, 8, 10):
+        m = 1 << bits
+        wbits = 32 - bits
+        alpha_m2 = hll_alpha(m) * m * m
+        parts.append(f"""
+regs{bits} AS (
+    SELECT CAST(h // {1 << wbits} AS BIGINT) AS bucket,
+           MAX(CASE WHEN h % {1 << wbits} = 0 THEN {wbits + 1}
+                    ELSE {wbits + 1} - LENGTH(BIN(h % {1 << wbits}))
+               END) AS r
+    FROM hashes GROUP BY 1
+),
+est{bits} AS (
+    SELECT {bits} AS bits,
+           CASE WHEN {alpha_m2!r} / (SUM(POW(2.0, -r)) + {m} - COUNT(*))
+                     <= {2.5 * m!r}
+                 AND {m} - COUNT(*) > 0
+                THEN {m}.0 * LN({m}.0 / ({m} - COUNT(*)))
+                ELSE {alpha_m2!r} / (SUM(POW(2.0, -r)) + {m} - COUNT(*))
+           END AS est
+    FROM regs{bits}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT bits, est FROM est{bits}" for bits in (4, 6, 8, 10)
+    )
+    return f"""
+WITH hashes AS (
+    SELECT DISTINCT CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)),
+                          1, 8))::UBIGINT AS BIGINT) AS h
+    FROM events
+),
+exact_n AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact FROM events
+),
+{", ".join(p.strip() for p in parts)},
+curve AS ({unions})
+SELECT CAST(c.bits AS BIGINT) AS bits,
+       CAST(1 << c.bits AS BIGINT) AS m,
+       ROUND(c.est, 4) AS estimate,
+       e.exact,
+       ROUND((c.est - e.exact) / e.exact, 4) AS rel_err,
+       CAST(CASE WHEN ABS(c.est - e.exact) / e.exact
+                      <= 3.0 * 1.04 / SQRT(CAST(1 << c.bits AS DOUBLE))
+                 THEN 1 ELSE 0 END AS BIGINT) AS within_3sigma
+FROM curve c CROSS JOIN exact_n e
+ORDER BY bits
+"""
+
+
+@register(
+    "q379_hll_error_curve",
+    oracle=_q379_oracle(),
+    tags=("sketches", "capacity", "A10"),
+)
+def q379_hll_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user HLL estimates across register precisions vs exact:
+    (bits, m, estimate, exact, rel_err, within_3sigma)."""
+    import pyspark.sql.functions as F
+
+    from ..operators import sketches
+
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id")
+    exact = events.agg(
+        F.countDistinct("user_id").cast("long").alias("exact")
+    )
+    out = None
+    for bits in (4, 6, 8, 10):
+        regs = sketches.hll_registers_b(users, [], "user_id", bits)
+        est = sketches.hll_estimate_b(regs, [], bits).select(
+            F.lit(bits).cast("long").alias("bits"),
+            F.lit(1 << bits).cast("long").alias("m"),
+            F.col("hll_distinct").alias("estimate"),
+        )
+        out = est if out is None else out.unionByName(est)
+    sigma3 = 3.0 * 1.04 / F.sqrt(F.col("m").cast("double"))
+    return (
+        out.crossJoin(F.broadcast(exact))
+        .select(
+            "bits",
+            "m",
+            "estimate",
+            "exact",
+            F.round(
+                (F.col("estimate") - F.col("exact")) / F.col("exact"), 4
+            ).alias("rel_err"),
+            (
+                F.abs(F.col("estimate") - F.col("exact")) / F.col("exact")
+                <= sigma3
+            )
+            .cast("long")
+            .alias("within_3sigma"),
+        )
+        .orderBy("bits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q380 — storage-strategy write planner: from the daily active-user
+# profile, the total rows WRITTEN over the observed day range under the
+# three standard lakehouse maintenance strategies for a user-state
+# table — daily full snapshot (rewrite the whole cumulative table),
+# SCD2/append (write only that day's active rows), and the final-state
+# rewrite baseline (one write of the end-state table). The "why does
+# the snapshot job cost 40× the merge" relation, quantified from real
+# activity, complementing q78 (SCD2 mechanics) and q77 (MERGE
+# mechanics).
+# Parity: daily actives and first-seen days are exact; the cumulative
+# distinct-user series is a running sum of first-seen counts; totals
+# are integer sums; ratios single doubles. 4dp.
+# Scale: one (user) min-day aggregate, one (day) count; the cumulative
+# runs over the calendar-bounded day relation.
+# ---------------------------------------------------------------------------
+@register(
+    "q380_storage_write_planner",
+    oracle="""
+WITH ud AS (
+    SELECT user_id,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events GROUP BY user_id, 2
+),
+active AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS a FROM ud GROUP BY day
+),
+first_seen AS (
+    SELECT MIN(day) AS d0, user_id FROM ud GROUP BY user_id
+),
+news AS (
+    SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS fresh
+    FROM first_seen GROUP BY d0
+),
+cum AS (
+    SELECT a.day, a.a,
+           CAST(SUM(COALESCE(n.fresh, 0)) OVER (ORDER BY a.day
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+    FROM active a LEFT JOIN news n ON n.day = a.day
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS rows_snapshot,
+           CAST(SUM(a) AS BIGINT) AS rows_append,
+           CAST(MAX(c) AS BIGINT) AS end_state
+    FROM cum
+)
+SELECT s.strategy, s.rows_written, t.n_days,
+       ROUND(CAST(s.rows_written AS DOUBLE) / t.rows_append, 4)
+           AS ratio_vs_append
+FROM tot t,
+LATERAL (
+    SELECT 'daily_snapshot' AS strategy, t.rows_snapshot AS rows_written
+    UNION ALL SELECT 'scd2_append', t.rows_append
+    UNION ALL SELECT 'final_rewrite', t.end_state
+) s
+ORDER BY strategy
+""",
+    tags=("capacity", "S12", "A12"),
+)
+def q380_storage_write_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows written under snapshot / append / final-rewrite strategies:
+    (strategy, rows_written, n_days, ratio_vs_append)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    ud = (
+        events.select(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .distinct()
+    )
+    active = ud.groupBy("day").agg(F.count(F.lit(1)).alias("a"))
+    news = (
+        ud.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("fresh"))
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        active.join(news, "day", "left")
+        .select(
+            "day",
+            "a",
+            F.sum(F.coalesce("fresh", F.lit(0)))
+            .over(wc)
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    tot = cum.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("rows_snapshot"),
+        F.sum("a").alias("rows_append"),
+        F.max("c").alias("end_state"),
+    )
+    rows = None
+    for strat, col in (
+        ("daily_snapshot", "rows_snapshot"),
+        ("scd2_append", "rows_append"),
+        ("final_rewrite", "end_state"),
+    ):
+        r = tot.select(
+            F.lit(strat).alias("strategy"),
+            F.col(col).cast("long").alias("rows_written"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round(
+                F.col(col).cast("double") / F.col("rows_append"), 4
+            ).alias("ratio_vs_append"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("strategy")

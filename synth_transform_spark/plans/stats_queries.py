@@ -4439,3 +4439,190 @@ def q368_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q378 - Hurst exponent by rescaled-range (R/S) analysis of the daily
+# event-count series: split the series into consecutive blocks of
+# n ∈ {8, 16, 32} days, compute each block's rescaled range
+# R/S = (max cum-dev - min cum-dev) / (n·std), average per n, and fit
+# ln(R/S) ~ H·ln(n) by exact 3-point OLS. H ≈ 0.5 = memoryless, > 0.5 =
+# persistent trends (q294 Mann-Kendall's monotone cousin), < 0.5 =
+# mean-reverting. The long-range-dependence read none of the lag-k
+# statistics (q247/q339/q349) can give.
+# Parity: with d_j = n_b·x_j - S_b (the q339 exact centering), block
+# cumulative deviations are exact integer running sums and
+# R/S = (max cum - min cum) / sqrt(n_b·Σx² - S_b²) is one double from
+# integers, frozen to round(1e8·rs) before the per-n mean; the 3-point
+# slope is a fixed closed form. 4dp.
+# Scale: one events aggregate to the daily relation; block windows
+# partition by (n, block) over the calendar-bounded series.
+# --------------------------------------------------------------------------
+@register(
+    "q378_hurst_exponent",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+    FROM daily
+),
+sizes AS (SELECT UNNEST([8, 16, 32]) AS n),
+blocks AS (
+    SELECT s.n, r.t // s.n AS blk, r.t, r.x
+    FROM ranked r CROSS JOIN sizes s
+),
+bstat AS (
+    SELECT n, blk, CAST(COUNT(*) AS BIGINT) AS nb,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM blocks GROUP BY n, blk
+),
+full_b AS (SELECT * FROM bstat WHERE nb = n),
+dev AS (
+    SELECT b.n, b.blk, b.t,
+           CAST(SUM(f.nb * b.x - f.sx) OVER (
+               PARTITION BY b.n, b.blk ORDER BY b.t
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM blocks b JOIN full_b f ON f.n = b.n AND f.blk = b.blk
+),
+rng AS (
+    SELECT n, blk, CAST(MAX(cum) - MIN(LEAST(cum, 0)) AS BIGINT) AS r_int
+    FROM (SELECT n, blk, t, cum FROM dev) GROUP BY n, blk
+),
+rs AS (
+    SELECT r.n, r.blk,
+           CAST(ROUND(100000000.0 * r.r_int /
+                SQRT(CAST(f.nb AS DOUBLE) * f.sxx
+                     - CAST(f.sx AS DOUBLE) * f.sx)) AS BIGINT) AS rs_t
+    FROM rng r JOIN full_b f ON f.n = r.n AND f.blk = r.blk
+    WHERE f.nb * f.sxx > f.sx * f.sx
+),
+mrs AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(rs_t) AS BIGINT) AS s_rs
+    FROM rs GROUP BY n
+),
+pts AS (
+    SELECT n, n_blocks, s_rs,
+           LN(CAST(n AS DOUBLE)) AS lx,
+           LN(CAST(s_rs AS DOUBLE) / 100000000.0 / n_blocks) AS ly
+    FROM mrs
+),
+fit AS (
+    SELECT (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
+           / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)) AS h
+    FROM pts
+)
+SELECT CAST(p.n AS BIGINT) AS n, p.n_blocks,
+       ROUND(p.s_rs / 100000000.0 / p.n_blocks, 4) AS mean_rs,
+       ROUND(f.h, 4) AS hurst
+FROM pts p CROSS JOIN fit f
+ORDER BY n
+""",
+    tags=("timeseries", "A12", "W2"),
+)
+def q378_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range Hurst exponent of daily event counts:
+    (n, n_blocks, mean_rs, hurst)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "x",
+        (F.row_number().over(Window.orderBy("day")) - 1)
+        .cast("long")
+        .alias("t"),
+    )
+    sizes = spark.createDataFrame(
+        [(n,) for n in (8, 16, 32)], "n long"
+    ).coalesce(1)
+    blocks = ranked.crossJoin(F.broadcast(sizes)).select(
+        "n", (F.col("t") / F.col("n")).cast("long").alias("blk"), "t", "x"
+    )
+    bstat = blocks.groupBy("n", "blk").agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    full_b = bstat.filter(F.col("nb") == F.col("n"))
+    wb = Window.partitionBy("n", "blk").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = (
+        blocks.join(full_b, ["n", "blk"])
+        .select(
+            "n",
+            "blk",
+            "t",
+            F.sum(F.col("nb") * F.col("x") - F.col("sx"))
+            .over(wb)
+            .cast("long")
+            .alias("cum"),
+        )
+    )
+    rng = dev.groupBy("n", "blk").agg(
+        (
+            F.max("cum") - F.least(F.min("cum"), F.lit(0).cast("long"))
+        ).cast("long").alias("r_int")
+    )
+    rs = (
+        rng.join(full_b, ["n", "blk"])
+        .filter(
+            F.col("nb") * F.col("sxx") > F.col("sx") * F.col("sx")
+        )
+        .select(
+            "n",
+            F.round(
+                100000000.0
+                * F.col("r_int")
+                / F.sqrt(
+                    F.col("nb").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+            )
+            .cast("long")
+            .alias("rs_t"),
+        )
+    )
+    mrs = rs.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("rs_t").alias("s_rs"),
+    )
+    pts = mrs.select(
+        "n",
+        "n_blocks",
+        "s_rs",
+        F.log(F.col("n").cast("double")).alias("lx"),
+        F.log(
+            F.col("s_rs").cast("double") / 100000000.0 / F.col("n_blocks")
+        ).alias("ly"),
+    )
+    fit = pts.agg(
+        (
+            (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("ly"))
+                - F.sum("lx") * F.sum("ly")
+            )
+            / (
+                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("lx"))
+                - F.sum("lx") * F.sum("lx")
+            )
+        ).alias("h")
+    )
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_blocks").cast("long").alias("n_blocks"),
+            F.round(
+                F.col("s_rs") / 100000000.0 / F.col("n_blocks"), 4
+            ).alias("mean_rs"),
+            F.round("h", 4).alias("hurst"),
+        )
+        .orderBy("n")
+    )

@@ -341,3 +341,31 @@ def interval_join_outer(
         F.col("l_ts").alias("ts"),
         F.col("r_ts").alias("matched_ts"),
     )
+
+
+def session_windows_dynamic(
+    stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows with a DYNAMIC per-event gap — error
+    events cool off in 5 minutes, everything else keeps the 30-minute
+    gap (Spark 3.2+ session_window(col, gap_expression)). Sessions merge
+    whenever [ts, ts+gap(event)) windows overlap, so the session end is
+    the max per-event end. State bounded by the watermark as usual."""
+    gap = F.when(
+        F.col("event_type") == "error", F.lit("5 minutes")
+    ).otherwise(F.lit("30 minutes"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

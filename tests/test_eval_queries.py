@@ -1266,3 +1266,182 @@ def test_als_recommendations_sane(spark):
     g = df.groupby("c_custkey")["rank"]
     assert (g.count() <= 2).all()
     assert (g.nunique() == g.count()).all()
+
+
+def test_dynamic_session_matches_naive(spark):
+    df = (
+        REGISTRY["q377_streaming_dynamic_session"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    want = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values("ts")
+        rows = list(
+            zip(
+                g["ts"],
+                [
+                    300 if t == "error" else 1800
+                    for t in g["event_type"]
+                ],
+                g["value"],
+            )
+        )
+        wall = None
+        sess = []
+        for ts, gap, val in rows:
+            end = ts + pd.Timedelta(seconds=gap)
+            if wall is None or ts >= wall:
+                sess.append([ts, end, 1, val])
+                wall = end
+            else:
+                cur = sess[-1]
+                cur[1] = max(cur[1], end)
+                cur[2] += 1
+                cur[3] += val
+                wall = max(wall, end)
+        for s0, s1, n, v in sess:
+            want.append((uid, s0, s1, n, round(v, 4)))
+    got = sorted(
+        (
+            int(r["user_id"]),
+            r["session_start"],
+            r["session_end"],
+            int(r["n_events"]),
+            round(float(r["total_value"]), 4),
+        )
+        for _, r in df.iterrows()
+    )
+    assert got == sorted(want)
+
+
+def test_hurst_matches_naive(spark):
+    df = (
+        REGISTRY["q378_hurst_exponent"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("n")
+    )
+    x = _daily_series().to_list()
+    pts = []
+    for n in (8, 16, 32):
+        rss = []
+        for b0 in range(0, len(x) - n + 1, n):
+            blk = x[b0 : b0 + n]
+            if len(blk) < n:
+                continue
+            sx = sum(blk)
+            sxx = sum(v * v for v in blk)
+            if n * sxx <= sx * sx:
+                continue
+            cum, mn, mx = 0, 0, 0
+            for v in blk:
+                cum += n * v - sx
+                mn, mx = min(mn, cum), max(mx, cum)
+            rs = round(1e8 * (mx - mn) / math.sqrt(n * sxx - sx * sx))
+            rss.append(rs)
+        if not rss:
+            # series shorter than one full block at this size: the query
+            # (and oracle) drop the point entirely
+            assert n not in df.index
+            continue
+        mean_rs = sum(rss) / 1e8 / len(rss)
+        assert int(df.loc[n, "n_blocks"]) == len(rss)
+        assert abs(df.loc[n, "mean_rs"] - mean_rs) <= 1e-3
+        pts.append((math.log(n), math.log(mean_rs)))
+    m = len(pts)
+    sx = sum(p[0] for p in pts)
+    sy = sum(p[1] for p in pts)
+    sxy = sum(a * b for a, b in pts)
+    sxx = sum(a * a for a, _ in pts)
+    h = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert abs(df["hurst"].iloc[0] - h) <= 1e-2
+    assert 0.0 < df["hurst"].iloc[0] < 1.1
+
+
+def test_hll_error_curve_matches_naive(spark):
+    import hashlib
+
+    df = (
+        REGISTRY["q379_hll_error_curve"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("bits")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    users = sorted(set(ev["user_id"].astype(int)))
+    hs = {
+        int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+        for u in users
+    }
+    from synth_transform_spark.operators.sketches import hll_alpha
+
+    for bits in (4, 6, 8, 10):
+        m = 1 << bits
+        wbits = 32 - bits
+        regs: dict[int, int] = {}
+        for h in hs:
+            b = h >> wbits
+            w = h % (1 << wbits)
+            rank = (
+                wbits + 1
+                if w == 0
+                else wbits + 1 - len(bin(w)) + 2  # len('0b')
+            )
+            regs[b] = max(regs.get(b, 0), rank)
+        sum_inv = sum(2.0**-r for r in regs.values()) + (m - len(regs))
+        raw = hll_alpha(m) * m * m / sum_inv
+        zeros = m - len(regs)
+        est = (
+            m * math.log(m / zeros)
+            if raw <= 2.5 * m and zeros > 0
+            else raw
+        )
+        assert abs(df.loc[bits, "estimate"] - round(est, 4)) <= 1e-3
+        assert int(df.loc[bits, "exact"]) == len(users)
+        assert abs(
+            df.loc[bits, "rel_err"]
+            - round((round(est, 4) - len(users)) / len(users), 4)
+        ) <= 1e-3
+
+
+def test_storage_write_planner_matches_naive(spark):
+    df = (
+        REGISTRY["q380_storage_write_planner"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("strategy")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    days = pd.to_datetime(ev["ts"]).dt.normalize()
+    ud = set(zip(ev["user_id"].astype(int), days))
+    cal = sorted({d for _, d in ud})
+    active = {d: sum(1 for _, dd in ud if dd == d) for d in cal}
+    first = {}
+    for u, d in sorted(ud, key=lambda t: t[1]):
+        first.setdefault(u, d)
+    cum = []
+    seen = 0
+    for d in cal:
+        seen += sum(1 for v in first.values() if v == d)
+        cum.append(seen)
+    rows_snapshot = sum(cum)
+    rows_append = sum(active.values())
+    end_state = cum[-1]
+    for strat, rw in (
+        ("daily_snapshot", rows_snapshot),
+        ("scd2_append", rows_append),
+        ("final_rewrite", end_state),
+    ):
+        assert int(df.loc[strat, "rows_written"]) == rw
+        assert int(df.loc[strat, "n_days"]) == len(cal)
+        assert abs(
+            df.loc[strat, "ratio_vs_append"] - rw / rows_append
+        ) <= 1e-4
+    # snapshot always costs at least as much as append
+    assert (
+        df.loc["daily_snapshot", "rows_written"]
+        >= df.loc["scd2_append", "rows_written"]
+    )
