@@ -1289,3 +1289,116 @@ def q365_weighted_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q383 — double-sweep diameter estimate of the co-purchase part graph:
+# BFS from the minimum part id, hop to the farthest node found (u, ties
+# by min id), BFS again from u — the second sweep's eccentricity is the
+# classic diameter LOWER BOUND (Magnien et al.: double sweep is exact on
+# trees and near-exact on real graphs, at 2 BFS instead of n). Both
+# sweeps bounded at 8 hops. Completes the graph family (q194 gives one
+# source's distances; this reads the graph's breadth).
+# Parity: both sweeps are bounded-depth min-dist walks; the pivot pick
+# is (max dist, min node) — deterministic; counts exact. The oracle
+# chains two recursive CTEs, the second seeded by the first's argmax.
+# Scale: two level-synchronous frontier BFS runs (operators/graph) over
+# the order-bounded co-purchase edges; the pivot is a 1-row argmax
+# (bounded driver action, the q186 pattern).
+# ---------------------------------------------------------------------------
+@register(
+    "q383_double_sweep_diameter",
+    oracle="""
+WITH RECURSIVE items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+cp AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM items a JOIN items b ON b.l_orderkey = a.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+    GROUP BY pa, pb
+),
+edges AS (
+    SELECT pa AS s, pb AS d FROM cp
+    UNION
+    SELECT pb AS s, pa AS d FROM cp
+),
+seed1 AS (SELECT MIN(s) AS v FROM edges),
+walk1(node, dist) AS (
+    SELECT v, 0 FROM seed1
+    UNION
+    SELECT e.d, w.dist + 1
+    FROM walk1 w JOIN edges e ON e.s = w.node
+    WHERE w.dist < 8
+),
+d1 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+       FROM walk1 GROUP BY node),
+pivot_n AS (
+    SELECT node FROM d1 ORDER BY dist DESC, node ASC LIMIT 1
+),
+walk2(node, dist) AS (
+    SELECT node, 0 FROM pivot_n
+    UNION
+    SELECT e.d, w.dist + 1
+    FROM walk2 w JOIN edges e ON e.s = w.node
+    WHERE w.dist < 8
+),
+d2 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+       FROM walk2 GROUP BY node)
+SELECT (SELECT v FROM seed1) AS seed,
+       (SELECT node FROM pivot_n) AS pivot_node,
+       (SELECT MAX(dist) FROM d1) AS ecc_seed,
+       (SELECT MAX(dist) FROM d2) AS diameter_lb,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS n_reached
+""",
+    tags=("graph", "iterative", "A12"),
+)
+def q383_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-sweep diameter lower bound of the co-purchase graph:
+    (seed, pivot_node, ecc_seed, diameter_lb, n_reached)."""
+    import pyspark.sql.functions as F
+
+    from ..operators import graph
+    from ..sources.readers import load_table as _lt
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    cp = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    from ..caching import persist_tracked
+
+    cp = persist_tracked(cp)
+    seed = cp.agg(
+        F.least(F.min("pa"), F.min("pb")).alias("node")
+    )
+    d1 = graph.bfs_distances(
+        cp, seed.select("node"), max_hops=8, src_col="pa", dst_col="pb"
+    )
+    # 1-row bounded driver action (the q186 argmax pattern): the pivot
+    # for sweep 2 is the farthest node of sweep 1.
+    pivot_row = (
+        d1.orderBy(F.desc("dist"), F.asc("node")).limit(1).collect()[0]
+    )
+    pivot_node = int(pivot_row["node"])
+    ecc_seed = int(pivot_row["dist"])
+    d2 = graph.bfs_distances(
+        cp,
+        spark.createDataFrame([(pivot_node,)], "node long").coalesce(1),
+        max_hops=8,
+        src_col="pa",
+        dst_col="pb",
+    )
+    seed_v = seed.collect()[0]["node"]
+    return d2.agg(
+        F.lit(int(seed_v)).cast("long").alias("seed"),
+        F.lit(pivot_node).cast("long").alias("pivot_node"),
+        F.lit(ecc_seed).cast("long").alias("ecc_seed"),
+        F.max("dist").cast("long").alias("diameter_lb"),
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )

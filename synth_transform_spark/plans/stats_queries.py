@@ -4626,3 +4626,156 @@ def q378_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n")
     )
+
+
+# --------------------------------------------------------------------------
+# q381 - burstiness and memory of inter-event times (Goh & Barabasi
+# 2008): per event type, order events by (second, event_id), take the
+# consecutive inter-arrival gaps tau_i, and report
+# B = (sigma - mu)/(sigma + mu) (-1 = perfectly regular, 0 = Poisson,
+# -> 1 = extreme bursts) and the memory coefficient
+# M = corr(tau_i, tau_{i+1}). The arrival-process fingerprint that
+# q354's dispersion (a DAILY-bucket read) cannot see - bursts inside a
+# day are invisible to per-day counts.
+# Parity: gaps are exact integer seconds under a deterministic total
+# order ((sec, event_id) - same-second order pinned by id); mu/sigma/M
+# are single double expressions over exact integer sums (n, S, S2,
+# and the lag-1 cross sums). 4dp.
+# Scale: one per-type ordered window for the gaps (uniform type keys,
+# calendar-bounded per-partition width at any SF only if types are few;
+# the window is the declared cost), then one keyed reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q381_burstiness",
+    oracle="""
+WITH ev AS (
+    SELECT event_type, event_id,
+           CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+ordered AS (
+    SELECT e.event_type,
+           e.sec - LAG(e.sec) OVER (PARTITION BY e.event_type
+                                    ORDER BY e.sec, e.event_id) AS tau,
+           LEAD(e.sec) OVER (PARTITION BY e.event_type
+                             ORDER BY e.sec, e.event_id) AS nxt_sec,
+           e.sec,
+           LAG(e.sec) OVER (PARTITION BY e.event_type
+                            ORDER BY e.sec, e.event_id) AS prv_sec
+    FROM ev e
+),
+pairs AS (
+    SELECT event_type,
+           sec - prv_sec AS tau_i,
+           nxt_sec - sec AS tau_j
+    FROM ordered
+    WHERE prv_sec IS NOT NULL AND nxt_sec IS NOT NULL
+),
+taus AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(tau) AS BIGINT) AS s,
+           CAST(SUM(tau * tau) AS BIGINT) AS s2
+    FROM (SELECT event_type, sec - prv_sec AS tau FROM ordered
+          WHERE prv_sec IS NOT NULL)
+    GROUP BY event_type
+),
+mstat AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(tau_i) AS BIGINT) AS sx,
+           CAST(SUM(tau_j) AS BIGINT) AS sy,
+           CAST(SUM(tau_i * tau_i) AS BIGINT) AS sxx,
+           CAST(SUM(tau_j * tau_j) AS BIGINT) AS syy,
+           CAST(SUM(tau_i * tau_j) AS BIGINT) AS sxy
+    FROM pairs GROUP BY event_type
+)
+SELECT t.event_type, t.n,
+       ROUND(CAST(t.s AS DOUBLE) / t.n, 4) AS mean_gap_sec,
+       ROUND((SQRT((t.n * CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s)
+                   / (CAST(t.n AS DOUBLE) * t.n))
+              - CAST(t.s AS DOUBLE) / t.n)
+             / (SQRT((t.n * CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s)
+                     / (CAST(t.n AS DOUBLE) * t.n))
+                + CAST(t.s AS DOUBLE) / t.n), 4) AS burstiness,
+       ROUND((m.m * CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy)
+             / (SQRT(m.m * CAST(m.sxx AS DOUBLE)
+                     - CAST(m.sx AS DOUBLE) * m.sx)
+                * SQRT(m.m * CAST(m.syy AS DOUBLE)
+                       - CAST(m.sy AS DOUBLE) * m.sy)), 4) AS memory_coef
+FROM taus t JOIN mstat m ON m.event_type = t.event_type
+ORDER BY t.event_type
+""",
+    tags=("timeseries", "W2", "A12"),
+)
+def q381_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness B and memory M per event type:
+    (event_type, n, mean_gap_sec, burstiness, memory_coef)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
+    ordered = ev.select(
+        "event_type",
+        "sec",
+        F.lag("sec").over(w).alias("prv_sec"),
+        F.lead("sec").over(w).alias("nxt_sec"),
+    )
+    taus = (
+        ordered.filter(F.col("prv_sec").isNotNull())
+        .select("event_type", (F.col("sec") - F.col("prv_sec")).alias("tau"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("tau").alias("s"),
+            F.sum(F.col("tau") * F.col("tau")).alias("s2"),
+        )
+    )
+    pairs = ordered.filter(
+        F.col("prv_sec").isNotNull() & F.col("nxt_sec").isNotNull()
+    ).select(
+        "event_type",
+        (F.col("sec") - F.col("prv_sec")).alias("tau_i"),
+        (F.col("nxt_sec") - F.col("sec")).alias("tau_j"),
+    )
+    mstat = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("tau_i").alias("sx"),
+        F.sum("tau_j").alias("sy"),
+        F.sum(F.col("tau_i") * F.col("tau_i")).alias("sxx"),
+        F.sum(F.col("tau_j") * F.col("tau_j")).alias("syy"),
+        F.sum(F.col("tau_i") * F.col("tau_j")).alias("sxy"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        (
+            F.col("n") * F.col("s2").cast("double")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    mcorr = (
+        F.col("m").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(
+            F.col("m") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * F.sqrt(
+            F.col("m") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return (
+        taus.join(mstat, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(mu, 4).alias("mean_gap_sec"),
+            F.round((sigma - mu) / (sigma + mu), 4).alias("burstiness"),
+            F.round(mcorr, 4).alias("memory_coef"),
+        )
+        .orderBy("event_type")
+    )

@@ -636,3 +636,157 @@ def q131_straggler_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q382 — Laspeyres / Paasche / Fisher price indices month-over-month:
+# unit prices p = extendedprice/quantity per (month, part) from order
+# history; for each consecutive month pair over the COMMON part basket,
+# Laspeyres = Σp₁q₀/Σp₀q₀ (base-period quantities), Paasche = Σp₁q₁/Σp₀q₁
+# (current-period), Fisher = √(L·P). The standard economics rollup the
+# TPC-H-style revenue queries never compute — "did prices move, or did
+# the mix move".
+# Parity: monthly (part) aggregates use exact cent/quantity integer
+# sums; unit prices are single ratios; every index numerator/denominator
+# term p·q is frozen to round(100·term) cents before the basket sum;
+# indices are one double ratio each. 4dp.
+# Scale: one (month, part) keyed aggregate (map-side combine); the
+# month-pair join is keyed by part within consecutive months — uniform;
+# the basket reduce is month-pair keyed.
+# ---------------------------------------------------------------------------
+@register(
+    "q382_price_index",
+    oracle="""
+WITH mp AS (
+    SELECT CAST(DATE_TRUNC('month', CAST(o.o_orderdate AS TIMESTAMP))
+                AS DATE) AS mon,
+           l.l_partkey,
+           CAST(SUM(CAST(ROUND(100.0 * l.l_extendedprice) AS BIGINT))
+                AS BIGINT) AS cents,
+           CAST(SUM(CAST(ROUND(100.0 * l.l_quantity) AS BIGINT))
+                AS BIGINT) AS qty100
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+mons AS (
+    SELECT mon, CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS mi
+    FROM (SELECT DISTINCT mon FROM mp)
+),
+joined AS (
+    SELECT m1.mi AS period,
+           CAST(a.cents AS DOUBLE) / a.qty100 AS p0,
+           CAST(b.cents AS DOUBLE) / b.qty100 AS p1,
+           a.qty100 AS q0, b.qty100 AS q1
+    FROM mp a
+    JOIN mons m0 ON m0.mon = a.mon
+    JOIN mons m1 ON m1.mi = m0.mi + 1
+    JOIN mp b ON b.mon = m1.mon AND b.l_partkey = a.l_partkey
+),
+terms AS (
+    SELECT period,
+           CAST(ROUND(100.0 * p1 * q0) AS BIGINT) AS l_num,
+           CAST(ROUND(100.0 * p0 * q0) AS BIGINT) AS l_den,
+           CAST(ROUND(100.0 * p1 * q1) AS BIGINT) AS p_num,
+           CAST(ROUND(100.0 * p0 * q1) AS BIGINT) AS p_den
+    FROM joined
+),
+idx AS (
+    SELECT period, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(l_num) AS DOUBLE) / SUM(l_den) AS laspeyres,
+           CAST(SUM(p_num) AS DOUBLE) / SUM(p_den) AS paasche
+    FROM terms GROUP BY period
+)
+SELECT i.period, CAST(m.mon AS VARCHAR) AS month, i.n_parts,
+       ROUND(i.laspeyres, 4) AS laspeyres,
+       ROUND(i.paasche, 4) AS paasche,
+       ROUND(SQRT(i.laspeyres * i.paasche), 4) AS fisher
+FROM idx i JOIN mons m ON m.mi = i.period
+ORDER BY i.period
+""",
+    tags=("analytics", "A1", "J1"),
+)
+def q382_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month Laspeyres/Paasche/Fisher price indices over the
+    common part basket: (period, month, n_parts, laspeyres, paasche,
+    fisher)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    mp = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("mon"),
+            "l_partkey",
+        )
+        .agg(
+            F.sum(
+                F.round(100.0 * F.col("l_extendedprice")).cast("long")
+            ).alias("cents"),
+            F.sum(
+                F.round(100.0 * F.col("l_quantity")).cast("long")
+            ).alias("qty100"),
+        )
+    )
+    mons = (
+        mp.select("mon")
+        .distinct()
+        .select(
+            "mon",
+            F.row_number().over(Window.orderBy("mon")).cast("long").alias(
+                "mi"
+            ),
+        )
+    )
+    a = mp.join(F.broadcast(mons), "mon").select(
+        "l_partkey",
+        F.col("mi").alias("mi0"),
+        (F.col("cents").cast("double") / F.col("qty100")).alias("p0"),
+        F.col("qty100").alias("q0"),
+    )
+    b = mp.join(F.broadcast(mons), "mon").select(
+        "l_partkey",
+        F.col("mi").alias("mi1"),
+        (F.col("cents").cast("double") / F.col("qty100")).alias("p1"),
+        F.col("qty100").alias("q1"),
+    )
+    joined = a.join(b, "l_partkey").filter(
+        F.col("mi1") == F.col("mi0") + 1
+    )
+    terms = joined.select(
+        F.col("mi1").alias("period"),
+        F.round(100.0 * F.col("p1") * F.col("q0")).cast("long").alias(
+            "l_num"
+        ),
+        F.round(100.0 * F.col("p0") * F.col("q0")).cast("long").alias(
+            "l_den"
+        ),
+        F.round(100.0 * F.col("p1") * F.col("q1")).cast("long").alias(
+            "p_num"
+        ),
+        F.round(100.0 * F.col("p0") * F.col("q1")).cast("long").alias(
+            "p_den"
+        ),
+    )
+    idx = terms.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        (F.sum("l_num").cast("double") / F.sum("l_den")).alias(
+            "laspeyres"
+        ),
+        (F.sum("p_num").cast("double") / F.sum("p_den")).alias("paasche"),
+    )
+    return (
+        idx.join(
+            F.broadcast(mons.select(F.col("mi").alias("period"), "mon")),
+            "period",
+        )
+        .select(
+            "period",
+            F.col("mon").cast("string").alias("month"),
+            F.col("n_parts").cast("long").alias("n_parts"),
+            F.round("laspeyres", 4).alias("laspeyres"),
+            F.round("paasche", 4).alias("paasche"),
+            F.round(
+                F.sqrt(F.col("laspeyres") * F.col("paasche")), 4
+            ).alias("fisher"),
+        )
+        .orderBy("period")
+    )

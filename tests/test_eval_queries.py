@@ -1445,3 +1445,133 @@ def test_storage_write_planner_matches_naive(spark):
         df.loc["daily_snapshot", "rows_written"]
         >= df.loc["scd2_append", "rows_written"]
     )
+
+
+def test_burstiness_matches_naive(spark):
+    df = (
+        REGISTRY["q381_burstiness"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    secs = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 10**9
+    )
+    ev = ev.assign(sec=secs)
+    for et, g in ev.groupby("event_type"):
+        g = g.sort_values(["sec", "event_id"])
+        ss = g["sec"].to_list()
+        taus = [b - a for a, b in zip(ss, ss[1:])]
+        n = len(taus)
+        mu = sum(taus) / n
+        sigma = math.sqrt(sum(t * t for t in taus) / n - mu * mu)
+        B = (sigma - mu) / (sigma + mu)
+        pairs = list(zip(taus, taus[1:]))
+        m = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        M = (m * sxy - sx * sy) / (
+            math.sqrt(m * sxx - sx * sx) * math.sqrt(m * syy - sy * sy)
+        )
+        assert int(df.loc[et, "n"]) == n
+        assert abs(df.loc[et, "mean_gap_sec"] - mu) <= 1e-3
+        assert abs(df.loc[et, "burstiness"] - B) <= 1e-3
+        assert abs(df.loc[et, "memory_coef"] - M) <= 1e-3
+        assert -1 <= df.loc[et, "burstiness"] <= 1
+
+
+def test_price_index_matches_naive(spark):
+    df = (
+        REGISTRY["q382_price_index"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("period")
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    m = li.merge(o, left_on="l_orderkey", right_on="o_orderkey")
+    m["mon"] = pd.to_datetime(m["o_orderdate"]).dt.to_period("M")
+    mp = (
+        m.assign(
+            cents=(100 * m["l_extendedprice"]).round().astype("int64"),
+            q100=(100 * m["l_quantity"]).round().astype("int64"),
+        )
+        .groupby(["mon", "l_partkey"])[["cents", "q100"]]
+        .sum()
+    )
+    months = sorted(mp.index.get_level_values(0).unique())
+    for mi in range(1, len(months)):
+        m0, m1 = months[mi - 1], months[mi]
+        a = mp.loc[m0]
+        b = mp.loc[m1]
+        both = a.index.intersection(b.index)
+        if len(both) == 0:
+            assert (mi + 1) not in df.index
+            continue
+        ln = ld = pn = pdn = 0
+        for pk in both:
+            p0 = a.loc[pk, "cents"] / a.loc[pk, "q100"]
+            p1 = b.loc[pk, "cents"] / b.loc[pk, "q100"]
+            q0 = a.loc[pk, "q100"]
+            q1 = b.loc[pk, "q100"]
+            ln += round(100 * p1 * q0)
+            ld += round(100 * p0 * q0)
+            pn += round(100 * p1 * q1)
+            pdn += round(100 * p0 * q1)
+        las, paa = ln / ld, pn / pdn
+        row = df.loc[mi + 1]
+        assert int(row["n_parts"]) == len(both)
+        assert abs(row["laspeyres"] - las) <= 1e-3
+        assert abs(row["paasche"] - paa) <= 1e-3
+        assert abs(row["fisher"] - math.sqrt(las * paa)) <= 1e-3
+
+
+def test_double_sweep_matches_naive(spark):
+    row = (
+        REGISTRY["q383_double_sweep_diameter"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    items = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    mm = items.merge(items, on="l_orderkey")
+    mm = mm[mm["l_partkey_x"] < mm["l_partkey_y"]]
+    adj: dict[int, set] = {}
+    for a, b in set(zip(mm["l_partkey_x"], mm["l_partkey_y"])):
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+
+    def bfs(src, cap=8):
+        dist = {src: 0}
+        frontier = [src]
+        for h in range(1, cap + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+            if not nxt:
+                break
+        return dist
+
+    seed = min(adj)
+    d1 = bfs(seed)
+    pivot = min(
+        (n for n in d1), key=lambda n: (-d1[n], n)
+    )
+    d2 = bfs(pivot)
+    assert int(row["seed"]) == seed
+    assert int(row["pivot_node"]) == pivot
+    assert int(row["ecc_seed"]) == d1[pivot]
+    assert int(row["diameter_lb"]) == max(d2.values())
+    assert int(row["n_reached"]) == len(d2)
+    # the second sweep's eccentricity dominates the first's
+    assert int(row["diameter_lb"]) >= int(row["ecc_seed"])
