@@ -7456,3 +7456,236 @@ def q377_streaming_dynamic_session(spark: SparkSession, sf_dir: str) -> DataFram
         "q377_sink",
         output_mode="complete",
     )
+
+
+# ---------------------------------------------------------------------------
+# q384 — event-sequence sanity audit: per ordering rule, how many users
+# violate it — purchase before ever clicking, signup after already
+# purchasing, error-only activity, purchase without any view. The
+# event-log DQ gate that catches instrumentation bugs (a funnel read
+# like q87/q355 silently absorbs these; this surfaces them) — the
+# sequence-level complement of q96's row-level audit.
+# Parity: per-user min timestamps and type sets are exact aggregates;
+# every rule is a boolean over them; counts exact, rates 4dp.
+# Scale: ONE user-keyed conditional aggregate computes all per-user
+# min-ts/type facts; the four rules evaluate on that relation; output
+# unpivots from a 1-row total.
+# ---------------------------------------------------------------------------
+@register(
+    "q384_sequence_sanity",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS c0,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p0,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS s0,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS v0,
+           CAST(COUNT(*) AS BIGINT) AS n_ev,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_err
+    FROM events GROUP BY user_id
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN p0 IS NOT NULL
+                          AND (c0 IS NULL OR p0 < c0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_pbc,
+           CAST(SUM(CASE WHEN s0 IS NOT NULL AND p0 IS NOT NULL
+                          AND s0 > p0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_sap,
+           CAST(SUM(CASE WHEN n_err = n_ev THEN 1 ELSE 0 END) AS BIGINT)
+               AS v_eo,
+           CAST(SUM(CASE WHEN p0 IS NOT NULL AND v0 IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_pwv
+    FROM per_user
+)
+SELECT r.rule, r.n_violations, t.n_users,
+       ROUND(CAST(r.n_violations AS DOUBLE) / t.n_users, 4) AS rate
+FROM tot t,
+LATERAL (
+    SELECT 'purchase_before_click' AS rule, t.v_pbc AS n_violations
+    UNION ALL SELECT 'signup_after_purchase', t.v_sap
+    UNION ALL SELECT 'error_only_user', t.v_eo
+    UNION ALL SELECT 'purchase_without_view', t.v_pwv
+) r
+ORDER BY rule
+""",
+    tags=("quality", "P1", "A2"),
+)
+def q384_sequence_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordering-rule violation counts over user event sequences:
+    (rule, n_violations, n_users, rate)."""
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "c0"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p0"),
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "s0"
+        ),
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "v0"
+        ),
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(
+            (F.col("event_type") == "error").cast("long")
+        ).alias("n_err"),
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            (
+                F.col("p0").isNotNull()
+                & (F.col("c0").isNull() | (F.col("p0") < F.col("c0")))
+            ).cast("long")
+        ).alias("v_pbc"),
+        F.sum(
+            (
+                F.col("s0").isNotNull()
+                & F.col("p0").isNotNull()
+                & (F.col("s0") > F.col("p0"))
+            ).cast("long")
+        ).alias("v_sap"),
+        F.sum((F.col("n_err") == F.col("n_ev")).cast("long")).alias(
+            "v_eo"
+        ),
+        F.sum(
+            (F.col("p0").isNotNull() & F.col("v0").isNull()).cast("long")
+        ).alias("v_pwv"),
+    )
+    out = None
+    for rule, col in (
+        ("purchase_before_click", "v_pbc"),
+        ("signup_after_purchase", "v_sap"),
+        ("error_only_user", "v_eo"),
+        ("purchase_without_view", "v_pwv"),
+    ):
+        r = tot.select(
+            F.lit(rule).alias("rule"),
+            F.col(col).cast("long").alias("n_violations"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(
+                F.col(col).cast("double") / F.col("n_users"), 4
+            ).alias("rate"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# q385 — LTV cohort curves: users are cohorted by first-activity week;
+# per (cohort, weeks-since-first-activity), the cumulative purchase
+# value PER COHORT USER — the lifetime-value read that q88's retention
+# (activity yes/no) doesn't price. Ages with no purchases still emit
+# (zero increment) via the cohort × age grid so every curve is complete
+# and monotone.
+# Parity: cohort/age are integer week arithmetic on epoch days; values
+# are frozen to cents per event and integer-summed; the running
+# cumulative is a cohort-partitioned ordered window over the bounded
+# age range; per-user normalization is one double. 4dp.
+# Scale: one user-keyed min aggregate (cohort assignment, broadcast
+# back), one (cohort, age) keyed aggregate, windows partitioned by
+# cohort over calendar-bounded ages.
+# ---------------------------------------------------------------------------
+@register(
+    "q385_ltv_cohort",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))
+                                   / 604800) AS BIGINT)) AS cw
+    FROM events GROUP BY user_id
+),
+cohort_n AS (
+    SELECT cw, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM firsts GROUP BY cw
+),
+purchases AS (
+    SELECT f.cw,
+           CAST(FLOOR(EPOCH(CAST(e.ts AS TIMESTAMP)) / 604800) AS BIGINT)
+               - f.cw AS age_w,
+           CAST(ROUND(100.0 * e.value) AS BIGINT) AS cents
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+),
+ages AS (SELECT DISTINCT age_w FROM purchases
+         UNION SELECT 0 AS age_w),
+grid AS (
+    SELECT c.cw, a.age_w FROM cohort_n c CROSS JOIN ages a
+),
+inc AS (
+    SELECT g.cw, g.age_w,
+           CAST(COALESCE(SUM(p.cents), 0) AS BIGINT) AS cents
+    FROM grid g
+    LEFT JOIN purchases p ON p.cw = g.cw AND p.age_w = g.age_w
+    GROUP BY g.cw, g.age_w
+),
+cum AS (
+    SELECT cw, age_w,
+           CAST(SUM(cents) OVER (PARTITION BY cw ORDER BY age_w
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+    FROM inc
+)
+SELECT c.cw - (SELECT MIN(cw) FROM cohort_n) AS cohort,
+       c.age_w AS age_weeks, n.n_users,
+       ROUND(c.cum_cents / 100.0, 4) AS cum_value,
+       ROUND(c.cum_cents / 100.0 / n.n_users, 4) AS ltv_per_user
+FROM cum c JOIN cohort_n n ON n.cw = c.cw
+WHERE c.age_w >= 0
+ORDER BY cohort, age_weeks
+""",
+    tags=("analytics", "A2", "W2"),
+)
+def q385_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchase value per cohort user by age week:
+    (cohort, age_weeks, n_users, cum_value, ltv_per_user)."""
+    events = load_table(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / 604800).cast("long")
+    firsts = events.groupBy("user_id").agg(F.min(week).alias("cw"))
+    cohort_n = firsts.groupBy("cw").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cw",
+            (week - F.col("cw")).alias("age_w"),
+            F.round(100.0 * F.col("value")).cast("long").alias("cents"),
+        )
+    )
+    ages = purchases.select("age_w").union(
+        purchases.sparkSession.createDataFrame([(0,)], "age_w long")
+    ).distinct()
+    grid = cohort_n.select("cw").crossJoin(F.broadcast(ages))
+    inc = (
+        grid.join(purchases, ["cw", "age_w"], "left")
+        .groupBy("cw", "age_w")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("long").alias("cents"))
+    )
+    wc = Window.partitionBy("cw").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = inc.select(
+        "cw",
+        "age_w",
+        F.sum("cents").over(wc).cast("long").alias("cum_cents"),
+    )
+    min_cw = cohort_n.agg(F.min("cw").alias("min_cw"))
+    return (
+        cum.join(F.broadcast(cohort_n), "cw")
+        .crossJoin(F.broadcast(min_cw))
+        .filter(F.col("age_w") >= 0)
+        .select(
+            (F.col("cw") - F.col("min_cw")).cast("long").alias("cohort"),
+            F.col("age_w").cast("long").alias("age_weeks"),
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round(F.col("cum_cents") / 100.0, 4).alias("cum_value"),
+            F.round(
+                F.col("cum_cents") / 100.0 / F.col("n_users"), 4
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort", "age_weeks")
+    )

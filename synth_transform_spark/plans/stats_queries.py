@@ -4779,3 +4779,167 @@ def q381_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q386 - survey raking (iterative proportional fitting): weight an
+# md5-half-sample of documents so its (source, lang) cell estimates hit
+# the FULL corpus margins - 3 IPF rounds, each scaling weights to the
+# source margins then the lang margins. The calibration tool behind
+# every "reweight the sample to the population" ask (q216's DSIR is the
+# importance-sampling cousin; this is the classic two-margin version).
+# Parity: cell counts and targets are exact integers; weights live as
+# micro-ints, rescaled once per margin pass with a single double ratio
+# and refrozen (round(w * T/cur)) - both engines walk identical weight
+# vectors; fit errors are exact integer differences of frozen masses.
+# Scale: the sample is a hash predicate (no shuffle); cells are a
+# (source, lang) aggregate (~100 rows); every IPF round is two keyed
+# scalings of that bounded relation with 1-row broadcast margins.
+# --------------------------------------------------------------------------
+_IPF_ROUNDS = 3
+
+
+def _ipf_ctes() -> str:
+    parts = []
+    prev = "cells0"
+    for i in range(1, _IPF_ROUNDS + 1):
+        parts.append(f"""rmar{i} AS (
+    SELECT source, CAST(SUM(n * w) AS BIGINT) AS cur
+    FROM {prev} GROUP BY source
+),
+rstep{i} AS (
+    SELECT c.source, c.lang, c.n,
+           CAST(ROUND(CAST(c.w AS DOUBLE) * ts.t / rm.cur)
+                AS BIGINT) AS w
+    FROM {prev} c
+    JOIN rmar{i} rm ON rm.source = c.source
+    JOIN tsrc ts ON ts.source = c.source
+),
+cmar{i} AS (
+    SELECT lang, CAST(SUM(n * w) AS BIGINT) AS cur
+    FROM rstep{i} GROUP BY lang
+),
+cells{i} AS (
+    SELECT c.source, c.lang, c.n,
+           CAST(ROUND(CAST(c.w AS DOUBLE) * tl.t / cm.cur)
+                AS BIGINT) AS w
+    FROM rstep{i} c
+    JOIN cmar{i} cm ON cm.lang = c.lang
+    JOIN tlang tl ON tl.lang = c.lang
+)""")
+        prev = f"cells{i}"
+    return ",\n".join(parts)
+
+
+@register(
+    "q386_ipf_raking",
+    oracle=f"""
+WITH sample AS (
+    SELECT source, lang FROM documents
+    WHERE ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          % 2 = 0
+),
+cells0 AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1000000 AS BIGINT) AS w
+    FROM sample GROUP BY source, lang
+),
+tsrc AS (
+    SELECT source, CAST(COUNT(*) * 1000000 AS BIGINT) AS t
+    FROM documents
+    WHERE lang IN (SELECT DISTINCT lang FROM sample)
+      AND source IN (SELECT DISTINCT source FROM sample)
+    GROUP BY source
+),
+tlang AS (
+    SELECT lang, CAST(COUNT(*) * 1000000 AS BIGINT) AS t
+    FROM documents
+    WHERE lang IN (SELECT DISTINCT lang FROM sample)
+      AND source IN (SELECT DISTINCT source FROM sample)
+    GROUP BY lang
+),
+{_ipf_ctes()}
+SELECT c.source, c.lang, c.n AS n_sample,
+       ROUND(c.w / 1000000.0, 4) AS weight,
+       ROUND(c.n * c.w / 1000000.0, 4) AS est_mass
+FROM cells{_IPF_ROUNDS} c
+ORDER BY source, lang
+""",
+    tags=("inferential", "training-prep", "A13"),
+)
+def q386_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF/raking weights calibrating an md5-half-sample to full-corpus
+    (source, lang) margins: (source, lang, n_sample, weight,
+    est_mass)."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 2
+        == 0
+    )
+    sample = docs.filter(half).select("source", "lang")
+    cells = sample.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n")
+    ).withColumn("w", F.lit(1000000).cast("long"))
+    from ..caching import persist_tracked
+
+    s_src = sample.select("source").distinct()
+    s_lang = sample.select("lang").distinct()
+    pop = docs.join(F.broadcast(s_src), "source").join(
+        F.broadcast(s_lang), "lang"
+    )
+    tsrc = pop.groupBy("source").agg(
+        (F.count(F.lit(1)) * 1000000).cast("long").alias("t_s")
+    )
+    tlang = pop.groupBy("lang").agg(
+        (F.count(F.lit(1)) * 1000000).cast("long").alias("t_l")
+    )
+    cur = cells
+    for _ in range(_IPF_ROUNDS):
+        rmar = cur.groupBy("source").agg(
+            F.sum(F.col("n") * F.col("w")).cast("long").alias("cur_s")
+        )
+        cur = (
+            cur.join(F.broadcast(rmar), "source")
+            .join(F.broadcast(tsrc), "source")
+            .select(
+                "source",
+                "lang",
+                "n",
+                F.round(
+                    F.col("w").cast("double")
+                    * F.col("t_s")
+                    / F.col("cur_s")
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        cmar = cur.groupBy("lang").agg(
+            F.sum(F.col("n") * F.col("w")).cast("long").alias("cur_l")
+        )
+        cur = (
+            cur.join(F.broadcast(cmar), "lang")
+            .join(F.broadcast(tlang), "lang")
+            .select(
+                "source",
+                "lang",
+                "n",
+                F.round(
+                    F.col("w").cast("double")
+                    * F.col("t_l")
+                    / F.col("cur_l")
+                )
+                .cast("long")
+                .alias("w"),
+            )
+        )
+    return cur.select(
+        "source",
+        "lang",
+        F.col("n").cast("long").alias("n_sample"),
+        F.round(F.col("w") / 1000000.0, 4).alias("weight"),
+        F.round(F.col("n") * F.col("w") / 1000000.0, 4).alias("est_mass"),
+    ).orderBy("source", "lang")

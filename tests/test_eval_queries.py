@@ -1575,3 +1575,130 @@ def test_double_sweep_matches_naive(spark):
     assert int(row["n_reached"]) == len(d2)
     # the second sweep's eccentricity dominates the first's
     assert int(row["diameter_lb"]) >= int(row["ecc_seed"])
+
+
+def test_sequence_sanity_matches_naive(spark):
+    df = (
+        REGISTRY["q384_sequence_sanity"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("rule")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev["ts"])
+    viol = {
+        "purchase_before_click": 0,
+        "signup_after_purchase": 0,
+        "error_only_user": 0,
+        "purchase_without_view": 0,
+    }
+    n_users = ev["user_id"].nunique()
+    for _, g in ev.groupby("user_id"):
+        mins = g.groupby("event_type")["ts"].min()
+        p0 = mins.get("purchase")
+        c0 = mins.get("click")
+        s0 = mins.get("signup")
+        v0 = mins.get("view")
+        if p0 is not None and (c0 is None or p0 < c0):
+            viol["purchase_before_click"] += 1
+        if s0 is not None and p0 is not None and s0 > p0:
+            viol["signup_after_purchase"] += 1
+        if (g["event_type"] == "error").all():
+            viol["error_only_user"] += 1
+        if p0 is not None and v0 is None:
+            viol["purchase_without_view"] += 1
+    for rule, v in viol.items():
+        assert int(df.loc[rule, "n_violations"]) == v
+        assert int(df.loc[rule, "n_users"]) == n_users
+        assert abs(df.loc[rule, "rate"] - v / n_users) <= 1e-4
+
+
+def test_ltv_cohort_matches_naive(spark):
+    df = (
+        REGISTRY["q385_ltv_cohort"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index(["cohort", "age_weeks"])
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    secs = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 10**9
+    )
+    ev = ev.assign(week=secs // 604800)
+    first_w = ev.groupby("user_id")["week"].min().to_dict()
+    min_cw = min(first_w.values())
+    cohort_users: dict[int, int] = {}
+    for u, w in first_w.items():
+        cohort_users[w] = cohort_users.get(w, 0) + 1
+    purch = ev[ev["event_type"] == "purchase"]
+    inc: dict[tuple[int, int], int] = {}
+    for _, r in purch.iterrows():
+        cw = first_w[int(r["user_id"])]
+        age = int(r["week"]) - cw
+        inc[(cw, age)] = inc.get((cw, age), 0) + round(100 * r["value"])
+    ages = sorted({a for _, a in inc} | {0})
+    for cw, nu in cohort_users.items():
+        cum = 0
+        for a in ages:
+            cum += inc.get((cw, a), 0)
+            key = (cw - min_cw, a)
+            assert int(df.loc[key, "n_users"]) == nu
+            assert abs(df.loc[key, "cum_value"] - cum / 100.0) <= 1e-6
+            assert abs(
+                df.loc[key, "ltv_per_user"] - round(cum / 100.0 / nu, 4)
+            ) <= 1e-4
+    # LTV curves are monotone in age
+    for coh, g in df.groupby(level=0):
+        v = g.sort_index()["cum_value"].to_list()
+        assert all(x <= y for x, y in zip(v, v[1:]))
+
+
+def test_ipf_raking_matches_naive(spark):
+    import hashlib
+
+    df = (
+        REGISTRY["q386_ipf_raking"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index(["source", "lang"])
+    )
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    half = [
+        int(hashlib.md5(str(int(d)).encode()).hexdigest()[:8], 16) % 2 == 0
+        for d in docs["doc_id"]
+    ]
+    samp = docs[pd.Series(half, index=docs.index)]
+    cells = (
+        samp.groupby(["source", "lang"]).size().to_dict()
+    )
+    s_src = set(samp["source"])
+    s_lang = set(samp["lang"])
+    pop = docs[docs["source"].isin(s_src) & docs["lang"].isin(s_lang)]
+    tsrc = (pop.groupby("source").size() * 10**6).to_dict()
+    tlang = (pop.groupby("lang").size() * 10**6).to_dict()
+    w = {k: 10**6 for k in cells}
+    for _ in range(3):
+        cur_s: dict[str, int] = {}
+        for (s, l), n in cells.items():
+            cur_s[s] = cur_s.get(s, 0) + n * w[(s, l)]
+        w = {
+            (s, l): round(w[(s, l)] * tsrc[s] / cur_s[s])
+            for (s, l) in cells
+        }
+        cur_l: dict[str, int] = {}
+        for (s, l), n in cells.items():
+            cur_l[l] = cur_l.get(l, 0) + n * w[(s, l)]
+        w = {
+            (s, l): round(w[(s, l)] * tlang[l] / cur_l[l])
+            for (s, l) in cells
+        }
+    for (s, l), n in cells.items():
+        assert int(df.loc[(s, l), "n_sample"]) == n
+        assert abs(df.loc[(s, l), "weight"] - round(w[(s, l)] / 1e6, 4)) <= 1e-4
+    # raked lang margins land on the population targets (within rounding)
+    est_l = df.reset_index().assign(
+        m=lambda d: d["n_sample"] * d["weight"]
+    ).groupby("lang")["m"].sum()
+    for l, t in tlang.items():
+        assert abs(est_l[l] - t / 1e6) / (t / 1e6) <= 0.01
