@@ -7689,3 +7689,180 @@ def q385_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "age_weeks")
     )
+
+
+# ---------------------------------------------------------------------------
+# q389 — stationary distribution of the user-journey Markov chain: the
+# row-normalized event-type transition matrix (q154's relation), iterated
+# π' = πP for 6 frozen-integer rounds from the uniform start, next to
+# the EMPIRICAL long-run state mix — "where do user journeys spend their
+# time at equilibrium, and does the chain model match reality". The
+# dynamics companion to q154 (one-step) and q309 (entropy rate).
+# Parity: transition counts are exact; each iterate freezes every
+# π_j = Σ_i round(π_i·c_ij/r_i) to micro-ints before the next round
+# (the q347 damped-iteration discipline, undamped here since the chain
+# is finite and irreducible over observed types); the empirical mix is
+# exact counts. 4dp.
+# Scale: the chain lives on the bounded type dim (k ≤ a handful): the
+# per-user transition extraction is the only corpus-scale pass (q154's
+# lag window on uniform user keys); iterations run on k² rows.
+# ---------------------------------------------------------------------------
+_MSTAT_ITERS = 6
+
+
+def _mstat_ctes() -> str:
+    parts = [
+        "pi0 AS (SELECT idx AS j, CAST(ROUND(1000000.0 / (SELECT k FROM kk))"
+        " AS BIGINT) AS p FROM chan)"
+    ]
+    for i in range(1, _MSTAT_ITERS + 1):
+        parts.append(f"""pi{i} AS (
+    SELECT t.j_to AS j,
+           CAST(SUM(CAST(ROUND(CAST(p.p AS DOUBLE) * t.c / t.r)
+                         AS BIGINT)) AS BIGINT) AS p
+    FROM trans t JOIN pi{i - 1} p ON p.j = t.j_from
+    GROUP BY t.j_to
+)""")
+    return ",\n".join(parts)
+
+
+@register(
+    "q389_markov_stationary",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events
+),
+chan AS (
+    SELECT event_type AS et,
+           CAST(ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS BIGINT)
+               AS idx
+    FROM (SELECT DISTINCT event_type FROM events)
+),
+kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM chan),
+counts AS (
+    SELECT cf.idx AS j_from, ct.idx AS j_to,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq s
+    JOIN chan cf ON cf.et = s.event_type
+    JOIN chan ct ON ct.et = s.nxt
+    WHERE s.nxt IS NOT NULL
+    GROUP BY cf.idx, ct.idx
+),
+rowsum AS (
+    SELECT j_from, CAST(SUM(c) AS BIGINT) AS r FROM counts GROUP BY j_from
+),
+trans AS (
+    SELECT c.j_from, c.j_to, c.c, r.r
+    FROM counts c JOIN rowsum r ON r.j_from = c.j_from
+),
+emp AS (
+    SELECT cf.idx AS j, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN chan cf ON cf.et = e.event_type
+    GROUP BY cf.idx
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM emp),
+{_mstat_ctes()}
+SELECT ch.et AS event_type,
+       ROUND(pi.p / 1000000.0, 4) AS stationary_pi,
+       ROUND(CAST(e.n AS DOUBLE) / t.nn, 4) AS empirical_share,
+       ROUND(ABS(pi.p / 1000000.0 - CAST(e.n AS DOUBLE) / t.nn), 4)
+           AS abs_gap
+FROM pi{_MSTAT_ITERS} pi
+JOIN chan ch ON ch.idx = pi.j
+JOIN emp e ON e.j = pi.j
+CROSS JOIN tot t
+ORDER BY event_type
+""",
+    tags=("graph", "timeseries", "A6"),
+)
+def q389_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six frozen power-iteration rounds of the journey transition
+    matrix vs the empirical state mix:
+    (event_type, stationary_pi, empirical_share, abs_gap)."""
+    events = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(wu).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    chan = (
+        events.select(F.col("event_type").alias("et"))
+        .distinct()
+        .select(
+            "et",
+            (F.row_number().over(Window.orderBy("et")) - 1)
+            .cast("long")
+            .alias("idx"),
+        )
+    )
+    kk = chan.agg(F.count(F.lit(1)).alias("k"))
+    counts = (
+        seq.join(
+            F.broadcast(chan.select(F.col("et"), F.col("idx").alias("j_from"))),
+            F.col("et") == F.col("event_type"),
+        )
+        .drop("et")
+        .join(
+            F.broadcast(
+                chan.select(F.col("et"), F.col("idx").alias("j_to"))
+            ),
+            F.col("et") == F.col("nxt"),
+        )
+        .groupBy("j_from", "j_to")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rowsum = counts.groupBy("j_from").agg(F.sum("c").alias("r"))
+    trans = counts.join(rowsum, "j_from")
+    from ..caching import persist_tracked
+
+    trans = persist_tracked(trans)
+    pi = chan.crossJoin(F.broadcast(kk)).select(
+        F.col("idx").alias("j"),
+        F.round(1000000.0 / F.col("k")).cast("long").alias("p"),
+    )
+    for _ in range(_MSTAT_ITERS):
+        pi = (
+            trans.join(pi.withColumnRenamed("j", "j_from"), "j_from")
+            .select(
+                F.col("j_to").alias("j"),
+                F.round(
+                    F.col("p").cast("double") * F.col("c") / F.col("r")
+                )
+                .cast("long")
+                .alias("contrib"),
+            )
+            .groupBy("j")
+            .agg(F.sum("contrib").cast("long").alias("p"))
+        )
+    emp = (
+        events.join(
+            F.broadcast(chan), F.col("et") == F.col("event_type")
+        )
+        .groupBy(F.col("idx").alias("j"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = emp.agg(F.sum("n").alias("nn"))
+    return (
+        pi.join(
+            F.broadcast(chan.select(F.col("idx").alias("j"), "et")), "j"
+        )
+        .join(F.broadcast(emp), "j")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("et").alias("event_type"),
+            F.round(F.col("p") / 1000000.0, 4).alias("stationary_pi"),
+            F.round(
+                F.col("n").cast("double") / F.col("nn"), 4
+            ).alias("empirical_share"),
+            F.round(
+                F.abs(
+                    F.col("p") / 1000000.0
+                    - F.col("n").cast("double") / F.col("nn")
+                ),
+                4,
+            ).alias("abs_gap"),
+        )
+        .orderBy("event_type")
+    )

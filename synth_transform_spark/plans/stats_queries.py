@@ -4943,3 +4943,208 @@ def q386_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w") / 1000000.0, 4).alias("weight"),
         F.round(F.col("n") * F.col("w") / 1000000.0, 4).alias("est_mass"),
     ).orderBy("source", "lang")
+
+
+# --------------------------------------------------------------------------
+# q387 - extreme-value tail estimate (peaks-over-threshold): take the
+# inter-event gaps of the whole event stream, set the threshold at the
+# exact p90 gap, fit a generalized Pareto to the exceedances by method
+# of moments (xi = (1 - mean^2/var)/2, beta = mean*(1 - xi)... the
+# standard MoM pair), and report the implied p99.9 gap - the
+# "how long can the pipeline stall" tail read that empirical quantiles
+# can't extrapolate past the sample. Return level:
+# q_p = u + beta/xi * ((n/n_u * (1-p))^(-xi) - 1).
+# Parity: gaps are exact integer seconds under the (sec, event_id)
+# total order; u is an exact integer-multiple-of-0.5 percentile;
+# exceedance mean/var come from exact integer sums; xi/beta/q_p are one
+# fixed double expression. 4dp.
+# Scale: one ordered window for gaps (the q381 cost), one filter + one
+# reduce over exceedances.
+# --------------------------------------------------------------------------
+@register(
+    "q387_tail_gpd",
+    oracle="""
+WITH ev AS (
+    SELECT event_id,
+           CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+    FROM events
+),
+gaps AS (
+    SELECT sec - LAG(sec) OVER (ORDER BY sec, event_id) AS tau
+    FROM ev QUALIFY tau IS NOT NULL
+),
+thr AS (SELECT QUANTILE_CONT(CAST(tau AS DOUBLE), 0.9) AS u,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM gaps),
+exc AS (
+    SELECT g.tau - t.u AS y, t.u, t.n
+    FROM gaps g CROSS JOIN thr t
+    WHERE g.tau > t.u
+),
+s AS (
+    SELECT MAX(u) AS u, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS nu,
+           SUM(y) AS sy, SUM(y * y) AS syy
+    FROM exc
+),
+fit AS (
+    SELECT u, n, nu,
+           sy / nu AS mu,
+           (nu * syy - sy * sy) / (CAST(nu AS DOUBLE) * (nu - 1)) AS v
+    FROM s
+)
+SELECT ROUND(u, 4) AS threshold, nu AS n_exceed,
+       ROUND(mu, 4) AS mean_excess,
+       ROUND(0.5 * (1.0 - mu * mu / v), 4) AS xi,
+       ROUND(mu * (1.0 - 0.5 * (1.0 - mu * mu / v)), 4) AS beta,
+       ROUND(u + (mu * (1.0 - 0.5 * (1.0 - mu * mu / v)))
+                 / (0.5 * (1.0 - mu * mu / v))
+                 * (POW(CAST(n AS DOUBLE) / nu * 0.001,
+                        -(0.5 * (1.0 - mu * mu / v))) - 1.0), 4)
+           AS p999_gap_sec
+FROM fit
+""",
+    tags=("timeseries", "capacity", "A12"),
+)
+def q387_tail_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPD peaks-over-threshold tail fit of inter-event gaps:
+    (threshold, n_exceed, mean_excess, xi, beta, p999_gap_sec)."""
+    events = load_table(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id", F.unix_timestamp("ts").alias("sec")
+    )
+    w = Window.orderBy("sec", "event_id")
+    # single global window over the event stream: the gap sequence is a
+    # TOTAL order by construction; at true scale shard by day and stitch
+    # boundaries (same caveat as q381, declared cost here)
+    gaps = (
+        ev.select((F.col("sec") - F.lag("sec").over(w)).alias("tau"))
+        .filter(F.col("tau").isNotNull())
+    )
+    from ..caching import persist_tracked
+
+    gaps = persist_tracked(gaps)
+    thr = gaps.agg(
+        F.expr("percentile(CAST(tau AS DOUBLE), 0.9)").alias("u"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    exc = (
+        gaps.crossJoin(F.broadcast(thr))
+        .filter(F.col("tau") > F.col("u"))
+        .select((F.col("tau") - F.col("u")).alias("y"), "u", "n")
+    )
+    s = exc.agg(
+        F.max("u").alias("u"),
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    mu = F.col("sy") / F.col("nu")
+    v = (F.col("nu") * F.col("syy") - F.col("sy") * F.col("sy")) / (
+        F.col("nu").cast("double") * (F.col("nu") - 1)
+    )
+    xi = 0.5 * (F.lit(1.0) - mu * mu / v)
+    beta = mu * (F.lit(1.0) - xi)
+    q999 = F.col("u") + beta / xi * (
+        F.pow(F.col("n").cast("double") / F.col("nu") * 0.001, -xi) - 1.0
+    )
+    return s.select(
+        F.round("u", 4).alias("threshold"),
+        F.col("nu").cast("long").alias("n_exceed"),
+        F.round(mu, 4).alias("mean_excess"),
+        F.round(xi, 4).alias("xi"),
+        F.round(beta, 4).alias("beta"),
+        F.round(q999, 4).alias("p999_gap_sec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q388 - capture-recapture population estimate (Chapman's
+# Lincoln-Petersen): two deterministic md5 "captures" of the user
+# population from DIFFERENT event-type windows (capture 1 = users with
+# clicks, capture 2 = users with views), estimate total users as
+# (n1+1)(n2+1)/(m+1) - 1 from the overlap m, next to the true count.
+# The abundance-estimation companion to q313's Chao1 (which uses
+# frequency-of-frequencies; this uses two lists) - the technique behind
+# "how many total entities exist given two incomplete extractions".
+# Parity: all counts exact; the estimator and its Seber variance are
+# single double expressions. 4dp.
+# Scale: two distinct aggregates + one semi-join overlap count; 1-row
+# output.
+# --------------------------------------------------------------------------
+@register(
+    "q388_capture_recapture",
+    oracle="""
+WITH c1 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+c2 AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m
+      FROM c1 JOIN c2 ON c2.user_id = c1.user_id),
+s AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c1) AS n1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c2) AS n2,
+           (SELECT m FROM m) AS m,
+           (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events)
+               AS truth
+)
+SELECT n1, n2, m, truth,
+       ROUND((CAST(n1 + 1 AS DOUBLE)) * (n2 + 1) / (m + 1) - 1.0, 4)
+           AS chapman_est,
+       ROUND(SQRT((CAST(n1 + 1 AS DOUBLE)) * (n2 + 1) * (n1 - m) * (n2 - m)
+                  / ((CAST(m + 1 AS DOUBLE)) * (m + 1) * (m + 2))), 4)
+           AS se,
+       ROUND(((CAST(n1 + 1 AS DOUBLE)) * (n2 + 1) / (m + 1) - 1.0 - truth)
+             / truth, 4) AS rel_err
+FROM s
+""",
+    tags=("inferential", "A10", "P4"),
+)
+def q388_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the user population from
+    the click and view capture lists:
+    (n1, n2, m, truth, chapman_est, se, rel_err)."""
+    events = load_table(spark, sf_dir, "events")
+    c1 = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    c2 = (
+        events.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+    )
+    s = (
+        c1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(c2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(
+            c1.join(c2, "user_id").agg(F.count(F.lit(1)).alias("m"))
+        )
+        .crossJoin(
+            events.agg(F.countDistinct("user_id").alias("truth"))
+        )
+    )
+    est = (F.col("n1") + 1).cast("double") * (F.col("n2") + 1) / (
+        F.col("m") + 1
+    ) - 1.0
+    se = F.sqrt(
+        (F.col("n1") + 1).cast("double")
+        * (F.col("n2") + 1)
+        * (F.col("n1") - F.col("m"))
+        * (F.col("n2") - F.col("m"))
+        / (
+            (F.col("m") + 1).cast("double")
+            * (F.col("m") + 1)
+            * (F.col("m") + 2)
+        )
+    )
+    return s.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("m").cast("long").alias("m"),
+        F.col("truth").cast("long").alias("truth"),
+        F.round(est, 4).alias("chapman_est"),
+        F.round(se, 4).alias("se"),
+        F.round((est - F.col("truth")) / F.col("truth"), 4).alias(
+            "rel_err"
+        ),
+    )

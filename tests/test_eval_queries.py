@@ -1702,3 +1702,95 @@ def test_ipf_raking_matches_naive(spark):
     ).groupby("lang")["m"].sum()
     for l, t in tlang.items():
         assert abs(est_l[l] - t / 1e6) / (t / 1e6) <= 0.01
+
+
+def test_tail_gpd_matches_naive(spark):
+    row = (
+        REGISTRY["q387_tail_gpd"].spark(spark, SF_DIR).toPandas().iloc[0]
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    secs = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 10**9
+    )
+    ss = sorted(zip(secs, ev["event_id"]))
+    taus = [b[0] - a[0] for a, b in zip(ss, ss[1:])]
+    u = float(np.percentile(taus, 90, method="linear"))
+    exc = [t - u for t in taus if t > u]
+    nu, n = len(exc), len(taus)
+    mu = sum(exc) / nu
+    v = (nu * sum(y * y for y in exc) - sum(exc) ** 2) / (nu * (nu - 1))
+    xi = 0.5 * (1 - mu * mu / v)
+    beta = mu * (1 - xi)
+    q999 = u + beta / xi * ((n / nu * 0.001) ** (-xi) - 1)
+    assert abs(row["threshold"] - u) <= 1e-6
+    assert int(row["n_exceed"]) == nu
+    assert abs(row["mean_excess"] - mu) <= 1e-3
+    assert abs(row["xi"] - xi) <= 1e-3
+    assert abs(row["beta"] - beta) <= 1e-3
+    assert abs(row["p999_gap_sec"] - q999) <= max(1e-2, 1e-3 * q999)
+    # the extrapolated p99.9 must exceed the threshold
+    assert row["p999_gap_sec"] > row["threshold"]
+
+
+def test_capture_recapture_matches_naive(spark):
+    row = (
+        REGISTRY["q388_capture_recapture"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .iloc[0]
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    c1 = set(ev.loc[ev["event_type"] == "click", "user_id"])
+    c2 = set(ev.loc[ev["event_type"] == "view", "user_id"])
+    n1, n2, m = len(c1), len(c2), len(c1 & c2)
+    truth = ev["user_id"].nunique()
+    est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    se = math.sqrt(
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) ** 2 * (m + 2))
+    )
+    assert int(row["n1"]) == n1 and int(row["n2"]) == n2
+    assert int(row["m"]) == m and int(row["truth"]) == truth
+    assert abs(row["chapman_est"] - est) <= 1e-3
+    assert abs(row["se"] - se) <= 1e-3
+    assert abs(row["rel_err"] - (est - truth) / truth) <= 1e-3
+
+
+def test_markov_stationary_matches_naive(spark):
+    df = (
+        REGISTRY["q389_markov_stationary"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    secs = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+    )
+    ev = ev.assign(o=secs)
+    types = sorted(ev["event_type"].unique())
+    k = len(types)
+    ti = {t: i for i, t in enumerate(types)}
+    c = [[0] * k for _ in range(k)]
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["o", "event_id"])
+        ets = g["event_type"].to_list()
+        for a, b in zip(ets, ets[1:]):
+            c[ti[a]][ti[b]] += 1
+    r = [sum(row) for row in c]
+    pi = [round(1e6 / k)] * k
+    for _ in range(6):
+        nxt = [0] * k
+        for j in range(k):
+            for i in range(k):
+                if r[i]:
+                    nxt[j] += round(pi[i] * c[i][j] / r[i])
+        pi = nxt
+    emp = ev["event_type"].value_counts()
+    nn = len(ev)
+    for t in types:
+        assert abs(df.loc[t, "stationary_pi"] - round(pi[ti[t]] / 1e6, 4)) <= 1e-4
+        assert abs(df.loc[t, "empirical_share"] - emp[t] / nn) <= 1e-4
+    # the iterated distribution is a probability vector (up to rounding)
+    assert abs(df["stationary_pi"].sum() - 1.0) <= 1e-3
