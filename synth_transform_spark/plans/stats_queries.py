@@ -5148,3 +5148,228 @@ def q388_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# q390 - sample-ratio-mismatch (SRM) guard: assign users to two arms by
+# the md5 split that a real experiment would use, then chi-square the
+# observed arm counts against the designed 50/50 - overall AND per
+# signup-week cohort (a per-cohort SRM with a clean overall is the
+# classic symptom of a broken assignment cache). The pre-readout gate
+# that q175's A/B analysis assumes has already passed.
+# Parity: assignment is the shared md5 convention; counts exact;
+# chi-square for 2 cells reduces to (n0 - n1)^2 / n - one double; the
+# flag compares a frozen round(1e4*chi2) against the 3.841 critical
+# value. 4dp.
+# Scale: one user-keyed min aggregate (cohort) + one (cohort, arm)
+# count; the overall row is a 2-value reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q390_srm_guard",
+    oracle="""
+WITH users AS (
+    SELECT user_id,
+           MIN(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT))
+               AS cw
+    FROM events GROUP BY user_id
+),
+assigned AS (
+    SELECT cw,
+           CAST(('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))
+                ::UBIGINT AS BIGINT) % 2 AS arm
+    FROM users
+),
+base AS (SELECT MIN(cw) AS cw0 FROM users),
+cells AS (
+    SELECT a.cw - b.cw0 AS cohort, a.arm, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned a CROSS JOIN base b
+    GROUP BY a.cw - b.cw0, a.arm
+),
+per_cohort AS (
+    SELECT cohort,
+           CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1
+    FROM cells GROUP BY cohort
+),
+rows_ AS (
+    SELECT CAST(cohort AS VARCHAR) AS scope, n0, n1 FROM per_cohort
+    UNION ALL
+    SELECT 'overall', CAST(SUM(n0) AS BIGINT), CAST(SUM(n1) AS BIGINT)
+    FROM per_cohort
+)
+SELECT scope, n0, n1,
+       ROUND(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 4)
+           AS chi2,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * CAST((n0 - n1) * (n0 - n1)
+                                                AS DOUBLE) / (n0 + n1))
+                      AS BIGINT) > 38410
+                 THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+FROM rows_
+ORDER BY scope
+""",
+    tags=("inferential", "quality", "A13"),
+)
+def q390_srm_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square sample-ratio-mismatch check of the md5 50/50 split,
+    overall and per signup-week cohort: (scope, n0, n1, chi2,
+    srm_flag)."""
+    events = load_table(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / 604800).cast("long")
+    users = events.groupBy("user_id").agg(F.min(week).alias("cw"))
+    assigned = users.select(
+        "cw",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("arm"),
+    )
+    base = users.agg(F.min("cw").alias("cw0"))
+    per_cohort = (
+        assigned.crossJoin(F.broadcast(base))
+        .groupBy((F.col("cw") - F.col("cw0")).alias("cohort"))
+        .agg(
+            F.sum((F.col("arm") == 0).cast("long")).alias("n0"),
+            F.sum((F.col("arm") == 1).cast("long")).alias("n1"),
+        )
+    )
+    overall = per_cohort.agg(
+        F.lit("overall").alias("scope"),
+        F.sum("n0").cast("long").alias("n0"),
+        F.sum("n1").cast("long").alias("n1"),
+    )
+    rows = per_cohort.select(
+        F.col("cohort").cast("string").alias("scope"),
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+    ).unionByName(overall)
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / (F.col("n0") + F.col("n1"))
+    return rows.select(
+        "scope",
+        "n0",
+        "n1",
+        F.round(chi2, 4).alias("chi2"),
+        (F.round(10000.0 * chi2).cast("long") > 38410)
+        .cast("long")
+        .alias("srm_flag"),
+    ).orderBy("scope")
+
+
+# --------------------------------------------------------------------------
+# q391 - robust location trio per event type: the plain mean of `value`
+# next to the 10%-trimmed mean (drop values outside the exact
+# [p10, p90] band) and the winsorized mean (clamp to that band) - the
+# side-by-side that shows how much tail mass is steering the plain mean
+# (q86 winsorizes rows; this reports the ESTIMATORS).
+# Parity: values are frozen to cents; the p10/p90 bounds are exact
+# interpolated percentiles of integers (multiples of lcm denominators
+# on both engines); trim membership and clamping compare integers
+# against frozen round(1e4*bound) edges; each estimator is one double
+# ratio of exact integer sums. 4dp.
+# Scale: one (type) percentile aggregate broadcast back, one
+# conditional-aggregate pass. No window.
+# --------------------------------------------------------------------------
+@register(
+    "q391_robust_location",
+    oracle="""
+WITH v AS (
+    SELECT event_type, CAST(ROUND(100.0 * value) AS BIGINT) AS c
+    FROM events
+),
+b AS (
+    SELECT event_type,
+           CAST(ROUND(100.0 * QUANTILE_CONT(CAST(c AS DOUBLE), 0.1))
+                AS BIGINT) AS lo4,
+           CAST(ROUND(100.0 * QUANTILE_CONT(CAST(c AS DOUBLE), 0.9))
+                AS BIGINT) AS hi4
+    FROM v GROUP BY event_type
+),
+j AS (
+    SELECT v.event_type, v.c, b.lo4, b.hi4,
+           CASE WHEN 100 * v.c < b.lo4 THEN b.lo4
+                WHEN 100 * v.c > b.hi4 THEN b.hi4
+                ELSE 100 * v.c END AS w4,
+           CASE WHEN 100 * v.c >= b.lo4 AND 100 * v.c <= b.hi4
+                THEN 1 ELSE 0 END AS inband
+    FROM v JOIN b ON b.event_type = v.event_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(c) AS DOUBLE) / 100.0 / COUNT(*), 4) AS mean,
+       ROUND(CAST(SUM(CASE WHEN inband = 1 THEN c ELSE 0 END) AS DOUBLE)
+             / 100.0 / SUM(inband), 4) AS trimmed_mean,
+       ROUND(CAST(SUM(w4) AS DOUBLE) / 10000.0 / COUNT(*), 4)
+           AS winsorized_mean,
+       CAST(COUNT(*) - SUM(inband) AS BIGINT) AS n_clamped
+FROM j GROUP BY event_type ORDER BY event_type
+""",
+    tags=("robust-stats", "A12", "P10"),
+)
+def q391_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean vs 10%-trimmed vs winsorized mean of event values per type:
+    (event_type, n, mean, trimmed_mean, winsorized_mean, n_clamped)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        F.round(100.0 * F.col("value")).cast("long").alias("c"),
+    )
+    b = v.groupBy("event_type").agg(
+        F.round(100.0 * F.expr("percentile(CAST(c AS DOUBLE), 0.1)"))
+        .cast("long")
+        .alias("lo4"),
+        F.round(100.0 * F.expr("percentile(CAST(c AS DOUBLE), 0.9)"))
+        .cast("long")
+        .alias("hi4"),
+    )
+    j = v.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "c",
+        F.when(100 * F.col("c") < F.col("lo4"), F.col("lo4"))
+        .when(100 * F.col("c") > F.col("hi4"), F.col("hi4"))
+        .otherwise(100 * F.col("c"))
+        .alias("w4"),
+        (
+            (100 * F.col("c") >= F.col("lo4"))
+            & (100 * F.col("c") <= F.col("hi4"))
+        )
+        .cast("long")
+        .alias("inband"),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("c").cast("double") / 100.0 / F.count(F.lit(1)), 4
+            ).alias("mean"),
+            F.round(
+                F.sum(
+                    F.when(F.col("inband") == 1, F.col("c")).otherwise(0)
+                ).cast("double")
+                / 100.0
+                / F.sum("inband"),
+                4,
+            ).alias("trimmed_mean"),
+            F.round(
+                F.sum("w4").cast("double") / 10000.0 / F.count(F.lit(1)),
+                4,
+            ).alias("winsorized_mean"),
+            (F.count(F.lit(1)) - F.sum("inband"))
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            "mean",
+            "trimmed_mean",
+            "winsorized_mean",
+            "n_clamped",
+        )
+        .orderBy("event_type")
+    )

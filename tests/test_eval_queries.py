@@ -1794,3 +1794,71 @@ def test_markov_stationary_matches_naive(spark):
         assert abs(df.loc[t, "empirical_share"] - emp[t] / nn) <= 1e-4
     # the iterated distribution is a probability vector (up to rounding)
     assert abs(df["stationary_pi"].sum() - 1.0) <= 1e-3
+
+
+def test_srm_guard_matches_naive(spark):
+    import hashlib
+
+    df = (
+        REGISTRY["q390_srm_guard"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("scope")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    secs = (
+        pd.to_datetime(ev["ts"]).astype("datetime64[ns]").astype("int64")
+        // 10**9
+    )
+    ev = ev.assign(week=secs // 604800)
+    first_w = ev.groupby("user_id")["week"].min()
+    cw0 = first_w.min()
+    counts: dict[str, list] = {}
+    for u, w in first_w.items():
+        arm = int(hashlib.md5(str(int(u)).encode()).hexdigest()[:8], 16) % 2
+        key = str(int(w - cw0))
+        counts.setdefault(key, [0, 0])[arm] += 1
+    overall = [0, 0]
+    for n0, n1 in counts.values():
+        overall[0] += n0
+        overall[1] += n1
+    counts["overall"] = overall
+    for scope, (n0, n1) in counts.items():
+        chi2 = (n0 - n1) ** 2 / (n0 + n1)
+        assert int(df.loc[scope, "n0"]) == n0
+        assert int(df.loc[scope, "n1"]) == n1
+        assert abs(df.loc[scope, "chi2"] - chi2) <= 1e-3
+        assert int(df.loc[scope, "srm_flag"]) == (
+            1 if round(1e4 * chi2) > 38410 else 0
+        )
+    assert len(df) == len(counts)
+
+
+def test_robust_location_matches_naive(spark):
+    df = (
+        REGISTRY["q391_robust_location"]
+        .spark(spark, SF_DIR)
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.assign(c=(100.0 * ev["value"]).round().astype("int64"))
+    for et, g in ev.groupby("event_type"):
+        c = g["c"].to_numpy()
+        lo4 = round(100 * float(np.percentile(c, 10, method="linear")))
+        hi4 = round(100 * float(np.percentile(c, 90, method="linear")))
+        inband = (100 * c >= lo4) & (100 * c <= hi4)
+        w4 = np.clip(100 * c, lo4, hi4)
+        n = len(c)
+        assert int(df.loc[et, "n"]) == n
+        assert abs(df.loc[et, "mean"] - c.sum() / 100 / n) <= 1e-3
+        assert abs(
+            df.loc[et, "trimmed_mean"]
+            - c[inband].sum() / 100 / inband.sum()
+        ) <= 1e-3
+        assert abs(
+            df.loc[et, "winsorized_mean"] - w4.sum() / 10000 / n
+        ) <= 1e-3
+        assert int(df.loc[et, "n_clamped"]) == int(n - inband.sum())
+        # clamping can only reduce spread-driven distance from the band
+        assert lo4 / 10000.0 <= df.loc[et, "winsorized_mean"] <= hi4 / 10000.0
