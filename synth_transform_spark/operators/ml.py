@@ -109,6 +109,25 @@ def train_and_predict(
     train = prepped.filter(F.col("doc_id") % holdout_mod != 0)
     test = prepped.filter(F.col("doc_id") % holdout_mod == 0)
     model = build_pipeline(family=family).fit(train)
+    if family == "svc":
+        # LinearSVC's training summary holds a SparkSession reference in a
+        # NON-transient field (unlike LogisticRegression's), so
+        # model.transform's task closure drags the session into executor
+        # serialization — which fails whenever the session's lazy
+        # observationManager has been initialized (any Observation use
+        # anywhere in the session, e.g. operators/observability). A
+        # persistence round-trip drops the summaries; models are tiny.
+        import shutil
+        import tempfile
+
+        from pyspark.ml import PipelineModel
+
+        tmp = tempfile.mkdtemp(prefix="svc_model_")
+        try:
+            model.write().overwrite().save(tmp)
+            model = PipelineModel.load(tmp)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     labels = model.stages[0].labelsArray[0]
     idx_to_label = F.array(*[F.lit(l) for l in labels])
     return (
