@@ -31,9 +31,12 @@ def main() -> int:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     from synth_transform_spark.plans import REGISTRY
-    from synth_transform_spark.session import get_spark
+    from synth_transform_spark.session import get_spark, silence_bounded_window_warnings
 
     spark = get_spark("synth-transform-bench")
+    # the audited bounded windows (SCALE.md exceptions; plan-linted) spam
+    # WindowExec WARNs that would bury a genuinely new offender in the tail
+    silence_bounded_window_warnings(spark)
     bench = {name: q.spark for name, q in sorted(REGISTRY.items()) if q.bench}
 
     # Warmup: run every bench plan once at the smallest SF so JVM JIT,

@@ -79,3 +79,71 @@ def session_stats(
         F.round(F.avg(F.col("n_events").cast("double")), 4).alias("avg_events_per_session"),
         F.max("span_sec").alias("max_span_sec"),
     )
+
+
+def sharded_gaps(
+    df: DataFrame,
+    key_cols: list[str],
+    sec_col: str = "sec",
+    id_col: str | None = None,
+    shard_seconds: int = 86400,
+) -> DataFrame:
+    """Per-event previous/next arrival seconds under the per-key global
+    ``(sec, id)`` total order — WITHOUT a per-key (or global) window funnel.
+
+    Semantically identical to::
+
+        w = Window.partitionBy(*key_cols).orderBy(sec_col, id_col)
+        df.select(..., F.lag(sec_col).over(w), F.lead(sec_col).over(w))
+
+    but executed as a day-shard-and-stitch plan that survives 100 TB:
+
+    1. shard every event by ``floor(sec / shard_seconds)`` (a pure
+       function of the sort key, so same-second ties never straddle a
+       shard boundary and within-shard order IS the global order
+       restricted to the shard);
+    2. lag/lead inside ``(key, shard)`` window partitions — the big
+       window is hash-partitioned by (key, shard): per-reducer width is
+       one key-day, not one key-stream;
+    3. stitch the one boundary gap per adjacent shard pair from the
+       per-shard (min_sec, max_sec) summary — a calendar-bounded
+       relation (|keys| x |days| rows), windowed by key and broadcast
+       back onto the shard join.
+
+    The stitch window over the summary is the only non-sharded pass; its
+    input is bounded by the calendar, never the corpus (for an empty
+    ``key_cols`` it is the declared single-partition-over-|days|-rows
+    exception). Returns ``(*key_cols, sec_col, prv_sec, nxt_sec)`` with
+    nulls exactly at the per-key stream ends.
+    """
+    shard = F.floor(F.col(sec_col) / F.lit(shard_seconds)).cast("long")
+    ev = df.withColumn("_shard", shard)
+    order = [F.col(sec_col)] + ([F.col(id_col)] if id_col else [])
+    w_in = Window.partitionBy(*key_cols, "_shard").orderBy(*order)
+    within = ev.select(
+        *key_cols,
+        "_shard",
+        F.col(sec_col),
+        F.lag(sec_col).over(w_in).alias("_prv_in"),
+        F.lead(sec_col).over(w_in).alias("_nxt_in"),
+    )
+    summary = ev.groupBy(*key_cols, "_shard").agg(
+        F.min(sec_col).alias("_first"), F.max(sec_col).alias("_last")
+    )
+    w_sh = (
+        Window.partitionBy(*key_cols).orderBy("_shard")
+        if key_cols
+        else Window.orderBy("_shard")
+    )
+    stitched = summary.select(
+        *key_cols,
+        "_shard",
+        F.lag("_last").over(w_sh).alias("_prev_last"),
+        F.lead("_first").over(w_sh).alias("_next_first"),
+    )
+    return within.join(F.broadcast(stitched), [*key_cols, "_shard"]).select(
+        *key_cols,
+        F.col(sec_col),
+        F.coalesce("_prv_in", "_prev_last").alias("prv_sec"),
+        F.coalesce("_nxt_in", "_next_first").alias("nxt_sec"),
+    )

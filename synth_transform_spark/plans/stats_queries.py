@@ -4641,9 +4641,11 @@ def q378_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order ((sec, event_id) - same-second order pinned by id); mu/sigma/M
 # are single double expressions over exact integer sums (n, S, S2,
 # and the lag-1 cross sums). 4dp.
-# Scale: one per-type ordered window for the gaps (uniform type keys,
-# calendar-bounded per-partition width at any SF only if types are few;
-# the window is the declared cost), then one keyed reduce.
+# Scale: gaps come from the day-shard-and-stitch kernel
+# (operators/windows.py sharded_gaps) — the big window hash-partitions
+# by (event_type, day) so per-reducer width is one type-day; boundary
+# gaps stitch through the calendar-bounded per-shard summary. Then one
+# keyed reduce.
 # --------------------------------------------------------------------------
 @register(
     "q381_burstiness",
@@ -4709,19 +4711,17 @@ ORDER BY t.event_type
 def q381_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival burstiness B and memory M per event type:
     (event_type, n, mean_gap_sec, burstiness, memory_coef)."""
+    from ..operators.windows import sharded_gaps
+
     events = load_table(spark, sf_dir, "events")
     ev = events.select(
         "event_type",
         "event_id",
         F.unix_timestamp("ts").alias("sec"),
     )
-    w = Window.partitionBy("event_type").orderBy("sec", "event_id")
-    ordered = ev.select(
-        "event_type",
-        "sec",
-        F.lag("sec").over(w).alias("prv_sec"),
-        F.lead("sec").over(w).alias("nxt_sec"),
-    )
+    # day-shard-and-stitch: hash-partitioned by (event_type, day), the
+    # per-reducer width is one type-day — never 1/|types| of the stream
+    ordered = sharded_gaps(ev, ["event_type"], sec_col="sec", id_col="event_id")
     taus = (
         ordered.filter(F.col("prv_sec").isNotNull())
         .select("event_type", (F.col("sec") - F.col("prv_sec")).alias("tau"))
@@ -4958,8 +4958,9 @@ def q386_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # total order; u is an exact integer-multiple-of-0.5 percentile;
 # exceedance mean/var come from exact integer sums; xi/beta/q_p are one
 # fixed double expression. 4dp.
-# Scale: one ordered window for gaps (the q381 cost), one filter + one
-# reduce over exceedances.
+# Scale: gaps via the day-shard-and-stitch kernel (hash-partitioned by
+# day-shard; stitch window sees only the |days|-row summary), one
+# filter + one reduce over exceedances.
 # --------------------------------------------------------------------------
 @register(
     "q387_tail_gpd",
@@ -5009,15 +5010,18 @@ def q387_tail_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPD peaks-over-threshold tail fit of inter-event gaps:
     (threshold, n_exceed, mean_excess, xi, beta, p999_gap_sec)."""
     events = load_table(spark, sf_dir, "events")
+    from ..operators.windows import sharded_gaps
+
     ev = events.select(
         "event_id", F.unix_timestamp("ts").alias("sec")
     )
-    w = Window.orderBy("sec", "event_id")
-    # single global window over the event stream: the gap sequence is a
-    # TOTAL order by construction; at true scale shard by day and stitch
-    # boundaries (same caveat as q381, declared cost here)
+    # day-shard-and-stitch (operators/windows.py sharded_gaps): the gap
+    # sequence is a TOTAL order, but the big window hash-partitions by
+    # day-shard; only the |days|-row per-shard summary sees a single
+    # partition (the declared calendar-bounded stitch)
     gaps = (
-        ev.select((F.col("sec") - F.lag("sec").over(w)).alias("tau"))
+        sharded_gaps(ev, [], sec_col="sec", id_col="event_id")
+        .select((F.col("sec") - F.col("prv_sec")).alias("tau"))
         .filter(F.col("tau").isNotNull())
     )
     from ..caching import persist_tracked
@@ -5372,4 +5376,252 @@ def q391_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clamped",
         )
         .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q392 - Page-Hinkley drift detector over the daily event-count series:
+# the sequential change-of-mean test ops teams run where q205's CUSUM
+# needs a known baseline - PH tracks x_t against the RUNNING mean of its
+# own history (no training window), alarms when the cumulative positive
+# deviation since the best (minimum) point exceeds lambda. Reported per
+# day: the running mean, the PH statistic, and the alarm flag.
+# Parity: daily counts are exact integers; the running mean S_t/t is
+# frozen per day to micro-units (round(1e6*S/t)) so the deviation
+# cumsum is an exact integer walk on both engines; the running min and
+# the lambda comparison happen on those integers. 4dp.
+# Scale: corpus collapses FIRST to the calendar-bounded daily relation;
+# all windows run on ~tens of rows (declared bounded exception,
+# lint-allowlisted).
+# --------------------------------------------------------------------------
+_PH_LAMBDA_MICRO = 25 * 1000000  # lambda = 25 events of cumulative drift
+
+
+@register(
+    "q392_page_hinkley",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day, x,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+           CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS s
+    FROM daily
+),
+dev AS (
+    SELECT day, t, x,
+           CAST(ROUND(1000000.0 * s / t) AS BIGINT) AS mean_micro,
+           x * 1000000 - CAST(ROUND(1000000.0 * s / t) AS BIGINT)
+               AS dev_micro
+    FROM ranked
+),
+cum AS (
+    SELECT day, t, x, mean_micro,
+           CAST(SUM(dev_micro) OVER (ORDER BY t) AS BIGINT) AS m_t
+    FROM dev
+),
+walk AS (
+    SELECT day, t, x, mean_micro, m_t,
+           CAST(MIN(m_t) OVER (ORDER BY t) AS BIGINT) AS m_min
+    FROM cum
+)
+SELECT t, CAST(day AS VARCHAR) AS day, x,
+       ROUND(mean_micro / 1000000.0, 4) AS running_mean,
+       ROUND((m_t - m_min) / 1000000.0, 4) AS ph_stat,
+       CAST(CASE WHEN m_t - m_min > {_PH_LAMBDA_MICRO} THEN 1 ELSE 0 END
+            AS BIGINT) AS alarm
+FROM walk ORDER BY t
+""",
+    tags=("timeseries", "drift", "W2"),
+)
+def q392_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift walk over daily counts:
+    (t, day, x, running_mean, ph_stat, alarm)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("day")
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(w).cast("long").alias("s"),
+    )
+    dev = ranked.select(
+        "day",
+        "t",
+        "x",
+        F.round(1000000.0 * F.col("s") / F.col("t"))
+        .cast("long")
+        .alias("mean_micro"),
+    ).withColumn(
+        "dev_micro", F.col("x") * 1000000 - F.col("mean_micro")
+    )
+    wt = Window.orderBy("t")
+    walk = dev.select(
+        "day",
+        "t",
+        "x",
+        "mean_micro",
+        F.sum("dev_micro").over(wt).cast("long").alias("m_t"),
+    ).withColumn("m_min", F.min("m_t").over(wt).cast("long"))
+    return walk.select(
+        "t",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        F.round(F.col("mean_micro") / 1000000.0, 4).alias("running_mean"),
+        F.round((F.col("m_t") - F.col("m_min")) / 1000000.0, 4).alias(
+            "ph_stat"
+        ),
+        (F.col("m_t") - F.col("m_min") > _PH_LAMBDA_MICRO)
+        .cast("long")
+        .alias("alarm"),
+    ).orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# q393 - Brown's double exponential smoothing (linear-trend forecast)
+# of the daily event-count series: SES applied twice (alpha = 0.5),
+# level a = 2s' - s'', trend b = (alpha/(1-alpha))(s' - s'') = s' - s'',
+# one-step forecast = a + b = 3s' - 2s''. The trend-aware upgrade of
+# q341's SES (which lags any drifting series by design).
+# Parity: the q341 freezing discipline applied twice - the first-pass
+# smoothed values are frozen to micro-ints (round(1e6*x*w) summed over
+# the closed-form SES weights), the second pass smooths THOSE integers
+# (round(w*s1)), so both engines walk identical integer vectors; the
+# final /100-then-/1e4 rounding lands half-way cases on exactly
+# representable values.
+# Scale: corpus collapses to the daily relation; both smoothing passes
+# are pair joins quadratic in DAYS (30^2 rows), constant in corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q393_brown_double_smoothing",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+s1 AS (
+    SELECT a.t AS m,
+           CAST(SUM(CAST(ROUND(1000000.0 * b.x *
+                CASE WHEN b.t = 1 THEN POW(0.5, a.t - 1)
+                     ELSE POW(0.5, a.t - b.t + 1) END) AS BIGINT))
+                AS BIGINT) AS s1_int
+    FROM ranked a JOIN ranked b ON b.t <= a.t
+    GROUP BY a.t
+),
+s2 AS (
+    SELECT a.m AS m,
+           CAST(SUM(CAST(ROUND(b.s1_int *
+                CASE WHEN b.m = 1 THEN POW(0.5, a.m - 1)
+                     ELSE POW(0.5, a.m - b.m + 1) END) AS BIGINT))
+                AS BIGINT) AS s2_int
+    FROM s1 a JOIN s1 b ON b.m <= a.m
+    GROUP BY a.m
+)
+SELECT r.t, CAST(r.day AS VARCHAR) AS day, r.x,
+       CAST(ROUND((2 * s1.s1_int - s2.s2_int) / 100.0) AS BIGINT) / 10000.0
+           AS level,
+       CAST(ROUND((s1.s1_int - s2.s2_int) / 100.0) AS BIGINT) / 10000.0
+           AS trend,
+       CAST(ROUND((3 * s1.s1_int - 2 * s2.s2_int) / 100.0) AS BIGINT)
+           / 10000.0 AS forecast,
+       CAST(ROUND((r.x * 1000000 - (3 * prev1.s1_int - 2 * prev2.s2_int))
+                  / 100.0) AS BIGINT) / 10000.0 AS err
+FROM ranked r
+JOIN s1 ON s1.m = r.t
+JOIN s2 ON s2.m = r.t
+JOIN s1 prev1 ON prev1.m = r.t - 1
+JOIN s2 prev2 ON prev2.m = r.t - 1
+ORDER BY r.t
+""",
+    tags=("timeseries", "forecast", "A12"),
+)
+def q393_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's linear (double) exponential smoothing of daily counts:
+    (t, day, x, level, trend, forecast, err) - forecast is one-step-ahead
+    (from t-1), so err rows need t >= 2."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+
+    def _ses_weight(m, j):
+        return F.when(j == 1, F.pow(F.lit(0.5), m - 1)).otherwise(
+            F.pow(F.lit(0.5), m - j + 1)
+        )
+
+    a = ranked.select(F.col("t").alias("m"))
+    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
+    s1 = (
+        a.join(b, F.col("j") <= F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.round(
+                    1000000.0
+                    * F.col("xj")
+                    * _ses_weight(F.col("m"), F.col("j"))
+                ).cast("long")
+            ).alias("s1_int")
+        )
+    )
+    a2 = s1.select(F.col("m").alias("m2"))
+    b2 = s1.select(F.col("m").alias("j2"), F.col("s1_int").alias("s1j"))
+    s2 = (
+        a2.join(b2, F.col("j2") <= F.col("m2"))
+        .groupBy("m2")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("s1j") * _ses_weight(F.col("m2"), F.col("j2"))
+                ).cast("long")
+            ).alias("s2_int")
+        )
+    )
+    cur = ranked.join(s1, F.col("m") == F.col("t")).join(
+        s2, F.col("m2") == F.col("t")
+    )
+    prev = (
+        s1.select(F.col("m").alias("pm"), F.col("s1_int").alias("p1"))
+        .join(
+            s2.select(F.col("m2").alias("pm2"), F.col("s2_int").alias("p2")),
+            F.col("pm") == F.col("pm2"),
+        )
+        .select("pm", "p1", "p2")
+    )
+
+    def _q4(col):
+        # /100 then /1e4: half-way cases land on exactly representable
+        # values (the q341 rounding discipline)
+        return F.round(col / 100.0).cast("long") / 10000.0
+
+    return (
+        cur.join(prev, F.col("pm") == F.col("t") - 1)
+        .select(
+            "t",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "x",
+            _q4(2 * F.col("s1_int") - F.col("s2_int")).alias("level"),
+            _q4(F.col("s1_int") - F.col("s2_int")).alias("trend"),
+            _q4(3 * F.col("s1_int") - 2 * F.col("s2_int")).alias("forecast"),
+            _q4(
+                F.col("x") * 1000000 - (3 * F.col("p1") - 2 * F.col("p2"))
+            ).alias("err"),
+        )
+        .orderBy("t")
     )

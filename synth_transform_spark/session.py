@@ -61,3 +61,23 @@ def get_spark(app_name: str = "synth_transform_spark", **overrides: str) -> Spar
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def silence_bounded_window_warnings(spark: SparkSession) -> None:
+    """Raise the WindowExec log4j category to ERROR for this JVM.
+
+    The audited bounded single-partition windows (SCALE.md
+    "Bounded-window exceptions"; lint allowlist in tests/test_plans.py)
+    each emit WindowExec's "No Partition Defined" WARN even though their
+    input is calendar/vocabulary/top-k bounded. Benches call this so the
+    log tail stays clean; correctness of the invariant is enforced by the
+    plan lint, not by reading warnings.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: warnings are cosmetic

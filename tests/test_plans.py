@@ -7,6 +7,8 @@ row-at-a-time Python in relational paths, codegen coverage.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from conftest import SF_DIR
@@ -69,28 +71,112 @@ HEAVY_EXECUTING = {
 }
 
 
-def test_relational_paths_have_no_python_udf(spark):
-    """Every §2 relational query stays JVM-side (no BatchEvalPython /
-    ArrowEvalPython); Python appears only in declared mapInPandas stages."""
-    python_ok = {
-        "q177_token_spans_gate",  # declared UDTF stage
-        "q35_frame_sample",
-        "q36_byte_histogram",
-        "q37_decoded_intensity",
-        "q193_scene_changes",  # declared mapInPandas frame pass
-        "q206_cooldown_alerts",  # declared applyInPandas sequential scan
-    } | HEAVY_EXECUTING  # ML/scoring stages are declared python by design
-    offenders = []
+PYTHON_OK = {
+    "q177_token_spans_gate",  # declared UDTF stage
+    "q35_frame_sample",
+    "q36_byte_histogram",
+    "q37_decoded_intensity",
+    "q193_scene_changes",  # declared mapInPandas frame pass
+    "q206_cooldown_alerts",  # declared applyInPandas sequential scan
+} | HEAVY_EXECUTING  # ML/scoring stages are declared python by design
+
+# Theta-join pair generators are the only sanctioned nested-loop joins.
+CARTESIAN_OK = {
+    "q32_ngram_jaccard_pairs",
+    "q20_fuzzy_join",
+    # ALS recommendForAllUsers is MLlib's blocked factor matmul — the
+    # cross of user/item factor blocks is the designed plan shape,
+    # not an accidental nested loop.
+    "q375_als_recommend",
+} | HEAVY_EXECUTING
+
+# A Window whose child shuffle is `Exchange SinglePartition` funnels its
+# whole input through ONE reducer — the 100 TB killer unless the input is
+# bounded by construction. Every name below was audited (round 6): the
+# windowed relation is bounded by the calendar / vocabulary / score
+# domain / a top-k cut — never the corpus. See SCALE.md
+# "Bounded-window exceptions".
+BOUNDED_WINDOW_OK = {
+    # calendar-bounded series (daily/hourly/monthly aggregate relation)
+    "q99_rolling_hll",
+    "q174_rolling_correlation",
+    "q205_cusum_changepoints",
+    "q264_sequential_ab",
+    "q278_bh_fdr",
+    "q331_topk_churn",  # per-week top-20 lists; weeks are calendar-bounded
+    "q339_ljung_box",
+    "q340_durbin_watson",
+    "q341_ses_forecast",
+    "q342_hampel_filter",
+    "q348_granger_causality",
+    "q349_pacf",
+    "q359_forecast_eval",
+    "q378_hurst_exponent",
+    "q380_storage_write_planner",
+    "q382_price_index",  # distinct-month index relation
+    "q392_page_hinkley",  # daily relation walk
+    "q393_brown_double_smoothing",  # daily relation, two SES pair joins
+    # vocabulary / value-domain-bounded (collapse-first to the domain)
+    "q151_zipf_fit",
+    "q244_unimax_budget",  # |langs| rows
+    "q253_t_closeness",  # nation x priority grid
+    "q273_randomized_response",  # category dim
+    "q283_roc_auc",  # distinct-score domain (declared)
+    "q289_gain_chart",
+    "q305_ks_test",
+    "q316_average_precision",
+    "q319_isotonic_calibration",  # <= 20 bins
+    # top-k / survivor-bounded
+    "q118_rrf_fusion",  # fuses two top-50 lists
+    "q198_ir_eval",  # per-query top-k ranking
+    "q210_pareto_frontier",  # band survivors only
+    "q351_shapley_attribution",  # 2^u x u lattice
+    "q389_markov_stationary",  # k^2 state matrix
+    # day-shard stitch summaries (|days| rows; operators/windows.py)
+    "q387_tail_gpd",
+}
+
+# Window node followed within a few tree lines (Sort / codegen markers)
+# by its child single-partition exchange.
+_WINDOW_OVER_SINGLE_PARTITION = re.compile(
+    r"Window[^\n]*\n(?:[^\n]*\n){0,3}?[^\n]*Exchange SinglePartition"
+)
+
+
+def test_registry_plan_hygiene(spark):
+    """ONE plan-build sweep over the whole registry, three lints per plan:
+
+    1. no row-at-a-time Python (BatchEvalPython/ArrowEvalPython) outside
+       the declared mapInPandas/UDTF stages;
+    2. no CartesianProduct outside the sanctioned theta-join generators;
+    3. no Window fed by `Exchange SinglePartition` unless the windowed
+       relation is in the audited bounded allowlist — the lint that keeps
+       the q381/q387 class (corpus-scaled window funnels) from recurring:
+       a NEW query with a global/low-cardinality ordered window fails here
+       until it is either day-sharded (operators/windows.py sharded_gaps)
+       or audited into BOUNDED_WINDOW_OK with its boundedness argument.
+    """
+    py_off, cart_off, win_off = [], [], []
     for name, q in sorted(REGISTRY.items()):
-        if name in python_ok:
+        if name in HEAVY_EXECUTING:
             continue
         try:
             plan = _plan(q.spark(spark, SF_DIR))
         except Exception:
             continue  # iterative/stateful plans may need an action; skip
-        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
-            offenders.append(name)
-    assert offenders == []
+        if name not in PYTHON_OK and (
+            "BatchEvalPython" in plan or "ArrowEvalPython" in plan
+        ):
+            py_off.append(name)
+        if name not in CARTESIAN_OK and "CartesianProduct" in plan:
+            cart_off.append(name)
+        if name not in BOUNDED_WINDOW_OK and _WINDOW_OVER_SINGLE_PARTITION.search(
+            plan
+        ):
+            win_off.append(name)
+    assert py_off == [], f"python in relational path: {py_off}"
+    assert cart_off == [], f"cartesian product: {cart_off}"
+    assert win_off == [], f"corpus-scaled single-partition window: {win_off}"
 
 
 def test_codegen_covers_hot_queries(spark):
@@ -203,28 +289,21 @@ def test_q80_probe_side_never_shuffles(spark):
     assert "LeftSemi" in plan
 
 
-def test_no_cartesian_products(spark):
-    """Theta-join pair generators (q32) are the only sanctioned
-    nested-loop joins; everything else must be hash/merge."""
-    allowed = {
-        "q32_ngram_jaccard_pairs",
-        "q20_fuzzy_join",
-        # ALS recommendForAllUsers is MLlib's blocked factor matmul — the
-        # cross of user/item factor blocks is the designed plan shape,
-        # not an accidental nested loop.
-        "q375_als_recommend",
-    } | HEAVY_EXECUTING
-    offenders = []
-    for name, q in sorted(REGISTRY.items()):
-        if name in allowed:
-            continue
-        try:
-            plan = _plan(q.spark(spark, SF_DIR))
-        except Exception:
-            continue
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert offenders == []
+def test_gap_windows_are_day_sharded(spark):
+    """q381/q387 inter-arrival gaps must come from the day-shard-and-stitch
+    kernel: the corpus-scale Window hash-partitions by (key, _shard); only
+    q387's |days|-row stitch summary may see a single partition."""
+    p381 = _plan(REGISTRY["q381_burstiness"].spark(spark, SF_DIR))
+    assert "_shard" in p381
+    assert "Exchange SinglePartition" not in p381
+    p387 = _plan(REGISTRY["q387_tail_gpd"].spark(spark, SF_DIR))
+    assert "_shard" in p387
+    # the event-stream window is sharded: its spec names _shard
+    assert "windowspecdefinition(_shard" in p387
+    # every single-partition exchange feeds either the bounded stitch
+    # summary or a final scalar aggregate — never the event stream window
+    for m in _WINDOW_OVER_SINGLE_PARTITION.finditer(p387):
+        assert "lag(_last" in m.group(0) or "lead(_first" in m.group(0), m.group(0)
 
 
 def test_subquery_suite_decorrelated_plans(spark):
