@@ -1,10 +1,15 @@
 """String-cleaning functions (reference scalar surface).
 
 Re-expressions of /root/reference/synth/utils.py:56-124 as composable Column
-expressions (SURVEY.md §2.8 F1/F2/F4). Everything is JVM-side regexp; the
-bs4-exact HTML-strip variant is a gated pandas UDF (bs4 absent in this
-container → the regex approximation is the default and the UDF raises
-cleanly).
+expressions (SURVEY.md §2.8 F1/F2/F4). Everything is JVM-side regexp for the
+relational scale path. Three F1 HTML-strip tiers:
+
+1. clean_string — JVM regex approximation (scale default, plan-linted);
+2. clean_string_html_stdlib — stdlib html.parser pandas UDF, reference-exact
+   on the whole golden corpus, NO import gate (works in every container);
+3. clean_string_html_exact — bs4(+lxml) pandas UDF, gated on bs4 being
+   installed (raises ImportError cleanly here), for byte-identical parity
+   with the reference's parser stack.
 """
 
 from __future__ import annotations
@@ -26,7 +31,9 @@ def clean_string(col: Column) -> Column:
 
     HTML stripping here is the regex approximation ``<[^>]+>`` → '' (the
     reference uses BeautifulSoup text extraction; divergence only on
-    malformed markup — see clean_string_html_exact).
+    malformed markup/entities — all 8 known divergences are closed by
+    clean_string_html_stdlib, the gate-free exactness path; the bs4 UDF
+    clean_string_html_exact remains for lxml-identical parity).
     """
     c = F.regexp_replace(col, r"[\r\n\t]+", " ")
     c = F.regexp_replace(c, r"<[^>]+>", "")
@@ -37,6 +44,59 @@ def clean_string(col: Column) -> Column:
     # is Unicode — without the flag, non-Latin-only strings ("α β") wrongly
     # null out (pinned by the html_strip golden corpus, case 23).
     return F.when(c.rlike(r"(?U)\w"), c)
+
+
+def clean_string_html_stdlib(col: Column) -> Column:
+    """F1 with reference-exact HTML text extraction via the stdlib
+    ``html.parser`` — available in EVERY container (no bs4/lxml gate).
+
+    Closes all 8 annotated regex-path divergences in the golden corpus
+    (tests/html_strip_goldens.py): bare ``<``/``>`` next to spaces or
+    digits stay literal text, quoted attribute values don't terminate
+    tags early, entities and numeric charrefs decode
+    (``&amp; &nbsp; &lt; &#65;``), comments are removed, script/style
+    bodies are kept — the same outputs the reference's
+    BeautifulSoup(..., 'lxml').get_text() chain produces
+    (/root/reference/synth/utils.py:69-87) on every pinned case.
+
+    Arrow-batched pandas UDF: this is the ACCURACY path for
+    document-cleaning stages; the JVM regex path (clean_string) remains
+    the relational-scale default (plan-linted: no Python in relational
+    paths).
+    """
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _clean(s):
+        import re
+        from html.parser import HTMLParser
+
+        class _Text(HTMLParser):
+            def __init__(self):
+                super().__init__(convert_charrefs=True)
+                self.parts = []
+
+            def handle_data(self, d):
+                self.parts.append(d)
+
+        def one(v):
+            if v is None:
+                return None
+            v = re.sub(r"[\r\n\t]+", " ", v)
+            if len(v) == 0:
+                return None
+            p = _Text()
+            p.feed(v)
+            p.close()
+            v = "".join(p.parts)
+            v = v.replace("\xa0", " ")
+            v = re.sub(r"^\s+", "", re.sub(r"\s{2,}", " ", v))
+            return v if re.search(r"\w", v) else None
+
+        return s.map(one)
+
+    return _clean(col)
 
 
 def clean_string_html_exact(col: Column) -> Column:

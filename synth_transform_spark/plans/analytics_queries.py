@@ -2858,3 +2858,82 @@ def q364_order_dependency_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("lhs", "rhs")
+
+
+# --------------------------------------------------------------------------
+# q395 - approximate functional-dependency audit: for five candidate
+# X -> Y dependencies across the schema, the g3-style holds-rate
+# (sum over X of max_y cnt / N - the share of rows kept if each LHS
+# group were forced to its majority RHS) plus the violation count and
+# an exact-FD flag. The profiling primitive behind schema inference,
+# key discovery, and "is this column derivable" checks (q364 mines
+# ORDER dependencies; this mines equality determinism).
+# Parity: everything is exact integer counts and one double ratio. 4dp.
+# Scale: per FD one (X, Y) keyed aggregate (map-side combined) then one
+# X-keyed max - uniform keys, no windows; the five audits union at the
+# end (5-row output).
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = [
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("documents.lang->source", "documents", "lang", "source"),
+    ("documents.source->lang", "documents", "source", "lang"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("customer.c_nationkey->c_mktsegment", "customer", "c_nationkey", "c_mktsegment"),
+]
+
+
+def _fd_oracle_block(fd: str, table: str, x: str, y: str) -> str:
+    return f"""
+SELECT '{fd}' AS fd,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs,
+       ROUND(CAST(SUM(mx) AS DOUBLE) / SUM(cnt), 4) AS holds_rate,
+       CAST(SUM(cnt) - SUM(mx) AS BIGINT) AS n_violations,
+       CAST(CASE WHEN SUM(cnt) = SUM(mx) THEN 1 ELSE 0 END AS BIGINT)
+           AS exact_fd
+FROM (
+    SELECT x, MAX(c) AS mx, SUM(c) AS cnt
+    FROM (SELECT CAST({x} AS VARCHAR) AS x, CAST({y} AS VARCHAR) AS y,
+                 CAST(COUNT(*) AS BIGINT) AS c
+          FROM {table} GROUP BY 1, 2) g
+    GROUP BY x
+) p"""
+
+
+@register(
+    "q395_fd_violations",
+    oracle=" UNION ALL ".join(
+        _fd_oracle_block(*c) for c in _FD_CANDIDATES
+    )
+    + " ORDER BY fd",
+    tags=("profiling", "A5", "A12"),
+)
+def q395_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g3 holds-rate per candidate functional dependency:
+    (fd, n_rows, n_lhs, holds_rate, n_violations, exact_fd)."""
+    out = None
+    for fd, table, x, y in _FD_CANDIDATES:
+        t = load_table(spark, sf_dir, table)
+        g = (
+            t.select(
+                F.col(x).cast("string").alias("x"),
+                F.col(y).cast("string").alias("y"),
+            )
+            .groupBy("x", "y")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        p = g.groupBy("x").agg(
+            F.max("c").alias("mx"), F.sum("c").alias("cnt")
+        )
+        row = p.agg(
+            F.lit(fd).alias("fd"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.round(
+                F.sum("mx").cast("double") / F.sum("cnt"), 4
+            ).alias("holds_rate"),
+            (F.sum("cnt") - F.sum("mx")).cast("long").alias("n_violations"),
+            (F.sum("cnt") == F.sum("mx")).cast("long").alias("exact_fd"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fd")

@@ -2817,3 +2817,91 @@ def q372_filter_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("filter", "source")
+
+
+# --------------------------------------------------------------------------
+# q394 - lexical-richness profile per source: type-token ratio, hapax
+# ratio (share of types seen exactly once), Simpson's repeat-rate
+# D = sum n_i(n_i-1) / (N(N-1)), and Herdan's C = ln V / ln N. The
+# vocabulary-side quality read that q24 (per-doc heuristics) and q151
+# (corpus Zipf slope) don't give: synthetic/templated sources show low
+# TTR + low hapax + high repeat-rate at any corpus size, which is why
+# curation pipelines track it per source.
+# Tokenizer: tokens_raw (the ONE shared corpus-statistics tokenizer;
+# SQL mirror LIST_FILTER(STRING_SPLIT(...))).
+# Parity: V, N, V1 and the Simpson numerator are exact integers; each
+# reported stat is a single double expression over them. 4dp.
+# Scale: one (source, tok) aggregate (map-side combined), one source
+# aggregate. No windows, no corpus-wide sort.
+# --------------------------------------------------------------------------
+@register(
+    "q394_lexical_richness",
+    oracle="""
+WITH toks AS (
+    SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                      t -> t <> '')) AS tok
+    FROM documents
+),
+freq AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY source, tok
+),
+s AS (
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+           CAST(SUM(n * (n - 1)) AS BIGINT) AS rep2
+    FROM freq GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+       ROUND(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_ratio,
+       ROUND(CAST(rep2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+                                     * (n_tokens - 1)), 4) AS simpson_d,
+       ROUND(LN(CAST(n_types AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)), 4)
+           AS herdan_c
+FROM s ORDER BY source
+""",
+    tags=("text-stats", "curation", "A12"),
+)
+def q394_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical richness: (source, n_tokens, n_types, ttr,
+    hapax_ratio, simpson_d, herdan_c)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source",
+            F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = freq.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("rep2"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias(
+            "ttr"
+        ),
+        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 4).alias(
+            "hapax_ratio"
+        ),
+        F.round(
+            F.col("rep2").cast("double")
+            / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1)),
+            4,
+        ).alias("simpson_d"),
+        F.round(
+            F.log(F.col("n_types").cast("double"))
+            / F.log(F.col("n_tokens").cast("double")),
+            4,
+        ).alias("herdan_c"),
+    ).orderBy("source")

@@ -2022,3 +2022,120 @@ def q371_lm_model_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model")
     )
+
+
+# --------------------------------------------------------------------------
+# q396 - sequence-packing / padding-waste audit: for max_len budgets
+# (64, 128, 256 whitespace tokens), what one-doc-per-row batching
+# wastes on padding, what truncation throws away, and the perfect-
+# packing lower bound (ceil(kept_tokens / L) rows) - the capacity
+# arithmetic run before choosing a context length for a training mix
+# (q69 PACKS sequences; this query PLANS the budget and quantifies the
+# gain packing would buy).
+# Tokenizer: tokens_raw cardinality (the shared corpus tokenizer).
+# Parity: every quantity is an exact integer (min/max/ceil-div on
+# longs); the three reported fractions are single double ratios. 4dp.
+# Scale: one narrow pass computes per-doc token counts; the 3-budget
+# dim is a broadcast cross; one keyed aggregate per budget. No windows.
+# --------------------------------------------------------------------------
+_PACK_BUDGETS = (64, 128, 256)
+
+
+@register(
+    "q396_padding_waste",
+    oracle=f"""
+WITH lens AS (
+    SELECT CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> ''))
+                AS BIGINT) AS n_tok
+    FROM documents
+),
+budgets AS (SELECT UNNEST([{", ".join(str(b) for b in _PACK_BUDGETS)}])
+                AS max_len),
+j AS (
+    SELECT b.max_len,
+           l.n_tok,
+           CASE WHEN l.n_tok < b.max_len THEN l.n_tok ELSE b.max_len END
+               AS kept,
+           CASE WHEN l.n_tok > b.max_len THEN l.n_tok - b.max_len ELSE 0 END
+               AS trunc
+    FROM lens l CROSS JOIN budgets b
+)
+SELECT CAST(max_len AS BIGINT) AS max_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+       CAST(COUNT(*) * max_len - SUM(kept) AS BIGINT) AS pad_tokens,
+       CAST(SUM(trunc) AS BIGINT) AS trunc_tokens,
+       ROUND(CAST(COUNT(*) * max_len - SUM(kept) AS DOUBLE)
+             / (COUNT(*) * max_len), 4) AS pad_frac,
+       ROUND(CAST(SUM(trunc) AS DOUBLE) / SUM(n_tok), 4) AS trunc_frac,
+       CAST((SUM(kept) + max_len - 1) // max_len AS BIGINT) AS ideal_rows,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / ((SUM(kept) + max_len - 1) // max_len), 4) AS packing_gain
+FROM j GROUP BY max_len ORDER BY max_len
+""",
+    tags=("training-prep", "capacity", "A12"),
+)
+def q396_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding/truncation budget audit per max_len:
+    (max_len, n_docs, total_tokens, kept_tokens, pad_tokens,
+    trunc_tokens, pad_frac, trunc_frac, ideal_rows, packing_gain)."""
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        F.size(text_analysis.tokens_raw(F.col("text")))
+        .cast("long")
+        .alias("n_tok")
+    )
+    budgets = spark.createDataFrame(
+        [(b,) for b in _PACK_BUDGETS], "max_len long"
+    )
+    j = lens.crossJoin(F.broadcast(budgets)).select(
+        "max_len",
+        "n_tok",
+        F.least("n_tok", "max_len").alias("kept"),
+        F.greatest(F.col("n_tok") - F.col("max_len"), F.lit(0)).alias(
+            "trunc"
+        ),
+    )
+    ideal = F.expr("(sum(kept) + max(max_len) - 1) div max(max_len)")
+    return (
+        j.groupBy("max_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("kept").cast("long").alias("kept_tokens"),
+            (F.count(F.lit(1)) * F.first("max_len") - F.sum("kept"))
+            .cast("long")
+            .alias("pad_tokens"),
+            F.sum("trunc").cast("long").alias("trunc_tokens"),
+            F.round(
+                (F.count(F.lit(1)) * F.first("max_len") - F.sum("kept")).cast(
+                    "double"
+                )
+                / (F.count(F.lit(1)) * F.first("max_len")),
+                4,
+            ).alias("pad_frac"),
+            F.round(F.sum("trunc").cast("double") / F.sum("n_tok"), 4).alias(
+                "trunc_frac"
+            ),
+            ideal.cast("long").alias("ideal_rows"),
+            F.round(
+                F.count(F.lit(1)).cast("double")
+                / ideal,
+                4,
+            ).alias("packing_gain"),
+        )
+        .select(
+            F.col("max_len").cast("long").alias("max_len"),
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "pad_tokens",
+            "trunc_tokens",
+            "pad_frac",
+            "trunc_frac",
+            "ideal_rows",
+            "packing_gain",
+        )
+        .orderBy("max_len")
+    )

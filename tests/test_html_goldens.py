@@ -9,7 +9,7 @@ import pytest
 
 import pyspark.sql.functions as F
 
-from html_strip_goldens import GOLDENS, UNPINNED
+from html_strip_goldens import GOLDENS, STDLIB_EXPECTED_OVERRIDES, UNPINNED
 
 
 def _run(spark, col_fn):
@@ -37,6 +37,23 @@ def test_bs4_path_matches_reference_goldens(spark):
         if bs4_exp is UNPINNED:
             continue  # unpinned parser-version corner — note documents it
         assert got[i] == bs4_exp, f"case {i} ({note}): {inp!r} -> {got[i]!r}"
+
+
+def test_stdlib_path_matches_reference_goldens(spark):
+    """clean_string_html_stdlib (no import gate — runs in EVERY container)
+    must reproduce the reference bs4+lxml output on all pinned cases and
+    its own pinned value on the two parser-version corners. This is the
+    always-available exactness path; zero divergences vs the reference."""
+    from synth_transform_spark.functions.cleaning import clean_string_html_stdlib
+
+    got = _run(spark, clean_string_html_stdlib)
+    for i, (inp, _, bs4_exp, note) in enumerate(GOLDENS):
+        exp = (
+            STDLIB_EXPECTED_OVERRIDES[inp]
+            if bs4_exp is UNPINNED
+            else bs4_exp
+        )
+        assert got[i] == exp, f"case {i} ({note}): {inp!r} -> {got[i]!r}"
 
 
 def test_divergence_inventory_is_complete():
