@@ -2937,3 +2937,77 @@ def q395_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fd")
+
+
+# --------------------------------------------------------------------------
+# q398 - DAU / trailing-7-day WAU / stickiness per day: the engagement
+# ratio product teams track (stickiness = DAU/WAU in [1/7, 1] for a
+# trailing week) - q88 reads cohort retention and q246 decay-weighted
+# engagement; this is the daily pulse. Trailing windows at the stream
+# head use the available history (standard trailing semantics).
+# Computed WITHOUT a rolling distinct (which no engine does natively):
+# each active (user, day) supports the 7 target days [day, day+6], so
+# explode that bounded fan-out, dedup, and count per target day - all
+# keyed aggregates, no windows, no range join.
+# Parity: all counts exact integers; stickiness one double ratio. 4dp.
+# Scale: distinct (user, day) is one keyed aggregate; the x7 explode is
+# linear fan-out; target-day counts are distinct aggregates on uniform
+# day keys.
+# --------------------------------------------------------------------------
+@register(
+    "q398_stickiness",
+    oracle="""
+WITH user_days AS (
+    SELECT DISTINCT user_id,
+           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+    FROM events
+),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM user_days GROUP BY day
+),
+support AS (
+    SELECT DISTINCT user_id, CAST(day + INTERVAL (i) DAY AS DATE) AS tday
+    FROM user_days, UNNEST(GENERATE_SERIES(0, 6)) AS t(i)
+),
+wau AS (
+    SELECT tday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+    FROM support GROUP BY tday
+)
+SELECT CAST(d.day AS VARCHAR) AS day, d.dau, w.wau7,
+       ROUND(CAST(d.dau AS DOUBLE) / w.wau7, 4) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+ORDER BY day
+""",
+    tags=("engagement", "A5", "A10"),
+)
+def q398_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily DAU / trailing-7d WAU / stickiness:
+    (day, dau, wau7, stickiness)."""
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    support = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("tday"),
+    ).distinct()
+    wau = support.groupBy(F.col("tday").alias("day")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau7")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau7",
+            F.round(F.col("dau").cast("double") / F.col("wau7"), 4).alias(
+                "stickiness"
+            ),
+        )
+        .orderBy("day")
+    )

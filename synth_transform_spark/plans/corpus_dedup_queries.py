@@ -794,3 +794,121 @@ def q258_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.col("shared").cast("long").alias("shared"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q399 - per-source n-gram novelty: for each document, the share of its
+# DISTINCT 3-grams that appear in no other document, rolled up per
+# source (mean novelty + share of low-novelty docs). The per-document
+# quality signal dedup filters threshold on - q116 lists the repeated
+# spans themselves (corpus view); this scores each document's
+# originality (document view) and aggregates where templated sources
+# sink. Docs shorter than 3 tokens drop on both engines.
+# Parity: gram document-frequencies and per-doc distinct-gram counts
+# are exact integers; per-doc novelty is frozen to micro-units before
+# the source mean, so both engines average identical integers. 4dp.
+# Scale: one (gram -> distinct-doc-count) aggregate and one join back
+# on gram (uniform hash keys; the df table is vocab-scaled) - never a
+# doc-pair join.
+# --------------------------------------------------------------------------
+_NOVELTY_N = 3
+_NOVELTY_LOW_MICRO = 500000  # novelty < 0.5 = "mostly seen elsewhere"
+
+
+@register(
+    "q399_ngram_novelty",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, source,
+           LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, source,
+           ARRAY_TO_STRING(w[i + 1 : i + {_NOVELTY_N}], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - {_NOVELTY_N})) AS t(i)
+    WHERE LEN(w) >= {_NOVELTY_N}
+),
+df AS (
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM grams GROUP BY gram
+),
+per_doc AS (
+    SELECT g.doc_id, g.source,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(ROUND(1000000.0 * SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+                      / COUNT(*)) AS BIGINT) AS nov_micro
+    FROM grams g JOIN df d ON d.gram = g.gram
+    GROUP BY g.doc_id, g.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(nov_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+           AS mean_novelty,
+       ROUND(CAST(SUM(CASE WHEN nov_micro < {_NOVELTY_LOW_MICRO}
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 4)
+           AS low_novelty_share
+FROM per_doc GROUP BY source ORDER BY source
+""",
+    tags=("corpus-dedup", "curation", "A12"),
+)
+def q399_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-gram novelty rollup: (source, n_docs, mean_novelty,
+    low_novelty_share)."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", _toks().alias("w"))
+        .filter(F.size("w") >= _NOVELTY_N)
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode_outer(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - _NOVELTY_N),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("w"), i + 1, _NOVELTY_N)
+                    ),
+                )
+            )
+        ).alias("gram"),
+    )
+    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        grams.join(df, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "source",
+            F.round(
+                1000000.0 * F.col("n_unique") / F.col("n_grams")
+            )
+            .cast("long")
+            .alias("nov_micro"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("nov_micro").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0,
+                4,
+            ).alias("mean_novelty"),
+            F.round(
+                F.sum(
+                    (F.col("nov_micro") < _NOVELTY_LOW_MICRO).cast("long")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("low_novelty_share"),
+        )
+        .orderBy("source")
+    )

@@ -5625,3 +5625,135 @@ def q393_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# --------------------------------------------------------------------------
+# q400 - A/B conversion comparison with P(B > A) under the normal
+# approximation: per user-parity arm, the share of "high spenders"
+# (users whose total purchase value exceeds the global median per-user
+# purchase spend - a median split so the rate is non-degenerate at
+# every SF), the relative lift, the two-proportion z, and P(B beats A)
+# = Phi(z) evaluated with the Abramowitz-Stegun 7.1.26 polynomial - the
+# closed-form stand-in for the Beta-posterior Monte Carlo readout
+# dashboards report (q175 tests significance; q264 runs the sequential
+# boundary; this answers "what's the probability B is better TODAY").
+# Parity: per-user spends are frozen to cents; the median is an exact
+# interpolated percentile of integers; counts are exact integers;
+# p/z/Phi are ONE double expression tree written identically on both
+# engines (A-S constants as literals, EXP/SQRT the only libm calls)
+# under the final 4dp round.
+# Scale: one user-keyed aggregate, one 1-row percentile broadcast, one
+# arm aggregate; 1-row output.
+# --------------------------------------------------------------------------
+_AS_T = "1.0 / (1.0 + 0.2316419 * ABS(z))"
+_AS_PHI = (
+    "1.0 - EXP(-z * z / 2.0) / SQRT(2.0 * PI()) * "
+    "(t * (0.319381530 + t * (-0.356563782 + t * (1.781477937 + "
+    "t * (-1.821255978 + 1.330274429 * t)))))"
+)
+
+
+@register(
+    "q400_bayes_ab",
+    oracle=f"""
+WITH spend AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(100.0 * value) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents
+    FROM events GROUP BY user_id
+),
+med AS (
+    SELECT QUANTILE_CONT(CAST(cents AS DOUBLE), 0.5) AS med FROM spend
+),
+arms AS (
+    SELECT s.user_id % 2 AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN s.cents > m.med THEN 1 ELSE 0 END)
+                AS BIGINT) AS conv
+    FROM spend s CROSS JOIN med m GROUP BY 1
+),
+w AS (
+    SELECT MAX(CASE WHEN arm = 0 THEN n END) AS na,
+           MAX(CASE WHEN arm = 0 THEN conv END) AS ca,
+           MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+           MAX(CASE WHEN arm = 1 THEN conv END) AS cb
+    FROM arms
+),
+zc AS (
+    SELECT na, ca, nb, cb,
+           (CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+           / SQRT((CAST(ca AS DOUBLE) / na) * (1.0 - CAST(ca AS DOUBLE) / na)
+                      / na
+                  + (CAST(cb AS DOUBLE) / nb)
+                      * (1.0 - CAST(cb AS DOUBLE) / nb) / nb) AS z
+    FROM w
+),
+tc AS (SELECT *, {_AS_T} AS t FROM zc)
+SELECT na AS n_a, ca AS conv_a, nb AS n_b, cb AS conv_b,
+       ROUND((CAST(cb AS DOUBLE) / nb - CAST(ca AS DOUBLE) / na)
+             / (CAST(ca AS DOUBLE) / na), 4) AS rel_lift,
+       ROUND(z, 4) AS z,
+       ROUND(CASE WHEN z >= 0 THEN {_AS_PHI}
+                  ELSE 1.0 - ({_AS_PHI.replace('-z * z', '-z * z')}) END,
+             4) AS prob_b_beats_a
+FROM tc
+""",
+    tags=("inferential", "abtest", "A10"),
+)
+def q400_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion conversion readout with P(B>A):
+    (n_a, conv_a, n_b, conv_b, rel_lift, z, prob_b_beats_a)."""
+    events = load_table(spark, sf_dir, "events")
+    spend = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(100.0 * F.col("value")).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    med = spend.agg(
+        F.expr("percentile(CAST(cents AS DOUBLE), 0.5)").alias("med")
+    )
+    arms = (
+        spend.crossJoin(F.broadcast(med))
+        .groupBy((F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.col("cents") > F.col("med")).cast("long"))
+            .cast("long")
+            .alias("conv"),
+        )
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("ca"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("cb"),
+    )
+    pa = F.col("ca").cast("double") / F.col("na")
+    pb = F.col("cb").cast("double") / F.col("nb")
+    zc = w.withColumn(
+        "z",
+        (pb - pa)
+        / F.sqrt(
+            pa * (F.lit(1.0) - pa) / F.col("na")
+            + pb * (F.lit(1.0) - pb) / F.col("nb")
+        ),
+    )
+    tc = zc.withColumn("t", F.expr(_AS_T))
+    phi = F.expr(_AS_PHI)
+    return tc.select(
+        F.col("na").alias("n_a"),
+        F.col("ca").alias("conv_a"),
+        F.col("nb").alias("n_b"),
+        F.col("cb").alias("conv_b"),
+        F.round((pb - pa) / pa, 4).alias("rel_lift"),
+        F.round("z", 4).alias("z"),
+        F.round(
+            F.when(F.col("z") >= 0, phi).otherwise(F.lit(1.0) - phi), 4
+        ).alias("prob_b_beats_a"),
+    )

@@ -2905,3 +2905,175 @@ def q394_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("herdan_c"),
     ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# q397 - pairwise Jensen-Shannon divergence between the per-source
+# unigram distributions: the source-similarity matrix a mix designer
+# reads before weighting (q156 ranks drift vs the corpus; q216/q223
+# weight vs a target; this is every source against every other).
+# JSD(p,q) = 0.5 KL(p||m) + 0.5 KL(q||m), m = (p+q)/2, computed over
+# the SHARED vocabulary plus closed-form ln2 corrections for each
+# side's unshared probability mass (tokens absent from the other side
+# contribute exactly p_i ln 2) - no smoothing needed, and JSD stays in
+# [0, ln 2].
+# Parity: each shared-token term is frozen to integer micro-nats
+# (round(1e6 * p * ln(2p/(p+q)))) before the pair sum, so both engines
+# sum identical integers; the two unshared-mass corrections are single
+# double expressions over exact integer masses with ln 2 as a literal;
+# p and q are IEEE divisions of the same integers. 4dp.
+# Scale: one (source, tok) aggregate collapses the corpus; the pair
+# join is keyed on tok over the vocab-bounded relation (|vocab| x
+# |sources|); the source-pair grid is |sources|^2 / 2 rows.
+# --------------------------------------------------------------------------
+_LN2 = "0.6931471805599453"
+
+
+@register(
+    "q397_source_jsd",
+    oracle=f"""
+WITH freq AS (
+    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                            t -> t <> '')) AS tok
+          FROM documents) t
+    GROUP BY source, tok
+),
+tot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY source
+),
+shared AS (
+    SELECT a.source AS sa, b.source AS sb,
+           CAST(COUNT(*) AS BIGINT) AS shared_types,
+           CAST(SUM(a.c) AS BIGINT) AS ca_sh,
+           CAST(SUM(b.c) AS BIGINT) AS cb_sh,
+           CAST(SUM(CAST(ROUND(1000000.0 * (CAST(a.c AS DOUBLE) / ta.n)
+                * LN((2.0 * (CAST(a.c AS DOUBLE) / ta.n))
+                     / ((CAST(a.c AS DOUBLE) / ta.n)
+                        + (CAST(b.c AS DOUBLE) / tb.n)))) AS BIGINT))
+                AS BIGINT) AS sp_int,
+           CAST(SUM(CAST(ROUND(1000000.0 * (CAST(b.c AS DOUBLE) / tb.n)
+                * LN((2.0 * (CAST(b.c AS DOUBLE) / tb.n))
+                     / ((CAST(a.c AS DOUBLE) / ta.n)
+                        + (CAST(b.c AS DOUBLE) / tb.n)))) AS BIGINT))
+                AS BIGINT) AS sq_int
+    FROM freq a
+    JOIN freq b ON b.tok = a.tok AND a.source < b.source
+    JOIN tot ta ON ta.source = a.source
+    JOIN tot tb ON tb.source = b.source
+    GROUP BY a.source, b.source
+),
+grid AS (
+    SELECT x.source AS sa, y.source AS sb, x.n AS na, y.n AS nb
+    FROM tot x JOIN tot y ON x.source < y.source
+)
+SELECT g.sa AS source_a, g.sb AS source_b,
+       COALESCE(s.shared_types, 0) AS shared_types,
+       ROUND((COALESCE(s.sp_int, 0) + COALESCE(s.sq_int, 0)
+              + CAST(ROUND(1000000.0 * (CAST(g.na - COALESCE(s.ca_sh, 0)
+                                             AS DOUBLE) / g.na) * {_LN2})
+                     AS BIGINT)
+              + CAST(ROUND(1000000.0 * (CAST(g.nb - COALESCE(s.cb_sh, 0)
+                                             AS DOUBLE) / g.nb) * {_LN2})
+                     AS BIGINT)) / 2000000.0, 4) AS jsd
+FROM grid g LEFT JOIN shared s ON s.sa = g.sa AND s.sb = g.sb
+ORDER BY source_a, source_b
+""",
+    tags=("text-stats", "curation", "A12"),
+)
+def q397_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source unigram JSD: (source_a, source_b, shared_types,
+    jsd)."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "source",
+            F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = freq.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    a = freq.select(
+        F.col("source").alias("sa"), "tok", F.col("c").alias("ca")
+    )
+    b = freq.select(
+        F.col("source").alias("sb"),
+        F.col("tok").alias("tokb"),
+        F.col("c").alias("cb"),
+    )
+    ta = tot.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    tb = tot.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    p = F.col("ca").cast("double") / F.col("na")
+    q = F.col("cb").cast("double") / F.col("nb")
+    shared = (
+        a.join(b, (F.col("tokb") == F.col("tok")) & (F.col("sa") < F.col("sb")))
+        .join(F.broadcast(ta), "sa")
+        .join(F.broadcast(tb), "sb")
+        .groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_types"),
+            F.sum("ca").cast("long").alias("ca_sh"),
+            F.sum("cb").cast("long").alias("cb_sh"),
+            F.sum(
+                F.round(1000000.0 * p * F.log((2.0 * p) / (p + q))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sp_int"),
+            F.sum(
+                F.round(1000000.0 * q * F.log((2.0 * q) / (p + q))).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sq_int"),
+        )
+    )
+    grid = (
+        ta.withColumnRenamed("sa", "source")
+        .select(F.col("source").alias("ga"), F.col("na"))
+        .join(
+            tb.withColumnRenamed("sb", "source").select(
+                F.col("source").alias("gb"), F.col("nb")
+            ),
+            F.col("ga") < F.col("gb"),
+        )
+    )
+    ln2 = float(_LN2)
+    corr_a = F.round(
+        1000000.0
+        * ((F.col("na") - F.coalesce("ca_sh", F.lit(0))).cast("double") / F.col("na"))
+        * ln2
+    ).cast("long")
+    corr_b = F.round(
+        1000000.0
+        * ((F.col("nb") - F.coalesce("cb_sh", F.lit(0))).cast("double") / F.col("nb"))
+        * ln2
+    ).cast("long")
+    return (
+        grid.join(
+            shared,
+            (F.col("sa") == F.col("ga")) & (F.col("sb") == F.col("gb")),
+            "left",
+        )
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            F.coalesce("shared_types", F.lit(0)).cast("long").alias(
+                "shared_types"
+            ),
+            F.round(
+                (
+                    F.coalesce("sp_int", F.lit(0))
+                    + F.coalesce("sq_int", F.lit(0))
+                    + corr_a
+                    + corr_b
+                )
+                / 2000000.0,
+                4,
+            ).alias("jsd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
