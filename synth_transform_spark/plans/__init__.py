@@ -6,23 +6,28 @@ twin the DuckDB harness runs on the same parquet tables.
 """
 
 from . import (  # noqa: F401
+    abtest_queries,
     analytics_queries,
     corpus_dedup_queries,
     dedup_queries,
     eval_queries,
     events_queries,
+    forecast_queries,
     incremental_queries,
     linkage_queries,
     multimodal_queries,
     nested_queries,
     pipeline_parity_queries,
     relational,
+    sequence_queries,
     similarity_queries,
     star_queries,
     stats_queries,
+    streaming_queries,
     subquery_queries,
     temporal_queries,
     textops,
+    timeseries_queries,
     tpch_queries,
     training_queries,
 )

@@ -860,3 +860,730 @@ def q357_gini_stump_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rk"),
     ).orderBy("rk")
+
+
+# --------------------------------------------------------------------------
+# q316 - exact average precision (area under the precision-recall curve,
+# step-wise, sklearn's average_precision definition) of `value` ranking
+# purchases: AP = sum_i (R_i - R_{i-1}) * P_i over distinct score
+# thresholds descending = (1/P) * sum_v p_v * cumpos_v / cumall_v.
+# The PR-curve companion to q283's ROC-AUC — the metric that matters when
+# positives are rare (class-imbalanced quality classifiers).
+# Parity: scores frozen to round(1e4*value); p_v, cumpos_v, cumall_v are
+# exact integers; each threshold's term is an identical double expression
+# frozen to round(1e6 * term) before the cross-threshold sum; 4dp.
+# Scale: one keyed aggregate to the score domain, one domain window
+# (descending), one 1-row aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q316_average_precision",
+    oracle="""
+WITH scored AS (
+    SELECT CAST(ROUND(10000.0 * value) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+g AS (
+    SELECT v, CAST(SUM(pos) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS c
+    FROM scored GROUP BY v
+),
+cum AS (
+    SELECT v, p,
+           CAST(SUM(p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumpos,
+           CAST(SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumall
+    FROM g
+),
+s AS (
+    SELECT CAST(SUM(CAST(ROUND(1000000.0 * (CAST(p AS DOUBLE) * cumpos
+                                            / cumall)) AS BIGINT))
+                AS BIGINT) AS num,
+           CAST(SUM(p) AS BIGINT) AS n_pos,
+           CAST(MAX(cumall) AS BIGINT) AS n
+    FROM cum
+)
+SELECT n, n_pos,
+       ROUND(CAST(n_pos AS DOUBLE) / n, 4) AS prevalence,
+       ROUND(CAST(num AS DOUBLE) / 1000000.0 / n_pos, 4) AS avg_precision
+FROM s
+""",
+    tags=("ml-eval", "A12", "W4"),
+)
+def q316_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-exact average precision of `value` ranking purchases:
+    (n, n_pos, prevalence, avg_precision)."""
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        F.round(10000.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    g = scored.groupBy("v").agg(
+        F.sum("pos").alias("p"), F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = g.select(
+        "p",
+        F.sum("p").over(w).alias("cumpos"),
+        F.sum("c").over(w).alias("cumall"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.round(
+                1000000.0
+                * (
+                    F.col("p").cast("double")
+                    * F.col("cumpos")
+                    / F.col("cumall")
+                )
+            ).cast("long")
+        ).alias("num"),
+        F.sum("p").alias("n_pos"),
+        F.max("cumall").alias("n"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.round(F.col("n_pos").cast("double") / F.col("n"), 4).alias(
+            "prevalence"
+        ),
+        F.round(
+            F.col("num").cast("double") / 1000000.0 / F.col("n_pos"), 4
+        ).alias("avg_precision"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q317 - McNemar's paired test: do two rule-based is-English classifiers
+# disagree more than chance on the SAME documents? Classifier A: the
+# token 'the' appears in the text; classifier B: mean token length < 5.5
+# chars. Ground truth: lang = 'en'. The paired design uses only the
+# discordant counts b (A right, B wrong) and c (B right, A wrong):
+# chi2_cc = (|b - c| - 1)^2 / (b + c), the continuity-corrected form —
+# the right test for "is the new heuristic actually better on the same
+# eval set", where two independent accuracy CIs (q175-style) are wrong.
+# Parity: predictions are deterministic string algebra; all four
+# concordance counts are exact integers from one conditional aggregate;
+# chi2 is one double expression, 4dp; b + c = 0 yields chi2 = 0.0 via an
+# identical CASE on both sides.
+# Scale: one full-table conditional aggregate with map-side partials;
+# zero joins, zero windows, 1 output row.
+# --------------------------------------------------------------------------
+@register(
+    "q317_mcnemar",
+    oracle="""
+WITH preds AS (
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %'
+                THEN 1 ELSE 0 END AS pa,
+           CASE WHEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                     / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       t -> t <> '')) < 5.5
+                THEN 1 ELSE 0 END AS pb
+    FROM documents
+),
+cc AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_right,
+           CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS both_wrong,
+           CAST(SUM(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT) AS a_right,
+           CAST(SUM(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT) AS b_right
+    FROM preds
+)
+SELECT n, both_right, b, c, both_wrong,
+       ROUND(CAST(a_right AS DOUBLE) / n, 4) AS acc_a,
+       ROUND(CAST(b_right AS DOUBLE) / n, 4) AS acc_b,
+       CASE WHEN b + c = 0 THEN 0.0
+            ELSE ROUND((ABS(CAST(b AS DOUBLE) - c) - 1)
+                       * (ABS(CAST(b AS DOUBLE) - c) - 1) / (b + c), 4)
+       END AS chi2_cc
+FROM cc
+""",
+    tags=("ml-eval", "A12", "P12"),
+)
+def q317_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar continuity-corrected chi-square for two paired is-English
+    heuristics: (n, both_right, b, c, both_wrong, acc_a, acc_b, chi2_cc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    preds = docs.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+        .contains(" the ")
+        .cast("int")
+        .alias("pa"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks)
+            < 5.5
+        )
+        .cast("int")
+        .alias("pb"),
+    )
+    cc = preds.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            ((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y"))).cast(
+                "long"
+            )
+        ).alias("both_right"),
+        F.sum(
+            ((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))).cast(
+                "long"
+            )
+        ).alias("b"),
+        F.sum(
+            ((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))).cast(
+                "long"
+            )
+        ).alias("c"),
+        F.sum(
+            ((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y"))).cast(
+                "long"
+            )
+        ).alias("both_wrong"),
+        F.sum((F.col("pa") == F.col("y")).cast("long")).alias("a_right"),
+        F.sum((F.col("pb") == F.col("y")).cast("long")).alias("b_right"),
+    )
+    bd = F.col("b").cast("double")
+    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.abs(bd - F.col("c")) - 1)
+            * (F.abs(bd - F.col("c")) - 1)
+            / (F.col("b") + F.col("c")),
+            4,
+        )
+    )
+    return cc.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("both_right").cast("long").alias("both_right"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.col("both_wrong").cast("long").alias("both_wrong"),
+        F.round(F.col("a_right").cast("double") / F.col("n"), 4).alias(
+            "acc_a"
+        ),
+        F.round(F.col("b_right").cast("double") / F.col("n"), 4).alias(
+            "acc_b"
+        ),
+        chi2.alias("chi2_cc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q319 - isotonic calibration curve (pool-adjacent-violators) of `value`
+# as a purchase-probability score, on 20 equal-width score bins: the
+# monotone-nondecreasing fit via the exact minimax identity
+#   iso_k = max_{i<=k} min_{j>=k} (pos_{i..j}) / (n_{i..j}),
+# computed relationally from bin prefix sums (no sequential PAVA loop).
+# The calibrated-probability companion to q249's ECE: q249 measures
+# miscalibration, this produces the monotone recalibration map itself.
+# Parity: bin edges from exact integer min/max; pooled rates are
+# identical double divisions of exact integer prefix differences; the
+# minimax is over identical values on both engines; 4dp.
+# Scale: corpus collapses to <= 20 bin rows in one keyed aggregate (plus
+# a 1-row min/max broadcast); the O(bins^3) minimax expansion is algebra
+# over a bounded relation that never touches the corpus again.
+# --------------------------------------------------------------------------
+_ISO_BINS = 20
+
+
+@register(
+    "q319_isotonic_calibration",
+    oracle=f"""
+WITH scored AS (
+    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+mm AS (
+    SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM scored
+),
+binned AS (
+    SELECT CAST(((s.v - m.vmin) * {_ISO_BINS})
+                // (m.vmax - m.vmin + 1) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(s.pos) AS BIGINT) AS pos
+    FROM scored s CROSS JOIN mm m
+    GROUP BY 1
+),
+idx AS (
+    SELECT bin, n, pos,
+           CAST(SUM(n) OVER w AS BIGINT) AS cn,
+           CAST(SUM(pos) OVER w AS BIGINT) AS cp
+    FROM binned
+    WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+),
+pairs AS (
+    SELECT i.bin AS i, j.bin AS j,
+           CAST(j.cp - i.cp + i.pos AS DOUBLE)
+               / (j.cn - i.cn + i.n) AS ratio
+    FROM idx i JOIN idx j ON i.bin <= j.bin
+),
+mins AS (
+    SELECT p.i, k.bin AS k, MIN(p.ratio) AS lo
+    FROM pairs p JOIN idx k ON p.i <= k.bin AND k.bin <= p.j
+    GROUP BY p.i, k.bin
+),
+iso AS (
+    SELECT k, MAX(lo) AS iso_rate FROM mins GROUP BY k
+)
+SELECT b.bin, b.n, b.pos,
+       ROUND(CAST(b.pos AS DOUBLE) / b.n, 4) AS raw_rate,
+       ROUND(i.iso_rate, 4) AS iso_rate
+FROM binned b JOIN iso i ON i.k = b.bin
+ORDER BY b.bin
+""",
+    tags=("ml-eval", "A12", "W2"),
+)
+def q319_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAVA isotonic calibration of value->purchase on 20 score bins:
+    (bin, n, pos, raw_rate, iso_rate)."""
+    events = load_table(spark, sf_dir, "events")
+    scored = events.select(
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    mm = scored.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    binned = (
+        scored.crossJoin(F.broadcast(mm))
+        .groupBy(
+            F.expr(
+                f"CAST(((v - vmin) * {_ISO_BINS})"
+                " div (vmax - vmin + 1) AS BIGINT)"
+            ).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("pos"))
+    )
+    w = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = binned.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    i = idx.select(
+        F.col("bin").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("pos").alias("pi"),
+        F.col("cn").alias("cni"),
+        F.col("cp").alias("cpi"),
+    )
+    j = idx.select(
+        F.col("bin").alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    pairs = i.join(j, F.col("i") <= F.col("j")).select(
+        "i",
+        "j",
+        (
+            (F.col("cpj") - F.col("cpi") + F.col("pi")).cast("double")
+            / (F.col("cnj") - F.col("cni") + F.col("ni"))
+        ).alias("ratio"),
+    )
+    k = idx.select(F.col("bin").alias("k"))
+    mins = (
+        pairs.join(
+            k, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j"))
+        )
+        .groupBy("i", "k")
+        .agg(F.min("ratio").alias("lo"))
+    )
+    iso = mins.groupBy("k").agg(F.max("lo").alias("iso_rate"))
+    return (
+        binned.join(iso, binned["bin"] == iso["k"])
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("pos").cast("double") / F.col("n"), 4).alias(
+                "raw_rate"
+            ),
+            F.round(F.col("iso_rate"), 4).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+# --------------------------------------------------------------------------
+# q324 - Krippendorff's alpha (nominal, binary) for three rule-based
+# is-English raters with MISSING ratings: rater A (has-'the') rates every
+# document, rater B (short mean token) abstains below 150 chars, rater C
+# (short-word fraction) abstains below 30 tokens. The chance-corrected
+# agreement coefficient that q280's kappa cannot give once raters abstain
+# (kappa needs a complete 2-rater grid); units with < 2 ratings drop out,
+# exactly per the coincidence-matrix definition:
+#   alpha = 1 - (n-1) * q01 / (2 * nc1 * nc0)
+# with q01 = sum_u 2*n1u*n0u/(m_u - 1), o_cc = sum_u n_cu(n_cu-1)/(m_u-1),
+# nc = o_cc + q01/2, n = total pairable ratings.
+# Parity: with m_u <= 3 every coincidence term is an exact integer (the
+# /(m_u-1) divisions cancel), so alpha is ONE double division; 4dp.
+# Scale: one narrow per-document projection + one 1-row conditional
+# aggregate with map-side partials; no joins, no windows.
+# --------------------------------------------------------------------------
+@register(
+    "q324_krippendorff_alpha",
+    oracle="""
+WITH rated AS (
+    SELECT CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %'
+                THEN 1 ELSE 0 END AS ra,
+           CASE WHEN n_chars >= 150 THEN
+                CASE WHEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                          / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                            t -> t <> '')) < 5.5
+                     THEN 1 ELSE 0 END
+           END AS rb,
+           CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                     t -> t <> '')) >= 30 THEN
+                CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   t -> t <> '' AND LENGTH(t) <= 2))
+                               AS DOUBLE)
+                          / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                            t -> t <> '')) >= 0.15
+                     THEN 1 ELSE 0 END
+           END AS rc
+    FROM documents
+),
+units AS (
+    SELECT (ra IS NOT NULL)::INT + (rb IS NOT NULL)::INT
+               + (rc IS NOT NULL)::INT AS m,
+           COALESCE(ra, 0) + COALESCE(rb, 0) + COALESCE(rc, 0) AS n1
+    FROM rated
+),
+coin AS (
+    SELECT CAST(SUM(m) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_units,
+           CAST(SUM(2 * n1 * (m - n1) / (m - 1)) AS BIGINT) AS q01,
+           CAST(SUM(n1 * (n1 - 1) / (m - 1)) AS BIGINT) AS o11,
+           CAST(SUM((m - n1) * (m - n1 - 1) / (m - 1)) AS BIGINT) AS o00
+    FROM units WHERE m >= 2
+)
+SELECT n_units, n, o11, o00, q01,
+       ROUND(1.0 - CAST(n - 1 AS DOUBLE) * q01
+             / (2.0 * (o11 + q01 / 2) * (o00 + q01 / 2)), 4) AS alpha
+FROM coin
+""",
+    tags=("ml-eval", "A12", "P12"),
+)
+def q324_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over three partially-abstaining raters:
+    (n_units, n, o11, o00, q01, alpha)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    short = F.filter(
+        F.split("text", " "), lambda t: (t != "") & (F.length(t) <= 2)
+    )
+    ra = (
+        F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+        .contains(" the ")
+        .cast("int")
+    )
+    rb = F.when(
+        F.col("n_chars") >= 150,
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(toks)
+            < 5.5
+        ).cast("int"),
+    )
+    rc = F.when(
+        F.size(toks) >= 30,
+        (F.size(short).cast("double") / F.size(toks) >= 0.15).cast("int"),
+    )
+    units = docs.select(
+        (
+            ra.isNotNull().cast("int")
+            + rb.isNotNull().cast("int")
+            + rc.isNotNull().cast("int")
+        ).alias("m"),
+        (
+            F.coalesce(ra, F.lit(0))
+            + F.coalesce(rb, F.lit(0))
+            + F.coalesce(rc, F.lit(0))
+        ).alias("n1"),
+    ).filter(F.col("m") >= 2)
+    coin = units.agg(
+        F.sum("m").alias("n"),
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(
+            F.expr("2 * n1 * (m - n1) div (m - 1)")
+        ).alias("q01"),
+        F.sum(F.expr("n1 * (n1 - 1) div (m - 1)")).alias("o11"),
+        F.sum(
+            F.expr("(m - n1) * (m - n1 - 1) div (m - 1)")
+        ).alias("o00"),
+    )
+    return coin.select(
+        F.col("n_units").cast("long").alias("n_units"),
+        F.col("n").cast("long").alias("n"),
+        F.col("o11").cast("long").alias("o11"),
+        F.col("o00").cast("long").alias("o00"),
+        F.col("q01").cast("long").alias("q01"),
+        F.round(
+            1.0
+            - (F.col("n") - 1).cast("double")
+            * F.col("q01")
+            / (
+                2.0
+                * (F.col("o11") + F.col("q01") / 2)
+                * (F.col("o00") + F.col("q01") / 2)
+            ),
+            4,
+        ).alias("alpha"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q331 - weekly top-k churn: the overlap (set Jaccard) between each
+# week's top-20 parts by shipped quantity and the previous week's — the
+# "how fast does the head of the distribution rotate" ops metric that
+# distribution-level drift (q156 KL, q302 PSI) hides: two weeks can have
+# identical histograms with a fully-rotated top set.
+# Parity: weekly quantity sums are exact integer cents; the top-20 rank
+# is deterministic (qty DESC, partkey ASC); overlap/Jaccard are exact
+# integers per consecutive-week pair, 4dp on the final ratio.
+# Scale: one keyed (week, part) aggregate; per-week top-20 via a
+# partitioned rank window (WindowGroupLimit pushdown); the week-to-week
+# self-join carries 20 rows per week. Calendar-bounded tail.
+# --------------------------------------------------------------------------
+@register(
+    "q331_topk_churn",
+    oracle="""
+WITH wk AS (
+    SELECT DATE_TRUNC('week', CAST(l_shipdate AS TIMESTAMP)) AS week,
+           l_partkey,
+           CAST(SUM(CAST(ROUND(100.0 * l_quantity) AS BIGINT)) AS BIGINT)
+               AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+    SELECT week, l_partkey,
+           ROW_NUMBER() OVER (PARTITION BY week
+                              ORDER BY qty DESC, l_partkey) AS rk
+    FROM wk
+),
+top AS (SELECT week, l_partkey FROM ranked WHERE rk <= 20),
+weeks AS (
+    SELECT week, LAG(week) OVER (ORDER BY week) AS prev_week
+    FROM (SELECT DISTINCT week FROM top)
+),
+ov AS (
+    SELECT w.week, w.prev_week, CAST(COUNT(*) AS BIGINT) AS overlap
+    FROM weeks w
+    JOIN top a ON a.week = w.week
+    JOIN top b ON b.week = w.prev_week AND b.l_partkey = a.l_partkey
+    GROUP BY w.week, w.prev_week
+),
+sizes AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS sz FROM top GROUP BY week)
+SELECT w.week, COALESCE(o.overlap, 0) AS overlap,
+       ROUND(CAST(COALESCE(o.overlap, 0) AS DOUBLE)
+             / (sa.sz + sb.sz - COALESCE(o.overlap, 0)), 4) AS jaccard
+FROM weeks w
+JOIN sizes sa ON sa.week = w.week
+JOIN sizes sb ON sb.week = w.prev_week
+LEFT JOIN ov o ON o.week = w.week
+WHERE w.prev_week IS NOT NULL
+ORDER BY w.week
+""",
+    tags=("ops-drift", "O6", "W2"),
+)
+def q331_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week top-20 part churn: (week, overlap, jaccard)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wk = li.groupBy(
+        F.date_trunc("week", "l_shipdate").alias("week"),
+        "l_partkey",
+    ).agg(
+        F.sum(F.round(100.0 * F.col("l_quantity")).cast("long")).alias("qty")
+    )
+    rw = Window.partitionBy("week").orderBy(
+        F.desc("qty"), F.asc("l_partkey")
+    )
+    top = (
+        wk.select("week", "l_partkey", F.row_number().over(rw).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("week", "l_partkey")
+    )
+    weeks = (
+        top.select("week")
+        .distinct()
+        .select(
+            "week", F.lag("week").over(Window.orderBy("week")).alias("prev_week")
+        )
+    )
+    ov = (
+        weeks.join(top.alias("a"), "week")
+        .join(
+            top.alias("b").select(
+                F.col("week").alias("prev_week"),
+                F.col("l_partkey").alias("pk_b"),
+            ),
+            ["prev_week"],
+        )
+        .filter(F.col("l_partkey") == F.col("pk_b"))
+        .groupBy("week", "prev_week")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sizes = top.groupBy("week").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        weeks.filter(F.col("prev_week").isNotNull())
+        .join(sizes.select(F.col("week"), F.col("sz").alias("sza")), "week")
+        .join(
+            sizes.select(
+                F.col("week").alias("prev_week"), F.col("sz").alias("szb")
+            ),
+            "prev_week",
+        )
+        .join(ov, ["week", "prev_week"], "left")
+        .select(
+            "week",
+            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce("overlap", F.lit(0)).cast("double")
+                / (
+                    F.col("sza")
+                    + F.col("szb")
+                    - F.coalesce("overlap", F.lit(0))
+                ),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("week")
+    )
+
+
+# --------------------------------------------------------------------------
+# q335 - simplified silhouette of the label clustering over the
+# embeddings table: a_i = euclidean distance to the OWN label centroid,
+# b_i = distance to the nearest OTHER centroid, s_i = (b-a)/max(a,b);
+# reported as the per-label mean — the cluster-quality score that reads
+# q147/q202's geometry as one number per class (near 1 = compact and
+# separated, near 0 = overlapping, negative = misassigned).
+# Parity: embedding values are frozen to round(1e6*val) + 1e6 (the
+# offset keeps every working value positive so DuckDB's floor `//` and
+# Spark's truncating `div` agree on the centroid mean; the offset cancels
+# in every distance); centroids are exact integer means; squared
+# distances are exact integers; s_i is one double expression frozen to
+# round(1e6*s) before the per-label mean; 4dp.
+# Scale: posexplode is a narrow constant-factor (d=64) expansion;
+# centroids are one (label, dim) keyed aggregate broadcast back (k*d
+# rows); per-point work is O(k*d) with no shuffle beyond the final
+# per-label reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q335_silhouette",
+    oracle="""
+WITH pts AS (
+    SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
+           CAST(ROUND(1000000.0 * UNNEST(embedding)) AS BIGINT) + 1000000
+               AS v
+    FROM embeddings
+),
+cent AS (
+    SELECT label AS clabel, dim,
+           CAST(SUM(v) // COUNT(*) AS BIGINT) AS c
+    FROM pts GROUP BY label, dim
+),
+d2 AS (
+    SELECT p.vec_id, p.label, c.clabel,
+           CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS dd
+    FROM pts p JOIN cent c ON c.dim = p.dim
+    GROUP BY p.vec_id, p.label, c.clabel
+),
+ab AS (
+    SELECT vec_id, label,
+           CAST(MAX(CASE WHEN clabel = label THEN dd END) AS BIGINT) AS a2,
+           CAST(MIN(CASE WHEN clabel <> label THEN dd END) AS BIGINT) AS b2
+    FROM d2 GROUP BY vec_id, label
+),
+s AS (
+    SELECT label,
+           CAST(ROUND(1000000.0 * ((SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
+                 / GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE)))))
+               AS BIGINT) AS si
+    FROM ab
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(si) AS DOUBLE) / 1000000.0 / COUNT(*), 4)
+           AS mean_silhouette
+FROM s GROUP BY label
+ORDER BY label
+""",
+    tags=("ml-eval", "similarity", "A12"),
+)
+def q335_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label cluster over embeddings:
+    (label, n, mean_silhouette)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim0", "raw"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        (F.round(1000000.0 * F.col("raw")).cast("long") + 1000000).alias(
+            "v"
+        ),
+    )
+    cent = pts.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.expr("sum(v) div count(*)").cast("long").alias("c")
+    )
+    d2 = (
+        pts.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+            ).alias("dd")
+        )
+    )
+    ab = d2.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("dd"))
+        ).alias("a2"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("dd"))
+        ).alias("b2"),
+    )
+    sa = F.sqrt(F.col("a2").cast("double"))
+    sb = F.sqrt(F.col("b2").cast("double"))
+    s = ab.select(
+        "label",
+        F.round(1000000.0 * ((sb - sa) / F.greatest(sa, sb)))
+        .cast("long")
+        .alias("si"),
+    )
+    return (
+        s.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("si").cast("double") / 1000000.0 / F.count(F.lit(1)),
+                4,
+            ).alias("mean_silhouette"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            "mean_silhouette",
+        )
+        .orderBy("label")
+    )

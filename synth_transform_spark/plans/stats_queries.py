@@ -287,223 +287,6 @@ def q315_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q316 - exact average precision (area under the precision-recall curve,
-# step-wise, sklearn's average_precision definition) of `value` ranking
-# purchases: AP = sum_i (R_i - R_{i-1}) * P_i over distinct score
-# thresholds descending = (1/P) * sum_v p_v * cumpos_v / cumall_v.
-# The PR-curve companion to q283's ROC-AUC — the metric that matters when
-# positives are rare (class-imbalanced quality classifiers).
-# Parity: scores frozen to round(1e4*value); p_v, cumpos_v, cumall_v are
-# exact integers; each threshold's term is an identical double expression
-# frozen to round(1e6 * term) before the cross-threshold sum; 4dp.
-# Scale: one keyed aggregate to the score domain, one domain window
-# (descending), one 1-row aggregate.
-# --------------------------------------------------------------------------
-@register(
-    "q316_average_precision",
-    oracle="""
-WITH scored AS (
-    SELECT CAST(ROUND(10000.0 * value) AS BIGINT) AS v,
-           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-    FROM events
-),
-g AS (
-    SELECT v, CAST(SUM(pos) AS BIGINT) AS p, CAST(COUNT(*) AS BIGINT) AS c
-    FROM scored GROUP BY v
-),
-cum AS (
-    SELECT v, p,
-           CAST(SUM(p) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS cumpos,
-           CAST(SUM(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS cumall
-    FROM g
-),
-s AS (
-    SELECT CAST(SUM(CAST(ROUND(1000000.0 * (CAST(p AS DOUBLE) * cumpos
-                                            / cumall)) AS BIGINT))
-                AS BIGINT) AS num,
-           CAST(SUM(p) AS BIGINT) AS n_pos,
-           CAST(MAX(cumall) AS BIGINT) AS n
-    FROM cum
-)
-SELECT n, n_pos,
-       ROUND(CAST(n_pos AS DOUBLE) / n, 4) AS prevalence,
-       ROUND(CAST(num AS DOUBLE) / 1000000.0 / n_pos, 4) AS avg_precision
-FROM s
-""",
-    tags=("ml-eval", "A12", "W4"),
-)
-def q316_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Step-exact average precision of `value` ranking purchases:
-    (n, n_pos, prevalence, avg_precision)."""
-    events = load_table(spark, sf_dir, "events")
-    scored = events.select(
-        F.round(10000.0 * F.col("value")).cast("long").alias("v"),
-        (F.col("event_type") == "purchase").cast("long").alias("pos"),
-    )
-    g = scored.groupBy("v").agg(
-        F.sum("pos").alias("p"), F.count(F.lit(1)).alias("c")
-    )
-    w = Window.orderBy(F.desc("v")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = g.select(
-        "p",
-        F.sum("p").over(w).alias("cumpos"),
-        F.sum("c").over(w).alias("cumall"),
-    )
-    s = cum.agg(
-        F.sum(
-            F.round(
-                1000000.0
-                * (
-                    F.col("p").cast("double")
-                    * F.col("cumpos")
-                    / F.col("cumall")
-                )
-            ).cast("long")
-        ).alias("num"),
-        F.sum("p").alias("n_pos"),
-        F.max("cumall").alias("n"),
-    )
-    return s.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("n_pos").cast("long").alias("n_pos"),
-        F.round(F.col("n_pos").cast("double") / F.col("n"), 4).alias(
-            "prevalence"
-        ),
-        F.round(
-            F.col("num").cast("double") / 1000000.0 / F.col("n_pos"), 4
-        ).alias("avg_precision"),
-    )
-
-
-# --------------------------------------------------------------------------
-# q317 - McNemar's paired test: do two rule-based is-English classifiers
-# disagree more than chance on the SAME documents? Classifier A: the
-# token 'the' appears in the text; classifier B: mean token length < 5.5
-# chars. Ground truth: lang = 'en'. The paired design uses only the
-# discordant counts b (A right, B wrong) and c (B right, A wrong):
-# chi2_cc = (|b - c| - 1)^2 / (b + c), the continuity-corrected form —
-# the right test for "is the new heuristic actually better on the same
-# eval set", where two independent accuracy CIs (q175-style) are wrong.
-# Parity: predictions are deterministic string algebra; all four
-# concordance counts are exact integers from one conditional aggregate;
-# chi2 is one double expression, 4dp; b + c = 0 yields chi2 = 0.0 via an
-# identical CASE on both sides.
-# Scale: one full-table conditional aggregate with map-side partials;
-# zero joins, zero windows, 1 output row.
-# --------------------------------------------------------------------------
-@register(
-    "q317_mcnemar",
-    oracle="""
-WITH preds AS (
-    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %'
-                THEN 1 ELSE 0 END AS pa,
-           CASE WHEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                     / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                       t -> t <> '')) < 5.5
-                THEN 1 ELSE 0 END AS pb
-    FROM documents
-),
-cc AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
-                AS BIGINT) AS both_right,
-           CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
-                AS BIGINT) AS b,
-           CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
-                AS BIGINT) AS c,
-           CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
-                AS BIGINT) AS both_wrong,
-           CAST(SUM(CASE WHEN pa = y THEN 1 ELSE 0 END) AS BIGINT) AS a_right,
-           CAST(SUM(CASE WHEN pb = y THEN 1 ELSE 0 END) AS BIGINT) AS b_right
-    FROM preds
-)
-SELECT n, both_right, b, c, both_wrong,
-       ROUND(CAST(a_right AS DOUBLE) / n, 4) AS acc_a,
-       ROUND(CAST(b_right AS DOUBLE) / n, 4) AS acc_b,
-       CASE WHEN b + c = 0 THEN 0.0
-            ELSE ROUND((ABS(CAST(b AS DOUBLE) - c) - 1)
-                       * (ABS(CAST(b AS DOUBLE) - c) - 1) / (b + c), 4)
-       END AS chi2_cc
-FROM cc
-""",
-    tags=("ml-eval", "A12", "P12"),
-)
-def q317_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """McNemar continuity-corrected chi-square for two paired is-English
-    heuristics: (n, both_right, b, c, both_wrong, acc_a, acc_b, chi2_cc)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    preds = docs.select(
-        (F.col("lang") == "en").cast("int").alias("y"),
-        F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-        .contains(" the ")
-        .cast("int")
-        .alias("pa"),
-        (
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            .cast("double")
-            / F.size(toks)
-            < 5.5
-        )
-        .cast("int")
-        .alias("pb"),
-    )
-    cc = preds.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            ((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y"))).cast(
-                "long"
-            )
-        ).alias("both_right"),
-        F.sum(
-            ((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y"))).cast(
-                "long"
-            )
-        ).alias("b"),
-        F.sum(
-            ((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y"))).cast(
-                "long"
-            )
-        ).alias("c"),
-        F.sum(
-            ((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y"))).cast(
-                "long"
-            )
-        ).alias("both_wrong"),
-        F.sum((F.col("pa") == F.col("y")).cast("long")).alias("a_right"),
-        F.sum((F.col("pb") == F.col("y")).cast("long")).alias("b_right"),
-    )
-    bd = F.col("b").cast("double")
-    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
-        F.round(
-            (F.abs(bd - F.col("c")) - 1)
-            * (F.abs(bd - F.col("c")) - 1)
-            / (F.col("b") + F.col("c")),
-            4,
-        )
-    )
-    return cc.select(
-        F.col("n").cast("long").alias("n"),
-        F.col("both_right").cast("long").alias("both_right"),
-        F.col("b").cast("long").alias("b"),
-        F.col("c").cast("long").alias("c"),
-        F.col("both_wrong").cast("long").alias("both_wrong"),
-        F.round(F.col("a_right").cast("double") / F.col("n"), 4).alias(
-            "acc_a"
-        ),
-        F.round(F.col("b_right").cast("double") / F.col("n"), 4).alias(
-            "acc_b"
-        ),
-        chi2.alias("chi2_cc"),
-    )
-
-
-# --------------------------------------------------------------------------
 # q318 - 1-D Wasserstein (earth mover's) distance per event type between
 # the odd-user and even-user value distributions: W1 = integral
 # |F1 - F2| dv on the collapsed value domain. The magnitude-aware drift
@@ -614,147 +397,6 @@ def q318_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w1"),
         )
         .orderBy("event_type")
-    )
-
-
-# --------------------------------------------------------------------------
-# q319 - isotonic calibration curve (pool-adjacent-violators) of `value`
-# as a purchase-probability score, on 20 equal-width score bins: the
-# monotone-nondecreasing fit via the exact minimax identity
-#   iso_k = max_{i<=k} min_{j>=k} (pos_{i..j}) / (n_{i..j}),
-# computed relationally from bin prefix sums (no sequential PAVA loop).
-# The calibrated-probability companion to q249's ECE: q249 measures
-# miscalibration, this produces the monotone recalibration map itself.
-# Parity: bin edges from exact integer min/max; pooled rates are
-# identical double divisions of exact integer prefix differences; the
-# minimax is over identical values on both engines; 4dp.
-# Scale: corpus collapses to <= 20 bin rows in one keyed aggregate (plus
-# a 1-row min/max broadcast); the O(bins^3) minimax expansion is algebra
-# over a bounded relation that never touches the corpus again.
-# --------------------------------------------------------------------------
-_ISO_BINS = 20
-
-
-@register(
-    "q319_isotonic_calibration",
-    oracle=f"""
-WITH scored AS (
-    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS v,
-           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-    FROM events
-),
-mm AS (
-    SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM scored
-),
-binned AS (
-    SELECT CAST(((s.v - m.vmin) * {_ISO_BINS})
-                // (m.vmax - m.vmin + 1) AS BIGINT) AS bin,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(s.pos) AS BIGINT) AS pos
-    FROM scored s CROSS JOIN mm m
-    GROUP BY 1
-),
-idx AS (
-    SELECT bin, n, pos,
-           CAST(SUM(n) OVER w AS BIGINT) AS cn,
-           CAST(SUM(pos) OVER w AS BIGINT) AS cp
-    FROM binned
-    WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
-),
-pairs AS (
-    SELECT i.bin AS i, j.bin AS j,
-           CAST(j.cp - i.cp + i.pos AS DOUBLE)
-               / (j.cn - i.cn + i.n) AS ratio
-    FROM idx i JOIN idx j ON i.bin <= j.bin
-),
-mins AS (
-    SELECT p.i, k.bin AS k, MIN(p.ratio) AS lo
-    FROM pairs p JOIN idx k ON p.i <= k.bin AND k.bin <= p.j
-    GROUP BY p.i, k.bin
-),
-iso AS (
-    SELECT k, MAX(lo) AS iso_rate FROM mins GROUP BY k
-)
-SELECT b.bin, b.n, b.pos,
-       ROUND(CAST(b.pos AS DOUBLE) / b.n, 4) AS raw_rate,
-       ROUND(i.iso_rate, 4) AS iso_rate
-FROM binned b JOIN iso i ON i.k = b.bin
-ORDER BY b.bin
-""",
-    tags=("ml-eval", "A12", "W2"),
-)
-def q319_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PAVA isotonic calibration of value->purchase on 20 score bins:
-    (bin, n, pos, raw_rate, iso_rate)."""
-    events = load_table(spark, sf_dir, "events")
-    scored = events.select(
-        F.round(100.0 * F.col("value")).cast("long").alias("v"),
-        (F.col("event_type") == "purchase").cast("long").alias("pos"),
-    )
-    mm = scored.agg(
-        F.min("v").alias("vmin"), F.max("v").alias("vmax")
-    )
-    binned = (
-        scored.crossJoin(F.broadcast(mm))
-        .groupBy(
-            F.expr(
-                f"CAST(((v - vmin) * {_ISO_BINS})"
-                " div (vmax - vmin + 1) AS BIGINT)"
-            ).alias("bin")
-        )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("pos").alias("pos"))
-    )
-    w = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    idx = binned.select(
-        "bin",
-        "n",
-        "pos",
-        F.sum("n").over(w).alias("cn"),
-        F.sum("pos").over(w).alias("cp"),
-    )
-    i = idx.select(
-        F.col("bin").alias("i"),
-        F.col("n").alias("ni"),
-        F.col("pos").alias("pi"),
-        F.col("cn").alias("cni"),
-        F.col("cp").alias("cpi"),
-    )
-    j = idx.select(
-        F.col("bin").alias("j"),
-        F.col("cn").alias("cnj"),
-        F.col("cp").alias("cpj"),
-    )
-    pairs = i.join(j, F.col("i") <= F.col("j")).select(
-        "i",
-        "j",
-        (
-            (F.col("cpj") - F.col("cpi") + F.col("pi")).cast("double")
-            / (F.col("cnj") - F.col("cni") + F.col("ni"))
-        ).alias("ratio"),
-    )
-    k = idx.select(F.col("bin").alias("k"))
-    mins = (
-        pairs.join(
-            k, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j"))
-        )
-        .groupBy("i", "k")
-        .agg(F.min("ratio").alias("lo"))
-    )
-    iso = mins.groupBy("k").agg(F.max("lo").alias("iso_rate"))
-    return (
-        binned.join(iso, binned["bin"] == iso["k"])
-        .select(
-            "bin",
-            F.col("n").cast("long").alias("n"),
-            F.col("pos").cast("long").alias("pos"),
-            F.round(F.col("pos").cast("double") / F.col("n"), 4).alias(
-                "raw_rate"
-            ),
-            F.round(F.col("iso_rate"), 4).alias("iso_rate"),
-        )
-        .orderBy("bin")
     )
 
 
@@ -1221,135 +863,6 @@ def q323_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q324 - Krippendorff's alpha (nominal, binary) for three rule-based
-# is-English raters with MISSING ratings: rater A (has-'the') rates every
-# document, rater B (short mean token) abstains below 150 chars, rater C
-# (short-word fraction) abstains below 30 tokens. The chance-corrected
-# agreement coefficient that q280's kappa cannot give once raters abstain
-# (kappa needs a complete 2-rater grid); units with < 2 ratings drop out,
-# exactly per the coincidence-matrix definition:
-#   alpha = 1 - (n-1) * q01 / (2 * nc1 * nc0)
-# with q01 = sum_u 2*n1u*n0u/(m_u - 1), o_cc = sum_u n_cu(n_cu-1)/(m_u-1),
-# nc = o_cc + q01/2, n = total pairable ratings.
-# Parity: with m_u <= 3 every coincidence term is an exact integer (the
-# /(m_u-1) divisions cancel), so alpha is ONE double division; 4dp.
-# Scale: one narrow per-document projection + one 1-row conditional
-# aggregate with map-side partials; no joins, no windows.
-# --------------------------------------------------------------------------
-@register(
-    "q324_krippendorff_alpha",
-    oracle="""
-WITH rated AS (
-    SELECT CASE WHEN ' ' || LOWER(text) || ' ' LIKE '% the %'
-                THEN 1 ELSE 0 END AS ra,
-           CASE WHEN n_chars >= 150 THEN
-                CASE WHEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
-                          / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                            t -> t <> '')) < 5.5
-                     THEN 1 ELSE 0 END
-           END AS rb,
-           CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                     t -> t <> '')) >= 30 THEN
-                CASE WHEN CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                   t -> t <> '' AND LENGTH(t) <= 2))
-                               AS DOUBLE)
-                          / LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                            t -> t <> '')) >= 0.15
-                     THEN 1 ELSE 0 END
-           END AS rc
-    FROM documents
-),
-units AS (
-    SELECT (ra IS NOT NULL)::INT + (rb IS NOT NULL)::INT
-               + (rc IS NOT NULL)::INT AS m,
-           COALESCE(ra, 0) + COALESCE(rb, 0) + COALESCE(rc, 0) AS n1
-    FROM rated
-),
-coin AS (
-    SELECT CAST(SUM(m) AS BIGINT) AS n,
-           CAST(COUNT(*) AS BIGINT) AS n_units,
-           CAST(SUM(2 * n1 * (m - n1) / (m - 1)) AS BIGINT) AS q01,
-           CAST(SUM(n1 * (n1 - 1) / (m - 1)) AS BIGINT) AS o11,
-           CAST(SUM((m - n1) * (m - n1 - 1) / (m - 1)) AS BIGINT) AS o00
-    FROM units WHERE m >= 2
-)
-SELECT n_units, n, o11, o00, q01,
-       ROUND(1.0 - CAST(n - 1 AS DOUBLE) * q01
-             / (2.0 * (o11 + q01 / 2) * (o00 + q01 / 2)), 4) AS alpha
-FROM coin
-""",
-    tags=("ml-eval", "A12", "P12"),
-)
-def q324_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Krippendorff's alpha over three partially-abstaining raters:
-    (n_units, n, o11, o00, q01, alpha)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split("text", " "), lambda t: t != "")
-    short = F.filter(
-        F.split("text", " "), lambda t: (t != "") & (F.length(t) <= 2)
-    )
-    ra = (
-        F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
-        .contains(" the ")
-        .cast("int")
-    )
-    rb = F.when(
-        F.col("n_chars") >= 150,
-        (
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
-            .cast("double")
-            / F.size(toks)
-            < 5.5
-        ).cast("int"),
-    )
-    rc = F.when(
-        F.size(toks) >= 30,
-        (F.size(short).cast("double") / F.size(toks) >= 0.15).cast("int"),
-    )
-    units = docs.select(
-        (
-            ra.isNotNull().cast("int")
-            + rb.isNotNull().cast("int")
-            + rc.isNotNull().cast("int")
-        ).alias("m"),
-        (
-            F.coalesce(ra, F.lit(0))
-            + F.coalesce(rb, F.lit(0))
-            + F.coalesce(rc, F.lit(0))
-        ).alias("n1"),
-    ).filter(F.col("m") >= 2)
-    coin = units.agg(
-        F.sum("m").alias("n"),
-        F.count(F.lit(1)).alias("n_units"),
-        F.sum(
-            F.expr("2 * n1 * (m - n1) div (m - 1)")
-        ).alias("q01"),
-        F.sum(F.expr("n1 * (n1 - 1) div (m - 1)")).alias("o11"),
-        F.sum(
-            F.expr("(m - n1) * (m - n1 - 1) div (m - 1)")
-        ).alias("o00"),
-    )
-    return coin.select(
-        F.col("n_units").cast("long").alias("n_units"),
-        F.col("n").cast("long").alias("n"),
-        F.col("o11").cast("long").alias("o11"),
-        F.col("o00").cast("long").alias("o00"),
-        F.col("q01").cast("long").alias("q01"),
-        F.round(
-            1.0
-            - (F.col("n") - 1).cast("double")
-            * F.col("q01")
-            / (
-                2.0
-                * (F.col("o11") + F.col("q01") / 2)
-                * (F.col("o00") + F.col("q01") / 2)
-            ),
-            4,
-        ).alias("alpha"),
-    )
-
-
-# --------------------------------------------------------------------------
 # q325 - multimodal near-duplicate pairs by byte-histogram shape: two
 # media payloads are near-dups when their per-mille 16-bin byte
 # histograms differ by L1 <= 60 (6% total mass). Candidate generation is
@@ -1465,201 +978,6 @@ def q325_media_histogram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.filter(F.col("l1") <= 60)
         .select("id_a", "id_b", F.col("l1").cast("long").alias("l1"))
         .orderBy("id_a", "id_b")
-    )
-
-
-# --------------------------------------------------------------------------
-# q326 - Lomb-lite periodogram over the daily event-count series per
-# type: spectral power at candidate periods 2..10 days from the
-# mean-centered counts,
-#   A_p = sum_d X_d cos(2*pi*t_d/p),  B_p = ... sin ...,
-#   power_p = (A_p^2 + B_p^2) / (n_days * sum_d X_d^2)   (in [0, 1]-ish)
-# with X_d = n_days*c_d - S (exact integer mean-centering, scaled by
-# n_days to avoid fractions). The "is there a weekly cadence" detector
-# complementing q247's ACF (lag domain) with the frequency domain.
-# Parity: X_d and t_d are exact integers; cos/sin are frozen to
-# round(1e6 * trig) per (day, period) BEFORE the cross-day sums (the
-# q310 cbrt treatment — absorbs engines' last-ulp libm drift); A/B are
-# exact integers of the frozen trig; power is one double expression, 4dp.
-# Scale: collapse-first to the (type, day) calendar-bounded relation; the
-# 9-period expansion and all trig run on that bounded relation only.
-# --------------------------------------------------------------------------
-_PGRAM_PERIODS = list(range(2, 11))
-
-
-@register(
-    "q326_periodogram",
-    oracle=f"""
-WITH daily AS (
-    SELECT event_type,
-           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS c
-    FROM events GROUP BY 1, 2
-),
-base AS (
-    SELECT event_type, CAST(MIN(day) AS DATE) AS d0,
-           CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(c) AS BIGINT) AS s
-    FROM daily GROUP BY event_type
-),
-x AS (
-    SELECT d.event_type, b.nd,
-           DATEDIFF('day', b.d0, d.day) AS t,
-           d.c * b.nd - b.s AS xd
-    FROM daily d JOIN base b ON b.event_type = d.event_type
-),
-terms AS (
-    SELECT x.event_type, x.nd, p.p,
-           x.xd * CAST(ROUND(1000000.0 * COS(2 * PI() * x.t / p.p))
-                       AS BIGINT) AS ct,
-           x.xd * CAST(ROUND(1000000.0 * SIN(2 * PI() * x.t / p.p))
-                       AS BIGINT) AS st,
-           x.xd * x.xd AS x2
-    FROM x CROSS JOIN (SELECT UNNEST({_PGRAM_PERIODS}) AS p) p
-),
-pw AS (
-    SELECT event_type, p, CAST(MAX(nd) AS BIGINT) AS nd,
-           CAST(SUM(ct) AS BIGINT) AS a, CAST(SUM(st) AS BIGINT) AS b,
-           CAST(SUM(x2) AS BIGINT) AS sx2
-    FROM terms GROUP BY event_type, p
-)
-SELECT event_type, CAST(p AS BIGINT) AS period,
-       ROUND((CAST(a AS DOUBLE) * a + CAST(b AS DOUBLE) * b)
-             / 1000000000000.0 / (CAST(nd AS DOUBLE) * sx2), 4) AS power
-FROM pw
-ORDER BY event_type, period
-""",
-    tags=("timeseries", "A12", "J14"),
-)
-def q326_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily-count spectral power at periods 2..10 days per type:
-    (event_type, period, power)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("c"))
-    base = daily.groupBy("event_type").agg(
-        F.min("day").alias("d0"),
-        F.count(F.lit(1)).alias("nd"),
-        F.sum("c").alias("s"),
-    )
-    x = daily.join(F.broadcast(base), "event_type").select(
-        "event_type",
-        "nd",
-        F.datediff("day", "d0").alias("t"),
-        (F.col("c") * F.col("nd") - F.col("s")).alias("xd"),
-    )
-    p = spark.range(2, 11).select(F.col("id").alias("p"))
-    two_pi = 2.0 * 3.141592653589793
-    ct = F.round(
-        1000000.0 * F.cos(two_pi * F.col("t") / F.col("p"))
-    ).cast("long")
-    st = F.round(
-        1000000.0 * F.sin(two_pi * F.col("t") / F.col("p"))
-    ).cast("long")
-    terms = x.crossJoin(F.broadcast(p)).select(
-        "event_type",
-        "nd",
-        "p",
-        (F.col("xd") * ct).alias("ct"),
-        (F.col("xd") * st).alias("st"),
-        (F.col("xd") * F.col("xd")).alias("x2"),
-    )
-    pw = terms.groupBy("event_type", "p").agg(
-        F.max("nd").alias("nd"),
-        F.sum("ct").alias("a"),
-        F.sum("st").alias("b"),
-        F.sum("x2").alias("sx2"),
-    )
-    return pw.select(
-        "event_type",
-        F.col("p").cast("long").alias("period"),
-        F.round(
-            (
-                F.col("a").cast("double") * F.col("a")
-                + F.col("b").cast("double") * F.col("b")
-            )
-            / 1.0e12
-            / (F.col("nd").cast("double") * F.col("sx2")),
-            4,
-        ).alias("power"),
-    ).orderBy("event_type", "period")
-
-
-# --------------------------------------------------------------------------
-# q327 - Cochran-Armitage trend test: does the high-price-order rate
-# (o_totalprice > 250000) TREND monotonically across the five ordered
-# priority classes (score = leading digit of o_orderpriority)? The
-# ordered-dose test that q250's unordered chi-square association cannot
-# express:
-#   Z = sum_i s_i (r_i - n_i R/N)
-#       / sqrt(R/N (1-R/N) [sum_i s_i^2 n_i - (sum_i s_i n_i)^2 / N]).
-# Parity: the five (n_i, r_i) cells and all score moments are exact
-# integers from one conditional aggregate; Z is one double expression
-# over seven integers (the numerator is scaled by N to stay integer:
-# num*N = N sum s_i r_i - R sum s_i n_i); 4dp.
-# Scale: one full-table aggregate with map-side partials over orders;
-# the five-row cell relation reduces on the driver-free single row.
-# --------------------------------------------------------------------------
-@register(
-    "q327_trend_test",
-    oracle="""
-WITH cells AS (
-    SELECT CAST(SUBSTR(o_orderpriority, 1, 1) AS BIGINT) AS s,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END)
-                AS BIGINT) AS r
-    FROM orders GROUP BY 1
-),
-tot AS (
-    SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
-           CAST(SUM(s * n) AS BIGINT) AS sn,
-           CAST(SUM(s * s * n) AS BIGINT) AS ssn,
-           CAST(SUM(s * r) AS BIGINT) AS sr,
-           CAST(COUNT(*) AS BIGINT) AS k
-    FROM cells
-)
-SELECT nn AS n, rr AS n_high, k,
-       ROUND((CAST(nn AS DOUBLE) * sr - CAST(rr AS DOUBLE) * sn)
-             / (CAST(nn AS DOUBLE)
-                * SQRT((CAST(rr AS DOUBLE) / nn) * (1.0 - CAST(rr AS DOUBLE) / nn)
-                       * (ssn - CAST(sn AS DOUBLE) * sn / nn))), 4) AS z
-FROM tot
-""",
-    tags=("ab-test", "A12", "P12"),
-)
-def q327_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cochran-Armitage trend of high-price rate across ordered priority
-    scores: (n, n_high, k, z)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cells = orders.groupBy(
-        F.substring("o_orderpriority", 1, 1).cast("long").alias("s")
-    ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("o_totalprice") > 250000).cast("long")).alias("r"),
-    )
-    tot = cells.agg(
-        F.sum("n").alias("nn"),
-        F.sum("r").alias("rr"),
-        F.sum(F.col("s") * F.col("n")).alias("sn"),
-        F.sum(F.col("s") * F.col("s") * F.col("n")).alias("ssn"),
-        F.sum(F.col("s") * F.col("r")).alias("sr"),
-        F.count(F.lit(1)).alias("k"),
-    )
-    nnd = F.col("nn").cast("double")
-    rrd = F.col("rr").cast("double")
-    z = (nnd * F.col("sr") - rrd * F.col("sn")) / (
-        nnd
-        * F.sqrt(
-            (rrd / F.col("nn"))
-            * (1.0 - rrd / F.col("nn"))
-            * (F.col("ssn") - F.col("sn").cast("double") * F.col("sn") / F.col("nn"))
-        )
-    )
-    return tot.select(
-        F.col("nn").cast("long").alias("n"),
-        F.col("rr").cast("long").alias("n_high"),
-        F.col("k").cast("long").alias("k"),
-        F.round(z, 4).alias("z"),
     )
 
 
@@ -1869,125 +1187,6 @@ def q330_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("month")
-    )
-
-
-# --------------------------------------------------------------------------
-# q331 - weekly top-k churn: the overlap (set Jaccard) between each
-# week's top-20 parts by shipped quantity and the previous week's — the
-# "how fast does the head of the distribution rotate" ops metric that
-# distribution-level drift (q156 KL, q302 PSI) hides: two weeks can have
-# identical histograms with a fully-rotated top set.
-# Parity: weekly quantity sums are exact integer cents; the top-20 rank
-# is deterministic (qty DESC, partkey ASC); overlap/Jaccard are exact
-# integers per consecutive-week pair, 4dp on the final ratio.
-# Scale: one keyed (week, part) aggregate; per-week top-20 via a
-# partitioned rank window (WindowGroupLimit pushdown); the week-to-week
-# self-join carries 20 rows per week. Calendar-bounded tail.
-# --------------------------------------------------------------------------
-@register(
-    "q331_topk_churn",
-    oracle="""
-WITH wk AS (
-    SELECT DATE_TRUNC('week', CAST(l_shipdate AS TIMESTAMP)) AS week,
-           l_partkey,
-           CAST(SUM(CAST(ROUND(100.0 * l_quantity) AS BIGINT)) AS BIGINT)
-               AS qty
-    FROM lineitem GROUP BY 1, 2
-),
-ranked AS (
-    SELECT week, l_partkey,
-           ROW_NUMBER() OVER (PARTITION BY week
-                              ORDER BY qty DESC, l_partkey) AS rk
-    FROM wk
-),
-top AS (SELECT week, l_partkey FROM ranked WHERE rk <= 20),
-weeks AS (
-    SELECT week, LAG(week) OVER (ORDER BY week) AS prev_week
-    FROM (SELECT DISTINCT week FROM top)
-),
-ov AS (
-    SELECT w.week, w.prev_week, CAST(COUNT(*) AS BIGINT) AS overlap
-    FROM weeks w
-    JOIN top a ON a.week = w.week
-    JOIN top b ON b.week = w.prev_week AND b.l_partkey = a.l_partkey
-    GROUP BY w.week, w.prev_week
-),
-sizes AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS sz FROM top GROUP BY week)
-SELECT w.week, COALESCE(o.overlap, 0) AS overlap,
-       ROUND(CAST(COALESCE(o.overlap, 0) AS DOUBLE)
-             / (sa.sz + sb.sz - COALESCE(o.overlap, 0)), 4) AS jaccard
-FROM weeks w
-JOIN sizes sa ON sa.week = w.week
-JOIN sizes sb ON sb.week = w.prev_week
-LEFT JOIN ov o ON o.week = w.week
-WHERE w.prev_week IS NOT NULL
-ORDER BY w.week
-""",
-    tags=("ops-drift", "O6", "W2"),
-)
-def q331_topk_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Week-over-week top-20 part churn: (week, overlap, jaccard)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    wk = li.groupBy(
-        F.date_trunc("week", "l_shipdate").alias("week"),
-        "l_partkey",
-    ).agg(
-        F.sum(F.round(100.0 * F.col("l_quantity")).cast("long")).alias("qty")
-    )
-    rw = Window.partitionBy("week").orderBy(
-        F.desc("qty"), F.asc("l_partkey")
-    )
-    top = (
-        wk.select("week", "l_partkey", F.row_number().over(rw).alias("rk"))
-        .filter(F.col("rk") <= 20)
-        .select("week", "l_partkey")
-    )
-    weeks = (
-        top.select("week")
-        .distinct()
-        .select(
-            "week", F.lag("week").over(Window.orderBy("week")).alias("prev_week")
-        )
-    )
-    ov = (
-        weeks.join(top.alias("a"), "week")
-        .join(
-            top.alias("b").select(
-                F.col("week").alias("prev_week"),
-                F.col("l_partkey").alias("pk_b"),
-            ),
-            ["prev_week"],
-        )
-        .filter(F.col("l_partkey") == F.col("pk_b"))
-        .groupBy("week", "prev_week")
-        .agg(F.count(F.lit(1)).alias("overlap"))
-    )
-    sizes = top.groupBy("week").agg(F.count(F.lit(1)).alias("sz"))
-    return (
-        weeks.filter(F.col("prev_week").isNotNull())
-        .join(sizes.select(F.col("week"), F.col("sz").alias("sza")), "week")
-        .join(
-            sizes.select(
-                F.col("week").alias("prev_week"), F.col("sz").alias("szb")
-            ),
-            "prev_week",
-        )
-        .join(ov, ["week", "prev_week"], "left")
-        .select(
-            "week",
-            F.coalesce("overlap", F.lit(0)).cast("long").alias("overlap"),
-            F.round(
-                F.coalesce("overlap", F.lit(0)).cast("double")
-                / (
-                    F.col("sza")
-                    + F.col("szb")
-                    - F.coalesce("overlap", F.lit(0))
-                ),
-                4,
-            ).alias("jaccard"),
-        )
-        .orderBy("week")
     )
 
 
@@ -2330,127 +1529,6 @@ def q334_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q335 - simplified silhouette of the label clustering over the
-# embeddings table: a_i = euclidean distance to the OWN label centroid,
-# b_i = distance to the nearest OTHER centroid, s_i = (b-a)/max(a,b);
-# reported as the per-label mean — the cluster-quality score that reads
-# q147/q202's geometry as one number per class (near 1 = compact and
-# separated, near 0 = overlapping, negative = misassigned).
-# Parity: embedding values are frozen to round(1e6*val) + 1e6 (the
-# offset keeps every working value positive so DuckDB's floor `//` and
-# Spark's truncating `div` agree on the centroid mean; the offset cancels
-# in every distance); centroids are exact integer means; squared
-# distances are exact integers; s_i is one double expression frozen to
-# round(1e6*s) before the per-label mean; 4dp.
-# Scale: posexplode is a narrow constant-factor (d=64) expansion;
-# centroids are one (label, dim) keyed aggregate broadcast back (k*d
-# rows); per-point work is O(k*d) with no shuffle beyond the final
-# per-label reduce.
-# --------------------------------------------------------------------------
-@register(
-    "q335_silhouette",
-    oracle="""
-WITH pts AS (
-    SELECT vec_id, label, GENERATE_SUBSCRIPTS(embedding, 1) AS dim,
-           CAST(ROUND(1000000.0 * UNNEST(embedding)) AS BIGINT) + 1000000
-               AS v
-    FROM embeddings
-),
-cent AS (
-    SELECT label AS clabel, dim,
-           CAST(SUM(v) // COUNT(*) AS BIGINT) AS c
-    FROM pts GROUP BY label, dim
-),
-d2 AS (
-    SELECT p.vec_id, p.label, c.clabel,
-           CAST(SUM((p.v - c.c) * (p.v - c.c)) AS BIGINT) AS dd
-    FROM pts p JOIN cent c ON c.dim = p.dim
-    GROUP BY p.vec_id, p.label, c.clabel
-),
-ab AS (
-    SELECT vec_id, label,
-           CAST(MAX(CASE WHEN clabel = label THEN dd END) AS BIGINT) AS a2,
-           CAST(MIN(CASE WHEN clabel <> label THEN dd END) AS BIGINT) AS b2
-    FROM d2 GROUP BY vec_id, label
-),
-s AS (
-    SELECT label,
-           CAST(ROUND(1000000.0 * ((SQRT(CAST(b2 AS DOUBLE)) - SQRT(CAST(a2 AS DOUBLE)))
-                 / GREATEST(SQRT(CAST(a2 AS DOUBLE)), SQRT(CAST(b2 AS DOUBLE)))))
-               AS BIGINT) AS si
-    FROM ab
-)
-SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(CAST(SUM(si) AS DOUBLE) / 1000000.0 / COUNT(*), 4)
-           AS mean_silhouette
-FROM s GROUP BY label
-ORDER BY label
-""",
-    tags=("ml-eval", "similarity", "A12"),
-)
-def q335_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simplified silhouette per label cluster over embeddings:
-    (label, n, mean_silhouette)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("dim0", "raw"),
-    ).select(
-        "vec_id",
-        "label",
-        (F.col("dim0") + 1).alias("dim"),
-        (F.round(1000000.0 * F.col("raw")).cast("long") + 1000000).alias(
-            "v"
-        ),
-    )
-    cent = pts.groupBy(F.col("label").alias("clabel"), "dim").agg(
-        F.expr("sum(v) div count(*)").cast("long").alias("c")
-    )
-    d2 = (
-        pts.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "label", "clabel")
-        .agg(
-            F.sum(
-                (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
-            ).alias("dd")
-        )
-    )
-    ab = d2.groupBy("vec_id", "label").agg(
-        F.max(
-            F.when(F.col("clabel") == F.col("label"), F.col("dd"))
-        ).alias("a2"),
-        F.min(
-            F.when(F.col("clabel") != F.col("label"), F.col("dd"))
-        ).alias("b2"),
-    )
-    sa = F.sqrt(F.col("a2").cast("double"))
-    sb = F.sqrt(F.col("b2").cast("double"))
-    s = ab.select(
-        "label",
-        F.round(1000000.0 * ((sb - sa) / F.greatest(sa, sb)))
-        .cast("long")
-        .alias("si"),
-    )
-    return (
-        s.groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(
-                F.sum("si").cast("double") / 1000000.0 / F.count(F.lit(1)),
-                4,
-            ).alias("mean_silhouette"),
-        )
-        .select(
-            "label",
-            F.col("n").cast("long").alias("n"),
-            "mean_silhouette",
-        )
-        .orderBy("label")
-    )
-
-
-# --------------------------------------------------------------------------
 # q336 - MinHash-LSH parameter planner: for each target Jaccard
 # threshold, score every (bands b, rows r) layout with b*r <= 64 hash
 # budget by detection probability p(t) = 1 - (1 - t^r)^b at the target
@@ -2778,795 +1856,6 @@ def q338_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q339 - Ljung-Box portmanteau test of the daily event-count series:
-# autocorrelation rho_k at lags 1..7 plus the cumulative Q_k statistic
-# (n(n+2) * sum_{i<=k} rho_i^2/(n-i)). The "is this series white noise"
-# gate that decides whether q272's backtests / q307's lead-lag reads are
-# structure or nothing.
-# Parity: daily counts are exact integers; centering uses d_t = n*x_t - S
-# (exact, no rational mean); lag products and the denominator are exact
-# integer sums; each rho is one double ratio; the cumulative sum is
-# frozen per term (round(1e8 * rho^2/(n-k))) so the 7-term accumulation
-# is integer, then Q is one double expression, 4dp.
-# Scale: one keyed aggregate to the calendar-bounded daily relation
-# (~tens of rows at any SF); the lag windows run on that bounded series.
-# --------------------------------------------------------------------------
-@register(
-    "q339_ljung_box",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-tot AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
-    FROM ranked
-),
-d AS (
-    SELECT r.t, tot.n, tot.n * r.x - tot.s AS dv
-    FROM ranked r CROSS JOIN tot
-),
-den AS (
-    SELECT CAST(SUM(dv * dv) AS BIGINT) AS dd FROM d
-),
-lagged AS (
-    SELECT t, n, dv,
-           LAG(dv, 1) OVER (ORDER BY t) AS l1,
-           LAG(dv, 2) OVER (ORDER BY t) AS l2,
-           LAG(dv, 3) OVER (ORDER BY t) AS l3,
-           LAG(dv, 4) OVER (ORDER BY t) AS l4,
-           LAG(dv, 5) OVER (ORDER BY t) AS l5,
-           LAG(dv, 6) OVER (ORDER BY t) AS l6,
-           LAG(dv, 7) OVER (ORDER BY t) AS l7
-    FROM d
-),
-nums AS (
-    SELECT k, num, n FROM (
-        SELECT 1 AS k, CAST(SUM(dv * l1) AS BIGINT) AS num, MAX(n) AS n FROM lagged
-        UNION ALL
-        SELECT 2, CAST(SUM(dv * l2) AS BIGINT), MAX(n) FROM lagged
-        UNION ALL
-        SELECT 3, CAST(SUM(dv * l3) AS BIGINT), MAX(n) FROM lagged
-        UNION ALL
-        SELECT 4, CAST(SUM(dv * l4) AS BIGINT), MAX(n) FROM lagged
-        UNION ALL
-        SELECT 5, CAST(SUM(dv * l5) AS BIGINT), MAX(n) FROM lagged
-        UNION ALL
-        SELECT 6, CAST(SUM(dv * l6) AS BIGINT), MAX(n) FROM lagged
-        UNION ALL
-        SELECT 7, CAST(SUM(dv * l7) AS BIGINT), MAX(n) FROM lagged
-    ) u
-),
-rho AS (
-    SELECT k, n,
-           CAST(num AS DOUBLE) / den.dd AS r,
-           CAST(ROUND(100000000.0 * (CAST(num AS DOUBLE) / den.dd)
-                      * (CAST(num AS DOUBLE) / den.dd) / (n - k))
-                AS BIGINT) AS term
-    FROM nums CROSS JOIN den
-),
-cum AS (
-    SELECT k, n, r,
-           CAST(SUM(term) OVER (ORDER BY k
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS BIGINT) AS cterm
-    FROM rho
-)
-SELECT CAST(k AS BIGINT) AS lag, ROUND(r, 4) AS rho,
-       ROUND(CAST(n AS DOUBLE) * (n + 2) * (cterm / 100000000.0), 4) AS q_stat
-FROM cum
-ORDER BY lag
-""",
-    tags=("timeseries", "A12", "W2"),
-)
-def q339_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ljung-Box autocorrelation test of daily event counts, lags 1-7:
-    (lag, rho, q_stat)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    # Bounded calendar series (~tens of rows at any SF): the global
-    # window runs on the post-aggregate relation, never raw rows.
-    ranked = daily.select(
-        "x", F.row_number().over(Window.orderBy("day")).alias("t")
-    )
-    tot = ranked.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("s")
-    )
-    d = ranked.crossJoin(F.broadcast(tot)).select(
-        "t", "n", (F.col("n") * F.col("x") - F.col("s")).alias("dv")
-    )
-    den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("dd"))
-    wt = Window.orderBy("t")
-    lag_cols = [
-        F.lag("dv", k).over(wt).alias(f"l{k}") for k in range(1, 8)
-    ]
-    lagged = d.select("t", "n", "dv", *lag_cols)
-    nums = None
-    for k in range(1, 8):
-        part = lagged.agg(
-            F.lit(k).alias("k"),
-            F.sum(F.col("dv") * F.col(f"l{k}")).alias("num"),
-            F.max("n").alias("n"),
-        )
-        nums = part if nums is None else nums.unionByName(part)
-    r = F.col("num").cast("double") / F.col("dd")
-    rho = nums.crossJoin(F.broadcast(den)).select(
-        "k",
-        "n",
-        r.alias("r"),
-        F.round(100000000.0 * r * r / (F.col("n") - F.col("k")))
-        .cast("long")
-        .alias("term"),
-    )
-    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
-    cum = rho.select(
-        "k", "n", "r", F.sum("term").over(wk).cast("long").alias("cterm")
-    )
-    return cum.select(
-        F.col("k").cast("long").alias("lag"),
-        F.round("r", 4).alias("rho"),
-        F.round(
-            F.col("n").cast("double")
-            * (F.col("n") + 2)
-            * (F.col("cterm") / 100000000.0),
-            4,
-        ).alias("q_stat"),
-    ).orderBy("lag")
-
-
-# --------------------------------------------------------------------------
-# q340 - Durbin-Watson autocorrelation-of-residuals statistic for the
-# daily event-count linear trend: fit count ~ a + b*t by exact OLS
-# (q298's integer sufficient statistics), then DW = sum (e_t - e_{t-1})^2
-# / sum e_t^2 over the residual series. DW ~ 2 means the trend residuals
-# are independent; DW << 2 means q294/q271's trend reads ride on serial
-# correlation the OLS standard errors ignore.
-# Parity: OLS slope/intercept are single double expressions over exact
-# integer sums; residuals are frozen to round(1e6*e) per row (identical
-# expression both engines), so both DW sums are exact integers; the final
-# ratio is one double, 4dp.
-# Scale: one keyed aggregate to the bounded daily relation; residual
-# algebra runs on ~tens of rows.
-# --------------------------------------------------------------------------
-@register(
-    "q340_durbin_watson",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-s AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(t) AS BIGINT) AS st,
-           CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(t * t) AS BIGINT) AS stt,
-           CAST(SUM(t * x) AS BIGINT) AS stx
-    FROM ranked
-),
-fit AS (
-    SELECT n,
-           CAST(n * stx - st * sx AS DOUBLE)
-               / CAST(n * stt - st * st AS DOUBLE) AS slope,
-           (CAST(sx AS DOUBLE)
-            - (CAST(n * stx - st * sx AS DOUBLE)
-               / CAST(n * stt - st * st AS DOUBLE)) * st) / n AS icept
-    FROM s
-),
-resid AS (
-    SELECT r.t,
-           CAST(ROUND(1000000.0 * (r.x - (f.icept + f.slope * r.t)))
-                AS BIGINT) AS e
-    FROM ranked r CROSS JOIN fit f
-),
-lagged AS (
-    SELECT e, LAG(e, 1) OVER (ORDER BY t) AS ep FROM resid
-),
-dw AS (
-    SELECT CAST(SUM(CASE WHEN ep IS NOT NULL
-                         THEN (e - ep) * (e - ep) END) AS BIGINT) AS num,
-           CAST(SUM(e * e) AS BIGINT) AS den
-    FROM lagged
-)
-SELECT f.n AS n_days, ROUND(f.slope, 4) AS slope,
-       ROUND(CAST(d.num AS DOUBLE) / d.den, 4) AS dw,
-       ROUND(1.0 - (CAST(d.num AS DOUBLE) / d.den) / 2.0, 4) AS rho1_approx
-FROM fit f CROSS JOIN dw d
-""",
-    tags=("timeseries", "A12"),
-)
-def q340_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Durbin-Watson statistic of daily-count trend residuals:
-    (n_days, slope, dw, rho1_approx)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    ranked = daily.select(
-        "x", F.row_number().over(Window.orderBy("day")).alias("t")
-    )
-    s = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("t").alias("st"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("t") * F.col("t")).alias("stt"),
-        F.sum(F.col("t") * F.col("x")).alias("stx"),
-    )
-    slope = (
-        F.col("n") * F.col("stx") - F.col("st") * F.col("sx")
-    ).cast("double") / (
-        F.col("n") * F.col("stt") - F.col("st") * F.col("st")
-    ).cast("double")
-    fit = s.select(
-        "n",
-        slope.alias("slope"),
-        (
-            (F.col("sx").cast("double") - slope * F.col("st")) / F.col("n")
-        ).alias("icept"),
-    )
-    resid = ranked.crossJoin(F.broadcast(fit)).select(
-        "t",
-        F.round(
-            1000000.0
-            * (F.col("x") - (F.col("icept") + F.col("slope") * F.col("t")))
-        )
-        .cast("long")
-        .alias("e"),
-    )
-    lagged = resid.select(
-        "e", F.lag("e", 1).over(Window.orderBy("t")).alias("ep")
-    )
-    dw = lagged.agg(
-        F.sum(
-            F.when(
-                F.col("ep").isNotNull(),
-                (F.col("e") - F.col("ep")) * (F.col("e") - F.col("ep")),
-            )
-        ).alias("num"),
-        F.sum(F.col("e") * F.col("e")).alias("den"),
-    )
-    ratio = F.col("num").cast("double") / F.col("den")
-    return (
-        fit.select("n", "slope")
-        .crossJoin(F.broadcast(dw))
-        .select(
-            F.col("n").cast("long").alias("n_days"),
-            F.round("slope", 4).alias("slope"),
-            F.round(ratio, 4).alias("dw"),
-            F.round(1.0 - ratio / 2.0, 4).alias("rho1_approx"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
-# q341 - simple-exponential-smoothing one-step-ahead forecast of the
-# daily event-count series with alpha = 0.5: for each day t >= 2 the
-# forecast is the smoothed level of days 1..t-1, unrolled to the closed
-# form l_m = sum_j w_{m,j} x_j with w_{m,1} = 0.5^(m-1) and
-# w_{m,j>=2} = 0.5^(m-j+1). The monitooring baseline q272's backtest
-# compares against.
-# Parity: alpha = 0.5 makes every weight an exact power of two, so each
-# term x_j * w is an exact double; terms are frozen to round(1e6*term)
-# and integer-summed (no cross-row float accumulation); the forecast and
-# error are rationals over those integers, 4dp.
-# Scale: the pair join is over the bounded daily relation (~tens of
-# rows) — quadratic in days, constant in corpus size.
-# --------------------------------------------------------------------------
-@register(
-    "q341_ses_forecast",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-levels AS (
-    SELECT a.t AS m,
-           CAST(SUM(CAST(ROUND(1000000.0 * b.x *
-                CASE WHEN b.t = 1 THEN POW(0.5, a.t - 1)
-                     ELSE POW(0.5, a.t - b.t + 1) END) AS BIGINT))
-                AS BIGINT) AS l_int
-    FROM ranked a JOIN ranked b ON b.t <= a.t
-    GROUP BY a.t
-)
-SELECT r.t, CAST(r.day AS VARCHAR) AS day, r.x,
-       CAST(ROUND(l.l_int / 100.0) AS BIGINT) / 10000.0 AS forecast,
-       CAST(ROUND((r.x * 1000000 - l.l_int) / 100.0) AS BIGINT) / 10000.0
-           AS err
-FROM ranked r
-JOIN levels l ON l.m = r.t - 1
-ORDER BY r.t
-""",
-    tags=("timeseries", "W2", "A12"),
-)
-def q341_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exponential-smoothing (alpha=0.5) one-step daily-count forecasts:
-    (t, day, x, forecast, err)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    ranked = daily.select(
-        "day",
-        "x",
-        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
-    )
-    a = ranked.select(F.col("t").alias("m"))
-    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
-    w = F.when(
-        F.col("j") == 1, F.pow(F.lit(0.5), F.col("m") - 1)
-    ).otherwise(F.pow(F.lit(0.5), F.col("m") - F.col("j") + 1))
-    levels = (
-        a.join(b, F.col("j") <= F.col("m"))
-        .groupBy("m")
-        .agg(
-            F.sum(
-                F.round(1000000.0 * F.col("xj") * w).cast("long")
-            ).alias("l_int")
-        )
-    )
-    return (
-        ranked.join(
-            levels, F.col("m") == F.col("t") - 1
-        )
-        .select(
-            "t",
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "x",
-            # round at integer scale: l_int/100 lands exactly on .5 at
-            # half-way cases (exactly representable), so both engines
-            # agree; rounding l_int/1e6 to 4dp does not.
-            (
-                F.round(F.col("l_int") / 100.0).cast("long") / 10000.0
-            ).alias("forecast"),
-            (
-                F.round(
-                    (F.col("x") * 1000000 - F.col("l_int")) / 100.0
-                ).cast("long")
-                / 10000.0
-            ).alias("err"),
-        )
-        .orderBy("t")
-    )
-
-
-# --------------------------------------------------------------------------
-# q342 - Hampel filter over the daily event-count series: rolling
-# (+-3 day) median and MAD, flagging days where |x - med| exceeds
-# 3 * 1.4826 * MAD — the robust outlier detector that q153's z-score
-# anomalies can't be (one wild day drags a mean; it barely moves a
-# median). The frame is ROWS-based so series edges use their truncated
-# neighborhoods.
-# Parity: counts are integers, so the interpolated rolling median is an
-# exact multiple of 0.5 and the MAD an exact multiple of 0.25 (linear
-# interpolation over exact values on both engines); the outlier
-# comparison is made on round(1e4*...) frozen sides so a last-ulp
-# difference in the 1.4826 product cannot flip a flag.
-# Scale: the +-3 neighborhood pair join runs on the bounded daily
-# relation (~tens of rows) — constant work regardless of corpus size.
-# --------------------------------------------------------------------------
-@register(
-    "q342_hampel_filter",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-med AS (
-    SELECT a.t, QUANTILE_CONT(CAST(b.x AS DOUBLE), 0.5) AS med
-    FROM ranked a JOIN ranked b ON b.t BETWEEN a.t - 3 AND a.t + 3
-    GROUP BY a.t
-),
-mad AS (
-    SELECT a.t, QUANTILE_CONT(ABS(CAST(b.x AS DOUBLE) - m.med), 0.5) AS mad
-    FROM ranked a
-    JOIN med m ON m.t = a.t
-    JOIN ranked b ON b.t BETWEEN a.t - 3 AND a.t + 3
-    GROUP BY a.t
-)
-SELECT r.t, CAST(r.day AS VARCHAR) AS day, r.x,
-       ROUND(m.med, 4) AS med, ROUND(d.mad, 4) AS mad,
-       CAST(CASE WHEN CAST(ROUND(10000.0 * ABS(r.x - m.med)) AS BIGINT)
-                      > CAST(ROUND(10000.0 * (3.0 * 1.4826 * d.mad))
-                             AS BIGINT)
-                 THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
-FROM ranked r
-JOIN med m ON m.t = r.t
-JOIN mad d ON d.t = r.t
-ORDER BY r.t
-""",
-    tags=("timeseries", "W4", "A12"),
-)
-def q342_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hampel rolling-median/MAD outlier flags on daily counts:
-    (t, day, x, med, mad, is_outlier)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    ranked = daily.select(
-        "day",
-        "x",
-        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
-    )
-    a = ranked.select(F.col("t").alias("ct"))
-    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
-    nbr = a.join(
-        b,
-        (F.col("j") >= F.col("ct") - 3) & (F.col("j") <= F.col("ct") + 3),
-    )
-    med = nbr.groupBy("ct").agg(
-        F.expr("percentile(CAST(xj AS DOUBLE), 0.5)").alias("med")
-    )
-    mad = (
-        nbr.join(med, "ct")
-        .groupBy("ct")
-        .agg(
-            F.expr(
-                "percentile(ABS(CAST(xj AS DOUBLE) - med), 0.5)"
-            ).alias("mad")
-        )
-    )
-    flag = (
-        F.round(10000.0 * F.abs(F.col("x") - F.col("med"))).cast("long")
-        > F.round(10000.0 * (3.0 * 1.4826 * F.col("mad"))).cast("long")
-    ).cast("long")
-    return (
-        ranked.join(med, F.col("ct") == F.col("t"))
-        .drop("ct")
-        .join(mad, F.col("ct") == F.col("t"))
-        .drop("ct")
-        .select(
-            "t",
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "x",
-            F.round("med", 4).alias("med"),
-            F.round("mad", 4).alias("mad"),
-            flag.alias("is_outlier"),
-        )
-        .orderBy("t")
-    )
-
-
-# --------------------------------------------------------------------------
-# q348 - pairwise Granger-causality screen over the daily event-count
-# series: does yesterday's CLICK count improve the prediction of today's
-# PURCHASE count beyond purchase's own lag? Unrestricted OLS
-# y_t ~ 1 + y_{t-1} + x_{t-1} vs restricted y_t ~ 1 + y_{t-1}; the
-# F statistic ((RSS_r - RSS_u)/1) / (RSS_u/(n-3)) is the Granger test.
-# The causal-screen companion to q307's lead-lag correlations (which
-# measure association at a lag; this one tests incremental predictive
-# value).
-# Parity: both daily series are exact integers; centering uses the
-# n-scaled d = n*v - S trick (q339), so every sufficient statistic
-# (Suu, Svv, Suv, Swu, Swv, Sww) is an exact integer accumulated in
-# DECIMAL(38,0)/HUGEINT (n-scaled squares pass 2^63 at large SF);
-# b1/b2/RSS/F are one fixed double expression over those integers -
-# identical IEEE op sequence on both engines. 4dp.
-# Scale: one conditional aggregate collapses the corpus to the
-# calendar-bounded daily relation; everything after runs on ~tens of
-# rows and three 1-row broadcasts.
-# --------------------------------------------------------------------------
-@register(
-    "q348_granger_causality",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
-               AS y,
-           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
-               AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT y, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-rows_ AS (
-    SELECT a.y AS yt, b.y AS yl, b.x AS xl
-    FROM ranked a JOIN ranked b ON b.t = a.t - 1
-),
-raw AS (
-    SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(yt) AS BIGINT) AS sw,
-           CAST(SUM(yl) AS BIGINT) AS su,
-           CAST(SUM(xl) AS BIGINT) AS sv
-    FROM rows_
-),
-cent AS (
-    SELECT r.n,
-           CAST(SUM(CAST(r.n * w.yl - r.su AS HUGEINT)
-                    * CAST(r.n * w.yl - r.su AS HUGEINT)) AS HUGEINT)
-               AS suu,
-           CAST(SUM(CAST(r.n * w.xl - r.sv AS HUGEINT)
-                    * CAST(r.n * w.xl - r.sv AS HUGEINT)) AS HUGEINT)
-               AS svv,
-           CAST(SUM(CAST(r.n * w.yl - r.su AS HUGEINT)
-                    * CAST(r.n * w.xl - r.sv AS HUGEINT)) AS HUGEINT)
-               AS suv,
-           CAST(SUM(CAST(r.n * w.yt - r.sw AS HUGEINT)
-                    * CAST(r.n * w.yl - r.su AS HUGEINT)) AS HUGEINT)
-               AS swu,
-           CAST(SUM(CAST(r.n * w.yt - r.sw AS HUGEINT)
-                    * CAST(r.n * w.xl - r.sv AS HUGEINT)) AS HUGEINT)
-               AS swv,
-           CAST(SUM(CAST(r.n * w.yt - r.sw AS HUGEINT)
-                    * CAST(r.n * w.yt - r.sw AS HUGEINT)) AS HUGEINT)
-               AS sww
-    FROM rows_ w CROSS JOIN raw r
-    GROUP BY r.n
-)
-SELECT n,
-       ROUND((CAST(swu AS DOUBLE) * CAST(svv AS DOUBLE)
-              - CAST(swv AS DOUBLE) * CAST(suv AS DOUBLE))
-             / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
-                - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)), 4) AS b_ylag,
-       ROUND((CAST(swv AS DOUBLE) * CAST(suu AS DOUBLE)
-              - CAST(swu AS DOUBLE) * CAST(suv AS DOUBLE))
-             / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
-                - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)), 4) AS b_xlag,
-       ROUND(((CAST(sww AS DOUBLE)
-               - CAST(swu AS DOUBLE) * CAST(swu AS DOUBLE)
-                 / CAST(suu AS DOUBLE))
-              - (CAST(sww AS DOUBLE)
-                 - (CAST(swu AS DOUBLE)
-                    * (CAST(swu AS DOUBLE) * CAST(svv AS DOUBLE)
-                       - CAST(swv AS DOUBLE) * CAST(suv AS DOUBLE))
-                    + CAST(swv AS DOUBLE)
-                      * (CAST(swv AS DOUBLE) * CAST(suu AS DOUBLE)
-                         - CAST(swu AS DOUBLE) * CAST(suv AS DOUBLE)))
-                   / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
-                      - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE))))
-             / ((CAST(sww AS DOUBLE)
-                 - (CAST(swu AS DOUBLE)
-                    * (CAST(swu AS DOUBLE) * CAST(svv AS DOUBLE)
-                       - CAST(swv AS DOUBLE) * CAST(suv AS DOUBLE))
-                    + CAST(swv AS DOUBLE)
-                      * (CAST(swv AS DOUBLE) * CAST(suu AS DOUBLE)
-                         - CAST(swu AS DOUBLE) * CAST(suv AS DOUBLE)))
-                   / (CAST(suu AS DOUBLE) * CAST(svv AS DOUBLE)
-                      - CAST(suv AS DOUBLE) * CAST(suv AS DOUBLE)))
-                / (n - 3)), 4) AS f_stat
-FROM cent
-""",
-    tags=("timeseries", "ml-eval", "A12"),
-)
-def q348_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Granger F-test: does the lagged click count improve next-day
-    purchase-count prediction? (n, b_ylag, b_xlag, f_stat)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(
-        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
-        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
-    )
-    ranked = daily.select(
-        "y", "x", F.row_number().over(Window.orderBy("day")).alias("t")
-    )
-    a = ranked.select(F.col("t").alias("ta"), F.col("y").alias("yt"))
-    b = ranked.select(
-        F.col("t").alias("tb"), F.col("y").alias("yl"), F.col("x").alias("xl")
-    )
-    rows = a.join(b, F.col("tb") == F.col("ta") - 1).select("yt", "yl", "xl")
-    raw = rows.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("yt").alias("sw"),
-        F.sum("yl").alias("su"),
-        F.sum("xl").alias("sv"),
-    )
-    dec = "decimal(38,0)"
-    u = (F.col("n") * F.col("yl") - F.col("su")).cast(dec)
-    v = (F.col("n") * F.col("xl") - F.col("sv")).cast(dec)
-    w = (F.col("n") * F.col("yt") - F.col("sw")).cast(dec)
-    cent = (
-        rows.crossJoin(F.broadcast(raw))
-        .groupBy("n")
-        .agg(
-            F.sum(u * u).alias("suu"),
-            F.sum(v * v).alias("svv"),
-            F.sum(u * v).alias("suv"),
-            F.sum(w * u).alias("swu"),
-            F.sum(w * v).alias("swv"),
-            F.sum(w * w).alias("sww"),
-        )
-    )
-    suu, svv, suv = (
-        F.col("suu").cast("double"),
-        F.col("svv").cast("double"),
-        F.col("suv").cast("double"),
-    )
-    swu, swv, sww = (
-        F.col("swu").cast("double"),
-        F.col("swv").cast("double"),
-        F.col("sww").cast("double"),
-    )
-    den = suu * svv - suv * suv
-    b1 = (swu * svv - swv * suv) / den
-    b2 = (swv * suu - swu * suv) / den
-    rss_u = sww - (swu * (swu * svv - swv * suv)
-                   + swv * (swv * suu - swu * suv)) / den
-    rss_r = sww - swu * swu / suu
-    return cent.select(
-        F.col("n").cast("long").alias("n"),
-        F.round(b1, 4).alias("b_ylag"),
-        F.round(b2, 4).alias("b_xlag"),
-        F.round((rss_r - rss_u) / (rss_u / (F.col("n") - 3)), 4).alias(
-            "f_stat"
-        ),
-    )
-
-
-# --------------------------------------------------------------------------
-# q349 - partial autocorrelation (PACF) of the daily event-count series
-# at lags 1..5 via the Durbin-Levinson recursion, unrolled to a fixed
-# chain of scalar transforms on a 1-row relation. The AR-order
-# diagnostic that reads q247's ACF correctly ("is lag 3 real signal or
-# just lag-1 echo") - the standard Box-Jenkins identification plot.
-# Parity: each rho_k is frozen to round(1e8*num/den) over the exact
-# n-scaled integer lag sums (q339's centering), so both engines start
-# from identical doubles; the recursion itself is the SAME generated
-# arithmetic string evaluated as a Spark expression and as DuckDB SQL -
-# a fixed IEEE op sequence, bit-identical on identical inputs. 4dp.
-# Scale: one aggregate to the calendar-bounded daily relation; the
-# recursion runs on one row.
-# --------------------------------------------------------------------------
-_PACF_LAGS = 5
-
-
-def _durbin_levinson_selects() -> list[list[tuple[str, str]]]:
-    """Unrolled Durbin-Levinson: per level k, the (column, expression)
-    pairs computing phi_k1..phi_kk and sig_k from level k-1 and the
-    frozen rho columns r1..r5. The SAME strings drive Spark's F.expr and
-    the DuckDB CTE chain, so the engines execute identical arithmetic."""
-    levels = []
-    # level 1
-    levels.append([("p1_1", "r1"), ("sig1", "1.0 - r1 * r1")])
-    for k in range(2, _PACF_LAGS + 1):
-        cols = []
-        num = f"r{k} - (" + " + ".join(
-            f"p{k - 1}_{j} * r{k - j}" for j in range(1, k)
-        ) + ")"
-        cols.append((f"p{k}_{k}", f"({num}) / sig{k - 1}"))
-        for j in range(1, k):
-            cols.append(
-                (f"p{k}_{j}", f"p{k - 1}_{j} - (({num}) / sig{k - 1}) * p{k - 1}_{k - j}")
-            )
-        cols.append(
-            (f"sig{k}",
-             f"sig{k - 1} * (1.0 - (({num}) / sig{k - 1}) * (({num}) / sig{k - 1}))")
-        )
-        levels.append(cols)
-    return levels
-
-
-def _pacf_oracle() -> str:
-    lag_nums = ",\n".join(
-        f"""nums{k} AS (
-    SELECT CAST(SUM(a.dv * b.dv) AS BIGINT) AS num
-    FROM d a JOIN d b ON b.t = a.t + {k}
-)""" for k in range(1, _PACF_LAGS + 1)
-    )
-    rho_cols = ", ".join(
-        f"CAST(ROUND(100000000.0 * nums{k}.num / den.dd) AS BIGINT)"
-        f" / 100000000.0 AS r{k}"
-        for k in range(1, _PACF_LAGS + 1)
-    )
-    rho_from = " CROSS JOIN ".join(
-        ["den"] + [f"nums{k}" for k in range(1, _PACF_LAGS + 1)]
-    )
-    lev_ctes = []
-    prev = "rho"
-    for i, cols in enumerate(_durbin_levinson_selects(), start=1):
-        exprs = ", ".join(f"{e} AS {c}" for c, e in cols)
-        lev_ctes.append(f"lev{i} AS (SELECT *, {exprs} FROM {prev})")
-        prev = f"lev{i}"
-    pacf_rows = "\nUNION ALL\n".join(
-        f"SELECT CAST({k} AS BIGINT) AS lag, ROUND(r{k}, 4) AS rho,"
-        f" ROUND(p{k}_{k}, 4) AS pacf FROM lev{_PACF_LAGS}"
-        for k in range(1, _PACF_LAGS + 1)
-    )
-    return f"""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx
-      FROM ranked),
-d AS (
-    SELECT r.t, r.x * s.n - s.sx AS dv FROM ranked r CROSS JOIN s
-),
-den AS (SELECT CAST(SUM(dv * dv) AS BIGINT) AS dd FROM d),
-{lag_nums},
-rho AS (SELECT {rho_cols} FROM {rho_from}),
-{", ".join(lev_ctes)}
-{pacf_rows}
-ORDER BY lag
-"""
-
-
-@register(
-    "q349_pacf",
-    oracle=_pacf_oracle(),
-    tags=("timeseries", "A12", "W2"),
-)
-def q349_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partial autocorrelation of daily event counts, lags 1-5 via
-    unrolled Durbin-Levinson: (lag, rho, pacf)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    ranked = daily.select(
-        "x", F.row_number().over(Window.orderBy("day")).alias("t")
-    )
-    s = ranked.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
-    )
-    d = ranked.crossJoin(F.broadcast(s)).select(
-        "t", (F.col("x") * F.col("n") - F.col("sx")).alias("dv")
-    )
-    den = d.agg(F.sum(F.col("dv") * F.col("dv")).alias("dd"))
-    wt = Window.orderBy("t")
-    lagged = d.select(
-        "dv",
-        *[F.lead("dv", k).over(wt).alias(f"l{k}")
-          for k in range(1, _PACF_LAGS + 1)],
-    )
-    nums = lagged.agg(
-        *[F.sum(F.col("dv") * F.col(f"l{k}")).alias(f"num{k}")
-          for k in range(1, _PACF_LAGS + 1)]
-    )
-    rho = nums.crossJoin(F.broadcast(den)).select(
-        *[
-            (
-                F.round(100000000.0 * F.col(f"num{k}") / F.col("dd"))
-                .cast("long")
-                / 100000000.0
-            ).alias(f"r{k}")
-            for k in range(1, _PACF_LAGS + 1)
-        ]
-    )
-    lev = rho
-    for cols in _durbin_levinson_selects():
-        lev = lev.select("*", *[F.expr(e).alias(c) for c, e in cols])
-    out = None
-    for k in range(1, _PACF_LAGS + 1):
-        row = lev.select(
-            F.lit(k).cast("long").alias("lag"),
-            F.round(F.col(f"r{k}"), 4).alias("rho"),
-            F.round(F.col(f"p{k}_{k}"), 4).alias("pacf"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("lag")
-
-
-# --------------------------------------------------------------------------
 # q353 - Tukey HSD post-hoc pairwise comparisons after q332's one-way
 # ANOVA (n_chars by lang): for every language pair, the studentized-range
 # statistic q = |mean_i - mean_j| / sqrt(MSW/2 * (1/n_i + 1/n_j)) with
@@ -3667,262 +1956,6 @@ def q353_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_stat"),
         )
         .orderBy("lang_a", "lang_b")
-    )
-
-
-# --------------------------------------------------------------------------
-# q354 - Poisson overdispersion test of per-type daily event counts: the
-# dispersion index D = (n-1)*s^2/mean against its chi-square null, with
-# the normal-approximation z = (D - (n-1)) / sqrt(2*(n-1)). "Is this
-# arrival process Poisson or bursty" - the capacity-planning gate that
-# decides whether mean-based provisioning (q320 peak concurrency reads
-# the other side) is even meaningful.
-# Parity: daily counts are exact integers; n/Sx/Sxx are exact; s^2, D
-# and z are single double expressions over them. 4dp.
-# Scale: one (type, day) keyed aggregate then a (type) keyed reduce over
-# the calendar-bounded relation.
-# --------------------------------------------------------------------------
-@register(
-    "q354_dispersion_test",
-    oracle="""
-WITH daily AS (
-    SELECT event_type,
-           CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1, 2
-),
-s AS (
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(x * x) AS BIGINT) AS sxx
-    FROM daily GROUP BY event_type
-)
-SELECT event_type, n,
-       ROUND(CAST(sx AS DOUBLE) / n, 4) AS mean_daily,
-       ROUND((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-             / (CAST(n AS DOUBLE) * (n - 1)), 4) AS var_daily,
-       ROUND(((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-              / (CAST(n AS DOUBLE) * (n - 1))) * (n - 1)
-             / (CAST(sx AS DOUBLE) / n), 4) AS dispersion,
-       ROUND((((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-               / (CAST(n AS DOUBLE) * (n - 1))) * (n - 1)
-              / (CAST(sx AS DOUBLE) / n) - (n - 1))
-             / SQRT(2.0 * (n - 1)), 4) AS z,
-       CAST(CASE WHEN (((n * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * sx)
-                        / (CAST(n AS DOUBLE) * (n - 1))) * (n - 1)
-                       / (CAST(sx AS DOUBLE) / n) - (n - 1))
-                      / SQRT(2.0 * (n - 1)) > 2.0
-                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
-FROM s ORDER BY event_type
-""",
-    tags=("timeseries", "capacity", "A12"),
-)
-def q354_dispersion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson dispersion index of daily counts per event type:
-    (event_type, n, mean_daily, var_daily, dispersion, z,
-    overdispersed)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    s = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    var = (
-        F.col("n") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx")
-    ) / (F.col("n").cast("double") * (F.col("n") - 1))
-    disp = var * (F.col("n") - 1) / (F.col("sx").cast("double") / F.col("n"))
-    z = (disp - (F.col("n") - 1)) / F.sqrt(2.0 * (F.col("n") - 1))
-    return s.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round(F.col("sx").cast("double") / F.col("n"), 4).alias(
-            "mean_daily"
-        ),
-        F.round(var, 4).alias("var_daily"),
-        F.round(disp, 4).alias("dispersion"),
-        F.round(z, 4).alias("z"),
-        (z > 2.0).cast("long").alias("overdispersed"),
-    ).orderBy("event_type")
-
-
-# --------------------------------------------------------------------------
-# q359 - forecast-accuracy scorecard: MAE / MAPE / sMAPE / MASE of the
-# q341 exponential-smoothing one-step forecasts NEXT TO the naive-1
-# (yesterday's value) baseline over the daily event-count series. MASE
-# (error scaled by the naive MAE) is the metric that makes the two rows
-# directly comparable - MASE < 1 means the model beats persistence.
-# Parity: the SES level is q341's exact integer recurrence (frozen
-# per-term weights summed as integers); every per-day ratio term
-# (|e|/x, 2|e|/(x+f)) is frozen to round(1e8*term) before the per-model
-# sum; MAE sums are exact micro-integers; MASE is one double ratio. 4dp.
-# Scale: collapse-first to the calendar-bounded daily relation; the SES
-# pair join is quadratic in DAYS, constant in corpus size.
-# --------------------------------------------------------------------------
-@register(
-    "q359_forecast_eval",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-levels AS (
-    SELECT a.t AS m,
-           CAST(SUM(CAST(ROUND(1000000.0 * b.x *
-                CASE WHEN b.t = 1 THEN POW(0.5, a.t - 1)
-                     ELSE POW(0.5, a.t - b.t + 1) END) AS BIGINT))
-                AS BIGINT) AS l_int
-    FROM ranked a JOIN ranked b ON b.t <= a.t
-    GROUP BY a.t
-),
-fc AS (
-    SELECT 'ses' AS model, r.t, r.x,
-           ABS(r.x * 1000000 - l.l_int) AS ae_micro,
-           CAST(ROUND(100000000.0 * ABS(r.x * 1000000 - l.l_int)
-                / (1000000.0 * r.x)) AS BIGINT) AS ape_t,
-           CAST(ROUND(100000000.0 * 2.0 * ABS(r.x * 1000000 - l.l_int)
-                / (1000000.0 * r.x + l.l_int)) AS BIGINT) AS sape_t
-    FROM ranked r JOIN levels l ON l.m = r.t - 1
-    UNION ALL
-    SELECT 'naive', r.t, r.x,
-           ABS(r.x - p.x) * 1000000 AS ae_micro,
-           CAST(ROUND(100000000.0 * ABS(r.x - p.x)
-                / CAST(r.x AS DOUBLE)) AS BIGINT) AS ape_t,
-           CAST(ROUND(100000000.0 * 2.0 * ABS(r.x - p.x)
-                / CAST(r.x + p.x AS DOUBLE)) AS BIGINT) AS sape_t
-    FROM ranked r JOIN ranked p ON p.t = r.t - 1
-),
-agg AS (
-    SELECT model, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(ae_micro) AS BIGINT) AS sae,
-           CAST(SUM(ape_t) AS BIGINT) AS sape_sum,
-           CAST(SUM(sape_t) AS BIGINT) AS ssape_sum
-    FROM fc GROUP BY model
-),
-nmae AS (
-    SELECT CAST(sae AS DOUBLE) / n AS naive_mae FROM agg
-    WHERE model = 'naive'
-)
-SELECT a.model, a.n,
-       ROUND(a.sae / 1000000.0 / a.n, 4) AS mae,
-       ROUND(a.sape_sum / 100000000.0 / a.n, 4) AS mape,
-       ROUND(a.ssape_sum / 100000000.0 / a.n, 4) AS smape,
-       ROUND((CAST(a.sae AS DOUBLE) / a.n) / nm.naive_mae, 4) AS mase
-FROM agg a CROSS JOIN nmae nm
-ORDER BY a.model
-""",
-    tags=("timeseries", "ml-eval", "A12"),
-)
-def q359_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAE/MAPE/sMAPE/MASE of SES vs naive-1 daily-count forecasts:
-    (model, n, mae, mape, smape, mase)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    ranked = daily.select(
-        "day",
-        "x",
-        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
-    )
-    a = ranked.select(F.col("t").alias("m"))
-    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
-    w = F.when(
-        F.col("j") == 1, F.pow(F.lit(0.5), F.col("m") - 1)
-    ).otherwise(F.pow(F.lit(0.5), F.col("m") - F.col("j") + 1))
-    levels = (
-        a.join(b, F.col("j") <= F.col("m"))
-        .groupBy("m")
-        .agg(
-            F.sum(
-                F.round(1000000.0 * F.col("xj") * w).cast("long")
-            ).alias("l_int")
-        )
-    )
-    ses = ranked.join(levels, F.col("m") == F.col("t") - 1).select(
-        F.lit("ses").alias("model"),
-        "x",
-        F.abs(F.col("x") * 1000000 - F.col("l_int")).alias("ae_micro"),
-        F.round(
-            100000000.0
-            * F.abs(F.col("x") * 1000000 - F.col("l_int"))
-            / (1000000.0 * F.col("x"))
-        )
-        .cast("long")
-        .alias("ape_t"),
-        F.round(
-            100000000.0
-            * 2.0
-            * F.abs(F.col("x") * 1000000 - F.col("l_int"))
-            / (1000000.0 * F.col("x") + F.col("l_int"))
-        )
-        .cast("long")
-        .alias("sape_t"),
-    )
-    prev = ranked.select(
-        (F.col("t") + 1).alias("t"), F.col("x").alias("px")
-    )
-    naive = ranked.join(prev, "t").select(
-        F.lit("naive").alias("model"),
-        "x",
-        (F.abs(F.col("x") - F.col("px")) * 1000000).alias("ae_micro"),
-        F.round(
-            100000000.0
-            * F.abs(F.col("x") - F.col("px"))
-            / F.col("x").cast("double")
-        )
-        .cast("long")
-        .alias("ape_t"),
-        F.round(
-            100000000.0
-            * 2.0
-            * F.abs(F.col("x") - F.col("px"))
-            / (F.col("x") + F.col("px")).cast("double")
-        )
-        .cast("long")
-        .alias("sape_t"),
-    )
-    agg = (
-        ses.unionByName(naive)
-        .groupBy("model")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("ae_micro").alias("sae"),
-            F.sum("ape_t").alias("sape_sum"),
-            F.sum("sape_t").alias("ssape_sum"),
-        )
-    )
-    nmae = agg.filter(F.col("model") == "naive").select(
-        (F.col("sae").cast("double") / F.col("n")).alias("naive_mae")
-    )
-    return (
-        agg.crossJoin(F.broadcast(nmae))
-        .select(
-            "model",
-            F.col("n").cast("long").alias("n"),
-            F.round(F.col("sae") / 1000000.0 / F.col("n"), 4).alias("mae"),
-            F.round(
-                F.col("sape_sum") / 100000000.0 / F.col("n"), 4
-            ).alias("mape"),
-            F.round(
-                F.col("ssape_sum") / 100000000.0 / F.col("n"), 4
-            ).alias("smape"),
-            F.round(
-                (F.col("sae").cast("double") / F.col("n"))
-                / F.col("naive_mae"),
-                4,
-            ).alias("mase"),
-        )
-        .orderBy("model")
     )
 
 
@@ -4176,101 +2209,6 @@ def q362_anomaly_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q366 - circular time-of-day statistics per event type: map each event
-# to its angle on the 24h circle (theta = 2*pi*sec_of_day/86400) and
-# report the circular mean hour and the resultant length
-# R = |sum e^{i*theta}|/n - the statistics that get "mean hour of
-# activity" RIGHT when activity straddles midnight (a linear mean of
-# 23:00 and 01:00 says noon; the circular mean says midnight). R near 1
-# = concentrated daily peak, near 0 = uniform around the clock.
-# Parity: sec_of_day is exact integer arithmetic on epoch seconds (UTC-
-# pinned reader); cos/sin are frozen per event to round(1e6*trig) (the
-# q326 libm-ulp treatment) so C and S are exact integer sums; mean hour
-# and R are single double expressions with the SAME atan2 branch handling
-# ((atan2 + 2*pi) fmod 2*pi) on both engines. 4dp.
-# Scale: one narrow map + one (type) keyed aggregate with map-side
-# partials. Nothing downstream of the reduce exceeds the type dim.
-# --------------------------------------------------------------------------
-@register(
-    "q366_circular_stats",
-    oracle="""
-WITH ang AS (
-    SELECT event_type,
-           2.0 * PI()
-           * (CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) % 86400)
-               / 86400.0 AS theta
-    FROM events
-),
-frozen AS (
-    SELECT event_type,
-           CAST(ROUND(1000000.0 * COS(theta)) AS BIGINT) AS c,
-           CAST(ROUND(1000000.0 * SIN(theta)) AS BIGINT) AS s
-    FROM ang
-),
-agg AS (
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(s) AS BIGINT) AS ss
-    FROM frozen GROUP BY event_type
-)
-SELECT event_type, n,
-       ROUND(FMOD(ATAN2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))
-                  + 2.0 * PI(), 2.0 * PI()) / (2.0 * PI()) * 24.0, 4)
-           AS mean_hour,
-       ROUND(SQRT(CAST(sc AS DOUBLE) * sc + CAST(ss AS DOUBLE) * ss)
-             / (1000000.0 * n), 4) AS resultant_r
-FROM agg ORDER BY event_type
-""",
-    tags=("timeseries", "A12"),
-)
-def q366_circular_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Circular mean hour + resultant length per event type:
-    (event_type, n, mean_hour, resultant_r)."""
-    import math as _m
-
-    events = load_table(spark, sf_dir, "events")
-    theta = (
-        2.0
-        * _m.pi
-        * (F.unix_timestamp("ts") % 86400).cast("double")
-        / 86400.0
-    )
-    frozen = events.select(
-        "event_type",
-        F.round(1000000.0 * F.cos(theta)).cast("long").alias("c"),
-        F.round(1000000.0 * F.sin(theta)).cast("long").alias("s"),
-    )
-    agg = frozen.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").alias("sc"),
-        F.sum("s").alias("ss"),
-    )
-    two_pi = 2.0 * _m.pi
-    # atan2 ∈ [−π, π], so +2π is strictly positive and a single
-    # positive-operand remainder equals fmod on both engines.
-    mean_hour = (
-        F.expr(
-            f"((ATAN2(CAST(ss AS DOUBLE), CAST(sc AS DOUBLE))"
-            f" + {two_pi!r}) % {two_pi!r})"
-        )
-        / two_pi
-        * 24.0
-    )
-    return agg.select(
-        "event_type",
-        F.col("n").cast("long").alias("n"),
-        F.round(mean_hour, 4).alias("mean_hour"),
-        F.round(
-            F.sqrt(
-                F.col("sc").cast("double") * F.col("sc")
-                + F.col("ss").cast("double") * F.col("ss")
-            )
-            / (1000000.0 * F.col("n")),
-            4,
-        ).alias("resultant_r"),
-    ).orderBy("event_type")
-
-
-# --------------------------------------------------------------------------
 # q368 - Friedman test over the (day x event type) block design: within
 # each day, rank the k event types by their daily counts (average ranks
 # on ties, zero-filled missing cells so every block is complete);
@@ -4442,346 +2380,6 @@ def q368_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q378 - Hurst exponent by rescaled-range (R/S) analysis of the daily
-# event-count series: split the series into consecutive blocks of
-# n ∈ {8, 16, 32} days, compute each block's rescaled range
-# R/S = (max cum-dev - min cum-dev) / (n·std), average per n, and fit
-# ln(R/S) ~ H·ln(n) by exact 3-point OLS. H ≈ 0.5 = memoryless, > 0.5 =
-# persistent trends (q294 Mann-Kendall's monotone cousin), < 0.5 =
-# mean-reverting. The long-range-dependence read none of the lag-k
-# statistics (q247/q339/q349) can give.
-# Parity: with d_j = n_b·x_j - S_b (the q339 exact centering), block
-# cumulative deviations are exact integer running sums and
-# R/S = (max cum - min cum) / sqrt(n_b·Σx² - S_b²) is one double from
-# integers, frozen to round(1e8·rs) before the per-n mean; the 3-point
-# slope is a fixed closed form. 4dp.
-# Scale: one events aggregate to the daily relation; block windows
-# partition by (n, block) over the calendar-bounded series.
-# --------------------------------------------------------------------------
-@register(
-    "q378_hurst_exponent",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
-    FROM daily
-),
-sizes AS (SELECT UNNEST([8, 16, 32]) AS n),
-blocks AS (
-    SELECT s.n, r.t // s.n AS blk, r.t, r.x
-    FROM ranked r CROSS JOIN sizes s
-),
-bstat AS (
-    SELECT n, blk, CAST(COUNT(*) AS BIGINT) AS nb,
-           CAST(SUM(x) AS BIGINT) AS sx,
-           CAST(SUM(x * x) AS BIGINT) AS sxx
-    FROM blocks GROUP BY n, blk
-),
-full_b AS (SELECT * FROM bstat WHERE nb = n),
-dev AS (
-    SELECT b.n, b.blk, b.t,
-           CAST(SUM(f.nb * b.x - f.sx) OVER (
-               PARTITION BY b.n, b.blk ORDER BY b.t
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-    FROM blocks b JOIN full_b f ON f.n = b.n AND f.blk = b.blk
-),
-rng AS (
-    SELECT n, blk, CAST(MAX(cum) - MIN(LEAST(cum, 0)) AS BIGINT) AS r_int
-    FROM (SELECT n, blk, t, cum FROM dev) GROUP BY n, blk
-),
-rs AS (
-    SELECT r.n, r.blk,
-           CAST(ROUND(100000000.0 * r.r_int /
-                SQRT(CAST(f.nb AS DOUBLE) * f.sxx
-                     - CAST(f.sx AS DOUBLE) * f.sx)) AS BIGINT) AS rs_t
-    FROM rng r JOIN full_b f ON f.n = r.n AND f.blk = r.blk
-    WHERE f.nb * f.sxx > f.sx * f.sx
-),
-mrs AS (
-    SELECT n, CAST(COUNT(*) AS BIGINT) AS n_blocks,
-           CAST(SUM(rs_t) AS BIGINT) AS s_rs
-    FROM rs GROUP BY n
-),
-pts AS (
-    SELECT n, n_blocks, s_rs,
-           LN(CAST(n AS DOUBLE)) AS lx,
-           LN(CAST(s_rs AS DOUBLE) / 100000000.0 / n_blocks) AS ly
-    FROM mrs
-),
-fit AS (
-    SELECT (COUNT(*) * SUM(lx * ly) - SUM(lx) * SUM(ly))
-           / (COUNT(*) * SUM(lx * lx) - SUM(lx) * SUM(lx)) AS h
-    FROM pts
-)
-SELECT CAST(p.n AS BIGINT) AS n, p.n_blocks,
-       ROUND(p.s_rs / 100000000.0 / p.n_blocks, 4) AS mean_rs,
-       ROUND(f.h, 4) AS hurst
-FROM pts p CROSS JOIN fit f
-ORDER BY n
-""",
-    tags=("timeseries", "A12", "W2"),
-)
-def q378_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rescaled-range Hurst exponent of daily event counts:
-    (n, n_blocks, mean_rs, hurst)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    ranked = daily.select(
-        "x",
-        (F.row_number().over(Window.orderBy("day")) - 1)
-        .cast("long")
-        .alias("t"),
-    )
-    sizes = spark.createDataFrame(
-        [(n,) for n in (8, 16, 32)], "n long"
-    ).coalesce(1)
-    blocks = ranked.crossJoin(F.broadcast(sizes)).select(
-        "n", (F.col("t") / F.col("n")).cast("long").alias("blk"), "t", "x"
-    )
-    bstat = blocks.groupBy("n", "blk").agg(
-        F.count(F.lit(1)).alias("nb"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    full_b = bstat.filter(F.col("nb") == F.col("n"))
-    wb = Window.partitionBy("n", "blk").orderBy("t").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    dev = (
-        blocks.join(full_b, ["n", "blk"])
-        .select(
-            "n",
-            "blk",
-            "t",
-            F.sum(F.col("nb") * F.col("x") - F.col("sx"))
-            .over(wb)
-            .cast("long")
-            .alias("cum"),
-        )
-    )
-    rng = dev.groupBy("n", "blk").agg(
-        (
-            F.max("cum") - F.least(F.min("cum"), F.lit(0).cast("long"))
-        ).cast("long").alias("r_int")
-    )
-    rs = (
-        rng.join(full_b, ["n", "blk"])
-        .filter(
-            F.col("nb") * F.col("sxx") > F.col("sx") * F.col("sx")
-        )
-        .select(
-            "n",
-            F.round(
-                100000000.0
-                * F.col("r_int")
-                / F.sqrt(
-                    F.col("nb").cast("double") * F.col("sxx")
-                    - F.col("sx").cast("double") * F.col("sx")
-                )
-            )
-            .cast("long")
-            .alias("rs_t"),
-        )
-    )
-    mrs = rs.groupBy("n").agg(
-        F.count(F.lit(1)).alias("n_blocks"),
-        F.sum("rs_t").alias("s_rs"),
-    )
-    pts = mrs.select(
-        "n",
-        "n_blocks",
-        "s_rs",
-        F.log(F.col("n").cast("double")).alias("lx"),
-        F.log(
-            F.col("s_rs").cast("double") / 100000000.0 / F.col("n_blocks")
-        ).alias("ly"),
-    )
-    fit = pts.agg(
-        (
-            (
-                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("ly"))
-                - F.sum("lx") * F.sum("ly")
-            )
-            / (
-                F.count(F.lit(1)) * F.sum(F.col("lx") * F.col("lx"))
-                - F.sum("lx") * F.sum("lx")
-            )
-        ).alias("h")
-    )
-    return (
-        pts.crossJoin(F.broadcast(fit))
-        .select(
-            F.col("n").cast("long").alias("n"),
-            F.col("n_blocks").cast("long").alias("n_blocks"),
-            F.round(
-                F.col("s_rs") / 100000000.0 / F.col("n_blocks"), 4
-            ).alias("mean_rs"),
-            F.round("h", 4).alias("hurst"),
-        )
-        .orderBy("n")
-    )
-
-
-# --------------------------------------------------------------------------
-# q381 - burstiness and memory of inter-event times (Goh & Barabasi
-# 2008): per event type, order events by (second, event_id), take the
-# consecutive inter-arrival gaps tau_i, and report
-# B = (sigma - mu)/(sigma + mu) (-1 = perfectly regular, 0 = Poisson,
-# -> 1 = extreme bursts) and the memory coefficient
-# M = corr(tau_i, tau_{i+1}). The arrival-process fingerprint that
-# q354's dispersion (a DAILY-bucket read) cannot see - bursts inside a
-# day are invisible to per-day counts.
-# Parity: gaps are exact integer seconds under a deterministic total
-# order ((sec, event_id) - same-second order pinned by id); mu/sigma/M
-# are single double expressions over exact integer sums (n, S, S2,
-# and the lag-1 cross sums). 4dp.
-# Scale: gaps come from the day-shard-and-stitch kernel
-# (operators/windows.py sharded_gaps) — the big window hash-partitions
-# by (event_type, day) so per-reducer width is one type-day; boundary
-# gaps stitch through the calendar-bounded per-shard summary. Then one
-# keyed reduce.
-# --------------------------------------------------------------------------
-@register(
-    "q381_burstiness",
-    oracle="""
-WITH ev AS (
-    SELECT event_type, event_id,
-           CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
-    FROM events
-),
-ordered AS (
-    SELECT e.event_type,
-           e.sec - LAG(e.sec) OVER (PARTITION BY e.event_type
-                                    ORDER BY e.sec, e.event_id) AS tau,
-           LEAD(e.sec) OVER (PARTITION BY e.event_type
-                             ORDER BY e.sec, e.event_id) AS nxt_sec,
-           e.sec,
-           LAG(e.sec) OVER (PARTITION BY e.event_type
-                            ORDER BY e.sec, e.event_id) AS prv_sec
-    FROM ev e
-),
-pairs AS (
-    SELECT event_type,
-           sec - prv_sec AS tau_i,
-           nxt_sec - sec AS tau_j
-    FROM ordered
-    WHERE prv_sec IS NOT NULL AND nxt_sec IS NOT NULL
-),
-taus AS (
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(tau) AS BIGINT) AS s,
-           CAST(SUM(tau * tau) AS BIGINT) AS s2
-    FROM (SELECT event_type, sec - prv_sec AS tau FROM ordered
-          WHERE prv_sec IS NOT NULL)
-    GROUP BY event_type
-),
-mstat AS (
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
-           CAST(SUM(tau_i) AS BIGINT) AS sx,
-           CAST(SUM(tau_j) AS BIGINT) AS sy,
-           CAST(SUM(tau_i * tau_i) AS BIGINT) AS sxx,
-           CAST(SUM(tau_j * tau_j) AS BIGINT) AS syy,
-           CAST(SUM(tau_i * tau_j) AS BIGINT) AS sxy
-    FROM pairs GROUP BY event_type
-)
-SELECT t.event_type, t.n,
-       ROUND(CAST(t.s AS DOUBLE) / t.n, 4) AS mean_gap_sec,
-       ROUND((SQRT((t.n * CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s)
-                   / (CAST(t.n AS DOUBLE) * t.n))
-              - CAST(t.s AS DOUBLE) / t.n)
-             / (SQRT((t.n * CAST(t.s2 AS DOUBLE) - CAST(t.s AS DOUBLE) * t.s)
-                     / (CAST(t.n AS DOUBLE) * t.n))
-                + CAST(t.s AS DOUBLE) / t.n), 4) AS burstiness,
-       ROUND((m.m * CAST(m.sxy AS DOUBLE) - CAST(m.sx AS DOUBLE) * m.sy)
-             / (SQRT(m.m * CAST(m.sxx AS DOUBLE)
-                     - CAST(m.sx AS DOUBLE) * m.sx)
-                * SQRT(m.m * CAST(m.syy AS DOUBLE)
-                       - CAST(m.sy AS DOUBLE) * m.sy)), 4) AS memory_coef
-FROM taus t JOIN mstat m ON m.event_type = t.event_type
-ORDER BY t.event_type
-""",
-    tags=("timeseries", "W2", "A12"),
-)
-def q381_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inter-arrival burstiness B and memory M per event type:
-    (event_type, n, mean_gap_sec, burstiness, memory_coef)."""
-    from ..operators.windows import sharded_gaps
-
-    events = load_table(spark, sf_dir, "events")
-    ev = events.select(
-        "event_type",
-        "event_id",
-        F.unix_timestamp("ts").alias("sec"),
-    )
-    # day-shard-and-stitch: hash-partitioned by (event_type, day), the
-    # per-reducer width is one type-day — never 1/|types| of the stream
-    ordered = sharded_gaps(ev, ["event_type"], sec_col="sec", id_col="event_id")
-    taus = (
-        ordered.filter(F.col("prv_sec").isNotNull())
-        .select("event_type", (F.col("sec") - F.col("prv_sec")).alias("tau"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("tau").alias("s"),
-            F.sum(F.col("tau") * F.col("tau")).alias("s2"),
-        )
-    )
-    pairs = ordered.filter(
-        F.col("prv_sec").isNotNull() & F.col("nxt_sec").isNotNull()
-    ).select(
-        "event_type",
-        (F.col("sec") - F.col("prv_sec")).alias("tau_i"),
-        (F.col("nxt_sec") - F.col("sec")).alias("tau_j"),
-    )
-    mstat = pairs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum("tau_i").alias("sx"),
-        F.sum("tau_j").alias("sy"),
-        F.sum(F.col("tau_i") * F.col("tau_i")).alias("sxx"),
-        F.sum(F.col("tau_j") * F.col("tau_j")).alias("syy"),
-        F.sum(F.col("tau_i") * F.col("tau_j")).alias("sxy"),
-    )
-    mu = F.col("s").cast("double") / F.col("n")
-    sigma = F.sqrt(
-        (
-            F.col("n") * F.col("s2").cast("double")
-            - F.col("s").cast("double") * F.col("s")
-        )
-        / (F.col("n").cast("double") * F.col("n"))
-    )
-    mcorr = (
-        F.col("m").cast("double") * F.col("sxy")
-        - F.col("sx").cast("double") * F.col("sy")
-    ) / (
-        F.sqrt(
-            F.col("m") * F.col("sxx").cast("double")
-            - F.col("sx").cast("double") * F.col("sx")
-        )
-        * F.sqrt(
-            F.col("m") * F.col("syy").cast("double")
-            - F.col("sy").cast("double") * F.col("sy")
-        )
-    )
-    return (
-        taus.join(mstat, "event_type")
-        .select(
-            "event_type",
-            F.col("n").cast("long").alias("n"),
-            F.round(mu, 4).alias("mean_gap_sec"),
-            F.round((sigma - mu) / (sigma + mu), 4).alias("burstiness"),
-            F.round(mcorr, 4).alias("memory_coef"),
-        )
-        .orderBy("event_type")
-    )
-
-
-# --------------------------------------------------------------------------
 # q386 - survey raking (iterative proportional fitting): weight an
 # md5-half-sample of documents so its (source, lang) cell estimates hit
 # the FULL corpus margins - 3 IPF rounds, each scaling weights to the
@@ -4943,123 +2541,6 @@ def q386_ipf_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("w") / 1000000.0, 4).alias("weight"),
         F.round(F.col("n") * F.col("w") / 1000000.0, 4).alias("est_mass"),
     ).orderBy("source", "lang")
-
-
-# --------------------------------------------------------------------------
-# q387 - extreme-value tail estimate (peaks-over-threshold): take the
-# inter-event gaps of the whole event stream, set the threshold at the
-# exact p90 gap, fit a generalized Pareto to the exceedances by method
-# of moments (xi = (1 - mean^2/var)/2, beta = mean*(1 - xi)... the
-# standard MoM pair), and report the implied p99.9 gap - the
-# "how long can the pipeline stall" tail read that empirical quantiles
-# can't extrapolate past the sample. Return level:
-# q_p = u + beta/xi * ((n/n_u * (1-p))^(-xi) - 1).
-# Parity: gaps are exact integer seconds under the (sec, event_id)
-# total order; u is an exact integer-multiple-of-0.5 percentile;
-# exceedance mean/var come from exact integer sums; xi/beta/q_p are one
-# fixed double expression. 4dp.
-# Scale: gaps via the day-shard-and-stitch kernel (hash-partitioned by
-# day-shard; stitch window sees only the |days|-row summary), one
-# filter + one reduce over exceedances.
-# --------------------------------------------------------------------------
-@register(
-    "q387_tail_gpd",
-    oracle="""
-WITH ev AS (
-    SELECT event_id,
-           CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
-    FROM events
-),
-gaps AS (
-    SELECT sec - LAG(sec) OVER (ORDER BY sec, event_id) AS tau
-    FROM ev QUALIFY tau IS NOT NULL
-),
-thr AS (SELECT QUANTILE_CONT(CAST(tau AS DOUBLE), 0.9) AS u,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM gaps),
-exc AS (
-    SELECT g.tau - t.u AS y, t.u, t.n
-    FROM gaps g CROSS JOIN thr t
-    WHERE g.tau > t.u
-),
-s AS (
-    SELECT MAX(u) AS u, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS nu,
-           SUM(y) AS sy, SUM(y * y) AS syy
-    FROM exc
-),
-fit AS (
-    SELECT u, n, nu,
-           sy / nu AS mu,
-           (nu * syy - sy * sy) / (CAST(nu AS DOUBLE) * (nu - 1)) AS v
-    FROM s
-)
-SELECT ROUND(u, 4) AS threshold, nu AS n_exceed,
-       ROUND(mu, 4) AS mean_excess,
-       ROUND(0.5 * (1.0 - mu * mu / v), 4) AS xi,
-       ROUND(mu * (1.0 - 0.5 * (1.0 - mu * mu / v)), 4) AS beta,
-       ROUND(u + (mu * (1.0 - 0.5 * (1.0 - mu * mu / v)))
-                 / (0.5 * (1.0 - mu * mu / v))
-                 * (POW(CAST(n AS DOUBLE) / nu * 0.001,
-                        -(0.5 * (1.0 - mu * mu / v))) - 1.0), 4)
-           AS p999_gap_sec
-FROM fit
-""",
-    tags=("timeseries", "capacity", "A12"),
-)
-def q387_tail_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GPD peaks-over-threshold tail fit of inter-event gaps:
-    (threshold, n_exceed, mean_excess, xi, beta, p999_gap_sec)."""
-    events = load_table(spark, sf_dir, "events")
-    from ..operators.windows import sharded_gaps
-
-    ev = events.select(
-        "event_id", F.unix_timestamp("ts").alias("sec")
-    )
-    # day-shard-and-stitch (operators/windows.py sharded_gaps): the gap
-    # sequence is a TOTAL order, but the big window hash-partitions by
-    # day-shard; only the |days|-row per-shard summary sees a single
-    # partition (the declared calendar-bounded stitch)
-    gaps = (
-        sharded_gaps(ev, [], sec_col="sec", id_col="event_id")
-        .select((F.col("sec") - F.col("prv_sec")).alias("tau"))
-        .filter(F.col("tau").isNotNull())
-    )
-    from ..caching import persist_tracked
-
-    gaps = persist_tracked(gaps)
-    thr = gaps.agg(
-        F.expr("percentile(CAST(tau AS DOUBLE), 0.9)").alias("u"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    exc = (
-        gaps.crossJoin(F.broadcast(thr))
-        .filter(F.col("tau") > F.col("u"))
-        .select((F.col("tau") - F.col("u")).alias("y"), "u", "n")
-    )
-    s = exc.agg(
-        F.max("u").alias("u"),
-        F.max("n").alias("n"),
-        F.count(F.lit(1)).alias("nu"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    mu = F.col("sy") / F.col("nu")
-    v = (F.col("nu") * F.col("syy") - F.col("sy") * F.col("sy")) / (
-        F.col("nu").cast("double") * (F.col("nu") - 1)
-    )
-    xi = 0.5 * (F.lit(1.0) - mu * mu / v)
-    beta = mu * (F.lit(1.0) - xi)
-    q999 = F.col("u") + beta / xi * (
-        F.pow(F.col("n").cast("double") / F.col("nu") * 0.001, -xi) - 1.0
-    )
-    return s.select(
-        F.round("u", 4).alias("threshold"),
-        F.col("nu").cast("long").alias("n_exceed"),
-        F.round(mu, 4).alias("mean_excess"),
-        F.round(xi, 4).alias("xi"),
-        F.round(beta, 4).alias("beta"),
-        F.round(q999, 4).alias("p999_gap_sec"),
-    )
 
 
 # --------------------------------------------------------------------------
@@ -5376,254 +2857,6 @@ def q391_robust_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_clamped",
         )
         .orderBy("event_type")
-    )
-
-
-# --------------------------------------------------------------------------
-# q392 - Page-Hinkley drift detector over the daily event-count series:
-# the sequential change-of-mean test ops teams run where q205's CUSUM
-# needs a known baseline - PH tracks x_t against the RUNNING mean of its
-# own history (no training window), alarms when the cumulative positive
-# deviation since the best (minimum) point exceeds lambda. Reported per
-# day: the running mean, the PH statistic, and the alarm flag.
-# Parity: daily counts are exact integers; the running mean S_t/t is
-# frozen per day to micro-units (round(1e6*S/t)) so the deviation
-# cumsum is an exact integer walk on both engines; the running min and
-# the lambda comparison happen on those integers. 4dp.
-# Scale: corpus collapses FIRST to the calendar-bounded daily relation;
-# all windows run on ~tens of rows (declared bounded exception,
-# lint-allowlisted).
-# --------------------------------------------------------------------------
-_PH_LAMBDA_MICRO = 25 * 1000000  # lambda = 25 events of cumulative drift
-
-
-@register(
-    "q392_page_hinkley",
-    oracle=f"""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT day, x,
-           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
-           CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS s
-    FROM daily
-),
-dev AS (
-    SELECT day, t, x,
-           CAST(ROUND(1000000.0 * s / t) AS BIGINT) AS mean_micro,
-           x * 1000000 - CAST(ROUND(1000000.0 * s / t) AS BIGINT)
-               AS dev_micro
-    FROM ranked
-),
-cum AS (
-    SELECT day, t, x, mean_micro,
-           CAST(SUM(dev_micro) OVER (ORDER BY t) AS BIGINT) AS m_t
-    FROM dev
-),
-walk AS (
-    SELECT day, t, x, mean_micro, m_t,
-           CAST(MIN(m_t) OVER (ORDER BY t) AS BIGINT) AS m_min
-    FROM cum
-)
-SELECT t, CAST(day AS VARCHAR) AS day, x,
-       ROUND(mean_micro / 1000000.0, 4) AS running_mean,
-       ROUND((m_t - m_min) / 1000000.0, 4) AS ph_stat,
-       CAST(CASE WHEN m_t - m_min > {_PH_LAMBDA_MICRO} THEN 1 ELSE 0 END
-            AS BIGINT) AS alarm
-FROM walk ORDER BY t
-""",
-    tags=("timeseries", "drift", "W2"),
-)
-def q392_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-Hinkley mean-shift walk over daily counts:
-    (t, day, x, running_mean, ph_stat, alarm)."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    w = Window.orderBy("day")
-    ranked = daily.select(
-        "day",
-        "x",
-        F.row_number().over(w).cast("long").alias("t"),
-        F.sum("x").over(w).cast("long").alias("s"),
-    )
-    dev = ranked.select(
-        "day",
-        "t",
-        "x",
-        F.round(1000000.0 * F.col("s") / F.col("t"))
-        .cast("long")
-        .alias("mean_micro"),
-    ).withColumn(
-        "dev_micro", F.col("x") * 1000000 - F.col("mean_micro")
-    )
-    wt = Window.orderBy("t")
-    walk = dev.select(
-        "day",
-        "t",
-        "x",
-        "mean_micro",
-        F.sum("dev_micro").over(wt).cast("long").alias("m_t"),
-    ).withColumn("m_min", F.min("m_t").over(wt).cast("long"))
-    return walk.select(
-        "t",
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        "x",
-        F.round(F.col("mean_micro") / 1000000.0, 4).alias("running_mean"),
-        F.round((F.col("m_t") - F.col("m_min")) / 1000000.0, 4).alias(
-            "ph_stat"
-        ),
-        (F.col("m_t") - F.col("m_min") > _PH_LAMBDA_MICRO)
-        .cast("long")
-        .alias("alarm"),
-    ).orderBy("t")
-
-
-# --------------------------------------------------------------------------
-# q393 - Brown's double exponential smoothing (linear-trend forecast)
-# of the daily event-count series: SES applied twice (alpha = 0.5),
-# level a = 2s' - s'', trend b = (alpha/(1-alpha))(s' - s'') = s' - s'',
-# one-step forecast = a + b = 3s' - 2s''. The trend-aware upgrade of
-# q341's SES (which lags any drifting series by design).
-# Parity: the q341 freezing discipline applied twice - the first-pass
-# smoothed values are frozen to micro-ints (round(1e6*x*w) summed over
-# the closed-form SES weights), the second pass smooths THOSE integers
-# (round(w*s1)), so both engines walk identical integer vectors; the
-# final /100-then-/1e4 rounding lands half-way cases on exactly
-# representable values.
-# Scale: corpus collapses to the daily relation; both smoothing passes
-# are pair joins quadratic in DAYS (30^2 rows), constant in corpus size.
-# --------------------------------------------------------------------------
-@register(
-    "q393_brown_double_smoothing",
-    oracle="""
-WITH daily AS (
-    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
-           CAST(COUNT(*) AS BIGINT) AS x
-    FROM events GROUP BY 1
-),
-ranked AS (
-    SELECT day, x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
-    FROM daily
-),
-s1 AS (
-    SELECT a.t AS m,
-           CAST(SUM(CAST(ROUND(1000000.0 * b.x *
-                CASE WHEN b.t = 1 THEN POW(0.5, a.t - 1)
-                     ELSE POW(0.5, a.t - b.t + 1) END) AS BIGINT))
-                AS BIGINT) AS s1_int
-    FROM ranked a JOIN ranked b ON b.t <= a.t
-    GROUP BY a.t
-),
-s2 AS (
-    SELECT a.m AS m,
-           CAST(SUM(CAST(ROUND(b.s1_int *
-                CASE WHEN b.m = 1 THEN POW(0.5, a.m - 1)
-                     ELSE POW(0.5, a.m - b.m + 1) END) AS BIGINT))
-                AS BIGINT) AS s2_int
-    FROM s1 a JOIN s1 b ON b.m <= a.m
-    GROUP BY a.m
-)
-SELECT r.t, CAST(r.day AS VARCHAR) AS day, r.x,
-       CAST(ROUND((2 * s1.s1_int - s2.s2_int) / 100.0) AS BIGINT) / 10000.0
-           AS level,
-       CAST(ROUND((s1.s1_int - s2.s2_int) / 100.0) AS BIGINT) / 10000.0
-           AS trend,
-       CAST(ROUND((3 * s1.s1_int - 2 * s2.s2_int) / 100.0) AS BIGINT)
-           / 10000.0 AS forecast,
-       CAST(ROUND((r.x * 1000000 - (3 * prev1.s1_int - 2 * prev2.s2_int))
-                  / 100.0) AS BIGINT) / 10000.0 AS err
-FROM ranked r
-JOIN s1 ON s1.m = r.t
-JOIN s2 ON s2.m = r.t
-JOIN s1 prev1 ON prev1.m = r.t - 1
-JOIN s2 prev2 ON prev2.m = r.t - 1
-ORDER BY r.t
-""",
-    tags=("timeseries", "forecast", "A12"),
-)
-def q393_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brown's linear (double) exponential smoothing of daily counts:
-    (t, day, x, level, trend, forecast, err) - forecast is one-step-ahead
-    (from t-1), so err rows need t >= 2."""
-    events = load_table(spark, sf_dir, "events")
-    daily = events.groupBy(
-        F.date_trunc("day", "ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("x"))
-    ranked = daily.select(
-        "day",
-        "x",
-        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
-    )
-
-    def _ses_weight(m, j):
-        return F.when(j == 1, F.pow(F.lit(0.5), m - 1)).otherwise(
-            F.pow(F.lit(0.5), m - j + 1)
-        )
-
-    a = ranked.select(F.col("t").alias("m"))
-    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
-    s1 = (
-        a.join(b, F.col("j") <= F.col("m"))
-        .groupBy("m")
-        .agg(
-            F.sum(
-                F.round(
-                    1000000.0
-                    * F.col("xj")
-                    * _ses_weight(F.col("m"), F.col("j"))
-                ).cast("long")
-            ).alias("s1_int")
-        )
-    )
-    a2 = s1.select(F.col("m").alias("m2"))
-    b2 = s1.select(F.col("m").alias("j2"), F.col("s1_int").alias("s1j"))
-    s2 = (
-        a2.join(b2, F.col("j2") <= F.col("m2"))
-        .groupBy("m2")
-        .agg(
-            F.sum(
-                F.round(
-                    F.col("s1j") * _ses_weight(F.col("m2"), F.col("j2"))
-                ).cast("long")
-            ).alias("s2_int")
-        )
-    )
-    cur = ranked.join(s1, F.col("m") == F.col("t")).join(
-        s2, F.col("m2") == F.col("t")
-    )
-    prev = (
-        s1.select(F.col("m").alias("pm"), F.col("s1_int").alias("p1"))
-        .join(
-            s2.select(F.col("m2").alias("pm2"), F.col("s2_int").alias("p2")),
-            F.col("pm") == F.col("pm2"),
-        )
-        .select("pm", "p1", "p2")
-    )
-
-    def _q4(col):
-        # /100 then /1e4: half-way cases land on exactly representable
-        # values (the q341 rounding discipline)
-        return F.round(col / 100.0).cast("long") / 10000.0
-
-    return (
-        cur.join(prev, F.col("pm") == F.col("t") - 1)
-        .select(
-            "t",
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "x",
-            _q4(2 * F.col("s1_int") - F.col("s2_int")).alias("level"),
-            _q4(F.col("s1_int") - F.col("s2_int")).alias("trend"),
-            _q4(3 * F.col("s1_int") - 2 * F.col("s2_int")).alias("forecast"),
-            _q4(
-                F.col("x") * 1000000 - (3 * F.col("p1") - 2 * F.col("p2"))
-            ).alias("err"),
-        )
-        .orderBy("t")
     )
 
 

@@ -24,7 +24,7 @@ def test_acf_bounds_and_shape(spark):
 
 
 def test_ewma_matches_naive_recompute(spark):
-    from synth_transform_spark.plans.events_queries import _EWMA_W
+    from synth_transform_spark.plans.timeseries_queries import _EWMA_W
     from synth_transform_spark.sources.readers import load_table
 
     rows = REGISTRY["q248_ewma_control"].spark(spark, SF_DIR).collect()
