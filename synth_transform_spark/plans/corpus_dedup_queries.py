@@ -912,3 +912,82 @@ def q399_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q403 - duplicate-rate estimation from a fingerprint slice, next to the
+# exact answer: sample 1/4 of the FINGERPRINT space (first md5 nibble in
+# 0-3) and estimate the corpus duplicate rate from the slice. Because
+# every copy of a text shares its fingerprint, a hash-range slice keeps
+# duplicate GROUPS intact - the estimator is unbiased, unlike a doc-id
+# sample (which splits groups and underestimates). This is the
+# plan-before-you-pay primitive for dedup at 100 TB: the slice costs
+# 1/4 of a scan and no corpus-wide shuffle, and the query reports
+# exactly how close it lands (q04 computes the full answer; q336 plans
+# LSH bands; this sizes the dedup before you run it).
+# Parity: fingerprints are md5 hex (identical on both engines); all
+# counts exact integers; the two rates and the error are single double
+# ratios. 4dp.
+# Scale: one md5 + predicate pass (the slice needs no shuffle to
+# sample), two distinct-count aggregates on uniform hash keys; 1-row
+# output.
+# --------------------------------------------------------------------------
+@register(
+    "q403_dup_rate_estimator",
+    oracle="""
+WITH fp AS (
+    SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS h
+    FROM documents
+),
+full_s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_groups
+    FROM fp
+),
+slice_s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS s_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS s_groups
+    FROM fp WHERE SUBSTR(h, 1, 1) IN ('0', '1', '2', '3')
+)
+SELECT f.n_docs, f.n_groups,
+       ROUND(1.0 - CAST(f.n_groups AS DOUBLE) / f.n_docs, 4) AS dup_rate,
+       s.s_docs, s.s_groups,
+       ROUND(1.0 - CAST(s.s_groups AS DOUBLE) / s.s_docs, 4)
+           AS est_dup_rate,
+       ROUND(ABS((1.0 - CAST(s.s_groups AS DOUBLE) / s.s_docs)
+                 - (1.0 - CAST(f.n_groups AS DOUBLE) / f.n_docs)), 4)
+           AS abs_err
+FROM full_s f CROSS JOIN slice_s s
+""",
+    tags=("corpus-dedup", "capacity", "A10"),
+)
+def q403_dup_rate_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-slice dup-rate estimate vs exact: (n_docs, n_groups,
+    dup_rate, s_docs, s_groups, est_dup_rate, abs_err)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("h")
+    )
+    full_s = fp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_groups"),
+    )
+    slice_s = fp.filter(
+        F.substring("h", 1, 1).isin("0", "1", "2", "3")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("s_docs"),
+        F.countDistinct("h").cast("long").alias("s_groups"),
+    )
+    dup = F.lit(1.0) - F.col("n_groups").cast("double") / F.col("n_docs")
+    est = F.lit(1.0) - F.col("s_groups").cast("double") / F.col("s_docs")
+    return full_s.crossJoin(F.broadcast(slice_s)).select(
+        "n_docs",
+        "n_groups",
+        F.round(dup, 4).alias("dup_rate"),
+        "s_docs",
+        "s_groups",
+        F.round(est, 4).alias("est_dup_rate"),
+        F.round(F.abs(est - dup), 4).alias("abs_err"),
+    )

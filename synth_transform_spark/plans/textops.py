@@ -3077,3 +3077,245 @@ def q397_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q401 - Gopher-style quality-rule audit per source: pass rates for five
+# integer-exact curation rules - R1 token-count band (20..1000), R2
+# mean-token-length band ([4, 10] chars), R3 stopword evidence
+# (>= 2 stopword hits), R4 max-token dominance (most frequent token
+# <= 10% of tokens), R5 distinct-token ratio >= 0.4 - plus the share
+# passing ALL rules. q24 scores single docs and q337 sequences a filter
+# cascade; this is the per-rule-per-source diagnostic table a curation
+# run reports (which rule kills which source).
+# Parity: every rule is an INTEGER comparison (4n <= chars, 10*mx <= n,
+# 5*d >= 2n, hit counts) - no float thresholds anywhere; pass rates are
+# single double ratios. 4dp.
+# Scale: one exploded (doc, tok) aggregate, one doc rollup, one source
+# rollup - uniform keys, no windows.
+# --------------------------------------------------------------------------
+_GOPHER_STOPS = "'the', 'a', 'and', 'of', 'to', 'in'"
+
+
+@register(
+    "q401_gopher_rules",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                              x -> x <> '')) AS tok
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks GROUP BY doc_id, source, tok
+),
+d AS (
+    SELECT doc_id, source,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS dt,
+           CAST(MAX(c) AS BIGINT) AS mx,
+           CAST(SUM(c * LENGTH(tok)) AS BIGINT) AS chars,
+           CAST(SUM(CASE WHEN tok IN ({_GOPHER_STOPS}) THEN c ELSE 0 END)
+                AS BIGINT) AS stop_hits
+    FROM tf GROUP BY doc_id, source
+),
+r AS (
+    SELECT source,
+           CASE WHEN n >= 20 AND n <= 1000 THEN 1 ELSE 0 END AS r1,
+           CASE WHEN 4 * n <= chars AND chars <= 10 * n THEN 1 ELSE 0 END
+               AS r2,
+           CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r3,
+           CASE WHEN 10 * mx <= n THEN 1 ELSE 0 END AS r4,
+           CASE WHEN 5 * dt >= 2 * n THEN 1 ELSE 0 END AS r5
+    FROM d
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(r1) AS DOUBLE) / COUNT(*), 4) AS word_count_rate,
+       ROUND(CAST(SUM(r2) AS DOUBLE) / COUNT(*), 4) AS word_len_rate,
+       ROUND(CAST(SUM(r3) AS DOUBLE) / COUNT(*), 4) AS stopword_rate,
+       ROUND(CAST(SUM(r4) AS DOUBLE) / COUNT(*), 4) AS dominance_rate,
+       ROUND(CAST(SUM(r5) AS DOUBLE) / COUNT(*), 4) AS distinct_rate,
+       ROUND(CAST(SUM(r1 * r2 * r3 * r4 * r5) AS DOUBLE) / COUNT(*), 4)
+           AS all_rules_rate
+FROM r GROUP BY source ORDER BY source
+""",
+    tags=("curation", "quality", "A12"),
+)
+def q401_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gopher-rule pass rates: (source, n_docs,
+    word_count_rate, word_len_rate, stopword_rate, dominance_rate,
+    distinct_rate, all_rules_rate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stops = [s.strip("' ") for s in _GOPHER_STOPS.split(",")]
+    d = tf.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("dt"),
+        F.max("c").cast("long").alias("mx"),
+        F.sum(F.col("c") * F.length("tok")).cast("long").alias("chars"),
+        F.sum(
+            F.when(F.col("tok").isin(*stops), F.col("c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    r = d.select(
+        "source",
+        ((F.col("n") >= 20) & (F.col("n") <= 1000)).cast("long").alias("r1"),
+        (
+            (4 * F.col("n") <= F.col("chars"))
+            & (F.col("chars") <= 10 * F.col("n"))
+        )
+        .cast("long")
+        .alias("r2"),
+        (F.col("stop_hits") >= 2).cast("long").alias("r3"),
+        (10 * F.col("mx") <= F.col("n")).cast("long").alias("r4"),
+        (5 * F.col("dt") >= 2 * F.col("n")).cast("long").alias("r5"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        r.groupBy("source")
+        .agg(
+            cnt.cast("long").alias("n_docs"),
+            F.round(F.sum("r1").cast("double") / cnt, 4).alias(
+                "word_count_rate"
+            ),
+            F.round(F.sum("r2").cast("double") / cnt, 4).alias(
+                "word_len_rate"
+            ),
+            F.round(F.sum("r3").cast("double") / cnt, 4).alias(
+                "stopword_rate"
+            ),
+            F.round(F.sum("r4").cast("double") / cnt, 4).alias(
+                "dominance_rate"
+            ),
+            F.round(F.sum("r5").cast("double") / cnt, 4).alias(
+                "distinct_rate"
+            ),
+            F.round(
+                F.sum(
+                    F.col("r1") * F.col("r2") * F.col("r3") * F.col("r4")
+                    * F.col("r5")
+                ).cast("double")
+                / cnt,
+                4,
+            ).alias("all_rules_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q402 - language-ID confidence audit per source: the marker-lexicon
+# scorer's accuracy against the gold `lang` column, the mean top1-top2
+# score margin, and the share of zero-margin (ambiguous) docs - the
+# confidence read that decides whether q25's cheap scorer is safe for a
+# source or needs the gated model path (q245 measures document-level
+# language MIXING; this measures classifier confidence).
+# Parity: scores and margins are exact integer hit counts (the q25
+# lexicon); accuracy/margin/ambiguity are single double ratios. 4dp.
+# Scale: one narrow array pass per doc (JVM expressions), one source
+# rollup. No joins, no windows.
+# --------------------------------------------------------------------------
+def _langid_margin_oracle() -> str:
+    langs = sorted(text_analysis.LANG_MARKERS)
+    score_exprs = []
+    for lg in langs:
+        markers = ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[lg])
+        score_exprs.append(
+            f"LEN(LIST_FILTER(toks, x -> x IN ({markers}))) AS score_{lg}"
+        )
+    greatest = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs)
+    arr = "[" + ", ".join(f"score_{lg}" for lg in langs) + "]"
+    return f"""
+WITH t AS (
+    SELECT doc_id, source, lang,
+           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
+    FROM documents
+),
+s AS (
+    SELECT doc_id, source, lang, {", ".join(score_exprs)} FROM t
+),
+g AS (
+    SELECT *, {greatest} AS best,
+           LIST_SORT({arr}) AS sorted_scores
+    FROM s
+),
+p AS (
+    SELECT source,
+           CASE WHEN (CASE {case} END) = lang THEN 1 ELSE 0 END AS hit,
+           best - sorted_scores[-2] AS margin
+    FROM g
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS accuracy,
+       ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 4) AS mean_margin,
+       ROUND(CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS ambiguous_share
+FROM p GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "q402_langid_margin",
+    oracle=_langid_margin_oracle(),
+    tags=("text-langid", "quality", "A12"),
+)
+def q402_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID confidence audit: (source, n_docs, accuracy, mean_margin,
+    ambiguous_share)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    langs = sorted(text_analysis.LANG_MARKERS)
+    scores = [
+        F.size(
+            F.filter(
+                toks,
+                lambda t: t.isin(*text_analysis.LANG_MARKERS[lg]),
+            )
+        ).alias(f"score_{lg}")
+        for lg in langs
+    ]
+    s = docs.select("doc_id", "source", "lang", *scores)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    sorted_scores = F.sort_array(
+        F.array(*[F.col(f"score_{lg}") for lg in langs])
+    )
+    p = s.select(
+        "source",
+        (pred == F.col("lang")).cast("long").alias("hit"),
+        (best - F.element_at(sorted_scores, -2)).alias("margin"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        p.groupBy("source")
+        .agg(
+            cnt.cast("long").alias("n_docs"),
+            F.round(F.sum("hit").cast("double") / cnt, 4).alias("accuracy"),
+            F.round(F.sum("margin").cast("double") / cnt, 4).alias(
+                "mean_margin"
+            ),
+            F.round(
+                F.sum((F.col("margin") == 0).cast("long")).cast("double")
+                / cnt,
+                4,
+            ).alias("ambiguous_share"),
+        )
+        .orderBy("source")
+    )
