@@ -1,0 +1,82 @@
+"""sharded_gaps kernel: the day-shard-and-stitch lag/lead must equal the
+naive per-key global window EXACTLY — including same-second ties, empty
+day gaps, single-event shards, and per-key stream ends."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from synth_transform_spark.operators.windows import sharded_gaps
+
+
+def _naive(df, keys, sec="sec", idc="eid"):
+    w = Window.partitionBy(*keys).orderBy(sec, idc)
+    return df.select(
+        *keys,
+        F.col(sec),
+        F.lag(sec).over(w).alias("prv_sec"),
+        F.lead(sec).over(w).alias("nxt_sec"),
+    )
+
+
+def _check(spark, rows, keys, shard_seconds):
+    df = spark.createDataFrame(rows, ["k", "sec", "eid"])
+    got = (
+        sharded_gaps(df, keys, sec_col="sec", id_col="eid",
+                     shard_seconds=shard_seconds)
+        .groupBy(*keys, "sec")
+        .agg(
+            F.sort_array(F.collect_list("prv_sec")).alias("p"),
+            F.sort_array(F.collect_list("nxt_sec")).alias("n"),
+        )
+    )
+    want = (
+        _naive(df, keys)
+        .groupBy(*keys, "sec")
+        .agg(
+            F.sort_array(F.collect_list("prv_sec")).alias("p"),
+            F.sort_array(F.collect_list("nxt_sec")).alias("n"),
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_adversarial_fixed_case(spark):
+    # two keys; day-sized shards; empty days between events; same-second
+    # ties (both within and at shard-opening seconds); single-event days
+    rows = [
+        ("a", 0, 1), ("a", 0, 2), ("a", 10, 3),          # ties at stream head
+        ("a", 86399, 4), ("a", 86400, 5), ("a", 86400, 6),  # boundary + tie
+        ("a", 4 * 86400, 7),                              # 3 empty days
+        ("a", 4 * 86400 + 50, 8),
+        ("b", 7, 1), ("b", 2 * 86400, 2),                 # sparse second key
+        ("c", 5, 9),                                       # single-event key
+    ]
+    _check(spark, rows, ["k"], 86400)
+
+
+def test_keyless_matches_global_window(spark):
+    rows = [("x", s, i) for i, s in enumerate(
+        [0, 1, 1, 50, 86399, 86401, 86401, 3 * 86400, 9 * 86400, 9 * 86400]
+    )]
+    _check(spark, rows, [], 86400)
+
+
+def test_randomized_against_naive(spark):
+    rng = random.Random(6)
+    rows = []
+    for i in range(400):
+        key = rng.choice(["a", "b", "c", "d"])
+        sec = rng.randrange(0, 12 * 86400)
+        if rng.random() < 0.2:
+            sec = (sec // 86400) * 86400  # land exactly on shard boundaries
+        if rng.random() < 0.2 and rows:
+            sec = rows[-1][1]  # force duplicate seconds
+        rows.append((key, sec, i))
+    _check(spark, rows, ["k"], 86400)
+    # odd shard width: boundaries no longer align with "days"
+    _check(spark, rows, ["k"], 9973)
