@@ -9,6 +9,7 @@ from . import (  # noqa: F401
     abtest_queries,
     analytics_queries,
     corpus_dedup_queries,
+    curation_queries,
     dedup_queries,
     eval_queries,
     events_queries,

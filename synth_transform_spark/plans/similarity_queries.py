@@ -7,6 +7,7 @@ unnest, mirroring the Spark zip_with/aggregate formula; cosine is rounded to
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import similarity
@@ -2136,4 +2137,136 @@ def q373_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_at_k"),
         )
         .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q405 - embedding-table health audit per label: vector-norm statistics
+# (mean/min/max) and the mean cosine to the label centroid (cluster
+# tightness) - the sanity table read before trusting an embedding
+# column for dedup/ANN (q226 tracks drift BETWEEN snapshots; q335
+# scores cluster separation; this profiles the table itself).
+# Parity: components are frozen to integer micro-units once
+# (round(1e6*x)); norms are sqrt of exact integer sums (micro scale);
+# the centroid is refrozen to micro-units (round(S_pos/n)) so the dot
+# is again an exact integer (~5e5 * 5e5 * 64 = 1.6e13, long-safe at ANY
+# row count because the centroid is frozen, not the raw sum); per-vec
+# cosine frozen to 1e6 before the label mean. 4dp.
+# Scale: one posexplode aggregate per (label, pos) - a labels x dim
+# relation, broadcast back; one per-vector reduce; one label rollup.
+# No windows, no vector pair joins.
+# --------------------------------------------------------------------------
+@register(
+    "q405_embedding_norms",
+    oracle="""
+WITH flat AS (
+    SELECT vec_id, label,
+           CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE))
+                AS BIGINT) AS xi,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+cent AS (
+    SELECT label, i,
+           CAST(ROUND(CAST(SUM(xi) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+    FROM flat GROUP BY label, i
+),
+pv AS (
+    SELECT f.vec_id, f.label,
+           CAST(SUM(f.xi * f.xi) AS BIGINT) AS n2,
+           CAST(SUM(f.xi * c.ci) AS BIGINT) AS dot,
+           CAST(SUM(c.ci * c.ci) AS BIGINT) AS c2
+    FROM flat f JOIN cent c ON c.label = f.label AND c.i = f.i
+    GROUP BY f.vec_id, f.label
+),
+per_vec AS (
+    SELECT label,
+           CAST(ROUND(SQRT(CAST(n2 AS DOUBLE))) AS BIGINT) AS norm_micro,
+           CAST(ROUND(1000000.0 * dot
+                      / (SQRT(CAST(n2 AS DOUBLE))
+                         * SQRT(CAST(c2 AS DOUBLE)))) AS BIGINT)
+               AS cos_micro
+    FROM pv
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(norm_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+           AS mean_norm,
+       ROUND(MIN(norm_micro) / 1000000.0, 4) AS min_norm,
+       ROUND(MAX(norm_micro) / 1000000.0, 4) AS max_norm,
+       ROUND(CAST(SUM(cos_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+           AS mean_centroid_cos
+FROM per_vec GROUP BY label ORDER BY label
+""",
+    tags=("similarity", "quality", "A12"),
+)
+def q405_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health per label: (label, n_vecs, mean_norm, min_norm,
+    max_norm, mean_centroid_cos)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(1000000.0 * F.col("x").cast("double"))
+        .cast("long")
+        .alias("xi"),
+    )
+    cent = flat.groupBy("label", "i").agg(
+        F.round(F.sum("xi").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("ci")
+    )
+    pv = (
+        flat.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("xi") * F.col("xi")).cast("long").alias("n2"),
+            F.sum(F.col("xi") * F.col("ci")).cast("long").alias("dot"),
+            F.sum(F.col("ci") * F.col("ci")).cast("long").alias("c2"),
+        )
+    )
+    per_vec = pv.select(
+        "label",
+        F.round(F.sqrt(F.col("n2").cast("double")))
+        .cast("long")
+        .alias("norm_micro"),
+        F.round(
+            1000000.0
+            * F.col("dot")
+            / (
+                F.sqrt(F.col("n2").cast("double"))
+                * F.sqrt(F.col("c2").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("cos_micro"),
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            cnt.cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("norm_micro").cast("double") / cnt / 1000000.0, 4
+            ).alias("mean_norm"),
+            F.round(F.min("norm_micro") / 1000000.0, 4).alias("min_norm"),
+            F.round(F.max("norm_micro") / 1000000.0, 4).alias("max_norm"),
+            F.round(
+                F.sum("cos_micro").cast("double") / cnt / 1000000.0, 4
+            ).alias("mean_centroid_cos"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "mean_norm",
+            "min_norm",
+            "max_norm",
+            "mean_centroid_cos",
+        )
+        .orderBy("label")
     )

@@ -2817,505 +2817,3 @@ def q372_filter_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("filter", "source")
-
-
-# --------------------------------------------------------------------------
-# q394 - lexical-richness profile per source: type-token ratio, hapax
-# ratio (share of types seen exactly once), Simpson's repeat-rate
-# D = sum n_i(n_i-1) / (N(N-1)), and Herdan's C = ln V / ln N. The
-# vocabulary-side quality read that q24 (per-doc heuristics) and q151
-# (corpus Zipf slope) don't give: synthetic/templated sources show low
-# TTR + low hapax + high repeat-rate at any corpus size, which is why
-# curation pipelines track it per source.
-# Tokenizer: tokens_raw (the ONE shared corpus-statistics tokenizer;
-# SQL mirror LIST_FILTER(STRING_SPLIT(...))).
-# Parity: V, N, V1 and the Simpson numerator are exact integers; each
-# reported stat is a single double expression over them. 4dp.
-# Scale: one (source, tok) aggregate (map-side combined), one source
-# aggregate. No windows, no corpus-wide sort.
-# --------------------------------------------------------------------------
-@register(
-    "q394_lexical_richness",
-    oracle="""
-WITH toks AS (
-    SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                      t -> t <> '')) AS tok
-    FROM documents
-),
-freq AS (
-    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
-    FROM toks GROUP BY source, tok
-),
-s AS (
-    SELECT source,
-           CAST(SUM(n) AS BIGINT) AS n_tokens,
-           CAST(COUNT(*) AS BIGINT) AS n_types,
-           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hapax,
-           CAST(SUM(n * (n - 1)) AS BIGINT) AS rep2
-    FROM freq GROUP BY source
-)
-SELECT source, n_tokens, n_types,
-       ROUND(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
-       ROUND(CAST(n_hapax AS DOUBLE) / n_types, 4) AS hapax_ratio,
-       ROUND(CAST(rep2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
-                                     * (n_tokens - 1)), 4) AS simpson_d,
-       ROUND(LN(CAST(n_types AS DOUBLE)) / LN(CAST(n_tokens AS DOUBLE)), 4)
-           AS herdan_c
-FROM s ORDER BY source
-""",
-    tags=("text-stats", "curation", "A12"),
-)
-def q394_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source lexical richness: (source, n_tokens, n_types, ttr,
-    hapax_ratio, simpson_d, herdan_c)."""
-    docs = load_table(spark, sf_dir, "documents")
-    freq = (
-        docs.select(
-            "source",
-            F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
-        )
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    s = freq.groupBy("source").agg(
-        F.sum("n").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum((F.col("n") == 1).cast("long")).cast("long").alias("n_hapax"),
-        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("rep2"),
-    )
-    return s.select(
-        "source",
-        "n_tokens",
-        "n_types",
-        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 4).alias(
-            "ttr"
-        ),
-        F.round(F.col("n_hapax").cast("double") / F.col("n_types"), 4).alias(
-            "hapax_ratio"
-        ),
-        F.round(
-            F.col("rep2").cast("double")
-            / (F.col("n_tokens").cast("double") * (F.col("n_tokens") - 1)),
-            4,
-        ).alias("simpson_d"),
-        F.round(
-            F.log(F.col("n_types").cast("double"))
-            / F.log(F.col("n_tokens").cast("double")),
-            4,
-        ).alias("herdan_c"),
-    ).orderBy("source")
-
-
-# --------------------------------------------------------------------------
-# q397 - pairwise Jensen-Shannon divergence between the per-source
-# unigram distributions: the source-similarity matrix a mix designer
-# reads before weighting (q156 ranks drift vs the corpus; q216/q223
-# weight vs a target; this is every source against every other).
-# JSD(p,q) = 0.5 KL(p||m) + 0.5 KL(q||m), m = (p+q)/2, computed over
-# the SHARED vocabulary plus closed-form ln2 corrections for each
-# side's unshared probability mass (tokens absent from the other side
-# contribute exactly p_i ln 2) - no smoothing needed, and JSD stays in
-# [0, ln 2].
-# Parity: each shared-token term is frozen to integer micro-nats
-# (round(1e6 * p * ln(2p/(p+q)))) before the pair sum, so both engines
-# sum identical integers; the two unshared-mass corrections are single
-# double expressions over exact integer masses with ln 2 as a literal;
-# p and q are IEEE divisions of the same integers. 4dp.
-# Scale: one (source, tok) aggregate collapses the corpus; the pair
-# join is keyed on tok over the vocab-bounded relation (|vocab| x
-# |sources|); the source-pair grid is |sources|^2 / 2 rows.
-# --------------------------------------------------------------------------
-_LN2 = "0.6931471805599453"
-
-
-@register(
-    "q397_source_jsd",
-    oracle=f"""
-WITH freq AS (
-    SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
-    FROM (SELECT source, UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '),
-                                            t -> t <> '')) AS tok
-          FROM documents) t
-    GROUP BY source, tok
-),
-tot AS (
-    SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM freq GROUP BY source
-),
-shared AS (
-    SELECT a.source AS sa, b.source AS sb,
-           CAST(COUNT(*) AS BIGINT) AS shared_types,
-           CAST(SUM(a.c) AS BIGINT) AS ca_sh,
-           CAST(SUM(b.c) AS BIGINT) AS cb_sh,
-           CAST(SUM(CAST(ROUND(1000000.0 * (CAST(a.c AS DOUBLE) / ta.n)
-                * LN((2.0 * (CAST(a.c AS DOUBLE) / ta.n))
-                     / ((CAST(a.c AS DOUBLE) / ta.n)
-                        + (CAST(b.c AS DOUBLE) / tb.n)))) AS BIGINT))
-                AS BIGINT) AS sp_int,
-           CAST(SUM(CAST(ROUND(1000000.0 * (CAST(b.c AS DOUBLE) / tb.n)
-                * LN((2.0 * (CAST(b.c AS DOUBLE) / tb.n))
-                     / ((CAST(a.c AS DOUBLE) / ta.n)
-                        + (CAST(b.c AS DOUBLE) / tb.n)))) AS BIGINT))
-                AS BIGINT) AS sq_int
-    FROM freq a
-    JOIN freq b ON b.tok = a.tok AND a.source < b.source
-    JOIN tot ta ON ta.source = a.source
-    JOIN tot tb ON tb.source = b.source
-    GROUP BY a.source, b.source
-),
-grid AS (
-    SELECT x.source AS sa, y.source AS sb, x.n AS na, y.n AS nb
-    FROM tot x JOIN tot y ON x.source < y.source
-)
-SELECT g.sa AS source_a, g.sb AS source_b,
-       COALESCE(s.shared_types, 0) AS shared_types,
-       ROUND((COALESCE(s.sp_int, 0) + COALESCE(s.sq_int, 0)
-              + CAST(ROUND(1000000.0 * (CAST(g.na - COALESCE(s.ca_sh, 0)
-                                             AS DOUBLE) / g.na) * {_LN2})
-                     AS BIGINT)
-              + CAST(ROUND(1000000.0 * (CAST(g.nb - COALESCE(s.cb_sh, 0)
-                                             AS DOUBLE) / g.nb) * {_LN2})
-                     AS BIGINT)) / 2000000.0, 4) AS jsd
-FROM grid g LEFT JOIN shared s ON s.sa = g.sa AND s.sb = g.sb
-ORDER BY source_a, source_b
-""",
-    tags=("text-stats", "curation", "A12"),
-)
-def q397_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise source unigram JSD: (source_a, source_b, shared_types,
-    jsd)."""
-    docs = load_table(spark, sf_dir, "documents")
-    freq = (
-        docs.select(
-            "source",
-            F.explode(text_analysis.tokens_raw(F.col("text"))).alias("tok"),
-        )
-        .groupBy("source", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    tot = freq.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
-    a = freq.select(
-        F.col("source").alias("sa"), "tok", F.col("c").alias("ca")
-    )
-    b = freq.select(
-        F.col("source").alias("sb"),
-        F.col("tok").alias("tokb"),
-        F.col("c").alias("cb"),
-    )
-    ta = tot.select(F.col("source").alias("sa"), F.col("n").alias("na"))
-    tb = tot.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
-    p = F.col("ca").cast("double") / F.col("na")
-    q = F.col("cb").cast("double") / F.col("nb")
-    shared = (
-        a.join(b, (F.col("tokb") == F.col("tok")) & (F.col("sa") < F.col("sb")))
-        .join(F.broadcast(ta), "sa")
-        .join(F.broadcast(tb), "sb")
-        .groupBy("sa", "sb")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("shared_types"),
-            F.sum("ca").cast("long").alias("ca_sh"),
-            F.sum("cb").cast("long").alias("cb_sh"),
-            F.sum(
-                F.round(1000000.0 * p * F.log((2.0 * p) / (p + q))).cast(
-                    "long"
-                )
-            )
-            .cast("long")
-            .alias("sp_int"),
-            F.sum(
-                F.round(1000000.0 * q * F.log((2.0 * q) / (p + q))).cast(
-                    "long"
-                )
-            )
-            .cast("long")
-            .alias("sq_int"),
-        )
-    )
-    grid = (
-        ta.withColumnRenamed("sa", "source")
-        .select(F.col("source").alias("ga"), F.col("na"))
-        .join(
-            tb.withColumnRenamed("sb", "source").select(
-                F.col("source").alias("gb"), F.col("nb")
-            ),
-            F.col("ga") < F.col("gb"),
-        )
-    )
-    ln2 = float(_LN2)
-    corr_a = F.round(
-        1000000.0
-        * ((F.col("na") - F.coalesce("ca_sh", F.lit(0))).cast("double") / F.col("na"))
-        * ln2
-    ).cast("long")
-    corr_b = F.round(
-        1000000.0
-        * ((F.col("nb") - F.coalesce("cb_sh", F.lit(0))).cast("double") / F.col("nb"))
-        * ln2
-    ).cast("long")
-    return (
-        grid.join(
-            shared,
-            (F.col("sa") == F.col("ga")) & (F.col("sb") == F.col("gb")),
-            "left",
-        )
-        .select(
-            F.col("ga").alias("source_a"),
-            F.col("gb").alias("source_b"),
-            F.coalesce("shared_types", F.lit(0)).cast("long").alias(
-                "shared_types"
-            ),
-            F.round(
-                (
-                    F.coalesce("sp_int", F.lit(0))
-                    + F.coalesce("sq_int", F.lit(0))
-                    + corr_a
-                    + corr_b
-                )
-                / 2000000.0,
-                4,
-            ).alias("jsd"),
-        )
-        .orderBy("source_a", "source_b")
-    )
-
-
-# --------------------------------------------------------------------------
-# q401 - Gopher-style quality-rule audit per source: pass rates for five
-# integer-exact curation rules - R1 token-count band (20..1000), R2
-# mean-token-length band ([4, 10] chars), R3 stopword evidence
-# (>= 2 stopword hits), R4 max-token dominance (most frequent token
-# <= 10% of tokens), R5 distinct-token ratio >= 0.4 - plus the share
-# passing ALL rules. q24 scores single docs and q337 sequences a filter
-# cascade; this is the per-rule-per-source diagnostic table a curation
-# run reports (which rule kills which source).
-# Parity: every rule is an INTEGER comparison (4n <= chars, 10*mx <= n,
-# 5*d >= 2n, hit counts) - no float thresholds anywhere; pass rates are
-# single double ratios. 4dp.
-# Scale: one exploded (doc, tok) aggregate, one doc rollup, one source
-# rollup - uniform keys, no windows.
-# --------------------------------------------------------------------------
-_GOPHER_STOPS = "'the', 'a', 'and', 'of', 'to', 'in'"
-
-
-@register(
-    "q401_gopher_rules",
-    oracle=f"""
-WITH toks AS (
-    SELECT doc_id, source,
-           UNNEST(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
-                              x -> x <> '')) AS tok
-    FROM documents
-),
-tf AS (
-    SELECT doc_id, source, tok, CAST(COUNT(*) AS BIGINT) AS c
-    FROM toks GROUP BY doc_id, source, tok
-),
-d AS (
-    SELECT doc_id, source,
-           CAST(SUM(c) AS BIGINT) AS n,
-           CAST(COUNT(*) AS BIGINT) AS dt,
-           CAST(MAX(c) AS BIGINT) AS mx,
-           CAST(SUM(c * LENGTH(tok)) AS BIGINT) AS chars,
-           CAST(SUM(CASE WHEN tok IN ({_GOPHER_STOPS}) THEN c ELSE 0 END)
-                AS BIGINT) AS stop_hits
-    FROM tf GROUP BY doc_id, source
-),
-r AS (
-    SELECT source,
-           CASE WHEN n >= 20 AND n <= 1000 THEN 1 ELSE 0 END AS r1,
-           CASE WHEN 4 * n <= chars AND chars <= 10 * n THEN 1 ELSE 0 END
-               AS r2,
-           CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r3,
-           CASE WHEN 10 * mx <= n THEN 1 ELSE 0 END AS r4,
-           CASE WHEN 5 * dt >= 2 * n THEN 1 ELSE 0 END AS r5
-    FROM d
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(r1) AS DOUBLE) / COUNT(*), 4) AS word_count_rate,
-       ROUND(CAST(SUM(r2) AS DOUBLE) / COUNT(*), 4) AS word_len_rate,
-       ROUND(CAST(SUM(r3) AS DOUBLE) / COUNT(*), 4) AS stopword_rate,
-       ROUND(CAST(SUM(r4) AS DOUBLE) / COUNT(*), 4) AS dominance_rate,
-       ROUND(CAST(SUM(r5) AS DOUBLE) / COUNT(*), 4) AS distinct_rate,
-       ROUND(CAST(SUM(r1 * r2 * r3 * r4 * r5) AS DOUBLE) / COUNT(*), 4)
-           AS all_rules_rate
-FROM r GROUP BY source ORDER BY source
-""",
-    tags=("curation", "quality", "A12"),
-)
-def q401_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Gopher-rule pass rates: (source, n_docs,
-    word_count_rate, word_len_rate, stopword_rate, dominance_rate,
-    distinct_rate, all_rules_rate)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-        ).alias("tok"),
-    )
-    tf = toks.groupBy("doc_id", "source", "tok").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    stops = [s.strip("' ") for s in _GOPHER_STOPS.split(",")]
-    d = tf.groupBy("doc_id", "source").agg(
-        F.sum("c").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("dt"),
-        F.max("c").cast("long").alias("mx"),
-        F.sum(F.col("c") * F.length("tok")).cast("long").alias("chars"),
-        F.sum(
-            F.when(F.col("tok").isin(*stops), F.col("c")).otherwise(0)
-        )
-        .cast("long")
-        .alias("stop_hits"),
-    )
-    r = d.select(
-        "source",
-        ((F.col("n") >= 20) & (F.col("n") <= 1000)).cast("long").alias("r1"),
-        (
-            (4 * F.col("n") <= F.col("chars"))
-            & (F.col("chars") <= 10 * F.col("n"))
-        )
-        .cast("long")
-        .alias("r2"),
-        (F.col("stop_hits") >= 2).cast("long").alias("r3"),
-        (10 * F.col("mx") <= F.col("n")).cast("long").alias("r4"),
-        (5 * F.col("dt") >= 2 * F.col("n")).cast("long").alias("r5"),
-    )
-    cnt = F.count(F.lit(1))
-    return (
-        r.groupBy("source")
-        .agg(
-            cnt.cast("long").alias("n_docs"),
-            F.round(F.sum("r1").cast("double") / cnt, 4).alias(
-                "word_count_rate"
-            ),
-            F.round(F.sum("r2").cast("double") / cnt, 4).alias(
-                "word_len_rate"
-            ),
-            F.round(F.sum("r3").cast("double") / cnt, 4).alias(
-                "stopword_rate"
-            ),
-            F.round(F.sum("r4").cast("double") / cnt, 4).alias(
-                "dominance_rate"
-            ),
-            F.round(F.sum("r5").cast("double") / cnt, 4).alias(
-                "distinct_rate"
-            ),
-            F.round(
-                F.sum(
-                    F.col("r1") * F.col("r2") * F.col("r3") * F.col("r4")
-                    * F.col("r5")
-                ).cast("double")
-                / cnt,
-                4,
-            ).alias("all_rules_rate"),
-        )
-        .orderBy("source")
-    )
-
-
-# --------------------------------------------------------------------------
-# q402 - language-ID confidence audit per source: the marker-lexicon
-# scorer's accuracy against the gold `lang` column, the mean top1-top2
-# score margin, and the share of zero-margin (ambiguous) docs - the
-# confidence read that decides whether q25's cheap scorer is safe for a
-# source or needs the gated model path (q245 measures document-level
-# language MIXING; this measures classifier confidence).
-# Parity: scores and margins are exact integer hit counts (the q25
-# lexicon); accuracy/margin/ambiguity are single double ratios. 4dp.
-# Scale: one narrow array pass per doc (JVM expressions), one source
-# rollup. No joins, no windows.
-# --------------------------------------------------------------------------
-def _langid_margin_oracle() -> str:
-    langs = sorted(text_analysis.LANG_MARKERS)
-    score_exprs = []
-    for lg in langs:
-        markers = ", ".join(f"'{m}'" for m in text_analysis.LANG_MARKERS[lg])
-        score_exprs.append(
-            f"LEN(LIST_FILTER(toks, x -> x IN ({markers}))) AS score_{lg}"
-        )
-    greatest = "GREATEST(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
-    case = " ".join(f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs)
-    arr = "[" + ", ".join(f"score_{lg}" for lg in langs) + "]"
-    return f"""
-WITH t AS (
-    SELECT doc_id, source, lang,
-           LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS toks
-    FROM documents
-),
-s AS (
-    SELECT doc_id, source, lang, {", ".join(score_exprs)} FROM t
-),
-g AS (
-    SELECT *, {greatest} AS best,
-           LIST_SORT({arr}) AS sorted_scores
-    FROM s
-),
-p AS (
-    SELECT source,
-           CASE WHEN (CASE {case} END) = lang THEN 1 ELSE 0 END AS hit,
-           best - sorted_scores[-2] AS margin
-    FROM g
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 4) AS accuracy,
-       ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 4) AS mean_margin,
-       ROUND(CAST(SUM(CASE WHEN margin = 0 THEN 1 ELSE 0 END) AS DOUBLE)
-             / COUNT(*), 4) AS ambiguous_share
-FROM p GROUP BY source ORDER BY source
-"""
-
-
-@register(
-    "q402_langid_margin",
-    oracle=_langid_margin_oracle(),
-    tags=("text-langid", "quality", "A12"),
-)
-def q402_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lang-ID confidence audit: (source, n_docs, accuracy, mean_margin,
-    ambiguous_share)."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
-    langs = sorted(text_analysis.LANG_MARKERS)
-    scores = [
-        F.size(
-            F.filter(
-                toks,
-                lambda t: t.isin(*text_analysis.LANG_MARKERS[lg]),
-            )
-        ).alias(f"score_{lg}")
-        for lg in langs
-    ]
-    s = docs.select("doc_id", "source", "lang", *scores)
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
-    pred = F.coalesce(
-        *[F.when(F.col(f"score_{lg}") == best, F.lit(lg)) for lg in langs]
-    )
-    sorted_scores = F.sort_array(
-        F.array(*[F.col(f"score_{lg}") for lg in langs])
-    )
-    p = s.select(
-        "source",
-        (pred == F.col("lang")).cast("long").alias("hit"),
-        (best - F.element_at(sorted_scores, -2)).alias("margin"),
-    )
-    cnt = F.count(F.lit(1))
-    return (
-        p.groupBy("source")
-        .agg(
-            cnt.cast("long").alias("n_docs"),
-            F.round(F.sum("hit").cast("double") / cnt, 4).alias("accuracy"),
-            F.round(F.sum("margin").cast("double") / cnt, 4).alias(
-                "mean_margin"
-            ),
-            F.round(
-                F.sum((F.col("margin") == 0).cast("long")).cast("double")
-                / cnt,
-                4,
-            ).alias("ambiguous_share"),
-        )
-        .orderBy("source")
-    )

@@ -118,6 +118,7 @@ BOUNDED_WINDOW_OK = {
     "q393_brown_double_smoothing",  # daily relation, two SES pair joins
     # vocabulary / value-domain-bounded (collapse-first to the domain)
     "q151_zipf_fit",
+    "q404_vocab_coverage",  # rank window over the vocab relation
     "q244_unimax_budget",  # |langs| rows
     "q253_t_closeness",  # nation x priority grid
     "q273_randomized_response",  # category dim
