@@ -1587,3 +1587,111 @@ def q335_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q408 - decision-threshold sweep: pick the value threshold that
+# maximizes an expected-utility objective (utility = 2*TP - FP in
+# frozen integer units, i.e. a true positive is worth twice a false
+# alarm) for the "flag high-value purchases" detector, and report the
+# winning operating point with its confusion counts. q283 integrates
+# the whole curve into one AUC; q289 reads decile gains; this answers
+# the deployment question - WHICH cutoff do we ship.
+# Positive class = 'purchase' events; score = the event value.
+# Parity: scores frozen to cents; TP/FP are cumulative integer counts
+# over the distinct-score domain; the objective is an exact integer;
+# the argmax tie-breaks on the lower threshold; precision/recall are
+# single double ratios. 4dp.
+# Scale: one keyed aggregate collapses the corpus to the score domain;
+# the cumulative window runs over distinct scores (the q283 declared
+# bounded-domain exception, lint-allowlisted); 1-row output.
+# --------------------------------------------------------------------------
+@register(
+    "q408_threshold_sweep",
+    oracle="""
+WITH v AS (
+    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS c,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events
+),
+dom AS (
+    SELECT c, CAST(SUM(pos) AS BIGINT) AS p,
+           CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n
+    FROM v GROUP BY c
+),
+tot AS (SELECT CAST(SUM(p) AS BIGINT) AS tp_all,
+               CAST(SUM(n) AS BIGINT) AS tn_all FROM dom),
+cum AS (
+    SELECT c,
+           CAST(SUM(p) OVER (ORDER BY c DESC) AS BIGINT) AS tp,
+           CAST(SUM(n) OVER (ORDER BY c DESC) AS BIGINT) AS fp
+    FROM dom
+),
+scored AS (
+    SELECT c, tp, fp, t.tp_all - tp AS fn, t.tn_all - fp AS tn,
+           2 * tp - fp AS u2
+    FROM cum CROSS JOIN tot t
+),
+best AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY u2 DESC, c ASC) AS rk
+    FROM scored
+)
+SELECT ROUND(c / 100.0, 4) AS threshold, tp, fp, fn, tn,
+       CAST(u2 AS BIGINT) AS utility_2x,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall
+FROM best WHERE rk = 1
+""",
+    tags=("eval", "decision", "W3"),
+)
+def q408_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Utility-optimal operating point: (threshold, tp, fp, fn, tn,
+    utility_2x, precision, recall)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        F.round(100.0 * F.col("value")).cast("long").alias("c"),
+        (F.col("event_type") == "purchase").cast("long").alias("pos"),
+    )
+    dom = v.groupBy("c").agg(
+        F.sum("pos").cast("long").alias("p"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("n"),
+    )
+    tot = dom.agg(
+        F.sum("p").cast("long").alias("tp_all"),
+        F.sum("n").cast("long").alias("tn_all"),
+    )
+    wc = Window.orderBy(F.desc("c")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = dom.select(
+        "c",
+        F.sum("p").over(wc).cast("long").alias("tp"),
+        F.sum("n").over(wc).cast("long").alias("fp"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "tp",
+        "fp",
+        (F.col("tp_all") - F.col("tp")).alias("fn"),
+        (F.col("tn_all") - F.col("fp")).alias("tn"),
+        (2 * F.col("tp") - F.col("fp")).alias("u2"),
+    )
+    wb = Window.orderBy(F.desc("u2"), F.asc("c"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.round(F.col("c") / 100.0, 4).alias("threshold"),
+            "tp",
+            "fp",
+            "fn",
+            "tn",
+            F.col("u2").cast("long").alias("utility_2x"),
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 4
+            ).alias("precision"),
+            F.round(
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 4
+            ).alias("recall"),
+        )
+    )

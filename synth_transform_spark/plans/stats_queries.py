@@ -2990,3 +2990,101 @@ def q400_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("z") >= 0, phi).otherwise(F.lit(1.0) - phi), 4
         ).alias("prob_b_beats_a"),
     )
+
+
+# --------------------------------------------------------------------------
+# q407 - QQ decile table, odd- vs even-user cohorts: the nine decile
+# values of `value` in each cohort side by side with their differences
+# - the distribution-shape read that says WHERE two cohorts diverge
+# (q305's KS gives one max-gap number; q318's Wasserstein one area;
+# this is the plot analysts actually look at, as a relation).
+# Parity: values frozen to cents; each decile is an exact interpolated
+# percentile of integers (identical linear interpolation on both
+# engines); diffs are integer-derived doubles. 4dp.
+# Scale: one percentile aggregate per cohort (Spark's percentile over
+# cents; no row sort survives the collapse), 9-row output via a
+# broadcast decile dim.
+# --------------------------------------------------------------------------
+@register(
+    "q407_qq_deciles",
+    oracle="""
+WITH v AS (
+    SELECT user_id % 2 AS cohort,
+           CAST(ROUND(100.0 * value) AS BIGINT) AS c
+    FROM events
+),
+c0 AS (SELECT QUANTILE_CONT(CAST(c AS DOUBLE), 0.1) AS q1, QUANTILE_CONT(CAST(c AS DOUBLE), 0.2) AS q2, QUANTILE_CONT(CAST(c AS DOUBLE), 0.3) AS q3, QUANTILE_CONT(CAST(c AS DOUBLE), 0.4) AS q4, QUANTILE_CONT(CAST(c AS DOUBLE), 0.5) AS q5, QUANTILE_CONT(CAST(c AS DOUBLE), 0.6) AS q6, QUANTILE_CONT(CAST(c AS DOUBLE), 0.7) AS q7, QUANTILE_CONT(CAST(c AS DOUBLE), 0.8) AS q8, QUANTILE_CONT(CAST(c AS DOUBLE), 0.9) AS q9 FROM v WHERE cohort = 0),
+c1 AS (SELECT QUANTILE_CONT(CAST(c AS DOUBLE), 0.1) AS q1, QUANTILE_CONT(CAST(c AS DOUBLE), 0.2) AS q2, QUANTILE_CONT(CAST(c AS DOUBLE), 0.3) AS q3, QUANTILE_CONT(CAST(c AS DOUBLE), 0.4) AS q4, QUANTILE_CONT(CAST(c AS DOUBLE), 0.5) AS q5, QUANTILE_CONT(CAST(c AS DOUBLE), 0.6) AS q6, QUANTILE_CONT(CAST(c AS DOUBLE), 0.7) AS q7, QUANTILE_CONT(CAST(c AS DOUBLE), 0.8) AS q8, QUANTILE_CONT(CAST(c AS DOUBLE), 0.9) AS q9 FROM v WHERE cohort = 1)
+SELECT * FROM (
+SELECT CAST(1 AS BIGINT) AS decile, ROUND(c0.q1 / 100.0, 4) AS q_even,
+       ROUND(c1.q1 / 100.0, 4) AS q_odd,
+       ROUND((c1.q1 - c0.q1) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS decile, ROUND(c0.q2 / 100.0, 4) AS q_even,
+       ROUND(c1.q2 / 100.0, 4) AS q_odd,
+       ROUND((c1.q2 - c0.q2) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS decile, ROUND(c0.q3 / 100.0, 4) AS q_even,
+       ROUND(c1.q3 / 100.0, 4) AS q_odd,
+       ROUND((c1.q3 - c0.q3) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(4 AS BIGINT) AS decile, ROUND(c0.q4 / 100.0, 4) AS q_even,
+       ROUND(c1.q4 / 100.0, 4) AS q_odd,
+       ROUND((c1.q4 - c0.q4) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(5 AS BIGINT) AS decile, ROUND(c0.q5 / 100.0, 4) AS q_even,
+       ROUND(c1.q5 / 100.0, 4) AS q_odd,
+       ROUND((c1.q5 - c0.q5) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(6 AS BIGINT) AS decile, ROUND(c0.q6 / 100.0, 4) AS q_even,
+       ROUND(c1.q6 / 100.0, 4) AS q_odd,
+       ROUND((c1.q6 - c0.q6) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(7 AS BIGINT) AS decile, ROUND(c0.q7 / 100.0, 4) AS q_even,
+       ROUND(c1.q7 / 100.0, 4) AS q_odd,
+       ROUND((c1.q7 - c0.q7) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(8 AS BIGINT) AS decile, ROUND(c0.q8 / 100.0, 4) AS q_even,
+       ROUND(c1.q8 / 100.0, 4) AS q_odd,
+       ROUND((c1.q8 - c0.q8) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+UNION ALL
+SELECT CAST(9 AS BIGINT) AS decile, ROUND(c0.q9 / 100.0, 4) AS q_even,
+       ROUND(c1.q9 / 100.0, 4) AS q_odd,
+       ROUND((c1.q9 - c0.q9) / 100.0, 4) AS qq_diff
+FROM c0 CROSS JOIN c1
+) ORDER BY decile
+""",
+    tags=("inferential", "distribution", "A12"),
+)
+def q407_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort QQ table: (decile, q_even, q_odd, qq_diff)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.round(100.0 * F.col("value")).cast("long").alias("c"),
+    )
+    fracs = ", ".join(f"{d / 10.0}" for d in range(1, 10))
+    per_cohort = v.groupBy("cohort").agg(
+        F.expr(f"percentile(CAST(c AS DOUBLE), array({fracs}))").alias("qs")
+    )
+    flat = per_cohort.select(
+        "cohort", F.posexplode("qs").alias("d0", "qv")
+    ).select("cohort", (F.col("d0") + 1).alias("decile"), "qv")
+    q = flat.groupBy("decile").agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("qv"))).alias("q0"),
+        F.max(F.when(F.col("cohort") == 1, F.col("qv"))).alias("q1"),
+    )
+    return q.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.round(F.col("q0") / 100.0, 4).alias("q_even"),
+        F.round(F.col("q1") / 100.0, 4).alias("q_odd"),
+        F.round((F.col("q1") - F.col("q0")) / 100.0, 4).alias("qq_diff"),
+    ).orderBy("decile")

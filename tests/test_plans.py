@@ -123,6 +123,7 @@ BOUNDED_WINDOW_OK = {
     "q253_t_closeness",  # nation x priority grid
     "q273_randomized_response",  # category dim
     "q283_roc_auc",  # distinct-score domain (declared)
+    "q408_threshold_sweep",  # distinct-score domain (q283's class)
     "q289_gain_chart",
     "q305_ks_test",
     "q316_average_precision",
