@@ -2721,3 +2721,82 @@ def q389_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q412 - daily bounce rate: the share of sessions (30-minute-gap
+# sessionization, q22's rule) that contain exactly ONE event, per
+# session-start day - the engagement-quality pulse next to q398's
+# stickiness (users showing up) and q22's per-user session profile.
+# Parity: sessionization is the q22 lag rule on truncated-second
+# epochs; counts exact; the rate is one double ratio. 4dp.
+# Scale: one user-keyed session window pass (uniform user keys), one
+# (user, session) aggregate, one day rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q412_bounce_rate",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                     - CAST(EPOCH(DATE_TRUNC('second', LAG(ts) OVER w))
+                            AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ordered
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+),
+per AS (
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(DATE_TRUNC('day', MIN(ts)) AS DATE) AS start_day
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT CAST(start_day AS VARCHAR) AS day,
+       CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS bounce_rate
+FROM per GROUP BY start_day ORDER BY day
+""",
+    tags=("engagement", "streaming-session", "A5"),
+)
+def q412_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily session bounce rate: (day, sessions, bounces, bounce_rate)."""
+    events = load_table(spark, sf_dir, "events")
+    sess = windows.sessionize(events, gap_minutes=30)
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_trunc("day", F.min("ts")).cast("date").alias("start_day"),
+    )
+    return (
+        per.groupBy("start_day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("long")
+            .alias("bounces"),
+            F.round(
+                F.sum((F.col("n_events") == 1).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("bounce_rate"),
+        )
+        .select(
+            F.date_format("start_day", "yyyy-MM-dd").alias("day"),
+            "sessions",
+            "bounces",
+            "bounce_rate",
+        )
+        .orderBy("day")
+    )

@@ -175,3 +175,81 @@ def q143_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest("a_start", "w_start").cast("long")
         ).alias("overlap_sec"),
     )
+
+
+# --------------------------------------------------------------------------
+# q409 - as-of join WITH TOLERANCE (pandas merge_asof's `tolerance`):
+# each purchase takes the user's latest click at-or-before it ONLY if
+# that click is within the 30-minute staleness budget; older matches
+# null out (attribution windows, sensor staleness caps). Composition:
+# the q49 tagged-union as-of pass + a tolerance post-filter - correct
+# because the latest click <= t is in [t - tol, t] iff ANY click is
+# (it is the maximum), so no second join is needed.
+# Parity: lag is an exact integer of truncated-second epochs; the
+# tolerance compare is integer; stale matches null both asof columns.
+# Scale: identical to q49 (one hash shuffle on user_id + one window
+# pass; no inequality join) plus a row-local filter.
+# --------------------------------------------------------------------------
+_ASOF_TOL_SEC = 1800
+
+
+@register(
+    "q409_asof_tolerance_join",
+    oracle=f"""
+WITH c AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events WHERE event_type = 'purchase'
+),
+m AS (
+    SELECT p.event_id, MAX(c.ts) AS asof_ts
+    FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+    GROUP BY p.event_id
+),
+j AS (
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, m.asof_ts,
+           CAST(EPOCH(DATE_TRUNC('second', p.ts)) AS BIGINT)
+             - CAST(EPOCH(DATE_TRUNC('second', m.asof_ts)) AS BIGINT)
+               AS raw_lag
+    FROM p LEFT JOIN m USING (event_id)
+)
+SELECT event_id, user_id, purchase_ts,
+       CASE WHEN raw_lag <= {_ASOF_TOL_SEC} THEN asof_ts END AS asof_ts,
+       CASE WHEN raw_lag <= {_ASOF_TOL_SEC} THEN raw_lag END AS lag_sec,
+       CAST(CASE WHEN raw_lag <= {_ASOF_TOL_SEC} THEN 1 ELSE 0 END
+            AS BIGINT) AS matched,
+       CAST(CASE WHEN raw_lag > {_ASOF_TOL_SEC} THEN 1 ELSE 0 END
+            AS BIGINT) AS stale
+FROM j
+""",
+    tags=("asof-join", "J14", "temporal"),
+)
+def q409_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-capped as-of join: (event_id, user_id, purchase_ts,
+    asof_ts, lag_sec, matched, stale)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = temporal.asof_join(purchases, clicks, key="user_id")
+    raw_lag = F.col("ts").cast("timestamp").cast("long") - F.col(
+        "asof_ts"
+    ).cast("timestamp").cast("long")
+    in_tol = raw_lag <= _ASOF_TOL_SEC
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(in_tol, F.col("asof_ts")).alias("asof_ts"),
+        F.when(in_tol, raw_lag).alias("lag_sec"),
+        F.coalesce(in_tol.cast("long"), F.lit(0)).alias("matched"),
+        F.coalesce((raw_lag > _ASOF_TOL_SEC).cast("long"), F.lit(0)).alias(
+            "stale"
+        ),
+    )

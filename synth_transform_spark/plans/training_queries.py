@@ -2139,3 +2139,80 @@ def q396_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("max_len")
     )
+
+
+# --------------------------------------------------------------------------
+# q411 - leave-one-out target encoding of event_type against the event
+# value, with m-estimate smoothing toward the global mean (m = 10): the
+# leakage-safe categorical encoder (each row's own target is EXCLUDED
+# from its encoding - naive mean encoding leaks the label and inflates
+# offline metrics). enc_i = (S_cat - y_i + m * prior) / (n_cat - 1 + m).
+# Parity: values frozen to cents; S_cat/n_cat are exact integers; the
+# global prior is frozen to micro-cents once; each encoding is a single
+# double ratio. 4dp.
+# Scale: one category aggregate (7 rows) broadcast back + one 1-row
+# prior broadcast - the encode pass is row-local; no window, no
+# self-join.
+# --------------------------------------------------------------------------
+_LOO_M = 10
+
+
+@register(
+    "q411_loo_target_encoding",
+    oracle=f"""
+WITH v AS (
+    SELECT event_id, event_type,
+           CAST(ROUND(100.0 * value) AS BIGINT) AS cents
+    FROM events
+),
+cat AS (
+    SELECT event_type, CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM v GROUP BY event_type
+),
+prior AS (
+    SELECT CAST(ROUND(10000.0 * SUM(s) / SUM(n)) AS BIGINT) AS p4
+    FROM cat
+)
+SELECT v.event_id, v.event_type,
+       ROUND(v.cents / 100.0, 4) AS value,
+       ROUND((10000.0 * (c.s - v.cents) + {_LOO_M} * p.p4)
+             / (c.n - 1 + {_LOO_M}) / 1000000.0, 4) AS loo_enc
+FROM v JOIN cat c ON c.event_type = v.event_type CROSS JOIN prior p
+""",
+    tags=("training-prep", "feature-eng", "J1"),
+)
+def q411_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe LOO target encoding: (event_id, event_type, value,
+    loo_enc)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_id",
+        "event_type",
+        F.round(100.0 * F.col("value")).cast("long").alias("cents"),
+    )
+    cat = v.groupBy("event_type").agg(
+        F.sum("cents").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    prior = cat.agg(
+        F.round(10000.0 * F.sum("s") / F.sum("n")).cast("long").alias("p4")
+    )
+    return (
+        v.join(F.broadcast(cat), "event_type")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("cents") / 100.0, 4).alias("value"),
+            F.round(
+                (
+                    10000.0 * (F.col("s") - F.col("cents"))
+                    + _LOO_M * F.col("p4")
+                )
+                / (F.col("n") - 1 + _LOO_M)
+                / 1000000.0,
+                4,
+            ).alias("loo_enc"),
+        )
+    )
