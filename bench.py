@@ -83,6 +83,10 @@ def main() -> int:
         "q132_pq_topk",
         "q149_hierarchy_rollup",
         "q210_pareto_frontier",
+        # round-6 representatives (curation audits): the two heaviest of
+        # the q392-q412 wave, so its families carry a regression metric
+        "q397_source_jsd",
+        "q399_ngram_novelty",
     ]
     ext: dict[str, float] = {}
     for name in EXTENDED:
