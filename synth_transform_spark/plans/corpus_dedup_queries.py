@@ -991,3 +991,112 @@ def q403_dup_rate_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("est_dup_rate"),
         F.round(F.abs(est - dup), 4).alias("abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# q413 - cross-source shared-head (boilerplate prefix) matrix: for
+# every pair of sources, how many normalized 8-token DOCUMENT HEADS
+# they share, and how many documents carry those heads on each side -
+# the "same template/boilerplate opening across feeds" read (q203
+# measures whole-document shingle similarity between sources; q403
+# sizes global verbatim duplication; this attributes shared OPENINGS,
+# the thing scrapers and mirrored feeds leak first, to source pairs).
+# Parity: heads are md5 of the first 8 whitespace tokens of the
+# lowercased text (identical list slicing both engines); counts exact;
+# share one double ratio. 4dp.
+# Scale: one (head, source) aggregate; pair generation is a self-join
+# keyed on the HEAD fingerprint (never doc-pairs; a head in S sources
+# yields S(S-1)/2 pair rows); one (source_a, source_b) rollup.
+# --------------------------------------------------------------------------
+_HEAD_K = 8
+
+
+@register(
+    "q413_cross_source_dups",
+    oracle=f"""
+WITH fp AS (
+    SELECT source,
+           MD5(ARRAY_TO_STRING(
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                           t -> t <> '')[1:{_HEAD_K}], ' ')) AS h
+    FROM documents
+),
+gs AS (
+    SELECT h, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM fp GROUP BY h, source
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_heads,
+           CAST(SUM(a.n_docs) AS BIGINT) AS docs_a,
+           CAST(SUM(b.n_docs) AS BIGINT) AS docs_b
+    FROM gs a JOIN gs b ON b.h = a.h AND a.source < b.source
+    GROUP BY a.source, b.source
+),
+tot AS (
+    SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS all_heads FROM fp
+)
+SELECT p.source_a, p.source_b, p.shared_heads, p.docs_a, p.docs_b,
+       ROUND(CAST(p.shared_heads AS DOUBLE) / t.all_heads, 4)
+           AS head_share
+FROM pairs p CROSS JOIN tot t
+ORDER BY source_a, source_b
+""",
+    tags=("corpus-dedup", "curation", "A4"),
+)
+def q413_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared 8-token document heads per source pair: (source_a,
+    source_b, shared_heads, docs_a, docs_b, head_share)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.filter(
+                        F.split(F.lower("text"), " "), lambda t: t != ""
+                    ),
+                    1,
+                    _HEAD_K,
+                ),
+            )
+        ).alias("h"),
+    )
+    gs = fp.groupBy("h", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    a = gs.select(
+        F.col("h"), F.col("source").alias("source_a"),
+        F.col("n_docs").alias("na"),
+    )
+    b = gs.select(
+        F.col("h").alias("hb"), F.col("source").alias("source_b"),
+        F.col("n_docs").alias("nb"),
+    )
+    pairs = (
+        a.join(b, (F.col("hb") == F.col("h"))
+               & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("shared_heads"),
+            F.sum("na").cast("long").alias("docs_a"),
+            F.sum("nb").cast("long").alias("docs_b"),
+        )
+    )
+    tot = fp.agg(F.countDistinct("h").cast("long").alias("all_heads"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "shared_heads",
+            "docs_a",
+            "docs_b",
+            F.round(
+                F.col("shared_heads").cast("double") / F.col("all_heads"),
+                4,
+            ).alias("head_share"),
+        )
+        .orderBy("source_a", "source_b")
+    )

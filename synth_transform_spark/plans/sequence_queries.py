@@ -2800,3 +2800,136 @@ def q412_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q414 - per-user behavioral surprisal under the global event-type
+# transition model: score each user's event sequence by the mean
+# negative log-probability of its transitions under q154's corpus
+# transition matrix, and flag users more than 2 population standard
+# deviations ABOVE the mean - the bot/anomaly read (too-predictable
+# users score LOW; users jumping between rare transitions score HIGH).
+# q154 builds the matrix, q309 reports the corpus entropy rate; this
+# attributes the model back to individual users.
+# Parity: transition probabilities are exact count ratios; each
+# transition's surprisal is frozen to integer micro-nats
+# (round(1e6 * -ln(p))) before ALL sums, so per-user means and the
+# population moments are exact-integer arithmetic; the z comparison
+# happens on round(1e4 * z). 4dp.
+# Scale: one user-keyed lag window (uniform user keys, q154's plan) ->
+# one (prev, next) count aggregate (k^2 rows, broadcast back) -> one
+# user rollup -> one 1-row moment broadcast. No corpus sort.
+# --------------------------------------------------------------------------
+@register(
+    "q414_user_surprisal",
+    oracle="""
+WITH ev AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+    FROM events
+),
+tr AS (
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ev WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+),
+marg AS (
+    SELECT prev_type, CAST(SUM(c) AS BIGINT) AS m FROM tr
+    GROUP BY prev_type
+),
+surp AS (
+    SELECT t.prev_type, t.event_type,
+           CAST(ROUND(-1000000.0 * LN(CAST(t.c AS DOUBLE) / g.m))
+                AS BIGINT) AS s_micro
+    FROM tr t JOIN marg g ON g.prev_type = t.prev_type
+),
+per_user AS (
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_tr,
+           CAST(SUM(s.s_micro) AS BIGINT) AS tot
+    FROM ev e JOIN surp s ON s.prev_type = e.prev_type
+                         AND s.event_type = e.event_type
+    WHERE e.prev_type IS NOT NULL
+    GROUP BY e.user_id
+),
+scored AS (
+    SELECT user_id, n_tr,
+           CAST(ROUND(CAST(tot AS DOUBLE) / n_tr) AS BIGINT) AS mean_micro
+    FROM per_user
+),
+pop AS (
+    SELECT AVG(CAST(mean_micro AS DOUBLE)) AS mu,
+           STDDEV_POP(CAST(mean_micro AS DOUBLE)) AS sd
+    FROM scored
+)
+SELECT s.user_id, s.n_tr,
+       ROUND(s.mean_micro / 1000000.0, 4) AS mean_surprisal,
+       ROUND((s.mean_micro - p.mu) / p.sd, 4) AS z,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * (s.mean_micro - p.mu) / p.sd)
+                      AS BIGINT) > 20000 THEN 1 ELSE 0 END AS BIGINT)
+           AS outlier
+FROM scored s CROSS JOIN pop p
+ORDER BY user_id
+""",
+    tags=("sequence", "anomaly", "W2"),
+)
+def q414_user_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user transition surprisal vs the corpus model:
+    (user_id, n_tr, mean_surprisal, z, outlier)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = ev.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    marg = tr.groupBy("prev_type").agg(F.sum("c").alias("m"))
+    surp = tr.join(F.broadcast(marg), "prev_type").select(
+        "prev_type",
+        "event_type",
+        F.round(
+            -1000000.0 * F.log(F.col("c").cast("double") / F.col("m"))
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    per_user = (
+        ev.join(F.broadcast(surp), ["prev_type", "event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tr"),
+            F.sum("s_micro").cast("long").alias("tot"),
+        )
+    )
+    scored = per_user.select(
+        "user_id",
+        "n_tr",
+        F.round(F.col("tot").cast("double") / F.col("n_tr"))
+        .cast("long")
+        .alias("mean_micro"),
+    )
+    pop = scored.agg(
+        F.avg(F.col("mean_micro").cast("double")).alias("mu"),
+        F.stddev_pop(F.col("mean_micro").cast("double")).alias("sd"),
+    )
+    z = (F.col("mean_micro") - F.col("mu")) / F.col("sd")
+    return (
+        scored.crossJoin(F.broadcast(pop))
+        .select(
+            "user_id",
+            "n_tr",
+            F.round(F.col("mean_micro") / 1000000.0, 4).alias(
+                "mean_surprisal"
+            ),
+            F.round(z, 4).alias("z"),
+            (F.round(10000.0 * z).cast("long") > 20000)
+            .cast("long")
+            .alias("outlier"),
+        )
+        .orderBy("user_id")
+    )
