@@ -80,3 +80,10 @@ def test_randomized_against_naive(spark):
     _check(spark, rows, ["k"], 86400)
     # odd shard width: boundaries no longer align with "days"
     _check(spark, rows, ["k"], 9973)
+
+
+def test_empty_input_is_total(spark):
+    df = spark.createDataFrame([], "k string, sec long, eid long")
+    out = sharded_gaps(df, ["k"], sec_col="sec", id_col="eid")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "sec", "prv_sec", "nxt_sec"}
