@@ -87,3 +87,27 @@ def test_empty_input_is_total(spark):
     out = sharded_gaps(df, ["k"], sec_col="sec", id_col="eid")
     assert out.count() == 0
     assert set(out.columns) == {"k", "sec", "prv_sec", "nxt_sec"}
+
+
+def test_packer_meets_padding_waste_lower_bound(spark):
+    """Cross-op consistency: q69's 8-shard packer must land within 8
+    windows of q396's perfect-packing lower bound ceil(T/512) — each
+    shard wastes less than one capacity at its tail, nothing else."""
+    import pyspark.sql.functions as F2
+
+    from synth_transform_spark.operators import seqprep
+    from synth_transform_spark.sources.readers import load_table
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    packed = seqprep.pack_sequences(docs, capacity=512, n_shards=8)
+    total = packed.select(F2.sum("n_tokens").alias("t")).collect()[0]["t"]
+    per_shard = (
+        packed.groupBy("shard")
+        .agg((F2.max("bin_last") + 1).alias("bins"))
+        .collect()
+    )
+    n_windows = sum(r["bins"] for r in per_shard)
+    lower = -(-total // 512)
+    assert lower <= n_windows <= lower + 8
