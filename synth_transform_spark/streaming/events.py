@@ -2,7 +2,9 @@
 
 The reference has no streaming surface (SURVEY.md §2.9) — this is the
 north-star extension. Each job is the streaming twin of a batch query in
-plans/events_queries.py; stream-batch equivalence is asserted in
+plans/events_queries.py / plans/streaming_queries.py (the in-gate streaming
+executions live in the latter since the round-6 family split);
+stream-batch equivalence is asserted in
 tests/test_streaming.py using the availableNow trigger (process all existing
 input then stop — the deterministic test harness for streams).
 
