@@ -1690,3 +1690,163 @@ def q355_funnel_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 4).alias("wilson_lo"),
         F.round((center + half) / denom, 4).alias("wilson_hi"),
     ).orderBy("step")
+
+
+# --------------------------------------------------------------------------
+# q415 - Simpson's-paradox guard for the parity A/B read: the odd-even
+# mean-value difference per event-type STRATUM next to the aggregate
+# difference, flagging when the aggregate sign contradicts the majority
+# of stratum signs - the classic confounding trap (arm traffic mixes
+# differ by type, the aggregate flips). Ships as the companion guard to
+# q400's P(B>A) the same way q390's SRM guard fronts q175.
+# Parity: values frozen to cents; every mean is one double ratio of
+# exact integers; signs compare on round(1e4*diff) frozen integers so a
+# last-ulp mean difference can't flip a flag. 4dp.
+# Scale: ONE (stratum, arm) aggregate (map-side combined) computes
+# everything; the overall row is a second tiny rollup of that bounded
+# relation; output = |types| + 1 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q415_simpsons_guard",
+    oracle="""
+WITH s AS (
+    SELECT event_type, user_id % 2 AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(100.0 * value) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN arm = 0 THEN c END) AS BIGINT) AS c0,
+           CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN arm = 1 THEN c END) AS BIGINT) AS c1
+    FROM s GROUP BY event_type
+),
+rows_ AS (
+    SELECT event_type AS scope, n0, c0, n1, c1 FROM w
+    UNION ALL
+    SELECT 'overall', CAST(SUM(n0) AS BIGINT), CAST(SUM(c0) AS BIGINT),
+           CAST(SUM(n1) AS BIGINT), CAST(SUM(c1) AS BIGINT)
+    FROM w
+),
+d AS (
+    SELECT scope, n0, n1,
+           ROUND(CAST(c0 AS DOUBLE) / n0 / 100.0, 4) AS mean_a,
+           ROUND(CAST(c1 AS DOUBLE) / n1 / 100.0, 4) AS mean_b,
+           CAST(ROUND(10000.0 * (CAST(c1 AS DOUBLE) / n1
+                                 - CAST(c0 AS DOUBLE) / n0) / 100.0)
+                AS BIGINT) AS diff4
+    FROM rows_
+),
+agg AS (
+    SELECT (SELECT CASE WHEN diff4 > 0 THEN 1
+                        WHEN diff4 < 0 THEN -1 ELSE 0 END
+            FROM d WHERE scope = 'overall') AS osign,
+           (SELECT CAST(SUM(CASE WHEN diff4 > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM d WHERE scope <> 'overall') AS pos,
+           (SELECT CAST(SUM(CASE WHEN diff4 < 0 THEN 1 ELSE 0 END)
+                        AS BIGINT)
+            FROM d WHERE scope <> 'overall') AS neg
+)
+SELECT d.scope, d.n0, d.n1, d.mean_a, d.mean_b,
+       ROUND(d.diff4 / 10000.0, 4) AS diff,
+       CAST(CASE WHEN d.scope = 'overall'
+                  AND ((a.osign > 0 AND a.neg > a.pos)
+                       OR (a.osign < 0 AND a.pos > a.neg))
+                 THEN 1 ELSE 0 END AS BIGINT) AS simpson_flag
+FROM d CROSS JOIN agg a
+ORDER BY scope
+""",
+    tags=("abtest", "inferential", "A9"),
+)
+def q415_simpsons_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified vs aggregate arm comparison with a paradox flag:
+    (scope, n0, n1, mean_a, mean_b, diff, simpson_flag)."""
+    events = load_table(spark, sf_dir, "events")
+    s = events.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(100.0 * F.col("value")).cast("long")).alias("c"),
+    )
+    w = s.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).cast("long").alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).cast("long").alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).cast("long").alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).cast("long").alias("c1"),
+    )
+    overall = w.agg(
+        F.lit("overall").alias("scope"),
+        F.sum("n0").cast("long").alias("n0"),
+        F.sum("c0").cast("long").alias("c0"),
+        F.sum("n1").cast("long").alias("n1"),
+        F.sum("c1").cast("long").alias("c1"),
+    )
+    rows = w.select(
+        F.col("event_type").alias("scope"), "n0", "c0", "n1", "c1"
+    ).unionByName(overall)
+    diff4 = F.round(
+        10000.0
+        * (
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c0").cast("double") / F.col("n0")
+        )
+        / 100.0
+    ).cast("long")
+    d = rows.select(
+        "scope",
+        "n0",
+        "n1",
+        F.round(F.col("c0").cast("double") / F.col("n0") / 100.0, 4).alias(
+            "mean_a"
+        ),
+        F.round(F.col("c1").cast("double") / F.col("n1") / 100.0, 4).alias(
+            "mean_b"
+        ),
+        diff4.alias("diff4"),
+    )
+    agg = d.agg(
+        F.max(
+            F.when(
+                F.col("scope") == "overall",
+                F.signum(F.col("diff4").cast("double")).cast("long"),
+            )
+        ).alias("osign"),
+        F.sum(
+            F.when(
+                (F.col("scope") != "overall") & (F.col("diff4") > 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pos"),
+        F.sum(
+            F.when(
+                (F.col("scope") != "overall") & (F.col("diff4") < 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("neg"),
+    )
+    return (
+        d.crossJoin(F.broadcast(agg))
+        .select(
+            "scope",
+            "n0",
+            "n1",
+            "mean_a",
+            "mean_b",
+            F.round(F.col("diff4") / 10000.0, 4).alias("diff"),
+            (
+                (F.col("scope") == "overall")
+                & (
+                    ((F.col("osign") > 0) & (F.col("neg") > F.col("pos")))
+                    | ((F.col("osign") < 0) & (F.col("pos") > F.col("neg")))
+                )
+            )
+            .cast("long")
+            .alias("simpson_flag"),
+        )
+        .orderBy("scope")
+    )

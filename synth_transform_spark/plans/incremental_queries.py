@@ -371,3 +371,150 @@ def q380_storage_write_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows.orderBy("strategy")
+
+
+# --------------------------------------------------------------------------
+# q416 - profile-drift audit between the first and second half of the
+# month: per audited column (event_type, user_id, props), the null
+# rate, distinct count, and top-value concentration in each half, with
+# integer-frozen drift flags - the schema/content monitoring pass run
+# between pipeline increments (q96 audits one snapshot's quality; q302
+# tracks a numeric distribution's PSI; this watches CATEGORICAL shape
+# across a boundary: a feed that suddenly collapses to one value or
+# doubles its id space shows up here first).
+# Parity: every statistic is an exact integer or a single double ratio
+# of exact integers; drift flags compare round(1e4*share) integers and
+# integer distinct counts (2x band). 4dp.
+# Scale: one stack/unpivot pass (narrow map) -> one (column, half,
+# value) aggregate -> one (column, half) rollup -> a 3x2 pivot. Uniform
+# keys throughout; output = |audited columns| rows.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = ("event_type", "user_id", "props")
+
+
+@register(
+    "q416_profile_drift",
+    oracle=f"""
+WITH halves AS (
+    SELECT CASE WHEN CAST(DATE_PART('day', CAST(ts AS TIMESTAMP)) AS BIGINT)
+                     <= 15 THEN 1 ELSE 2 END AS half,
+           CAST(event_type AS VARCHAR) AS event_type,
+           CAST(user_id AS VARCHAR) AS user_id,
+           CAST(props AS VARCHAR) AS props
+    FROM events
+),
+stacked AS (
+    {" UNION ALL ".join(
+        f"SELECT half, '{c}' AS col, {c} AS val FROM halves"
+        for c in _PROFILE_COLS)}
+),
+vc AS (
+    SELECT col, half, val, CAST(COUNT(*) AS BIGINT) AS c
+    FROM stacked GROUP BY col, half, val
+),
+agg AS (
+    SELECT col, half,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT)
+               AS nulls,
+           CAST(COUNT(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT)
+               AS n_distinct,
+           CAST(MAX(CASE WHEN val IS NOT NULL THEN c END) AS BIGINT)
+               AS top_c
+    FROM vc GROUP BY col, half
+),
+p AS (
+    SELECT col,
+           MAX(CASE WHEN half = 1 THEN n END) AS n1,
+           MAX(CASE WHEN half = 1 THEN nulls END) AS null1,
+           MAX(CASE WHEN half = 1 THEN n_distinct END) AS d1,
+           MAX(CASE WHEN half = 1 THEN top_c END) AS t1,
+           MAX(CASE WHEN half = 2 THEN n END) AS n2,
+           MAX(CASE WHEN half = 2 THEN nulls END) AS null2,
+           MAX(CASE WHEN half = 2 THEN n_distinct END) AS d2,
+           MAX(CASE WHEN half = 2 THEN top_c END) AS t2
+    FROM agg GROUP BY col
+)
+SELECT col,
+       CAST(d1 AS BIGINT) AS distinct_h1, CAST(d2 AS BIGINT) AS distinct_h2,
+       ROUND(CAST(null1 AS DOUBLE) / n1, 4) AS null_rate_h1,
+       ROUND(CAST(null2 AS DOUBLE) / n2, 4) AS null_rate_h2,
+       ROUND(CAST(t1 AS DOUBLE) / n1, 4) AS top_share_h1,
+       ROUND(CAST(t2 AS DOUBLE) / n2, 4) AS top_share_h2,
+       CAST(CASE WHEN d2 > 2 * d1 OR 2 * d2 < d1 THEN 1 ELSE 0 END
+            AS BIGINT) AS distinct_drift,
+       CAST(CASE WHEN ABS(CAST(ROUND(10000.0 * t1 / n1) AS BIGINT)
+                          - CAST(ROUND(10000.0 * t2 / n2) AS BIGINT))
+                      > 1000 THEN 1 ELSE 0 END AS BIGINT) AS top_drift
+FROM p ORDER BY col
+""",
+    tags=("profiling", "incremental", "A6"),
+)
+def q416_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-month categorical profile drift: (col, distinct_h1,
+    distinct_h2, null_rate_h1, null_rate_h2, top_share_h1, top_share_h2,
+    distinct_drift, top_drift)."""
+    events = load_table(spark, sf_dir, "events")
+    halves = events.select(
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+        *[F.col(c).cast("string").alias(c) for c in _PROFILE_COLS],
+    )
+    stack_expr = ", ".join(f"'{c}', {c}" for c in _PROFILE_COLS)
+    stacked = halves.select(
+        "half",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) AS (col, val)"
+        ),
+    ).select("half", "col", "val")
+    vc = stacked.groupBy("col", "half", "val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = vc.groupBy("col", "half").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("nulls"),
+        F.count(F.when(F.col("val").isNotNull(), 1))
+        .cast("long")
+        .alias("n_distinct"),
+        F.max(F.when(F.col("val").isNotNull(), F.col("c")))
+        .cast("long")
+        .alias("top_c"),
+    )
+    p = agg.groupBy("col").agg(
+        *[
+            F.max(F.when(F.col("half") == h, F.col(src))).alias(dst)
+            for h, src, dst in [
+                (1, "n", "n1"), (1, "nulls", "null1"),
+                (1, "n_distinct", "d1"), (1, "top_c", "t1"),
+                (2, "n", "n2"), (2, "nulls", "null2"),
+                (2, "n_distinct", "d2"), (2, "top_c", "t2"),
+            ]
+        ]
+    )
+    t1s = F.round(10000.0 * F.col("t1") / F.col("n1")).cast("long")
+    t2s = F.round(10000.0 * F.col("t2") / F.col("n2")).cast("long")
+    return p.select(
+        "col",
+        F.col("d1").cast("long").alias("distinct_h1"),
+        F.col("d2").cast("long").alias("distinct_h2"),
+        F.round(F.col("null1").cast("double") / F.col("n1"), 4).alias(
+            "null_rate_h1"
+        ),
+        F.round(F.col("null2").cast("double") / F.col("n2"), 4).alias(
+            "null_rate_h2"
+        ),
+        F.round(F.col("t1").cast("double") / F.col("n1"), 4).alias(
+            "top_share_h1"
+        ),
+        F.round(F.col("t2").cast("double") / F.col("n2"), 4).alias(
+            "top_share_h2"
+        ),
+        (
+            (F.col("d2") > 2 * F.col("d1"))
+            | (2 * F.col("d2") < F.col("d1"))
+        )
+        .cast("long")
+        .alias("distinct_drift"),
+        (F.abs(t1s - t2s) > 1000).cast("long").alias("top_drift"),
+    ).orderBy("col")
