@@ -2915,3 +2915,129 @@ def q392_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alarm"),
     ).orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# q417 - offline changepoint by binary segmentation (first split): scan
+# every candidate split t of the daily event-count series and report
+# the one maximizing the between-segment sum-of-squares reduction
+# (equivalently minimizing SSE_left + SSE_right) - the retrospective
+# "WHEN did the level shift" answer that complements the sequential
+# detectors (q205 CUSUM and q392 Page-Hinkley raise the alarm online;
+# this locates the break offline, the ruptures-library primitive).
+# Parity: daily counts are exact integers; each candidate's total SSE
+# is computed from exact integer prefix sums as ONE double expression
+# and frozen to round(1e4*sse) before the argmin; tie-break on the
+# earlier split. 4dp.
+# Scale: corpus collapses FIRST to the calendar-bounded daily relation;
+# the candidate scan is a prefix-sum window + a per-candidate constant
+# expression over ~tens of rows (lint-allowlisted bounded window).
+# --------------------------------------------------------------------------
+@register(
+    "q417_binary_segmentation",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day, x,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+           CAST(SUM(x) OVER (ORDER BY day) AS BIGINT) AS s,
+           CAST(SUM(x * x) OVER (ORDER BY day) AS BIGINT) AS s2
+    FROM daily
+),
+tot AS (
+    SELECT MAX(t) AS n, MAX(s) AS st, MAX(s2) AS s2t FROM ranked
+),
+cand AS (
+    SELECT r.t, r.day, r.s, r.s2, o.n, o.st, o.s2t,
+           CAST(ROUND(10000.0 * (
+               (r.s2 - CAST(r.s AS DOUBLE) * r.s / r.t)
+               + ((o.s2t - r.s2)
+                  - CAST(o.st - r.s AS DOUBLE) * (o.st - r.s)
+                    / (o.n - r.t))
+           )) AS BIGINT) AS sse4
+    FROM ranked r CROSS JOIN tot o
+    WHERE r.t < o.n
+),
+best AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY sse4 ASC, t ASC) AS rk
+    FROM cand
+)
+SELECT t AS split_t, CAST(day AS VARCHAR) AS split_day,
+       ROUND(CAST(s AS DOUBLE) / t, 4) AS mean_left,
+       ROUND(CAST(st - s AS DOUBLE) / (n - t), 4) AS mean_right,
+       ROUND((CAST(st - s AS DOUBLE) / (n - t)) - (CAST(s AS DOUBLE) / t),
+             4) AS shift,
+       ROUND(sse4 / 10000.0, 4) AS sse,
+       ROUND((s2t - CAST(st AS DOUBLE) * st / n) - sse4 / 10000.0, 4)
+           AS sse_reduction
+FROM best WHERE rk = 1
+""",
+    tags=("timeseries", "changepoint", "A12"),
+)
+def q417_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First binary-segmentation split of the daily series: (split_t,
+    split_day, mean_left, mean_right, shift, sse, sse_reduction)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w = Window.orderBy("day")
+    ranked = daily.select(
+        "day",
+        "x",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("x").over(w).cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("long").alias("s2"),
+    )
+    tot = ranked.agg(
+        F.max("t").alias("n"), F.max("s").alias("st"), F.max("s2").alias("s2t")
+    )
+    sse = (
+        F.col("s2") - F.col("s").cast("double") * F.col("s") / F.col("t")
+    ) + (
+        (F.col("s2t") - F.col("s2"))
+        - (F.col("st") - F.col("s")).cast("double")
+        * (F.col("st") - F.col("s"))
+        / (F.col("n") - F.col("t"))
+    )
+    cand = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("n"))
+        .withColumn("sse4", F.round(10000.0 * sse).cast("long"))
+    )
+    wb = Window.orderBy(F.asc("sse4"), F.asc("t"))
+    return (
+        cand.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("t").alias("split_t"),
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.round(F.col("s").cast("double") / F.col("t"), 4).alias(
+                "mean_left"
+            ),
+            F.round(
+                (F.col("st") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("t")),
+                4,
+            ).alias("mean_right"),
+            F.round(
+                (F.col("st") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("t"))
+                - F.col("s").cast("double") / F.col("t"),
+                4,
+            ).alias("shift"),
+            F.round(F.col("sse4") / 10000.0, 4).alias("sse"),
+            F.round(
+                (
+                    F.col("s2t")
+                    - F.col("st").cast("double") * F.col("st") / F.col("n")
+                )
+                - F.col("sse4") / 10000.0,
+                4,
+            ).alias("sse_reduction"),
+        )
+    )

@@ -115,6 +115,7 @@ BOUNDED_WINDOW_OK = {
     "q380_storage_write_planner",
     "q382_price_index",  # distinct-month index relation
     "q392_page_hinkley",  # daily relation walk
+    "q417_binary_segmentation",  # daily relation candidate scan
     "q393_brown_double_smoothing",  # daily relation, two SES pair joins
     # vocabulary / value-domain-bounded (collapse-first to the domain)
     "q151_zipf_fit",
