@@ -3041,3 +3041,171 @@ def q417_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sse_reduction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q418 - Kleinberg-style two-state burst detection over the daily
+# purchase share: each day emits r purchases out of d events; state 0
+# burns at the corpus base rate p0 = R/D, state 1 at p1 = 3*p0;
+# day costs are binomial negative log-likelihoods (the C(d,r) term
+# cancels across states and is dropped), entering the burst state pays
+# gamma = ln(T). The exact min-cost state sequence comes from the
+# forward/backward min-sum on the 2-state chain (exact on chains),
+# which also yields each day's margin. The "which days were genuinely
+# hot" read that a fixed threshold can't give (q205/q392 detect level
+# SHIFTS; this labels burst EPISODES against a hazard price).
+# Parity: day costs and gamma are frozen to integer micro-nats in the
+# ENGINE (one LN expression over exact integer ratios) before any DP;
+# the DP is pure integer min-plus arithmetic - DuckDB walks it with a
+# recursive CTE, Spark collects the calendar-bounded cost table (<= 31
+# rows, the q297 bounded-DP precedent) and walks the same integers
+# driver-side. Ties resolve to the non-burst state. 4dp.
+# Scale: the corpus collapses FIRST to the daily (r, d) relation; the
+# DP is O(T) on a calendar-bounded table; the corpus-sized work stays
+# distributed.
+# --------------------------------------------------------------------------
+_BURST_S = 3.0
+
+
+@register(
+    "q418_burst_detection",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS r,
+           CAST(COUNT(*) AS BIGINT) AS d
+    FROM events GROUP BY 1
+),
+g AS (
+    SELECT CAST(SUM(r) AS BIGINT) AS rr, CAST(SUM(d) AS BIGINT) AS dd,
+           CAST(COUNT(*) AS BIGINT) AS tt
+    FROM daily
+),
+costs AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY day) AS t, day, r, d,
+           CAST(ROUND(-1000000.0 * (r * LN(CAST(g.rr AS DOUBLE) / g.dd)
+                + (d - r) * LN(1.0 - CAST(g.rr AS DOUBLE) / g.dd)))
+                AS BIGINT) AS c0,
+           CAST(ROUND(-1000000.0 * (r * LN({_BURST_S} * rr / g.dd)
+                + (d - r) * LN(1.0 - {_BURST_S} * rr / g.dd)))
+                AS BIGINT) AS c1,
+           CAST(ROUND(1000000.0 * LN(CAST(g.tt AS DOUBLE))) AS BIGINT)
+               AS gam,
+           g.tt AS tt
+    FROM daily CROSS JOIN g
+),
+fwd AS (
+    SELECT t, c0 AS f0, c1 + gam AS f1 FROM costs WHERE t = 1
+    UNION ALL
+    SELECT c.t,
+           c.c0 + LEAST(f.f0, f.f1) AS f0,
+           c.c1 + LEAST(f.f1, f.f0 + c.gam) AS f1
+    FROM fwd f JOIN costs c ON c.t = f.t + 1
+),
+bwd AS (
+    SELECT t, CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1
+    FROM costs WHERE t = (SELECT MAX(t) FROM costs)
+    UNION ALL
+    SELECT b.t - 1,
+           LEAST(c.c0 + b.b0, c.gam + c.c1 + b.b1) AS b0,
+           LEAST(c.c1 + b.b1, c.c0 + b.b0) AS b1
+    FROM bwd b JOIN costs c ON c.t = b.t
+    WHERE b.t > 1
+)
+SELECT c.t, CAST(c.day AS VARCHAR) AS day, c.r AS purchases, c.d AS total,
+       CAST(CASE WHEN f.f1 + w.b1 < f.f0 + w.b0 THEN 1 ELSE 0 END
+            AS BIGINT) AS burst,
+       ROUND(((f.f0 + w.b0) - (f.f1 + w.b1)) / 1000000.0, 4)
+           AS burst_margin
+FROM costs c
+JOIN fwd f ON f.t = c.t
+JOIN bwd w ON w.t = c.t
+ORDER BY c.t
+""",
+    tags=("timeseries", "burst", "A12"),
+)
+def q418_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-state burst labeling of daily purchase activity:
+    (t, day, purchases, total, burst, burst_margin)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("r"),
+        F.count(F.lit(1)).cast("long").alias("d"),
+    )
+    g = daily.agg(
+        F.sum("r").cast("long").alias("rr"),
+        F.sum("d").cast("long").alias("dd"),
+        F.count(F.lit(1)).cast("long").alias("tt"),
+    )
+    p0 = F.col("rr").cast("double") / F.col("dd")
+    p1 = F.lit(_BURST_S) * F.col("rr") / F.col("dd")
+    costs = (
+        daily.crossJoin(F.broadcast(g))
+        .select(
+            F.row_number().over(Window.orderBy("day")).alias("t"),
+            "day",
+            "r",
+            "d",
+            F.round(
+                -1000000.0
+                * (
+                    F.col("r") * F.log(p0)
+                    + (F.col("d") - F.col("r")) * F.log(F.lit(1.0) - p0)
+                )
+            )
+            .cast("long")
+            .alias("c0"),
+            F.round(
+                -1000000.0
+                * (
+                    F.col("r") * F.log(p1)
+                    + (F.col("d") - F.col("r")) * F.log(F.lit(1.0) - p1)
+                )
+            )
+            .cast("long")
+            .alias("c1"),
+            F.round(1000000.0 * F.log(F.col("tt").cast("double")))
+            .cast("long")
+            .alias("gam"),
+        )
+    )
+    # calendar-bounded (<= 31 rows): exact integer min-sum runs driver-side
+    # (the q297 bounded-DP precedent); corpus work stayed distributed above.
+    rows = sorted(costs.collect(), key=lambda x: x["t"])
+    T = len(rows)
+    gam = rows[0]["gam"] if rows else 0
+    f0, f1 = [0] * T, [0] * T
+    for i, x in enumerate(rows):
+        if i == 0:
+            f0[0], f1[0] = x["c0"], x["c1"] + gam
+        else:
+            f0[i] = x["c0"] + min(f0[i - 1], f1[i - 1])
+            f1[i] = x["c1"] + min(f1[i - 1], f0[i - 1] + gam)
+    b0, b1 = [0] * T, [0] * T
+    for i in range(T - 2, -1, -1):
+        nxt = rows[i + 1]
+        b0[i] = min(nxt["c0"] + b0[i + 1], gam + nxt["c1"] + b1[i + 1])
+        b1[i] = min(nxt["c1"] + b1[i + 1], nxt["c0"] + b0[i + 1])
+    out = []
+    for i, x in enumerate(rows):
+        t0, t1 = f0[i] + b0[i], f1[i] + b1[i]
+        out.append(
+            (
+                i + 1,
+                x["day"].strftime("%Y-%m-%d"),
+                x["r"],
+                x["d"],
+                1 if t1 < t0 else 0,
+                round((t0 - t1) / 1000000.0, 4),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "t long, day string, purchases long, total long, "
+        "burst long, burst_margin double",
+    )
