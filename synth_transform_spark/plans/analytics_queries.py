@@ -3011,3 +3011,140 @@ def q398_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q419 - user-spend Lorenz table: rank users by total purchase spend,
+# cut into spend deciles, and report each decile's share of users and
+# of total spend plus the cumulative curve - the concentration TABLE
+# behind q213's single Gini number (the "top decile carries X% of
+# revenue" read). Computed WITHOUT ranking individual users: the user
+# relation collapses to the distinct-spend DOMAIN first (n_users,
+# spend_sum per distinct cents value), the cumulative walk runs over
+# that domain, and deciles cut on cumulative user count - the q283
+# domain-collapse discipline, so no corpus-scaled window exists.
+# Users inside one distinct spend value are interchangeable, so the
+# decile boundary splits a value's users proportionally by exact
+# integer arithmetic (floor splits, remainder to the lower decile).
+# Parity: spends frozen to cents; the domain walk, decile cuts, and
+# proportional splits are exact integer arithmetic on both engines;
+# shares are single double ratios. 4dp.
+# Scale: one user-keyed aggregate (uniform), one distinct-spend-domain
+# aggregate + cum window (domain-bounded, lint-allowlisted), 10-row
+# output.
+# --------------------------------------------------------------------------
+@register(
+    "q419_lorenz_table",
+    oracle="""
+WITH spend AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(100.0 * value) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS cents
+    FROM events GROUP BY user_id
+),
+dom AS (
+    SELECT cents, CAST(COUNT(*) AS BIGINT) AS nu
+    FROM spend GROUP BY cents
+),
+tot AS (SELECT CAST(SUM(nu) AS BIGINT) AS users,
+               CAST(SUM(nu * cents) AS BIGINT) AS mass FROM dom),
+cum AS (
+    SELECT cents, nu,
+           CAST(SUM(nu) OVER (ORDER BY cents) AS BIGINT) AS cu,
+           t.users, t.mass
+    FROM dom CROSS JOIN tot t
+),
+alloc AS (
+    -- users of one value can straddle a decile boundary: split them by
+    -- exact integer proration of the [cu-nu, cu) user-rank interval
+    SELECT d.decile, c.cents,
+           LEAST(c.cu, (d.decile * c.users + 9) // 10)
+             - GREATEST(c.cu - c.nu, ((d.decile - 1) * c.users + 9) // 10)
+               AS k
+    FROM cum c
+    JOIN (SELECT UNNEST(GENERATE_SERIES(1, 10)) AS decile) d
+      ON LEAST(c.cu, (d.decile * c.users + 9) // 10)
+         > GREATEST(c.cu - c.nu, ((d.decile - 1) * c.users + 9) // 10)
+),
+per AS (
+    SELECT decile, CAST(SUM(k) AS BIGINT) AS n_users,
+           CAST(SUM(k * cents) AS BIGINT) AS spend
+    FROM alloc GROUP BY decile
+),
+curve AS (
+    SELECT p.decile, p.n_users, p.spend,
+           CAST(SUM(p.spend) OVER (ORDER BY p.decile) AS BIGINT) AS cum_spend
+    FROM per p
+)
+SELECT c.decile, c.n_users,
+       ROUND(c.spend / 100.0, 4) AS spend,
+       ROUND(CAST(c.spend AS DOUBLE) / t.mass, 4) AS spend_share,
+       ROUND(CAST(c.cum_spend AS DOUBLE) / t.mass, 4) AS cum_share
+FROM curve c CROSS JOIN tot t
+ORDER BY c.decile
+""",
+    tags=("analytics", "inequality", "A12"),
+)
+def q419_lorenz_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend-decile Lorenz table: (decile, n_users, spend, spend_share,
+    cum_share)."""
+    events = load_table(spark, sf_dir, "events")
+    spend = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(100.0 * F.col("value")).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    dom = spend.groupBy("cents").agg(F.count(F.lit(1)).alias("nu"))
+    tot = dom.agg(
+        F.sum("nu").cast("long").alias("users"),
+        F.sum(F.col("nu") * F.col("cents")).cast("long").alias("mass"),
+    )
+    cum = (
+        dom.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cu", F.sum("nu").over(Window.orderBy("cents")).cast("long")
+        )
+    )
+    deciles = spark.range(1, 11).select(F.col("id").alias("decile"))
+    hi = F.least(
+        F.col("cu"),
+        F.expr("(decile * users + 9) div 10"),
+    )
+    lo = F.greatest(
+        F.col("cu") - F.col("nu"),
+        F.expr("((decile - 1) * users + 9) div 10"),
+    )
+    alloc = (
+        cum.crossJoin(F.broadcast(deciles))
+        .filter(hi > lo)
+        .select("decile", "cents", (hi - lo).alias("k"))
+    )
+    per = alloc.groupBy("decile").agg(
+        F.sum("k").cast("long").alias("n_users"),
+        F.sum(F.col("k") * F.col("cents")).cast("long").alias("spend"),
+    )
+    curve = per.withColumn(
+        "cum_spend",
+        F.sum("spend").over(Window.orderBy("decile")).cast("long"),
+    )
+    return (
+        curve.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_users",
+            F.round(F.col("spend") / 100.0, 4).alias("spend"),
+            F.round(F.col("spend").cast("double") / F.col("mass"), 4).alias(
+                "spend_share"
+            ),
+            F.round(
+                F.col("cum_spend").cast("double") / F.col("mass"), 4
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )

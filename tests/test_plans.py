@@ -125,6 +125,7 @@ BOUNDED_WINDOW_OK = {
     "q273_randomized_response",  # category dim
     "q283_roc_auc",  # distinct-score domain (declared)
     "q408_threshold_sweep",  # distinct-score domain (q283's class)
+    "q419_lorenz_table",  # distinct-spend domain + 10-row decile curve
     "q289_gain_chart",
     "q305_ks_test",
     "q316_average_precision",
