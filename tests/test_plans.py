@@ -433,3 +433,23 @@ def test_round5_additions_stay_scale_shaped(spark):
         "q294_mann_kendall",
     ):
         assert "PythonUDF" not in _plan(REGISTRY[name].spark(spark, SF_DIR)), name
+
+
+def test_round6_ops_keep_their_promised_plan_shapes(spark):
+    """Round-6 plan pins: the as-of tolerance join stays a window pass
+    (no nested loop), stickiness builds its rolling distinct from the
+    bounded explode (no range join), the embedding-health centroid and
+    the LOO category stats ride broadcasts (never a corpus shuffle
+    against a bounded dim)."""
+    p409 = _plan(REGISTRY["q409_asof_tolerance_join"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p409
+    assert "CartesianProduct" not in p409
+    p398 = _plan(REGISTRY["q398_stickiness"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p398
+    assert "Explode" in p398 or "Generate" in p398
+    p405 = _plan(REGISTRY["q405_embedding_norms"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p405
+    assert "SortMergeJoin" not in p405
+    p411 = _plan(REGISTRY["q411_loo_target_encoding"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p411
+    assert "SortMergeJoin" not in p411
