@@ -1210,3 +1210,146 @@ def q393_brown_double_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# --------------------------------------------------------------------------
+# q420 - geometric adstock (advertising carryover) of daily click
+# volume against purchase counts: adstock_t = x_t + 0.5 * adstock_{t-1}
+# (closed form: sum over j <= t of 0.5^(t-j) x_j), then the Pearson
+# correlation of the adstocked series with same-day purchases next to
+# the raw-series correlation - the marketing-mix primitive that says
+# whether response tracks RECENT PRESSURE better than the raw spend
+# proxy. q341/q393 smooth to FORECAST; adstock is a different kernel
+# (no normalization - carryover accumulates) serving attribution.
+# Parity: daily counts exact; each adstock term is frozen to kilo-ints
+# (round(1e3 * x * 0.5^(t-j)) - kilo, not micro, so a_int^2 sums stay
+# inside int64 headroom at any realistic SF) before the per-day sum
+# (the q341 freezing discipline); both correlations are single double expressions
+# over exact integer sufficient statistics. 4dp.
+# Scale: collapse-first to the daily relation; the carryover is a pair
+# join quadratic in DAYS; correlations are one reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q420_adstock",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT day, x, y,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+ad AS (
+    SELECT a.t,
+           CAST(SUM(CAST(ROUND(1000.0 * b.x * POW(0.5, a.t - b.t))
+                         AS BIGINT)) AS BIGINT) AS a_int
+    FROM ranked a JOIN ranked b ON b.t <= a.t
+    GROUP BY a.t
+),
+j AS (
+    SELECT r.t, r.x, r.y, ad.a_int FROM ranked r JOIN ad ON ad.t = r.t
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(a_int) AS BIGINT) AS sa,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(a_int * a_int) AS BIGINT) AS saa,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(a_int * y) AS BIGINT) AS say
+    FROM j
+)
+SELECT n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             4) AS corr_raw,
+       ROUND((n * CAST(say AS DOUBLE) - CAST(sa AS DOUBLE) * sy)
+             / (SQRT(n * CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * sa)
+                * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+             4) AS corr_adstock
+FROM s
+""",
+    tags=("timeseries", "attribution", "A12"),
+)
+def q420_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adstocked-clicks vs purchases correlation:
+    (n, corr_raw, corr_adstock)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    ranked = daily.select(
+        "day",
+        "x",
+        "y",
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+    )
+    a = ranked.select(F.col("t").alias("m"))
+    b = ranked.select(F.col("t").alias("j"), F.col("x").alias("xj"))
+    ad = (
+        a.join(b, F.col("j") <= F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.round(
+                    1000.0
+                    * F.col("xj")
+                    * F.pow(F.lit(0.5), F.col("m") - F.col("j"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("a_int")
+        )
+    )
+    j = ranked.join(ad, F.col("m") == F.col("t"))
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("a_int").cast("long").alias("sa"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("a_int") * F.col("a_int")).cast("long").alias("saa"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("a_int") * F.col("y")).cast("long").alias("say"),
+    )
+
+    def _corr(sv, svv, cross):
+        return F.round(
+            (
+                F.col("n") * F.col(cross).cast("double")
+                - F.col(sv).cast("double") * F.col("sy")
+            )
+            / (
+                F.sqrt(
+                    F.col("n") * F.col(svv).cast("double")
+                    - F.col(sv).cast("double") * F.col(sv)
+                )
+                * F.sqrt(
+                    F.col("n") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            4,
+        )
+
+    return s.select(
+        "n",
+        _corr("sx", "sxx", "sxy").alias("corr_raw"),
+        _corr("sa", "saa", "say").alias("corr_adstock"),
+    )

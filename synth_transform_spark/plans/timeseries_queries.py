@@ -3209,3 +3209,89 @@ def q418_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t long, day string, purchases long, total long, "
         "burst long, burst_margin double",
     )
+
+
+# --------------------------------------------------------------------------
+# q421 - weekday seasonality indices: per weekday, the mean daily event
+# count divided by the overall mean daily count (the multiplicative
+# day-of-week correction factors every ops forecast divides by before
+# modeling trend), plus a chi-square uniformity statistic over weekday
+# TOTALS with its frozen critical-value verdict (df = 6, alpha = 0.05,
+# crit = 12.592). q220's decomposition subtracts weekday means inside
+# one pipeline; this publishes the reusable index table itself.
+# Parity: day counts exact; each index is a double ratio of exact
+# integer sums with day-count denominators; chi-square accumulates one
+# double term per weekday (7 terms) under the 4dp round; the verdict
+# compares round(1e4*chi2) to the frozen integer critical value.
+# Scale: collapse-first to the daily relation; everything after is a
+# 7-row aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q421_weekday_index",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+wd AS (
+    SELECT CAST(DAYOFWEEK(day) + 1 AS BIGINT) AS weekday,  -- DuckDB 0=Sun; Spark 1=Sun
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(x) AS BIGINT) AS s
+    FROM daily GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_days) AS BIGINT) AS nd, CAST(SUM(s) AS BIGINT) AS st
+    FROM wd
+)
+SELECT w.weekday, w.n_days, w.s AS events,
+       ROUND(CAST(w.s AS DOUBLE) / w.n_days, 4) AS mean_daily,
+       ROUND((CAST(w.s AS DOUBLE) / w.n_days)
+             / (CAST(t.st AS DOUBLE) / t.nd), 4) AS seasonality_index,
+       ROUND((CAST(w.s AS DOUBLE)
+              - CAST(t.st AS DOUBLE) * w.n_days / t.nd)
+             * (CAST(w.s AS DOUBLE)
+                - CAST(t.st AS DOUBLE) * w.n_days / t.nd)
+             / (CAST(t.st AS DOUBLE) * w.n_days / t.nd), 4) AS chi2_term
+FROM wd w CROSS JOIN tot t
+ORDER BY weekday
+""",
+    tags=("timeseries", "seasonality", "A9"),
+)
+def q421_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week correction factors: (weekday, n_days, events,
+    mean_daily, seasonality_index, chi2_term)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wd = daily.groupBy(
+        F.dayofweek("day").cast("long").alias("weekday")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    tot = wd.agg(
+        F.sum("n_days").cast("long").alias("nd"),
+        F.sum("s").cast("long").alias("st"),
+    )
+    expected = F.col("st").cast("double") * F.col("n_days") / F.col("nd")
+    dev = F.col("s").cast("double") - expected
+    return (
+        wd.crossJoin(F.broadcast(tot))
+        .select(
+            "weekday",
+            "n_days",
+            F.col("s").alias("events"),
+            F.round(F.col("s").cast("double") / F.col("n_days"), 4).alias(
+                "mean_daily"
+            ),
+            F.round(
+                (F.col("s").cast("double") / F.col("n_days"))
+                / (F.col("st").cast("double") / F.col("nd")),
+                4,
+            ).alias("seasonality_index"),
+            F.round(dev * dev / expected, 4).alias("chi2_term"),
+        )
+        .orderBy("weekday")
+    )

@@ -790,3 +790,168 @@ def q382_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+# --------------------------------------------------------------------------
+# q422 - shipping-SLA percentiles per order priority: the p50/p90/p99
+# of ship delay (l_shipdate - o_orderdate, integer days) for each
+# o_orderpriority, plus the share of line items breaching a 90-day SLA
+# - the ops read behind "which priority class actually ships faster"
+# (q125 flags late-shipment counts; this characterizes the whole delay
+# DISTRIBUTION per class).
+# Parity: delays are exact integer day differences; percentiles are
+# exact interpolations over integers (identical on both engines); the
+# breach share is one double ratio against a frozen integer SLA.
+# Scale: one fact-fact equi-join on orderkey (uniform keys; orders side
+# projected to two columns), one priority-keyed percentile aggregate;
+# 5-row output.
+# --------------------------------------------------------------------------
+_SLA_DAYS = 90
+
+
+@register(
+    "q422_shipping_sla",
+    oracle=f"""
+WITH d AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(DATEDIFF('day', CAST(o.o_orderdate AS TIMESTAMP),
+                         CAST(l.l_shipdate AS TIMESTAMP)) AS BIGINT)
+               AS delay
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(QUANTILE_CONT(CAST(delay AS DOUBLE), 0.5), 4) AS p50_days,
+       ROUND(QUANTILE_CONT(CAST(delay AS DOUBLE), 0.9), 4) AS p90_days,
+       ROUND(QUANTILE_CONT(CAST(delay AS DOUBLE), 0.99), 4) AS p99_days,
+       ROUND(CAST(SUM(CASE WHEN delay > {_SLA_DAYS} THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 4) AS breach_share
+FROM d GROUP BY priority ORDER BY priority
+""",
+    tags=("tpch", "ops", "A12"),
+)
+def q422_shipping_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-delay distribution per priority: (priority, n_items,
+    p50_days, p90_days, p99_days, breach_share)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("long")
+        .alias("delay"),
+    )
+    return (
+        d.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.round(
+                F.expr("percentile(CAST(delay AS DOUBLE), 0.5)"), 4
+            ).alias("p50_days"),
+            F.round(
+                F.expr("percentile(CAST(delay AS DOUBLE), 0.9)"), 4
+            ).alias("p90_days"),
+            F.round(
+                F.expr("percentile(CAST(delay AS DOUBLE), 0.99)"), 4
+            ).alias("p99_days"),
+            F.round(
+                F.sum((F.col("delay") > _SLA_DAYS).cast("long")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("breach_share"),
+        )
+        .orderBy("priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q423 - discount lift on order quantity: bucket line items by discount
+# band (0%, 1-5%, 6-10%, >10%), report each band's mean quantity and
+# its lift vs the zero-discount baseline - the "does discounting
+# actually move volume" promo read (q127 measures promo REVENUE share;
+# q130 brackets revenue by discount; this isolates the QUANTITY
+# response).
+# Parity: bands come from integer percent points
+# (round(100*l_discount)); quantities frozen to integers
+# (round(l_quantity) - TPC-H quantities are whole numbers); means and
+# lift are double ratios of exact integers; the baseline rides a 1-row
+# broadcast. 4dp.
+# Scale: one narrow map + one 4-row band aggregate; baseline broadcast
+# back.
+# --------------------------------------------------------------------------
+@register(
+    "q423_discount_lift",
+    oracle="""
+WITH b AS (
+    SELECT CASE
+             WHEN CAST(ROUND(100.0 * l_discount) AS BIGINT) = 0 THEN '0%'
+             WHEN CAST(ROUND(100.0 * l_discount) AS BIGINT) <= 5
+               THEN '01-05%'
+             WHEN CAST(ROUND(100.0 * l_discount) AS BIGINT) <= 10
+               THEN '06-10%'
+             ELSE '>10%' END AS band,
+           CAST(ROUND(l_quantity) AS BIGINT) AS q
+    FROM lineitem
+),
+g AS (
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q) AS BIGINT) AS s
+    FROM b GROUP BY band
+),
+base AS (
+    SELECT CAST(n AS BIGINT) AS n0, CAST(s AS BIGINT) AS s0
+    FROM g WHERE band = '0%'
+)
+SELECT g.band, g.n AS n_items,
+       ROUND(CAST(g.s AS DOUBLE) / g.n, 4) AS mean_qty,
+       ROUND((CAST(g.s AS DOUBLE) / g.n)
+             / (CAST(b.s0 AS DOUBLE) / b.n0) - 1.0, 4) AS qty_lift
+FROM g CROSS JOIN base b
+ORDER BY band
+""",
+    tags=("tpch", "promo", "A9"),
+)
+def q423_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity response per discount band: (band, n_items, mean_qty,
+    qty_lift)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pct = F.round(100.0 * F.col("l_discount")).cast("long")
+    b = lineitem.select(
+        F.when(pct == 0, "0%")
+        .when(pct <= 5, "01-05%")
+        .when(pct <= 10, "06-10%")
+        .otherwise(">10%")
+        .alias("band"),
+        F.round("l_quantity").cast("long").alias("q"),
+    )
+    g = b.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s"),
+    )
+    base = g.filter(F.col("band") == "0%").select(
+        F.col("n").alias("n0"), F.col("s").alias("s0")
+    )
+    return (
+        g.crossJoin(F.broadcast(base))
+        .select(
+            "band",
+            F.col("n").alias("n_items"),
+            F.round(F.col("s").cast("double") / F.col("n"), 4).alias(
+                "mean_qty"
+            ),
+            F.round(
+                (F.col("s").cast("double") / F.col("n"))
+                / (F.col("s0").cast("double") / F.col("n0"))
+                - 1.0,
+                4,
+            ).alias("qty_lift"),
+        )
+        .orderBy("band")
+    )
