@@ -955,3 +955,214 @@ def q423_discount_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# --------------------------------------------------------------------------
+# q424 - supplier-concentration HHI per supplier nation: the Herfindahl
+# -Hirschman index of revenue shares across suppliers within each
+# nation, with the antitrust-style concentration verdict (HHI > 0.25 =
+# highly concentrated) and the effective number of suppliers (1/HHI) -
+# the "single point of failure" supply-chain read on top of q113's
+# share list and q131's straggler scan.
+# Parity: revenues frozen to cents per line item BEFORE the supplier
+# sum; HHI accumulates one double share-squared term per supplier of
+# exact integer masses; the verdict compares round(1e4*hhi) to a frozen
+# integer threshold. 4dp.
+# Scale: one (supplier) revenue aggregate (uniform keys, map-side
+# combined), one broadcast supplier->nation join, one nation rollup;
+# |nations| rows out.
+# --------------------------------------------------------------------------
+@register(
+    "q424_supplier_hhi",
+    oracle="""
+WITH rev AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(ROUND(100.0 * l_extendedprice * (1 - l_discount))
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY l_suppkey
+),
+j AS (
+    SELECT s.s_nationkey AS nation, r.cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+),
+nt AS (
+    SELECT nation, CAST(SUM(cents) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM j GROUP BY nation
+),
+n AS (
+    SELECT j.nation, nt.total, nt.n_suppliers,
+           SUM((CAST(j.cents AS DOUBLE) / nt.total)
+               * (CAST(j.cents AS DOUBLE) / nt.total)) AS hhi
+    FROM j JOIN nt ON nt.nation = j.nation
+    GROUP BY j.nation, nt.total, nt.n_suppliers
+)
+SELECT CAST(nation AS BIGINT) AS nation, n_suppliers, 
+       ROUND(total / 100.0, 4) AS revenue,
+       ROUND(hhi, 4) AS hhi,
+       ROUND(1.0 / hhi, 4) AS effective_suppliers,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * hhi) AS BIGINT) > 2500
+                 THEN 1 ELSE 0 END AS BIGINT) AS concentrated
+FROM n ORDER BY nation
+""",
+    tags=("tpch", "concentration", "A12"),
+)
+def q424_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue concentration per nation: (nation, n_suppliers,
+    revenue, hhi, effective_suppliers, concentrated)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                100.0 * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    j = rev.join(
+        F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+    ).select(F.col("s_nationkey").alias("nation"), "cents")
+    nt = j.groupBy("nation").agg(
+        F.sum("cents").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+    )
+    shares = j.join(F.broadcast(nt), "nation").select(
+        "nation",
+        "total",
+        "n_suppliers",
+        (
+            (F.col("cents").cast("double") / F.col("total"))
+            * (F.col("cents").cast("double") / F.col("total"))
+        ).alias("sq"),
+    )
+    return (
+        shares.groupBy("nation", "total", "n_suppliers")
+        .agg(F.sum("sq").alias("hhi"))
+        .select(
+            F.col("nation").cast("long").alias("nation"),
+            "n_suppliers",
+            F.round(F.col("total") / 100.0, 4).alias("revenue"),
+            F.round(F.col("hhi"), 4).alias("hhi"),
+            F.round(F.lit(1.0) / F.col("hhi"), 4).alias(
+                "effective_suppliers"
+            ),
+            (F.round(10000.0 * F.col("hhi")).cast("long") > 2500)
+            .cast("long")
+            .alias("concentrated"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# q425 - return rate per part brand with Wilson 95% bounds: the share
+# of line items flagged 'R' per brand, interval-scored so low-volume
+# brands don't false-alarm (the q355 Wilson treatment applied to the
+# returns domain), plus a flag for brands whose LOWER bound clears the
+# corpus rate - the defect-attribution read (q124 lists returned items;
+# this ranks brands by evidence of elevated returns).
+# Parity: counts exact; the Wilson bound is one closed-form double
+# expression with z = 1.959964 as a literal; the flag compares
+# round(1e4*lower) to the round(1e4*corpus_rate) frozen integer. 4dp.
+# Scale: one broadcast part join (brand dim side), one brand-keyed
+# conditional aggregate, one 1-row corpus-rate broadcast; |brands|
+# rows out.
+# --------------------------------------------------------------------------
+_WILSON_Z = "1.959964"
+
+
+@register(
+    "q425_brand_return_rates",
+    oracle=f"""
+WITH j AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+g AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ret) AS BIGINT) AS r
+    FROM j GROUP BY brand
+),
+tot AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt
+    FROM g
+),
+w AS (
+    SELECT g.brand, g.n, g.r, t.nt, t.rt,
+           CAST(g.r AS DOUBLE) / g.n AS p,
+           {_WILSON_Z} * {_WILSON_Z} AS z2
+    FROM g CROSS JOIN tot t
+)
+SELECT brand, n AS n_items, r AS n_returned,
+       ROUND(p, 4) AS return_rate,
+       ROUND((p + z2 / (2 * n)
+              - {_WILSON_Z} * SQRT((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n), 4) AS wilson_lower,
+       ROUND((p + z2 / (2 * n)
+              + {_WILSON_Z} * SQRT((p * (1 - p) + z2 / (4 * n)) / n))
+             / (1 + z2 / n), 4) AS wilson_upper,
+       CAST(CASE WHEN CAST(ROUND(10000.0 * (p + z2 / (2 * n)
+                      - {_WILSON_Z} * SQRT((p * (1 - p) + z2 / (4 * n)) / n))
+                      / (1 + z2 / n)) AS BIGINT)
+                      > CAST(ROUND(10000.0 * rt / nt) AS BIGINT)
+                 THEN 1 ELSE 0 END AS BIGINT) AS elevated
+FROM w ORDER BY brand
+""",
+    tags=("tpch", "quality", "A12"),
+)
+def q425_brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand return rates with Wilson bounds: (brand, n_items,
+    n_returned, return_rate, wilson_lower, wilson_upper, elevated)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_returnflag") == "R").cast("long").alias("ret"),
+    )
+    g = j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ret").cast("long").alias("r"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("r").cast("long").alias("rt"),
+    )
+    z = float(_WILSON_Z)
+    z2 = z * z
+    p = F.col("r").cast("double") / F.col("n")
+    half = F.lit(z) * F.sqrt(
+        (p * (F.lit(1.0) - p) + F.lit(z2) / (4 * F.col("n"))) / F.col("n")
+    )
+    lower = (p + F.lit(z2) / (2 * F.col("n")) - half) / (
+        F.lit(1.0) + F.lit(z2) / F.col("n")
+    )
+    upper = (p + F.lit(z2) / (2 * F.col("n")) + half) / (
+        F.lit(1.0) + F.lit(z2) / F.col("n")
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            F.col("n").alias("n_items"),
+            F.col("r").alias("n_returned"),
+            F.round(p, 4).alias("return_rate"),
+            F.round(lower, 4).alias("wilson_lower"),
+            F.round(upper, 4).alias("wilson_upper"),
+            (
+                F.round(10000.0 * lower).cast("long")
+                > F.round(
+                    10000.0 * F.col("rt") / F.col("nt")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("elevated"),
+        )
+        .orderBy("brand")
+    )
