@@ -116,6 +116,7 @@ BOUNDED_WINDOW_OK = {
     "q382_price_index",  # distinct-month index relation
     "q392_page_hinkley",  # daily relation walk
     "q417_binary_segmentation",  # daily relation candidate scan
+    "q420_adstock",  # daily relation rank window (q341's class)
     "q393_brown_double_smoothing",  # daily relation, two SES pair joins
     # vocabulary / value-domain-bounded (collapse-first to the domain)
     "q151_zipf_fit",
