@@ -1100,3 +1100,79 @@ def q413_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q426 - duplication-depth profile: the histogram of shared-head group
+# sizes (how many documents share each normalized 8-token opening),
+# reported as (group_size -> n_groups, n_docs, share of corpus) - the
+# depth read that q403's single rate can't give: a corpus with ten
+# 2-deep groups needs different handling than one 20-deep template
+# (near-boilerplate), and the tail of this histogram is what template
+# removal targets. Uses the q413 head fingerprint so the profile is
+# non-degenerate at every SF.
+# Parity: md5 heads identical cross-engine; all counts exact; share one
+# double ratio. 4dp.
+# Scale: one (head) count aggregate, one (size) histogram aggregate -
+# uniform hash keys, no windows; output bounded by max group depth.
+# --------------------------------------------------------------------------
+@register(
+    "q426_dup_depth_profile",
+    oracle=f"""
+WITH fp AS (
+    SELECT MD5(ARRAY_TO_STRING(
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+                           t -> t <> '')[1:{_HEAD_K}], ' ')) AS h
+    FROM documents
+),
+gs AS (
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS size FROM fp GROUP BY h
+),
+tot AS (SELECT CAST(SUM(size) AS BIGINT) AS n_docs FROM gs)
+SELECT g.size AS group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(g.size) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(g.size) AS DOUBLE) / t.n_docs, 4) AS corpus_share
+FROM gs g CROSS JOIN tot t
+GROUP BY g.size, t.n_docs
+ORDER BY group_size
+""",
+    tags=("corpus-dedup", "curation", "A6"),
+)
+def q426_dup_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-head group-size histogram: (group_size, n_groups, n_docs,
+    corpus_share)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.filter(
+                        F.split(F.lower("text"), " "), lambda t: t != ""
+                    ),
+                    1,
+                    _HEAD_K,
+                ),
+            )
+        ).alias("h")
+    )
+    gs = fp.groupBy("h").agg(F.count(F.lit(1)).alias("size"))
+    tot = gs.agg(F.sum("size").cast("long").alias("n_docs_t"))
+    return (
+        gs.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("size").alias("group_size"), "n_docs_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("size").cast("long").alias("n_docs"),
+        )
+        .select(
+            F.col("group_size").cast("long").alias("group_size"),
+            "n_groups",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_docs_t"), 4
+            ).alias("corpus_share"),
+        )
+        .orderBy("group_size")
+    )

@@ -2270,3 +2270,144 @@ def q405_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q427 - int8 scalar-quantization audit per label: quantize every
+# embedding with symmetric per-vector max-abs scaling
+# (q_i = round(127 * x_i / max|x|)), and report how much geometry
+# survives - the mean/min cosine between each vector and its int8 twin
+# plus the mean squared reconstruction error. The go/no-go table for
+# shipping int8 embeddings (q257 audits SRP sign sketches; q132 runs
+# PQ; this scores the simplest production quantizer, the one vector
+# stores default to).
+# Parity: components frozen once to micro-ints; the per-vector scale is
+# an exact integer max; each q_i is one identical double round; cosine
+# and MSE come from exact integer dots under per-vector 1e6 freezing
+# before the label mean. 4dp.
+# Scale: one posexplode pass, one per-vector max + reduce (uniform
+# vec_id keys), one label rollup. No joins beyond the per-vector max
+# broadcast-back, no windows.
+# --------------------------------------------------------------------------
+@register(
+    "q427_int8_quant_audit",
+    oracle="""
+WITH flat AS (
+    SELECT vec_id, label,
+           CAST(ROUND(1000000.0 * CAST(UNNEST(embedding) AS DOUBLE))
+                AS BIGINT) AS xi,
+           GENERATE_SUBSCRIPTS(embedding, 1) AS i
+    FROM embeddings
+),
+m AS (
+    SELECT vec_id, CAST(MAX(ABS(xi)) AS BIGINT) AS mx
+    FROM flat GROUP BY vec_id
+),
+qv AS (
+    SELECT f.vec_id, f.label, f.xi,
+           CAST(ROUND(127.0 * f.xi / m.mx) AS BIGINT) AS q,
+           m.mx
+    FROM flat f JOIN m ON m.vec_id = f.vec_id
+),
+pv AS (
+    SELECT vec_id, label,
+           CAST(SUM(xi * xi) AS BIGINT) AS nx,
+           CAST(SUM(q * q) AS BIGINT) AS nq,
+           CAST(SUM(xi * q) AS BIGINT) AS dq,
+           CAST(ROUND(SUM((xi - q * CAST(mx AS DOUBLE) / 127.0)
+                          * (xi - q * CAST(mx AS DOUBLE) / 127.0))
+                      / COUNT(*)) AS BIGINT) AS mse_int
+    FROM qv GROUP BY vec_id, label
+),
+per_vec AS (
+    SELECT label,
+           CAST(ROUND(1000000.0 * dq
+                      / (SQRT(CAST(nx AS DOUBLE))
+                         * SQRT(CAST(nq AS DOUBLE)))) AS BIGINT)
+               AS cos_micro,
+           mse_int
+    FROM pv
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(cos_micro) AS DOUBLE) / COUNT(*) / 1000000.0, 4)
+           AS mean_quant_cos,
+       ROUND(MIN(cos_micro) / 1000000.0, 4) AS min_quant_cos,
+       ROUND(CAST(SUM(mse_int) AS DOUBLE) / COUNT(*) / 1000000000000.0, 4)
+           AS mean_mse
+FROM per_vec GROUP BY label ORDER BY label
+""",
+    tags=("similarity", "quantization", "A12"),
+)
+def q427_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric-quantization fidelity per label: (label, n_vecs,
+    mean_quant_cos, min_quant_cos, mean_mse)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        F.round(1000000.0 * F.col("x").cast("double"))
+        .cast("long")
+        .alias("xi"),
+    )
+    m = flat.groupBy("vec_id").agg(
+        F.max(F.abs("xi")).cast("long").alias("mx")
+    )
+    qv = flat.join(m, "vec_id").select(
+        "vec_id",
+        "label",
+        "xi",
+        F.round(127.0 * F.col("xi") / F.col("mx")).cast("long").alias("q"),
+        "mx",
+    )
+    err = F.col("xi") - F.col("q") * F.col("mx").cast("double") / 127.0
+    pv = qv.groupBy("vec_id", "label").agg(
+        F.sum(F.col("xi") * F.col("xi")).cast("long").alias("nx"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("nq"),
+        F.sum(F.col("xi") * F.col("q")).cast("long").alias("dq"),
+        F.round(F.sum(err * err) / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mse_int"),
+    )
+    per_vec = pv.select(
+        "label",
+        F.round(
+            1000000.0
+            * F.col("dq")
+            / (
+                F.sqrt(F.col("nx").cast("double"))
+                * F.sqrt(F.col("nq").cast("double"))
+            )
+        )
+        .cast("long")
+        .alias("cos_micro"),
+        "mse_int",
+    )
+    cnt = F.count(F.lit(1))
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            cnt.cast("long").alias("n_vecs"),
+            F.round(
+                F.sum("cos_micro").cast("double") / cnt / 1000000.0, 4
+            ).alias("mean_quant_cos"),
+            F.round(F.min("cos_micro") / 1000000.0, 4).alias(
+                "min_quant_cos"
+            ),
+            F.round(
+                F.sum("mse_int").cast("double") / cnt / 1000000000000.0, 4
+            ).alias("mean_mse"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "n_vecs",
+            "mean_quant_cos",
+            "min_quant_cos",
+            "mean_mse",
+        )
+        .orderBy("label")
+    )
