@@ -87,6 +87,7 @@ def sharded_gaps(
     sec_col: str = "sec",
     id_col: str | None = None,
     shard_seconds: int = 86400,
+    keep_id: bool = False,
 ) -> DataFrame:
     """Per-event previous/next arrival seconds under the per-key global
     ``(sec, id)`` total order — WITHOUT a per-key (or global) window funnel.
@@ -113,17 +114,27 @@ def sharded_gaps(
     The stitch window over the summary is the only non-sharded pass; its
     input is bounded by the calendar, never the corpus (for an empty
     ``key_cols`` it is the declared single-partition-over-|days|-rows
-    exception). Returns ``(*key_cols, sec_col, prv_sec, nxt_sec)`` with
-    nulls exactly at the per-key stream ends.
+    exception). The stitch relation has |keys| x |active days| rows, so
+    it is only *broadcast* back onto the events when ``key_cols`` is
+    empty (|days| rows, trivially bounded); with keys present the join
+    reuses the (key, shard) hash partitioning the window pass already
+    paid for, so a shuffled join is near-free and safe at any key
+    cardinality (per-user keys over a year would blow the 8 GB broadcast
+    cap otherwise). Returns ``(*key_cols, sec_col, prv_sec, nxt_sec)``
+    (plus ``id_col`` when ``keep_id``, so tests can compare row-level
+    against the naive window) with nulls exactly at the per-key stream
+    ends.
     """
     shard = F.floor(F.col(sec_col) / F.lit(shard_seconds)).cast("long")
     ev = df.withColumn("_shard", shard)
     order = [F.col(sec_col)] + ([F.col(id_col)] if id_col else [])
     w_in = Window.partitionBy(*key_cols, "_shard").orderBy(*order)
+    id_out = [F.col(id_col)] if (keep_id and id_col) else []
     within = ev.select(
         *key_cols,
         "_shard",
         F.col(sec_col),
+        *id_out,
         F.lag(sec_col).over(w_in).alias("_prv_in"),
         F.lead(sec_col).over(w_in).alias("_nxt_in"),
     )
@@ -141,9 +152,12 @@ def sharded_gaps(
         F.lag("_last").over(w_sh).alias("_prev_last"),
         F.lead("_first").over(w_sh).alias("_next_first"),
     )
-    return within.join(F.broadcast(stitched), [*key_cols, "_shard"]).select(
+    if not key_cols:
+        stitched = F.broadcast(stitched)
+    return within.join(stitched, [*key_cols, "_shard"]).select(
         *key_cols,
         F.col(sec_col),
+        *id_out,
         F.coalesce("_prv_in", "_prev_last").alias("prv_sec"),
         F.coalesce("_nxt_in", "_next_first").alias("nxt_sec"),
     )

@@ -1850,3 +1850,67 @@ def q415_simpsons_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("scope")
     )
+
+
+# --------------------------------------------------------------------------
+# q434 - Cochran-Armitage trend test: is the probability a line item is
+# RETURNED monotone in its discount level? Discount percent (0..10) is
+# the ordered score w; outcome y = (l_returnflag = 'R'). The classic
+# dose-response test for a binary outcome against an ORDERED factor -
+# what a chi-square on the 2xk table throws away. T = sum w(y - p),
+# Var T = p(1-p)(S2 - S1^2/N); z = T/sqrt(Var).
+# Parity: N, R, S1 = sum w, S2 = sum w^2, Sr = sum w*y are exact
+# integers from ONE corpus aggregate; z is a single double expression
+# over them, identical textually on both engines, 4dp.
+# Scale: one map-side-combined corpus aggregate to a 1-row frame.
+# Nothing else. The cheapest possible plan shape.
+# --------------------------------------------------------------------------
+@register(
+    "q434_cochran_armitage",
+    oracle="""
+WITH s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS r,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s1,
+           CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+               AS s2,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(ROUND(l_discount * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS sr
+    FROM lineitem
+)
+SELECT n, r AS returns,
+       ROUND((CAST(sr AS DOUBLE) - CAST(r AS DOUBLE) * s1 / n)
+             / SQRT((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)),
+             4) AS z_trend
+FROM s
+""",
+    tags=("ab-test", "A12"),
+)
+def q434_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage dose-response z for return-rate vs discount
+    level: (n, returns, z_trend)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.round(F.col("l_discount") * 100).cast("long")
+    y = (F.col("l_returnflag") == "R").cast("long")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("r"),
+        F.sum(w).alias("s1"),
+        F.sum(w * w).alias("s2"),
+        F.sum(F.when(F.col("l_returnflag") == "R", w).otherwise(0)).alias("sr"),
+    )
+    pn = F.col("r").cast("double") / F.col("n")
+    t = F.col("sr").cast("double") - F.col("r").cast("double") * F.col("s1") / F.col("n")
+    var = pn * (F.lit(1.0) - pn) * (
+        F.col("s2").cast("double") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("returns"),
+        F.round(t / F.sqrt(var), 4).alias("z_trend"),
+    )

@@ -719,3 +719,108 @@ def q406_source_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _LOGODDS_TOPK)
         .orderBy("source", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q429 - RAG/pretraining chunking-overhead audit: for a grid of chunk
+# sizes with 25% overlap (size s, stride 3s/4), per source: how many
+# chunks the corpus shards into, how many tokens the chunker EMITS
+# (originals + re-emitted overlap tokens), and the emitted/original
+# blow-up ratio - the storage/compute overhead term a chunking config
+# costs at 100 TB, decided BEFORE running the chunker. Closed form per
+# doc: k = ceil((T-s)/stride) full strides when T > s else 0, chunks =
+# k+1, emitted = T + k*(s - stride); empty docs contribute nothing.
+# Parity: all integer arithmetic (floor division on positives) until
+# the single 4dp ratio; the size grid is ONE literal coalesced frame.
+# Scale: per-doc token count (one projection, no explode - LEN of the
+# split array), 3-row broadcast grid crossJoin, one (source, size)
+# aggregate. No windows, no corpus sort.
+# --------------------------------------------------------------------------
+_CHUNK_GRID = ((128, 96), (256, 192), (512, 384))
+
+
+@register(
+    "q429_chunk_overlap_audit",
+    oracle=f"""
+WITH t AS (
+    SELECT source,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+                AS BIGINT) AS tok
+    FROM documents
+),
+grid AS (
+    SELECT * FROM (VALUES {", ".join(f"({s}, {st})" for s, st in _CHUNK_GRID)})
+        AS g(size, stride)
+),
+perdoc AS (
+    SELECT t.source, g.size, t.tok,
+           CASE WHEN t.tok = 0 THEN 0
+                WHEN t.tok > g.size
+                THEN (t.tok - g.size + g.stride - 1) // g.stride + 1
+                ELSE 1 END AS chunks,
+           CASE WHEN t.tok = 0 THEN 0
+                WHEN t.tok > g.size
+                THEN t.tok + ((t.tok - g.size + g.stride - 1) // g.stride)
+                     * (g.size - g.stride)
+                ELSE t.tok END AS emitted
+    FROM t CROSS JOIN grid g
+)
+SELECT source,
+       CAST(size AS BIGINT) AS chunk_size,
+       CAST(SUM(chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(tok) AS BIGINT) AS tokens_in,
+       CAST(SUM(emitted) AS BIGINT) AS tokens_emitted,
+       ROUND(CAST(SUM(emitted) AS DOUBLE) / SUM(tok), 4) AS blowup
+FROM perdoc GROUP BY source, size ORDER BY source, chunk_size
+""",
+    tags=("training-prep", "curation", "A12"),
+)
+def q429_chunk_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking overhead per (source, chunk_size): (source, chunk_size,
+    n_chunks, tokens_in, tokens_emitted, blowup) for 25%-overlap chunkers
+    of size 128/256/512."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        F.size(text_analysis.tokens_raw(F.col("text"))).cast("long").alias("tok"),
+    )
+    grid = spark.createDataFrame(
+        list(_CHUNK_GRID), "size long, stride long"
+    ).coalesce(1)
+    k = F.expr("(tok - size + stride - 1) DIV stride")
+    perdoc = t.crossJoin(F.broadcast(grid)).select(
+        "source",
+        "size",
+        "tok",
+        F.when(F.col("tok") == 0, F.lit(0))
+        .when(F.col("tok") > F.col("size"), k + 1)
+        .otherwise(F.lit(1))
+        .alias("chunks"),
+        F.when(F.col("tok") == 0, F.lit(0))
+        .when(
+            F.col("tok") > F.col("size"),
+            F.col("tok") + k * (F.col("size") - F.col("stride")),
+        )
+        .otherwise(F.col("tok"))
+        .alias("emitted"),
+    )
+    return (
+        perdoc.groupBy("source", "size")
+        .agg(
+            F.sum("chunks").cast("long").alias("n_chunks"),
+            F.sum("tok").cast("long").alias("tokens_in"),
+            F.sum("emitted").cast("long").alias("tokens_emitted"),
+            F.round(
+                F.sum("emitted").cast("double") / F.sum("tok"), 4
+            ).alias("blowup"),
+        )
+        .select(
+            "source",
+            F.col("size").cast("long").alias("chunk_size"),
+            "n_chunks",
+            "tokens_in",
+            "tokens_emitted",
+            "blowup",
+        )
+        .orderBy("source", "chunk_size")
+    )

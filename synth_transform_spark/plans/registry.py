@@ -40,6 +40,9 @@ def register(
     name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False
 ) -> Callable[[SparkFn], SparkFn]:
     def deco(fn: SparkFn) -> SparkFn:
+        # a silent overwrite would drop a query from the 400+-name
+        # registry and only surface as count drift much later
+        assert name not in REGISTRY, f"duplicate query name: {name}"
         REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, tags=tags, bench=bench)
         return fn
 

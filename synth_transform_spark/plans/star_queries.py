@@ -922,3 +922,81 @@ def q311_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q435 - tail-risk of order spend per market segment: 95% VaR (the
+# quantile) and 95% CVaR / expected shortfall (mean spend GIVEN spend is
+# at or above the VaR), plus how many orders sit in the tail. CVaR is
+# the coherent risk measure (subadditive, unlike VaR) used wherever the
+# tail cost - not the typical cost - is what hurts: revenue-at-risk,
+# worst-case fulfilment load, budget planning.
+# Parity: q391's quantised-quantile pattern - cents as exact BIGINT,
+# threshold = ROUND(100*QUANTILE_CONT(cents, .95)) compared at integer
+# scale (100*c >= hi4), so engine quantile interpolation lands on the
+# same integer both sides; tail mean is exact-integer-sum / count.
+# Scale: broadcast customer-dim join for the segment, ONE exact
+# per-segment quantile aggregate (5 groups), one tail aggregate. No
+# windows, no corpus sort.
+# --------------------------------------------------------------------------
+@register(
+    "q435_cvar_spend",
+    oracle="""
+WITH v AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(ROUND(100.0 * o.o_totalprice) AS BIGINT) AS c
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+b AS (
+    SELECT segment,
+           CAST(ROUND(100.0 * QUANTILE_CONT(CAST(c AS DOUBLE), 0.95))
+                AS BIGINT) AS hi4
+    FROM v GROUP BY segment
+)
+SELECT v.segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(MAX(b.hi4) AS DOUBLE) / 10000.0, 4) AS var95,
+       ROUND(CAST(SUM(CASE WHEN 100 * v.c >= b.hi4 THEN v.c ELSE 0 END)
+                  AS DOUBLE)
+             / 100.0 / SUM(CASE WHEN 100 * v.c >= b.hi4 THEN 1 ELSE 0 END),
+             4) AS cvar95,
+       CAST(SUM(CASE WHEN 100 * v.c >= b.hi4 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tail_n
+FROM v JOIN b ON b.segment = v.segment
+GROUP BY v.segment ORDER BY v.segment
+""",
+    tags=("risk", "A12", "J1"),
+)
+def q435_cvar_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spend tail risk per segment: (segment, n, var95, cvar95, tail_n)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    v = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(100.0 * F.col("o_totalprice")).cast("long").alias("c"),
+    )
+    b = v.groupBy("segment").agg(
+        F.round(100.0 * F.expr("percentile(CAST(c AS DOUBLE), 0.95)"))
+        .cast("long")
+        .alias("hi4")
+    )
+    intail = (100 * F.col("c") >= F.col("hi4")).cast("long")
+    return (
+        v.join(F.broadcast(b), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.max("hi4").cast("double") / 10000.0, 4).alias("var95"),
+            F.round(
+                F.sum(F.when(intail == 1, F.col("c")).otherwise(0)).cast("double")
+                / 100.0
+                / F.sum(intail),
+                4,
+            ).alias("cvar95"),
+            F.sum(intail).cast("long").alias("tail_n"),
+        )
+        .orderBy("segment")
+    )

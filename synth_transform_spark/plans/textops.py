@@ -2817,3 +2817,77 @@ def q372_filter_disparity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("filter", "source")
+
+
+# --------------------------------------------------------------------------
+# q428 — Good–Turing frequency-of-frequencies table: for the 8 smallest
+# observed count classes r, the number of types N_r seen exactly r times, the
+# Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r (the smoothed count
+# an LM assigns instead of the raw MLE), and the probability mass
+# r·N_r/N the class carries. The N_1/N row IS the classic missing-mass
+# estimate (how much probability the corpus reserves for unseen tokens)
+# — the quantity LM smoothing (Katz, simple Good–Turing) and
+# vocabulary-coverage planning start from; complements q343's
+# Kneser–Ney (which discounts) and q313's Chao1 (which extrapolates
+# richness).
+# Tokenizer: tokens_raw (the one shared corpus-statistics tokenizer).
+# Parity: r, N_r and N are exact integers; r* and mass are each ONE
+# double expression over them, 4dp both engines.
+# Scale: one vocab-sized (token) aggregate with map-side combine, then
+# the count-of-counts relation is frequency-domain-bounded (O(sqrt N)
+# distinct r values) — the 8-row class cut is a TakeOrderedAndProject
+# over it (no window), and the r+1 self-join and the 1-row total are
+# broadcasts by construction. No corpus sort.
+# --------------------------------------------------------------------------
+@register(
+    "q428_good_turing",
+    oracle="""
+WITH toks AS (
+    SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS r FROM toks GROUP BY token),
+coc AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnt GROUP BY r),
+low AS (SELECT * FROM coc ORDER BY r LIMIT 8),
+tot AS (SELECT CAST(SUM(r * n_r) AS BIGINT) AS n FROM coc)
+SELECT CAST(a.r AS BIGINT) AS r,
+       a.n_r AS n_types,
+       ROUND((a.r + 1) * CAST(COALESCE(b.n_r, 0) AS DOUBLE) / a.n_r, 4)
+           AS r_star,
+       ROUND(a.r * CAST(a.n_r AS DOUBLE) / t.n, 4) AS mass
+FROM low a LEFT JOIN coc b ON b.r = a.r + 1 CROSS JOIN tot t
+ORDER BY r
+""",
+    tags=("lm", "quality", "A12"),
+)
+def q428_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing count-of-counts for the 8 smallest count classes:
+    (r, n_types, r_star, mass) — r* = (r+1)N_{r+1}/N_r, mass = r·N_r/N."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("r"))
+    coc = cnt.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = coc.agg(F.sum(F.col("r") * F.col("n_r")).alias("n"))
+    nxt = coc.select(F.col("r").alias("r1"), F.col("n_r").alias("n_r1"))
+    return (
+        coc.orderBy("r")
+        .limit(8)
+        .join(F.broadcast(nxt), F.col("r") + 1 == F.col("r1"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_types"),
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r1"), F.lit(0)).cast("double")
+                / F.col("n_r"),
+                4,
+            ).alias("r_star"),
+            F.round(
+                F.col("r") * F.col("n_r").cast("double") / F.col("n"), 4
+            ).alias("mass"),
+        )
+        .orderBy("r")
+    )

@@ -73,11 +73,18 @@ def silence_bounded_window_warnings(spark: SparkSession) -> None:
     log tail stays clean; correctness of the invariant is enforced by the
     plan lint, not by reading warnings.
     """
+    category = "org.apache.spark.sql.execution.window.WindowExec"
+    jvm = spark.sparkContext._jvm
     try:
-        jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
+            category, jvm.org.apache.logging.log4j.Level.ERROR
         )
     except Exception:
-        pass  # non-log4j2 deployments: warnings are cosmetic
+        try:  # log4j 1.x deployments (older Spark builds)
+            jvm.org.apache.log4j.LogManager.getLogger(category).setLevel(
+                jvm.org.apache.log4j.Level.ERROR
+            )
+        except Exception:
+            # warnings are cosmetic; note the skip so a noisy bench tail
+            # is attributable instead of silently persisting
+            print("silence_bounded_window_warnings: no log4j API found; skipped")

@@ -12,35 +12,25 @@ from pyspark.sql import Window
 from synth_transform_spark.operators.windows import sharded_gaps
 
 
-def _naive(df, keys, sec="sec", idc="eid"):
+def _naive_with_id(df, keys, sec="sec", idc="eid"):
     w = Window.partitionBy(*keys).orderBy(sec, idc)
     return df.select(
         *keys,
         F.col(sec),
+        F.col(idc),
         F.lag(sec).over(w).alias("prv_sec"),
         F.lead(sec).over(w).alias("nxt_sec"),
     )
 
 
 def _check(spark, rows, keys, shard_seconds):
+    # row-level: (k, sec, eid) identifies each row in both variants, so a
+    # mispairing of (prv, nxt) across same-second ties is a hard mismatch
+    # (a multiset compare per (k, sec) group would let it slide).
     df = spark.createDataFrame(rows, ["k", "sec", "eid"])
-    got = (
-        sharded_gaps(df, keys, sec_col="sec", id_col="eid",
-                     shard_seconds=shard_seconds)
-        .groupBy(*keys, "sec")
-        .agg(
-            F.sort_array(F.collect_list("prv_sec")).alias("p"),
-            F.sort_array(F.collect_list("nxt_sec")).alias("n"),
-        )
-    )
-    want = (
-        _naive(df, keys)
-        .groupBy(*keys, "sec")
-        .agg(
-            F.sort_array(F.collect_list("prv_sec")).alias("p"),
-            F.sort_array(F.collect_list("nxt_sec")).alias("n"),
-        )
-    )
+    got = sharded_gaps(df, keys, sec_col="sec", id_col="eid",
+                       shard_seconds=shard_seconds, keep_id=True)
+    want = _naive_with_id(df, keys)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
 
