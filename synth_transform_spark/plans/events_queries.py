@@ -886,3 +886,160 @@ def q296_joinsize_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("key_col")
+
+
+# --------------------------------------------------------------------------
+# q430 - log-rank test between the q241 survival cohorts: do registered
+# and guest users have the SAME retention curve, or is the separation
+# KM plots show statistically real? The standard two-sample censored
+# survival test: at every distinct churn day, compare cohort 1's
+# observed churns d1 against its expectation d*n1/n under the null,
+# accumulate, normalise by the hypergeometric variance. Duration/censor
+# definitions are exactly q241's (first->last event, day grain, 24h
+# censor window) so the two queries read as one analysis.
+# Parity: the life table (n1, n2, d1, d2 per day) is exact integers;
+# each day's E and V terms are micro-scaled to BIGINT before the final
+# sum (the established micro-integer trick), so summation order cannot
+# diverge; z is one double expression over exact integer sums.
+# Scale: one user-keyed aggregate; everything after lives on the
+# day-grain life table (calendar-bounded). The at-risk cumsum windows
+# partition by cohort over that bounded relation - never the corpus.
+# The V term is computed in doubles (n^4 would overflow BIGINT at
+# billion-user scale); micro-rounding keeps it engine-exact.
+# --------------------------------------------------------------------------
+@register(
+    "q430_logrank_test",
+    oracle="""
+WITH users AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CASE WHEN SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0
+                THEN 'registered' ELSE 'guest' END AS cohort
+    FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+durs AS (
+    SELECT u.cohort,
+           CAST(FLOOR(EPOCH(u.last_ts - u.first_ts) / 86400.0) AS BIGINT) AS dur,
+           CASE WHEN u.last_ts <= h.max_ts - INTERVAL 24 HOUR
+                THEN 1 ELSE 0 END AS churn
+    FROM users u CROSS JOIN horizon h
+),
+steps AS (
+    SELECT cohort, dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(churn) AS BIGINT) AS d
+    FROM durs GROUP BY cohort, dur
+),
+grid AS (
+    SELECT g.dur, c.cohort
+    FROM (SELECT DISTINCT dur FROM steps) g
+    CROSS JOIN (SELECT DISTINCT cohort FROM steps) c
+),
+full_tab AS (
+    SELECT g.dur, g.cohort,
+           COALESCE(s.n_all, 0) AS n_all, COALESCE(s.d, 0) AS d
+    FROM grid g LEFT JOIN steps s
+      ON s.dur = g.dur AND s.cohort = g.cohort
+),
+risked AS (
+    SELECT dur, cohort, d,
+           SUM(n_all) OVER (PARTITION BY cohort ORDER BY dur DESC) AS at_risk
+    FROM full_tab
+),
+perday AS (
+    SELECT dur,
+           SUM(CASE WHEN cohort = 'registered' THEN d ELSE 0 END) AS d1,
+           SUM(d) AS d,
+           SUM(CASE WHEN cohort = 'registered' THEN at_risk ELSE 0 END) AS n1,
+           SUM(CASE WHEN cohort = 'guest' THEN at_risk ELSE 0 END) AS n2,
+           SUM(at_risk) AS n
+    FROM risked GROUP BY dur
+),
+terms AS (
+    SELECT d1,
+           CAST(ROUND(1000000.0 * d * n1 / n) AS BIGINT) AS eu,
+           CAST(ROUND(1000000.0 * d * (n - d) / n * n1 / n * n2 / (n - 1))
+                AS BIGINT) AS vu
+    FROM perday WHERE d > 0 AND n > 1
+)
+SELECT CAST(SUM(d1) AS BIGINT) AS observed_1,
+       ROUND(CAST(SUM(eu) AS DOUBLE) / 1000000.0, 4) AS expected_1,
+       ROUND(CAST(SUM(vu) AS DOUBLE) / 1000000.0, 4) AS var_1,
+       ROUND((SUM(d1) - CAST(SUM(eu) AS DOUBLE) / 1000000.0)
+             / SQRT(CAST(SUM(vu) AS DOUBLE) / 1000000.0), 4) AS z_logrank
+FROM terms
+""",
+    tags=("survival", "ab-test", "A12"),
+)
+def q430_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample log-rank on the q241 cohorts: (observed_1, expected_1,
+    var_1, z_logrank), cohort 1 = registered."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.when(
+            F.sum((F.col("event_type") == "signup").cast("int")) > 0,
+            F.lit("registered"),
+        )
+        .otherwise(F.lit("guest"))
+        .alias("cohort"),
+    )
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    durs = users.crossJoin(F.broadcast(horizon)).select(
+        "cohort",
+        F.floor(
+            (F.col("last_ts").cast("double") - F.col("first_ts").cast("double"))
+            / 86400.0
+        )
+        .cast("long")
+        .alias("dur"),
+        (F.col("last_ts") <= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .cast("long")
+        .alias("churn"),
+    )
+    steps = durs.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("churn").alias("d")
+    )
+    grid = steps.select("dur").distinct().crossJoin(
+        F.broadcast(steps.select("cohort").distinct())
+    )
+    full_tab = grid.join(F.broadcast(steps), ["dur", "cohort"], "left").select(
+        "dur",
+        "cohort",
+        F.coalesce("n_all", F.lit(0)).alias("n_all"),
+        F.coalesce("d", F.lit(0)).alias("d"),
+    )
+    w_risk = Window.partitionBy("cohort").orderBy(F.desc("dur"))
+    risked = full_tab.select(
+        "dur", "cohort", "d", F.sum("n_all").over(w_risk).alias("at_risk")
+    )
+    reg = F.when(F.col("cohort") == "registered", F.col("d")).otherwise(0)
+    reg_r = F.when(F.col("cohort") == "registered", F.col("at_risk")).otherwise(0)
+    gst_r = F.when(F.col("cohort") == "guest", F.col("at_risk")).otherwise(0)
+    perday = risked.groupBy("dur").agg(
+        F.sum(reg).alias("d1"),
+        F.sum("d").alias("d"),
+        F.sum(reg_r).alias("n1"),
+        F.sum(gst_r).alias("n2"),
+        F.sum("at_risk").alias("n"),
+    )
+    d, n, n1, n2 = (F.col(c).cast("double") for c in ("d", "n", "n1", "n2"))
+    terms = perday.filter((F.col("d") > 0) & (F.col("n") > 1)).select(
+        "d1",
+        F.round(1000000.0 * F.col("d") * F.col("n1") / F.col("n"))
+        .cast("long")
+        .alias("eu"),
+        F.round(
+            F.lit(1000000.0) * d * (n - d) / n * n1 / n * n2 / (n - F.lit(1.0))
+        )
+        .cast("long")
+        .alias("vu"),
+    )
+    e_dbl = F.sum("eu").cast("double") / 1000000.0
+    v_dbl = F.sum("vu").cast("double") / 1000000.0
+    return terms.agg(
+        F.sum("d1").cast("long").alias("observed_1"),
+        F.round(e_dbl, 4).alias("expected_1"),
+        F.round(v_dbl, 4).alias("var_1"),
+        F.round((F.sum("d1") - e_dbl) / F.sqrt(v_dbl), 4).alias("z_logrank"),
+    )

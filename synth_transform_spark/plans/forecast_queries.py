@@ -1353,3 +1353,240 @@ def q420_adstock(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corr("sx", "sxx", "sxy").alias("corr_raw"),
         _corr("sa", "saa", "say").alias("corr_adstock"),
     )
+
+
+# --------------------------------------------------------------------------
+# q432 - pinball (quantile) loss scorecard: per event type, hold out the
+# odd event_ids, fit constant q10/q50/q90 forecasts on the even half,
+# and score each quantile on the holdout with the pinball loss - THE
+# proper scoring rule for quantile forecasts (what M5-uncertainty and
+# every quantile-regression service reports). Complements q359 (point
+# forecast eval) with the distributional tier.
+# Parity: forecasts use q391's quantised-quantile pattern (cents, then
+# ROUND(100*QUANTILE_CONT) compared at integer scale); per-row losses
+# are EXACT integers (qn*diff4 with qn in tenths), so the sum is
+# order-independent; the mean is one double expression, 4dp.
+# Scale: one per-type exact quantile aggregate on the train half, a
+# 3-row broadcast grid, one (type, q) aggregate on the test half. No
+# windows, no corpus sort.
+# --------------------------------------------------------------------------
+@register(
+    "q432_pinball_loss",
+    oracle="""
+WITH v AS (
+    SELECT event_type, event_id % 2 AS odd,
+           CAST(ROUND(100.0 * value) AS BIGINT) AS c
+    FROM events
+),
+train AS (
+    SELECT event_type,
+           CAST(ROUND(100.0 * QUANTILE_CONT(CAST(c AS DOUBLE), 0.1))
+                AS BIGINT) AS p10,
+           CAST(ROUND(100.0 * QUANTILE_CONT(CAST(c AS DOUBLE), 0.5))
+                AS BIGINT) AS p50,
+           CAST(ROUND(100.0 * QUANTILE_CONT(CAST(c AS DOUBLE), 0.9))
+                AS BIGINT) AS p90
+    FROM v WHERE odd = 0 GROUP BY event_type
+),
+grid AS (SELECT * FROM (VALUES (1), (5), (9)) AS g(qn)),
+fc AS (
+    SELECT t.event_type, g.qn,
+           CASE g.qn WHEN 1 THEN t.p10 WHEN 5 THEN t.p50 ELSE t.p90 END
+               AS yhat4
+    FROM train t CROSS JOIN grid g
+),
+scored AS (
+    SELECT f.event_type, f.qn, f.yhat4,
+           CASE WHEN 100 * v.c - f.yhat4 >= 0
+                THEN f.qn * (100 * v.c - f.yhat4)
+                ELSE (f.qn - 10) * (100 * v.c - f.yhat4) END AS loss_u
+    FROM v JOIN fc f ON f.event_type = v.event_type
+    WHERE v.odd = 1
+)
+SELECT event_type, ROUND(qn / 10.0, 4) AS q,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(CAST(MAX(yhat4) AS DOUBLE) / 10000.0, 4) AS forecast,
+       ROUND(CAST(SUM(loss_u) AS DOUBLE) / 100000.0 / COUNT(*), 4)
+           AS pinball
+FROM scored GROUP BY event_type, qn ORDER BY event_type, q
+""",
+    tags=("forecast", "eval", "A12"),
+)
+def q432_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss of per-type constant quantile forecasts on the odd
+    holdout: (event_type, q, n_test, forecast, pinball)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("odd"),
+        F.round(100.0 * F.col("value")).cast("long").alias("c"),
+    )
+    train = v.filter(F.col("odd") == 0).groupBy("event_type").agg(
+        *[
+            F.round(100.0 * F.expr(f"percentile(CAST(c AS DOUBLE), {q})"))
+            .cast("long")
+            .alias(name)
+            for q, name in ((0.1, "p10"), (0.5, "p50"), (0.9, "p90"))
+        ]
+    )
+    grid = spark.createDataFrame([(1,), (5,), (9,)], "qn long").coalesce(1)
+    fc = train.crossJoin(F.broadcast(grid)).select(
+        "event_type",
+        "qn",
+        F.when(F.col("qn") == 1, F.col("p10"))
+        .when(F.col("qn") == 5, F.col("p50"))
+        .otherwise(F.col("p90"))
+        .alias("yhat4"),
+    )
+    diff4 = 100 * F.col("c") - F.col("yhat4")
+    scored = (
+        v.filter(F.col("odd") == 1)
+        .join(F.broadcast(fc), "event_type")
+        .select(
+            "event_type",
+            "qn",
+            "yhat4",
+            F.when(diff4 >= 0, F.col("qn") * diff4)
+            .otherwise((F.col("qn") - 10) * diff4)
+            .alias("loss_u"),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "qn")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("yhat4").alias("yhat4"),
+            F.sum("loss_u").alias("loss_u"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("qn") / 10.0, 4).alias("q"),
+            F.col("n").cast("long").alias("n_test"),
+            F.round(F.col("yhat4").cast("double") / 10000.0, 4).alias("forecast"),
+            F.round(
+                F.col("loss_u").cast("double") / 100000.0 / F.col("n"), 4
+            ).alias("pinball"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
+# --------------------------------------------------------------------------
+# q433 - additive Holt-Winters (level+trend+weekly season) one-step
+# forecasts over the last 9 weeks of daily revenue, executed as a
+# RECURSIVE CTE - the SAME recursion text runs on Spark (WITH RECURSIVE
+# landed in Spark 4) and DuckDB. alpha=1/2, beta=gamma=1/4: with the
+# state kept in micro-dollar BIGINTs, every update is integers scaled
+# by binary fractions, so each ROUND lands on exact .0/.25/.5/.75 and
+# both engines take the identical half-away-from-zero branch - the
+# recursion is engine-exact by construction (no float drift across 49
+# steps). Init: level = week-1 mean, trend = (week-2 mean - week-1
+# mean)/7, seasonals = week-2 residuals.
+# Scale: the corpus collapses to ONE daily aggregate; the recursion
+# runs on a fixed 63-row window of it (49 iterations, under Spark's
+# cteRecursionLevelLimit=100) - recursion depth is bounded by the
+# chosen window, never the corpus.
+# --------------------------------------------------------------------------
+_HW_L2 = "CAST(ROUND((b.xu - r.s1 + r.lu + r.bu) / CAST(2 AS DOUBLE)) AS BIGINT)"
+
+_HW_REC_BODY = f"""
+    SELECT CAST(14 AS BIGINT) AS t,
+           CAST(ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS lu,
+           CAST(ROUND((SUM(CASE WHEN t BETWEEN 8 AND 14 THEN xu END)
+                       - SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END))
+                      / CAST(49 AS DOUBLE)) AS BIGINT) AS bu,
+           CAST(SUM(CASE WHEN t = 8 THEN xu END)
+                - ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN t = 9 THEN xu END)
+                - ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN t = 10 THEN xu END)
+                - ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS s3,
+           CAST(SUM(CASE WHEN t = 11 THEN xu END)
+                - ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS s4,
+           CAST(SUM(CASE WHEN t = 12 THEN xu END)
+                - ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS s5,
+           CAST(SUM(CASE WHEN t = 13 THEN xu END)
+                - ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS s6,
+           CAST(SUM(CASE WHEN t = 14 THEN xu END)
+                - ROUND(SUM(CASE WHEN t BETWEEN 1 AND 7 THEN xu END) / CAST(7 AS DOUBLE))
+                AS BIGINT) AS s7,
+           CAST(NULL AS BIGINT) AS fu,
+           CAST(NULL AS BIGINT) AS xu
+    FROM {{base}}
+    UNION ALL
+    SELECT b.t,
+           {_HW_L2} AS lu,
+           CAST(ROUND(({_HW_L2} - r.lu + 3 * r.bu) / CAST(4 AS DOUBLE)) AS BIGINT) AS bu,
+           r.s2 AS s1, r.s3 AS s2, r.s4 AS s3, r.s5 AS s4,
+           r.s6 AS s5, r.s7 AS s6,
+           CAST(ROUND((b.xu - {_HW_L2} + 3 * r.s1) / CAST(4 AS DOUBLE)) AS BIGINT) AS s7,
+           r.lu + r.bu + r.s1 AS fu,
+           b.xu AS xu
+    FROM rec r JOIN {{base}} b ON b.t = r.t + 1
+"""
+
+_HW_FINAL = """
+SELECT t,
+       ROUND(xu / CAST(10000 AS DOUBLE), 4) AS x,
+       ROUND(fu / CAST(10000 AS DOUBLE), 4) AS forecast,
+       ROUND((xu - fu) / CAST(10000 AS DOUBLE), 4) AS err
+FROM rec WHERE fu IS NOT NULL ORDER BY t
+"""
+
+
+@register(
+    "q433_holt_winters",
+    oracle=f"""
+WITH RECURSIVE
+bnd AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders),
+dly AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(100.0 * o_totalprice) AS BIGINT)) AS BIGINT)
+               * 100 AS xu
+    FROM orders GROUP BY 1
+),
+hwbase AS (
+    SELECT CAST(g.t AS BIGINT) AS t, COALESCE(d.xu, 0) AS xu
+    FROM (SELECT UNNEST(GENERATE_SERIES(1, 63)) AS t) g
+    CROSS JOIN bnd
+    LEFT JOIN dly d ON d.day = bnd.maxd - CAST(63 - g.t AS INTEGER)
+),
+rec AS (
+{_HW_REC_BODY.format(base="hwbase")}
+)
+{_HW_FINAL}
+""",
+    tags=("forecast", "recursive-cte", "A12"),
+)
+def q433_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters one-step daily-revenue forecasts for the last 7
+    weeks: (t, x, forecast, err) - Spark executes the same WITH
+    RECURSIVE text DuckDB does."""
+    orders = load_table(spark, sf_dir, "orders")
+    dly = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        (
+            F.sum(F.round(100.0 * F.col("o_totalprice")).cast("long")) * 100
+        ).alias("xu")
+    )
+    maxd = orders.agg(F.max("o_orderdate").cast("date").alias("maxd"))
+    grid = spark.range(1, 64).select(F.col("id").alias("t")).coalesce(1)
+    base = (
+        grid.crossJoin(F.broadcast(maxd))
+        .withColumn("day", F.date_sub(F.col("maxd"), (63 - F.col("t")).cast("int")))
+        .join(F.broadcast(dly), "day", "left")
+        .select("t", F.coalesce("xu", F.lit(0)).alias("xu"))
+    )
+    base.createOrReplaceTempView("q433_hw_base")
+    return spark.sql(
+        "WITH RECURSIVE rec AS ("
+        + _HW_REC_BODY.format(base="q433_hw_base")
+        + ")"
+        + _HW_FINAL
+    )

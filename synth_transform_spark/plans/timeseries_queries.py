@@ -3295,3 +3295,102 @@ def q421_weekday_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+# --------------------------------------------------------------------------
+# q431 - Kendall tau-b between the two daily business series (order
+# count vs revenue): the rank-correlation that, unlike q306's Spearman,
+# handles the heavy day-level ties integer counts produce (tau-b
+# corrects both denominator legs for ties). Reads on the SAME daily
+# relation q421/q420 use, so the family answers: are busy days also
+# high-revenue days, monotonically, with ties priced in?
+# Parity: concordant/discordant/tie counts are exact integers from an
+# inequality pair join; tau-b is ONE double expression over them, 4dp.
+# Scale: the corpus collapses to the |days| daily relation first
+# (calendar-bounded - the q420 class); the pair join is |days|^2 over
+# that bounded relation, a broadcast nested-loop by construction, and
+# NEVER touches raw orders. No corpus windows, no corpus sort.
+# --------------------------------------------------------------------------
+@register(
+    "q431_kendall_tau_daily",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(100.0 * o_totalprice) AS BIGINT)) AS BIGINT)
+               AS rev_c
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT CAST(SUM(CASE WHEN (a.n_orders < b.n_orders AND a.rev_c < b.rev_c)
+                           OR (a.n_orders > b.n_orders AND a.rev_c > b.rev_c)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN (a.n_orders < b.n_orders AND a.rev_c > b.rev_c)
+                           OR (a.n_orders > b.n_orders AND a.rev_c < b.rev_c)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS d,
+           CAST(SUM(CASE WHEN a.n_orders = b.n_orders THEN 1 ELSE 0 END)
+                AS BIGINT) AS tx,
+           CAST(SUM(CASE WHEN a.rev_c = b.rev_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS ty,
+           CAST(COUNT(*) AS BIGINT) AS n0
+    FROM daily a JOIN daily b ON a.day < b.day
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       c AS concordant, d AS discordant,
+       ROUND((c - d) / SQRT(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 4) AS tau_b
+FROM pairs
+""",
+    tags=("timeseries", "A12"),
+)
+def q431_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily order count and daily revenue:
+    (n_days, concordant, discordant, tau_b)."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(100.0 * F.col("o_totalprice")).cast("long")).alias("rev_c"),
+    )
+    a = daily.select(
+        F.col("day").alias("day_a"),
+        F.col("n_orders").alias("na"),
+        F.col("rev_c").alias("ra"),
+    )
+    b = daily.select(
+        F.col("day").alias("day_b"),
+        F.col("n_orders").alias("nb"),
+        F.col("rev_c").alias("rb"),
+    )
+    conc = (
+        ((F.col("na") < F.col("nb")) & (F.col("ra") < F.col("rb")))
+        | ((F.col("na") > F.col("nb")) & (F.col("ra") > F.col("rb")))
+    ).cast("long")
+    disc = (
+        ((F.col("na") < F.col("nb")) & (F.col("ra") > F.col("rb")))
+        | ((F.col("na") > F.col("nb")) & (F.col("ra") < F.col("rb")))
+    ).cast("long")
+    pairs = (
+        a.join(F.broadcast(b), F.col("day_a") < F.col("day_b"))
+        .agg(
+            F.sum(conc).alias("c"),
+            F.sum(disc).alias("d"),
+            F.sum((F.col("na") == F.col("nb")).cast("long")).alias("tx"),
+            F.sum((F.col("ra") == F.col("rb")).cast("long")).alias("ty"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return pairs.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / F.sqrt(
+                (F.col("n0") - F.col("tx")).cast("double")
+                * (F.col("n0") - F.col("ty"))
+            ),
+            4,
+        ).alias("tau_b"),
+    )
