@@ -518,3 +518,120 @@ def q416_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("distinct_drift"),
         (F.abs(t1s - t2s) > 1000).cast("long").alias("top_drift"),
     ).orderBy("col")
+
+
+# --------------------------------------------------------------------------
+# q439 - Count-Min sketch accuracy audit (the q352 bloom / q379 HLL
+# family, completed with the COUNTING sketch): build a d=4 x w=64
+# Count-Min sketch of the corpus token counts, then compare the CM
+# estimate (min over the 4 row counters) against the exact count for
+# the 20 heaviest tokens. CM never underestimates; the audit reports
+# each heavy hitter's overestimate and answers "is w=64 wide enough for
+# this skew before we deploy the sketch on the full stream".
+# Hash parity: row j's bucket = first-8-hex-digits of md5(token#j) mod
+# 64 - md5 is identical on both engines; Spark converts hex via
+# conv(,16,10), DuckDB via an explicit digit polynomial (exact integer
+# literals 16^i, no POWER doubles). All counts exact integers.
+# Scale: the sketch IS the point - the corpus collapses to one
+# (j, bucket) aggregate of 256 cells (broadcast); the exact side is the
+# standard vocab aggregate + TakeOrdered(20). At 100 TB only the
+# sketch build scans the stream; the audit joins 20 x 4 rows.
+# --------------------------------------------------------------------------
+_CM_D, _CM_W, _CM_TOPK = 4, 64, 20
+
+
+def _duck_hex8_to_int(expr: str) -> str:
+    """DuckDB SQL: first 8 hex digits of md5(expr) as a BIGINT."""
+    digit = (
+        "(STRPOS('0123456789abcdef', SUBSTRING(MD5({e}), {i}, 1)) - 1)"
+    )
+    pows = [268435456, 16777216, 1048576, 65536, 4096, 256, 16, 1]
+    terms = [
+        f"{digit.format(e=expr, i=i + 1)} * {p}" for i, p in enumerate(pows)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q439_countmin_audit",
+    oracle=f"""
+WITH toks AS (
+    SELECT UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+exact AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks GROUP BY token),
+rows_g AS (SELECT UNNEST(GENERATE_SERIES(1, {_CM_D})) AS j),
+hashed AS (
+    SELECT t.token, g.j,
+           {_duck_hex8_to_int("t.token || '#' || CAST(g.j AS VARCHAR)")} % {_CM_W}
+               AS bucket
+    FROM toks t CROSS JOIN rows_g g
+),
+sketch AS (
+    SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cell
+    FROM hashed GROUP BY j, bucket
+),
+heavy AS (
+    SELECT token, true_count FROM exact
+    ORDER BY true_count DESC, token LIMIT {_CM_TOPK}
+),
+probes AS (
+    SELECT h.token, h.true_count, g.j,
+           {_duck_hex8_to_int("h.token || '#' || CAST(g.j AS VARCHAR)")} % {_CM_W}
+               AS bucket
+    FROM heavy h CROSS JOIN rows_g g
+)
+SELECT p.token, p.true_count,
+       CAST(MIN(s.cell) AS BIGINT) AS cm_estimate,
+       CAST(MIN(s.cell) - p.true_count AS BIGINT) AS overestimate
+FROM probes p JOIN sketch s ON s.j = p.j AND s.bucket = p.bucket
+GROUP BY p.token, p.true_count
+ORDER BY p.true_count DESC, p.token
+""",
+    tags=("sketch", "quality", "A5"),
+)
+def q439_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min (4x64) estimate vs exact count for the 20 heaviest
+    tokens: (token, true_count, cm_estimate, overestimate)."""
+    from ..operators import text_analysis
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token")
+    )
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("true_count"))
+    rows_g = spark.createDataFrame(
+        [(j,) for j in range(1, _CM_D + 1)], "j long"
+    ).coalesce(1)
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("token"), F.lit("#"), F.col("j").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CM_W
+    ).alias("bucket")
+    hashed = toks.crossJoin(F.broadcast(rows_g)).select("token", "j", bucket)
+    sketch = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    heavy = exact.orderBy(F.desc("true_count"), "token").limit(_CM_TOPK)
+    probes = heavy.crossJoin(F.broadcast(rows_g)).select(
+        "token", "true_count", "j", bucket
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cell").alias("cm_estimate"))
+        .select(
+            "token",
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("true_count"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("true_count"), "token")
+    )

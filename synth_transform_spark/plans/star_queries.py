@@ -1000,3 +1000,143 @@ def q435_cvar_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# q436 - OLS influence diagnostics: fit price ~ quantity on lineitem
+# (q298's regression family), then for every line item compute leverage
+# h_ii, the residual, and Cook's distance - and return the 10 most
+# influential observations. The closed-form simple-regression case:
+# h = 1/n + (x - xbar)^2/Sxx, D = e^2 h / (p s^2 (1-h)^2), p = 2 -
+# influence = outlying-in-x AND poorly-fit-in-y, which neither residual
+# (q14 z-scores) nor leverage alone captures.
+# Parity: moments are exact integer sums (whole dollars / unit
+# quantities); SSE comes from the moment identity Syy - b*Sxy (never a
+# per-row float sum, so no summation-order risk); b, s2, and each row's
+# (h, e, D) are the same double expression texts both engines; the
+# top-10 cut ranks on ROUND(D, 6) with (orderkey, linenumber)
+# tie-break, so the LIMIT edge is deterministic.
+# Scale: ONE map-side-combined corpus aggregate for the moments (1-row
+# broadcast), one scan computing per-row diagnostics, TakeOrdered(10).
+# No windows, no corpus sort.
+# --------------------------------------------------------------------------
+@register(
+    "q436_ols_influence",
+    oracle="""
+WITH v AS (
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_quantity) AS BIGINT) AS x,
+           CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM v
+),
+fit AS (
+    SELECT n, sx, sy,
+           CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS ssx,
+           CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS spxy,
+           CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS ssy
+    FROM m
+),
+par AS (
+    SELECT n, sx, sy, ssx,
+           spxy / ssx AS b,
+           (ssy - spxy / ssx * spxy) / (n - 2) AS s2
+    FROM fit
+),
+diag AS (
+    SELECT v.l_orderkey, v.l_linenumber, v.x, v.y,
+           1.0 / p.n + (v.x - CAST(p.sx AS DOUBLE) / p.n)
+                       * (v.x - CAST(p.sx AS DOUBLE) / p.n) / p.ssx AS h,
+           v.y - (CAST(p.sy AS DOUBLE) / p.n
+                  - p.b * (CAST(p.sx AS DOUBLE) / p.n)) - p.b * v.x AS e,
+           p.s2 AS s2
+    FROM v CROSS JOIN par p
+)
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       x AS quantity, y AS price,
+       ROUND(h, 6) AS leverage,
+       ROUND(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6) AS cook_d
+FROM diag
+ORDER BY cook_d DESC, l_orderkey, l_linenumber LIMIT 10
+""",
+    tags=("stats", "regression", "O6"),
+)
+def q436_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 Cook's-distance line items for price ~ quantity:
+    (l_orderkey, l_linenumber, quantity, price, leverage, cook_d)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    fit = m.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("ssx"),
+        (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("spxy"),
+        (F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias("ssy"),
+    )
+    par = fit.select(
+        "n",
+        "sx",
+        "sy",
+        "ssx",
+        (F.col("spxy") / F.col("ssx")).alias("b"),
+        (
+            (F.col("ssy") - F.col("spxy") / F.col("ssx") * F.col("spxy"))
+            / (F.col("n") - 2)
+        ).alias("s2"),
+    )
+    xbar = F.col("sx").cast("double") / F.col("n")
+    ybar = F.col("sy").cast("double") / F.col("n")
+    diag = v.crossJoin(F.broadcast(par)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        "y",
+        (
+            F.lit(1.0) / F.col("n")
+            + (F.col("x") - xbar) * (F.col("x") - xbar) / F.col("ssx")
+        ).alias("h"),
+        (F.col("y") - (ybar - F.col("b") * xbar) - F.col("b") * F.col("x")).alias("e"),
+        "s2",
+    )
+    return (
+        diag.select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.col("x").alias("quantity"),
+            F.col("y").alias("price"),
+            F.round("h", 6).alias("leverage"),
+            F.round(
+                F.col("e") * F.col("e") * F.col("h")
+                / (
+                    F.lit(2.0)
+                    * F.col("s2")
+                    * (F.lit(1.0) - F.col("h"))
+                    * (F.lit(1.0) - F.col("h"))
+                ),
+                6,
+            ).alias("cook_d"),
+        )
+        .orderBy(F.desc("cook_d"), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )

@@ -3394,3 +3394,89 @@ def q431_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# q440 - weekly block-maxima + Gumbel return level: the OTHER classical
+# extreme-value tier next to q387's peaks-over-threshold GPD. Take the
+# max event value per calendar week (the block maxima), fit a Gumbel
+# by method of moments (beta = s*sqrt(6)/pi, mu = mean - gamma*beta),
+# and report the 10-week return level mu - beta*ln(-ln(1 - 1/10)) -
+# "the weekly peak we should provision for, exceeded once a quarter".
+# Parity: block maxima are exact cent integers; mean/sd come from exact
+# integer (n, S1, S2) sums; mu/beta/return level are single double
+# expressions with full-precision literal constants, 4dp.
+# Scale: one (week) max aggregate collapses the corpus to the
+# calendar-bounded block relation; one 1-row moment aggregate over it.
+# No windows, no corpus sort.
+# --------------------------------------------------------------------------
+@register(
+    "q440_block_maxima",
+    oracle="""
+WITH blocks AS (
+    SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 604800 AS wk,
+           MAX(CAST(ROUND(100.0 * value) AS BIGINT)) AS mx
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(mx) AS BIGINT) AS s1,
+           CAST(SUM(mx * mx) AS BIGINT) AS s2
+    FROM blocks
+),
+fit AS (
+    SELECT n,
+           CAST(s1 AS DOUBLE) / n / 100.0 AS mean_max,
+           SQRT((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1)) / 100.0 AS sd_max
+    FROM m
+)
+SELECT n AS n_blocks,
+       ROUND(mean_max, 4) AS mean_max,
+       ROUND(sd_max, 4) AS sd_max,
+       ROUND(mean_max - 0.5772156649015329 * (sd_max * 0.7796968012336091),
+             4) AS gumbel_mu,
+       ROUND(sd_max * 0.7796968012336091, 4) AS gumbel_beta,
+       ROUND((mean_max - 0.5772156649015329 * (sd_max * 0.7796968012336091))
+             - (sd_max * 0.7796968012336091) * (-2.2503673273124454), 4)
+           AS rl_10wk
+FROM fit
+""",
+    tags=("timeseries", "extremes", "A12"),
+)
+def q440_block_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel fit on weekly maxima of event value: (n_blocks, mean_max,
+    sd_max, gumbel_mu, gumbel_beta, rl_10wk)."""
+    events = load_table(spark, sf_dir, "events")
+    blocks = events.groupBy(
+        F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 604800").alias("wk")
+    ).agg(F.max(F.round(100.0 * F.col("value")).cast("long")).alias("mx"))
+    m = blocks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mx").alias("s1"),
+        F.sum(F.col("mx") * F.col("mx")).alias("s2"),
+    )
+    mean_max = F.col("s1").cast("double") / F.col("n") / 100.0
+    sd_max = (
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        )
+        / 100.0
+    )
+    beta = sd_max * 0.7796968012336091
+    mu = mean_max - 0.5772156649015329 * beta
+    # ln(-ln(0.9)) embedded as the SAME literal in both engine texts so
+    # no libm is consulted at runtime on either side
+    ln_ln = -2.2503673273124454
+    return m.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round(mean_max, 4).alias("mean_max"),
+        F.round(sd_max, 4).alias("sd_max"),
+        F.round(mu, 4).alias("gumbel_mu"),
+        F.round(beta, 4).alias("gumbel_beta"),
+        F.round(mu - beta * F.lit(ln_ln), 4).alias("rl_10wk"),
+    )

@@ -2216,3 +2216,226 @@ def q411_loo_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("loo_enc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q437 - deterministic negative sampling for implicit-feedback training:
+# positives are the distinct (customer, part) purchase pairs; each
+# positive proposes K=2 negative parts via a Weyl-style multiplicative
+# hash over the part-key range, and proposals that collide with ANY
+# true positive of that customer are rejected by an anti-join (the
+# correctness step naive samplers skip - at 100 TB you cannot check
+# collisions per-row in the driver). Per market segment: positives,
+# kept negatives, collision rejects, and the achieved neg/pos ratio.
+# Parity: the proposal function is pure BIGINT arithmetic ((p * 2654435761
+# + c + k) % max_part + 1) - exact integers end-to-end; the ratio is the
+# single 4dp double.
+# Scale: positives-sized relations keyed by (custkey, partkey); the
+# collision check is a shuffle anti-join on the SAME key domain; the
+# part-range bound and the customer dim are broadcasts. No windows.
+# --------------------------------------------------------------------------
+@register(
+    "q437_negative_sampling",
+    oracle="""
+WITH pos AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+rng AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS maxp FROM part),
+cand AS (
+    SELECT pos.c, (pos.p * 2654435761 + pos.c + g.k) % rng.maxp + 1 AS np
+    FROM pos CROSS JOIN rng
+    CROSS JOIN (SELECT * FROM (VALUES (1), (2)) AS g(k)) g
+),
+kept AS (
+    SELECT c.c, c.np,
+           CASE WHEN pos.p IS NULL THEN 1 ELSE 0 END AS keep
+    FROM cand c LEFT JOIN pos ON pos.c = c.c AND pos.p = c.np
+),
+seg AS (
+    SELECT cu.c_mktsegment AS segment, p.c, COUNT(*) AS n_pos
+    FROM pos p JOIN customer cu ON cu.c_custkey = p.c
+    GROUP BY cu.c_mktsegment, p.c
+),
+kseg AS (
+    SELECT cu.c_mktsegment AS segment,
+           CAST(SUM(k.keep) AS BIGINT) AS n_neg,
+           CAST(SUM(1 - k.keep) AS BIGINT) AS n_collide
+    FROM kept k JOIN customer cu ON cu.c_custkey = k.c
+    GROUP BY cu.c_mktsegment
+)
+SELECT s.segment,
+       CAST(SUM(s.n_pos) AS BIGINT) AS n_pos,
+       MAX(k.n_neg) AS n_neg,
+       MAX(k.n_collide) AS n_collide,
+       ROUND(CAST(MAX(k.n_neg) AS DOUBLE) / SUM(s.n_pos), 4) AS neg_ratio
+FROM seg s JOIN kseg k ON k.segment = s.segment
+GROUP BY s.segment ORDER BY s.segment
+""",
+    tags=("training-prep", "sampling", "A13"),
+)
+def q437_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-proposed negative sampling with positive-collision rejection:
+    (segment, n_pos, n_neg, n_collide, neg_ratio)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    cust = load_table(spark, sf_dir, "customer")
+    pos = (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    rng = part.agg(F.max("p_partkey").cast("long").alias("maxp"))
+    grid = spark.createDataFrame([(1,), (2,)], "k long").coalesce(1)
+    cand = (
+        pos.crossJoin(F.broadcast(rng))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "c",
+            (
+                (F.col("p") * F.lit(2654435761) + F.col("c") + F.col("k"))
+                % F.col("maxp")
+                + 1
+            ).alias("np"),
+        )
+    )
+    kept = cand.join(
+        pos.select("c", F.col("p").alias("np")).withColumn("hit", F.lit(1)),
+        ["c", "np"],
+        "left",
+    ).select("c", F.when(F.col("hit").isNull(), 1).otherwise(0).alias("keep"))
+    seg_dim = F.broadcast(
+        cust.select(F.col("c_custkey").alias("c"), F.col("c_mktsegment").alias("segment"))
+    )
+    seg = pos.join(seg_dim, "c").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    kseg = kept.join(seg_dim, "c").groupBy("segment").agg(
+        F.sum("keep").cast("long").alias("n_neg"),
+        F.sum(1 - F.col("keep")).cast("long").alias("n_collide"),
+    )
+    return (
+        seg.join(kseg, "segment")
+        .select(
+            "segment",
+            F.col("n_pos").cast("long").alias("n_pos"),
+            "n_neg",
+            "n_collide",
+            F.round(F.col("n_neg").cast("double") / F.col("n_pos"), 4).alias(
+                "neg_ratio"
+            ),
+        )
+        .orderBy("segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q438 - mutual-information feature ranking: I(X; returned) in nats for
+# each candidate feature of a return-prediction model (discount level,
+# quantity decile, line status, tax level), from exact contingency
+# counts. The model-free feature-selection screen: unlike q250's
+# Cramer's V (chi-square-derived) MI is the information-theoretic
+# quantity that directly bounds predictive value, and ranking features
+# by it is the standard first pass before training.
+# Parity: contingency/marginal counts are exact integers; each cell's
+# MI term is micro-nat-rounded to BIGINT before summing (order-safe);
+# the per-feature result is one 4dp double. Level counts are exact.
+# Parity trap avoided: cells with cxy=0 contribute nothing (LN
+# undefined) and are absent from the group-by by construction.
+# Scale: one unpivot (4x fan-out projection), one (feature, x, y)
+# aggregate, feature-level marginals broadcast back. No windows.
+# --------------------------------------------------------------------------
+@register(
+    "q438_mi_feature_rank",
+    oracle="""
+WITH base AS (
+    SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS f_discount,
+           CAST(ROUND(l_quantity) AS BIGINT) // 10 AS f_qty_decile,
+           CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS f_status,
+           CAST(ROUND(l_tax * 100) AS BIGINT) AS f_tax
+    FROM lineitem
+),
+unp AS (
+    SELECT 'discount' AS feature, f_discount AS x, y FROM base
+    UNION ALL SELECT 'qty_decile', f_qty_decile, y FROM base
+    UNION ALL SELECT 'status', f_status, y FROM base
+    UNION ALL SELECT 'tax', f_tax, y FROM base
+),
+cells AS (
+    SELECT feature, x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+    FROM unp GROUP BY feature, x, y
+),
+mx AS (SELECT feature, x, CAST(SUM(cxy) AS BIGINT) AS cx FROM cells GROUP BY feature, x),
+my AS (SELECT feature, y, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells GROUP BY feature, y),
+nn AS (SELECT feature, CAST(SUM(cxy) AS BIGINT) AS n FROM cells GROUP BY feature),
+terms AS (
+    SELECT c.feature,
+           CAST(ROUND(1000000.0 * c.cxy / nn.n
+                      * LN(CAST(c.cxy AS DOUBLE) * nn.n
+                           / (CAST(mx.cx AS DOUBLE) * my.cy))) AS BIGINT)
+               AS tu
+    FROM cells c
+    JOIN mx ON mx.feature = c.feature AND mx.x = c.x
+    JOIN my ON my.feature = c.feature AND my.y = c.y
+    JOIN nn ON nn.feature = c.feature
+)
+SELECT t.feature,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mx WHERE mx.feature = t.feature)
+           AS n_levels,
+       ROUND(CAST(SUM(t.tu) AS DOUBLE) / 1000000.0, 4) AS mi_nats
+FROM terms t GROUP BY t.feature ORDER BY t.feature
+""",
+    tags=("training-prep", "feature-selection", "A12"),
+)
+def q438_mi_feature_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mutual information of each candidate feature with the
+    return flag: (feature, n_levels, mi_nats)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("f_discount"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("f_qty_decile"),
+        (F.col("l_linestatus") == "F").cast("long").alias("f_status"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("f_tax"),
+    )
+    unp = base.select(
+        F.expr(
+            "stack(4, 'discount', f_discount, 'qty_decile', f_qty_decile,"
+            " 'status', f_status, 'tax', f_tax) AS (feature, x)"
+        ),
+        "y",
+    )
+    cells = unp.groupBy("feature", "x", "y").agg(F.count(F.lit(1)).alias("cxy"))
+    mx = cells.groupBy("feature", "x").agg(F.sum("cxy").alias("cx"))
+    my = cells.groupBy("feature", "y").agg(F.sum("cxy").alias("cy"))
+    nn = cells.groupBy("feature").agg(F.sum("cxy").alias("n"))
+    terms = (
+        cells.join(F.broadcast(mx), ["feature", "x"])
+        .join(F.broadcast(my), ["feature", "y"])
+        .join(F.broadcast(nn), "feature")
+        .select(
+            "feature",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("cxy")
+                / F.col("n")
+                * F.log(
+                    F.col("cxy").cast("double")
+                    * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+            )
+            .cast("long")
+            .alias("tu"),
+        )
+    )
+    levels = mx.groupBy("feature").agg(F.count(F.lit(1)).cast("long").alias("n_levels"))
+    return (
+        terms.groupBy("feature")
+        .agg(F.round(F.sum("tu").cast("double") / 1000000.0, 4).alias("mi_nats"))
+        .join(F.broadcast(levels), "feature")
+        .select("feature", "n_levels", "mi_nats")
+        .orderBy("feature")
+    )
