@@ -1914,3 +1914,284 @@ def q434_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("long").alias("returns"),
         F.round(t / F.sqrt(var), 4).alias("z_trend"),
     )
+
+
+# --------------------------------------------------------------------------
+# q441 - doubly-robust (AIPW) treatment-effect estimate: effect of a
+# deep discount (>= 5%) on the return probability, adjusting for the
+# quantity-decile confounder. Reports the naive difference, the
+# IPW-only estimate (q242's family), and the AIPW estimate that
+# augments a deliberately-global (misspecified) outcome model with
+# stratified propensities - the estimator that stays consistent if
+# EITHER the propensity or the outcome model is right, which is why
+# production causal pipelines default to it.
+# Construction: every row in a (stratum, T, Y) cell contributes the
+# same value, so all three estimators collapse to arithmetic over the
+# 24-cell contingency relation - per-stratum terms are micro-integer
+# rounded before summing (order-safe), everything upstream is exact
+# integer counts.
+# Scale: one map-side-combined (stratum, T, Y) corpus aggregate; the
+# rest is a 24-row relation. No windows, no joins on the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "q441_aipw_effect",
+    oracle="""
+WITH rows_t AS (
+    SELECT CAST(ROUND(l_quantity) AS BIGINT) // 10 AS x,
+           CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS t,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+cells AS (
+    SELECT x, t, y, CAST(COUNT(*) AS BIGINT) AS c
+    FROM rows_t GROUP BY x, t, y
+),
+strata AS (
+    SELECT x,
+           CAST(SUM(c) AS BIGINT) AS n_x,
+           CAST(SUM(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN t = 1 AND y = 1 THEN c ELSE 0 END) AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN t = 0 THEN c ELSE 0 END) AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN t = 0 AND y = 1 THEN c ELSE 0 END) AS BIGINT) AS r0
+    FROM cells GROUP BY x
+),
+gstats AS (
+    SELECT CAST(SUM(n_x) AS BIGINT) AS n,
+           CAST(SUM(r1) AS DOUBLE) / SUM(n1) AS m1,
+           CAST(SUM(r0) AS DOUBLE) / SUM(n0) AS m0
+    FROM strata
+),
+terms AS (
+    SELECT g.n, g.m1, g.m0,
+           CAST(ROUND(1000000.0 * (s.n_x * (g.m1 - g.m0)
+               + (s.r1 - s.n1 * g.m1) / (CAST(s.n1 AS DOUBLE) / s.n_x)
+               - (s.r0 - s.n0 * g.m0) / (CAST(s.n0 AS DOUBLE) / s.n_x)))
+               AS BIGINT) AS aipw_u,
+           CAST(ROUND(1000000.0 * (s.r1 / (CAST(s.n1 AS DOUBLE) / s.n_x)
+               - s.r0 / (CAST(s.n0 AS DOUBLE) / s.n_x))) AS BIGINT) AS ipw_u
+    FROM strata s CROSS JOIN gstats g
+    WHERE s.n1 > 0 AND s.n0 > 0
+)
+SELECT MAX(n) AS n,
+       ROUND(MAX(m1) - MAX(m0), 4) AS psi_naive,
+       ROUND(CAST(SUM(ipw_u) AS DOUBLE) / 1000000.0 / MAX(n), 4) AS psi_ipw,
+       ROUND(CAST(SUM(aipw_u) AS DOUBLE) / 1000000.0 / MAX(n), 4) AS psi_aipw
+FROM terms
+""",
+    tags=("ab-test", "causal", "A12"),
+)
+def q441_aipw_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive vs IPW vs doubly-robust effect of deep discount on return
+    rate: (n, psi_naive, psi_ipw, psi_aipw)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_t = li.select(
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT) DIV 10").alias("x"),
+        (F.col("l_discount") >= 0.05).cast("long").alias("t"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    cells = rows_t.groupBy("x", "t", "y").agg(F.count(F.lit(1)).alias("c"))
+    strata = cells.groupBy("x").agg(
+        F.sum("c").alias("n_x"),
+        F.sum(F.when(F.col("t") == 1, F.col("c")).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when((F.col("t") == 1) & (F.col("y") == 1), F.col("c")).otherwise(0)
+        ).alias("r1"),
+        F.sum(F.when(F.col("t") == 0, F.col("c")).otherwise(0)).alias("n0"),
+        F.sum(
+            F.when((F.col("t") == 0) & (F.col("y") == 1), F.col("c")).otherwise(0)
+        ).alias("r0"),
+    )
+    glob = strata.agg(
+        F.sum("n_x").alias("n"),
+        (F.sum("r1").cast("double") / F.sum("n1")).alias("m1"),
+        (F.sum("r0").cast("double") / F.sum("n0")).alias("m0"),
+    )
+    e1 = F.col("n1").cast("double") / F.col("n_x")
+    e0 = F.col("n0").cast("double") / F.col("n_x")
+    terms = (
+        strata.crossJoin(F.broadcast(glob))
+        .filter((F.col("n1") > 0) & (F.col("n0") > 0))
+        .select(
+            "n",
+            "m1",
+            "m0",
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("n_x") * (F.col("m1") - F.col("m0"))
+                    + (F.col("r1") - F.col("n1") * F.col("m1")) / e1
+                    - (F.col("r0") - F.col("n0") * F.col("m0")) / e0
+                )
+            )
+            .cast("long")
+            .alias("aipw_u"),
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("r1") / e1 - F.col("r0") / e0)
+            )
+            .cast("long")
+            .alias("ipw_u"),
+        )
+    )
+    d_naive = F.max("m1") - F.max("m0")
+    return terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.round(d_naive, 4).alias("psi_naive"),
+        F.round(
+            F.sum("ipw_u").cast("double") / 1000000.0 / F.max("n"), 4
+        ).alias("psi_ipw"),
+        F.round(
+            F.sum("aipw_u").cast("double") / 1000000.0 / F.max("n"), 4
+        ).alias("psi_aipw"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q443 - mediation analysis with Sobel test: does discount level affect
+# return probability DIRECTLY, or through the line-item price it sets
+# (X = discount pct -> M = price -> Y = returned)? Classic
+# Baron-Kenny product-of-coefficients with both legs as closed-form
+# OLS: a-path from the simple regression M ~ X, direct c' and b-path
+# from the two-regressor normal equations Y ~ X + M (2x2 solve by
+# Cramer's rule), indirect effect a*b, Sobel z = ab / sqrt(a^2 Var(b)
+# + b^2 Var(a)).
+# Parity: ONE corpus aggregate of 10 exact integer moment sums (x in
+# 0..10, m in whole dollars, y in {0,1}); every coefficient, variance,
+# and the z are single double expressions over them, identical text on
+# both engines; b is reported per $1000 so 4dp carries signal.
+# Scale: one map-side-combined corpus aggregate to a 1-row frame;
+# everything else is constant-time arithmetic. No windows, no joins.
+# --------------------------------------------------------------------------
+@register(
+    "q443_mediation_sobel",
+    oracle="""
+WITH v AS (
+    SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+           CAST(ROUND(l_extendedprice) AS BIGINT) AS m,
+           CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx2,
+           CAST(SUM(x * m) AS BIGINT) AS sxm2,
+           CAST(SUM(x * y) AS BIGINT) AS sxy2,
+           CAST(SUM(m * m) AS BIGINT) AS smm2,
+           CAST(SUM(m * y) AS BIGINT) AS smy2,
+           CAST(SUM(y) AS BIGINT) AS syy2
+    FROM v
+),
+cen AS (
+    SELECT n,
+           CAST(sxx2 AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n AS sxx,
+           CAST(sxm2 AS DOUBLE) - CAST(sx AS DOUBLE) * sm / n AS sxm,
+           CAST(sxy2 AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n AS sxy,
+           CAST(smm2 AS DOUBLE) - CAST(sm AS DOUBLE) * sm / n AS smm,
+           CAST(smy2 AS DOUBLE) - CAST(sm AS DOUBLE) * sy / n AS smy,
+           CAST(syy2 AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n AS syy
+    FROM mom
+),
+fit AS (
+    SELECT n, sxx, syy,
+           sxm / sxx AS a,
+           (smm - sxm / sxx * sxm) / (n - 2) / sxx AS var_a,
+           (smm * sxy - sxm * smy) / (sxx * smm - sxm * sxm) AS cdir,
+           (sxx * smy - sxm * sxy) / (sxx * smm - sxm * sxm) AS b,
+           sxy, smy, sxm, smm
+    FROM cen
+),
+fin AS (
+    SELECT n, a, var_a, cdir, b,
+           (syy - cdir * sxy - b * smy) / (n - 3) * sxx
+               / (sxx * smm - sxm * sxm) AS var_b
+    FROM fit
+)
+SELECT n,
+       ROUND(a, 4) AS a_path,
+       ROUND(b * 1000.0, 4) AS b_path_per_k,
+       ROUND(cdir, 4) AS direct,
+       ROUND(a * b * 1000.0, 4) AS indirect_per_k,
+       ROUND(a * b / SQRT(a * a * var_b + b * b * var_a), 4) AS sobel_z
+FROM fin
+""",
+    tags=("ab-test", "causal", "A12"),
+)
+def q443_mediation_sobel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount -> price -> return mediation: (n, a_path, b_path_per_k,
+    direct, indirect_per_k, sobel_z)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("m"),
+        (F.col("l_returnflag") == "R").cast("long").alias("y"),
+    )
+    mom = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx2"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm2"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy2"),
+        F.sum(F.col("m") * F.col("m")).alias("smm2"),
+        F.sum(F.col("m") * F.col("y")).alias("smy2"),
+        F.sum("y").alias("syy2"),
+    )
+    cen = mom.select(
+        "n",
+        (F.col("sxx2").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias("sxx"),
+        (F.col("sxm2").cast("double") - F.col("sx").cast("double") * F.col("sm") / F.col("n")).alias("sxm"),
+        (F.col("sxy2").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")).alias("sxy"),
+        (F.col("smm2").cast("double") - F.col("sm").cast("double") * F.col("sm") / F.col("n")).alias("smm"),
+        (F.col("smy2").cast("double") - F.col("sm").cast("double") * F.col("sy") / F.col("n")).alias("smy"),
+        (F.col("syy2").cast("double") - F.col("sy").cast("double") * F.col("sy") / F.col("n")).alias("syy"),
+    )
+    det = F.col("sxx") * F.col("smm") - F.col("sxm") * F.col("sxm")
+    fit = cen.select(
+        "n",
+        "sxx",
+        "syy",
+        (F.col("sxm") / F.col("sxx")).alias("a"),
+        (
+            (F.col("smm") - F.col("sxm") / F.col("sxx") * F.col("sxm"))
+            / (F.col("n") - 2)
+            / F.col("sxx")
+        ).alias("var_a"),
+        ((F.col("smm") * F.col("sxy") - F.col("sxm") * F.col("smy")) / det).alias("cdir"),
+        ((F.col("sxx") * F.col("smy") - F.col("sxm") * F.col("sxy")) / det).alias("b"),
+        "sxy",
+        "smy",
+        "sxm",
+        "smm",
+    )
+    fin = fit.select(
+        "n",
+        "a",
+        "var_a",
+        "cdir",
+        "b",
+        (
+            (F.col("syy") - F.col("cdir") * F.col("sxy") - F.col("b") * F.col("smy"))
+            / (F.col("n") - 3)
+            * F.col("sxx")
+            / (F.col("sxx") * F.col("smm") - F.col("sxm") * F.col("sxm"))
+        ).alias("var_b"),
+    )
+    return fin.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("a", 4).alias("a_path"),
+        F.round(F.col("b") * 1000.0, 4).alias("b_path_per_k"),
+        F.round("cdir", 4).alias("direct"),
+        F.round(F.col("a") * F.col("b") * 1000.0, 4).alias("indirect_per_k"),
+        F.round(
+            F.col("a")
+            * F.col("b")
+            / F.sqrt(
+                F.col("a") * F.col("a") * F.col("var_b")
+                + F.col("b") * F.col("b") * F.col("var_a")
+            ),
+            4,
+        ).alias("sobel_z"),
+    )

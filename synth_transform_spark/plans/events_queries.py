@@ -1043,3 +1043,187 @@ def q430_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v_dbl, 4).alias("var_1"),
         F.round((F.sum("d1") - e_dbl) / F.sqrt(v_dbl), 4).alias("z_logrank"),
     )
+
+
+# --------------------------------------------------------------------------
+# q442 - restricted mean survival time (RMST at tau = 30 days): the area
+# under each cohort's KM curve up to 30 days - "expected days retained
+# in the first month". THE recommended effect size when hazards are not
+# proportional (where q430's log-rank loses power), and the third leg
+# of the survival family: q241 draws the curve, q430 tests it, q442
+# prices it. Day-grain life table, censoring and cohorts exactly q241's.
+# Construction: survival after each churn day via the q241 micro-log
+# cumsum; the step-function integral is a lag over the per-cohort churn
+# days (keeping dur <= tau keeps a PREFIX of the order, so the lag is
+# unaffected by the filter); each rectangle is micro-rounded to BIGINT
+# before summing (order-safe); the tail rectangle uses MAX_BY.
+# Scale: one user-keyed aggregate; all windows partition by cohort over
+# the day-grain calendar-bounded life table, never the corpus.
+# --------------------------------------------------------------------------
+_RMST_TAU = 30
+
+
+@register(
+    "q442_rmst",
+    oracle=f"""
+WITH users AS (
+    SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+           CASE WHEN SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0
+                THEN 'registered' ELSE 'guest' END AS cohort
+    FROM events GROUP BY user_id
+),
+horizon AS (SELECT MAX(ts) AS max_ts FROM events),
+durs AS (
+    SELECT u.cohort,
+           CAST(FLOOR(EPOCH(u.last_ts - u.first_ts) / 86400.0) AS BIGINT) AS dur,
+           CASE WHEN u.last_ts <= h.max_ts - INTERVAL 24 HOUR
+                THEN 1 ELSE 0 END AS churn
+    FROM users u CROSS JOIN horizon h
+),
+steps AS (
+    SELECT cohort, dur, CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(SUM(churn) AS BIGINT) AS d
+    FROM durs GROUP BY cohort, dur
+),
+risked AS (
+    SELECT cohort, dur, d,
+           SUM(n_all) OVER (PARTITION BY cohort ORDER BY dur DESC) AS at_risk
+    FROM steps
+),
+logged AS (
+    SELECT cohort, dur, d, at_risk,
+           CASE WHEN d = 0 THEN 0
+                WHEN d < at_risk
+                THEN CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / at_risk)
+                                * 1000000.0) AS BIGINT)
+                ELSE -100000000 END AS li
+    FROM risked
+),
+surv AS (
+    SELECT cohort, dur,
+           EXP(CAST(SUM(li) OVER (PARTITION BY cohort ORDER BY dur ASC)
+                    AS DOUBLE) / 1000000.0) AS s_after
+    FROM logged WHERE d > 0
+),
+pre AS (
+    SELECT cohort, dur, s_after,
+           LAG(dur, 1, 0) OVER (PARTITION BY cohort ORDER BY dur) AS prev_dur,
+           LAG(s_after, 1, 1.0) OVER (PARTITION BY cohort ORDER BY dur)
+               AS s_prev
+    FROM surv WHERE dur <= {_RMST_TAU}
+),
+area AS (
+    SELECT cohort,
+           CAST(SUM(CAST(ROUND(1000000.0 * s_prev * (dur - prev_dur))
+                         AS BIGINT)) AS BIGINT) AS area_u,
+           MAX_BY(s_after, dur) AS s_last,
+           MAX(dur) AS last_dur
+    FROM pre GROUP BY cohort
+),
+counts AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS n_users FROM users GROUP BY cohort)
+SELECT a.cohort, c.n_users,
+       ROUND((a.area_u
+              + ROUND(1000000.0 * a.s_last * ({_RMST_TAU} - a.last_dur)))
+             / 1000000.0, 4) AS rmst_30,
+       ROUND(a.s_last, 4) AS surv_30
+FROM area a JOIN counts c ON c.cohort = a.cohort
+ORDER BY a.cohort
+""",
+    tags=("survival", "A12", "W2"),
+)
+def q442_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RMST at 30 days per cohort: (cohort, n_users, rmst_30, surv_30)."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.when(
+            F.sum((F.col("event_type") == "signup").cast("int")) > 0,
+            F.lit("registered"),
+        )
+        .otherwise(F.lit("guest"))
+        .alias("cohort"),
+    )
+    horizon = events.agg(F.max("ts").alias("max_ts"))
+    durs = users.crossJoin(F.broadcast(horizon)).select(
+        "cohort",
+        F.floor(
+            (F.col("last_ts").cast("double") - F.col("first_ts").cast("double"))
+            / 86400.0
+        )
+        .cast("long")
+        .alias("dur"),
+        (F.col("last_ts") <= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+        .cast("long")
+        .alias("churn"),
+    )
+    steps = durs.groupBy("cohort", "dur").agg(
+        F.count(F.lit(1)).alias("n_all"), F.sum("churn").alias("d")
+    )
+    w_desc = Window.partitionBy("cohort").orderBy(F.desc("dur"))
+    risked = steps.select(
+        "cohort", "dur", "d", F.sum("n_all").over(w_desc).alias("at_risk")
+    )
+    li = (
+        F.when(F.col("d") == 0, F.lit(0))
+        .when(
+            F.col("d") < F.col("at_risk"),
+            F.round(
+                F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("at_risk"))
+                * 1000000.0
+            ).cast("long"),
+        )
+        .otherwise(F.lit(-100000000))
+    )
+    logged = risked.select("cohort", "dur", "d", li.alias("li"))
+    w_asc = Window.partitionBy("cohort").orderBy("dur")
+    surv = (
+        logged.filter(F.col("d") > 0)
+        .select(
+            "cohort",
+            "dur",
+            F.exp(F.sum("li").over(w_asc).cast("double") / 1000000.0).alias(
+                "s_after"
+            ),
+        )
+    )
+    pre = surv.filter(F.col("dur") <= _RMST_TAU).select(
+        "cohort",
+        "dur",
+        "s_after",
+        F.lag("dur", 1, 0).over(w_asc).alias("prev_dur"),
+        F.lag("s_after", 1, 1.0).over(w_asc).alias("s_prev"),
+    )
+    area = pre.groupBy("cohort").agg(
+        F.sum(
+            F.round(
+                1000000.0 * F.col("s_prev") * (F.col("dur") - F.col("prev_dur"))
+            ).cast("long")
+        ).alias("area_u"),
+        F.expr("MAX_BY(s_after, dur)").alias("s_last"),
+        F.max("dur").alias("last_dur"),
+    )
+    counts = users.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    return (
+        area.join(counts, "cohort")
+        .select(
+            "cohort",
+            "n_users",
+            F.round(
+                (
+                    F.col("area_u")
+                    + F.round(
+                        1000000.0
+                        * F.col("s_last")
+                        * (F.lit(_RMST_TAU) - F.col("last_dur"))
+                    )
+                )
+                / 1000000.0,
+                4,
+            ).alias("rmst_30"),
+            F.round("s_last", 4).alias("surv_30"),
+        )
+        .orderBy("cohort")
+    )

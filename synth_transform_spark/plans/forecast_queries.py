@@ -1590,3 +1590,153 @@ def q433_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ")"
         + _HW_FINAL
     )
+
+
+# --------------------------------------------------------------------------
+# q445 - hierarchical forecast reconciliation: SES (alpha = 1/2, q341's
+# family) one-step revenue forecasts fitted INDEPENDENTLY per market
+# segment and for the total over the last 28 days, then reconciled both
+# ways - bottom-up (sum the segment forecasts) vs top-down (allocate
+# the total forecast by historical revenue share). The per-segment gap
+# between its own forecast and its top-down allocation, and the
+# bottom-up vs direct total gap, are exactly what a hierarchical
+# forecasting run must reconcile before planning on it (forecasts made
+# independently at different levels never cohere).
+# Parity: the 28-day window grid is date-arithmetic (no window
+# functions); daily revenues are exact cent integers; each SES term is
+# xu * 0.5^k (an exact binary shift) micro-rounded to BIGINT before
+# summing; shares are exact integer ratios; every reported number is
+# one double expression, 4dp.
+# Scale: corpus collapses to ONE (segment, day) aggregate; the grid is
+# 5 segments x 28 days; everything downstream is constant-size.
+# --------------------------------------------------------------------------
+_RECON_M = 28
+
+
+@register(
+    "q445_forecast_reconciliation",
+    oracle=f"""
+WITH bnd AS (SELECT CAST(MAX(o_orderdate) AS DATE) AS maxd FROM orders),
+dly AS (
+    SELECT c.c_mktsegment AS segment, CAST(o.o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(100.0 * o.o_totalprice) AS BIGINT)) AS BIGINT)
+               AS xu
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+segs AS (SELECT DISTINCT segment FROM dly),
+grid AS (
+    SELECT s.segment, CAST(g.t AS BIGINT) AS t,
+           bnd.maxd - CAST({_RECON_M} - g.t AS INTEGER) AS day
+    FROM segs s
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(1, {_RECON_M})) AS t) g
+    CROSS JOIN bnd
+),
+series AS (
+    SELECT g.segment, g.t, COALESCE(d.xu, 0) AS xu
+    FROM grid g LEFT JOIN dly d ON d.segment = g.segment AND d.day = g.day
+),
+terms AS (
+    SELECT segment, xu,
+           CAST(ROUND(1000000.0 * xu
+                * POWER(0.5, CASE WHEN t = 1 THEN {_RECON_M} - 1
+                                  ELSE {_RECON_M} - t + 1 END))
+                AS BIGINT) AS tu
+    FROM series
+),
+seg_f AS (
+    SELECT segment, CAST(SUM(tu) AS BIGINT) AS fu,
+           CAST(SUM(xu) AS BIGINT) AS hist_u
+    FROM terms GROUP BY segment
+),
+tot AS (
+    SELECT CAST(SUM(fu) AS BIGINT) AS bu_u, CAST(SUM(hist_u) AS BIGINT)
+               AS hist_tot
+    FROM seg_f
+),
+tot_terms AS (
+    SELECT t, CAST(SUM(xu) AS BIGINT) AS xu FROM series GROUP BY t
+),
+tot_f AS (
+    SELECT CAST(SUM(CAST(ROUND(1000000.0 * xu
+               * POWER(0.5, CASE WHEN t = 1 THEN {_RECON_M} - 1
+                                 ELSE {_RECON_M} - t + 1 END))
+               AS BIGINT)) AS BIGINT) AS ftu
+    FROM tot_terms
+)
+SELECT s.segment,
+       ROUND(CAST(s.fu AS DOUBLE) / 100000000.0, 4) AS f_base,
+       ROUND(CAST(tf.ftu AS DOUBLE) / 100000000.0
+             * (CAST(s.hist_u AS DOUBLE) / t.hist_tot), 4) AS f_topdown,
+       ROUND(CAST(s.fu AS DOUBLE) / 100000000.0
+             - CAST(tf.ftu AS DOUBLE) / 100000000.0
+               * (CAST(s.hist_u AS DOUBLE) / t.hist_tot), 4) AS td_gap,
+       ROUND(CAST(t.bu_u AS DOUBLE) / 100000000.0, 4) AS bu_total,
+       ROUND(CAST(tf.ftu AS DOUBLE) / 100000000.0, 4) AS f_total
+FROM seg_f s CROSS JOIN tot t CROSS JOIN tot_f tf
+ORDER BY s.segment
+""",
+    tags=("forecast", "A12"),
+)
+def q445_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-up vs top-down SES revenue forecasts: (segment, f_base,
+    f_topdown, td_gap, bu_total, f_total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = _RECON_M
+    dly = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.round(100.0 * F.col("o_totalprice")).cast("long")).alias("xu")
+        )
+    )
+    bnd = orders.agg(F.max("o_orderdate").cast("date").alias("maxd"))
+    segs = dly.select("segment").distinct()
+    grid = (
+        segs.crossJoin(
+            F.broadcast(
+                spark.range(1, m + 1).select(F.col("id").alias("t")).coalesce(1)
+            )
+        )
+        .crossJoin(F.broadcast(bnd))
+        .withColumn("day", F.date_sub(F.col("maxd"), (m - F.col("t")).cast("int")))
+    )
+    series = grid.join(F.broadcast(dly), ["segment", "day"], "left").select(
+        "segment", "t", F.coalesce("xu", F.lit(0)).alias("xu")
+    )
+    w = F.pow(
+        F.lit(0.5),
+        F.when(F.col("t") == 1, F.lit(m - 1)).otherwise(m - F.col("t") + 1),
+    )
+    tu = F.round(1000000.0 * F.col("xu") * w).cast("long")
+    seg_f = series.select("segment", "xu", tu.alias("tu")).groupBy("segment").agg(
+        F.sum("tu").alias("fu"), F.sum("xu").alias("hist_u")
+    )
+    tot = seg_f.agg(
+        F.sum("fu").alias("bu_u"), F.sum("hist_u").alias("hist_tot")
+    )
+    tot_terms = series.groupBy("t").agg(F.sum("xu").alias("xu"))
+    tot_f = tot_terms.select(tu.alias("tu")).agg(F.sum("tu").alias("ftu"))
+    f_base = F.col("fu").cast("double") / 100000000.0
+    f_tot = F.col("ftu").cast("double") / 100000000.0
+    share = F.col("hist_u").cast("double") / F.col("hist_tot")
+    return (
+        seg_f.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tot_f))
+        .select(
+            "segment",
+            F.round(f_base, 4).alias("f_base"),
+            F.round(f_tot * share, 4).alias("f_topdown"),
+            F.round(f_base - f_tot * share, 4).alias("td_gap"),
+            F.round(F.col("bu_u").cast("double") / 100000000.0, 4).alias("bu_total"),
+            F.round(f_tot, 4).alias("f_total"),
+        )
+        .orderBy("segment")
+    )

@@ -2411,3 +2411,146 @@ def q427_int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# q444 - alignment & uniformity of the embedding space (Wang-Isola): the
+# two-number health check for contrastive embeddings. Alignment = mean
+# squared distance between L2-normalised SAME-LABEL pairs (smaller =
+# positives live close); uniformity = log mean exp(-2 d^2) over a
+# deterministic vector subsample's pairs (closer to 0 = collapsed,
+# more negative = well spread). A model that collapses labels scores
+# great alignment and terrible uniformity; this query catches the
+# trade-off before training on the embeddings.
+# Determinism/parity: q226's 1e4 integer quantisation; dots and
+# per-vector sum-of-squares are exact integers (norm product stays in
+# doubles - the int product would overflow); every pair term is
+# micro-rounded to BIGINT before summing, so order cannot diverge.
+# Pair generation is label-blocked with a deterministic (id_a + id_b)
+# stride sample for alignment, and an id % 4 vector subsample for
+# uniformity - both levers cap the quadratic at ANY corpus size (the
+# block/sample rates are the scale knobs, documented in SCALE.md).
+# --------------------------------------------------------------------------
+@register(
+    "q444_alignment_uniformity",
+    oracle="""
+WITH xint AS (
+    SELECT vec_id, label, i,
+           CAST(ROUND(CAST(x AS DOUBLE) * 10000.0) AS BIGINT) AS xi
+    FROM (SELECT vec_id, label, UNNEST(embedding) AS x,
+                 GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings)
+),
+ssq AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS s2 FROM xint GROUP BY vec_id),
+pos_dots AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           CAST(SUM(a.xi * b.xi) AS BIGINT) AS dot
+    FROM xint a JOIN xint b
+      ON b.i = a.i AND b.label = a.label AND a.vec_id < b.vec_id
+         AND (a.vec_id + b.vec_id) % 3 = 0
+    GROUP BY a.vec_id, b.vec_id
+),
+pos_terms AS (
+    SELECT CAST(ROUND(1000000.0 * (2.0 - 2.0 * d.dot
+               / (SQRT(CAST(sa.s2 AS DOUBLE)) * SQRT(CAST(sb.s2 AS DOUBLE)))))
+               AS BIGINT) AS au
+    FROM pos_dots d
+    JOIN ssq sa ON sa.vec_id = d.ia JOIN ssq sb ON sb.vec_id = d.ib
+),
+uni_dots AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           CAST(SUM(a.xi * b.xi) AS BIGINT) AS dot
+    FROM xint a JOIN xint b
+      ON b.i = a.i AND a.vec_id < b.vec_id
+         AND a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+    GROUP BY a.vec_id, b.vec_id
+),
+uni_terms AS (
+    SELECT CAST(ROUND(1000000.0 * EXP(-2.0 * (2.0 - 2.0 * d.dot
+               / (SQRT(CAST(sa.s2 AS DOUBLE)) * SQRT(CAST(sb.s2 AS DOUBLE))))))
+               AS BIGINT) AS uu
+    FROM uni_dots d
+    JOIN ssq sa ON sa.vec_id = d.ia JOIN ssq sb ON sb.vec_id = d.ib
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pos_terms) AS n_pos_pairs,
+       (SELECT ROUND(CAST(SUM(au) AS DOUBLE) / 1000000.0 / COUNT(*), 4)
+        FROM pos_terms) AS alignment,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM uni_terms) AS n_unif_pairs,
+       (SELECT ROUND(LN(CAST(SUM(uu) AS DOUBLE) / 1000000.0 / COUNT(*)), 4)
+        FROM uni_terms) AS uniformity
+""",
+    tags=("similarity-topk", "quality", "A12"),
+)
+def q444_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wang-Isola embedding metrics: (n_pos_pairs, alignment,
+    n_unif_pairs, uniformity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xint = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("x").cast("double") * 10000.0).cast("long").alias("xi"),
+    )
+    ssq = xint.groupBy("vec_id").agg(
+        F.sum(F.col("xi") * F.col("xi")).alias("s2")
+    )
+
+    def dots(extra_cond):
+        a = xint.select(
+            F.col("vec_id").alias("ia"),
+            F.col("label").alias("la"),
+            "i",
+            F.col("xi").alias("xa"),
+        )
+        b = xint.select(
+            F.col("vec_id").alias("ib"),
+            F.col("label").alias("lb"),
+            "i",
+            F.col("xi").alias("xb"),
+        )
+        return (
+            a.join(b, ["i"])
+            .filter((F.col("ia") < F.col("ib")) & extra_cond)
+            .groupBy("ia", "ib")
+            .agg(F.sum(F.col("xa") * F.col("xb")).alias("dot"))
+        )
+
+    def d2col():
+        return F.lit(2.0) - F.lit(2.0) * F.col("dot") / (
+            F.sqrt(F.col("sa").cast("double")) * F.sqrt(F.col("sb").cast("double"))
+        )
+
+    def with_norms(d):
+        return d.join(
+            ssq.select(F.col("vec_id").alias("ia"), F.col("s2").alias("sa")), "ia"
+        ).join(
+            ssq.select(F.col("vec_id").alias("ib"), F.col("s2").alias("sb")), "ib"
+        )
+
+    pos = with_norms(
+        dots(
+            (F.col("la") == F.col("lb"))
+            & ((F.col("ia") + F.col("ib")) % 3 == 0)
+        )
+    ).select(F.round(1000000.0 * d2col()).cast("long").alias("au"))
+    uni = with_norms(
+        dots((F.col("ia") % 4 == 0) & (F.col("ib") % 4 == 0))
+    ).select(
+        F.round(1000000.0 * F.exp(F.lit(-2.0) * d2col())).cast("long").alias("uu")
+    )
+    pa = pos.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos_pairs"),
+        F.round(F.sum("au").cast("double") / 1000000.0 / F.count(F.lit(1)), 4).alias(
+            "alignment"
+        ),
+    )
+    ua = uni.agg(
+        F.count(F.lit(1)).cast("long").alias("n_unif_pairs"),
+        F.round(
+            F.log(F.sum("uu").cast("double") / 1000000.0 / F.count(F.lit(1))), 4
+        ).alias("uniformity"),
+    )
+    return pa.crossJoin(F.broadcast(ua))
