@@ -824,3 +824,158 @@ def q429_chunk_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "chunk_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q447 - Burrows' Delta between sources (stylometry): z-score each
+# source's relative frequency of the 30 most common corpus tokens
+# (the "function words" - style, not topic), then Delta(a, b) = mean
+# |z_a - z_b| over those tokens. The classic authorship/provenance
+# distance: two sources produced by the same generator/template score a
+# small Delta even when their topics differ - the metadata-free dual of
+# q397's content-level JSD and a direct synthetic-content fingerprint
+# for curation.
+# Parity: per-source relative frequencies are frozen to 1e9
+# micro-integers (exact count ratios); token mean/std across sources
+# come from exact integer sums over the |sources| relation; per-token
+# |z_a - z_b| terms are micro-rounded before the 30-term mean.
+# Scale: one (source, token) aggregate (map-side combined), a 30-row
+# TakeOrdered vocabulary cut, then everything lives on the
+# |sources| x 30 grid and its |sources|^2/2 x 30 pair relation - all
+# broadcast-sized by construction.
+# --------------------------------------------------------------------------
+_DELTA_TOPK = 30
+
+
+@register(
+    "q447_burrows_delta",
+    oracle=f"""
+WITH toks AS (
+    SELECT source,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+top_w AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks GROUP BY token ORDER BY n DESC, token LIMIT {_DELTA_TOPK}
+),
+stot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS tot FROM toks GROUP BY source),
+cnts AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks WHERE token IN (SELECT token FROM top_w)
+    GROUP BY source, token
+),
+grid AS (
+    SELECT s.source, w.token, s.tot, COALESCE(c.c, 0) AS c
+    FROM stot s CROSS JOIN top_w w
+    LEFT JOIN cnts c ON c.source = s.source AND c.token = w.token
+),
+freq AS (
+    SELECT source, token,
+           CAST(ROUND(1000000000.0 * c / tot) AS BIGINT) AS fu
+    FROM grid
+),
+mom AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(fu) AS BIGINT) AS s1, CAST(SUM(fu * fu) AS BIGINT) AS s2
+    FROM freq GROUP BY token
+),
+z AS (
+    SELECT f.source, f.token,
+           (f.fu - CAST(m.s1 AS DOUBLE) / m.k)
+           / (SQRT(CAST(m.k AS DOUBLE) * m.s2 - CAST(m.s1 AS DOUBLE) * m.s1)
+              / m.k) AS zv
+    FROM freq f JOIN mom m ON m.token = f.token
+    WHERE m.k * m.s2 > m.s1 * m.s1
+),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CAST(ROUND(1000000.0 * ABS(a.zv - b.zv)) AS BIGINT))
+                AS BIGINT) AS du,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM z a JOIN z b ON b.token = a.token AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       ROUND(CAST(du AS DOUBLE) / 1000000.0 / k, 4) AS delta
+FROM pairs ORDER BY delta, source_a, source_b
+""",
+    tags=("curation", "quality", "A12"),
+)
+def q447_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylometric Burrows' Delta for every source pair over the top-30
+    corpus tokens: (source_a, source_b, delta), most similar first."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token"),
+    )
+    top_w = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(_DELTA_TOPK)
+    )
+    stot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    cnts = (
+        toks.join(F.broadcast(top_w.select("token")), "token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(top_w.select("token")))
+        .join(F.broadcast(cnts), ["source", "token"], "left")
+        .select(
+            "source", "token", "tot", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    freq = grid.select(
+        "source",
+        "token",
+        F.round(1000000000.0 * F.col("c") / F.col("tot")).cast("long").alias("fu"),
+    )
+    mom = freq.groupBy("token").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("fu").alias("s1"),
+        F.sum(F.col("fu") * F.col("fu")).alias("s2"),
+    )
+    z = freq.join(F.broadcast(mom), "token").filter(
+        F.col("k") * F.col("s2") > F.col("s1") * F.col("s1")
+    ).select(
+        "source",
+        "token",
+        (
+            (F.col("fu") - F.col("s1").cast("double") / F.col("k"))
+            / (
+                F.sqrt(
+                    F.col("k").cast("double") * F.col("s2")
+                    - F.col("s1").cast("double") * F.col("s1")
+                )
+                / F.col("k")
+            )
+        ).alias("zv"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "token", F.col("zv").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "token", F.col("zv").alias("zb")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "token")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.round(1000000.0 * F.abs(F.col("za") - F.col("zb"))).cast("long")
+            ).alias("du"),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        F.round(F.col("du").cast("double") / 1000000.0 / F.col("k"), 4).alias(
+            "delta"
+        ),
+    ).orderBy("delta", "source_a", "source_b")

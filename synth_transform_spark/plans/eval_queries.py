@@ -1695,3 +1695,274 @@ def q408_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q448 - temperature-scaling calibration by grid search: standardise the
+# event value into a logit, sweep T over {1/2, 1, 2, 4, 8}, and score
+# sigmoid(z/T) against the purchase label with NLL and Brier - the
+# post-hoc calibration step every deployed classifier gets (Guo et al.),
+# fitted here the scale-correct way: a BOUNDED literal temperature grid
+# and one corpus aggregate per sweep, no optimiser in the driver. The
+# is_best flag marks the NLL argmin - the T the pipeline would ship.
+# Parity: mean/std come from exact integer cent moments; per-row NLL
+# and Brier terms are micro-rounded BIGINTs before summing (order-
+# safe); temperatures are binary fractions so z/T is an exact scaling.
+# p is clamped away from 0/1 at 1e-12 on both engines before the logs.
+# Scale: one 1-row moment aggregate, a 5-row broadcast grid, one
+# (T)-keyed corpus aggregate. No windows.
+# --------------------------------------------------------------------------
+@register(
+    "q448_temperature_scaling",
+    oracle="""
+WITH v AS (
+    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS c,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+    FROM events
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+           CAST(SUM(c * c) AS BIGINT) AS s2
+    FROM v
+),
+grid AS (SELECT * FROM (VALUES (0.5), (1.0), (2.0), (4.0), (8.0)) AS g(t)),
+scored AS (
+    SELECT g.t, v.y,
+           1.0 / (1.0 + EXP(-((v.c - CAST(m.s1 AS DOUBLE) / m.n)
+               / (SQRT(CAST(m.n AS DOUBLE) * m.s2
+                       - CAST(m.s1 AS DOUBLE) * m.s1) / m.n)) / g.t)) AS p
+    FROM v CROSS JOIN m CROSS JOIN grid g
+),
+clamped AS (
+    SELECT t, y,
+           CASE WHEN p < 0.000000000001 THEN 0.000000000001
+                WHEN p > 0.999999999999 THEN 0.999999999999
+                ELSE p END AS p
+    FROM scored
+),
+terms AS (
+    SELECT t,
+           CAST(ROUND(-1000000.0 * (y * LN(p) + (1 - y) * LN(1.0 - p)))
+                AS BIGINT) AS nll_u,
+           CAST(ROUND(1000000.0 * (p - y) * (p - y)) AS BIGINT) AS bri_u
+    FROM clamped
+),
+agg AS (
+    SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(nll_u) AS BIGINT) AS nll_su,
+           CAST(SUM(bri_u) AS BIGINT) AS bri_su
+    FROM terms GROUP BY t
+),
+best AS (SELECT MIN(nll_su) AS b FROM agg)
+SELECT ROUND(a.t, 4) AS temperature,
+       ROUND(CAST(a.nll_su AS DOUBLE) / 1000000.0 / a.n, 4) AS nll,
+       ROUND(CAST(a.bri_su AS DOUBLE) / 1000000.0 / a.n, 4) AS brier,
+       CAST(CASE WHEN a.nll_su = best.b THEN 1 ELSE 0 END AS BIGINT) AS is_best
+FROM agg a CROSS JOIN best ORDER BY a.t
+""",
+    tags=("eval", "calibration", "A12"),
+)
+def q448_temperature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature grid calibration sweep: (temperature, nll, brier,
+    is_best)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        F.round(100.0 * F.col("value")).cast("long").alias("c"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    grid = spark.createDataFrame(
+        [(0.5,), (1.0,), (2.0,), (4.0,), (8.0,)], "t double"
+    ).coalesce(1)
+    z = (F.col("c") - F.col("s1").cast("double") / F.col("n")) / (
+        F.sqrt(
+            F.col("n").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / F.col("n")
+    )
+    p_raw = F.lit(1.0) / (F.lit(1.0) + F.exp(-(z / F.col("t"))))
+    scored = (
+        v.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(grid))
+        .select("t", "y", p_raw.alias("p"))
+    )
+    eps = 0.000000000001
+    p = (
+        F.when(F.col("p") < eps, F.lit(eps))
+        .when(F.col("p") > 1 - eps, F.lit(1 - eps))
+        .otherwise(F.col("p"))
+    )
+    terms = scored.select(
+        "t",
+        F.round(
+            -1000000.0
+            * (
+                F.col("y") * F.log(p)
+                + (1 - F.col("y")) * F.log(F.lit(1.0) - p)
+            )
+        )
+        .cast("long")
+        .alias("nll_u"),
+        F.round(1000000.0 * (p - F.col("y")) * (p - F.col("y")))
+        .cast("long")
+        .alias("bri_u"),
+    )
+    agg = terms.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nll_u").alias("nll_su"),
+        F.sum("bri_u").alias("bri_su"),
+    )
+    best = agg.agg(F.min("nll_su").alias("b"))
+    return (
+        agg.crossJoin(F.broadcast(best))
+        .select(
+            F.round("t", 4).alias("temperature"),
+            F.round(F.col("nll_su").cast("double") / 1000000.0 / F.col("n"), 4).alias(
+                "nll"
+            ),
+            F.round(F.col("bri_su").cast("double") / 1000000.0 / F.col("n"), 4).alias(
+                "brier"
+            ),
+            (F.col("nll_su") == F.col("b")).cast("long").alias("is_best"),
+        )
+        .orderBy("temperature")
+    )
+
+
+# --------------------------------------------------------------------------
+# q449 - off-policy evaluation by replay + IPS: treat the event log as
+# a logged bandit (context = 6-hour slot, action = event type, reward =
+# value). Learn the greedy policy on the even-event_id half (argmax
+# mean reward per context, deterministic tie-break), then estimate its
+# value on the odd half two ways: REPLAY (mean reward over rows where
+# the logged action equals the policy action - Li et al.'s unbiased
+# replay method) and IPS (reward weighted by 1/propensity from the
+# logged action frequencies). The disagreement between the two is the
+# standard OPE sanity check before an online test.
+# Parity: everything is exact integer counts/cent sums until the final
+# per-context ratios; the argmax is (max micro-mean, then lexicographic
+# action) - fully deterministic; IPS = matched-reward-sum * n_ctx /
+# n_ctx_action is a product/ratio of exact integers.
+# Scale: two (context, action) corpus aggregates (train and eval
+# halves) - the policy/propensity relation is a 4x5 broadcast grid;
+# context from epoch arithmetic, tz-free. No windows, no corpus joins.
+# --------------------------------------------------------------------------
+@register(
+    "q449_policy_replay",
+    oracle="""
+WITH v AS (
+    SELECT (CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 3600) % 24 // 6 AS ctx,
+           event_type AS act,
+           CAST(ROUND(100.0 * value) AS BIGINT) AS r,
+           event_id % 2 AS odd
+    FROM events
+),
+train AS (
+    SELECT ctx, act, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r) AS BIGINT) AS sr
+    FROM v WHERE odd = 0 GROUP BY ctx, act
+),
+means AS (
+    SELECT ctx, act, n, CAST(ROUND(1000000.0 * sr / n) AS BIGINT) AS mu
+    FROM train
+),
+pol AS (
+    SELECT m.ctx, MIN(m.act) AS pi_act
+    FROM means m JOIN (SELECT ctx, MAX(mu) AS mx FROM means GROUP BY ctx) b
+      ON b.ctx = m.ctx AND m.mu = b.mx
+    GROUP BY m.ctx
+),
+prop AS (
+    SELECT t.ctx, t.act, t.n,
+           CAST(SUM(t.n) OVER (PARTITION BY t.ctx) AS BIGINT) AS n_ctx
+    FROM train t
+),
+ev AS (
+    SELECT ctx, act, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(r) AS BIGINT) AS sr
+    FROM v WHERE odd = 1 GROUP BY ctx, act
+)
+SELECT e.ctx AS context, p.pi_act AS policy_action,
+       e.n AS n_match,
+       ROUND(CAST(e.sr AS DOUBLE) / 100.0 / e.n, 4) AS replay_reward,
+       ROUND(CAST(e.sr AS DOUBLE) / 100.0 * pr.n_ctx / pr.n
+             / (SELECT SUM(n) FROM ev e2 WHERE e2.ctx = e.ctx), 4)
+           AS ips_value
+FROM ev e
+JOIN pol p ON p.ctx = e.ctx AND e.act = p.pi_act
+JOIN prop pr ON pr.ctx = e.ctx AND pr.act = p.pi_act
+ORDER BY context
+""",
+    tags=("eval", "ope", "A12"),
+)
+def q449_policy_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay and IPS value of the greedy context policy on the held-out
+    half: (context, policy_action, n_match, replay_reward, ips_value)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        F.expr(
+            "(CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 3600) % 24 DIV 6"
+        ).alias("ctx"),
+        F.col("event_type").alias("act"),
+        F.round(100.0 * F.col("value")).cast("long").alias("r"),
+        (F.col("event_id") % 2).alias("odd"),
+    )
+    train = (
+        v.filter(F.col("odd") == 0)
+        .groupBy("ctx", "act")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("sr"))
+    )
+    means = train.select(
+        "ctx",
+        "act",
+        "n",
+        F.round(1000000.0 * F.col("sr") / F.col("n")).cast("long").alias("mu"),
+    )
+    best = means.groupBy("ctx").agg(F.max("mu").alias("mx"))
+    pol = (
+        means.join(F.broadcast(best), "ctx")
+        .filter(F.col("mu") == F.col("mx"))
+        .groupBy("ctx")
+        .agg(F.min("act").alias("pi_act"))
+    )
+    n_ctx = train.groupBy("ctx").agg(F.sum("n").alias("n_ctx"))
+    prop = train.join(F.broadcast(n_ctx), "ctx")
+    ev = (
+        v.filter(F.col("odd") == 1)
+        .groupBy("ctx", "act")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("r").alias("sr"))
+    )
+    ev_tot = ev.groupBy("ctx").agg(F.sum("n").alias("n_eval"))
+    return (
+        ev.join(F.broadcast(pol), "ctx")
+        .filter(F.col("act") == F.col("pi_act"))
+        .join(
+            F.broadcast(
+                prop.select("ctx", F.col("act").alias("pi_act"), F.col("n").alias("np"), "n_ctx")
+            ),
+            ["ctx", "pi_act"],
+        )
+        .join(F.broadcast(ev_tot), "ctx")
+        .select(
+            F.col("ctx").cast("long").alias("context"),
+            F.col("pi_act").alias("policy_action"),
+            F.col("n").cast("long").alias("n_match"),
+            F.round(F.col("sr").cast("double") / 100.0 / F.col("n"), 4).alias(
+                "replay_reward"
+            ),
+            F.round(
+                F.col("sr").cast("double")
+                / 100.0
+                * F.col("n_ctx")
+                / F.col("np")
+                / F.col("n_eval"),
+                4,
+            ).alias("ips_value"),
+        )
+        .orderBy("context")
+    )

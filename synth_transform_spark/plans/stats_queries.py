@@ -3088,3 +3088,103 @@ def q407_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q1") / 100.0, 4).alias("q_odd"),
         F.round((F.col("q1") - F.col("q0")) / 100.0, 4).alias("qq_diff"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# q446 - Wilcoxon signed-rank test on PAIRED user halves: per user, the
+# exact integer cent difference between their odd- and even-event-id
+# spend; ranks of |d| (tie-averaged) via the q314 score-domain trick -
+# one cumulative window over the DISTINCT |d| domain, never a corpus
+# rank. The paired complement to q314's two-sample rank-sum: "did the
+# same users shift?", robust to the heavy value skew a paired t-test
+# chokes on. Zero differences drop per the standard treatment.
+# Parity: 2W+ = sum over the domain of pos_v*(2*below_v + t_v + 1) is
+# an exact integer (tie-average halves cancel); the tie-corrected z is
+# one double expression over four integers, 4dp.
+# Scale: one user aggregate, one (|d|)-domain aggregate, one cum window
+# over the |d| domain (value-domain bounded - q283/q305's declared
+# class, allowlisted), one 1-row reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q446_wilcoxon_signed_rank",
+    oracle="""
+WITH pairs AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_id % 2 = 1
+                    THEN CAST(ROUND(100.0 * value) AS BIGINT)
+                    ELSE -CAST(ROUND(100.0 * value) AS BIGINT) END)
+                AS BIGINT) AS d
+    FROM events GROUP BY user_id
+),
+nz AS (SELECT ABS(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+       FROM pairs WHERE d <> 0),
+dom AS (
+    SELECT ad, CAST(COUNT(*) AS BIGINT) AS t,
+           CAST(SUM(pos) AS BIGINT) AS p
+    FROM nz GROUP BY ad
+),
+cum AS (
+    SELECT ad, t, p,
+           CAST(COALESCE(SUM(t) OVER (ORDER BY ad
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS BIGINT) AS below
+    FROM dom
+),
+s AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(p * (2 * below + t + 1)) AS BIGINT) AS two_w,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+    FROM cum
+)
+SELECT n AS n_pairs, two_w AS two_w_plus,
+       ROUND((CAST(two_w AS DOUBLE) - CAST(n AS DOUBLE) * (n + 1) / 2.0)
+             / (2.0 * SQRT(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24.0
+                           - CAST(ties AS DOUBLE) / 48.0)), 4) AS z
+FROM s
+""",
+    tags=("ab-test", "robust-stats", "A12"),
+)
+def q446_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired signed-rank z for odd-vs-even per-user spend halves:
+    (n_pairs, two_w_plus, z)."""
+    events = load_table(spark, sf_dir, "events")
+    c = F.round(100.0 * F.col("value")).cast("long")
+    pairs = events.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_id") % 2 == 1, c).otherwise(-c)
+        ).alias("d")
+    )
+    nz = pairs.filter(F.col("d") != 0).select(
+        F.abs("d").alias("ad"), (F.col("d") > 0).cast("long").alias("pos")
+    )
+    dom = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).alias("t"), F.sum("pos").alias("p")
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, -1)
+    cum = dom.select(
+        "ad",
+        "t",
+        "p",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).alias("below"),
+    )
+    s = cum.agg(
+        F.sum("t").alias("n"),
+        F.sum(F.col("p") * (2 * F.col("below") + F.col("t") + 1)).alias("two_w"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("ties"),
+    )
+    n = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("two_w").cast("long").alias("two_w_plus"),
+        F.round(
+            (F.col("two_w").cast("double") - n * (F.col("n") + 1) / 2.0)
+            / (
+                F.lit(2.0)
+                * F.sqrt(
+                    n * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24.0
+                    - F.col("ties").cast("double") / 48.0
+                )
+            ),
+            4,
+        ).alias("z"),
+    )

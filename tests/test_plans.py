@@ -129,6 +129,7 @@ BOUNDED_WINDOW_OK = {
     "q419_lorenz_table",  # distinct-spend domain + 10-row decile curve
     "q289_gain_chart",
     "q305_ks_test",
+    "q446_wilcoxon_signed_rank",  # distinct-|d| domain (q283's class)
     "q316_average_precision",
     "q319_isotonic_calibration",  # <= 20 bins
     # top-k / survivor-bounded
