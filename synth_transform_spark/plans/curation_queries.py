@@ -979,3 +979,75 @@ def q447_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta"
         ),
     ).orderBy("delta", "source_a", "source_b")
+
+
+# --------------------------------------------------------------------------
+# q451 - token burstiness (Church-Gale): for the 20 most document-
+# frequent tokens, compare collection frequency against document
+# frequency. burstiness = cf/df (mean occurrences per document that
+# HAS the token) and the adaptation probability p_repeat = 1 - df/cf
+# (chance the next occurrence is a repeat within a document). The
+# unigram-independence violation detector for LM data: function words
+# sit near cf/df = 1 while templated/boilerplate tokens burst - a
+# complementary fingerprint to q235's boilerplate templates and q75's
+# within-doc repetition.
+# Parity: cf, df, and n_docs are exact integers; the two ratios are
+# single 4dp double expressions.
+# Scale: one (token, doc) distinct aggregate and one token aggregate
+# (both map-side combined), then a 20-row TakeOrdered cut. No windows.
+# --------------------------------------------------------------------------
+@register(
+    "q451_token_burstiness",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+stats AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM toks GROUP BY token
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT s.token, s.cf, s.df,
+       ROUND(CAST(s.df AS DOUBLE) / nd.n_docs, 4) AS doc_rate,
+       ROUND(CAST(s.cf AS DOUBLE) / s.df, 4) AS burstiness,
+       ROUND(1.0 - CAST(s.df AS DOUBLE) / s.cf, 4) AS p_repeat
+FROM stats s CROSS JOIN nd
+ORDER BY s.df DESC, s.token LIMIT 20
+""",
+    tags=("curation", "quality", "A5"),
+)
+def q451_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale burstiness of the 20 most document-frequent tokens:
+    (token, cf, df, doc_rate, burstiness, p_repeat)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token"),
+    )
+    stats = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(nd))
+        .select(
+            "token",
+            F.col("cf").cast("long").alias("cf"),
+            F.col("df").cast("long").alias("df"),
+            F.round(F.col("df").cast("double") / F.col("n_docs"), 4).alias(
+                "doc_rate"
+            ),
+            F.round(F.col("cf").cast("double") / F.col("df"), 4).alias(
+                "burstiness"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("df").cast("double") / F.col("cf"), 4
+            ).alias("p_repeat"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(20)
+    )

@@ -3188,3 +3188,129 @@ def q446_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# q450 - two-way fixed-effects (within) estimator: effect of WEEKEND on
+# a user's daily spend with user AND week fixed effects - the panel
+# regression that generalises q284's 2x2 diff-in-diff to many units and
+# periods. beta = sum(x~ y~) / sum(x~^2) over (user, day) cells, where
+# x~ = x - xbar_user - xbar_week + xbar is the standard two-way within
+# transformation (the TWFE estimator as defined for the demeaned
+# design; exact for balanced panels, the estimator-of-record either
+# way). Weekend from tz-free epoch-day arithmetic ((d + 3) % 7 >= 5).
+# Parity: cell spends and all group counts are exact integers; the
+# demeaning means are integer ratios; each cell's x~y~ and x~^2 terms
+# are micro-rounded BIGINTs before summing (order-safe); beta is one
+# double ratio.
+# Scale: one (user, day) corpus aggregate; user means are a user-keyed
+# aggregate joined back on the cell's own key (co-partitioned); week
+# and global means are calendar-bounded broadcasts. No windows.
+# --------------------------------------------------------------------------
+@register(
+    "q450_twfe_weekend",
+    oracle="""
+WITH cells AS (
+    SELECT user_id AS u,
+           CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(ROUND(100.0 * value) AS BIGINT)) AS BIGINT) AS y
+    FROM events GROUP BY 1, 2
+),
+lab AS (
+    SELECT u, d, y, d // 7 AS w,
+           CASE WHEN (d + 3) % 7 >= 5 THEN 1 ELSE 0 END AS x
+    FROM cells
+),
+mu AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS nu, CAST(SUM(x) AS BIGINT) AS sxu,
+              CAST(SUM(y) AS BIGINT) AS syu FROM lab GROUP BY u),
+mw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw, CAST(SUM(x) AS BIGINT) AS sxw,
+              CAST(SUM(y) AS BIGINT) AS syw FROM lab GROUP BY w),
+mg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+              CAST(SUM(y) AS BIGINT) AS sy FROM lab),
+demeaned AS (
+    SELECT l.x - CAST(mu.sxu AS DOUBLE) / mu.nu
+               - CAST(mw.sxw AS DOUBLE) / mw.nw
+               + CAST(mg.sx AS DOUBLE) / mg.n AS xt,
+           l.y - CAST(mu.syu AS DOUBLE) / mu.nu
+               - CAST(mw.syw AS DOUBLE) / mw.nw
+               + CAST(mg.sy AS DOUBLE) / mg.n AS yt
+    FROM lab l JOIN mu ON mu.u = l.u JOIN mw ON mw.w = l.w CROSS JOIN mg
+),
+terms AS (
+    SELECT CAST(ROUND(1000000.0 * xt * yt) AS BIGINT) AS xy_u,
+           CAST(ROUND(1000000.0 * xt * xt) AS BIGINT) AS xx_u
+    FROM demeaned
+)
+SELECT (SELECT n FROM mg) AS n_cells,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mu) AS n_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM mw) AS n_weeks,
+       ROUND(CAST(SUM(xy_u) AS DOUBLE) / SUM(xx_u) / 100.0, 4)
+           AS beta_weekend
+FROM terms
+""",
+    tags=("ab-test", "causal", "A12"),
+)
+def q450_twfe_weekend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWFE weekend effect on daily user spend: (n_cells, n_users,
+    n_weeks, beta_weekend)."""
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.col("user_id").alias("u"),
+        F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 86400").alias("d"),
+    ).agg(F.sum(F.round(100.0 * F.col("value")).cast("long")).alias("y"))
+    lab = cells.select(
+        "u",
+        "d",
+        "y",
+        F.expr("d DIV 7").alias("w"),
+        ((F.col("d") + 3) % 7 >= 5).cast("long").alias("x"),
+    )
+    mu = lab.groupBy("u").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.sum("x").alias("sxu"),
+        F.sum("y").alias("syu"),
+    )
+    mw = lab.groupBy("w").agg(
+        F.count(F.lit(1)).alias("nw"),
+        F.sum("x").alias("sxw"),
+        F.sum("y").alias("syw"),
+    )
+    mg = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    xt = (
+        F.col("x")
+        - F.col("sxu").cast("double") / F.col("nu")
+        - F.col("sxw").cast("double") / F.col("nw")
+        + F.col("sx").cast("double") / F.col("n")
+    )
+    yt = (
+        F.col("y")
+        - F.col("syu").cast("double") / F.col("nu")
+        - F.col("syw").cast("double") / F.col("nw")
+        + F.col("sy").cast("double") / F.col("n")
+    )
+    terms = (
+        lab.join(mu, "u")
+        .join(F.broadcast(mw), "w")
+        .crossJoin(F.broadcast(mg))
+        .select(
+            F.round(1000000.0 * xt * yt).cast("long").alias("xy_u"),
+            F.round(1000000.0 * xt * xt).cast("long").alias("xx_u"),
+        )
+    )
+    n_users = mu.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    n_weeks = mw.agg(F.count(F.lit(1)).cast("long").alias("n_weeks"))
+    return (
+        terms.agg(
+            F.round(
+                F.sum("xy_u").cast("double") / F.sum("xx_u") / 100.0, 4
+            ).alias("beta_weekend")
+        )
+        .crossJoin(F.broadcast(mg.select(F.col("n").cast("long").alias("n_cells"))))
+        .crossJoin(F.broadcast(n_users))
+        .crossJoin(F.broadcast(n_weeks))
+        .select("n_cells", "n_users", "n_weeks", "beta_weekend")
+    )
