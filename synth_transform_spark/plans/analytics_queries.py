@@ -3148,3 +3148,155 @@ def q419_lorenz_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q452 - GROUP BY ALL (q200's SQL-surface family): the order-priority
+# revenue scorecard written with GROUP BY ALL on BOTH engines - every
+# non-aggregate select item becomes a grouping key, the sugar analysts
+# actually type. Same plan as an explicit GROUP BY after analysis.
+# Scale: one corpus aggregate with map-side combine.
+# --------------------------------------------------------------------------
+@register(
+    "q452_group_by_all",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(100.0 * o_totalprice) AS BIGINT)) / CAST(100 AS DOUBLE), 4)
+           AS revenue
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+""",
+    tags=("sql-surface", "A1"),
+)
+def q452_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status x priority revenue rollup via GROUP BY ALL (same text runs
+    on DuckDB)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q452_orders")
+    return spark.sql(
+        """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(100.0 * o_totalprice) AS BIGINT)) / CAST(100 AS DOUBLE), 4)
+           AS revenue
+FROM q452_orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# q453 - native SQL UNPIVOT (the relational wide->long operator as
+# first-class syntax on BOTH engines, vs q06/q44's stack()-based melt):
+# per-order measures unpivoted to (measure, value) rows and profiled.
+# Scale: one order-keyed aggregate, a 3x fan-out projection (UNPIVOT is
+# a local operator - no shuffle), one measure-keyed rollup.
+# --------------------------------------------------------------------------
+@register(
+    "q453_sql_unpivot",
+    oracle="""
+WITH per_order AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(ROUND(100.0 * l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS price_c,
+           CAST(COUNT(*) AS BIGINT) AS items
+    FROM lineitem GROUP BY l_orderkey
+),
+longf AS (
+    SELECT * FROM per_order UNPIVOT (v FOR measure IN (qty, price_c, items))
+)
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(v) AS BIGINT) AS total,
+       CAST(MAX(v) AS BIGINT) AS max_v,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_v
+FROM longf GROUP BY measure ORDER BY measure
+""",
+    tags=("sql-surface", "F24"),
+)
+def q453_sql_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order measures profiled through native SQL UNPIVOT:
+    (measure, n_orders, total, max_v, mean_v)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q453_lineitem"
+    )
+    return spark.sql(
+        """
+WITH per_order AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+           CAST(SUM(CAST(ROUND(100.0 * l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS price_c,
+           CAST(COUNT(*) AS BIGINT) AS items
+    FROM q453_lineitem GROUP BY l_orderkey
+),
+longf AS (
+    SELECT * FROM per_order UNPIVOT (v FOR measure IN (qty, price_c, items))
+)
+SELECT measure,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(v) AS BIGINT) AS total,
+       CAST(MAX(v) AS BIGINT) AS max_v,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) AS mean_v
+FROM longf GROUP BY measure ORDER BY measure
+"""
+    )
+
+
+# --------------------------------------------------------------------------
+# q454 - parameterized SQL with IDENTIFIER(): the injection-safe
+# templating surface (spark.sql(query, args=...), table name bound via
+# IDENTIFIER(:tbl), thresholds via named parameters) running a
+# nation-level open-revenue report. The oracle inlines the same
+# parameter VALUES - correctness shows binding changes nothing.
+# Scale: broadcast dims, one fact aggregate keyed by nation.
+# --------------------------------------------------------------------------
+_Q454_MIN_QTY = 10
+
+
+@register(
+    "q454_parameterized_sql",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(CAST(ROUND(100.0 * l.l_extendedprice * (1 - l.l_discount))
+                      AS BIGINT)) / CAST(100 AS DOUBLE), 4) AS open_revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = 'O' AND l.l_quantity >= {_Q454_MIN_QTY}
+GROUP BY n.n_name ORDER BY nation
+""",
+    tags=("sql-surface", "J1"),
+)
+def q454_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order revenue by nation via parameterized SQL (IDENTIFIER
+    table binding + named args): (nation, n_items, open_revenue)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"q454_{t}")
+    return spark.sql(
+        """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(CAST(ROUND(100.0 * l.l_extendedprice * (1 - l.l_discount))
+                      AS BIGINT)) / CAST(100 AS DOUBLE), 4) AS open_revenue
+FROM IDENTIFIER(:li) l
+JOIN IDENTIFIER(:ord) o ON o.o_orderkey = l.l_orderkey
+JOIN IDENTIFIER(:cust) c ON c.c_custkey = o.o_custkey
+JOIN IDENTIFIER(:nat) n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderstatus = :status AND l.l_quantity >= :min_qty
+GROUP BY n.n_name ORDER BY nation
+""",
+        args={
+            "li": "q454_lineitem",
+            "ord": "q454_orders",
+            "cust": "q454_customer",
+            "nat": "q454_nation",
+            "status": "O",
+            "min_qty": _Q454_MIN_QTY,
+        },
+    )
