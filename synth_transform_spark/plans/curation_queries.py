@@ -1051,3 +1051,169 @@ def q451_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), "token")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q455 - quality-filter agreement audit: run TWO independent document
+# filters - A: Gopher-style length heuristics (token count in [50,
+# 1000], mean token length in [3, 10]); B: CCNet-style LM keep (q93's
+# unigram avg-logprob above the corpus 25th percentile) - and report
+# their per-source agreement plus global Cohen's kappa. The question a
+# curation team asks before swapping filters: do they keep the SAME
+# documents, or merely the same volume? (q372 audits one filter across
+# subgroups; this audits two filters against each other.)
+# Parity: doc scores are frozen to the 4dp grid q93 ships (then scaled
+# to exact ints); the threshold is the q391 quantised-quantile compared
+# at integer scale; contingency cells and kappa inputs are exact
+# integers; kappa and rates are single 4dp double expressions.
+# Scale: one vocab aggregate + one doc-keyed aggregate (q93's plan), a
+# 1-row broadcast threshold, one (source) rollup. No windows.
+# --------------------------------------------------------------------------
+@register(
+    "q455_filter_agreement",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, source,
+           UNNEST(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '')) AS token
+    FROM documents
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+p AS (
+    SELECT token, COUNT(*) / tot.n AS p FROM toks CROSS JOIN tot
+    GROUP BY token, tot.n
+),
+docs AS (
+    SELECT t.doc_id, t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(SUM(LENGTH(t.token)) AS BIGINT) AS n_chars,
+           CAST(ROUND(10000.0 * ROUND(AVG(LN(p.p)), 4)) AS BIGINT) AS lp4
+    FROM toks t JOIN p ON p.token = t.token
+    GROUP BY t.doc_id, t.source
+),
+thr AS (
+    SELECT CAST(ROUND(100.0 * QUANTILE_CONT(CAST(lp4 AS DOUBLE), 0.25))
+                AS BIGINT) AS t4
+    FROM docs
+),
+flags AS (
+    SELECT d.source,
+           CASE WHEN d.n_tok BETWEEN 50 AND 1000
+                 AND 10 * d.n_chars >= 30 * d.n_tok
+                 AND 10 * d.n_chars <= 100 * d.n_tok
+                THEN 1 ELSE 0 END AS a,
+           CASE WHEN 100 * d.lp4 >= thr.t4 THEN 1 ELSE 0 END AS b
+    FROM docs d CROSS JOIN thr
+),
+per_src AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(a * b) AS BIGINT) AS both_keep,
+           CAST(SUM(a * (1 - b)) AS BIGINT) AS only_a,
+           CAST(SUM((1 - a) * b) AS BIGINT) AS only_b,
+           CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS both_drop
+    FROM flags GROUP BY source
+),
+tot2 AS (
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+           CAST(SUM(both_keep) AS BIGINT) AS kk,
+           CAST(SUM(only_a) AS BIGINT) AS ka,
+           CAST(SUM(only_b) AS BIGINT) AS kb,
+           CAST(SUM(both_drop) AS BIGINT) AS dd
+    FROM per_src
+)
+SELECT s.source, s.n_docs, s.both_keep, s.only_a, s.only_b, s.both_drop,
+       ROUND(CAST(s.both_keep + s.both_drop AS DOUBLE) / s.n_docs, 4)
+           AS agree_rate,
+       ROUND(((CAST(t.kk + t.dd AS DOUBLE) / t.n)
+              - (CAST(t.kk + t.ka AS DOUBLE) / t.n
+                 * (CAST(t.kk + t.kb AS DOUBLE) / t.n)
+                 + CAST(t.kb + t.dd AS DOUBLE) / t.n
+                   * (CAST(t.ka + t.dd AS DOUBLE) / t.n)))
+             / (1.0 - (CAST(t.kk + t.ka AS DOUBLE) / t.n
+                       * (CAST(t.kk + t.kb AS DOUBLE) / t.n)
+                       + CAST(t.kb + t.dd AS DOUBLE) / t.n
+                         * (CAST(t.ka + t.dd AS DOUBLE) / t.n))), 4)
+           AS kappa_global
+FROM per_src s CROSS JOIN tot2 t
+ORDER BY s.source
+""",
+    tags=("curation", "quality", "A12"),
+)
+def q455_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement between a Gopher-style heuristic filter and a CCNet-style
+    LM filter: (source, n_docs, both_keep, only_a, only_b, both_drop,
+    agree_rate, kappa_global)."""
+    docs_t = load_table(spark, sf_dir, "documents")
+    toks = docs_t.select(
+        "doc_id",
+        "source",
+        F.explode(text_analysis.tokens_raw(F.col("text"))).alias("token"),
+    )
+    total = toks.count()
+    p = toks.groupBy("token").agg(
+        (F.count(F.lit(1)) / F.lit(float(total))).alias("p")
+    )
+    docs = (
+        toks.join(F.broadcast(p), "token")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.length("token")).alias("n_chars"),
+            F.round(10000.0 * F.round(F.avg(F.log("p")), 4))
+            .cast("long")
+            .alias("lp4"),
+        )
+    )
+    thr = docs.agg(
+        F.round(100.0 * F.expr("percentile(CAST(lp4 AS DOUBLE), 0.25)"))
+        .cast("long")
+        .alias("t4")
+    )
+    a = (
+        F.col("n_tok").between(50, 1000)
+        & (10 * F.col("n_chars") >= 30 * F.col("n_tok"))
+        & (10 * F.col("n_chars") <= 100 * F.col("n_tok"))
+    ).cast("long")
+    b = (100 * F.col("lp4") >= F.col("t4")).cast("long")
+    flags = docs.crossJoin(F.broadcast(thr)).select(
+        "source", a.alias("a"), b.alias("b")
+    )
+    per_src = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("a") * F.col("b")).alias("both_keep"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("only_a"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("only_b"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("both_drop"),
+    )
+    tot2 = per_src.agg(
+        F.sum("n_docs").alias("n"),
+        F.sum("both_keep").alias("kk"),
+        F.sum("only_a").alias("ka"),
+        F.sum("only_b").alias("kb"),
+        F.sum("both_drop").alias("dd"),
+    )
+    n = F.col("n")
+    po = (F.col("kk") + F.col("dd")).cast("double") / n
+    pe = (F.col("kk") + F.col("ka")).cast("double") / n * (
+        (F.col("kk") + F.col("kb")).cast("double") / n
+    ) + (F.col("kb") + F.col("dd")).cast("double") / n * (
+        (F.col("ka") + F.col("dd")).cast("double") / n
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot2))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("both_keep").cast("long").alias("both_keep"),
+            F.col("only_a").cast("long").alias("only_a"),
+            F.col("only_b").cast("long").alias("only_b"),
+            F.col("both_drop").cast("long").alias("both_drop"),
+            F.round(
+                (F.col("both_keep") + F.col("both_drop")).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("agree_rate"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 4).alias("kappa_global"),
+        )
+        .orderBy("source")
+    )
