@@ -237,3 +237,41 @@ def test_kcenter_greedy_2_approximation(spark, pts):
     dists = out.dist_to_set.tolist()[1:]  # rank-1 seed has dist 0 by definition
     assert all(a >= b for a, b in zip(dists, dists[1:])), dists
     assert len(set(out.vec_id)) == len(out)  # never re-selects
+
+
+@FEW
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=5,
+        max_size=120,
+    )
+)
+def test_countmin_never_underestimates(spark, tmp_path_factory, words):
+    """Count-Min's defining guarantee: for ANY corpus, the estimate of
+    every audited token is >= its true count (equality iff no bucket
+    collision on some row) — checked through q439's full plan on a
+    synthetic documents table."""
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    d = tmp_path_factory.mktemp("cm")
+    docs = [" ".join(words[i : i + 10]) for i in range(0, len(words), 10)]
+    pd.DataFrame(
+        {
+            "doc_id": range(len(docs)),
+            "text": docs,
+            "lang": "en",
+            "source": "synth",
+            "n_chars": [len(t) for t in docs],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    rows = REGISTRY["q439_countmin_audit"].spark(spark, str(d)).collect()
+    assert rows, "audit must return the heavy hitters"
+    from collections import Counter
+
+    truth = Counter(words)
+    for r in rows:
+        assert r["cm_estimate"] >= r["true_count"] == truth[r["token"]]
+        assert r["overestimate"] == r["cm_estimate"] - r["true_count"]
