@@ -1140,3 +1140,121 @@ def q436_ols_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cook_d"), "l_orderkey", "l_linenumber")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q456 - Breusch-Pagan heteroscedasticity test, completing the OLS
+# diagnostics suite (q298 fit, q436 influence, q340 autocorrelation):
+# does the variance of price ~ quantity residuals grow with quantity?
+# Auxiliary regression of the squared residual on x; LM = n * R^2 of
+# that regression is asymptotically chi-square(1). Heteroscedastic
+# errors don't bias beta but invalidate its plain standard errors -
+# the test tells you whether q298's SEs can be trusted.
+# Parity: first-stage moments are exact integer sums; per-row squared
+# residuals are frozen to WHOLE-dollar^2 integers (the statistic is
+# DEFINED on that grid, deterministically on both engines), so the
+# auxiliary moments are again exact integer sums; LM and R2 are single
+# double expressions.
+# Scale: two map-side-combined corpus aggregates (one for the fit, one
+# for the auxiliary moments with the 1-row params broadcast in
+# between). No windows, no corpus joins.
+# --------------------------------------------------------------------------
+@register(
+    "q456_breusch_pagan",
+    oracle="""
+WITH v AS (
+    SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+           CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+    FROM lineitem
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM v
+),
+par AS (
+    SELECT n, sx,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+           / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) AS b,
+           CAST(sy AS DOUBLE) / n
+           - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+             * (CAST(sx AS DOUBLE) / n) AS a
+    FROM m
+),
+aux AS (
+    SELECT v.x,
+           CAST(ROUND((v.y - p.a - p.b * v.x) * (v.y - p.a - p.b * v.x)
+                      / 1000000.0) AS BIGINT) AS z
+    FROM v CROSS JOIN par p
+),
+am AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(z) AS BIGINT) AS sz,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * z) AS BIGINT) AS sxz,
+           CAST(SUM(z * z) AS BIGINT) AS szz
+    FROM aux
+)
+SELECT n,
+       ROUND((CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz / n)
+             * (CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz / n)
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / n)),
+             6) AS r2_aux,
+       ROUND(n * ((CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz / n)
+             * (CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz / n)
+             / ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+                * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz / n))),
+             4) AS lm_stat
+FROM am
+""",
+    tags=("stats", "regression", "A12"),
+)
+def q456_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breusch-Pagan LM test for heteroscedasticity of price ~ quantity:
+    (n, r2_aux, lm_stat)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    m = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    b = (
+        F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+    ) / (
+        F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    )
+    par = m.select("n", "sx", b.alias("b"), (
+        F.col("sy").cast("double") / F.col("n")
+        - b * (F.col("sx").cast("double") / F.col("n"))
+    ).alias("a"))
+    e = F.col("y") - F.col("a") - F.col("b") * F.col("x")
+    aux = v.crossJoin(F.broadcast(par)).select(
+        "x", F.round(e * e / 1000000.0).cast("long").alias("z")
+    )
+    am = aux.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    cov = F.col("sxz").cast("double") - F.col("sx").cast("double") * F.col("sz") / F.col("n")
+    vx = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    vz = F.col("szz").cast("double") - F.col("sz").cast("double") * F.col("sz") / F.col("n")
+    r2 = cov * cov / (vx * vz)
+    return am.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(r2, 6).alias("r2_aux"),
+        F.round(F.col("n") * r2, 4).alias("lm_stat"),
+    )
