@@ -38,8 +38,16 @@ def persist_tracked(
         out = df.localCheckpoint(eager=True)
         _TRACKED.append(out)
         return out
-    df.persist(level)
-    _TRACKED.append(df)
+    # re-persisting an already-persisted relation is a Spark no-op, but it
+    # emits a CacheManager "already cached" warning and walks the whole
+    # lineage to find the cached plan — skip it (and don't double-track)
+    try:
+        already = df.storageLevel.useMemory or df.storageLevel.useDisk
+    except Exception:
+        already = False
+    if not already:
+        df.persist(level)
+        _TRACKED.append(df)
     return df
 
 

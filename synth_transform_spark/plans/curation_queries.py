@@ -835,10 +835,13 @@ def q429_chunk_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # small Delta even when their topics differ - the metadata-free dual of
 # q397's content-level JSD and a direct synthetic-content fingerprint
 # for curation.
-# Parity: per-source relative frequencies are frozen to 1e9
-# micro-integers (exact count ratios); token mean/std across sources
-# come from exact integer sums over the |sources| relation; per-token
-# |z_a - z_b| terms are micro-rounded before the 30-term mean.
+# Parity: per-source relative frequencies are frozen to 1e6
+# micro-integers (exact count ratios) — the coarser grid keeps
+# SUM(fu*fu) <= k * 1e12 inside int64 up to ~1e6 sources (a 1e9 freeze
+# wraps silently on Spark near 20 sources for a one-token-dominated
+# corpus); token mean/std across sources come from exact integer sums
+# over the |sources| relation; per-token |z_a - z_b| terms are
+# micro-rounded before the 30-term mean.
 # Scale: one (source, token) aggregate (map-side combined), a 30-row
 # TakeOrdered vocabulary cut, then everything lives on the
 # |sources| x 30 grid and its |sources|^2/2 x 30 pair relation - all
@@ -872,7 +875,7 @@ grid AS (
 ),
 freq AS (
     SELECT source, token,
-           CAST(ROUND(1000000000.0 * c / tot) AS BIGINT) AS fu
+           CAST(ROUND(1000000.0 * c / tot) AS BIGINT) AS fu
     FROM grid
 ),
 mom AS (
@@ -932,7 +935,7 @@ def q447_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = grid.select(
         "source",
         "token",
-        F.round(1000000000.0 * F.col("c") / F.col("tot")).cast("long").alias("fu"),
+        F.round(1000000.0 * F.col("c") / F.col("tot")).cast("long").alias("fu"),
     )
     mom = freq.groupBy("token").agg(
         F.count(F.lit(1)).alias("k"),

@@ -41,8 +41,10 @@ def register(
 ) -> Callable[[SparkFn], SparkFn]:
     def deco(fn: SparkFn) -> SparkFn:
         # a silent overwrite would drop a query from the 400+-name
-        # registry and only surface as count drift much later
-        assert name not in REGISTRY, f"duplicate query name: {name}"
+        # registry and only surface as count drift much later; a hard
+        # raise (not assert) so `python -O` cannot strip the guard
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, tags=tags, bench=bench)
         return fn
 

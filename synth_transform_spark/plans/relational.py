@@ -2105,3 +2105,101 @@ def q228_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             parts = one if parts is None else parts.unionByName(one)
     return parts
+
+
+# --------------------------------------------------------------------------
+# q410 — recursive transitive reachability over the nation trade graph.
+# The registry's second WITH RECURSIVE user (after q433), and the one
+# that exercises a JOIN in the recursive term rather than a scalar fold:
+# edge (src → dst) when suppliers of nation src shipped customers of
+# nation dst an above-average number of lineitems (exact integer
+# comparison, SF-stable); then count the distinct walks of length ≤ 3
+# between every nation pair and the minimum hop count. The SAME
+# recursion text runs on Spark 4 and DuckDB (q433's discipline); path
+# counts and depths are exact integers, so no float drift can enter the
+# recursion. Reference analogue: the FK-topological dump-order walk
+# (synth_transform etl.py:133) is this reachability shape on the schema
+# graph.
+# Parity: UNION ALL recursion with an explicit depth cap terminates
+# identically on both engines even on cyclic graphs; n_walks/min_hops
+# are integer aggregates.
+# Scale: the corpus collapses to ONE star-join aggregate (broadcast
+# nation-key dims) onto the ≤ 25×25 edge relation, which is
+# materialised ONCE to a LocalRelation before recursing — Spark
+# re-evaluates a recursive CTE's referenced relations every iteration,
+# so left lazy the star join would run |depth| times. The recursion
+# itself lives on the bounded nation-pair domain at any corpus size.
+# Un-coalesced local frame (q433: CoalesceExec defeats the
+# LocalRelation fast path inside UnionLoop).
+# --------------------------------------------------------------------------
+_REACH_REC = """
+WITH RECURSIVE walk AS (
+    SELECT src, dst, CAST(1 AS BIGINT) AS depth
+    FROM {edges}
+    UNION ALL
+    SELECT w.src, e.dst, w.depth + 1
+    FROM walk w JOIN {edges} e ON e.src = w.dst
+    WHERE w.depth < 3
+)
+SELECT src AS src_nation, dst AS dst_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_walks,
+       CAST(MIN(depth) AS BIGINT) AS min_hops
+FROM walk
+GROUP BY src, dst
+ORDER BY src_nation, dst_nation
+"""
+
+
+@register(
+    "q410_recursive_reachability",
+    oracle="WITH RECURSIVE trade_edges AS (\n"
+    """    SELECT CAST(s.s_nationkey AS BIGINT) AS src,
+           CAST(c.c_nationkey AS BIGINT) AS dst
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_nationkey <> c.c_nationkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) * 625 >= (SELECT COUNT(*) FROM lineitem)
+),
+walk AS (
+"""
+    + _REACH_REC.format(edges="trade_edges").split("WITH RECURSIVE walk AS (")[1],
+    tags=("graph", "recursive-cte", "J1"),
+)
+def q410_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk counts (length ≤ 3) + min hops between nation pairs over the
+    above-average trade-flow digraph, via a true recursive CTE whose
+    recursive term joins the edge relation."""
+    lin = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    total = lin.count()  # one scalar job; reused as a plain literal
+    flows = (
+        lin.join(orders, lin["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                supp.select("s_suppkey", F.col("s_nationkey").alias("sn"))
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("sn") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("sn").cast("long").alias("src"),
+            F.col("c_nationkey").cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+        .filter(F.col("n_ship") * 625 >= F.lit(total))
+        .select("src", "dst")
+    )
+    # ≤ 25×25 rows: materialise once so the recursion never re-runs the
+    # star join (see block comment); un-coalesced LocalRelation.
+    local = spark.createDataFrame(flows.collect(), "src long, dst long")
+    local.createOrReplaceTempView("q410_trade_edges")
+    return spark.sql(_REACH_REC.format(edges="q410_trade_edges"))

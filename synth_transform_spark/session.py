@@ -74,7 +74,13 @@ def silence_bounded_window_warnings(spark: SparkSession) -> None:
     plan lint, not by reading warnings.
     """
     category = "org.apache.spark.sql.execution.window.WindowExec"
-    jvm = spark.sparkContext._jvm
+    try:
+        # Spark Connect sessions have no .sparkContext / _jvm — treat a
+        # JVM-less session the same as a missing log4j API and skip
+        jvm = spark.sparkContext._jvm
+    except Exception:
+        print("silence_bounded_window_warnings: no JVM-backed session; skipped")
+        return
     try:
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
             category, jvm.org.apache.logging.log4j.Level.ERROR

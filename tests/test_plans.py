@@ -455,3 +455,27 @@ def test_round6_ops_keep_their_promised_plan_shapes(spark):
     p411 = _plan(REGISTRY["q411_loo_target_encoding"].spark(spark, SF_DIR))
     assert "BroadcastHashJoin" in p411
     assert "SortMergeJoin" not in p411
+
+
+def test_registry_qids_contiguous_and_docs_in_sync():
+    """q-id hygiene: ids run q01..qMAX with no holes (a silent drop or a
+    numbering skip would otherwise only surface as count drift rounds
+    later), and the query counts stated in README.md / COVERAGE.md equal
+    len(REGISTRY) — the docs derive from the registry, not vice versa."""
+    import pathlib
+    import re as _re
+
+    nums = sorted(
+        int(_re.match(r"q(\d+)_", name).group(1)) for name in REGISTRY
+    )
+    assert nums == list(range(1, len(nums) + 1)), (
+        "q-id holes/dups: "
+        f"{sorted(set(range(1, max(nums) + 1)) - set(nums))}"
+    )
+    n_total = len(REGISTRY)
+    n_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
+    root = pathlib.Path(__file__).resolve().parents[1]
+    readme = (root / "README.md").read_text()
+    coverage = (root / "COVERAGE.md").read_text()
+    assert f"declares {n_total} queries, {n_oracle} oracle-matched" in readme
+    assert f"{n_total} declared queries, {n_oracle} oracle-backed" in coverage
