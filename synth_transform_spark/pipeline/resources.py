@@ -10,7 +10,7 @@ Six resources feed `rebuild` (SURVEY.md §2.1 S5-S8):
 - unmatched_home_institutions.json — town → ISO2 manual map
                          (resources.py:492-495).
 - access_request_rebuild workbook — 4 sheets (resources.py:470-489); read
-                         via openpyxl when available, else a directory of
+                         via the stdlib xlsx parser, else a directory of
                          per-sheet CSVs (same shapes).
 - output_dois / doi_metadata KV caches (resources.py:87-131, 168-257) —
                          parquet KV tables here (the network `update` stage
@@ -87,8 +87,10 @@ WORKBOOK_SHEETS = ("Category", "Institution", "InstallationFacility", "AccessReq
 def load_workbook(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """access_request_rebuild workbook → {sheet: DataFrame}.
 
-    ``path`` is either an .xlsx file (needs openpyxl) or a directory of
-    ``<Sheet>.csv`` files with identical shapes.
+    ``path`` is either an .xlsx file (parsed with the stdlib reader in
+    ``pipeline.xlsx`` — an xlsx is a zip of SpreadsheetML parts, so no
+    openpyxl is needed) or a directory of ``<Sheet>.csv`` files with
+    identical shapes (the original fallback, retained).
     """
     import pandas as pd
 
@@ -98,7 +100,9 @@ def load_workbook(spark: SparkSession, path: str) -> dict[str, DataFrame]:
             pdf = pd.read_csv(os.path.join(path, f"{s}.csv"))
             sheets[s] = spark.createDataFrame(pdf)
     else:
-        raw = pd.read_excel(path, sheet_name=None)  # needs openpyxl
+        from .xlsx import read_xlsx
+
+        raw = read_xlsx(path)
         for s in WORKBOOK_SHEETS:
             sheets[s] = spark.createDataFrame(raw[s])
     return sheets
