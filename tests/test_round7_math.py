@@ -250,3 +250,239 @@ def test_twfe_close_to_dummy_regression(spark):
     yt = y - np.array([ybar_u[k] for k in u]) - np.array([ybar_w[k] for k in w]) + y.mean()
     beta = (xt * yt).sum() / (xt * xt).sum() / 100.0
     assert got["beta_weekend"] == pytest.approx(beta, abs=2e-4)
+
+
+# ===========================================================================
+# _prior_waves — independent recomputation extended BACKWARDS to the
+# highest-risk pre-round-7 statistics (round-7 verdict item 3). Each test
+# recomputes the statistic from the raw parquet with numpy / pure Python
+# (np.linalg.lstsq, a Yule-Walker solve, a hand Levenshtein DP), never the
+# shared SQL formula, so a formula both engines implement identically-but-
+# wrong cannot hide behind the DuckDB-parity gate.
+# ===========================================================================
+def _daily_counts(which=None):
+    import pandas as pd
+
+    from conftest import SF_DIR
+
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    day = ev["ts"].dt.floor("D")
+    if which is None:
+        return ev.groupby(day).size().sort_index().to_numpy(dtype=float)
+    out = (
+        ev.assign(day=day)
+        .pivot_table(index="day", columns="event_type", values="event_id",
+                     aggfunc="count", fill_value=0)
+        .sort_index()
+    )
+    return [out.get(w, 0 * out.iloc[:, 0]).to_numpy(dtype=float) for w in which]
+
+
+# ---------------------------------------------------------------------------
+# q348 Granger: the closed-form Cramer solution over exact integer moments
+# must equal numpy lstsq on the raw lagged design, and the F statistic the
+# textbook (RSS_r - RSS_u) / (RSS_u / (n - 3)) from those residuals.
+# ---------------------------------------------------------------------------
+def test_granger_matches_lstsq(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    from conftest import SF_DIR
+
+    got = REGISTRY["q348_granger_causality"].spark(spark, SF_DIR).collect()[0]
+    y, x = _daily_counts(["purchase", "click"])
+    yt, yl, xl = y[1:], y[:-1], x[:-1]
+    n = len(yt)
+    du = np.column_stack([np.ones(n), yl, xl])
+    cu, rss_u = np.linalg.lstsq(du, yt, rcond=None)[:2]
+    dr = np.column_stack([np.ones(n), yl])
+    rss_r = np.linalg.lstsq(dr, yt, rcond=None)[1]
+    f = float((rss_r[0] - rss_u[0]) / (rss_u[0] / (n - 3)))
+    assert got["n"] == n
+    assert got["b_ylag"] == pytest.approx(cu[1], abs=2e-4)
+    assert got["b_xlag"] == pytest.approx(cu[2], abs=2e-4)
+    assert got["f_stat"] == pytest.approx(f, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q339 Ljung-Box: the n-scaled integer centering must equal the textbook
+# rho_k = sum (x_t-xbar)(x_{t+k}-xbar) / sum (x_t-xbar)^2 and
+# Q_k = n(n+2) sum_{i<=k} rho_i^2 / (n-i) on the raw daily series.
+# ---------------------------------------------------------------------------
+def test_ljung_box_matches_direct_acf(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    from conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["q339_ljung_box"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["lag"],
+    )
+    xs = _daily_counts()
+    d = xs - xs.mean()
+    den = (d * d).sum()
+    n = len(xs)
+    q = 0.0
+    for k, row in enumerate(rows, start=1):
+        rho = (d[:-k] * d[k:]).sum() / den
+        q += rho * rho / (n - k)
+        assert row["lag"] == k
+        assert row["rho"] == pytest.approx(rho, abs=2e-4)
+        assert row["q_stat"] == pytest.approx(n * (n + 2) * q, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q349 PACF: the unrolled Durbin-Levinson must equal a Yule-Walker solve
+# (toeplitz(rho) @ phi = rho-vector, pacf_k = phi_k) — a genuinely
+# different algorithm for the same quantity. Inputs use the query's own
+# 1e-8-frozen rhos so only the recursion algebra is under test.
+# ---------------------------------------------------------------------------
+def test_pacf_matches_yule_walker(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    from conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["q349_pacf"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["lag"],
+    )
+    xs = _daily_counts()
+    n = len(xs)
+    dv = n * xs - xs.sum()  # the query's exact integer centering
+    den = (dv * dv).sum()
+    rho = [
+        round(1e8 * (dv[:-k] * dv[k:]).sum() / den) / 1e8
+        for k in range(1, len(rows) + 1)
+    ]
+    for k, row in enumerate(rows, start=1):
+        r = np.array(rho[:k])
+        toep = np.array(
+            [[1.0 if i == j else rho[abs(i - j) - 1] for j in range(k)]
+             for i in range(k)]
+        )
+        phi = np.linalg.solve(toep, r)
+        assert row["lag"] == k
+        assert row["rho"] == pytest.approx(rho[k - 1], abs=2e-4)
+        assert row["pacf"] == pytest.approx(phi[-1], abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q378 Hurst: block R/S recomputed directly from the raw series (float
+# cumulative deviations, population std), 3-point log-log OLS via polyfit.
+# ---------------------------------------------------------------------------
+def test_hurst_matches_direct_rs(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    from conftest import SF_DIR
+
+    rows = sorted(
+        REGISTRY["q378_hurst_exponent"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["n"],
+    )
+    xs = _daily_counts()
+    pts = []
+    for row, nb in zip(rows, (8, 16, 32)):
+        rss = []
+        for b in range(len(xs) // nb):
+            blk = xs[b * nb : (b + 1) * nb]
+            cum = np.cumsum(blk - blk.mean())
+            s = blk.std()  # population
+            if s <= 0:
+                continue
+            r = cum.max() - min(cum.min(), 0.0)
+            rss.append(round(1e8 * r / s) / 1e8)  # the query's freeze grid
+        mean_rs = float(np.mean(rss))
+        pts.append((math.log(nb), math.log(mean_rs)))
+        assert row["n"] == nb
+        assert row["n_blocks"] == len(rss)
+        assert row["mean_rs"] == pytest.approx(mean_rs, abs=2e-4)
+    h = np.polyfit([p[0] for p in pts], [p[1] for p in pts], 1)[0]
+    for row in rows:
+        assert row["hurst"] == pytest.approx(h, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q229 CUPED: theta and the per-user adjusted metric recomputed with
+# pandas groupby + np.polyfit (cov/var IS the OLS slope of post on pre).
+# ---------------------------------------------------------------------------
+def test_cuped_matches_numpy(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    from conftest import SF_DIR
+
+    got = (
+        REGISTRY["q229_cuped_adjustment"].spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(SF_DIR + "/events.parquet")
+    v = (ev["value"] * 10000.0).round()
+    cut = pd.Timestamp("2024-01-16")
+    per = (
+        ev.assign(pre=v.where(ev["ts"] < cut, 0.0), post=v.where(ev["ts"] >= cut, 0.0))
+        .groupby("user_id")[["pre", "post"]]
+        .sum()
+        .sort_index()
+    )
+    theta = float(np.polyfit(per["pre"], per["post"], 1)[0])
+    adjusted = (per["post"] - theta * (per["pre"] - per["pre"].mean())) / 10000.0
+    assert len(got) == len(per)
+    assert got["pre_milli"].to_numpy().tolist() == per["pre"].astype(int).tolist()
+    np.testing.assert_allclose(
+        got["adjusted"].to_numpy(), adjusted.to_numpy(), atol=2e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q180 Fellegi-Sunter: decisions recomputed with a hand Levenshtein DP and
+# math.log2 weights from the declared m/u priors — independent of both
+# engines' levenshtein() builtins and of the literal-weight plumbing.
+# ---------------------------------------------------------------------------
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fellegi_sunter_matches_hand_scoring(spark):
+    import pandas as pd
+
+    from synth_transform_spark.operators import linkage
+    from synth_transform_spark.plans import REGISTRY
+
+    from conftest import SF_DIR
+
+    got = {
+        (r["id_a"], r["id_b"]): (r["name_agree"], r["bal_agree"], r["score"], r["decision"])
+        for r in REGISTRY["q180_record_linkage"].spark(spark, SF_DIR).collect()
+    }
+    cust = pd.read_parquet(SF_DIR + "/customer.parquet")
+    want = {}
+    for _, blk in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        recs = blk.sort_values("c_custkey").to_dict("records")
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                a, b = recs[i], recs[j]
+                na = int(_lev(a["c_name"], b["c_name"]) <= 2)
+                ba = int(abs(a["c_acctbal"] - b["c_acctbal"]) < 100.0)
+                score = round(
+                    (math.log2(0.95 / 0.02) if na else math.log2(0.05 / 0.98))
+                    + (math.log2(0.80 / 0.10) if ba else math.log2(0.20 / 0.90)),
+                    4,
+                )
+                if score >= linkage.POSSIBLE_THRESHOLD:
+                    dec = (
+                        "match" if score >= linkage.MATCH_THRESHOLD else "possible"
+                    )
+                    want[(a["c_custkey"], b["c_custkey"])] = (na, ba, score, dec)
+    assert set(got) == set(want)
+    for k, (na, ba, score, dec) in want.items():
+        gna, gba, gscore, gdec = got[k]
+        assert (gna, gba, gdec) == (na, ba, dec)
+        assert gscore == pytest.approx(score, abs=2e-4)
