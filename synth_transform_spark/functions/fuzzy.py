@@ -174,3 +174,66 @@ def levenshtein_band_pairs(
             F.levenshtein("name", "name_r").cast("long").alias("dist"),
         )
     )
+
+
+def jaro_winkler_expr(a: str, b: str) -> str:
+    """Exact Jaro-Winkler similarity as ONE pure Catalyst expression —
+    no Python, no UDF: the greedy matching fold runs as a higher-order
+    ``aggregate`` over positions, transpositions come from a positional
+    array comparison, and the Winkler prefix boost (p = 0.1, prefix <= 4,
+    boost threshold 0.7) is a plain CASE.
+
+    Semantics are pinned to DuckDB's ``jaro_winkler_similarity`` (the
+    independent C++ implementation used as the oracle): transposition
+    count uses integer halving (t = mismatches DIV 2), the matching
+    window is max(|a|,|b|)/2 - 1, and the boost applies only when
+    jaro > 0.7. Property-fuzzed to bitwise agreement on thousands of
+    random string pairs (tests/test_texteval.py).
+
+    Note the window predicate lives INSIDE the position scan: Spark's
+    ``sequence(lo, hi)`` with lo > hi yields a DESCENDING range (not
+    empty like DuckDB's ``range``), so bounding j via sequence endpoints
+    silently widens the window for positions past the end of ``b``.
+
+    ``a``/``b`` are SQL expressions (column names) evaluating to
+    non-null strings.
+    """
+    w = f"greatest(CAST(greatest(length({a}), length({b})) DIV 2 AS INT) - 1, 0)"
+    pred = (
+        f"j >= greatest(1, i - {w}) AND j <= i + {w} AND "
+        f"NOT array_contains(acc.used, j) AND "
+        f"substring({b}, j, 1) = substring({a}, i, 1)"
+    )
+    seq_j = f"sequence(1, length({b}))"
+    merge = (
+        f"(acc, i) -> CASE WHEN exists({seq_j}, j -> {pred}) "
+        f"THEN named_struct("
+        f"'used', array_append(acc.used, element_at(filter({seq_j}, j -> {pred}), 1)), "
+        f"'mc', concat(acc.mc, substring({a}, i, 1))) ELSE acc END"
+    )
+    t2 = (
+        f"size(filter(sequence(1, length(acc.mc)), "
+        f"k -> substring(acc.mc, k, 1) <> "
+        f"substring({b}, element_at(array_sort(acc.used), k), 1)))"
+    )
+    finish = (
+        f"acc -> CASE WHEN length(acc.mc) = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        f"(length(acc.mc) / CAST(length({a}) AS DOUBLE) "
+        f"+ length(acc.mc) / CAST(length({b}) AS DOUBLE) "
+        f"+ (length(acc.mc) - CAST({t2} DIV 2 AS DOUBLE)) / length(acc.mc)) "
+        f"/ 3.0 END"
+    )
+    jaro = (
+        f"aggregate(sequence(1, length({a})), "
+        f"named_struct('used', CAST(array() AS array<int>), 'mc', ''), "
+        f"{merge}, {finish})"
+    )
+    pfx = (
+        f"size(filter(sequence(1, least(4, length({a}), length({b}))), "
+        f"k -> substring({a}, 1, k) = substring({b}, 1, k)))"
+    )
+    return (
+        f"CASE WHEN ({jaro}) > 0.7 "
+        f"THEN ({jaro}) + 0.1 * ({pfx}) * (1.0 - ({jaro})) "
+        f"ELSE ({jaro}) END"
+    )

@@ -15,6 +15,7 @@ from . import (  # noqa: F401
     events_queries,
     forecast_queries,
     incremental_queries,
+    inference_queries,
     linkage_queries,
     multimodal_queries,
     nested_queries,
@@ -27,6 +28,7 @@ from . import (  # noqa: F401
     streaming_queries,
     subquery_queries,
     temporal_queries,
+    texteval_queries,
     textops,
     timeseries_queries,
     tpch_queries,

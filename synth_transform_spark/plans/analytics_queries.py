@@ -3300,3 +3300,134 @@ GROUP BY n.n_name ORDER BY nation
             "min_qty": _Q454_MIN_QTY,
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# q468 — Newman modularity of the co-purchase part graph under the brand
+# partition: Q = sum_c (e_c/m - (d_c/2m)^2), where e_c = edges inside
+# brand c, d_c = total degree of brand c's parts, m = |edges|. Edges are
+# distinct co-purchased part pairs within an order (q169's bounded
+# basket self-join). The "is this partition real community structure"
+# score for the graph family (q101 triangles, q243 clustering, q346
+# assortativity) — the quantity Louvain-style algorithms maximise,
+# evaluated exactly for the catalogue's given brand partition.
+# Parity: e_c, d_c, m are exact integers; each brand's contribution is
+# the identical double expression frozen to round(1e12 * contrib) so the
+# total Q is an exact integer sum over the |brands| domain. 4dp.
+# Scale: the self-join is per-order (TPC-H orders have <= 7 lines, so
+# the pair fan-out is bounded); the DISTINCT edge relation shuffles once
+# on the pair key; degrees/brand sums are keyed aggregates; the final
+# reduce runs on |brands| rows.
+# ---------------------------------------------------------------------------
+@register(
+    "q468_modularity",
+    oracle="""
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+deg AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges) u
+    GROUP BY p
+),
+bmap AS (SELECT p_partkey, p_brand FROM part),
+ec AS (
+    SELECT ba.p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS e_in
+    FROM edges e
+    JOIN bmap ba ON ba.p_partkey = e.pa
+    JOIN bmap bb ON bb.p_partkey = e.pb
+    WHERE ba.p_brand = bb.p_brand
+    GROUP BY ba.p_brand
+),
+dc AS (
+    SELECT b.p_brand AS brand, CAST(SUM(d.d) AS BIGINT) AS d_sum
+    FROM deg d JOIN bmap b ON b.p_partkey = d.p
+    GROUP BY b.p_brand
+),
+contrib AS (
+    SELECT dc.brand, COALESCE(ec.e_in, 0) AS e_in, dc.d_sum,
+           CAST(ROUND(1000000000000.0 *
+                (CAST(COALESCE(ec.e_in, 0) AS DOUBLE) / m.m
+                 - (CAST(dc.d_sum AS DOUBLE) / (2.0 * m.m))
+                   * (CAST(dc.d_sum AS DOUBLE) / (2.0 * m.m))))
+                AS BIGINT) AS c12
+    FROM dc LEFT JOIN ec ON ec.brand = dc.brand CROSS JOIN m
+),
+q AS (SELECT CAST(SUM(c12) AS BIGINT) AS qi FROM contrib)
+SELECT c.brand, c.e_in AS internal_edges, c.d_sum AS degree_sum,
+       ROUND(c.c12 / 1000000000000.0, 4) AS contrib,
+       ROUND(q.qi / 1000000000000.0, 4) AS q_total
+FROM contrib c CROSS JOIN q
+ORDER BY c.brand
+""",
+    tags=("graph", "A1", "A12"),
+)
+def q468_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand-partition modularity of the co-purchase part graph:
+    (brand, internal_edges, degree_sum, contrib, q_total)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    m = edges.agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    bmap = F.broadcast(part.select("p_partkey", "p_brand"))
+    ec = (
+        edges.join(bmap, F.col("p_partkey") == F.col("pa"))
+        .select("pa", "pb", F.col("p_brand").alias("brand_a"))
+        .join(bmap, F.col("p_partkey") == F.col("pb"))
+        .filter(F.col("brand_a") == F.col("p_brand"))
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dc = (
+        deg.join(bmap, F.col("p_partkey") == F.col("p"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(F.sum("d").alias("d_sum"))
+    )
+    mm = F.col("m").cast("double")
+    half = F.col("d_sum").cast("double") / (2.0 * mm)
+    contrib = (
+        dc.join(ec, "brand", "left")
+        .na.fill({"e_in": 0})
+        .crossJoin(F.broadcast(m))
+        .select(
+            "brand",
+            "e_in",
+            "d_sum",
+            F.round(
+                1e12 * (F.col("e_in").cast("double") / mm - half * half)
+            )
+            .cast("long")
+            .alias("c12"),
+        )
+    )
+    q = contrib.agg(F.sum("c12").cast("long").alias("qi"))
+    return (
+        contrib.crossJoin(F.broadcast(q))
+        .select(
+            "brand",
+            F.col("e_in").alias("internal_edges"),
+            F.col("d_sum").alias("degree_sum"),
+            F.round(F.col("c12") / 1e12, 4).alias("contrib"),
+            F.round(F.col("qi") / 1e12, 4).alias("q_total"),
+        )
+        .orderBy("brand")
+    )

@@ -200,6 +200,12 @@ LEDGER: dict[str, HeadroomAudit] = {
            "ok", "fu<=1e6 (round-8 coarsening from 1e9) so fu^2<=1e12; <=1e6 sources -> 1e18"),
         _a("q453_sql_unpivot", "quantity units (price cents audited separately below)", QTY, N_CORPUS,
            "ok", "SUM(l_quantity) <= 50*1e12 = 5e13; see decimal38 entry q453 note in SCALE.md for the cents leg"),
+        _a("q459_yuen_trimmed_t", "cents x kept-count trim sums (squared leg is HUGEINT/DECIMAL(38) by construction)", 100 * VALUE, N_CORPUS,
+           "ok", "sum_v v*kept_v <= max(cents)*N = 1e6*1e12 = 1e18; trim_ss accumulates v^2*kept in HUGEINT (<=1e12*1e12=1e24 < 1e38)"),
+        _a("q463_msprt", "signed cents of events.value", 100 * VALUE, N_CORPUS,
+           "ok", "1e6*1e12 = 1e18 (q446's class)"),
+        _a("q469_coral_drift", "micro-component products (HUGEINT/DECIMAL(38) accumulators by construction)", 2.8e11, N_CORPUS,
+           "decimal38", "|x|<=5.3e5 micro so x_i*x_j<=2.8e11 -> 2^62 at ~1.6e7 vectors; both engines already accumulate in DECIMAL(38)/HUGEINT (2.8e23 at 1e12 vectors < 1e38)"),
         # ---- decimal38: exceeds 2^62 before 1e12 rows ------------------
         _a("q174_rolling_correlation", "daily click x purchase count products", N_CORPUS**2, 1,
            "decimal38", "products of per-day counts: overflow once a daily count passes ~2.1e9 (sqrt 2^62)"),

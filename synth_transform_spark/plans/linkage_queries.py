@@ -269,3 +269,67 @@ def q251_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", "dist", "n_a", "n_b")
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q470 — Jaro-Winkler fuzzy-name join over the q180 blocking frame, with
+# the similarity computed by TWO INDEPENDENT IMPLEMENTATIONS: the Spark
+# side is a pure Catalyst higher-order-function expression
+# (functions/fuzzy.py:jaro_winkler_expr — no Python, no UDF), the oracle
+# side is DuckDB's built-in C++ jaro_winkler_similarity. A hash match
+# here is a genuine cross-implementation validation of the whole greedy
+# matching/transposition/prefix-boost algorithm, not a shared formula —
+# the strongest correctness tier in the registry (the q54 partial_ratio
+# family shares this property). Reference anchor: the reference's fuzzy
+# identity matching (resources.py:278,296) is ratio-threshold based; JW
+# is the industry-standard name-similarity alternative (J13/F15).
+# Parity: identical doubles (property-fuzzed bitwise on random pairs);
+# the 0.97 threshold and 4dp rounding are applied to the same values.
+# Scale: candidate pairs come from the (nation, segment) equi-join block
+# — never a cross join; the JW expression is O(len*window) JVM work per
+# pair inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+@register(
+    "q470_jaro_winkler_join",
+    oracle="""
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       ROUND(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS jw
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+ORDER BY id_a, id_b
+""",
+    tags=("linkage", "J13", "F15", "fuzzy"),
+)
+def q470_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Jaro-Winkler name join (pure Catalyst HOF expression vs
+    DuckDB's C++ builtin): (id_a, id_b, jw >= 0.97)."""
+    import pyspark.sql.functions as F
+
+    from ..functions.fuzzy import jaro_winkler_expr
+
+    customer = load_table(spark, sf_dir, "customer")
+    a = customer.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = customer.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    jw = F.expr(jaro_winkler_expr("name_a", "name_b"))
+    return (
+        a.join(b, ["nk", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jw_raw", jw)
+        .filter(F.col("jw_raw") >= 0.97)
+        .select("id_a", "id_b", F.round("jw_raw", 4).alias("jw"))
+        .orderBy("id_a", "id_b")
+    )

@@ -2554,3 +2554,190 @@ def q444_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uniformity"),
     )
     return pa.crossJoin(F.broadcast(ua))
+
+
+# ---------------------------------------------------------------------------
+# q469 — CORAL covariance-alignment drift between the even- and odd-label
+# embedding populations: the Frobenius distance between the two 16x16
+# covariance matrices, ||C_A - C_B||_F^2 / (4 d^2) — the CORrelation
+# ALignment domain-shift measure (Sun & Saenko 2016). Complements q226
+# (per-dim mean/std drift) and q397 (distributional JSD) with the
+# SECOND-moment structure read: two domains can match marginally while
+# their dim-dim correlations diverge, and CORAL is what domain-adaptation
+# pipelines minimise.
+# Spark-first shape: the 136 upper-triangle (i, j) products per vector
+# come from ONE array-lambda projection (flatten/transform — no self-
+# join, no shuffle before the keyed aggregate); the quadratic never
+# materialises beyond rows x 136 projected cells with map-side combine.
+# Parity: components frozen to 1e6 micro-units so every (g, i, j) sum is
+# an exact integer (DECIMAL(38,0)/HUGEINT: x^2 <= 2.8e11/row -> 2.8e23
+# at 1e12 vectors); cov entries and the per-cell Frobenius terms are
+# identical double expressions, each frozen to round(1e12 * w * diff^2)
+# before the 136-cell reduce. 4dp.
+# Scale: one rows x 136 projection + one (g, i, j) aggregate (272 output
+# cells), one (g, i) mean aggregate, one (g) count — all map-side
+# combined; everything downstream is grid-sized.
+# ---------------------------------------------------------------------------
+_CORAL_D = 16
+
+
+@register(
+    "q469_coral_drift",
+    oracle=f"""
+WITH base AS (
+    SELECT CAST(label % 2 AS BIGINT) AS g, embedding AS e FROM embeddings
+),
+cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY g),
+means AS (
+    SELECT g, i, CAST(SUM(CAST(ROUND(1000000.0 * e[i]) AS BIGINT))
+                      AS HUGEINT) AS si
+    FROM base, UNNEST(range(1, {_CORAL_D + 1})) AS t(i)
+    GROUP BY g, i
+),
+prods AS (
+    SELECT g, i, j,
+           CAST(SUM(CAST(ROUND(1000000.0 * e[i]) AS BIGINT)
+                    * CAST(ROUND(1000000.0 * e[j]) AS BIGINT)) AS HUGEINT)
+               AS sij
+    FROM base,
+         UNNEST(range(1, {_CORAL_D + 1})) AS t1(i),
+         UNNEST(range(1, {_CORAL_D + 1})) AS t2(j)
+    WHERE j >= i
+    GROUP BY g, i, j
+),
+cov AS (
+    SELECT p.g, p.i, p.j,
+           CAST(c.n * p.sij - ma.si * mb.si AS DOUBLE)
+           / (CAST(c.n AS DOUBLE) * c.n) / 1000000000000.0 AS cv
+    FROM prods p
+    JOIN cnt c ON c.g = p.g
+    JOIN means ma ON ma.g = p.g AND ma.i = p.i
+    JOIN means mb ON mb.g = p.g AND mb.i = p.j
+),
+wide AS (
+    SELECT i, j,
+           MAX(CASE WHEN g = 0 THEN cv END) AS ca,
+           MAX(CASE WHEN g = 1 THEN cv END) AS cb
+    FROM cov GROUP BY i, j
+),
+terms AS (
+    SELECT CAST(ROUND(1000000000000.0
+               * (CASE WHEN i < j THEN 2.0 ELSE 1.0 END)
+               * (ca - cb) * (ca - cb)) AS BIGINT) AS z
+    FROM wide
+)
+SELECT CAST({_CORAL_D} AS BIGINT) AS dims,
+       (SELECT n FROM cnt WHERE g = 0) AS n_even,
+       (SELECT n FROM cnt WHERE g = 1) AS n_odd,
+       ROUND(CAST(SUM(z) AS DOUBLE) / 1000000000000.0, 4) AS frob_sq,
+       ROUND(CAST(SUM(z) AS DOUBLE) / 1000000000000.0
+             / (4.0 * {_CORAL_D} * {_CORAL_D}), 4) AS coral_dist
+FROM terms
+""",
+    tags=("embedding", "drift", "A12"),
+)
+def q469_coral_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORAL covariance-alignment distance between even/odd-label
+    embedding populations (first 16 dims): (dims, n_even, n_odd,
+    frob_sq, coral_dist)."""
+    d = _CORAL_D
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        (F.col("label") % 2).cast("long").alias("g"),
+        F.col("embedding").alias("e"),
+    )
+    cnt = base.groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+    mean_cells = base.select(
+        "g",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {d}), i -> named_struct("
+                f"'i', i, 'x', CAST(ROUND(1000000.0 * element_at(e, i)) AS BIGINT)))"
+            )
+        ).alias("c"),
+    ).select("g", F.col("c.i").alias("i"), F.col("c.x").alias("x"))
+    means = mean_cells.groupBy("g", "i").agg(
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("si")
+    )
+    prod_cells = base.select(
+        "g",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(1, {d}), i -> "
+                f"transform(sequence(i, {d}), j -> named_struct("
+                f"'i', i, 'j', j, "
+                f"'p', CAST(ROUND(1000000.0 * element_at(e, i)) AS BIGINT)"
+                f" * CAST(ROUND(1000000.0 * element_at(e, j)) AS BIGINT)))))"
+            )
+        ).alias("c"),
+    ).select(
+        "g",
+        F.col("c.i").alias("i"),
+        F.col("c.j").alias("j"),
+        F.col("c.p").alias("p"),
+    )
+    prods = prod_cells.groupBy("g", "i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("sij")
+    )
+    ma = means.select(
+        F.col("g").alias("ga"), F.col("i").alias("mi"), F.col("si").alias("sa")
+    )
+    mb = means.select(
+        F.col("g").alias("gb"), F.col("i").alias("mj"), F.col("si").alias("sb")
+    )
+    cov = (
+        prods.join(F.broadcast(cnt), "g")
+        .join(
+            F.broadcast(ma),
+            (F.col("mi") == F.col("i")) & (F.col("ga") == F.col("g")),
+        )
+        .join(
+            F.broadcast(mb),
+            (F.col("mj") == F.col("j")) & (F.col("gb") == F.col("g")),
+        )
+        .select(
+            "g",
+            "i",
+            "j",
+            (
+                (
+                    F.col("n").cast("decimal(38,0)") * F.col("sij")
+                    - F.col("sa") * F.col("sb")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+                / 1e12
+            ).alias("cv"),
+        )
+    )
+    wide = cov.groupBy("i", "j").agg(
+        F.max(F.when(F.col("g") == 0, F.col("cv"))).alias("ca"),
+        F.max(F.when(F.col("g") == 1, F.col("cv"))).alias("cb"),
+    )
+    terms = wide.select(
+        F.round(
+            1e12
+            * F.when(F.col("i") < F.col("j"), F.lit(2.0)).otherwise(1.0)
+            * (F.col("ca") - F.col("cb"))
+            * (F.col("ca") - F.col("cb"))
+        )
+        .cast("long")
+        .alias("z")
+    )
+    n_even = cnt.filter(F.col("g") == 0).select(
+        F.col("n").alias("n_even")
+    )
+    n_odd = cnt.filter(F.col("g") == 1).select(F.col("n").alias("n_odd"))
+    return (
+        terms.agg(F.sum("z").alias("sz"))
+        .crossJoin(F.broadcast(n_even))
+        .crossJoin(F.broadcast(n_odd))
+        .select(
+            F.lit(d).cast("long").alias("dims"),
+            "n_even",
+            "n_odd",
+            F.round(F.col("sz").cast("double") / 1e12, 4).alias("frob_sq"),
+            F.round(
+                F.col("sz").cast("double") / 1e12 / (4.0 * d * d), 4
+            ).alias("coral_dist"),
+        )
+    )

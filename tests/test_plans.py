@@ -78,6 +78,7 @@ PYTHON_OK = {
     "q37_decoded_intensity",
     "q193_scene_changes",  # declared mapInPandas frame pass
     "q206_cooldown_alerts",  # declared applyInPandas sequential scan
+    "q467_zlib_quality",  # declared mapInPandas compressor stage
 } | HEAVY_EXECUTING  # ML/scoring stages are declared python by design
 
 # Theta-join pair generators are the only sanctioned nested-loop joins.
@@ -118,6 +119,9 @@ BOUNDED_WINDOW_OK = {
     "q417_binary_segmentation",  # daily relation candidate scan
     "q420_adstock",  # daily relation rank window (q341's class)
     "q393_brown_double_smoothing",  # daily relation, two SES pair joins
+    "q458_adf_test",  # daily relation lag regression (q348's class)
+    "q463_msprt",  # daily relation cumulative LR + running max
+    "q464_kpss",  # daily relation partial sums + lag moments
     # vocabulary / value-domain-bounded (collapse-first to the domain)
     "q151_zipf_fit",
     "q404_vocab_coverage",  # rank window over the vocab relation
@@ -130,6 +134,9 @@ BOUNDED_WINDOW_OK = {
     "q289_gain_chart",
     "q305_ks_test",
     "q446_wilcoxon_signed_rank",  # distinct-|d| domain (q283's class)
+    "q459_yuen_trimmed_t",  # distinct-cents domain per group (q283's class)
+    "q460_nelson_aalen",  # distinct-duration (days) domain
+    "q462_cramer_von_mises",  # distinct-cents domain (q283's class)
     "q316_average_precision",
     "q319_isotonic_calibration",  # <= 20 bins
     # top-k / survivor-bounded

@@ -1,0 +1,447 @@
+"""Independent math tests for the round-8 wave (q457-q470): every check
+recomputes the statistic from the raw parquet with numpy / pure Python /
+an independent third implementation — never the shared oracle formula —
+so a both-engines-wrong formula cannot hide behind the DuckDB gate.
+Highlights: the Jaro-Winkler Catalyst expression is property-fuzzed
+against DuckDB's C++ builtin (two independent implementations of the
+full greedy algorithm), and the zlib signal is pinned against direct
+python zlib."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from conftest import SF_DIR
+
+
+def _events():
+    import pandas as pd
+
+    return pd.read_parquet(SF_DIR + "/events.parquet")
+
+
+def _docs():
+    import pandas as pd
+
+    return pd.read_parquet(SF_DIR + "/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# q457 Cronbach's alpha vs the direct item-matrix formula (numpy, ddof=0).
+# ---------------------------------------------------------------------------
+def test_cronbach_matches_item_matrix(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q457_cronbach_alpha"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    ev = ev.assign(c=(100.0 * ev["value"]).round())
+    mat = ev.pivot_table(
+        index="user_id", columns="event_type", values="c",
+        aggfunc="sum", fill_value=0.0,
+    )
+    k = mat.shape[1]
+    item_vars = mat.to_numpy().var(axis=0, ddof=0).sum()
+    total_var = mat.sum(axis=1).to_numpy().var(ddof=0)
+    alpha = k / (k - 1) * (1 - item_vars / total_var)
+    assert got["n_users"] == len(mat)
+    assert got["k_items"] == k
+    assert got["alpha"] == pytest.approx(alpha, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q458 ADF: gamma and its t statistic via numpy lstsq + (X'X)^-1 — the
+# textbook OLS covariance route, independent of the Cramer closed form.
+# ---------------------------------------------------------------------------
+def test_adf_matches_lstsq(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q458_adf_test"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    y = ev.groupby(ev["ts"].dt.floor("D")).size().sort_index().to_numpy(float)
+    dy = np.diff(y)
+    w, u, v = dy[1:], y[1:-1], dy[:-1]
+    n = len(w)
+    X = np.column_stack([np.ones(n), u, v])
+    coef, rss, *_ = np.linalg.lstsq(X, w, rcond=None)
+    s2 = rss[0] / (n - 3)
+    cov = s2 * np.linalg.inv(X.T @ X)
+    assert got["n"] == n
+    assert got["gamma"] == pytest.approx(coef[1], abs=2e-4)
+    assert got["b_dlag"] == pytest.approx(coef[2], abs=2e-4)
+    assert got["t_adf"] == pytest.approx(coef[1] / math.sqrt(cov[1, 1]), abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q459 Yuen: trimmed means / winsorized variances via SORTED-SLICE numpy —
+# the rank definition the frequency-domain clamps must reproduce.
+# ---------------------------------------------------------------------------
+def test_yuen_matches_sorted_slices(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q459_yuen_trimmed_t"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"]
+    day = p["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 86400
+    weekend = ((day + 3) % 7) >= 5
+    out = {}
+    for label, mask in (("wd", ~weekend), ("we", weekend)):
+        x = np.sort((100.0 * p.loc[mask, "value"]).round().to_numpy())
+        n = len(x)
+        k = n // 5
+        h = n - 2 * k
+        tmean = x[k : n - k].mean() / 100.0
+        ywin = x.copy()
+        ywin[:k] = x[k]
+        ywin[n - k :] = x[n - k - 1]
+        s2w = ywin.var(ddof=1)
+        out[label] = (n, h, tmean, s2w * (n - 1) / (h * (h - 1)) / 1e4)
+    assert got["n_wd"] == out["wd"][0] and got["n_we"] == out["we"][0]
+    assert got["h_wd"] == out["wd"][1] and got["h_we"] == out["we"][1]
+    assert got["tmean_wd"] == pytest.approx(out["wd"][2], abs=2e-4)
+    assert got["tmean_we"] == pytest.approx(out["we"][2], abs=2e-4)
+    d1, d2 = out["wd"][3], out["we"][3]
+    t = (out["wd"][2] - out["we"][2]) / math.sqrt(d1 + d2)
+    df = (d1 + d2) ** 2 / (d1**2 / (out["wd"][1] - 1) + d2**2 / (out["we"][1] - 1))
+    assert got["t_yuen"] == pytest.approx(t, abs=2e-3)
+    assert got["df"] == pytest.approx(df, abs=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# q460 Nelson-Aalen: hand life-table loop over user durations.
+# ---------------------------------------------------------------------------
+def test_nelson_aalen_matches_hand_life_table(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["q460_nelson_aalen"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["dur"],
+    )
+    ev = _events()
+    g = ev.groupby("user_id")["ts"].agg(["min", "max"])
+    horizon = ev["ts"].max()
+    dur = ((g["max"] - g["min"]).dt.total_seconds() // 86400).astype(int)
+    churn = g["max"] <= horizon - pd.Timedelta(hours=24)
+    tab = pd.DataFrame({"dur": dur, "churn": churn})
+    H = V = 0.0
+    got_i = 0
+    for t in sorted(tab["dur"].unique()):
+        n_risk = int((tab["dur"] >= t).sum())
+        d = int(tab.loc[tab["dur"] == t, "churn"].sum())
+        if d == 0:
+            continue
+        H += round(1e8 * d / n_risk) / 1e8
+        V += round(1e12 * d / n_risk / n_risk) / 1e12
+        r = rows[got_i]
+        assert (r["dur"], r["n_risk"], r["d"]) == (t, n_risk, d)
+        assert r["na_cumhaz"] == pytest.approx(H, abs=2e-4)
+        assert r["na_var"] == pytest.approx(V, abs=2e-4)
+        got_i += 1
+    assert got_i == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# q462 CvM: direct double loop over the pooled sample (no freq domain).
+# ---------------------------------------------------------------------------
+def test_cvm_matches_direct_ecdf(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q462_cramer_von_mises"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"]
+    day = p["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 86400
+    weekend = ((day + 3) % 7) >= 5
+    x = (100.0 * p.loc[weekend, "value"]).round().to_numpy()
+    y = (100.0 * p.loc[~weekend, "value"]).round().to_numpy()
+    n1, n2 = len(x), len(y)
+    pooled = np.concatenate([x, y])
+    f = np.searchsorted(np.sort(x), pooled, side="right") / n1
+    g = np.searchsorted(np.sort(y), pooled, side="right") / n2
+    t_cvm = n1 * n2 / (n1 + n2) ** 2 * ((f - g) ** 2).sum()
+    assert (got["n_weekend"], got["n_weekday"]) == (n1, n2)
+    assert got["t_cvm"] == pytest.approx(t_cvm, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q464 KPSS: direct numpy partial sums + Bartlett long-run variance.
+# ---------------------------------------------------------------------------
+def test_kpss_matches_direct(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q464_kpss"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    x = ev.groupby(ev["ts"].dt.floor("D")).size().sort_index().to_numpy(float)
+    n = len(x)
+    e = x - x.mean()
+    s = np.cumsum(e)
+    g = [float((e[: n - l] * e[l:]).sum()) / n for l in range(5)]
+    s2 = g[0] + 2 * sum((1 - l / 5) * g[l] for l in range(1, 5))
+    eta = (s**2).sum() / n**2 / s2
+    assert got["n"] == n
+    assert got["s2_longrun"] == pytest.approx(s2, abs=2e-3)
+    assert got["kpss_level"] == pytest.approx(eta, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q461 EB shrinkage: numpy method-of-moments recompute.
+# ---------------------------------------------------------------------------
+def test_eb_shrinkage_matches_numpy(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = (
+        REGISTRY["q461_eb_shrinkage"].spark(spark, SF_DIR)
+        .toPandas()
+        .sort_values("brand")
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(SF_DIR + "/lineitem.parquet")
+    part = pd.read_parquet(SF_DIR + "/part.parquet")
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    g = (
+        j.groupby("p_brand")
+        .agg(n=("l_returnflag", "size"),
+             x=("l_returnflag", lambda s: int((s == "R").sum())))
+        .sort_index()
+    )
+    r = (g["x"] / g["n"]).to_numpy()
+    m = r.mean()
+    v = ((r - m) ** 2).mean()
+    kp = max(0.0, m * (1 - m) / v - 1.0)
+    shrunk = (g["x"].to_numpy() + kp * m) / (g["n"].to_numpy() + kp)
+    np.testing.assert_array_equal(got["n_lines"].to_numpy(), g["n"].to_numpy())
+    np.testing.assert_allclose(got["k_prior"].iloc[0], kp, atol=2e-3)
+    np.testing.assert_allclose(got["shrunk_rate"].to_numpy(), shrunk, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q465 BLEU: pure-Python Counter recompute of clipped corpus BLEU-2.
+# ---------------------------------------------------------------------------
+def test_bleu_matches_counters(spark):
+    from collections import Counter, defaultdict
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = {
+        r["source"]: r
+        for r in REGISTRY["q465_corpus_bleu"].spark(spark, SF_DIR).collect()
+    }
+    docs = _docs()
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t]
+        for r in docs.itertuples()
+    }
+    src = {r.doc_id: r.source for r in docs.itertuples()}
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0, set()])
+    for did in sorted(toks):
+        if did % 2 or did + 1 not in toks:
+            continue
+        c, r = toks[did], toks[did + 1]
+        if not c or not r or len(c) < 2 or len(r) < 2:
+            continue
+        a = agg[src[did]]
+        for n, idx in ((1, 0), (2, 3)):
+            cg = Counter(tuple(c[i : i + n]) for i in range(len(c) - n + 1))
+            rg = Counter(tuple(r[i : i + n]) for i in range(len(r) - n + 1))
+            a[idx] += sum(cg.values())          # cand total
+            a[idx + 1] += sum(rg.values())      # ref total
+            a[idx + 2] += sum(min(v, rg[g]) for g, v in cg.items())
+        a[6].add(did // 2)
+    for source, a in agg.items():
+        g = got[source]
+        p1 = a[2] / a[0]
+        p2 = a[5] / a[3]
+        bp = math.exp(min(0.0, 1.0 - a[1] / a[0]))
+        assert g["n_pairs"] == len(a[6])
+        assert (g["cand_tokens"], g["ref_tokens"]) == (a[0], a[1])
+        assert g["p1"] == pytest.approx(p1, abs=2e-4)
+        assert g["p2"] == pytest.approx(p2, abs=2e-4)
+        assert g["bleu2"] == pytest.approx(bp * math.sqrt(p1 * p2), abs=2e-4)
+    assert set(got) == set(agg)
+
+
+# ---------------------------------------------------------------------------
+# q466 G^2: Counter + math.log recompute, including the top-20 ordering.
+# ---------------------------------------------------------------------------
+def test_dunning_g2_matches_counters(spark):
+    from collections import Counter
+
+    from synth_transform_spark.plans import REGISTRY
+
+    rows = REGISTRY["q466_dunning_g2"].spark(spark, SF_DIR).collect()
+    docs = _docs()
+    bigrams = Counter()
+    for r in docs.itertuples():
+        t = [x for x in r.text.lower().split(" ") if x]
+        bigrams.update(zip(t[:-1], t[1:]))
+    left = Counter()
+    right = Counter()
+    for (w1, w2), c in bigrams.items():
+        left[w1] += c
+        right[w2] += c
+    nb = sum(bigrams.values())
+
+    def g2(w1, w2):
+        k11 = bigrams[(w1, w2)]
+        k12 = left[w1] - k11
+        k21 = right[w2] - k11
+        k22 = nb - left[w1] - right[w2] + k11
+        r1, r2 = left[w1], nb - left[w1]
+        c1, c2 = right[w2], nb - right[w2]
+        tot = 0.0
+        for k, e in ((k11, r1 * c1 / nb), (k12, r1 * c2 / nb),
+                     (k21, r2 * c1 / nb), (k22, r2 * c2 / nb)):
+            if k > 0:
+                tot += k * math.log(k / e)
+        return 2 * tot
+
+    want = sorted(
+        ((g2(w1, w2), w1, w2) for (w1, w2) in bigrams),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:20]
+    assert len(rows) == 20
+    for row, (g, w1, w2) in zip(rows, want):
+        assert (row["w1"], row["w2"]) == (w1, w2)
+        assert row["g2"] == pytest.approx(g, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q467 zlib: per-source means pinned against direct python zlib.
+# ---------------------------------------------------------------------------
+def test_zlib_quality_matches_direct(spark):
+    import zlib
+    from collections import defaultdict
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = {
+        r["source"]: r
+        for r in REGISTRY["q467_zlib_quality"].spark(spark, SF_DIR).collect()
+    }
+    sums = defaultdict(lambda: [0, 0, 0])
+    for r in _docs().itertuples():
+        raw = r.text.encode("utf-8")
+        ratio4 = round(10000.0 * len(zlib.compress(raw, 6)) / len(raw))
+        s = sums[r.source]
+        s[0] += 1
+        s[1] += ratio4
+        s[2] += ratio4 < 4000
+    assert set(got) == set(sums)
+    for source, (n, s4, hi) in sums.items():
+        g = got[source]
+        assert g["n_docs"] == n
+        assert g["mean_ratio"] == pytest.approx(s4 / n / 1e4, abs=2e-4)
+        assert g["pct_high_compress"] == pytest.approx(hi / n, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q468 modularity: set-based recompute of Q over the co-purchase graph.
+# ---------------------------------------------------------------------------
+def test_modularity_matches_sets(spark):
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    rows = REGISTRY["q468_modularity"].spark(spark, SF_DIR).collect()
+    li = pd.read_parquet(SF_DIR + "/lineitem.parquet")
+    part = pd.read_parquet(SF_DIR + "/part.parquet")
+    brand = dict(zip(part["p_partkey"], part["p_brand"]))
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    m = len(edges)
+    deg = Counter()
+    e_in = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+        if brand[a] == brand[b]:
+            e_in[brand[a]] += 1
+    d_sum = defaultdict(int)
+    for p, d in deg.items():
+        d_sum[brand[p]] += d
+    q_total = sum(
+        e_in[c] / m - (d_sum[c] / (2 * m)) ** 2 for c in d_sum
+    )
+    for r in rows:
+        c = r["brand"]
+        assert r["internal_edges"] == e_in[c]
+        assert r["degree_sum"] == d_sum[c]
+        assert r["contrib"] == pytest.approx(
+            e_in[c] / m - (d_sum[c] / (2 * m)) ** 2, abs=2e-4
+        )
+        assert r["q_total"] == pytest.approx(q_total, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q469 CORAL: numpy covariance recompute (unfrozen floats).
+# ---------------------------------------------------------------------------
+def test_coral_matches_numpy(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q469_coral_drift"].spark(spark, SF_DIR).collect()[0]
+    emb = pd.read_parquet(SF_DIR + "/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy())[:, :16].astype(float)
+    g = (emb["label"].to_numpy() % 2).astype(int)
+    covs = []
+    for grp in (0, 1):
+        M = X[g == grp]
+        covs.append(np.cov(M, rowvar=False, ddof=0))
+    diff = covs[0] - covs[1]
+    frob = float((diff**2).sum())
+    assert (got["n_even"], got["n_odd"]) == (int((g == 0).sum()), int((g == 1).sum()))
+    assert got["frob_sq"] == pytest.approx(frob, abs=2e-4)
+    assert got["coral_dist"] == pytest.approx(frob / (4 * 16 * 16), abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q470 Jaro-Winkler: the Catalyst HOF expression fuzzed against DuckDB's
+# C++ builtin on random pairs (two INDEPENDENT implementations of the
+# greedy matching + transposition + prefix-boost algorithm), plus the
+# textbook pinned values.
+# ---------------------------------------------------------------------------
+def test_jaro_winkler_expr_matches_duckdb_fuzz(spark):
+    import random
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from synth_transform_spark.functions.fuzzy import jaro_winkler_expr
+
+    rng = random.Random(8)
+    rows = [
+        (
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 14))),
+            "".join(rng.choice("abcde") for _ in range(rng.randint(1, 14))),
+        )
+        for _ in range(500)
+    ] + [("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+         ("CRATE", "TRACE"), ("abc", "abc"), ("a", "b")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        "a", "b", F.expr(jaro_winkler_expr("a", "b")).alias("jw")
+    ).collect()
+    con = duckdb.connect()
+    for r in got:
+        want = con.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [r["a"], r["b"]]
+        ).fetchone()[0]
+        assert r["jw"] == pytest.approx(want, abs=1e-12), (r["a"], r["b"])
+    pinned = {("MARTHA", "MARHTA"): 0.9611111111111111,
+              ("DWAYNE", "DUANE"): 0.84,
+              ("DIXON", "DICKSONX"): 0.8133333333333332}
+    for r in got:
+        if (r["a"], r["b"]) in pinned:
+            assert r["jw"] == pytest.approx(pinned[(r["a"], r["b"])], abs=1e-9)
