@@ -3431,3 +3431,157 @@ def q468_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q480 — rich-club coefficient of the co-purchase part graph: for degree
+# thresholds k in {2, 4, 8}, the edge density among the nodes with
+# degree > k, phi(k) = 2 E_k / (N_k (N_k - 1)). Rising phi(k) = hub
+# parts preferentially co-purchased with other hubs — the "rich club"
+# read that q346's single assortativity number summarises away.
+# Parity: N_k / E_k are exact integers from the same edge relation as
+# q468; phi is one double ratio per threshold row. 4dp.
+# Scale: q468's bounded per-order self-join + one DISTINCT edge shuffle;
+# degrees join back on the edge's own keys; the threshold grid is a
+# 3-row literal broadcast.
+# ---------------------------------------------------------------------------
+@register(
+    "q480_rich_club",
+    oracle="""
+WITH edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+    SELECT p, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT pa AS p FROM edges UNION ALL SELECT pb FROM edges) u
+    GROUP BY p
+),
+ks AS (SELECT UNNEST([2, 4, 8]) AS k),
+nodes AS (
+    SELECT k.k, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg CROSS JOIN ks k WHERE deg.d > k.k GROUP BY k.k
+),
+rich_edges AS (
+    SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_k
+    FROM edges e
+    JOIN deg da ON da.p = e.pa
+    JOIN deg db ON db.p = e.pb
+    CROSS JOIN ks k
+    WHERE da.d > k.k AND db.d > k.k
+    GROUP BY k.k
+)
+SELECT CAST(n.k AS BIGINT) AS k, n.n_nodes, COALESCE(r.e_k, 0) AS e_k,
+       ROUND(2.0 * COALESCE(r.e_k, 0)
+             / (CAST(n.n_nodes AS DOUBLE) * (n.n_nodes - 1)), 4) AS phi
+FROM nodes n LEFT JOIN rich_edges r ON r.k = n.k
+WHERE n.n_nodes > 1
+ORDER BY k
+""",
+    tags=("graph", "A1", "A12"),
+)
+def q480_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficients of the co-purchase part graph:
+    (k, n_nodes, e_k, phi)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    a = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = lineitem.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    edges = (
+        a.join(b, "ok").filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("pa").alias("p"))
+        .unionAll(edges.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ks = lineitem.sparkSession.createDataFrame(
+        [(2,), (4,), (8,)], "k long"
+    )
+    nodes = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    da = deg.select(F.col("p").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("p").alias("pb"), F.col("d").alias("db"))
+    rich = (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .crossJoin(F.broadcast(ks))
+        .filter((F.col("da") > F.col("k")) & (F.col("db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("e_k"))
+    )
+    return (
+        nodes.join(rich, "k", "left")
+        .na.fill({"e_k": 0})
+        .filter(F.col("n_nodes") > 1)
+        .select(
+            "k",
+            "n_nodes",
+            "e_k",
+            F.round(
+                2.0
+                * F.col("e_k")
+                / (F.col("n_nodes").cast("double") * (F.col("n_nodes") - 1)),
+                4,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q483 — SQL-defined function surface demo: the SAME scalar function body
+# is installed as a Spark SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN,
+# catalog-resolved, fully Catalyst-inlined — NOT a Python UDF) and as a
+# DuckDB MACRO, then drives a grouped rollup. Completes the q452-q454
+# SQL-surface family (GROUP BY ALL / UNPIVOT / parameterized IDENTIFIER)
+# with the "analysts ship reusable logic as SQL functions" workflow.
+# Scale: the function inlines to a CASE expression inside one map-side-
+# combined aggregate — zero runtime dispatch cost.
+# ---------------------------------------------------------------------------
+_Q483_BODY = (
+    "CASE WHEN d >= 0.06 THEN 'deep' WHEN d >= 0.03 THEN 'mid' "
+    "ELSE 'low' END"
+)
+_Q483_SELECT = """
+SELECT {fn}(l_discount) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(CAST(ROUND(100.0 * l_extendedprice) AS BIGINT))
+             / CAST(100 AS DOUBLE), 4) AS revenue
+FROM {table}
+GROUP BY band
+ORDER BY band
+"""
+
+
+@register(
+    "q483_sql_udf",
+    oracle=(
+        f"CREATE OR REPLACE MACRO q483_band(d) AS {_Q483_BODY};"
+        + _Q483_SELECT.format(fn="q483_band", table="lineitem")
+    ),
+    tags=("sql-surface", "F22", "A1"),
+)
+def q483_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band revenue rollup through a SQL-defined function
+    (Spark TEMPORARY FUNCTION vs DuckDB MACRO, same body):
+    (band, n_lines, revenue)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "q483_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION q483_band(d DOUBLE) "
+        f"RETURNS STRING RETURN {_Q483_BODY}"
+    )
+    return spark.sql(_Q483_SELECT.format(fn="q483_band", table="q483_lineitem"))

@@ -1748,3 +1748,391 @@ def q445_forecast_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# q476 - Chow structural-break test on the daily purchase-spend series:
+# OLS y ~ t pooled vs split at the sample midpoint, F = ((RSS_p - RSS_1
+# - RSS_2)/2) / ((RSS_1 + RSS_2)/(n - 4)). The "did the trend change"
+# gate that tells q433/q477's forecasters whether one regime fits —
+# complements q417 (binary segmentation finds WHERE; Chow tests a
+# declared break) and q284 (diff-in-diff needs a control; Chow doesn't).
+# Parity: raw moments (St, Stt, Sy, Sty, Syy) per segment are exact
+# integers in DECIMAL(38,0)/HUGEINT; each RSS is one fixed double
+# expression (Cyy - Cxy^2/Cxx on centered doubles). 4dp.
+# Scale: one corpus aggregate to the calendar-bounded daily relation;
+# segment moments are one conditional aggregate over it.
+# --------------------------------------------------------------------------
+@register(
+    "q476_chow_test",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(SUM(CAST(ROUND(100.0 * value) AS BIGINT)) AS BIGINT) AS y
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+ranked AS (
+    SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(COUNT(*) // 2 AS BIGINT) AS tau FROM ranked),
+moms AS (
+    SELECT CASE WHEN r.t <= nn.tau THEN 1 ELSE 2 END AS seg,
+           CAST(COUNT(*) AS BIGINT) AS ns,
+           CAST(SUM(r.t) AS HUGEINT) AS st,
+           CAST(SUM(CAST(r.t AS HUGEINT) * r.t) AS HUGEINT) AS stt,
+           CAST(SUM(CAST(r.y AS HUGEINT)) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(r.t AS HUGEINT) * r.y) AS HUGEINT) AS sty,
+           CAST(SUM(CAST(r.y AS HUGEINT) * r.y) AS HUGEINT) AS syy
+    FROM ranked r CROSS JOIN nn GROUP BY 1
+),
+rss AS (
+    SELECT seg, ns,
+           (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / ns)
+           - (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / ns)
+             * (CAST(sty AS DOUBLE) - CAST(st AS DOUBLE) * sy / ns)
+             / (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) * st / ns) AS r
+    FROM moms
+),
+pooled AS (
+    SELECT CAST(SUM(ns) AS BIGINT) AS n,
+           (CAST(SUM(syy) AS DOUBLE)
+            - CAST(SUM(sy) AS DOUBLE) * SUM(sy) / SUM(ns))
+           - (CAST(SUM(sty) AS DOUBLE)
+              - CAST(SUM(st) AS DOUBLE) * SUM(sy) / SUM(ns))
+             * (CAST(SUM(sty) AS DOUBLE)
+                - CAST(SUM(st) AS DOUBLE) * SUM(sy) / SUM(ns))
+             / (CAST(SUM(stt) AS DOUBLE)
+                - CAST(SUM(st) AS DOUBLE) * SUM(st) / SUM(ns)) AS rp
+    FROM moms
+)
+SELECT p.n, nn.tau AS break_t,
+       ROUND(p.rp, 4) AS rss_pooled,
+       ROUND(r1.r + r2.r, 4) AS rss_split,
+       ROUND(((p.rp - r1.r - r2.r) / 2.0)
+             / ((r1.r + r2.r) / (p.n - 4)), 4) AS f_chow
+FROM pooled p
+CROSS JOIN nn
+CROSS JOIN (SELECT r FROM rss WHERE seg = 1) r1
+CROSS JOIN (SELECT r FROM rss WHERE seg = 2) r2
+""",
+    tags=("timeseries", "A12"),
+)
+def q476_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow break test at the midpoint of the daily purchase-spend
+    series: (n, break_t, rss_pooled, rss_split, f_chow)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.round(100.0 * F.col("value")).cast("long")).alias("y"))
+    )
+    ranked = daily.select(
+        "y", F.row_number().over(Window.orderBy("day")).cast("long").alias("t")
+    )
+    nn = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("tau"),
+    )
+    dec = "decimal(38,0)"
+    moms = (
+        ranked.crossJoin(F.broadcast(nn))
+        .groupBy(
+            F.when(F.col("t") <= F.col("tau"), 1).otherwise(2).alias("seg")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(F.col("t").cast(dec)).alias("st"),
+            F.sum(F.col("t").cast(dec) * F.col("t")).alias("stt"),
+            F.sum(F.col("y").cast(dec)).alias("sy"),
+            F.sum(F.col("t").cast(dec) * F.col("y")).alias("sty"),
+            F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+        )
+    )
+
+    def rss_expr(st, stt, sy, sty, syy, ns):
+        cyy = syy.cast("double") - sy.cast("double") * sy / ns
+        cxy = sty.cast("double") - st.cast("double") * sy / ns
+        cxx = stt.cast("double") - st.cast("double") * st / ns
+        return cyy - cxy * cxy / cxx
+
+    rss = moms.select(
+        "seg",
+        "ns",
+        rss_expr(
+            F.col("st"), F.col("stt"), F.col("sy"), F.col("sty"),
+            F.col("syy"), F.col("ns"),
+        ).alias("r"),
+    )
+    pooled = moms.agg(
+        F.sum("ns").alias("n"),
+        rss_expr(
+            F.sum("st"), F.sum("stt"), F.sum("sy"), F.sum("sty"),
+            F.sum("syy"), F.sum("ns"),
+        ).alias("rp"),
+    )
+    r1 = rss.filter(F.col("seg") == 1).select(F.col("r").alias("r1"))
+    r2 = rss.filter(F.col("seg") == 2).select(F.col("r").alias("r2"))
+    return (
+        pooled.crossJoin(F.broadcast(nn.select("tau")))
+        .crossJoin(F.broadcast(r1))
+        .crossJoin(F.broadcast(r2))
+        .select(
+            "n",
+            F.col("tau").alias("break_t"),
+            F.round("rp", 4).alias("rss_pooled"),
+            F.round(F.col("r1") + F.col("r2"), 4).alias("rss_split"),
+            F.round(
+                ((F.col("rp") - F.col("r1") - F.col("r2")) / 2.0)
+                / ((F.col("r1") + F.col("r2")) / (F.col("n") - 4)),
+                4,
+            ).alias("f_chow"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q477 - classic Theta-method forecast (Assimakopoulos & Nikolopoulos
+# 2000, the M3 competition winner) on the daily event-count series:
+# average of the theta=0 line (pure linear trend) and SES(alpha=1/2) on
+# the theta=2 line (2*x_t - trend_t). The "embarrassingly hard to beat"
+# statistical baseline next to q341 (SES), q393 (Holt), q433 (HW).
+# Parity: the linear fit comes from exact integer moments; each SES term
+# round(1e6 * z_k * 0.5^(n-k+1)) is an exact integer (dyadic weights are
+# exact doubles; identical products both engines) so the weighted sum is
+# order-free; forecasts are one double expression per horizon. Weights
+# below 2^-60 underflow the 1e6 grid to 0 — the documented SES horizon
+# cutoff (q341's class). 4dp.
+# Scale: one corpus aggregate to the daily relation; one 1-row moment
+# broadcast; a 7-row literal horizon grid.
+# --------------------------------------------------------------------------
+@register(
+    "q477_theta_forecast",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+mom AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS st,
+           CAST(SUM(t * t) AS HUGEINT) AS stt,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(t * x) AS HUGEINT) AS stx
+    FROM ranked
+),
+fit AS (
+    SELECT n, st, sx,
+           (CAST(n AS DOUBLE) * CAST(stx AS DOUBLE)
+            - CAST(st AS DOUBLE) * sx)
+           / (CAST(n AS DOUBLE) * CAST(stt AS DOUBLE)
+              - CAST(st AS DOUBLE) * st) AS b
+    FROM mom
+),
+ab AS (
+    SELECT n, b, (CAST(sx AS DOUBLE) - b * st) / n AS a FROM fit
+),
+ses AS (
+    SELECT CAST(SUM(CAST(ROUND(1000000.0
+                * (2.0 * r.x - (ab.a + ab.b * r.t))
+                * CASE WHEN r.t = 1 THEN POW(0.5, ab.n - 1)
+                       ELSE POW(0.5, ab.n - r.t + 1) END) AS BIGINT))
+                AS BIGINT) AS l6
+    FROM ranked r CROSS JOIN ab
+)
+SELECT CAST(h.h AS BIGINT) AS h,
+       ROUND(0.5 * (s.l6 / 1000000.0)
+             + 0.5 * (ab.a + ab.b * (ab.n + h.h)), 4) AS forecast
+FROM (SELECT UNNEST(range(1, 8)) AS h) h
+CROSS JOIN ses s CROSS JOIN ab
+ORDER BY h
+""",
+    tags=("timeseries", "forecast", "A12"),
+)
+def q477_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-method 7-day forecast of daily event counts:
+    (h, forecast)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    ranked = daily.select(
+        "x", F.row_number().over(Window.orderBy("day")).cast("long").alias("t")
+    )
+    dec = "decimal(38,0)"
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum(F.col("t").cast(dec) * F.col("t")).alias("stt"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("t").cast(dec) * F.col("x")).alias("stx"),
+    )
+    b = (
+        F.col("n").cast("double") * F.col("stx").cast("double")
+        - F.col("st").cast("double") * F.col("sx")
+    ) / (
+        F.col("n").cast("double") * F.col("stt").cast("double")
+        - F.col("st").cast("double") * F.col("st")
+    )
+    ab = mom.select(
+        "n",
+        b.alias("b"),
+        ((F.col("sx").cast("double") - b * F.col("st")) / F.col("n")).alias(
+            "a"
+        ),
+    )
+    z = 2.0 * F.col("x") - (F.col("a") + F.col("b") * F.col("t"))
+    wgt = F.when(
+        F.col("t") == 1, F.pow(F.lit(0.5), F.col("n") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("n") - F.col("t") + 1))
+    ses = (
+        ranked.crossJoin(F.broadcast(ab))
+        .agg(F.sum(F.round(1e6 * z * wgt).cast("long")).alias("l6"))
+    )
+    hgrid = ranked.sparkSession.range(1, 8).select(
+        F.col("id").cast("long").alias("h")
+    )
+    return (
+        hgrid.crossJoin(F.broadcast(ses))
+        .crossJoin(F.broadcast(ab))
+        .select(
+            "h",
+            F.round(
+                0.5 * (F.col("l6") / 1e6)
+                + 0.5 * (F.col("a") + F.col("b") * (F.col("n") + F.col("h"))),
+                4,
+            ).alias("forecast"),
+        )
+        .orderBy("h")
+    )
+
+
+# --------------------------------------------------------------------------
+# q478 - Croston's method for intermittent demand (Croston 1972, the
+# estimator of record for sparse spare-parts-style series): daily
+# shipped quantity of one brand, SES(alpha=1/2) separately on the
+# NONZERO demand sizes and on the inter-demand intervals; the demand
+# rate forecast is z_hat / p_hat. The intermittent-series gap in the
+# q341/q393/q433/q477 smoothing family — plain SES on a zero-heavy
+# series lags badly after each demand spike.
+# Parity: demand days and sizes are exact integers; both SES sums use
+# the q477 frozen dyadic-weight trick (round(1e6 * v * 0.5^(m-j+1)),
+# order-free); the rate is one double ratio. 4dp.
+# Scale: one (brand-filtered) day aggregate; occurrence indexing is a
+# window on the demand-day relation (calendar-bounded).
+# --------------------------------------------------------------------------
+_CROSTON_BRAND = "Brand#13"
+
+
+@register(
+    "q478_croston",
+    oracle=f"""
+WITH demand AS (
+    SELECT CAST(FLOOR(EPOCH(l.l_shipdate)) AS BIGINT) // 86400 AS d,
+           CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS z
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{_CROSTON_BRAND}'
+    GROUP BY 1
+),
+span AS (
+    SELECT MIN(d) AS d0, MAX(d) AS d1, CAST(COUNT(*) AS BIGINT) AS m
+    FROM demand
+),
+occ AS (
+    SELECT z, d - s.d0 + 1 AS di,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS j,
+           s.m
+    FROM demand CROSS JOIN span s
+),
+iv AS (
+    SELECT z, j, m,
+           di - COALESCE(LAG(di) OVER (ORDER BY j), 0) AS p
+    FROM occ
+),
+ses AS (
+    SELECT CAST(SUM(CAST(ROUND(1000000.0 * z
+                * CASE WHEN j = 1 THEN POW(0.5, m - 1)
+                       ELSE POW(0.5, m - j + 1) END) AS BIGINT))
+                AS BIGINT) AS z6,
+           CAST(SUM(CAST(ROUND(1000000.0 * p
+                * CASE WHEN j = 1 THEN POW(0.5, m - 1)
+                       ELSE POW(0.5, m - j + 1) END) AS BIGINT))
+                AS BIGINT) AS p6
+    FROM iv
+)
+SELECT s.d1 - s.d0 + 1 AS n_days_span, s.m AS n_demand_days,
+       ROUND(e.z6 / 1000000.0, 4) AS z_hat,
+       ROUND(e.p6 / 1000000.0, 4) AS p_hat,
+       ROUND(CAST(e.z6 AS DOUBLE) / e.p6, 4) AS croston_rate
+FROM ses e CROSS JOIN span s
+""",
+    tags=("timeseries", "forecast", "A12", "W2"),
+)
+def q478_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast for one brand's daily
+    shipped quantity: (n_days_span, n_demand_days, z_hat, p_hat,
+    croston_rate)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    demand = (
+        lineitem.join(
+            F.broadcast(
+                part.filter(F.col("p_brand") == _CROSTON_BRAND).select(
+                    "p_partkey"
+                )
+            ),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            # l_shipdate is TIMESTAMP_NTZ (tz-free): naive epoch-day ==
+            # days since 1970-01-01, matching the oracle's EPOCH // 86400
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1970-01-01")
+            )
+            .cast("long")
+            .alias("d")
+        )
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("z"))
+    )
+    span = demand.agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    occ = demand.crossJoin(F.broadcast(span)).select(
+        "z",
+        (F.col("d") - F.col("d0") + 1).alias("di"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("j"),
+        "m",
+    )
+    iv = occ.select(
+        "z",
+        "j",
+        "m",
+        (
+            F.col("di")
+            - F.coalesce(F.lag("di").over(Window.orderBy("j")), F.lit(0))
+        ).alias("p"),
+    )
+    wgt = F.when(
+        F.col("j") == 1, F.pow(F.lit(0.5), F.col("m") - 1)
+    ).otherwise(F.pow(F.lit(0.5), F.col("m") - F.col("j") + 1))
+    ses = iv.agg(
+        F.sum(F.round(1e6 * F.col("z") * wgt).cast("long")).alias("z6"),
+        F.sum(F.round(1e6 * F.col("p") * wgt).cast("long")).alias("p6"),
+    )
+    return ses.crossJoin(F.broadcast(span)).select(
+        (F.col("d1") - F.col("d0") + 1).alias("n_days_span"),
+        F.col("m").alias("n_demand_days"),
+        F.round(F.col("z6") / 1e6, 4).alias("z_hat"),
+        F.round(F.col("p6") / 1e6, 4).alias("p_hat"),
+        F.round(F.col("z6").cast("double") / F.col("p6"), 4).alias(
+            "croston_rate"
+        ),
+    )

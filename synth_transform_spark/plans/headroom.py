@@ -206,7 +206,19 @@ LEDGER: dict[str, HeadroomAudit] = {
            "ok", "1e6*1e12 = 1e18 (q446's class)"),
         _a("q469_coral_drift", "micro-component products (HUGEINT/DECIMAL(38) accumulators by construction)", 2.8e11, N_CORPUS,
            "decimal38", "|x|<=5.3e5 micro so x_i*x_j<=2.8e11 -> 2^62 at ~1.6e7 vectors; both engines already accumulate in DECIMAL(38)/HUGEINT (2.8e23 at 1e12 vectors < 1e38)"),
+        _a("q475_breslow_day", "1e6-frozen per-stratum MH terms a*d/n <= N/4", 1e6 * N_CORPUS / 4, 7,
+           "ok", "<=7 ship-year strata x 1e6*N/4 = 1.75e18 (38% margin; lower the freeze to 1e4 beyond 1e12 lines)"),
+        _a("q476_chow_test", "daily purchase cents", 100 * VALUE, N_CORPUS,
+           "ok", "1e6*1e12 = 1e18 (q446's class); t/y cross moments accumulate in HUGEINT/DECIMAL(38)"),
+        _a("q478_croston", "daily quantity sums + telescoping dyadic SES terms", 1.0e6 * 50, N_CORPUS / DAYS,
+           "ok", "sum qty <= 50*N = 5e13; SES terms <= 1e6*max daily z ~ 1.25e16 (q341's telescoping bound)"),
         # ---- decimal38: exceeds 2^62 before 1e12 rows ------------------
+        _a("q471_ansari_bradley", "1e8-frozen block score sums (a8 <= 1e8*N^2/2; q8 <= 1e8*N^3/4)", 5e7 * N_CORPUS**2, 1,
+           "decimal38", "a8 passes 2^62 at ~1e6 purchase rows -> promote to DECIMAL(38) (holds q8 to ~1.6e10 rows; beyond, lower the 1e8 freeze grid)"),
+        _a("q477_theta_forecast", "t*x daily cross moments (HUGEINT/DECIMAL(38) accumulators by construction)", DAYS * N_CORPUS, DAYS,
+           "decimal38", "t*x <= 4e3*1e12 per day over 4e3 days = 1.6e19 > 2^62; both engines already accumulate in DECIMAL(38)/HUGEINT"),
+        _a("q483_sql_udf", "extendedprice cents", 100 * PRICE_L, N_CORPUS,
+           "decimal38", "1.2e7 per row -> 2^62 at ~3.8e11 lineitems (q453's cents leg class)"),
         _a("q174_rolling_correlation", "daily click x purchase count products", N_CORPUS**2, 1,
            "decimal38", "products of per-day counts: overflow once a daily count passes ~2.1e9 (sqrt 2^62)"),
         _a("q220_seasonal_decompose", "1e4-frozen events.value", 1.0e8, N_CORPUS,

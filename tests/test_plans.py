@@ -122,6 +122,10 @@ BOUNDED_WINDOW_OK = {
     "q458_adf_test",  # daily relation lag regression (q348's class)
     "q463_msprt",  # daily relation cumulative LR + running max
     "q464_kpss",  # daily relation partial sums + lag moments
+    "q473_runs_test",  # daily relation lag compare
+    "q476_chow_test",  # daily relation rank index
+    "q477_theta_forecast",  # daily relation rank index
+    "q478_croston",  # demand-day relation (calendar-bounded) occurrence index
     # vocabulary / value-domain-bounded (collapse-first to the domain)
     "q151_zipf_fit",
     "q404_vocab_coverage",  # rank window over the vocab relation
@@ -137,6 +141,9 @@ BOUNDED_WINDOW_OK = {
     "q459_yuen_trimmed_t",  # distinct-cents domain per group (q283's class)
     "q460_nelson_aalen",  # distinct-duration (days) domain
     "q462_cramer_von_mises",  # distinct-cents domain (q283's class)
+    "q471_ansari_bradley",  # distinct-cents domain (q283's class)
+    "q472_jonckheere_terpstra",  # distinct-cents domain (q283's class)
+    "q481_mood_median",  # distinct-cents domain (q283's class)
     "q316_average_precision",
     "q319_isotonic_calibration",  # <= 20 bins
     # top-k / survivor-bounded

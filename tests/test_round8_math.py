@@ -23,6 +23,11 @@ def _events():
     return pd.read_parquet(SF_DIR + "/events.parquet")
 
 
+def _daily_counts():
+    ev = _events()
+    return ev.groupby(ev["ts"].dt.floor("D")).size().sort_index().to_numpy(float)
+
+
 def _docs():
     import pandas as pd
 
@@ -445,3 +450,424 @@ def test_jaro_winkler_expr_matches_duckdb_fuzz(spark):
     for r in got:
         if (r["a"], r["b"]) in pinned:
             assert r["jw"] == pytest.approx(pinned[(r["a"], r["b"])], abs=1e-9)
+
+
+# ===========================================================================
+# Second round-8 wave (q471-q483): independent recomputations.
+# ===========================================================================
+def _purchase_groups():
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"]
+    day = p["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 86400
+    weekend = ((day + 3) % 7) >= 5
+    x = (100.0 * p.loc[weekend, "value"]).round().to_numpy()
+    y = (100.0 * p.loc[~weekend, "value"]).round().to_numpy()
+    return x, y
+
+
+def _tie_ranks(vals):
+    order = np.argsort(vals, kind="stable")
+    ranks = np.empty(len(vals), float)
+    sv = vals[order]
+    i = 0
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# q471 Ansari-Bradley: per-observation both-end scores with tie-averaging
+# (a direct rank construction, not the closed-form block sums).
+# ---------------------------------------------------------------------------
+def test_ansari_matches_direct_scores(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q471_ansari_bradley"].spark(spark, SF_DIR).collect()[0]
+    x, y = _purchase_groups()
+    pooled = np.concatenate([x, y])
+    n = len(pooled)
+    order = np.argsort(pooled, kind="stable")
+    raw = np.minimum(np.arange(1, n + 1), n + 1 - np.arange(1, n + 1))
+    scores = np.empty(n, float)
+    sv = pooled[order]
+    i = 0
+    while i < n:
+        j = i
+        while j < n and sv[j] == sv[i]:
+            j += 1
+        scores[order[i:j]] = raw[i:j].mean()
+        i = j
+    a = scores[: len(x)].sum()
+    sa, sa2 = scores.sum(), (scores**2).sum()
+    n1, n2 = len(x), len(y)
+    ea = n1 * sa / n
+    var = n1 * n2 * (n * sa2 - sa**2) / (n**2 * (n - 1))
+    assert (got["n_weekend"], got["n_weekday"]) == (n1, n2)
+    assert got["ab_stat"] == pytest.approx(a, abs=2e-3)
+    assert got["z"] == pytest.approx((a - ea) / math.sqrt(var), abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q472 Jonckheere-Terpstra: direct pairwise Mann-Whitney counts.
+# ---------------------------------------------------------------------------
+def test_jt_matches_pairwise(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q472_jonckheere_terpstra"].spark(spark, SF_DIR).collect()[0]
+    od = pd.read_parquet(SF_DIR + "/orders.parquet")
+    od = od.assign(v=(100.0 * od["o_totalprice"]).round())
+    prios = sorted(od["o_orderpriority"].unique())
+    groups = [od.loc[od["o_orderpriority"] == p, "v"].to_numpy() for p in prios]
+    jt2 = 0
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            lt = (groups[i][:, None] < groups[j][None, :]).sum()
+            eq = (groups[i][:, None] == groups[j][None, :]).sum()
+            jt2 += 2 * int(lt) + int(eq)
+    ns = [len(g) for g in groups]
+    n = sum(ns)
+    mean = (n * n - sum(k * k for k in ns)) / 4.0
+    var = (n * n * (2 * n + 3) - sum(k * k * (2 * k + 3) for k in ns)) / 72.0
+    assert got["n"] == n
+    assert got["jt2"] == jt2
+    assert got["z"] == pytest.approx(
+        (jt2 / 2.0 - mean) / math.sqrt(var), abs=2e-4
+    )
+
+
+# ---------------------------------------------------------------------------
+# q473 runs test: direct loop.
+# ---------------------------------------------------------------------------
+def test_runs_matches_loop(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q473_runs_test"].spark(spark, SF_DIR).collect()[0]
+    xs = _daily_counts()
+    med = float(np.percentile(xs, 50, method="linear"))
+    b = xs > med
+    runs = 1 + int((b[1:] != b[:-1]).sum())
+    n1, n2 = int(b.sum()), int((~b).sum())
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert (got["n_above"], got["n_below"], got["runs"]) == (n1, n2, runs)
+    assert got["z"] == pytest.approx((runs - mu) / math.sqrt(var), abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q474 D'Agostino: numpy central moments from the raw values.
+# ---------------------------------------------------------------------------
+def test_dagostino_matches_numpy_moments(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q474_dagostino_k2"].spark(spark, SF_DIR).collect()[0]
+    x, y = _purchase_groups()
+    v = np.concatenate([x, y])
+    n = len(v)
+    c = v - v.mean()
+    m2, m3, m4 = (c**2).mean(), (c**3).mean(), (c**4).mean()
+    g1 = m3 / m2**1.5
+    g2 = m4 / m2**2
+    yv = g1 * math.sqrt((n + 1) * (n + 3) / (6.0 * (n - 2)))
+    b2 = 3.0 * (n * n + 27 * n - 70) * (n + 1) * (n + 3) / (
+        (n - 2.0) * (n + 5) * (n + 7) * (n + 9)
+    )
+    w2 = math.sqrt(2 * (b2 - 1)) - 1
+    delta = 1 / math.sqrt(math.log(math.sqrt(w2)))
+    alpha = math.sqrt(2 / (w2 - 1))
+    z1 = delta * math.log(yv / alpha + math.sqrt((yv / alpha) ** 2 + 1))
+    eg = 3.0 * (n - 1) / (n + 1)
+    vg = 24.0 * n * (n - 2) * (n - 3) / ((n + 1) ** 2 * (n + 3) * (n + 5))
+    xx = (g2 - eg) / math.sqrt(vg)
+    b1 = (
+        6.0 * (n * n - 5 * n + 2) / ((n + 7) * (n + 9))
+        * math.sqrt(6.0 * (n + 3) * (n + 5) / (n * (n - 2) * (n - 3)))
+    )
+    a = 6.0 + 8.0 / b1 * (2.0 / b1 + math.sqrt(1 + 4.0 / b1**2))
+    z2 = (
+        (1 - 2.0 / (9 * a))
+        - ((1 - 2.0 / a) / (1 + xx * math.sqrt(2.0 / (a - 4)))) ** (1.0 / 3)
+    ) / math.sqrt(2.0 / (9 * a))
+    assert got["n"] == n
+    assert got["skew_g1"] == pytest.approx(g1, abs=2e-4)
+    assert got["kurt_g2"] == pytest.approx(g2, abs=2e-4)
+    assert got["z_skew"] == pytest.approx(z1, abs=2e-3)
+    assert got["z_kurt"] == pytest.approx(z2, abs=2e-3)
+    assert got["k2"] == pytest.approx(z1**2 + z2**2, abs=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# q475 Breslow-Day: numpy recompute + root-validity property per stratum.
+# ---------------------------------------------------------------------------
+def test_breslow_day_matches_numpy(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q475_breslow_day"].spark(spark, SF_DIR).collect()[0]
+    li = pd.read_parquet(SF_DIR + "/lineitem.parquet")
+    yr = li["l_shipdate"].dt.year
+    exp = li["l_discount"] >= 0.06
+    ret = li["l_returnflag"] == "R"
+    cells = []
+    for y in sorted(yr.unique()):
+        m = yr == y
+        a = int((m & exp & ret).sum())
+        b = int((m & exp & ~ret).sum())
+        c = int((m & ~exp & ret).sum())
+        d = int((m & ~exp & ~ret).sum())
+        cells.append((a, b, c, d))
+    num = sum(a * d / (a + b + c + d) for a, b, c, d in cells)
+    den = sum(b * c / (a + b + c + d) for a, b, c, d in cells)
+    orr = num / den
+    bd = 0.0
+    for a, b, c, d in cells:
+        n = a + b + c + d
+        r1, c1 = a + b, a + c
+        A, B, C = orr - 1, orr * (r1 + c1) + (n - r1 - c1), orr * r1 * c1
+        at = (B - math.sqrt(B * B - 4 * A * C)) / (2 * A)
+        # root validity: margins must stay positive
+        assert max(0.0, r1 + c1 - n) < at < min(r1, c1)
+        var = 1.0 / (
+            1 / at + 1 / (r1 - at) + 1 / (c1 - at) + 1 / (n - r1 - c1 + at)
+        )
+        bd += (a - at) ** 2 / var
+    assert got["k_strata"] == len(cells)
+    assert got["or_mh"] == pytest.approx(orr, abs=2e-3)
+    assert got["bd_stat"] == pytest.approx(bd, abs=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# q476 Chow: per-segment lstsq RSS.
+# ---------------------------------------------------------------------------
+def test_chow_matches_lstsq(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q476_chow_test"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"]
+    y = (
+        p.assign(c=(100.0 * p["value"]).round())
+        .groupby(p["ts"].dt.floor("D"))["c"]
+        .sum()
+        .sort_index()
+        .to_numpy(float)
+    )
+    n = len(y)
+    tau = n // 2
+    t = np.arange(1, n + 1, dtype=float)
+
+    def rss(tt, yy):
+        X = np.column_stack([np.ones(len(tt)), tt])
+        return float(np.linalg.lstsq(X, yy, rcond=None)[1][0])
+
+    rp = rss(t, y)
+    r1 = rss(t[:tau], y[:tau])
+    r2 = rss(t[tau:], y[tau:])
+    f = ((rp - r1 - r2) / 2.0) / ((r1 + r2) / (n - 4))
+    assert (got["n"], got["break_t"]) == (n, tau)
+    assert got["rss_pooled"] == pytest.approx(rp, rel=1e-6)
+    assert got["rss_split"] == pytest.approx(r1 + r2, rel=1e-6)
+    assert got["f_chow"] == pytest.approx(f, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q477 Theta: the closed-form dyadic-weight sum must equal the SES
+# RECURSION (a pure-Python fold — a different algorithm).
+# ---------------------------------------------------------------------------
+def test_theta_matches_ses_fold(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["q477_theta_forecast"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["h"],
+    )
+    xs = _daily_counts()
+    n = len(xs)
+    t = np.arange(1, n + 1, dtype=float)
+    b, a = np.polyfit(t, xs, 1)
+    z = 2 * xs - (a + b * t)
+    lvl = z[0]
+    for k in range(1, n):
+        lvl = 0.5 * z[k] + 0.5 * lvl
+    for r, h in zip(rows, range(1, 8)):
+        assert r["h"] == h
+        want = 0.5 * lvl + 0.5 * (a + b * (n + h))
+        assert r["forecast"] == pytest.approx(want, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q478 Croston: SES folds on demand sizes and intervals.
+# ---------------------------------------------------------------------------
+def test_croston_matches_ses_folds(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q478_croston"].spark(spark, SF_DIR).collect()[0]
+    li = pd.read_parquet(SF_DIR + "/lineitem.parquet")
+    part = pd.read_parquet(SF_DIR + "/part.parquet")
+    keep = part.loc[part["p_brand"] == "Brand#13", "p_partkey"]
+    sub = li[li["l_partkey"].isin(set(keep))]
+    day = (
+        sub["l_shipdate"].to_numpy().astype("datetime64[D]").astype("int64")
+    )
+    z = (
+        pd.DataFrame({"d": day, "q": sub["l_quantity"].round()})
+        .groupby("d")["q"]
+        .sum()
+        .sort_index()
+    )
+    di = z.index.to_numpy() - z.index.min() + 1
+    ivals = np.diff(np.concatenate([[0], di]))
+
+    def fold(vs):
+        lvl = vs[0]
+        for v in vs[1:]:
+            lvl = 0.5 * v + 0.5 * lvl
+        return lvl
+
+    zh, ph = fold(z.to_numpy(float)), fold(ivals.astype(float))
+    assert got["n_demand_days"] == len(z)
+    assert got["z_hat"] == pytest.approx(zh, abs=2e-3)
+    assert got["p_hat"] == pytest.approx(ph, abs=2e-3)
+    assert got["croston_rate"] == pytest.approx(zh / ph, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# q479 ESD: numpy iterative removal loop.
+# ---------------------------------------------------------------------------
+def test_grubbs_esd_matches_loop(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["q479_grubbs_esd"].spark(spark, SF_DIR).collect(),
+        key=lambda r: r["round"],
+    )
+    ev = _events()
+    p = ev[ev["event_type"] == "purchase"]
+    df = pd.DataFrame(
+        {"id": p["event_id"].to_numpy(),
+         "x": (100.0 * p["value"]).round().to_numpy()}
+    )
+    for i, row in enumerate(rows, 1):
+        mean = df["x"].mean()
+        sd = df["x"].std(ddof=1)
+        r = (df["x"] - mean).abs() / sd
+        cand = (
+            df.assign(r=r)
+            .sort_values(["r", "x", "id"], ascending=[False, False, True])
+            .iloc[0]
+        )
+        assert row["round"] == i
+        assert row["event_id"] == int(cand["id"])
+        assert row["x_cents"] == int(cand["x"])
+        assert row["r_stat"] == pytest.approx(float(cand["r"]), abs=2e-4)
+        df = df[df["id"] != int(cand["id"])]
+
+
+# ---------------------------------------------------------------------------
+# q481 Mood: direct numpy median + chi-square table.
+# ---------------------------------------------------------------------------
+def test_mood_matches_direct(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    rows = REGISTRY["q481_mood_median"].spark(spark, SF_DIR).collect()
+    ev = _events()
+    v = (100.0 * ev["value"]).round()
+    med = float(np.percentile(v.to_numpy(), 50, method="linear"))
+    chi = 0.0
+    want = {}
+    ta = int((v > med).sum())
+    tb = int((v <= med).sum())
+    n = ta + tb
+    for t in sorted(ev["event_type"].unique()):
+        m = ev["event_type"] == t
+        above = int((v[m] > med).sum())
+        beloweq = int((v[m] <= med).sum())
+        nt = above + beloweq
+        ea, eb = nt * ta / n, nt * tb / n
+        contrib = (above - ea) ** 2 / ea + (beloweq - eb) ** 2 / eb
+        chi += contrib
+        want[t] = (above, beloweq, ea, contrib)
+    for r in rows:
+        above, beloweq, ea, contrib = want[r["event_type"]]
+        assert (r["above"], r["beloweq"]) == (above, beloweq)
+        assert r["e_above"] == pytest.approx(ea, abs=2e-3)
+        assert r["contrib"] == pytest.approx(contrib, abs=2e-3)
+        assert r["chi2_total"] == pytest.approx(chi, abs=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# q482 Cochran's Q: direct matrix formula.
+# ---------------------------------------------------------------------------
+def test_cochran_q_matches_matrix(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q482_cochran_q"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    mat = (
+        ev.assign(one=1, d=ev["ts"].dt.floor("D"))
+        .pivot_table(index=["user_id", "d"], columns="event_type",
+                     values="one", aggfunc="max", fill_value=0)
+    )
+    X = mat[["click", "purchase", "error"]].to_numpy()
+    k = 3
+    C = X.sum(axis=0)
+    R = X.sum(axis=1)
+    q = (k - 1) * (k * (C**2).sum() - C.sum() ** 2) / (
+        k * R.sum() - (R**2).sum()
+    )
+    assert got["n"] == len(mat)
+    assert (got["n_click"], got["n_purchase"], got["n_error"]) == tuple(
+        int(c) for c in C
+    )
+    assert got["q_stat"] == pytest.approx(q, abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q480 rich club: set recompute on the q468 edge relation.
+# ---------------------------------------------------------------------------
+def test_rich_club_matches_sets(spark):
+    from collections import Counter
+
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    rows = {
+        r["k"]: r
+        for r in REGISTRY["q480_rich_club"].spark(spark, SF_DIR).collect()
+    }
+    li = pd.read_parquet(SF_DIR + "/lineitem.parquet")
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        ps = sorted(set(grp["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    for k in (2, 4, 8):
+        nodes = {p for p, d in deg.items() if d > k}
+        if len(nodes) <= 1:
+            assert k not in rows
+            continue
+        ek = sum(1 for a, b in edges if a in nodes and b in nodes)
+        r = rows[k]
+        assert (r["n_nodes"], r["e_k"]) == (len(nodes), ek)
+        assert r["phi"] == pytest.approx(
+            2.0 * ek / (len(nodes) * (len(nodes) - 1)), abs=2e-4
+        )
