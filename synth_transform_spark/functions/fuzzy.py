@@ -195,6 +195,13 @@ def jaro_winkler_expr(a: str, b: str) -> str:
     empty like DuckDB's ``range``), so bounding j via sequence endpoints
     silently widens the window for positions past the end of ``b``.
 
+    Unicode caveat: this expression is CHARACTER-based (Spark
+    substring/length count codepoints) while DuckDB's builtin is
+    BYTE-based (e.g. 'café' vs 'cafe': 0.8833 here vs 0.8483 in
+    DuckDB — the multibyte é becomes two unmatchable bytes there).
+    The two agree exactly on ASCII, which covers q470's customer-name
+    domain; tests/test_round8_math.py pins both behaviours.
+
     ``a``/``b`` are SQL expressions (column names) evaluating to
     non-null strings.
     """

@@ -215,6 +215,8 @@ LEDGER: dict[str, HeadroomAudit] = {
         # ---- decimal38: exceeds 2^62 before 1e12 rows ------------------
         _a("q471_ansari_bradley", "1e8-frozen block score sums (a8 <= 1e8*N^2/2; q8 <= 1e8*N^3/4)", 5e7 * N_CORPUS**2, 1,
            "decimal38", "a8 passes 2^62 at ~1e6 purchase rows -> promote to DECIMAL(38) (holds q8 to ~1.6e10 rows; beyond, lower the 1e8 freeze grid)"),
+        _a("q484_lepage", "q471's 1e8-frozen AB score sums + doubled mid-rank sums (DECIMAL(38)/HUGEINT)", 5e7 * N_CORPUS**2, 1,
+           "decimal38", "same bound family as q471 (a8 ~ 1e8*N^2/2); the Wilcoxon 2W and tie sums already accumulate in DECIMAL(38)/HUGEINT"),
         _a("q477_theta_forecast", "t*x daily cross moments (HUGEINT/DECIMAL(38) accumulators by construction)", DAYS * N_CORPUS, DAYS,
            "decimal38", "t*x <= 4e3*1e12 per day over 4e3 days = 1.6e19 > 2^62; both engines already accumulate in DECIMAL(38)/HUGEINT"),
         _a("q483_sql_udf", "extendedprice cents", 100 * PRICE_L, N_CORPUS,

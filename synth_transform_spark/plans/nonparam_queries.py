@@ -1062,3 +1062,694 @@ def q482_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("q_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# q484 - Lepage joint location-scale test (Lepage 1971): L = Z_W^2 +
+# Z_AB^2, the standardized Wilcoxon rank-sum (location) plus the
+# standardized Ansari-Bradley (scale), both tie-exact in the frequency
+# domain. THE classical omnibus two-sample test when either the center
+# or the spread may have moved — q314 and q471 fused into one chi2(2)
+# read.
+# Parity: 2*W1 (doubled mid-rank sum) is an exact integer; the AB sums
+# reuse q471's closed-form block scores; tie corrections are exact
+# integer sums; both z's and L are one double expression. 4dp.
+# Scale: one (group, cents) aggregate; cumulative windows on the
+# bounded distinct-cents domain (q283's class).
+# --------------------------------------------------------------------------
+@register(
+    "q484_lepage",
+    oracle=f"""
+WITH base AS (
+    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS v,
+           CASE WHEN {_DUCK_WEEKEND} THEN 1 ELSE 0 END AS t
+    FROM events WHERE event_type = 'purchase'
+),
+g AS (
+    SELECT v, CAST(SUM(t) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY v
+),
+nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(c - c1) AS BIGINT) AS n2,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST((SUM(c) + 1) // 2 AS BIGINT) AS h
+    FROM g
+),
+cum AS (
+    SELECT v, c1, c,
+           CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS hi,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS lo1
+    FROM g
+),
+blocks AS (
+    SELECT c1, c, hi, lo1,
+           (CASE WHEN hi <= nn.h THEN hi * (hi + 1) // 2
+                 ELSE nn.h * (nn.h + 1) // 2 + (hi - nn.h) * (nn.n + 1)
+                      - (hi * (hi + 1) - nn.h * (nn.h + 1)) // 2 END)
+           - (CASE WHEN lo1 <= nn.h THEN lo1 * (lo1 + 1) // 2
+                 ELSE nn.h * (nn.h + 1) // 2 + (lo1 - nn.h) * (nn.n + 1)
+                      - (lo1 * (lo1 + 1) - nn.h * (nn.h + 1)) // 2 END)
+               AS bs
+    FROM cum CROSS JOIN nn
+),
+terms AS (
+    SELECT CAST(SUM(c1 * (lo1 + hi + 1)) AS HUGEINT) AS w2,
+           CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties3,
+           CAST(SUM(CAST(ROUND(100000000.0 * c1 * bs / c) AS BIGINT))
+                AS BIGINT) AS a8,
+           CAST(SUM(bs) AS BIGINT) AS sa,
+           CAST(SUM(CAST(ROUND(100000000.0 * bs / c * bs) AS BIGINT))
+                AS BIGINT) AS q8
+    FROM blocks
+),
+zs AS (
+    SELECT nn.n1, nn.n2,
+           (CAST(t.w2 AS DOUBLE) / 2.0
+            - CAST(nn.n1 AS DOUBLE) * (nn.n + 1) / 2.0)
+           / SQRT(CAST(nn.n1 AS DOUBLE) * nn.n2 * (nn.n + 1) / 12.0
+                  - CAST(nn.n1 AS DOUBLE) * nn.n2 * CAST(t.ties3 AS DOUBLE)
+                    / (12.0 * nn.n * (nn.n - 1))) AS z_w,
+           (t.a8 / 100000000.0 - CAST(nn.n1 AS DOUBLE) * t.sa / nn.n)
+           / SQRT(CAST(nn.n1 AS DOUBLE) * nn.n2
+                  * (nn.n * (t.q8 / 100000000.0)
+                     - CAST(t.sa AS DOUBLE) * t.sa)
+                  / (CAST(nn.n AS DOUBLE) * nn.n * (nn.n - 1))) AS z_ab
+    FROM terms t CROSS JOIN nn
+)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       ROUND(z_w, 4) AS z_wilcoxon,
+       ROUND(z_ab, 4) AS z_ansari,
+       ROUND(ROUND(z_w, 4) * ROUND(z_w, 4)
+             + ROUND(z_ab, 4) * ROUND(z_ab, 4), 4) AS lepage_l
+FROM zs
+""",
+    tags=("ab-test", "A12", "W2", "robust"),
+)
+def q484_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lepage joint location-scale test, weekend vs weekday purchases:
+    (n_weekend, n_weekday, z_wilcoxon, z_ansari, lepage_l)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_type") == "purchase").select(
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+        F.expr(_SPARK_WEEKEND).cast("long").alias("t"),
+    )
+    g = base.groupBy("v").agg(
+        F.sum("t").alias("c1"), F.count(F.lit(1)).alias("c")
+    )
+    nn = g.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum("c").alias("n"),
+        ((F.sum("c") + 1) / 2).cast("long").alias("h"),
+    )
+    w = Window.orderBy("v")
+    cum = g.select(
+        "c1",
+        "c",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "hi"
+        ),
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("lo1"),
+    )
+
+    def t_of(x):
+        xc = F.col(x)
+        below = (xc * (xc + 1) / 2).cast("long")
+        above = (
+            (F.col("h") * (F.col("h") + 1) / 2).cast("long")
+            + (xc - F.col("h")) * (F.col("n") + 1)
+            - ((xc * (xc + 1) - F.col("h") * (F.col("h") + 1)) / 2).cast(
+                "long"
+            )
+        )
+        return F.when(xc <= F.col("h"), below).otherwise(above)
+
+    blocks = cum.crossJoin(F.broadcast(nn)).select(
+        "c1", "c", "hi", "lo1", (t_of("hi") - t_of("lo1")).alias("bs")
+    )
+    dec = "decimal(38,0)"
+    terms = blocks.agg(
+        F.sum(
+            (F.col("c1") * (F.col("lo1") + F.col("hi") + 1)).cast(dec)
+        ).alias("w2"),
+        F.sum(
+            F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c")
+        ).alias("ties3"),
+        F.sum(
+            F.round(1e8 * F.col("c1") * F.col("bs") / F.col("c")).cast("long")
+        ).alias("a8"),
+        F.sum("bs").alias("sa"),
+        F.sum(
+            F.round(1e8 * F.col("bs") / F.col("c") * F.col("bs")).cast("long")
+        ).alias("q8"),
+    )
+    out = terms.crossJoin(F.broadcast(nn))
+    n1d = F.col("n1").cast("double")
+    z_w = (
+        F.col("w2").cast("double") / 2.0 - n1d * (F.col("n") + 1) / 2.0
+    ) / F.sqrt(
+        n1d * F.col("n2") * (F.col("n") + 1) / 12.0
+        - n1d
+        * F.col("n2")
+        * F.col("ties3").cast("double")
+        / (12.0 * F.col("n") * (F.col("n") - 1))
+    )
+    z_ab = (F.col("a8") / 1e8 - n1d * F.col("sa") / F.col("n")) / F.sqrt(
+        n1d
+        * F.col("n2")
+        * (
+            F.col("n") * (F.col("q8") / 1e8)
+            - F.col("sa").cast("double") * F.col("sa")
+        )
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return out.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(z_w, 4).alias("z_wilcoxon"),
+        F.round(z_ab, 4).alias("z_ansari"),
+        F.round(
+            F.round(z_w, 4) * F.round(z_w, 4)
+            + F.round(z_ab, 4) * F.round(z_ab, 4),
+            4,
+        ).alias("lepage_l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q485 - Cucconi joint location-scale test (Cucconi 1968 — predates
+# Lepage, rediscovered in the 2000s): U standardises the sum of SQUARED
+# mid-ranks of the weekend sample, V the sum of squared CONTRARY ranks
+# (N + 1 - R), and C = (U^2 + V^2 - 2*rho*U*V) / (2*(1 - rho^2)) with
+# the exact correlation rho = 2*(N^2 - 4)/((2N+1)*(8N+11)) - 1. The
+# other classical location-scale omnibus, a power-competitor to q484
+# with a genuinely different construction (squared ranks, not scores).
+# Parity: doubled mid-ranks are integers, so 4*sum R^2 = sum c*(2m)^2 is
+# an exact integer (DECIMAL(38,0)/HUGEINT); U, V, rho, C are one double
+# expression. 4dp.
+# Scale: same frequency-domain shape as q484 — one (group, cents)
+# aggregate, bounded-domain windows, a 1-row reduce.
+# --------------------------------------------------------------------------
+@register(
+    "q485_cucconi",
+    oracle=f"""
+WITH base AS (
+    SELECT CAST(ROUND(100.0 * value) AS BIGINT) AS v,
+           CASE WHEN {_DUCK_WEEKEND} THEN 1 ELSE 0 END AS t
+    FROM events WHERE event_type = 'purchase'
+),
+g AS (
+    SELECT v, CAST(SUM(t) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY v
+),
+nn AS (
+    SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+           CAST(SUM(c - c1) AS BIGINT) AS n2,
+           CAST(SUM(c) AS BIGINT) AS n
+    FROM g
+),
+cum AS (
+    SELECT c1, c,
+           CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS hi,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS lo1
+    FROM g
+),
+sums AS (
+    SELECT CAST(SUM(CAST(c1 AS HUGEINT) * (lo1 + hi + 1) * (lo1 + hi + 1))
+                AS HUGEINT) AS r2_4,
+           CAST(SUM(CAST(c1 AS HUGEINT)
+                    * (2 * (n.n + 1) - (lo1 + hi + 1))
+                    * (2 * (n.n + 1) - (lo1 + hi + 1))) AS HUGEINT) AS s2_4
+    FROM cum CROSS JOIN nn n
+),
+uv AS (
+    SELECT n.n1, n.n2, n.n,
+           (6.0 * (CAST(s.r2_4 AS DOUBLE) / 4.0)
+            - CAST(n.n1 AS DOUBLE) * (n.n + 1) * (2 * n.n + 1))
+           / SQRT(CAST(n.n1 AS DOUBLE) * n.n2 * (n.n + 1)
+                  * (2.0 * n.n + 1) * (8.0 * n.n + 11) / 5.0) AS u,
+           (6.0 * (CAST(s.s2_4 AS DOUBLE) / 4.0)
+            - CAST(n.n1 AS DOUBLE) * (n.n + 1) * (2 * n.n + 1))
+           / SQRT(CAST(n.n1 AS DOUBLE) * n.n2 * (n.n + 1)
+                  * (2.0 * n.n + 1) * (8.0 * n.n + 11) / 5.0) AS vv,
+           2.0 * (CAST(n.n AS DOUBLE) * n.n - 4)
+           / ((2.0 * n.n + 1) * (8.0 * n.n + 11)) - 1.0 AS rho
+    FROM sums s CROSS JOIN nn n
+)
+SELECT n1 AS n_weekend, n2 AS n_weekday,
+       ROUND(u, 4) AS u_stat, ROUND(vv, 4) AS v_stat,
+       ROUND((u * u + vv * vv - 2.0 * rho * u * vv)
+             / (2.0 * (1.0 - rho * rho)), 4) AS cucconi_c
+FROM uv
+""",
+    tags=("ab-test", "A12", "W2", "robust"),
+)
+def q485_cucconi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cucconi joint location-scale test, weekend vs weekday purchases:
+    (n_weekend, n_weekday, u_stat, v_stat, cucconi_c)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_type") == "purchase").select(
+        F.round(100.0 * F.col("value")).cast("long").alias("v"),
+        F.expr(_SPARK_WEEKEND).cast("long").alias("t"),
+    )
+    g = base.groupBy("v").agg(
+        F.sum("t").alias("c1"), F.count(F.lit(1)).alias("c")
+    )
+    nn = g.agg(
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c") - F.col("c1")).alias("n2"),
+        F.sum("c").alias("n"),
+    )
+    w = Window.orderBy("v")
+    cum = g.select(
+        "c1",
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "hi"
+        ),
+        F.coalesce(
+            F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("lo1"),
+    )
+    dec = "decimal(38,0)"
+    two_m = F.col("lo1") + F.col("hi") + 1
+    contrary = 2 * (F.col("n") + 1) - two_m
+    sums = cum.crossJoin(F.broadcast(nn)).agg(
+        F.sum(F.col("c1").cast(dec) * two_m * two_m).alias("r2_4"),
+        F.sum(F.col("c1").cast(dec) * contrary * contrary).alias("s2_4"),
+    )
+    out = sums.crossJoin(F.broadcast(nn))
+    n1d, n2d, nd = (
+        F.col("n1").cast("double"),
+        F.col("n2").cast("double"),
+        F.col("n").cast("double"),
+    )
+    denom = F.sqrt(
+        n1d * n2d * (F.col("n") + 1) * (2.0 * F.col("n") + 1)
+        * (8.0 * F.col("n") + 11) / 5.0
+    )
+    u = (
+        6.0 * (F.col("r2_4").cast("double") / 4.0)
+        - n1d * (F.col("n") + 1) * (2 * F.col("n") + 1)
+    ) / denom
+    vv = (
+        6.0 * (F.col("s2_4").cast("double") / 4.0)
+        - n1d * (F.col("n") + 1) * (2 * F.col("n") + 1)
+    ) / denom
+    rho = 2.0 * (nd * F.col("n") - 4) / (
+        (2.0 * F.col("n") + 1) * (8.0 * F.col("n") + 11)
+    ) - 1.0
+    return out.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        F.round(u, 4).alias("u_stat"),
+        F.round(vv, 4).alias("v_stat"),
+        F.round(
+            (u * u + vv * vv - 2.0 * rho * u * vv)
+            / (2.0 * (1.0 - rho * rho)),
+            4,
+        ).alias("cucconi_c"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q486 - Page's L trend test across the days of the week: rank each
+# complete ISO-style week's 7 daily counts within the week (midranks for
+# ties), then L = sum_j j * R_j over the weekday positions (the q450
+# epoch-day convention, weekend = positions 6-7). Page's L is the
+# ordered-alternative Friedman (q368): it asks not "do weekdays differ"
+# but "do counts follow the hypothesised weekday ORDER".
+# Parity: doubled midranks 2r = 2*rank_min + tie - 1 are exact integers,
+# so 2L is an exact integer; z uses the standard no-tie normal
+# approximation (documented; daily-count ties within a week are rare).
+# 4dp.
+# Scale: one corpus aggregate to the daily relation; ranks are 7-row
+# windows partitioned by week (calendar-bounded).
+# --------------------------------------------------------------------------
+@register(
+    "q486_page_trend",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 AS d,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+lab AS (
+    SELECT (d + 3) // 7 AS wk, (d + 3) % 7 + 1 AS pos, x FROM daily
+),
+full_wk AS (
+    SELECT wk FROM lab GROUP BY wk HAVING COUNT(*) = 7
+),
+ranked AS (
+    SELECT l.wk, l.pos,
+           2 * RANK() OVER (PARTITION BY l.wk ORDER BY l.x)
+           + COUNT(*) OVER (PARTITION BY l.wk, l.x) - 1 AS r2
+    FROM lab l JOIN full_wk f ON f.wk = l.wk
+),
+rj AS (
+    SELECT pos, CAST(SUM(r2) AS BIGINT) AS r2sum FROM ranked GROUP BY pos
+),
+agg AS (
+    SELECT CAST(SUM(pos * r2sum) AS BIGINT) AS l2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM full_wk) AS b
+    FROM rj
+)
+SELECT b AS n_weeks,
+       ROUND(l2 / 2.0, 4) AS l_stat,
+       ROUND((l2 / 2.0 - b * 7.0 * 64 / 4.0)
+             / SQRT(b * 49.0 * 8 * 48 / 144.0), 4) AS z
+FROM agg
+""",
+    tags=("timeseries", "A12", "W2", "trend"),
+)
+def q486_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L for weekday-ordered trend in daily counts:
+    (n_weeks, l_stat, z)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("CAST(FLOOR(CAST(ts AS DOUBLE)) AS BIGINT) DIV 86400").alias(
+            "d"
+        )
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lab = daily.select(
+        ((F.col("d") + 3) / 7).cast("long").alias("wk"),
+        ((F.col("d") + 3) % 7 + 1).alias("pos"),
+        "x",
+    )
+    full_wk = lab.groupBy("wk").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") == 7
+    ).select("wk")
+    wr = Window.partitionBy("wk").orderBy("x")
+    wt = Window.partitionBy("wk", "x")
+    ranked = lab.join(full_wk, "wk").select(
+        "pos",
+        (2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1).alias("r2"),
+    )
+    rj = ranked.groupBy("pos").agg(F.sum("r2").alias("r2sum"))
+    b = full_wk.agg(F.count(F.lit(1)).alias("b"))
+    agg = rj.agg(F.sum(F.col("pos") * F.col("r2sum")).alias("l2")).crossJoin(
+        F.broadcast(b)
+    )
+    l_stat = F.col("l2") / 2.0
+    e = F.col("b") * 7.0 * 64 / 4.0
+    sd = F.sqrt(F.col("b") * 49.0 * 8 * 48 / 144.0)
+    return agg.select(
+        F.col("b").alias("n_weeks"),
+        F.round(l_stat, 4).alias("l_stat"),
+        F.round((l_stat - e) / sd, 4).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q487 - Chatterjee's xi correlation (Chatterjee, JASA 2020) between
+# daily click and purchase counts: sort days by clicks (deterministic
+# day-index tie-break — the paper's uniform tie-break, derandomised),
+# walk the purchase ranks, xi = 1 - n * sum|r_{i+1} - r_i| /
+# (2 * sum l_i * (n - l_i)) with the general tie-aware denominator.
+# The modern rank correlation that detects ARBITRARY functional
+# dependence (not just monotone like q306 Spearman / q431 Kendall):
+# xi -> 0 iff independent, -> 1 iff y is a measurable function of x.
+# Parity: ranks r_i (#{y_j <= y_i}) and l_i (#{y_j >= y_i}) come from
+# exact cumulative counts on the y-value domain; S1 is an exact integer
+# window sum over the x-ordered daily relation; xi is one double ratio.
+# 4dp.
+# Scale: one corpus aggregate to the daily relation; value-domain joins
+# and one ordered lag on ~4e3 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q487_xi_correlation",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS y
+    FROM events GROUP BY 1
+),
+ydom AS (
+    SELECT y AS yv, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY y
+),
+ycum AS (
+    SELECT yv, CAST(SUM(c) OVER (ORDER BY yv ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS r
+    FROM ydom
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+lab AS (
+    SELECT d.day, d.x, yc.r, nn.n,
+           nn.n - yc.r + (SELECT c FROM ydom WHERE yv = d.y) AS l
+    FROM daily d JOIN ycum yc ON yc.yv = d.y CROSS JOIN nn
+),
+walk AS (
+    SELECT r - LAG(r) OVER (ORDER BY x, day) AS dr FROM lab
+),
+agg AS (
+    SELECT (SELECT CAST(SUM(ABS(dr)) AS BIGINT) FROM walk
+            WHERE dr IS NOT NULL) AS s1,
+           (SELECT CAST(SUM(l * (n - l)) AS BIGINT) FROM lab) AS denom,
+           (SELECT n FROM nn) AS n
+    FROM nn
+)
+SELECT n AS n_days, s1,
+       ROUND(1.0 - CAST(n AS DOUBLE) * s1 / (2.0 * denom), 4) AS xi
+FROM agg
+""",
+    tags=("timeseries", "A12", "W2"),
+)
+def q487_xi_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chatterjee's xi (clicks -> purchases, daily): (n_days, s1, xi)."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+    )
+    ydom = daily.groupBy(F.col("y").alias("yv")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ycum = ydom.select(
+        "yv",
+        "c",
+        F.sum("c")
+        .over(Window.orderBy("yv").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("r"),
+    )
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    lab = (
+        daily.join(ycum, daily["y"] == ycum["yv"])
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "day",
+            "x",
+            "r",
+            "n",
+            (F.col("n") - F.col("r") + F.col("c")).alias("l"),
+        )
+    )
+    walk = lab.select(
+        (F.col("r") - F.lag("r").over(Window.orderBy("x", "day"))).alias(
+            "dr"
+        )
+    )
+    s1 = walk.agg(F.sum(F.abs("dr")).alias("s1"))
+    den = lab.agg(
+        F.sum(F.col("l") * (F.col("n") - F.col("l"))).alias("denom"),
+        F.max("n").alias("n"),
+    )
+    return s1.crossJoin(F.broadcast(den)).select(
+        F.col("n").alias("n_days"),
+        "s1",
+        F.round(
+            1.0
+            - F.col("n").cast("double") * F.col("s1") / (2.0 * F.col("denom")),
+            4,
+        ).alias("xi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q488 - Hopkins statistic of clustering tendency over the embedding
+# space (first 8 dims): m = 32 deterministically-sampled real vectors
+# (md5 order, the A13 discipline) and 32 synthetic uniform probes
+# (hash-derived coordinates inside the per-dim bounding box); H =
+# sum(u) / (sum(u) + sum(w)) where u = each synthetic probe's
+# nearest-real distance and w = each real probe's nearest-OTHER-real
+# distance. H near 0.5 = uniform, near 1 = clustered — the "should I
+# even run q147's k-means" pre-test, and the missing companion to q335
+# (silhouette scores a GIVEN clustering; Hopkins asks if any exists).
+# Parity: probe coordinates are exact (floats or integer-hash-scaled
+# doubles from exact min/max); squared distances and MIN are identical
+# doubles; each NN distance is frozen to round(1e8 * d) before the
+# 32-term sums. 4dp.
+# Scale: corpus x 64 broadcast probe join (one projection, map-side min
+# combine) — the probe count is FIXED, so the pass is linear at any
+# corpus size. No corpus pair join.
+# --------------------------------------------------------------------------
+_HOP_D = 8
+_HOP_M = 32
+
+
+def _hop_oracle() -> str:
+    d, m = _HOP_D, _HOP_M
+    mins = ", ".join(f"MIN(e[{j}]) AS mn{j}, MAX(e[{j}]) AS mx{j}"
+                     for j in range(1, d + 1))
+    syn_coords = ", ".join(
+        f"b.mn{j} + (b.mx{j} - b.mn{j}) * (('0x' || SUBSTR(MD5('hop_' || i || '_' || {j}), 1, 8))::UBIGINT::DOUBLE / 4294967296.0) AS p{j}"
+        for j in range(1, d + 1)
+    )
+    real_coords = ", ".join(f"e[{j}] AS p{j}" for j in range(1, d + 1))
+    d2 = " + ".join(
+        f"(c.e[{j}] - p.p{j}) * (c.e[{j}] - p.p{j})" for j in range(1, d + 1)
+    )
+    return f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding[1:{d}],
+           x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+bounds AS (SELECT {mins} FROM base),
+real_p AS (
+    SELECT vec_id AS pid, 1 AS is_real, {real_coords}
+    FROM base ORDER BY MD5(CAST(vec_id AS VARCHAR)) LIMIT {m}
+),
+syn_p AS (
+    SELECT -i AS pid, 0 AS is_real, {syn_coords}
+    FROM (SELECT UNNEST(range(1, {m + 1})) AS i) g CROSS JOIN bounds b
+),
+probes AS (SELECT * FROM real_p UNION ALL SELECT * FROM syn_p),
+dists AS (
+    SELECT p.pid, p.is_real, MIN({d2}) AS d2
+    FROM base c CROSS JOIN probes p
+    WHERE NOT (p.is_real = 1 AND c.vec_id = p.pid)
+    GROUP BY p.pid, p.is_real
+),
+terms AS (
+    SELECT is_real, CAST(ROUND(100000000.0 * SQRT(d2)) AS BIGINT) AS r8
+    FROM dists
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN is_real = 0 THEN r8 ELSE 0 END) AS BIGINT)
+               AS su,
+           CAST(SUM(CASE WHEN is_real = 1 THEN r8 ELSE 0 END) AS BIGINT)
+               AS sw
+    FROM terms
+)
+SELECT CAST({m} AS BIGINT) AS m,
+       ROUND(su / 100000000.0, 4) AS sum_u,
+       ROUND(sw / 100000000.0, 4) AS sum_w,
+       ROUND(CAST(su AS DOUBLE) / (su + sw), 4) AS hopkins
+FROM agg
+"""
+
+
+@register(
+    "q488_hopkins",
+    oracle=_hop_oracle(),
+    tags=("embedding", "A12", "clustering"),
+)
+def q488_hopkins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopkins clustering-tendency statistic over embeddings (8 dims,
+    m=32): (m, sum_u, sum_w, hopkins)."""
+    d, m = _HOP_D, _HOP_M
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        *[
+            F.element_at("embedding", j).cast("double").alias(f"x{j}")
+            for j in range(1, d + 1)
+        ],
+    )
+    bounds = base.agg(
+        *[F.min(f"x{j}").alias(f"mn{j}") for j in range(1, d + 1)],
+        *[F.max(f"x{j}").alias(f"mx{j}") for j in range(1, d + 1)],
+    )
+    real_p = (
+        base.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(m)
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.lit(1).alias("is_real"),
+            *[F.col(f"x{j}").alias(f"p{j}") for j in range(1, d + 1)],
+        )
+    )
+    syn_p = (
+        emb.sparkSession.range(1, m + 1)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            (-F.col("id")).cast("long").alias("pid"),
+            F.lit(0).alias("is_real"),
+            *[
+                (
+                    F.col(f"mn{j}")
+                    + (F.col(f"mx{j}") - F.col(f"mn{j}"))
+                    * (
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit("hop_"),
+                                        F.col("id").cast("string"),
+                                        F.lit(f"_{j}"),
+                                    )
+                                ),
+                                1,
+                                8,
+                            ),
+                            16,
+                            10,
+                        ).cast("double")
+                        / 4294967296.0
+                    )
+                ).alias(f"p{j}")
+                for j in range(1, d + 1)
+            ],
+        )
+    )
+    probes = real_p.unionByName(syn_p)
+    d2 = None
+    for j in range(1, d + 1):
+        term = (F.col(f"x{j}") - F.col(f"p{j}")) * (
+            F.col(f"x{j}") - F.col(f"p{j}")
+        )
+        d2 = term if d2 is None else d2 + term
+    dists = (
+        base.crossJoin(F.broadcast(probes))
+        .filter(
+            ~((F.col("is_real") == 1) & (F.col("vec_id") == F.col("pid")))
+        )
+        .groupBy("pid", "is_real")
+        .agg(F.min(d2).alias("d2"))
+    )
+    terms = dists.select(
+        "is_real",
+        F.round(1e8 * F.sqrt("d2")).cast("long").alias("r8"),
+    )
+    agg = terms.agg(
+        F.sum(F.when(F.col("is_real") == 0, F.col("r8")).otherwise(0)).alias(
+            "su"
+        ),
+        F.sum(F.when(F.col("is_real") == 1, F.col("r8")).otherwise(0)).alias(
+            "sw"
+        ),
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        F.round(F.col("su") / 1e8, 4).alias("sum_u"),
+        F.round(F.col("sw") / 1e8, 4).alias("sum_w"),
+        F.round(
+            F.col("su").cast("double") / (F.col("su") + F.col("sw")), 4
+        ).alias("hopkins"),
+    )

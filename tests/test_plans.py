@@ -144,6 +144,9 @@ BOUNDED_WINDOW_OK = {
     "q471_ansari_bradley",  # distinct-cents domain (q283's class)
     "q472_jonckheere_terpstra",  # distinct-cents domain (q283's class)
     "q481_mood_median",  # distinct-cents domain (q283's class)
+    "q484_lepage",  # distinct-cents domain (q283's class)
+    "q485_cucconi",  # distinct-cents domain (q283's class)
+    "q487_xi_correlation",  # daily relation walk + y-value domain
     "q316_average_precision",
     "q319_isotonic_calibration",  # <= 20 bins
     # top-k / survivor-bounded

@@ -871,3 +871,167 @@ def test_rich_club_matches_sets(spark):
         assert r["phi"] == pytest.approx(
             2.0 * ek / (len(nodes) * (len(nodes) - 1)), abs=2e-4
         )
+
+
+# ---------------------------------------------------------------------------
+# q470 unicode semantics pin: our expression is CHAR-based, DuckDB's
+# builtin BYTE-based — they agree exactly on ASCII (q470's domain) and
+# this test pins the documented divergence on multibyte input.
+# ---------------------------------------------------------------------------
+def test_jaro_winkler_unicode_semantics(spark):
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from synth_transform_spark.functions.fuzzy import jaro_winkler_expr
+
+    df = spark.createDataFrame([("café", "cafe")], "a string, b string")
+    got = df.select(F.expr(jaro_winkler_expr("a", "b")).alias("jw")).collect()
+    # char-based: m=3, t=0, prefix 3 -> 0.8333 + 0.3*(1-0.8333)
+    assert got[0]["jw"] == pytest.approx(0.8833333333333333, abs=1e-9)
+    duck = duckdb.connect().execute(
+        "SELECT jaro_winkler_similarity('café', 'cafe')"
+    ).fetchone()[0]
+    assert duck == pytest.approx(0.8483333333333334, abs=1e-9)  # byte-based
+
+
+# ===========================================================================
+# Closing wave (q484-q488): independent recomputations.
+# ===========================================================================
+def test_lepage_matches_direct_ranks(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q484_lepage"].spark(spark, SF_DIR).collect()[0]
+    x, y = _purchase_groups()
+    pooled = np.concatenate([x, y])
+    n1, n2, n = len(x), len(y), len(pooled)
+    ranks = _tie_ranks(pooled)
+    w1 = ranks[:n1].sum()
+    # tie-corrected rank-sum variance
+    ties = 0
+    for v in np.unique(pooled):
+        t = int((pooled == v).sum())
+        ties += t**3 - t
+    var_w = n1 * n2 * (n + 1) / 12.0 - n1 * n2 * ties / (12.0 * n * (n - 1))
+    z_w = (w1 - n1 * (n + 1) / 2.0) / math.sqrt(var_w)
+    assert got["z_wilcoxon"] == pytest.approx(z_w, abs=2e-3)
+    # z_ansari must equal q471's z on the same frame
+    from synth_transform_spark.plans import REGISTRY as R
+
+    ab = R["q471_ansari_bradley"].spark(spark, SF_DIR).collect()[0]
+    assert got["z_ansari"] == pytest.approx(ab["z"], abs=2e-4)
+    assert got["lepage_l"] == pytest.approx(
+        round(got["z_wilcoxon"], 4) ** 2 + round(got["z_ansari"], 4) ** 2,
+        abs=2e-3,
+    )
+
+
+def test_cucconi_matches_direct_ranks(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q485_cucconi"].spark(spark, SF_DIR).collect()[0]
+    x, y = _purchase_groups()
+    pooled = np.concatenate([x, y])
+    n1, n2, n = len(x), len(y), len(pooled)
+    r = _tie_ranks(pooled)[:n1]
+    s = n + 1 - r
+    den = math.sqrt(n1 * n2 * (n + 1) * (2 * n + 1) * (8 * n + 11) / 5.0)
+    u = (6 * (r**2).sum() - n1 * (n + 1) * (2 * n + 1)) / den
+    v = (6 * (s**2).sum() - n1 * (n + 1) * (2 * n + 1)) / den
+    rho = 2.0 * (n * n - 4) / ((2 * n + 1) * (8 * n + 11)) - 1
+    c = (u * u + v * v - 2 * rho * u * v) / (2 * (1 - rho * rho))
+    assert (got["n_weekend"], got["n_weekday"]) == (n1, n2)
+    assert got["u_stat"] == pytest.approx(u, abs=2e-3)
+    assert got["v_stat"] == pytest.approx(v, abs=2e-3)
+    assert got["cucconi_c"] == pytest.approx(c, abs=2e-3)
+
+
+def test_page_trend_matches_direct(spark):
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q486_page_trend"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    d = ev["ts"].to_numpy().astype("datetime64[s]").astype("int64") // 86400
+    daily = pd.Series(1, index=d).groupby(level=0).sum().sort_index()
+    df = pd.DataFrame(
+        {"wk": (daily.index + 3) // 7, "pos": (daily.index + 3) % 7 + 1,
+         "x": daily.to_numpy()}
+    )
+    full = df.groupby("wk").size()
+    df = df[df["wk"].isin(full[full == 7].index)]
+    b = df["wk"].nunique()
+    rj = np.zeros(8)
+    for _, wkdf in df.groupby("wk"):
+        ranks = _tie_ranks(wkdf["x"].to_numpy(float))
+        for pos, rk in zip(wkdf["pos"], ranks):
+            rj[pos] += rk
+    L = sum(j * rj[j] for j in range(1, 8))
+    e = b * 7 * 64 / 4.0
+    sd = math.sqrt(b * 49 * 8 * 48 / 144.0)
+    assert got["n_weeks"] == b
+    assert got["l_stat"] == pytest.approx(L, abs=2e-3)
+    assert got["z"] == pytest.approx((L - e) / sd, abs=2e-3)
+
+
+def test_xi_matches_direct_walk(spark):
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q487_xi_correlation"].spark(spark, SF_DIR).collect()[0]
+    ev = _events()
+    day = ev["ts"].dt.floor("D")
+    x = (
+        ev[ev["event_type"] == "click"].groupby(day[ev["event_type"] == "click"])
+        .size()
+        .reindex(sorted(day.unique()), fill_value=0)
+    )
+    y = (
+        ev[ev["event_type"] == "purchase"]
+        .groupby(day[ev["event_type"] == "purchase"])
+        .size()
+        .reindex(sorted(day.unique()), fill_value=0)
+    )
+    n = len(x)
+    order = np.lexsort((np.arange(n), x.to_numpy()))
+    yv = y.to_numpy()
+    r = np.array([(yv <= yi).sum() for yi in yv], dtype=float)
+    l = np.array([(yv >= yi).sum() for yi in yv], dtype=float)
+    rw = r[order]
+    s1 = np.abs(np.diff(rw)).sum()
+    xi = 1 - n * s1 / (2 * (l * (n - l)).sum())
+    assert got["n_days"] == n
+    assert got["s1"] == int(s1)
+    assert got["xi"] == pytest.approx(xi, abs=2e-4)
+
+
+def test_hopkins_matches_direct(spark):
+    import hashlib
+
+    import pandas as pd
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = REGISTRY["q488_hopkins"].spark(spark, SF_DIR).collect()[0]
+    emb = pd.read_parquet(SF_DIR + "/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy())[:, :8].astype(float)
+    ids = emb["vec_id"].to_numpy()
+    md5s = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+    real_idx = np.argsort(md5s, kind="stable")[:32]
+    mn, mx = X.min(axis=0), X.max(axis=0)
+    syn = np.zeros((32, 8))
+    for i in range(1, 33):
+        for j in range(1, 9):
+            h = hashlib.md5(f"hop_{i}_{j}".encode()).hexdigest()[:8]
+            u = int(h, 16) / 4294967296.0
+            syn[i - 1, j - 1] = mn[j - 1] + (mx[j - 1] - mn[j - 1]) * u
+    su = sw = 0
+    for p in syn:
+        d = np.sqrt(((X - p) ** 2).sum(axis=1)).min()
+        su += round(1e8 * d)
+    for idx in real_idx:
+        d2 = ((X - X[idx]) ** 2).sum(axis=1)
+        d2[idx] = np.inf
+        sw += round(1e8 * math.sqrt(d2.min()))
+    assert got["sum_u"] == pytest.approx(su / 1e8, abs=2e-4)
+    assert got["sum_w"] == pytest.approx(sw / 1e8, abs=2e-4)
+    assert got["hopkins"] == pytest.approx(su / (su + sw), abs=2e-4)
