@@ -275,3 +275,63 @@ def test_countmin_never_underestimates(spark, tmp_path_factory, words):
     for r in rows:
         assert r["cm_estimate"] >= r["true_count"] == truth[r["token"]]
         assert r["overestimate"] == r["cm_estimate"] - r["true_count"]
+
+
+# ---------------------------------------------------------------------------
+# q470's Jaro-Winkler Catalyst expression ≡ a pure-Python reference
+# implementation (textbook greedy matching, floor-halved transpositions,
+# 0.7 boost threshold — the semantics pinned to DuckDB's builtin), on
+# ARBITRARY ASCII strings including empty-ish, repeated-char, and
+# pathological-window cases hypothesis likes to find. One Spark job per
+# batch of examples (the strings are collected into a single DataFrame).
+# ---------------------------------------------------------------------------
+def _jw_reference(a: str, b: str) -> float:
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    w = max(max(la, lb) // 2 - 1, 0)
+    used = [False] * lb
+    mc = []
+    for i in range(la):
+        for j in range(max(0, i - w), min(lb, i + w + 1)):
+            if not used[j] and a[i] == b[j]:
+                used[j] = True
+                mc.append(a[i])
+                break
+    m = len(mc)
+    if m == 0:
+        return 0.0
+    s2m = [b[j] for j in range(lb) if used[j]]
+    t = sum(1 for p, q in zip(mc, s2m) if p != q) // 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3.0
+    pfx = 0
+    for k in range(min(4, la, lb)):
+        if a[k] == b[k]:
+            pfx += 1
+        else:
+            break
+    return jaro + 0.1 * pfx * (1 - jaro) if jaro > 0.7 else jaro
+
+
+_jw_strings = st.lists(
+    st.tuples(
+        st.text(alphabet="abcxyz #", min_size=1, max_size=20),
+        st.text(alphabet="abcxyz #", min_size=1, max_size=20),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@FEW
+@given(pairs=_jw_strings)
+def test_jaro_winkler_expr_matches_reference(spark, pairs):
+    from synth_transform_spark.functions.fuzzy import jaro_winkler_expr
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select(
+        "a", "b", F.expr(jaro_winkler_expr("a", "b")).alias("jw")
+    ).collect()
+    for r in got:
+        want = _jw_reference(r["a"], r["b"])
+        assert abs(r["jw"] - want) < 1e-12, (r["a"], r["b"], r["jw"], want)
