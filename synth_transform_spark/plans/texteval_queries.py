@@ -375,3 +375,143 @@ def q467_zlib_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# q489 - ROUGE-L between the q465 document pairs: longest common
+# subsequence computed DECLARATIVELY in both engines via the prefix-max
+# form of the DP recurrence — row_i[j] = max(cand[1..j]) with cand[k] =
+# max(row_{i-1}[k+1], row_{i-1}[k] + eq) — so each DP row is a pure
+# array-lambda expression of the previous row with NO sequential
+# within-row dependency. Spark folds rows with one higher-order
+# ``aggregate`` (whole-stage JVM, no UDF); the DuckDB oracle iterates
+# rows with a recursive CTE over the same algebra. ROUGE-L F1 (the
+# summarization/near-dup eval of record) completes q465's BLEU with the
+# order-preserving-subsequence read: BLEU counts clipped n-grams, LCS
+# rewards long in-order overlap.
+# Parity: LCS lengths are exact integers; per-pair F1 doubles are
+# identical expressions frozen to round(1e8 * f1) before the per-source
+# mean. 4dp.
+# Scale: the 1:1 doc_id//2 pair join bounds rows; per-pair DP cost is
+# O(min(L,120)^3) array ops with the 120-token cap (tunable), constant
+# per pair at any corpus size. Recursion depth (oracle) = capped token
+# count.
+# --------------------------------------------------------------------------
+_ROUGE_CAP = 120
+
+_SPARK_LCS = f"""
+element_at(
+  aggregate(slice(a, 1, {_ROUGE_CAP}),
+    transform(sequence(0, size(slice(b, 1, {_ROUGE_CAP}))),
+              x -> CAST(0 AS BIGINT)),
+    (r, w) -> concat(
+      array(CAST(0 AS BIGINT)),
+      transform(sequence(1, size(slice(b, 1, {_ROUGE_CAP}))), j ->
+        array_max(transform(sequence(1, j), k ->
+          greatest(element_at(r, k + 1),
+                   element_at(r, k)
+                   + IF(element_at(slice(b, 1, {_ROUGE_CAP}), k) = w,
+                        1L, 0L))))))),
+  size(slice(b, 1, {_ROUGE_CAP})) + 1)
+"""
+
+
+@register(
+    "q489_rouge_l",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, source, doc_id // 2 AS p, doc_id % 2 AS role,
+           ({_DUCK_TOKS})[1:{_ROUGE_CAP}] AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT c.p, c.source, c.toks AS a, r.toks AS b
+    FROM toks c JOIN toks r ON r.p = c.p AND r.role = 1
+    WHERE c.role = 0 AND len(c.toks) > 0 AND len(r.toks) > 0
+),
+dp AS (
+    SELECT p, source, a, b, 0 AS i,
+           list_transform(range(0, len(b) + 1), x -> CAST(0 AS BIGINT)) AS r
+    FROM pairs
+    UNION ALL
+    SELECT p, source, a, b, i + 1,
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(b) + 1), j ->
+               list_max(list_transform(range(1, j + 1), k ->
+                 greatest(r[k + 1], r[k] + CASE WHEN b[k] = a[i + 1]
+                                                THEN 1 ELSE 0 END)))))
+    FROM dp WHERE i < len(a)
+),
+scored AS (
+    SELECT p, source, len(a) AS la, len(b) AS lb,
+           r[len(b) + 1] AS lcs
+    FROM dp WHERE i = len(a)
+),
+f1 AS (
+    SELECT source, lcs,
+           CAST(ROUND(100000000.0 * CASE WHEN lcs = 0 THEN 0.0
+                ELSE 2.0 * (CAST(lcs AS DOUBLE) / la)
+                     * (CAST(lcs AS DOUBLE) / lb)
+                     / (CAST(lcs AS DOUBLE) / la
+                        + CAST(lcs AS DOUBLE) / lb) END) AS BIGINT) AS f8
+    FROM scored
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(lcs) AS BIGINT) AS total_lcs,
+       ROUND(CAST(SUM(f8) AS DOUBLE) / COUNT(*) / 100000000.0, 4)
+           AS mean_rouge_l_f1
+FROM f1
+GROUP BY source
+ORDER BY source
+""",
+    tags=("text-eval", "A8", "F23"),
+)
+def q489_rouge_l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L F1 between adjacent doc pairs via a declarative LCS DP:
+    (source, n_pairs, total_lcs, mean_rouge_l_f1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        (F.col("doc_id") / 2).cast("long").alias("p"),
+        (F.col("doc_id") % 2).alias("role"),
+        F.expr(_SPARK_TOKS).alias("t"),
+    )
+    cand = toks.filter(
+        (F.col("role") == 0) & (F.size("t") > 0)
+    ).select("p", "source", F.col("t").alias("a"))
+    ref = toks.filter(
+        (F.col("role") == 1) & (F.size("t") > 0)
+    ).select("p", F.col("t").alias("b"))
+    pairs = cand.join(ref, "p")
+    scored = pairs.select(
+        "source",
+        F.size(F.slice("a", 1, _ROUGE_CAP)).alias("la"),
+        F.size(F.slice("b", 1, _ROUGE_CAP)).alias("lb"),
+        F.expr(_SPARK_LCS).alias("lcs"),
+    )
+    lcs = F.col("lcs").cast("double")
+    p = lcs / F.col("la")
+    r = lcs / F.col("lb")
+    f1 = scored.select(
+        "source",
+        "lcs",
+        F.round(
+            1e8
+            * F.when(F.col("lcs") == 0, F.lit(0.0)).otherwise(
+                2.0 * p * r / (p + r)
+            )
+        )
+        .cast("long")
+        .alias("f8"),
+    )
+    return (
+        f1.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("lcs").alias("total_lcs"),
+            F.round(
+                F.sum("f8").cast("double") / F.count(F.lit(1)) / 1e8, 4
+            ).alias("mean_rouge_l_f1"),
+        )
+        .orderBy("source")
+    )

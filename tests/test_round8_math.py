@@ -1035,3 +1035,54 @@ def test_hopkins_matches_direct(spark):
     assert got["sum_u"] == pytest.approx(su / 1e8, abs=2e-4)
     assert got["sum_w"] == pytest.approx(sw / 1e8, abs=2e-4)
     assert got["hopkins"] == pytest.approx(su / (su + sw), abs=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# q489 ROUGE-L: the prefix-max DP must equal the classic two-row LCS DP
+# (sequential inner loop — a different algorithm than the query's form).
+# ---------------------------------------------------------------------------
+def _lcs(a, b):
+    prev = [0] * (len(b) + 1)
+    for w in a:
+        cur = [0]
+        for j, t in enumerate(b, 1):
+            cur.append(max(prev[j], cur[-1], prev[j - 1] + (t == w)))
+        prev = cur
+    return prev[-1]
+
+
+def test_rouge_l_matches_two_row_dp(spark):
+    from collections import defaultdict
+
+    from synth_transform_spark.plans import REGISTRY
+
+    got = {
+        r["source"]: r
+        for r in REGISTRY["q489_rouge_l"].spark(spark, SF_DIR).collect()
+    }
+    docs = _docs()
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split(" ") if t][:120]
+        for r in docs.itertuples()
+    }
+    src = {r.doc_id: r.source for r in docs.itertuples()}
+    agg = defaultdict(lambda: [0, 0, 0])  # n, total_lcs, f8_sum
+    for did in sorted(toks):
+        if did % 2 or did + 1 not in toks:
+            continue
+        a, b = toks[did], toks[did + 1]
+        if not a or not b:
+            continue
+        lcs = _lcs(a, b)
+        p, r = lcs / len(a), lcs / len(b)
+        f1 = 0.0 if lcs == 0 else 2 * p * r / (p + r)
+        s = agg[src[did]]
+        s[0] += 1
+        s[1] += lcs
+        s[2] += round(1e8 * f1)
+    assert set(got) == set(agg)
+    for source, (n, tl, f8) in agg.items():
+        g = got[source]
+        assert g["n_pairs"] == n
+        assert g["total_lcs"] == tl
+        assert g["mean_rouge_l_f1"] == pytest.approx(f8 / n / 1e8, abs=2e-4)
