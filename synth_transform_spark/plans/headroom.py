@@ -25,6 +25,11 @@ This module is the registry-wide audit of that class:
     the accumulator must be promoted to DECIMAL(38,0) beyond the listed
     row threshold. SCALE.md's "Integer-headroom ledger" section lists
     every such query; the test keeps code, ledger, and SCALE.md in sync.
+  * ``promoted`` — the bound exceeds 2^62 AND the fix has landed: both
+    engines now accumulate in DECIMAL(38,0)/HUGEINT by construction, so
+    the detector no longer sees a BIGINT sum. The entry is retained as
+    the audit trail (what the risk was, when it was closed); the stale
+    check exempts this disposition.
 
 tests/test_headroom.py fails if a flagged query has no ledger entry, if
 an ``ok`` bound exceeds 2^62, if a ``decimal38`` entry is actually safe,
@@ -214,9 +219,11 @@ LEDGER: dict[str, HeadroomAudit] = {
            "ok", "sum qty <= 50*N = 5e13; SES terms <= 1e6*max daily z ~ 1.25e16 (q341's telescoping bound)"),
         # ---- decimal38: exceeds 2^62 before 1e12 rows ------------------
         _a("q471_ansari_bradley", "1e8-frozen block score sums (a8 <= 1e8*N^2/2; q8 <= 1e8*N^3/4)", 5e7 * N_CORPUS**2, 1,
-           "decimal38", "a8 passes 2^62 at ~1e6 purchase rows -> promote to DECIMAL(38) (holds q8 to ~1.6e10 rows; beyond, lower the 1e8 freeze grid)"),
-        _a("q484_lepage", "q471's 1e8-frozen AB score sums + doubled mid-rank sums (DECIMAL(38)/HUGEINT)", 5e7 * N_CORPUS**2, 1,
-           "decimal38", "same bound family as q471 (a8 ~ 1e8*N^2/2); the Wilcoxon 2W and tie sums already accumulate in DECIMAL(38)/HUGEINT"),
+           "promoted", "a8 passed 2^62 at ~1e6 purchase rows (round-8 advice, lowest threshold the ledger ever held); closed round 9 — a8/q8/sa and the T(x) block scores all accumulate in DECIMAL(38)/HUGEINT with exact parity-split halving; residual limit is the 1e8 freeze grid vs DECIMAL(38) (~1e11 rows for q8) — lower the grid beyond"),
+        _a("q472_jonckheere_terpstra", "jt2 OUTPUT cast (internal sums HUGEINT/DECIMAL(38) since round 8)", N_CORPUS**2 / 2, 1,
+           "promoted", "2*JT ~ N^2/2 exceeds int64 at ~4.3e9 orders; accumulation was wide from the start, the round-8-advice gap was the undocumented output-column BIGINT cast — recorded here: emit jt2 as DECIMAL(38,0) past ~4.3e9 orders"),
+        _a("q484_lepage", "q471's 1e8-frozen AB score sums + doubled mid-rank sums", 5e7 * N_CORPUS**2, 1,
+           "promoted", "same bound family as q471 (a8 ~ 1e8*N^2/2); closed round 9 alongside q471 — a8/q8/sa/w2 per-term wide, exact parity-split halving in T(x)"),
         _a("q477_theta_forecast", "t*x daily cross moments (HUGEINT/DECIMAL(38) accumulators by construction)", DAYS * N_CORPUS, DAYS,
            "decimal38", "t*x <= 4e3*1e12 per day over 4e3 days = 1.6e19 > 2^62; both engines already accumulate in DECIMAL(38)/HUGEINT"),
         _a("q483_sql_udf", "extendedprice cents", 100 * PRICE_L, N_CORPUS,
@@ -319,10 +326,19 @@ def decimal38_queries() -> list[HeadroomAudit]:
     )
 
 
+def promoted_queries() -> list[HeadroomAudit]:
+    return sorted(
+        (a for a in LEDGER.values() if a.disposition == "promoted"),
+        key=lambda a: a.query,
+    )
+
+
 def scale_md_lines() -> list[str]:
     """The SCALE.md 'Integer-headroom ledger' bullet list, generated so
     the doc cannot drift from the ledger (tests/test_headroom.py diffs)."""
     lines = []
     for a in decimal38_queries():
         lines.append(f"- **{a.query}** — {a.moment}: {a.why}.")
+    for a in promoted_queries():
+        lines.append(f"- **{a.query}** [PROMOTED — wide accumulators landed] — {a.moment}: {a.why}.")
     return lines

@@ -30,6 +30,37 @@ from .registry import register
 
 _DEC = "decimal(38,0)"
 
+
+def _tri(engine: str, x: str) -> str:
+    """Exact triangular number T(x) = x*(x+1)/2 in wide integers.
+
+    Parity-split halving — (x DIV 2)*(x+1) when x is even, else
+    x*((x+1) DIV 2) — so the division is exact BEFORE the wide product
+    (round-8 advice: double-divide-then-cast broke exactness past 2^53,
+    and a BIGINT product wraps/errs past x ~ 3e9). The half factor fits
+    BIGINT (x <= N <= 1e12); the product runs in HUGEINT/DECIMAL(38,0).
+    """
+    w, dv = ("HUGEINT", "//") if engine == "duck" else (_DEC, "DIV")
+    return (
+        f"(CASE WHEN {x} % 2 = 0 THEN CAST({x} {dv} 2 AS {w}) * ({x} + 1) "
+        f"ELSE CAST({x} AS {w}) * (({x} + 1) {dv} 2) END)"
+    )
+
+
+def _ab_t(engine: str, x: str) -> str:
+    """Ansari-Bradley cumulative score sum T(x) = sum_{r<=x} min(r, N+1-r)
+    in wide integers; ``h``/``n`` are the half-point and total columns in
+    scope. Above the half-point, T(x) = 2*T(h) + (x-h)*(N+1) - TRI(x)
+    (algebraically identical to the round-8 form, restructured so every
+    product is wide and every halving exact)."""
+    w = "HUGEINT" if engine == "duck" else _DEC
+    return (
+        f"(CASE WHEN {x} <= h THEN {_tri(engine, x)} "
+        f"ELSE 2 * {_tri(engine, 'h')} + CAST({x} - h AS {w}) * (n + 1) "
+        f"- {_tri(engine, x)} END)"
+    )
+
+
 #: Epoch-day weekend flag ((d + 3) % 7 >= 5), the q450 convention.
 _DUCK_WEEKEND = "(CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 86400 + 3) % 7 >= 5"
 _SPARK_WEEKEND = (
@@ -46,12 +77,15 @@ _SPARK_WEEKEND = (
 # spread" drifts that either test alone misses.
 # Parity: the score sum over a tied block [lo, hi] has the closed form
 # T(hi) - T(lo-1) with T(x) = sum_{r<=x} min(r, N+1-r) — exact integer
-# arithmetic on the collapsed value domain; group score sums and the
-# squared-score sum (for the tie-exact variance) are frozen to
-# round(1e8 * term) before summing. z is one double expression. 4dp.
+# arithmetic on the collapsed value domain (parity-split halving, wide
+# HUGEINT/DECIMAL(38,0) products — see _tri/_ab_t); group score sums and
+# the squared-score sum (for the tie-exact variance) are frozen to
+# round(1e8 * term) and ACCUMULATED IN HUGEINT/DECIMAL(38,0) (round-8
+# advice: the BIGINT sum wrapped at ~1e6 purchase rows — the lowest
+# threshold in the ledger; promoted, entry retained as documentation).
+# z is one double expression. 4dp.
 # Scale: one (group, cents) aggregate; cumulative window on the bounded
-# distinct-cents domain (q283's class). Headroom: bs^2/c <= c*N^2 ->
-# DECIMAL(38) beyond ~2^62 (ledger).
+# distinct-cents domain (q283's class).
 # --------------------------------------------------------------------------
 @register(
     "q471_ansari_bradley",
@@ -84,21 +118,15 @@ cum AS (
 ),
 blocks AS (
     SELECT c1, c,
-           (CASE WHEN hi <= nn.h THEN hi * (hi + 1) // 2
-                 ELSE nn.h * (nn.h + 1) // 2 + (hi - nn.h) * (nn.n + 1)
-                      - (hi * (hi + 1) - nn.h * (nn.h + 1)) // 2 END)
-           - (CASE WHEN lo1 <= nn.h THEN lo1 * (lo1 + 1) // 2
-                 ELSE nn.h * (nn.h + 1) // 2 + (lo1 - nn.h) * (nn.n + 1)
-                      - (lo1 * (lo1 + 1) - nn.h * (nn.h + 1)) // 2 END)
-               AS bs
+           {_ab_t("duck", "hi")} - {_ab_t("duck", "lo1")} AS bs
     FROM cum CROSS JOIN nn
 ),
 terms AS (
-    SELECT CAST(SUM(CAST(ROUND(100000000.0 * c1 * bs / c) AS BIGINT))
-                AS BIGINT) AS a8,
-           CAST(SUM(bs) AS BIGINT) AS sa,
-           CAST(SUM(CAST(ROUND(100000000.0 * bs / c * bs) AS BIGINT))
-                AS BIGINT) AS q8
+    SELECT CAST(SUM(CAST(ROUND(100000000.0 * c1 * bs / c) AS HUGEINT))
+                AS HUGEINT) AS a8,
+           CAST(SUM(bs) AS HUGEINT) AS sa,
+           CAST(SUM(CAST(ROUND(100000000.0 * bs / c * bs) AS HUGEINT))
+                AS HUGEINT) AS q8
     FROM blocks
 )
 SELECT nn.n1 AS n_weekend, nn.n2 AS n_weekday,
@@ -127,7 +155,7 @@ def q471_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).alias("n2"),
         F.sum("c").alias("n"),
-        ((F.sum("c") + 1) / 2).cast("long").alias("h"),
+        F.expr("(SUM(c) + 1) DIV 2").alias("h"),
     )
     w = Window.orderBy("v")
     cum = g.select(
@@ -141,29 +169,22 @@ def q471_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("lo1"),
     )
-
-    def t_of(x):
-        xc = F.col(x)
-        below = (xc * (xc + 1) / 2).cast("long")
-        above = (
-            (F.col("h") * (F.col("h") + 1) / 2).cast("long")
-            + (xc - F.col("h")) * (F.col("n") + 1)
-            - ((xc * (xc + 1) - F.col("h") * (F.col("h") + 1)) / 2).cast(
-                "long"
-            )
-        )
-        return F.when(xc <= F.col("h"), below).otherwise(above)
-
+    # Same wide-integer T(x) text as the oracle (DECIMAL(38,0) vs
+    # HUGEINT) — exact at any SF, not just below 2^53 (round-8 advice).
     blocks = cum.crossJoin(F.broadcast(nn)).select(
-        "c1", "c", (t_of("hi") - t_of("lo1")).alias("bs")
+        "c1",
+        "c",
+        (F.expr(_ab_t("spark", "hi")) - F.expr(_ab_t("spark", "lo1"))).alias(
+            "bs"
+        ),
     )
     terms = blocks.agg(
         F.sum(
-            F.round(1e8 * F.col("c1") * F.col("bs") / F.col("c")).cast("long")
+            F.round(1e8 * F.col("c1") * F.col("bs") / F.col("c")).cast(_DEC)
         ).alias("a8"),
         F.sum("bs").alias("sa"),
         F.sum(
-            F.round(1e8 * F.col("bs") / F.col("c") * F.col("bs")).cast("long")
+            F.round(1e8 * F.col("bs") / F.col("c") * F.col("bs")).cast(_DEC)
         ).alias("q8"),
     )
     out = terms.crossJoin(F.broadcast(nn))
@@ -906,8 +927,9 @@ def q481_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("below"),
     )
-    lo = ((F.col("n") + 1) / 2).cast("long")
-    hi = ((F.col("n") + 2) / 2).cast("long")
+    # integral halving (DIV) — exact past 2^53, matching the oracle's //
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("(n + 2) DIV 2")
     med = (
         cum.crossJoin(F.broadcast(nn))
         .agg(
@@ -1072,8 +1094,10 @@ def q482_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # or the spread may have moved — q314 and q471 fused into one chi2(2)
 # read.
 # Parity: 2*W1 (doubled mid-rank sum) is an exact integer; the AB sums
-# reuse q471's closed-form block scores; tie corrections are exact
-# integer sums; both z's and L are one double expression. 4dp.
+# reuse q471's closed-form block scores; everything accumulates in
+# HUGEINT/DECIMAL(38,0) with exact parity-split halving (round-8 advice
+# — same promotion as q471); tie corrections are exact integer sums;
+# both z's and L are one double expression. 4dp.
 # Scale: one (group, cents) aggregate; cumulative windows on the
 # bounded distinct-cents domain (q283's class).
 # --------------------------------------------------------------------------
@@ -1108,23 +1132,17 @@ cum AS (
 ),
 blocks AS (
     SELECT c1, c, hi, lo1,
-           (CASE WHEN hi <= nn.h THEN hi * (hi + 1) // 2
-                 ELSE nn.h * (nn.h + 1) // 2 + (hi - nn.h) * (nn.n + 1)
-                      - (hi * (hi + 1) - nn.h * (nn.h + 1)) // 2 END)
-           - (CASE WHEN lo1 <= nn.h THEN lo1 * (lo1 + 1) // 2
-                 ELSE nn.h * (nn.h + 1) // 2 + (lo1 - nn.h) * (nn.n + 1)
-                      - (lo1 * (lo1 + 1) - nn.h * (nn.h + 1)) // 2 END)
-               AS bs
+           {_ab_t("duck", "hi")} - {_ab_t("duck", "lo1")} AS bs
     FROM cum CROSS JOIN nn
 ),
 terms AS (
-    SELECT CAST(SUM(c1 * (lo1 + hi + 1)) AS HUGEINT) AS w2,
+    SELECT CAST(SUM(CAST(c1 AS HUGEINT) * (lo1 + hi + 1)) AS HUGEINT) AS w2,
            CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties3,
-           CAST(SUM(CAST(ROUND(100000000.0 * c1 * bs / c) AS BIGINT))
-                AS BIGINT) AS a8,
-           CAST(SUM(bs) AS BIGINT) AS sa,
-           CAST(SUM(CAST(ROUND(100000000.0 * bs / c * bs) AS BIGINT))
-                AS BIGINT) AS q8
+           CAST(SUM(CAST(ROUND(100000000.0 * c1 * bs / c) AS HUGEINT))
+                AS HUGEINT) AS a8,
+           CAST(SUM(bs) AS HUGEINT) AS sa,
+           CAST(SUM(CAST(ROUND(100000000.0 * bs / c * bs) AS HUGEINT))
+                AS HUGEINT) AS q8
     FROM blocks
 ),
 zs AS (
@@ -1165,7 +1183,7 @@ def q484_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c1").alias("n1"),
         F.sum(F.col("c") - F.col("c1")).alias("n2"),
         F.sum("c").alias("n"),
-        ((F.sum("c") + 1) / 2).cast("long").alias("h"),
+        F.expr("(SUM(c) + 1) DIV 2").alias("h"),
     )
     w = Window.orderBy("v")
     cum = g.select(
@@ -1179,36 +1197,30 @@ def q484_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("lo1"),
     )
-
-    def t_of(x):
-        xc = F.col(x)
-        below = (xc * (xc + 1) / 2).cast("long")
-        above = (
-            (F.col("h") * (F.col("h") + 1) / 2).cast("long")
-            + (xc - F.col("h")) * (F.col("n") + 1)
-            - ((xc * (xc + 1) - F.col("h") * (F.col("h") + 1)) / 2).cast(
-                "long"
-            )
-        )
-        return F.when(xc <= F.col("h"), below).otherwise(above)
-
+    # q471's wide-integer T(x) (DECIMAL(38,0), exact halving — round-8
+    # advice closed the BIGINT-wrap and 2^53 double-divide holes).
     blocks = cum.crossJoin(F.broadcast(nn)).select(
-        "c1", "c", "hi", "lo1", (t_of("hi") - t_of("lo1")).alias("bs")
+        "c1",
+        "c",
+        "hi",
+        "lo1",
+        (F.expr(_ab_t("spark", "hi")) - F.expr(_ab_t("spark", "lo1"))).alias(
+            "bs"
+        ),
     )
-    dec = "decimal(38,0)"
     terms = blocks.agg(
         F.sum(
-            (F.col("c1") * (F.col("lo1") + F.col("hi") + 1)).cast(dec)
+            F.col("c1").cast(_DEC) * (F.col("lo1") + F.col("hi") + 1)
         ).alias("w2"),
         F.sum(
-            F.col("c").cast(dec) * F.col("c") * F.col("c") - F.col("c")
+            F.col("c").cast(_DEC) * F.col("c") * F.col("c") - F.col("c")
         ).alias("ties3"),
         F.sum(
-            F.round(1e8 * F.col("c1") * F.col("bs") / F.col("c")).cast("long")
+            F.round(1e8 * F.col("c1") * F.col("bs") / F.col("c")).cast(_DEC)
         ).alias("a8"),
         F.sum("bs").alias("sa"),
         F.sum(
-            F.round(1e8 * F.col("bs") / F.col("c") * F.col("bs")).cast("long")
+            F.round(1e8 * F.col("bs") / F.col("c") * F.col("bs")).cast(_DEC)
         ).alias("q8"),
     )
     out = terms.crossJoin(F.broadcast(nn))

@@ -332,6 +332,34 @@ def q466_dunning_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per core — the compressor IS the workload) + one source-keyed
 # aggregate. Ratios frozen to 1e4 ints so the rollup is exact.
 # --------------------------------------------------------------------------
+def _zlib_ratios(batches):
+    """mapInPandas kernel for q467: (source, r4 = round(1e4 * ratio)).
+
+    Module-level so tests/test_round9_math.py can drive it directly with
+    degenerate inputs the parquet fixtures don't contain."""
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["text"].str.encode("utf-8")
+        comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+        # clip length to >=1: an empty doc would divide to inf and
+        # crash the int64 cast (round-8 advice). zlib's empty-input
+        # overhead (8 bytes) then reads as r4=80000 — a maximally
+        # incompressible signal, which is the right curation verdict
+        # for a zero-content doc.
+        yield pd.DataFrame(
+            {
+                "source": pdf["source"],
+                # 1e4-frozen ratio: exact integer rollup downstream
+                "r4": (
+                    10000.0 * comp / raw.map(len).clip(lower=1)
+                ).round().astype("int64"),
+            }
+        )
+
+
 @register(
     "q467_zlib_quality",
     oracle=None,  # no compressor in SQL: rows-only + pinned unit tests
@@ -340,27 +368,8 @@ def q466_dunning_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q467_zlib_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source zlib compression-ratio profile: (source, n_docs,
     mean_ratio, pct_high_compress)."""
-    import pandas as pd
-
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-
-    def ratios(batches):
-        import zlib
-
-        for pdf in batches:
-            raw = pdf["text"].str.encode("utf-8")
-            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
-            yield pd.DataFrame(
-                {
-                    "source": pdf["source"],
-                    # 1e4-frozen ratio: exact integer rollup downstream
-                    "r4": (
-                        10000.0 * comp / raw.map(len)
-                    ).round().astype("int64"),
-                }
-            )
-
-    scored = docs.mapInPandas(ratios, "source string, r4 long")
+    scored = docs.mapInPandas(_zlib_ratios, "source string, r4 long")
     return (
         scored.groupBy("source")
         .agg(
@@ -396,6 +405,13 @@ def q467_zlib_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O(min(L,120)^3) array ops with the 120-token cap (tunable), constant
 # per pair at any corpus size. Recursion depth (oracle) = capped token
 # count.
+# TRUNCATION SEMANTICS (documented per round-8 verdict): _ROUGE_CAP
+# SILENTLY CLIPS both sides to their first 120 tokens — LCS, precision
+# and recall denominators (la/lb) all refer to the CLIPPED sequences,
+# so a pair of long docs whose overlap lives past token 120 scores 0.
+# Identical clipping on both engines keeps the gate exact; for
+# full-document ROUGE raise the cap (cost grows as cap^3 per pair).
+# Pinned by tests/test_round9_math.py::test_rouge_cap_truncates.
 # --------------------------------------------------------------------------
 _ROUGE_CAP = 120
 

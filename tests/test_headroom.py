@@ -50,9 +50,28 @@ def test_every_integer_sum_is_audited():
 
 
 def test_no_stale_ledger_entries():
+    # ``promoted`` entries are exempt by design: their accumulators moved
+    # to DECIMAL(38)/HUGEINT, so the BIGINT-sum detector no longer fires,
+    # but the entry stays as the audit trail of the closed risk.
     flagged = flagged_queries(REGISTRY)
-    stale = sorted(set(LEDGER) - set(flagged))
+    stale = sorted(
+        q for q in set(LEDGER) - set(flagged)
+        if LEDGER[q].disposition != "promoted"
+    )
     assert not stale, f"ledger entries whose query no longer has integer sums: {stale}"
+
+
+def test_promoted_entries_really_promoted():
+    # a promoted entry whose oracle still has a BIGINT-accumulating SUM
+    # is lying about the fix; and its bound must be a genuine >2^62 risk
+    flagged = flagged_queries(REGISTRY)
+    bad = [
+        a.query
+        for a in LEDGER.values()
+        if a.disposition == "promoted"
+        and (a.query in flagged or a.bound <= INT64_HEADROOM)
+    ]
+    assert not bad, f"promoted entries still flagged or under-bounded: {bad}"
 
 
 def test_ok_dispositions_fit_headroom():
@@ -76,7 +95,11 @@ def test_decimal38_dispositions_are_genuine():
 
 
 def test_dispositions_are_known():
-    bad = [a.query for a in LEDGER.values() if a.disposition not in ("ok", "decimal38")]
+    bad = [
+        a.query
+        for a in LEDGER.values()
+        if a.disposition not in ("ok", "decimal38", "promoted")
+    ]
     assert not bad, bad
 
 
