@@ -285,9 +285,17 @@ def q251_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the industry-standard name-similarity alternative (J13/F15).
 # Parity: identical doubles (property-fuzzed bitwise on random pairs);
 # the 0.97 threshold and 4dp rounding are applied to the same values.
-# Scale: candidate pairs come from the (nation, segment) equi-join block
-# — never a cross join; the JW expression is O(len*window) JVM work per
-# pair inside whole-stage codegen.
+# Scale (round-9 refinement): candidates come from a NAME-DERIVED block
+# — sorted-digit deletion-1 keys (operators/linkage.deletion_keys_sql)
+# composed with the (nation, segment) equi-join — so block size is
+# bounded by the name distribution, not corpus/125. Lossless for this
+# band: JW >= 0.97 with the fixed 4-char prefix boost forces Jaro >=
+# 0.95 => >= 17/18 matched chars => digit multisets differ by <= 1
+# element => the sorted strings share a deletion-1 key (asserted
+# against DuckDB's C++ JW in tests/test_linkage.py). The oracle keeps
+# the plain (nation, segment) block — candidate-superset equivalence is
+# exactly what the hash match proves. JW itself is O(len*window) JVM
+# work per surviving candidate inside whole-stage codegen.
 # ---------------------------------------------------------------------------
 @register(
     "q470_jaro_winkler_join",
@@ -311,23 +319,37 @@ def q470_jaro_winkler_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.fuzzy import jaro_winkler_expr
 
+    from ..operators.linkage import deletion_keys_sql
+
     customer = load_table(spark, sf_dir, "customer")
-    a = customer.select(
+    keyed = customer.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.explode(
+            F.expr(deletion_keys_sql("c_name", k=1, sorted_multiset=True))
+        ).alias("bk"),
+    )
+    a = keyed.select(
         F.col("c_custkey").alias("id_a"),
         F.col("c_name").alias("name_a"),
         F.col("c_nationkey").alias("nk"),
         F.col("c_mktsegment").alias("seg"),
+        "bk",
     )
-    b = customer.select(
+    b = keyed.select(
         F.col("c_custkey").alias("id_b"),
         F.col("c_name").alias("name_b"),
         F.col("c_nationkey").alias("nk"),
         F.col("c_mktsegment").alias("seg"),
+        "bk",
     )
     jw = F.expr(jaro_winkler_expr("name_a", "name_b"))
     return (
-        a.join(b, ["nk", "seg"])
+        a.join(b, ["bk", "nk", "seg"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .withColumn("jw_raw", jw)
         .filter(F.col("jw_raw") >= 0.97)
         .select("id_a", "id_b", F.round("jw_raw", 4).alias("jw"))

@@ -1,0 +1,166 @@
+"""Registry-wide verification-coverage inventory (the round-8 top_next).
+
+The DuckDB oracle hash gate catches any divergence between the Spark
+plan and the oracle SQL — but NOT a wrong formula both engines share
+(SURVEY §5.2's trap class: the two sides are written by the same hand
+from the same reading of the statistic). The only defense is an
+INDEPENDENT recomputation: a test that rebuilds the number from raw
+parquet with numpy / pure Python / a third algorithm and compares.
+
+Round 8 proved the audit pattern on integer headroom (plans/headroom.py):
+mechanical inventory + a test that fails new entries without coverage.
+This module applies it to verification itself:
+
+- :data:`SEMANTIC_MODULES` — test modules whose module contract (see
+  each docstring) is semantic/independent verification: every
+  ``REGISTRY["qNN_..."]`` reference inside one marks that query as
+  independently recomputed. Plan-shape and lint modules (test_plans,
+  test_oracle_parity, ...) deliberately do NOT count.
+- :func:`independent_queries` — the mechanically extracted set.
+- :func:`verification_tiers` — per-query tier:
+  ``oracle+independent`` > ``oracle`` > ``rows-only+independent`` >
+  ``rows-only``.
+- :data:`WAIVERS` — stats-tagged (A12) queries running on the oracle
+  gate alone, each with an explicit triage reason. tests/
+  test_verification_inventory.py fails any A12 query that is neither
+  independently recomputed nor waived — so a new statistical query
+  cannot land with hash-gate-only verification silently — and fails any
+  waiver that has since gained coverage (the list can only shrink).
+
+The A12 tag is the statistics marker (SURVEY §2 A12 "summary stats");
+it is where shared-formula risk concentrates. Non-A12 queries are
+relational algebra whose oracle IS the independent twin (a join/filter
+has no formula to mis-share beyond what the hash compares).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+#: Test modules whose REGISTRY references are, by module contract,
+#: independent semantic recomputations (docstring states it). Globs
+#: allowed — future test_round*_math.py files join automatically.
+SEMANTIC_MODULES: tuple[str, ...] = (
+    "test_round*_math.py",  # from-parquet numpy/pure-python recomputation
+    "test_round5_ops.py",  # semantic unit tests, ACF/EWMA/calibration algebra
+    "test_stats_queries.py",  # naive-rank / pair-count literal recomputation
+    "test_eval_queries.py",  # literal python recomputation, oracle-independent
+    "test_corpus_dedup.py",  # constructed-corpus first-occurrence semantics
+    "test_graph.py",  # pure-python union-find vs operators
+    "test_sketches.py",  # HLL accuracy/determinism/mergeability
+    "test_similarity.py",  # recall floors vs exact brute force
+    "test_training_ops.py",  # bloom/CMS bounds, contamination on constructed inputs
+    "test_temporal.py",  # naive pandas reference on randomized event sets
+    "test_properties.py",  # hypothesis property tests on kernel algebra
+    "test_sampling.py",  # proportionality + determinism
+    "test_observability.py",  # literal recomputation of side-band metrics
+    "test_bpe.py",  # reference BPE trainer vs distributed
+    "test_seqprep.py",  # chunk/pack invariants on constructed docs
+    "test_ml.py",  # accuracy floors, PCA vs numpy eigh
+    "test_multimodal.py",  # deterministic kernels vs direct recomputation
+    "test_linkage.py",  # Fellegi-Sunter scoring on constructed pairs
+    "test_dedup_units.py",  # minhash/banding unit algebra
+    "test_streaming.py",  # stream-vs-batch equivalence
+    "test_functions.py",  # cleaning/date/doi goldens vs reference behavior
+)
+
+#: A12-tagged queries still verified by the oracle hash gate alone,
+#: with the triage reason. Every removal is a backfilled test; the
+#: inventory test forbids additions without a reason and deletions of
+#: coverage. Grouped by triage class:
+#:   COUNT-ALGEBRA — the statistic is counts/sums/shares whose formula
+#:     is a one-liner the hash already pins bit-for-bit (no moment or
+#:     rank transform to mis-share).
+#:   ORDER-STAT — quantile/percentile selection; both engines run the
+#:     same interpolation contract, pinned by tests elsewhere at the
+#:     function level (q44's percentile tier) but not per-query.
+#:   PLANNER — the output is a plan/advisor recommendation derived from
+#:     counts (no statistical formula).
+#:   FORMULA — genuine shared-formula risk, ordered backlog for future
+#:     backfill rounds (highest first).
+WAIVERS: dict[str, str] = {
+    # ---- COUNT-ALGEBRA ---------------------------------------------------
+    "q44_summary_stats": "COUNT-ALGEBRA: min/max/count/avg built-ins; avg is the only derived value",
+    "q71_hll_distinct": "COUNT-ALGEBRA: deterministic HLL pinned bit-for-bit in test_sketches (operator level)",
+    "q156_corpus_drift": "COUNT-ALGEBRA: per-source share deltas of counts",
+    "q157_source_scorecard": "COUNT-ALGEBRA: rollup of q24/q25 signals already unit-tested at function level",
+    "q170_user_entropy": "FORMULA(low): Shannon entropy one-liner over per-user shares",
+    "q175_ab_test": "FORMULA(low): two-proportion z — same algebra as q355 Wilson CI (recomputed); shares the cohort split pinned there",
+    "q176_time_to_convert": "ORDER-STAT: median/deciles of timestamp diffs",
+    "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
+    "q198_ir_eval": "FORMULA(low): precision/recall/MRR count ratios",
+    "q199_feature_stats": "COUNT-ALGEBRA: per-dim min/max/mean/std of components (std is the only moment; q226 drift covers the moment path in backfill)",
+    "q213_spend_gini": "FORMULA(med): Gini via rank sum — BACKLOG",
+    "q228_dataset_card": "COUNT-ALGEBRA: manifest of counts/shares",
+    "q237_bootstrap_ci": "FORMULA(med): deterministic-hash bootstrap percentile CI — resample indices are the risk, pinned deterministic by oracle; BACKLOG",
+    "q241_km_survival": "FORMULA(med): KM product-limit — q460 Nelson-Aalen (same life-table frame) is independently recomputed in round-8 math; shares the life-table builder",
+    "q393_brown_double_smoothing": "FORMULA(low): double-pass of q341's SES recursion (q341 recomputed)",
+    "q394_lexical_richness": "COUNT-ALGEBRA: type/token ratios",
+    "q395_fd_violations": "COUNT-ALGEBRA: per-determinant distinct counts",
+    "q396_padding_waste": "COUNT-ALGEBRA: bucket-padding sums",
+    "q397_source_jsd": "FORMULA(med): Jensen-Shannon over vocab shares — BACKLOG",
+    "q399_ngram_novelty": "COUNT-ALGEBRA: unseen-ngram shares",
+    "q401_gopher_rules": "rule counts; underlying signals unit-tested (operators/text_analysis)",
+    "q402_langid_margin": "margin of q25 scores (q25 pinned by goldens)",
+    "q405_embedding_norms": "COUNT-ALGEBRA: norm mean/std per source (one moment; ledgered)",
+    "q407_qq_deciles": "ORDER-STAT: decile grid vs normal quantile constants",
+    "q417_binary_segmentation": "FORMULA(med): best-split SSE scan — BACKLOG",
+    "q418_burst_detection": "FORMULA(low): rolling z on daily counts",
+    "q419_lorenz_table": "COUNT-ALGEBRA: cumulative-share table (exact cents; ledgered)",
+    "q420_adstock": "FORMULA(med): geometric adstock + OLS — BACKLOG",
+    "q422_shipping_sla": "COUNT-ALGEBRA: SLA-breach shares",
+    "q424_supplier_hhi": "FORMULA(low): HHI share-square sum",
+    "q425_brand_return_rates": "COUNT-ALGEBRA: return-share by brand",
+    "q427_int8_quant_audit": "int8 quantize/dequantize kernels recomputed at operator level (test_similarity q85 path); the audit table is count algebra over those kernels",
+    "q428_good_turing": "FORMULA(med): GT smoothing over count-of-counts — BACKLOG",
+    "q429_chunk_overlap_audit": "COUNT-ALGEBRA: overlap-token shares of q68 chunks (q68 invariants tested)",
+    "q432_pinball_loss": "FORMULA(low): quantile-loss one-liner at fixed taus",
+    "q435_cvar_spend": "ORDER-STAT: tail mean past VaR cut",
+    "q438_mi_feature_rank": "FORMULA(med): discrete MI over binned features — BACKLOG",
+    "q440_block_maxima": "ORDER-STAT: per-block maxima + Gumbel moment fit — BACKLOG",
+    "q442_rmst": "FORMULA(low): rectangle sum under the q241 KM curve (life-table frame shared with recomputed q460)",
+    "q445_forecast_reconciliation": "FORMULA(low): proportional top-down split of q341-class SES",
+    "q448_temperature_scaling": "FORMULA(med): 1-D NLL grid search — BACKLOG",
+    "q449_policy_replay": "COUNT-ALGEBRA: IPS replay ratio of counts",
+    "q455_filter_agreement": "COUNT-ALGEBRA: agreement shares of q75/q215 flags (both recomputed upstream)",
+    "q463_msprt": "FORMULA(med): mixture-SPRT boundary — BACKLOG",
+}
+
+
+_PKG_ROOT = pathlib.Path(__file__).resolve().parents[2]
+# any quoted registry name inside a semantic module counts — these
+# modules exist to recompute queries, so a name reference IS a test
+# driving that query (REGISTRY["..."] directly or via a runner helper)
+_REF_RE = re.compile(r'"(q[0-9]+_[0-9a-z_]+)"')
+
+
+def independent_queries(tests_dir: pathlib.Path | None = None) -> set[str]:
+    """Query names referenced from a semantic test module."""
+    tests = tests_dir or (_PKG_ROOT / "tests")
+    names: set[str] = set()
+    for pattern in SEMANTIC_MODULES:
+        for f in tests.glob(pattern):
+            names |= set(_REF_RE.findall(f.read_text()))
+    return names
+
+
+def verification_tiers(registry, tests_dir: pathlib.Path | None = None) -> dict[str, str]:
+    """Per-query verification tier (see module docstring)."""
+    indep = independent_queries(tests_dir)
+    tiers = {}
+    for name, q in registry.items():
+        has_oracle = q.oracle is not None
+        has_indep = name in indep
+        tiers[name] = (
+            "oracle+independent" if has_oracle and has_indep
+            else "oracle" if has_oracle
+            else "rows-only+independent" if has_indep
+            else "rows-only"
+        )
+    return tiers
+
+
+def stats_queries(registry) -> list[str]:
+    """A12-tagged queries — where shared-formula risk concentrates."""
+    return sorted(n for n, q in registry.items() if "A12" in q.tags)

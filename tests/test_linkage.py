@@ -6,6 +6,8 @@ import math
 
 from synth_transform_spark.operators import linkage
 
+from conftest import SF_DIR
+
 
 def _mini_customers(spark):
     rows = [
@@ -101,3 +103,108 @@ def test_q236_mutual_best_is_one_to_one_and_symmetric(spark, tmp_path):
     # 1:1 property: no id appears twice in the pair list
     flat = [i for p in out for i in p]
     assert len(flat) == len(set(flat))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 blocking refinement: the name-derived deletion-neighborhood
+# keys must be RECALL-LOSSLESS for the bands the queries emit —
+# brute-forced here against every within-(nation,segment) pair.
+# ---------------------------------------------------------------------------
+def _digits(name):
+    return "".join(ch for ch in name if ch.isdigit())
+
+
+def _del_neighborhood(s, k):
+    """All strings from s with up to k single-char deletions (pure python)."""
+    out = {s}
+    frontier = {s}
+    for _ in range(k):
+        frontier = {
+            t[:i] + t[i + 1 :] for t in frontier for i in range(len(t))
+        }
+        out |= frontier
+    return out
+
+
+def _lev(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_deletion_blocking_lossless_for_lev2_band():
+    import itertools
+
+    import pandas as pd
+
+    cust = pd.read_parquet(SF_DIR + "/customer.parquet")
+    missed = []
+    for _, g in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        rows = list(g[["c_custkey", "c_name"]].itertuples(index=False))
+        for (ka, na), (kb, nb) in itertools.combinations(rows, 2):
+            if _lev(na, nb) <= 2:
+                da, db = _digits(na), _digits(nb)
+                if not (_del_neighborhood(da, 2) & _del_neighborhood(db, 2)):
+                    missed.append((ka, kb))
+    assert not missed, f"lev<=2 pairs not sharing a depth-2 deletion key: {missed[:5]}"
+
+
+def test_multiset_blocking_lossless_for_jw97_band():
+    import itertools
+
+    import duckdb
+    import pandas as pd
+
+    cust = pd.read_parquet(SF_DIR + "/customer.parquet")
+    con = duckdb.connect()
+    missed, found = [], 0
+    for _, g in cust.groupby(["c_nationkey", "c_mktsegment"]):
+        rows = list(g[["c_custkey", "c_name"]].itertuples(index=False))
+        for (ka, na), (kb, nb) in itertools.combinations(rows, 2):
+            jw = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [na, nb]
+            ).fetchone()[0]
+            if jw >= 0.97:
+                found += 1
+                sa = "".join(sorted(_digits(na)))
+                sb = "".join(sorted(_digits(nb)))
+                if not (_del_neighborhood(sa, 1) & _del_neighborhood(sb, 1)):
+                    missed.append((ka, kb, jw))
+    assert not missed, f"JW>=0.97 pairs not sharing a sorted-del-1 key: {missed[:5]}"
+    assert found > 0, "band is empty at this SF — test would be vacuous"
+
+
+def test_deletion_keys_sql_matches_python(spark):
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from synth_transform_spark.operators.linkage import deletion_keys_sql
+
+    names = ["Customer#000001234", "Customer#000000001", "NoDigitsAtAll", ""]
+    df = spark.createDataFrame([(n,) for n in names], ["c_name"])
+    got_seq = {
+        r["c_name"]: set(r["ks"])
+        for r in df.select(
+            "c_name", F.expr(deletion_keys_sql("c_name", k=2)).alias("ks")
+        ).collect()
+    }
+    got_ms = {
+        r["c_name"]: set(r["ks"])
+        for r in df.select(
+            "c_name",
+            F.expr(
+                deletion_keys_sql("c_name", k=1, sorted_multiset=True)
+            ).alias("ks"),
+        ).collect()
+    }
+    for n in names:
+        assert got_seq[n] == _del_neighborhood(_digits(n), 2), n
+        assert got_ms[n] == _del_neighborhood(
+            "".join(sorted(_digits(n))), 1
+        ), n
