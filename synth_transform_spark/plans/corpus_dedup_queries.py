@@ -1176,3 +1176,122 @@ def q426_dup_depth_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# q490 — substring-dedup EXCISION (the removal half of q116/q231's
+# detection): RefinedWeb / Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better") exact-substring rule at 8-gram
+# resolution — KEEP the corpus-wide first occurrence of every duplicated
+# span, EXCISE every later occurrence, and reassemble each document from
+# its surviving tokens in order. A token is excised iff some positional
+# 8-gram covering it is a non-first occurrence of that gram (corpus
+# order = (doc_id, position)); duplicated runs >= 8 tokens are therefore
+# removed in full except their first appearance, shorter repeats are
+# untouched (the resolution knob is NGRAM_N — Lee et al. use 50).
+# Parity: pure integer/position algebra + deterministic string
+# reassembly — exact hash match. Docs with < 8 tokens have no grams and
+# pass through verbatim (n_removed = 0), including empty docs.
+# Scale: NO pair join and no suffix array — one rank-first window on the
+# gram (content-hash partition key, q115's frame), one distinct on
+# covered (doc_id, pos), one anti join back to the token table, one
+# doc-keyed reassembly agg. Every stage is keyed; reducer fan-in is
+# bounded by the hottest gram's occurrence list (viral boilerplate —
+# salt or cap with a per-gram occurrence LIMIT at extreme skew).
+# ---------------------------------------------------------------------------
+@register(
+    "q490_substring_excision",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, UNNEST(w) AS tok, GENERATE_SUBSCRIPTS(w, 1) AS pos
+    FROM docs
+),
+grams AS (
+    SELECT doc_id, i, ARRAY_TO_STRING(w[i + 1 : i + {NGRAM_N}], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - {NGRAM_N})) AS t(i)
+    WHERE LEN(w) >= {NGRAM_N}
+),
+ranked AS (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+    FROM grams
+),
+covered AS (
+    SELECT DISTINCT r.doc_id, r.i + j.j AS pos
+    FROM ranked r, UNNEST(GENERATE_SERIES(1, {NGRAM_N})) AS j(j)
+    WHERE r.rn > 1
+),
+kept AS (
+    SELECT t.doc_id, t.pos, t.tok
+    FROM toks t LEFT JOIN covered c
+      ON c.doc_id = t.doc_id AND c.pos = t.pos
+    WHERE c.pos IS NULL
+)
+SELECT d.doc_id,
+       CAST(LEN(d.w) AS BIGINT) AS n_tokens,
+       CAST(LEN(d.w) - COUNT(k.pos) AS BIGINT) AS n_removed,
+       COALESCE(STRING_AGG(k.tok, ' ' ORDER BY k.pos), '') AS kept_text
+FROM docs d LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.doc_id, LEN(d.w)
+ORDER BY d.doc_id
+""",
+    tags=("corpus-dedup", "U4", "A4", "training-prep"),
+)
+def q490_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first substring excision at 8-gram resolution with document
+    reassembly: (doc_id, n_tokens, n_removed, kept_text)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _toks().alias("w")
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    gdocs = docs.filter(F.size("w") >= NGRAM_N)
+    grams = gdocs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, NGRAM_N)),
+            )
+        ).alias("i", "gram"),
+    )
+    w_first = Window.partitionBy("gram").orderBy("doc_id", "i")
+    covered = (
+        grams.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i") + 1, F.col("i") + NGRAM_N)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("kept_text"),
+    )
+    return (
+        docs.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("w").cast("long").alias("n_tokens"),
+            (
+                F.size("w") - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("long").alias("n_removed"),
+            F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )

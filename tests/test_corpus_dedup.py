@@ -155,3 +155,43 @@ def test_q245_flags_bilingual_concatenation(spark, tmp_path):
     assert out[0]["mixed"] == 1 and out[0]["n_langs"] == 2
     assert out[0]["top_share"] == 0.5
     assert out[1]["mixed"] == 0 and out[1]["n_langs"] == 1
+
+
+def test_q490_excision_keeps_first_and_reassembles(spark, tmp_path):
+    from synth_transform_spark.plans.corpus_dedup_queries import (
+        q490_substring_excision,
+    )
+
+    span = " ".join(f"s{i}" for i in range(NGRAM_N))  # exactly one 8-gram
+    uniq = " ".join(f"u{i}" for i in range(4))
+    rows = [
+        (0, span),                    # first occurrence: kept verbatim
+        (1, f"{uniq} {span}"),        # later occurrence: span excised
+        (2, "tiny doc"),              # < 8 tokens: passes through
+        (3, ""),                      # empty: survives as empty
+    ]
+    sf = _docs_dir(spark, tmp_path, rows)
+    out = {r["doc_id"]: r for r in q490_substring_excision(spark, sf).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0]["n_removed"] == 0 and out[0]["kept_text"] == span
+    assert out[1]["n_removed"] == NGRAM_N and out[1]["kept_text"] == uniq
+    assert out[2]["n_removed"] == 0 and out[2]["kept_text"] == "tiny doc"
+    assert out[3]["n_tokens"] == 0 and out[3]["kept_text"] == ""
+
+
+def test_q490_overlapping_runs_excise_whole_tail_occurrence(spark, tmp_path):
+    from synth_transform_spark.plans.corpus_dedup_queries import (
+        q490_substring_excision,
+    )
+
+    # a 12-token run duplicated later in the SAME doc: every position of
+    # the second run is covered by some non-first 8-gram, including the
+    # run's tail (positions covered via overlapping grams)
+    run = [f"r{i}" for i in range(NGRAM_N + 4)]
+    mid = [f"m{i}" for i in range(3)]
+    rows = [(0, " ".join(run + mid + run))]
+    sf = _docs_dir(spark, tmp_path, rows)
+    row = q490_substring_excision(spark, sf).collect()[0]
+    assert row["n_tokens"] == 2 * len(run) + len(mid)
+    assert row["n_removed"] == len(run)
+    assert row["kept_text"] == " ".join(run + mid)
