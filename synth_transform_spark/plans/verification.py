@@ -93,7 +93,6 @@ WAIVERS: dict[str, str] = {
     "q199_feature_stats": "COUNT-ALGEBRA: per-dim min/max/mean/std of components (std is the only moment; q226 drift covers the moment path in backfill)",
     "q213_spend_gini": "FORMULA(med): Gini via rank sum — BACKLOG",
     "q228_dataset_card": "COUNT-ALGEBRA: manifest of counts/shares",
-    "q237_bootstrap_ci": "FORMULA(med): deterministic-hash bootstrap percentile CI — resample indices are the risk, pinned deterministic by oracle; BACKLOG",
     "q241_km_survival": "FORMULA(med): KM product-limit — q460 Nelson-Aalen (same life-table frame) is independently recomputed in round-8 math; shares the life-table builder",
     "q393_brown_double_smoothing": "FORMULA(low): double-pass of q341's SES recursion (q341 recomputed)",
     "q394_lexical_richness": "COUNT-ALGEBRA: type/token ratios",
@@ -129,10 +128,11 @@ WAIVERS: dict[str, str] = {
 
 
 _PKG_ROOT = pathlib.Path(__file__).resolve().parents[2]
-# any quoted registry name inside a semantic module counts — these
-# modules exist to recompute queries, so a name reference IS a test
-# driving that query (REGISTRY["..."] directly or via a runner helper)
-_REF_RE = re.compile(r'"(q[0-9]+_[0-9a-z_]+)"')
+# any registry name inside a semantic module counts — these modules
+# exist to recompute queries, so a name reference IS a test driving
+# that query (REGISTRY["..."], a runner helper, or a direct import of
+# the query function)
+_REF_RE = re.compile(r"\b(q[0-9]+_[0-9a-z_]+)\b")
 
 
 def independent_queries(tests_dir: pathlib.Path | None = None) -> set[str]:
