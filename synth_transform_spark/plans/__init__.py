@@ -19,6 +19,7 @@ from . import (  # noqa: F401
     linkage_queries,
     multimodal_queries,
     nested_queries,
+    nonparam2_queries,
     nonparam_queries,
     pipeline_parity_queries,
     relational,

@@ -1295,3 +1295,101 @@ def q490_substring_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q495 — post-excision corpus report: what q490's keep-first substring
+# excision does to each SOURCE — the one-relation summary a data team
+# reads before shipping the deduplicated corpus (tokens before, tokens
+# excised, removal rate, docs touched). Same covered-position algebra as
+# q490 (exact integers), aggregated per source instead of reassembled.
+# Scale: q490's frame minus the reassembly shuffle — rank-first window
+# on the gram, distinct covered positions, then ONE source-keyed
+# aggregate (no per-doc regroup, no anti join).
+# ---------------------------------------------------------------------------
+@register(
+    "q495_excision_report",
+    oracle=f"""
+WITH docs AS (
+    SELECT doc_id, source,
+           LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, i, ARRAY_TO_STRING(w[i + 1 : i + {NGRAM_N}], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - {NGRAM_N})) AS t(i)
+    WHERE LEN(w) >= {NGRAM_N}
+),
+ranked AS (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+    FROM grams
+),
+covered AS (
+    SELECT DISTINCT r.doc_id, r.i + j.j AS pos
+    FROM ranked r, UNNEST(GENERATE_SERIES(1, {NGRAM_N})) AS j(j)
+    WHERE r.rn > 1
+),
+per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed
+    FROM covered GROUP BY doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN p.removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_touched,
+       CAST(SUM(LEN(d.w)) AS BIGINT) AS tokens_before,
+       CAST(SUM(COALESCE(p.removed, 0)) AS BIGINT) AS tokens_removed,
+       ROUND(SUM(COALESCE(p.removed, 0))
+             / CAST(SUM(LEN(d.w)) AS DOUBLE), 4) AS removal_rate
+FROM docs d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+""",
+    tags=("corpus-dedup", "training-prep", "A5", "curation-report"),
+)
+def q495_excision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source impact of q490's keep-first substring excision:
+    (source, n_docs, docs_touched, tokens_before, tokens_removed,
+    removal_rate)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", _toks().alias("w")
+    )
+    gdocs = docs.filter(F.size("w") >= NGRAM_N)
+    grams = gdocs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, NGRAM_N)),
+            )
+        ).alias("i", "gram"),
+    )
+    w_first = Window.partitionBy("gram").orderBy("doc_id", "i")
+    covered = (
+        grams.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i") + 1, F.col("i") + NGRAM_N)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    per_doc = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("removed"))
+    joined = docs.join(per_doc, "doc_id", "left")
+    removed = F.coalesce(F.col("removed"), F.lit(0))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((removed > 0).cast("long")).alias("docs_touched"),
+            F.sum(F.size("w")).cast("long").alias("tokens_before"),
+            F.sum(removed).cast("long").alias("tokens_removed"),
+            F.round(
+                F.sum(removed) / F.sum(F.size("w")).cast("double"), 4
+            ).alias("removal_rate"),
+        )
+        .orderBy("source")
+    )

@@ -6,6 +6,7 @@ exact same md5-based algorithms in SQL so the hash-match is bit-for-bit.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import dedup
@@ -1401,4 +1402,88 @@ def q383_double_sweep_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(ecc_seed).cast("long").alias("ecc_seed"),
         F.max("dist").cast("long").alias("diameter_lb"),
         F.count(F.lit(1)).cast("long").alias("n_reached"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q496 — canonical document selection over near-dup clusters: the KEEP
+# RULE production curation stacks actually apply after clustering —
+# instead of q63/q217's keep-lowest-id, keep the member with the richest
+# content (max distinct-token count, tie-break min doc_id) from every
+# SimHash hamming<=3 cluster. The survivorship step (q181) applied to
+# text dedup: cluster → argmax → one golden doc per near-dup family.
+# Parity: q56's deterministic SimHash pairs, the shared recursive-
+# reachability cluster CTE (q63's fixpoint algebra), exact integer
+# distinct-token counts, max_by with an explicit packed tie-break. Only
+# clusters with >= 2 members are emitted (singletons need no decision).
+# Scale: banded-bucket candidate pairs (never O(n^2)), O(E)-per-round
+# components, then ONE cluster-keyed argmax aggregate; the distinct-token
+# relation is the (doc, tok) aggregate already shuffled for signatures.
+# ---------------------------------------------------------------------------
+@register(
+    "q496_canonical_doc_selection",
+    oracle=f"""
+WITH RECURSIVE {_SIMHASH_SIGS_CTE},
+dups AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+),
+{_CLUSTER_CTES},
+rich AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd FROM toks2 GROUP BY doc_id
+),
+members AS (
+    SELECT l.cluster_id, l.doc_id, r.nd
+    FROM lab l JOIN rich r ON r.doc_id = l.doc_id
+),
+ranked AS (
+    SELECT cluster_id, doc_id, nd,
+           ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY nd DESC, doc_id ASC
+           ) AS rn
+    FROM members
+)
+SELECT m.cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MAX(CASE WHEN r.rn = 1 THEN r.doc_id END) AS kept_doc_id,
+       MAX(CASE WHEN r.rn = 1 THEN r.nd END) AS kept_distinct_toks
+FROM members m
+JOIN ranked r ON r.cluster_id = m.cluster_id AND r.doc_id = m.doc_id
+GROUP BY m.cluster_id
+ORDER BY m.cluster_id
+""",
+    tags=("dedup-clusters", "A4", "U4", "training-prep", "W3"),
+)
+def q496_canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden doc per SimHash near-dup cluster — keep the member with
+    the most distinct tokens (tie: min doc_id): (cluster_id, n_members,
+    kept_doc_id, kept_distinct_toks)."""
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    clusters = graph.duplicate_clusters(pairs)  # (doc_id, cluster_id, size)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    rich = toks.groupBy("doc_id").agg(
+        F.countDistinct("tok").alias("nd")
+    )
+    members = clusters.select("cluster_id", "doc_id").join(rich, "doc_id")
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.expr("max_by(doc_id, struct(nd, -doc_id))").alias(
+                "kept_doc_id"
+            ),
+            F.max("nd").alias("kept_distinct_toks"),
+        )
+        .orderBy("cluster_id")
     )

@@ -217,6 +217,12 @@ LEDGER: dict[str, HeadroomAudit] = {
            "ok", "1e6*1e12 = 1e18 (q446's class); t/y cross moments accumulate in HUGEINT/DECIMAL(38)"),
         _a("q478_croston", "daily quantity sums + telescoping dyadic SES terms", 1.0e6 * 50, N_CORPUS / DAYS,
            "ok", "sum qty <= 50*N = 5e13; SES terms <= 1e6*max daily z ~ 1.25e16 (q341's telescoping bound)"),
+        _a("q496_canonical_doc_selection", "per-doc OR-sum of distinct bits j<60", 2.0**60, 1,
+           "ok", "q56's 60-bit simhash mask construction (sum of distinct (1<<j) is the mask itself)"),
+        _a("q497_hoeffdings_d", "daily order cents (T2 rank products HUGEINT/DECIMAL(38) by construction)", 100 * PRICE_O, N_CORPUS,
+           "decimal38", "cents leg: 6e7 per row -> 2^62 at ~7.7e10 orders in one day (q431's class); T2 <= days*(2*days)^4 = 1.6e19 at the 4e3-day calendar wraps int64, so both engines accumulate it wide; T1 <= 4e3*(1.6e4)^2 ~ 1e12 and T3 <= 4e3*(8e3)^2*1.6e4 ~ 4e15 stay under 2^62"),
+        _a("q498_theils_u", "1e6-frozen micro-nat entropy terms", 1.0e6 * N_CORPUS * 28, 1,
+           "decimal38", "1e6*m*ln(N/m) with m<=N=1e12: one language-marginal term reaches 2.8e19 > 2^62 — promote the h6 accumulators to DECIMAL(38)/HUGEINT past ~1.6e11 docs (q371's single-term class)"),
         # ---- decimal38: exceeds 2^62 before 1e12 rows ------------------
         _a("q471_ansari_bradley", "1e8-frozen block score sums (a8 <= 1e8*N^2/2; q8 <= 1e8*N^3/4)", 5e7 * N_CORPUS**2, 1,
            "promoted", "a8 passed 2^62 at ~1e6 purchase rows (round-8 advice, lowest threshold the ledger ever held); closed round 9 — a8/q8/sa and the T(x) block scores all accumulate in DECIMAL(38)/HUGEINT with exact parity-split halving; residual limit is the 1e8 freeze grid vs DECIMAL(38) (~1e11 rows for q8) — lower the grid beyond"),
@@ -224,6 +230,12 @@ LEDGER: dict[str, HeadroomAudit] = {
            "promoted", "2*JT ~ N^2/2 exceeds int64 at ~4.3e9 orders; accumulation was wide from the start, the round-8-advice gap was the undocumented output-column BIGINT cast — recorded here: emit jt2 as DECIMAL(38,0) past ~4.3e9 orders"),
         _a("q484_lepage", "q471's 1e8-frozen AB score sums + doubled mid-rank sums", 5e7 * N_CORPUS**2, 1,
            "promoted", "same bound family as q471 (a8 ~ 1e8*N^2/2); closed round 9 alongside q471 — a8/q8/sa/w2 per-term wide, exact parity-split halving in T(x)"),
+        _a("q491_conover_squared_ranks", "squared doubled-mid-rank score sums (HUGEINT/DECIMAL(38) by construction)", 16 * N_CORPUS**4, N_CORPUS,
+           "promoted", "s4 = (2r)^2 <= 4N^2 and the D^2 leg sums c*s4^2 <= 16N^5 — wide from day one, but even DECIMAL(38) saturates past ~6e7 rows: beyond, coarsen to classical scores (s4/4) or accumulate the variance leg in double (D^2 feeds only a ratio; 4dp-safe)"),
+        _a("q492_brunner_munzel", "placement-difference moments c*d^2 (HUGEINT/DECIMAL(38) by construction)", 4 * N_CORPUS**2, N_CORPUS,
+           "promoted", "d = 2R_pool - 2R_within <= 2N so sum c*d^2 <= 4N^3 = 4e36 at 1e12 rows — inside DECIMAL(38), above 2^62, wide accumulators from day one"),
+        _a("q494_anderson_darling_2s", "1e9-frozen per-value AD terms (HUGEINT/DECIMAL(38) by construction)", 1.0e9 * N_CORPUS, N_CORPUS,
+           "promoted", "frozen term ~ 1e9*l*(q/den) with the uncentered worst case O(1e9*l*N); wide accumulators from day one, and past ~1e9 rows lower the 1e9 freeze grid (q462's knob)"),
         _a("q477_theta_forecast", "t*x daily cross moments (HUGEINT/DECIMAL(38) accumulators by construction)", DAYS * N_CORPUS, DAYS,
            "decimal38", "t*x <= 4e3*1e12 per day over 4e3 days = 1.6e19 > 2^62; both engines already accumulate in DECIMAL(38)/HUGEINT"),
         _a("q483_sql_udf", "extendedprice cents", 100 * PRICE_L, N_CORPUS,

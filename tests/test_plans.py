@@ -146,6 +146,10 @@ BOUNDED_WINDOW_OK = {
     "q481_mood_median",  # distinct-cents domain (q283's class)
     "q484_lepage",  # distinct-cents domain (q283's class)
     "q485_cucconi",  # distinct-cents domain (q283's class)
+    "q491_conover_squared_ranks",  # distinct |deviation| domain — bounded by the cents grid (q283's class)
+    "q492_brunner_munzel",  # distinct-cents domain (q283's class)
+    "q493_kuiper_test",  # distinct-cents domain (q283's class)
+    "q494_anderson_darling_2s",  # distinct-cents domain (q283's class)
     "q487_xi_correlation",  # daily relation walk + y-value domain
     "q316_average_precision",
     "q319_isotonic_calibration",  # <= 20 bins
