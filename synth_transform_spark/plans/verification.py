@@ -77,8 +77,10 @@ SEMANTIC_MODULES: tuple[str, ...] = (
 #:     function level (q44's percentile tier) but not per-query.
 #:   PLANNER — the output is a plan/advisor recommendation derived from
 #:     counts (no statistical formula).
-#:   FORMULA — genuine shared-formula risk, ordered backlog for future
-#:     backfill rounds (highest first).
+#:   FORMULA(low) — a one-line closed form over already-pinned inputs.
+#: The FORMULA(med) BACKLOG class was emptied in round 9
+#: (tests/test_round9_backfill2_math.py) — new med+ risks must get a
+#: test, not a waiver.
 WAIVERS: dict[str, str] = {
     # ---- COUNT-ALGEBRA ---------------------------------------------------
     "q44_summary_stats": "COUNT-ALGEBRA: min/max/count/avg built-ins; avg is the only derived value",
@@ -91,39 +93,30 @@ WAIVERS: dict[str, str] = {
     "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
     "q198_ir_eval": "FORMULA(low): precision/recall/MRR count ratios",
     "q199_feature_stats": "COUNT-ALGEBRA: per-dim min/max/mean/std of components (std is the only moment; q226 drift covers the moment path in backfill)",
-    "q213_spend_gini": "FORMULA(med): Gini via rank sum — BACKLOG",
     "q228_dataset_card": "COUNT-ALGEBRA: manifest of counts/shares",
     "q241_km_survival": "FORMULA(med): KM product-limit — q460 Nelson-Aalen (same life-table frame) is independently recomputed in round-8 math; shares the life-table builder",
     "q393_brown_double_smoothing": "FORMULA(low): double-pass of q341's SES recursion (q341 recomputed)",
     "q394_lexical_richness": "COUNT-ALGEBRA: type/token ratios",
     "q395_fd_violations": "COUNT-ALGEBRA: per-determinant distinct counts",
     "q396_padding_waste": "COUNT-ALGEBRA: bucket-padding sums",
-    "q397_source_jsd": "FORMULA(med): Jensen-Shannon over vocab shares — BACKLOG",
     "q399_ngram_novelty": "COUNT-ALGEBRA: unseen-ngram shares",
     "q401_gopher_rules": "rule counts; underlying signals unit-tested (operators/text_analysis)",
     "q402_langid_margin": "margin of q25 scores (q25 pinned by goldens)",
     "q405_embedding_norms": "COUNT-ALGEBRA: norm mean/std per source (one moment; ledgered)",
     "q407_qq_deciles": "ORDER-STAT: decile grid vs normal quantile constants",
-    "q417_binary_segmentation": "FORMULA(med): best-split SSE scan — BACKLOG",
     "q418_burst_detection": "FORMULA(low): rolling z on daily counts",
     "q419_lorenz_table": "COUNT-ALGEBRA: cumulative-share table (exact cents; ledgered)",
-    "q420_adstock": "FORMULA(med): geometric adstock + OLS — BACKLOG",
     "q422_shipping_sla": "COUNT-ALGEBRA: SLA-breach shares",
     "q424_supplier_hhi": "FORMULA(low): HHI share-square sum",
     "q425_brand_return_rates": "COUNT-ALGEBRA: return-share by brand",
     "q427_int8_quant_audit": "int8 quantize/dequantize kernels recomputed at operator level (test_similarity q85 path); the audit table is count algebra over those kernels",
-    "q428_good_turing": "FORMULA(med): GT smoothing over count-of-counts — BACKLOG",
     "q429_chunk_overlap_audit": "COUNT-ALGEBRA: overlap-token shares of q68 chunks (q68 invariants tested)",
     "q432_pinball_loss": "FORMULA(low): quantile-loss one-liner at fixed taus",
     "q435_cvar_spend": "ORDER-STAT: tail mean past VaR cut",
-    "q438_mi_feature_rank": "FORMULA(med): discrete MI over binned features — BACKLOG",
-    "q440_block_maxima": "ORDER-STAT: per-block maxima + Gumbel moment fit — BACKLOG",
     "q442_rmst": "FORMULA(low): rectangle sum under the q241 KM curve (life-table frame shared with recomputed q460)",
     "q445_forecast_reconciliation": "FORMULA(low): proportional top-down split of q341-class SES",
-    "q448_temperature_scaling": "FORMULA(med): 1-D NLL grid search — BACKLOG",
     "q449_policy_replay": "COUNT-ALGEBRA: IPS replay ratio of counts",
     "q455_filter_agreement": "COUNT-ALGEBRA: agreement shares of q75/q215 flags (both recomputed upstream)",
-    "q463_msprt": "FORMULA(med): mixture-SPRT boundary — BACKLOG",
 }
 
 
