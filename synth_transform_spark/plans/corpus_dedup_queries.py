@@ -1393,3 +1393,321 @@ def q495_excision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q499 — cross-source span contamination matrix: for every ordered
+# source pair (A, B), the share of A's DISTINCT 8-grams that also occur
+# in B — the "is slice B leaking into slice A" read data teams run
+# before mixing corpus slices (directed containment, so A⊂B and B⊂A are
+# distinguished — q365's weighted-Jaccard is the symmetric sibling).
+# Parity: distinct-gram sets and intersection counts are exact
+# integers; containment is one 4dp ratio.
+# Scale: NO doc pair join — distinct (source, gram) relation, one
+# gram-keyed self-join whose per-gram fan-out is bounded by the SOURCE
+# count (≤ #sources², not corpus size), one source-pair aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "q499_source_contamination",
+    oracle=f"""
+WITH docs AS (
+    SELECT source, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT source,
+           ARRAY_TO_STRING(w[i + 1 : i + {NGRAM_N}], ' ') AS gram
+    FROM docs, UNNEST(GENERATE_SERIES(0, LEN(w) - {NGRAM_N})) AS t(i)
+    WHERE LEN(w) >= {NGRAM_N}
+),
+per_src AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY source
+),
+shared AS (
+    SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS sh
+    FROM grams a JOIN grams b ON b.gram = a.gram AND b.source <> a.source
+    GROUP BY a.source, b.source
+)
+SELECT p.source AS source_a, q.source AS source_b,
+       p.n_grams AS grams_a,
+       COALESCE(s.sh, 0) AS shared_grams,
+       ROUND(COALESCE(s.sh, 0) / CAST(p.n_grams AS DOUBLE), 4)
+           AS containment_in_b
+FROM per_src p
+JOIN per_src q ON q.source <> p.source
+LEFT JOIN shared s ON s.sa = p.source AND s.sb = q.source
+ORDER BY source_a, source_b
+""",
+    tags=("corpus-dedup", "U4", "A5", "decontamination"),
+)
+def q499_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 8-gram containment between source slices:
+    (source_a, source_b, grams_a, shared_grams, containment_in_b)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", _toks().alias("w")
+    ).filter(F.size("w") >= NGRAM_N)
+    grams = docs.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, NGRAM_N)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    per_src = grams.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("source").alias("sa"), "gram")
+    b = grams.select(F.col("source").alias("sb"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("sh"))
+    )
+    pq = (
+        per_src.select(F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a"))
+        .crossJoin(
+            F.broadcast(per_src.select(F.col("source").alias("source_b")))
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+    )
+    return (
+        pq.join(
+            shared,
+            (F.col("sa") == F.col("source_a")) & (F.col("sb") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "grams_a",
+            F.coalesce(F.col("sh"), F.lit(0)).alias("shared_grams"),
+            F.round(
+                F.coalesce(F.col("sh"), F.lit(0))
+                / F.col("grams_a").cast("double"),
+                4,
+            ).alias("containment_in_b"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q500 — the DEDUP FUNNEL: every dedup tier this engine ships, applied
+# to the same corpus and read as one per-stage reduction table — the
+# summary a data team inspects before choosing which tiers to run at
+# 100 TB (the dedup-side sibling of q230's filter funnel; FineWeb/Dolma
+# ablation tables have exactly this shape). Stages are INDEPENDENT
+# measurements of the raw corpus (not sequential application):
+#   1_exact_docs       — q04's tier:  docs surviving exact-text dedup
+#   2_segment_tokens   — q115's tier: tokens surviving 10-token-segment
+#                        keep-first dedup
+#   3_substring_tokens — q490's tier: tokens surviving keep-first 8-gram
+#                        span excision
+#   4_neardup_docs     — q56/q496's tier: docs surviving SimHash
+#                        hamming<=3 clustering (one kept per cluster)
+# Parity: every stage is exact integer counting; the Spark side COMPOSES
+# the registered operators (dedup.simhash_near_duplicates,
+# graph.duplicate_clusters, the q115/q490 frames) while the oracle
+# re-derives each tier with prefixed CTEs — the hash match verifies the
+# COMPOSITION, not just the parts (q230's discipline).
+# Scale: each stage is the already-audited plan of its query; the funnel
+# adds four 1-row aggregates and a union.
+# ---------------------------------------------------------------------------
+def _q500_oracle() -> str:
+    from .dedup_queries import _CLUSTER_CTES, _SIMHASH_SIGS_CTE
+
+    return f"""
+WITH RECURSIVE {_SIMHASH_SIGS_CTE},
+dups AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.simhash, b.simhash)) <= 3
+),
+{_CLUSTER_CTES},
+f1 AS (
+    SELECT '1_exact_docs' AS stage, 'docs' AS unit,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_kept
+    FROM documents
+),
+fd AS (
+    SELECT doc_id, LIST_FILTER(STRING_SPLIT(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+f2s AS (
+    SELECT doc_id, i AS seg_idx,
+           ARRAY_TO_STRING(w[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}], ' ') AS seg,
+           LEN(w[i * {SEG_TOKENS} + 1 : i * {SEG_TOKENS} + {SEG_TOKENS}]) AS seg_toks
+    FROM fd, UNNEST(GENERATE_SERIES(0, CAST(CEIL(LEN(w) / {SEG_TOKENS}.0) AS INT) - 1)) AS t(i)
+    WHERE LEN(w) > 0
+),
+f2r AS (
+    SELECT seg_toks,
+           ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+    FROM f2s
+),
+f2 AS (
+    SELECT '2_segment_tokens' AS stage, 'tokens' AS unit,
+           CAST(SUM(seg_toks) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn = 1 THEN seg_toks ELSE 0 END) AS BIGINT)
+               AS n_kept
+    FROM f2r
+),
+f3g AS (
+    SELECT doc_id, i, ARRAY_TO_STRING(w[i + 1 : i + {NGRAM_N}], ' ') AS gram
+    FROM fd, UNNEST(GENERATE_SERIES(0, LEN(w) - {NGRAM_N})) AS t(i)
+    WHERE LEN(w) >= {NGRAM_N}
+),
+f3r AS (
+    SELECT doc_id, i,
+           ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+    FROM f3g
+),
+f3c AS (
+    SELECT DISTINCT r.doc_id, r.i + j.j AS pos
+    FROM f3r r, UNNEST(GENERATE_SERIES(1, {NGRAM_N})) AS j(j)
+    WHERE r.rn > 1
+),
+f3 AS (
+    SELECT '3_substring_tokens' AS stage, 'tokens' AS unit,
+           (SELECT CAST(SUM(LEN(w)) AS BIGINT) FROM fd) AS n_total,
+           (SELECT CAST(SUM(LEN(w)) AS BIGINT) FROM fd)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM f3c) AS n_kept
+),
+f4 AS (
+    SELECT '4_neardup_docs' AS stage, 'docs' AS unit,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM lab)
+           + (SELECT CAST(COUNT(DISTINCT cluster_id) AS BIGINT) FROM lab)
+               AS n_kept
+)
+SELECT stage, unit, n_total, n_kept,
+       ROUND(1.0 - n_kept / CAST(n_total AS DOUBLE), 4) AS reduction
+FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+      UNION ALL SELECT * FROM f3 UNION ALL SELECT * FROM f4)
+ORDER BY stage
+"""
+
+
+@register(
+    "q500_dedup_funnel",
+    oracle=_q500_oracle(),
+    tags=("corpus-dedup", "training-prep", "A5", "curation-report", "U4"),
+)
+def q500_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tier dedup reduction table over the same corpus:
+    (stage, unit, n_total, n_kept, reduction) for exact-doc, segment,
+    substring-excision, and SimHash near-dup tiers."""
+    from ..operators import dedup as dedup_ops
+    from ..operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def stage(name, unit, total_col, kept_col, frame):
+        return frame.select(
+            F.lit(name).alias("stage"),
+            F.lit(unit).alias("unit"),
+            total_col.cast("long").alias("n_total"),
+            kept_col.cast("long").alias("n_kept"),
+        )
+
+    f1 = stage(
+        "1_exact_docs",
+        "docs",
+        F.col("n"),
+        F.col("k"),
+        docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("text").alias("k"),
+        ),
+    )
+
+    wdocs = docs.select("doc_id", _toks().alias("w")).filter(F.size("w") > 0)
+    n_segs = F.ceil(F.size("w") / F.lit(float(SEG_TOKENS))).cast("int")
+    segs = wdocs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("w"), i * SEG_TOKENS + 1, SEG_TOKENS)
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    ).withColumn("seg_toks", F.size(F.split(F.col("seg"), " ")))
+    w_seg = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    f2 = stage(
+        "2_segment_tokens",
+        "tokens",
+        F.col("tt"),
+        F.col("kt"),
+        segs.withColumn("rn", F.row_number().over(w_seg)).agg(
+            F.sum("seg_toks").alias("tt"),
+            F.sum(F.when(F.col("rn") == 1, F.col("seg_toks")).otherwise(0)).alias("kt"),
+        ),
+    )
+
+    gdocs = wdocs.filter(F.size("w") >= NGRAM_N)
+    grams = gdocs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - NGRAM_N),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, NGRAM_N)),
+            )
+        ).alias("i", "gram"),
+    )
+    w_gram = Window.partitionBy("gram").orderBy("doc_id", "i")
+    covered_n = (
+        grams.withColumn("rn", F.row_number().over(w_gram))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i") + 1, F.col("i") + NGRAM_N)).alias("pos"),
+        )
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("rm"))
+    )
+    tok_total = wdocs.agg(F.sum(F.size("w")).alias("tt"))
+    f3 = stage(
+        "3_substring_tokens",
+        "tokens",
+        F.col("tt"),
+        F.col("tt") - F.col("rm"),
+        tok_total.crossJoin(F.broadcast(covered_n)),
+    )
+
+    pairs = dedup_ops.simhash_near_duplicates(docs, max_hamming=3).select(
+        "id_a", "id_b"
+    )
+    clusters = graph.duplicate_clusters(pairs)
+    cl = clusters.agg(
+        F.count(F.lit(1)).alias("members"),
+        F.countDistinct("cluster_id").alias("ncl"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).alias("n"))
+    f4 = stage(
+        "4_neardup_docs",
+        "docs",
+        F.col("n"),
+        F.col("n") - F.col("members") + F.col("ncl"),
+        nd.crossJoin(F.broadcast(cl)),
+    )
+
+    return (
+        f1.unionByName(f2)
+        .unionByName(f3)
+        .unionByName(f4)
+        .select(
+            "stage",
+            "unit",
+            "n_total",
+            "n_kept",
+            F.round(
+                1.0 - F.col("n_kept") / F.col("n_total").cast("double"), 4
+            ).alias("reduction"),
+        )
+        .orderBy("stage")
+    )

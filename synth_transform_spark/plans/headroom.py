@@ -219,6 +219,8 @@ LEDGER: dict[str, HeadroomAudit] = {
            "ok", "sum qty <= 50*N = 5e13; SES terms <= 1e6*max daily z ~ 1.25e16 (q341's telescoping bound)"),
         _a("q496_canonical_doc_selection", "per-doc OR-sum of distinct bits j<60", 2.0**60, 1,
            "ok", "q56's 60-bit simhash mask construction (sum of distinct (1<<j) is the mask itself)"),
+        _a("q500_dedup_funnel", "per-doc OR-sum of distinct bits j<60 (stage-4 simhash tier)", 2.0**60, 1,
+           "ok", "same q56 mask construction; every other funnel sum is a token/doc count <= N"),
         _a("q497_hoeffdings_d", "daily order cents (T2 rank products HUGEINT/DECIMAL(38) by construction)", 100 * PRICE_O, N_CORPUS,
            "decimal38", "cents leg: 6e7 per row -> 2^62 at ~7.7e10 orders in one day (q431's class); T2 <= days*(2*days)^4 = 1.6e19 at the 4e3-day calendar wraps int64, so both engines accumulate it wide; T1 <= 4e3*(1.6e4)^2 ~ 1e12 and T3 <= 4e3*(8e3)^2*1.6e4 ~ 4e15 stay under 2^62"),
         _a("q498_theils_u", "1e6-frozen micro-nat entropy terms", 1.0e6 * N_CORPUS * 28, 1,

@@ -5,6 +5,7 @@ properties the oracle hash-match asserts but does not explain."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from synth_transform_spark.plans.corpus_dedup_queries import (
     NGRAM_N,
@@ -195,3 +196,60 @@ def test_q490_overlapping_runs_excise_whole_tail_occurrence(spark, tmp_path):
     assert row["n_tokens"] == 2 * len(run) + len(mid)
     assert row["n_removed"] == len(run)
     assert row["kept_text"] == " ".join(run + mid)
+
+
+def test_q499_containment_is_directed(spark, tmp_path):
+    from synth_transform_spark.plans.corpus_dedup_queries import (
+        q499_source_contamination,
+    )
+
+    span = " ".join(f"g{i}" for i in range(NGRAM_N))
+    extra = " ".join(f"h{i}" for i in range(NGRAM_N))
+    # source A = exactly the span; source B = span + another gram
+    # => A fully contained in B (1.0), B only half contained in A
+    rows = [(0, span, "A"), (1, f"{span} {extra}", "B")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"]).withColumn(
+        "lang", F.lit("en")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in q499_source_contamination(spark, str(tmp_path)).collect()
+    }
+    assert out[("A", "B")]["containment_in_b"] == 1.0
+    assert out[("B", "A")]["containment_in_b"] < 1.0
+    assert out[("A", "B")]["shared_grams"] == out[("B", "A")]["shared_grams"]
+
+
+def test_q500_funnel_consistent_with_parts(spark):
+    from conftest import SF_DIR as _sf
+    from synth_transform_spark.plans.corpus_dedup_queries import (
+        q115_segment_dedup,
+        q490_substring_excision,
+        q500_dedup_funnel,
+    )
+
+    funnel = {r["stage"]: r for r in q500_dedup_funnel(spark, _sf).collect()}
+    assert set(funnel) == {
+        "1_exact_docs",
+        "2_segment_tokens",
+        "3_substring_tokens",
+        "4_neardup_docs",
+    }
+    for r in funnel.values():
+        assert 0 <= r["n_kept"] <= r["n_total"]
+        assert r["reduction"] == pytest.approx(
+            1.0 - r["n_kept"] / r["n_total"], abs=1e-4
+        )
+    # stage 3 must agree with q490's own per-doc accounting
+    q490 = q490_substring_excision(spark, _sf).toPandas()
+    assert funnel["3_substring_tokens"]["n_total"] == int(q490["n_tokens"].sum())
+    assert funnel["3_substring_tokens"]["n_kept"] == int(
+        (q490["n_tokens"] - q490["n_removed"]).sum()
+    )
+    # stage 2 must agree with q115's kept-token accounting
+    q115 = q115_segment_dedup(spark, _sf).toPandas()
+    kept_toks = sum(
+        len([t for t in kt.split(" ") if t]) for kt in q115["kept_text"]
+    )
+    assert funnel["2_segment_tokens"]["n_kept"] == kept_toks
