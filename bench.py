@@ -35,6 +35,22 @@ def _load_avg_1m() -> float:
         return -1.0
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor CPU-steal jiffies (8th field of /proc/stat cpu line).
+
+    On this class of host, loadavg can read 0 while a co-tenant steals
+    cycles — a steal DELTA across the bench run is the discriminator
+    between 'host was slow' and 'plan regressed' that load alone misses
+    (observed: uniform 1.4-1.8x inflation at loadavg 0.2 with steal
+    accumulating)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):  # pragma: no cover
+        return -1
+
+
 def plan_fingerprint(df) -> str:
     """Stable hash of the canonicalised physical plan.
 
@@ -67,6 +83,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     load_before = _load_avg_1m()
+    steal_before = _steal_jiffies()
 
     from synth_transform_spark.plans import REGISTRY
     from synth_transform_spark.session import get_spark, silence_bounded_window_warnings
@@ -169,6 +186,11 @@ def main() -> int:
                 # regression; a changed fingerprint = the plan moved.
                 "load_avg_1m_before": load_before,
                 "load_avg_1m_after": _load_avg_1m(),
+                "steal_jiffies_delta": (
+                    _steal_jiffies() - steal_before
+                    if steal_before >= 0
+                    else -1
+                ),
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "plan_fingerprints": plan_fps,
             }

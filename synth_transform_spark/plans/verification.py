@@ -87,7 +87,6 @@ WAIVERS: dict[str, str] = {
     "q71_hll_distinct": "COUNT-ALGEBRA: deterministic HLL pinned bit-for-bit in test_sketches (operator level)",
     "q156_corpus_drift": "COUNT-ALGEBRA: per-source share deltas of counts",
     "q157_source_scorecard": "COUNT-ALGEBRA: rollup of q24/q25 signals already unit-tested at function level",
-    "q170_user_entropy": "FORMULA(low): Shannon entropy one-liner over per-user shares",
     "q175_ab_test": "FORMULA(low): two-proportion z — same algebra as q355 Wilson CI (recomputed); shares the cohort split pinned there",
     "q176_time_to_convert": "ORDER-STAT: median/deciles of timestamp diffs",
     "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
@@ -104,14 +103,10 @@ WAIVERS: dict[str, str] = {
     "q402_langid_margin": "margin of q25 scores (q25 pinned by goldens)",
     "q405_embedding_norms": "COUNT-ALGEBRA: norm mean/std per source (one moment; ledgered)",
     "q407_qq_deciles": "ORDER-STAT: decile grid vs normal quantile constants",
-    "q418_burst_detection": "FORMULA(low): rolling z on daily counts",
-    "q419_lorenz_table": "COUNT-ALGEBRA: cumulative-share table (exact cents; ledgered)",
     "q422_shipping_sla": "COUNT-ALGEBRA: SLA-breach shares",
-    "q424_supplier_hhi": "FORMULA(low): HHI share-square sum",
     "q425_brand_return_rates": "COUNT-ALGEBRA: return-share by brand",
     "q427_int8_quant_audit": "int8 quantize/dequantize kernels recomputed at operator level (test_similarity q85 path); the audit table is count algebra over those kernels",
     "q429_chunk_overlap_audit": "COUNT-ALGEBRA: overlap-token shares of q68 chunks (q68 invariants tested)",
-    "q432_pinball_loss": "FORMULA(low): quantile-loss one-liner at fixed taus",
     "q435_cvar_spend": "ORDER-STAT: tail mean past VaR cut",
     "q442_rmst": "FORMULA(low): rectangle sum under the q241 KM curve (life-table frame shared with recomputed q460)",
     "q445_forecast_reconciliation": "FORMULA(low): proportional top-down split of q341-class SES",
