@@ -155,6 +155,10 @@ def main() -> int:
             print(f"# extended {name}: not in registry, skipped", file=sys.stderr)
             continue
         try:
+            try:
+                plan_fps[name] = plan_fingerprint(q.spark(spark, sf_dir))
+            except Exception as ex:
+                print(f"# fingerprint {name} failed: {ex}", file=sys.stderr)
             q.spark(spark, warm_dir).count()  # warm
             best = None
             for _ in range(2):
