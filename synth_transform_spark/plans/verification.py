@@ -83,20 +83,13 @@ SEMANTIC_MODULES: tuple[str, ...] = (
 #: test, not a waiver.
 WAIVERS: dict[str, str] = {
     # ---- COUNT-ALGEBRA ---------------------------------------------------
-    "q44_summary_stats": "COUNT-ALGEBRA: min/max/count/avg built-ins; avg is the only derived value",
     "q71_hll_distinct": "COUNT-ALGEBRA: deterministic HLL pinned bit-for-bit in test_sketches (operator level)",
-    "q156_corpus_drift": "COUNT-ALGEBRA: per-source share deltas of counts",
     "q157_source_scorecard": "COUNT-ALGEBRA: rollup of q24/q25 signals already unit-tested at function level",
-    "q175_ab_test": "FORMULA(low): two-proportion z — same algebra as q355 Wilson CI (recomputed); shares the cohort split pinned there",
     "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
-    "q198_ir_eval": "FORMULA(low): precision/recall/MRR count ratios",
-    "q199_feature_stats": "COUNT-ALGEBRA: per-dim min/max/mean/std of components (std is the only moment; q226 drift covers the moment path in backfill)",
-    "q228_dataset_card": "COUNT-ALGEBRA: manifest of counts/shares",
     "q241_km_survival": "FORMULA(med): KM product-limit — q460 Nelson-Aalen (same life-table frame) is independently recomputed in round-8 math; shares the life-table builder",
     "q393_brown_double_smoothing": "FORMULA(low): double-pass of q341's SES recursion (q341 recomputed)",
     "q401_gopher_rules": "rule counts; underlying signals unit-tested (operators/text_analysis)",
     "q402_langid_margin": "margin of q25 scores (q25 pinned by goldens)",
-    "q405_embedding_norms": "COUNT-ALGEBRA: norm mean/std per source (one moment; ledgered)",
     "q427_int8_quant_audit": "int8 quantize/dequantize kernels recomputed at operator level (test_similarity q85 path); the audit table is count algebra over those kernels",
     "q429_chunk_overlap_audit": "COUNT-ALGEBRA: overlap-token shares of q68 chunks (q68 invariants tested)",
     "q442_rmst": "FORMULA(low): rectangle sum under the q241 KM curve (life-table frame shared with recomputed q460)",
