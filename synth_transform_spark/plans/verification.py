@@ -86,14 +86,10 @@ WAIVERS: dict[str, str] = {
     "q71_hll_distinct": "COUNT-ALGEBRA: deterministic HLL pinned bit-for-bit in test_sketches (operator level)",
     "q157_source_scorecard": "COUNT-ALGEBRA: rollup of q24/q25 signals already unit-tested at function level",
     "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
-    "q241_km_survival": "FORMULA(med): KM product-limit — q460 Nelson-Aalen (same life-table frame) is independently recomputed in round-8 math; shares the life-table builder",
-    "q393_brown_double_smoothing": "FORMULA(low): double-pass of q341's SES recursion (q341 recomputed)",
     "q401_gopher_rules": "rule counts; underlying signals unit-tested (operators/text_analysis)",
     "q402_langid_margin": "margin of q25 scores (q25 pinned by goldens)",
     "q427_int8_quant_audit": "int8 quantize/dequantize kernels recomputed at operator level (test_similarity q85 path); the audit table is count algebra over those kernels",
     "q429_chunk_overlap_audit": "COUNT-ALGEBRA: overlap-token shares of q68 chunks (q68 invariants tested)",
-    "q442_rmst": "FORMULA(low): rectangle sum under the q241 KM curve (life-table frame shared with recomputed q460)",
-    "q445_forecast_reconciliation": "FORMULA(low): proportional top-down split of q341-class SES",
     "q455_filter_agreement": "COUNT-ALGEBRA: agreement shares of q75/q215 flags (both recomputed upstream)",
 }
 
