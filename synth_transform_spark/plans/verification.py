@@ -83,8 +83,6 @@ SEMANTIC_MODULES: tuple[str, ...] = (
 #: test, not a waiver.
 WAIVERS: dict[str, str] = {
     # ---- COUNT-ALGEBRA ---------------------------------------------------
-    "q71_hll_distinct": "COUNT-ALGEBRA: deterministic HLL pinned bit-for-bit in test_sketches (operator level)",
-    "q157_source_scorecard": "COUNT-ALGEBRA: rollup of q24/q25 signals already unit-tested at function level",
     "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
     "q401_gopher_rules": "rule counts; underlying signals unit-tested (operators/text_analysis)",
     "q402_langid_margin": "margin of q25 scores (q25 pinned by goldens)",
