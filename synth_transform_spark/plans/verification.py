@@ -84,9 +84,6 @@ SEMANTIC_MODULES: tuple[str, ...] = (
 WAIVERS: dict[str, str] = {
     # ---- COUNT-ALGEBRA ---------------------------------------------------
     "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
-    "q401_gopher_rules": "rule counts; underlying signals unit-tested (operators/text_analysis)",
-    "q402_langid_margin": "margin of q25 scores (q25 pinned by goldens)",
-    "q427_int8_quant_audit": "int8 quantize/dequantize kernels recomputed at operator level (test_similarity q85 path); the audit table is count algebra over those kernels",
     "q429_chunk_overlap_audit": "COUNT-ALGEBRA: overlap-token shares of q68 chunks (q68 invariants tested)",
     "q455_filter_agreement": "COUNT-ALGEBRA: agreement shares of q75/q215 flags (both recomputed upstream)",
 }
