@@ -84,7 +84,6 @@ SEMANTIC_MODULES: tuple[str, ...] = (
 WAIVERS: dict[str, str] = {
     # ---- COUNT-ALGEBRA ---------------------------------------------------
     "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
-    "q429_chunk_overlap_audit": "COUNT-ALGEBRA: overlap-token shares of q68 chunks (q68 invariants tested)",
     "q455_filter_agreement": "COUNT-ALGEBRA: agreement shares of q75/q215 flags (both recomputed upstream)",
 }
 

@@ -131,3 +131,34 @@ def test_int8_quant_audit_matches_numpy(spark):
         assert row["mean_quant_cos"] == pytest.approx(cs / n / 1e6, abs=2e-4)
         assert row["min_quant_cos"] == pytest.approx(cmin / 1e6, abs=2e-4)
         assert row["mean_mse"] == pytest.approx(ms / n / 1e12, abs=2e-3)
+
+
+# ---------------------------------------------------------------------------
+def test_chunk_overlap_audit_matches_closed_form(spark):
+    df = _run(spark, "q429_chunk_overlap_audit").set_index(
+        ["source", "chunk_size"]
+    )
+    docs = _docs()
+    docs["tok"] = [
+        len([t for t in text.split(" ") if t]) for text in docs["text"]
+    ]
+    for (size, stride) in ((128, 96), (256, 192), (512, 384)):
+        for src, g in docs.groupby("source"):
+            chunks = emitted = 0
+            for tok in g["tok"]:
+                if tok == 0:
+                    continue
+                if tok > size:
+                    extra = -(-(tok - size) // stride)  # ceil division
+                    chunks += extra + 1
+                    emitted += tok + extra * (size - stride)
+                else:
+                    chunks += 1
+                    emitted += tok
+            row = df.loc[(src, size)]
+            assert int(row["n_chunks"]) == chunks, (src, size)
+            assert int(row["tokens_in"]) == int(g["tok"].sum())
+            assert int(row["tokens_emitted"]) == emitted
+            assert row["blowup"] == pytest.approx(
+                emitted / g["tok"].sum(), abs=2e-4
+            )

@@ -61,16 +61,16 @@ def test_semantic_modules_all_exist():
 
 def test_tier_floor():
     # ratchet: independent coverage must not regress below the round-9
-    # close (271 independently recomputed queries; 176 of the 179 A12
-    # set). The 3 remaining waivers are all rollups of operators whose
+    # close (272 independently recomputed queries; 177 of the 179 A12
+    # set). The 2 remaining waivers are all rollups of operators whose
     # kernels are recomputed elsewhere (see WAIVERS) — no formula class
     # is waived at any risk level.
     tiers = verification_tiers(REGISTRY, TESTS)
     indep_n = sum(1 for t in tiers.values() if t.endswith("independent"))
-    assert indep_n >= 271, f"independent coverage regressed: {indep_n} < 245"
+    assert indep_n >= 272, f"independent coverage regressed: {indep_n} < 245"
     a12 = stats_queries(REGISTRY)
     a12_indep = sum(1 for q in a12 if tiers[q].endswith("independent"))
-    assert a12_indep >= 176, (
+    assert a12_indep >= 177, (
         f"A12 independent count regressed: {a12_indep}/{len(a12)}"
     )
 
