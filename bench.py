@@ -115,6 +115,10 @@ def main() -> int:
     # stray JIT/GC noise from earlier queries in the shared JVM).
     timings: dict[str, float] = {}
     plan_fps: dict[str, str] = {}
+    # steal accounting over the TIMED region only (warmup excluded) so the
+    # normalized companion metric below is arithmetic, not narrative.
+    timed_wall_t0 = time.perf_counter()
+    steal_timed_before = _steal_jiffies()
     for name, fn in bench.items():
         try:
             plan_fps[name] = plan_fingerprint(fn(spark, sf_dir))
@@ -147,6 +151,9 @@ def main() -> int:
         # the q392-q412 wave, so its families carry a regression metric
         "q397_source_jsd",
         "q399_ngram_novelty",
+        # round-10: the round-9 substring-excision family representative
+        # (round-9 verdict #7 — plan pinned in test_plans, timed here)
+        "q490_substring_excision",
     ]
     ext: dict[str, float] = {}
     for name in EXTENDED:
@@ -175,6 +182,37 @@ def main() -> int:
             print(f"# extended {name} failed: {ex}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+
+    # Steal-normalized companion metric (round-9 verdict #5). Over the timed
+    # window of wall length W on C cpus at USER_HZ jiffies/sec, the host had
+    # C*HZ*W cpu-jiffies to give; `steal` is the share a co-tenant took. If a
+    # fraction f was stolen uniformly, observed wall ~ ideal / (1 - f), so
+    # ideal ~ observed * (1 - f). Reported alongside the raw value, never in
+    # its place — the raw headline stays comparable across all rounds.
+    timed_wall = time.perf_counter() - timed_wall_t0
+    steal_timed_after = _steal_jiffies()
+    try:
+        hz = os.sysconf("SC_CLK_TCK")
+        ncpu = os.cpu_count() or 32
+    except (OSError, ValueError):  # pragma: no cover
+        hz, ncpu = 100, 32
+    if steal_timed_before >= 0 and steal_timed_after >= 0 and timed_wall > 0:
+        steal_frac = (steal_timed_after - steal_timed_before) / (
+            hz * ncpu * timed_wall
+        )
+        steal_frac = min(max(steal_frac, 0.0), 0.9)
+        value_normalized = round(total * (1.0 - steal_frac), 3)
+    else:
+        steal_frac, value_normalized = -1.0, -1.0
+
+    # -1 sentinel requires BOTH reads valid (round-9 advice: a failed END
+    # read must not emit `-1 - steal_before` garbage).
+    steal_after = _steal_jiffies()
+    steal_delta = (
+        steal_after - steal_before
+        if steal_before >= 0 and steal_after >= 0
+        else -1
+    )
     print(
         json.dumps(
             {
@@ -190,11 +228,9 @@ def main() -> int:
                 # regression; a changed fingerprint = the plan moved.
                 "load_avg_1m_before": load_before,
                 "load_avg_1m_after": _load_avg_1m(),
-                "steal_jiffies_delta": (
-                    _steal_jiffies() - steal_before
-                    if steal_before >= 0
-                    else -1
-                ),
+                "steal_jiffies_delta": steal_delta,
+                "steal_frac_timed": round(steal_frac, 4),
+                "value_steal_normalized": value_normalized,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "plan_fingerprints": plan_fps,
             }

@@ -1,0 +1,222 @@
+"""Publisher payload → DOI parsers (reference scalar surface F12).
+
+The reference's network DOI stages (/root/reference/synth/parsers/
+doi.py:129-223) each do two separable things: BUILD a publisher-specific
+fetch URL from the raw citation string, and PARSE the fetched response
+body into a DOI. The transport itself lives in ``enrichment.http_stage``
+(rate-limited mapInPandas); this module is everything around it as pure
+Column expressions — offline-testable, JVM-side, usable both inside the
+enrichment pipeline and directly over a payload table.
+
+Response parsers (reference file:line):
+- ``bibtex_doi``        — cambridge/ingenta/pensoft bibtex exports all
+                          finish with ``doi_regex(r.text)`` over the raw
+                          bibtex (doi.py:145-160, 163-173, 176-207):
+                          first standard-DOI substring, normalised.
+- ``elsevier_doi``      — full-text XML ``coredata/prism:doi`` cdata
+                          (doi.py:130-142; untangle path
+                          full_text_retrieval_response.coredata.prism_doi),
+                          returned RAW — the reference does not normalise
+                          this stage.
+- ``refindit_doi``      — ReFindIt JSON: ``r.json()[0]['doi']``
+                          (doi.py:209-223), returned raw.
+- ``parse_payload_doi`` — table-form dispatch: when one column carries
+                          payloads from many publishers, sniff the
+                          transport shape (JSON array → ReFindIt; the
+                          Elsevier XML envelope → prism path; a bibtex
+                          entry → bibtex regex; else the plain DOI
+                          regex). The reference dispatches by stage
+                          instead — per-shape results are identical,
+                          pinned by tests/test_payload_parsers.py.
+
+Request builders (the offline half of each network stage):
+- ``elsevier_pii`` / ``elsevier_api_url``   (doi.py:129-136)
+- ``ingenta_bib_url``                       (doi.py:163-170)
+- ``cambridge_export_url``                  (doi.py:144-157; takes the
+                                            REDIRECT url — the id is its
+                                            last path segment)
+- ``pensoft_bib_url`` / chain               (doi.py:176-207, both id
+                                            regexes + the journal rule
+                                            with its 'www'/zookeys
+                                            fallbacks)
+- ``pubmed_refindit_url``                   (doi.py:209-218)
+
+RE2-parity note: the reference's second pensoft id regex uses a
+lookbehind (``(?<!_)``) that DuckDB's RE2 cannot express. Both engines
+here run the consuming emulation ``(?:^|[^_])`` instead; the only
+behavioural difference vs the reference is on ids embedded directly
+after an underscore-free prefix of another token — none of the
+publisher URL shapes the reference handles hit it.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+from ..functions.doi import extract_doi
+
+#: doi.py:134 — Elsevier PII: S/B + 16 uppercase alphanumerics.
+PII_PATTERN = r"([SB][A-Z0-9]{16})"
+#: doi.py:168 — Ingenta article path: .../<year>/<vol>/<issue>/artNNN.
+INGENTA_PATTERN = r"(ingentaconnect\.com/.+/\d{4}/\d+/\d+/art\d+)"
+#: doi.py:184 — pensoft old-style article id. The reference's dot is
+#: UNESCAPED (``articles.php``) and the greedy ``.*`` binds the LAST
+#: ``id=`` in the query string — reproduced verbatim for bug-level parity
+#: (same convention as functions.doi.DOI_PATTERN_STRICT).
+PENSOFT_ID_1 = r"articles.php\?.*id=(\d+)"
+#: doi.py:185 with the lookbehind emulated for RE2 (see module docstring).
+PENSOFT_ID_2 = r"(?:^|[^_])(?:article_)?id=(\d+)|articles?/(\d+)"
+#: doi.py:187 — journal name: <j>.pensoft host or journals/<j> path.
+PENSOFT_JOURNAL = r"([a-z]+)\.pensoft|journals/([a-z]+)"
+#: doi.py:215 — first 7-digit run is treated as the PMC id.
+PMC_PATTERN = r"(\d{7})"
+
+ELSEVIER_API = "https://api.elsevier.com/content/article/pii/"
+CAMBRIDGE_EXPORT = (
+    "https://www.cambridge.org/core/services/aop-easybib/export"
+    "?exportType=bibtex&productIds="
+)
+CAMBRIDGE_EXPORT_SUFFIX = "&citationStyle=bibtex"
+REFINDIT_API = "https://refinder.org/find?search=simple&db=pubmed&limit=1&text=PMC"
+
+
+def _nonempty(c: Column) -> Column:
+    return F.when(c != "", c)
+
+
+# --------------------------------------------------------------------------
+# response parsers
+# --------------------------------------------------------------------------
+def bibtex_doi(col: Column) -> Column:
+    """First standard-DOI substring of a bibtex payload, normalised
+    (upper, trailing-dot strip, url-artifact split) exactly like the
+    reference's ``doi_regex`` which every bibtex stage delegates to."""
+    return extract_doi(col)
+
+
+def elsevier_doi(col: Column) -> Column:
+    """``<prism:doi>`` cdata of the Elsevier full-text XML envelope, raw."""
+    return _nonempty(
+        F.regexp_extract(col, r"<prism:doi>\s*([^<]+?)\s*</prism:doi>", 1)
+    )
+
+
+def refindit_doi(col: Column) -> Column:
+    """``[0].doi`` of a ReFindIt JSON response, raw."""
+    return F.get_json_object(col, "$[0].doi")
+
+
+def parse_payload_doi(col: Column) -> Column:
+    """Dispatch a mixed-publisher payload column to the right parser."""
+    t = F.ltrim(col)
+    return (
+        F.when(t.startswith("["), refindit_doi(col))
+        .when(
+            col.contains("<full-text-retrieval-response"), elsevier_doi(col)
+        )
+        .when(t.rlike(r"@[A-Za-z]+\s*\{"), bibtex_doi(col))
+        .otherwise(extract_doi(col))
+    )
+
+
+# --------------------------------------------------------------------------
+# request builders
+# --------------------------------------------------------------------------
+def elsevier_pii(col: Column) -> Column:
+    """PII token of an Elsevier/ScienceDirect citation string."""
+    return _nonempty(F.regexp_extract(col, PII_PATTERN, 1))
+
+
+def elsevier_api_url(col: Column) -> Column:
+    """Full-text API URL for the string's PII, NULL when no PII."""
+    pii = elsevier_pii(col)
+    return F.when(pii.isNotNull(), F.concat(F.lit(ELSEVIER_API), pii))
+
+
+def ingenta_bib_url(col: Column) -> Column:
+    """Ingenta ``?format=bib`` export URL for an article-path string."""
+    hit = _nonempty(F.regexp_extract(col, INGENTA_PATTERN, 1))
+    return F.when(
+        hit.isNotNull(),
+        F.concat(F.lit("http://www."), hit, F.lit("?format=bib")),
+    )
+
+
+def cambridge_export_url(redirect_col: Column) -> Column:
+    """easybib bibtex export URL from the RESOLVED (redirect) article URL
+    — the article id is its last path segment (doi.py:154-157)."""
+    cid = F.element_at(F.split(redirect_col, "/"), -1)
+    return F.when(
+        redirect_col.contains("cambridge.org") & (cid != ""),
+        F.concat(
+            F.lit(CAMBRIDGE_EXPORT), cid, F.lit(CAMBRIDGE_EXPORT_SUFFIX)
+        ),
+    )
+
+
+def _pensoft_journal(col: Column) -> Column:
+    """Journal slug per doi.py:188-193: first non-'www' group of the
+    journal regex (host form beats path form), else 'zookeys'."""
+    g1 = _nonempty(F.regexp_extract(col, PENSOFT_JOURNAL, 1))
+    g2 = _nonempty(F.regexp_extract(col, PENSOFT_JOURNAL, 2))
+    pick = F.coalesce(
+        F.when(g1 != "www", g1), F.when(g2 != "www", g2)
+    )
+    return F.coalesce(pick, F.lit("zookeys"))
+
+
+def pensoft_bib_url(col: Column, use_regex_2: bool = False) -> Column:
+    """Pensoft bibtex download URL (doi.py:176-201): gate on a
+    pensoft/zookeys mention, id via the strict regex (or the looser
+    second-pass regex), journal via the host/path rule."""
+    gate = col.contains("pensoft") | col.contains("zookeys")
+    if use_regex_2:
+        pid = F.coalesce(
+            _nonempty(F.regexp_extract(col, PENSOFT_ID_2, 1)),
+            _nonempty(F.regexp_extract(col, PENSOFT_ID_2, 2)),
+        )
+    else:
+        pid = _nonempty(F.regexp_extract(col, PENSOFT_ID_1, 1))
+    return F.when(
+        gate & pid.isNotNull(),
+        F.concat(
+            F.lit("https://"),
+            _pensoft_journal(col),
+            F.lit(".pensoft.net/article/"),
+            pid,
+            F.lit("/download/bibtex"),
+        ),
+    )
+
+
+def pensoft_bib_url_chain(col: Column) -> Column:
+    """The reference's two-pass pensoft retry (doi.py:202-207) without
+    the network leg: strict id regex first, looser one as fallback."""
+    return F.coalesce(
+        pensoft_bib_url(col), pensoft_bib_url(col, use_regex_2=True)
+    )
+
+
+def pubmed_refindit_url(col: Column) -> Column:
+    """ReFindIt lookup URL for an NCBI citation string (doi.py:209-218)."""
+    pmc = _nonempty(F.regexp_extract(col, PMC_PATTERN, 1))
+    return F.when(
+        col.contains("ncbi.nlm.nih.gov") & pmc.isNotNull(),
+        F.concat(F.lit(REFINDIT_API), pmc),
+    )
+
+
+def build_fetch_url(col: Column) -> Column:
+    """Staged request-builder chain in the reference's stage order
+    (doi.py:19-30: elsevier_api → cambridge_bibtex → ingenta_bibtex →
+    pensoft_bibtex → pubmed): the first publisher rule that recognises
+    the string wins. The cambridge stage is keyed on its REDIRECT url
+    here (the resolve itself is transport, not parsing)."""
+    return F.coalesce(
+        elsevier_api_url(col),
+        cambridge_export_url(col),
+        ingenta_bib_url(col),
+        pensoft_bib_url_chain(col),
+        pubmed_refindit_url(col),
+    )

@@ -194,6 +194,122 @@ def tokens_stemmed_udf():
     return _tok
 
 
+# ---------------------------------------------------------------------------
+# Deterministic POS approximation (round-10 verdict #6).
+#
+# The reference keeps only spaCy NOUN/ADJ tokens before stemming
+# (outliers.ipynb cell 3). spaCy is environment-gated here, so this is a
+# closed-class-exclusion approximation: English function words (DET/ADP/
+# PRON/CONJ/AUX/PART — closed classes, enumerable), frequent title verbs,
+# and ``-ly`` adverbs are DROPPED; everything else (the open classes, which
+# in scholarly titles are overwhelmingly nouns/adjectives) is KEPT.
+# Divergence vs a hand-annotated NOUN/ADJ gold corpus is measured and
+# pinned in tests/test_pos_approx.py; the exact spaCy chain stays available
+# behind the gate (tokens_pos_stemmed_udf).
+# ---------------------------------------------------------------------------
+# NOTE deliberately absent: 'new', 'old', ordinals, 'same', 'several' —
+# spaCy tags them ADJ and the reference's filter keeps them.
+POS_FUNCTION_WORDS = frozenset(
+    """the a an this that these those each every either neither some any no
+    all both few many much more most other another such
+    of in on at by for with from to into onto upon over under between
+    among through during against about above below across behind beyond
+    within without near via per off out up down
+    and or but nor so yet if because although though while whereas unless
+    since until when where as than whether
+    it its they them their theirs we us our ours you your yours he she his
+    her hers him i me my mine who whom whose which what itself themselves
+    is are was were be been being am has have had having do does did done
+    will would can could may might must shall should
+    not also only just very too quite rather almost often always never
+    sometimes usually however moreover therefore thus hence here there now
+    then once twice again further still
+    one two three four five six seven eight nine ten
+    etc vs eg ie et al""".split()
+)
+
+POS_COMMON_VERBS = frozenset(
+    """using used use based including included describing described
+    comparing compared evaluating evaluated examining examined
+    investigating investigated assessing assessed revealing revealed
+    reveals reveal suggests suggest suggested shows show showed shown
+    found occurring occur occurs occurred recorded collected observed
+    noted made make makes taken take takes given gives give added
+    inferred resolved updated revisited redescribed transferred
+    synonymized erected proposed discovered rediscovered reported
+    confirmed presented introduced reviewed discussed analysed analyzed
+    illustrated figured documented listed established considered treated
+    placed""".split()
+)
+
+#: ``-ly`` tokens that are nouns/adjectives, not adverbs ('only' stays
+#: droppable — it is in the function-word list).
+POS_LY_KEEP = frozenset(
+    """family anomaly assembly butterfly dragonfly mayfly firefly fly
+    jelly holly lily italy sicily monopoly supply early likely daily
+    yearly monthly weekly woolly scaly mealy burly curly hilly chilly
+    silly jolly ugly holy""".split()
+)
+
+
+def pos_keep_approx(token: str) -> bool:
+    """True when the deterministic approximation classifies ``token`` as
+    content (NOUN/ADJ-like): open-class by exclusion."""
+    if len(token) <= 1:
+        return False
+    if token in POS_FUNCTION_WORDS or token in POS_COMMON_VERBS:
+        return False
+    if token.endswith("ly") and token not in POS_LY_KEEP:
+        return False
+    return True
+
+
+def tokenize_notebook_pos_approx(text: str | None) -> list[str]:
+    """outliers.ipynb cell 3 with the spaCy NOUN/ADJ filter replaced by
+    the deterministic approximation: lowercase, ``[^a-z- ]`` → space,
+    ``\\s-\\s`` → space, split, POS-approx keep, Porter."""
+    import re
+
+    if text is None:
+        return []
+    t = re.sub(r"[^a-z- ]", " ", text.lower())
+    t = re.sub(r"\s-\s", " ", t)
+    return [porter_stem(t_) for t_ in t.split() if pos_keep_approx(t_)]
+
+
+def tokens_pos_approx_udf():
+    """pandas UDF: notebook cleaning + POS approximation + Porter."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    @pandas_udf(ArrayType(StringType()))
+    def _tok(s: pd.Series) -> pd.Series:
+        return s.map(tokenize_notebook_pos_approx)
+
+    return _tok
+
+
+def pos_filtered_tokens_col(text_col):
+    """JVM-side Column twin of the approximation for relational paths:
+    the stoplists are literal arrays inside whole-stage codegen — no
+    Python worker. Porter stemming is NOT applied here (the stemmer is
+    the declared Python stage); compose with the UDFs when stems are
+    needed."""
+    import pyspark.sql.functions as F
+
+    cleaned = F.regexp_replace(F.lower(text_col), r"[^a-z\- ]", " ")
+    cleaned = F.regexp_replace(cleaned, r"\s-\s", " ")
+    toks = F.filter(F.split(cleaned, " +"), lambda t: t != "")
+    drop = sorted(POS_FUNCTION_WORDS | POS_COMMON_VERBS)
+    ly_keep = sorted(POS_LY_KEEP)
+    return F.filter(
+        toks,
+        lambda t: (F.length(t) > 1)
+        & ~t.isin(*drop)
+        & (~t.endswith("ly") | t.isin(*ly_keep)),
+    )
+
+
 def tokens_pos_stemmed_udf(model: str = "en_core_web_sm"):
     """pandas UDF: the EXACT notebook chain incl. spaCy NOUN/ADJ filtering
     and the lemma length > 1 gate. Requires spaCy + the model; raises

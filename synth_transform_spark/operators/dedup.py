@@ -574,7 +574,26 @@ def prefix_jaccard_join(
     ceil_t_sz = F.expr(f"({num}L * _sz + {den - 1}L) div {den}L")
     prefix = ranked.filter(
         F.col("_r") <= F.col("_sz") - ceil_t_sz + 1
-    ).select(F.col(id_col), "shingle")
+    ).select(F.col(id_col), "shingle", "_r", "_sz")
+    # PPJoin candidate pruning (Xiao et al. WWW'08 §3), round-10 audit:
+    # both predicates are provably no-miss and run INSIDE the shingle-
+    # keyed join, before the distinct shuffle and the verify joins.
+    # - length filter: J(A,B) >= t  ⇒  min(|A|,|B|) >= t·max(|A|,|B|)
+    #   (ov >= t·max and ov <= min), in exact integer form via num/den.
+    # - positional filter: for the LOWEST-ordered common shingle, at
+    #   ranks (ra, rb) of the global rarest-first order, every other
+    #   common shingle sits after it in both docs, so
+    #   ov <= 1 + min(|A|-ra, |B|-rb); a qualifying pair needs
+    #   ov >= α = ceil(t/(1+t)·(|A|+|B|)). A pair's lowest common
+    #   shingle is in both prefixes (the prefix guarantee), so the
+    #   generating row for it passes whenever the pair qualifies —
+    #   filtering rows then taking DISTINCT pairs loses nothing.
+    sa, sb = F.col("a._sz"), F.col("b._sz")
+    # exact integer ceil: α = (num·(sa+sb) + num+den-1) div (num+den)
+    alpha_int = F.expr(
+        f"({num}L * (a._sz + b._sz) + {num + den - 1}L) div {num + den}L"
+    )
+    ubound = F.lit(1) + F.least(sa - F.col("a._r"), sb - F.col("b._r"))
     cands = (
         prefix.alias("a")
         .join(
@@ -582,6 +601,8 @@ def prefix_jaccard_join(
             on=[
                 F.col(f"a.shingle") == F.col(f"b.shingle"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                F.lit(den) * F.least(sa, sb) >= F.lit(num) * F.greatest(sa, sb),
+                ubound >= alpha_int,
             ],
         )
         .select(

@@ -21,6 +21,7 @@ from . import (  # noqa: F401
     nested_queries,
     nonparam2_queries,
     nonparam_queries,
+    payload_queries,
     pipeline_parity_queries,
     relational,
     sequence_queries,

@@ -29,14 +29,22 @@ def _qnum(name: str) -> int:
 def catalog_lines(registry, tests_dir: pathlib.Path | None = None) -> list[str]:
     tiers = verification_tiers(registry, tests_dir)
     scale_text = (_ROOT / "SCALE.md").read_text()
-    scale_ids = set(re.findall(r"\bq(\d+)", scale_text))
+    # Scale mentions come in two shapes: full names (`q174_rolling_...`) and
+    # bare zero-padded numbers (`(q132)`, `q08`). int-normalize the numeric
+    # form but require >= 2 digits: prose convention zero-pads q01-q09, so
+    # the only 1-digit `q8` tokens are the q471/q484 ledger's accumulator
+    # VARIABLE, which previously leaked a spurious scale flag onto
+    # q08_dim_denorm (round-9 advice).
+    scale_names = set(re.findall(r"\bq\d+_[a-z0-9_]+", scale_text))
+    scale_nums = {int(m) for m in re.findall(r"\bq(\d{2,})\b", scale_text)}
+    scale_nums |= {_qnum(n) for n in scale_names}
     lines = []
     for name in sorted(registry, key=_qnum):
         q = registry[name]
         flags = [tiers[name]]
         if q.bench:
             flags.append("bench")
-        if str(_qnum(name)) in scale_ids:
+        if _qnum(name) in scale_nums:
             flags.append("scale")
         tags = ",".join(q.tags)
         lines.append(f"- `{name}` [{tags}] {'; '.join(flags)}")

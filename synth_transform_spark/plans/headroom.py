@@ -229,7 +229,7 @@ LEDGER: dict[str, HeadroomAudit] = {
         _a("q471_ansari_bradley", "1e8-frozen block score sums (a8 <= 1e8*N^2/2; q8 <= 1e8*N^3/4)", 5e7 * N_CORPUS**2, 1,
            "promoted", "a8 passed 2^62 at ~1e6 purchase rows (round-8 advice, lowest threshold the ledger ever held); closed round 9 — a8/q8/sa and the T(x) block scores all accumulate in DECIMAL(38)/HUGEINT with exact parity-split halving; residual limit is the 1e8 freeze grid vs DECIMAL(38) (~1e11 rows for q8) — lower the grid beyond"),
         _a("q472_jonckheere_terpstra", "jt2 OUTPUT cast (internal sums HUGEINT/DECIMAL(38) since round 8)", N_CORPUS**2 / 2, 1,
-           "promoted", "2*JT ~ N^2/2 exceeds int64 at ~4.3e9 orders; accumulation was wide from the start, the round-8-advice gap was the undocumented output-column BIGINT cast — recorded here: emit jt2 as DECIMAL(38,0) past ~4.3e9 orders"),
+           "promoted (output)", "2*JT ~ N^2/2 exceeds int64 at ~4.3e9 orders; accumulation was wide from round 8, and round 10 shipped the output leg too: jt2 is emitted as the exact DECIMAL(38,0)/HUGEINT rendered to a decimal string on BOTH engines (the only pandas-roundtrip-exact encoding — DuckDB .df() collapses HUGEINT to float64), so the column is now overflow-free to the 38-digit ceiling (~1e19 orders)"),
         _a("q484_lepage", "q471's 1e8-frozen AB score sums + doubled mid-rank sums", 5e7 * N_CORPUS**2, 1,
            "promoted", "same bound family as q471 (a8 ~ 1e8*N^2/2); closed round 9 alongside q471 — a8/q8/sa/w2 per-term wide, exact parity-split halving in T(x)"),
         _a("q491_conover_squared_ranks", "squared doubled-mid-rank score sums (HUGEINT/DECIMAL(38) by construction)", 16 * N_CORPUS**4, N_CORPUS,

@@ -706,7 +706,9 @@ hyx AS (
 SELECT n.n AS n_docs,
        ROUND(hy.h6 / 1000000.0 / n.n, 4) AS h_lang,
        ROUND(hyx.h6 / 1000000.0 / n.n, 4) AS h_lang_given_source,
-       ROUND((hy.h6 - hyx.h6) / CAST(hy.h6 AS DOUBLE), 4) AS theils_u
+       CASE WHEN hy.h6 = 0 THEN 0.0
+            ELSE ROUND((hy.h6 - hyx.h6) / CAST(hy.h6 AS DOUBLE), 4)
+       END AS theils_u
 FROM hy CROSS JOIN hyx CROSS JOIN nn n
 """,
     tags=("A12", "A6", "quality", "corpus-analytics"),
@@ -756,7 +758,14 @@ def q498_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hyx6") / 1e6 / F.col("n"), 4).alias(
             "h_lang_given_source"
         ),
-        F.round(
-            (F.col("hy6") - F.col("hyx6")) / F.col("hy6").cast("double"), 4
-        ).alias("theils_u"),
+        # U := 0 on a single-language corpus (H(lang)=0 would give 0/0,
+        # whose NaN/NULL rendering differs between engines — round-9 advice)
+        F.when(F.col("hy6") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.col("hy6") - F.col("hyx6")) / F.col("hy6").cast("double"),
+                4,
+            )
+        )
+        .alias("theils_u"),
     )

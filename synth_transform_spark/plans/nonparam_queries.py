@@ -268,7 +268,7 @@ sizes AS (
     FROM g
 )
 SELECT s.n,
-       CAST(j.jt2 AS BIGINT) AS jt2,
+       CAST(j.jt2 AS VARCHAR) AS jt2,
        ROUND((CAST(j.jt2 AS DOUBLE) / 2.0
               - (CAST(s.n AS DOUBLE) * s.n
                  - ({" + ".join(f"CAST(s.n{i} AS DOUBLE) * s.n{i}" for i in range(1, 6))})) / 4.0)
@@ -323,7 +323,14 @@ def q472_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = (nD * F.col("n") * (2.0 * F.col("n") + 3) - sum_nv) / 72.0
     return out.select(
         "n",
-        F.col("jt2").cast("long").alias("jt2"),
+        # exact wide output (round-9 advice): the accumulator has been
+        # HUGEINT/DECIMAL(38,0) since round 8, but the OUTPUT cast was still
+        # BIGINT — past ~4.3e9 orders 2*JT ~ N^2/2 wraps int64 (ANSI Spark
+        # errors, DuckDB errors, non-ANSI Spark nulls: divergence, not
+        # parity). Both engines now emit the exact integer as a decimal
+        # string, the only pandas-roundtrip-exact encoding at this width
+        # (DuckDB .df() collapses HUGEINT/DECIMAL(38) to float64).
+        F.col("jt2").cast("decimal(38,0)").cast("string").alias("jt2"),
         F.round(
             (F.col("jt2").cast("double") / 2.0 - mean) / F.sqrt(var), 4
         ).alias("z"),

@@ -82,9 +82,11 @@ SEMANTIC_MODULES: tuple[str, ...] = (
 #: (tests/test_round9_backfill2_math.py) — new med+ risks must get a
 #: test, not a waiver.
 WAIVERS: dict[str, str] = {
-    # ---- COUNT-ALGEBRA ---------------------------------------------------
-    "q195_lsh_quality": "semantic P/R floor vs exact truth asserted inside the query family tests (test_similarity recall floors); oracle pins values",
-    "q455_filter_agreement": "COUNT-ALGEBRA: agreement shares of q75/q215 flags (both recomputed upstream)",
+    # EMPTY since round 10: q195 (full pure-Python MinHash-LSH pipeline +
+    # exact truth + P/R algebra) and q455 (unigram-LM flag, threshold, and
+    # kappa recompute) moved to tests/test_round10_math.py. Every A12 query
+    # now carries an independent recomputation; new entries require a
+    # written triage reason AND will fail review — add the test instead.
 }
 
 

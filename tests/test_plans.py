@@ -333,6 +333,29 @@ def test_gap_windows_are_day_sharded(spark):
         assert "lag(_last" in m.group(0) or "lead(_first" in m.group(0), m.group(0)
 
 
+def test_q490_excision_reassembly_stays_keyed(spark):
+    """Round-9 verdict #7: the substring-excision pipeline must never
+    collapse the corpus to one partition. The keep-first window is keyed
+    by the content-hash gram (reducer fan-in bounded by the hottest
+    gram's occurrence list) and document reassembly is a doc-keyed
+    aggregate (sort_array inside the group) — no corpus-wide
+    single-partition window anywhere in the plan."""
+    df = REGISTRY["q490_substring_excision"].spark(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange SinglePartition" not in plan
+    assert not _WINDOW_OVER_SINGLE_PARTITION.search(plan)
+    # the only window spec is gram-keyed
+    specs = re.findall(r"windowspecdefinition\(([a-z_]+)", plan)
+    assert specs and set(specs) == {"gram"}, specs
+    # reassembly shuffles on doc_id (keyed aggregate), and the in-group
+    # ordering lives in the aggregate, not a corpus-wide Sort: the only
+    # global sorts allowed are the final presentation orderBy on doc_id
+    for line in plan.splitlines():
+        if re.search(r"\bSort \[", line) and "true" in line:
+            assert "doc_id" in line, line
+    assert "hashpartitioning(doc_id" in plan
+
+
 def test_subquery_suite_decorrelated_plans(spark):
     """q109-q114: every correlated-subquery shape must execute as its
     decorrelated single-pass plan — no per-row re-scan artifacts, no

@@ -535,7 +535,9 @@ def test_jt_matches_pairwise(spark):
     mean = (n * n - sum(k * k for k in ns)) / 4.0
     var = (n * n * (2 * n + 3) - sum(k * k * (2 * k + 3) for k in ns)) / 72.0
     assert got["n"] == n
-    assert got["jt2"] == jt2
+    # jt2 is emitted as an exact decimal STRING (round-10 output-width
+    # promotion: int64 wraps past ~4.3e9 orders)
+    assert int(got["jt2"]) == jt2
     assert got["z"] == pytest.approx(
         (jt2 / 2.0 - mean) / math.sqrt(var), abs=2e-4
     )
