@@ -145,6 +145,11 @@ def cmd_update(args) -> int:
     cache = None
     if os.path.exists(args.cache):
         cache = spark.read.parquet(args.cache)
+        # `doi` is a DERIVED column (deterministic re-parse of payload):
+        # drop it before the refresh union so the fetched delta's schema
+        # matches; --parse doi re-derives it over the whole cache below
+        if "doi" in cache.columns:
+            cache = cache.drop("doi")
     new_cache = refresh_cache(
         cache,
         universe,
@@ -152,7 +157,17 @@ def cmd_update(args) -> int:
         key_col="key",
         n_workers=args.workers,
         rate_per_worker=args.rate,
-    ).cache()
+    )
+    if getattr(args, "parse", "none") == "doi":
+        # the reference's update flow ends by parsing each publisher
+        # response into a DOI (parsers/doi.py:129-223) — same here, as a
+        # narrow Column stage over the fetched payloads
+        from .enrichment.payloads import parse_payload_doi
+
+        new_cache = new_cache.withColumn(
+            "doi", parse_payload_doi(F.col("payload"))
+        )
+    new_cache = new_cache.cache()
     n = new_cache.count()
     tmp = args.cache + ".staging"
     new_cache.write.mode("overwrite").parquet(tmp)
@@ -206,6 +221,14 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--transport", default="echo")
     u.add_argument("--workers", type=int, default=20)
     u.add_argument("--rate", type=float, default=5.0)
+    u.add_argument(
+        "--parse",
+        choices=["none", "doi"],
+        default="none",
+        help="derive a parsed column from fetched payloads before writing "
+        "(doi = publisher response -> DOI via enrichment.payloads, the "
+        "reference's update flow)",
+    )
     u.set_defaults(fn=cmd_update)
 
     d = sub.add_parser("dump", help="serialise a warehouse dir to one SQL file")

@@ -300,12 +300,23 @@ def jaccard_verify_arrays(
     ``jaccard_verify`` shuffles the full shingle relation on (id, shingle).
     Returns (id_a, id_b, jaccard ≥ threshold) rounded to 4dp.
     """
+    from fractions import Fraction
+
     a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"))
     b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # No-miss length prefilter (round-10): J(A,B) >= t forces
+    # min(|A|,|B|) >= t·max(|A|,|B|) (ov <= min and ov >= t·max), so pairs
+    # failing it are dropped BEFORE the O(|A|+|B|) array_intersect — a
+    # narrow filter on two size() calls, no new shuffle. Exact-rational
+    # (q182's Fraction discipline: IEEE t·sz can round the wrong way).
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    na, nb = F.size("sh_a"), F.size("sh_b")
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
+        .filter(F.lit(den) * F.least(na, nb) >= F.lit(num) * F.greatest(na, nb))
         .withColumn("n_inter", inter)
         .withColumn(
             "jaccard",

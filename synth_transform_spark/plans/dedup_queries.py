@@ -1487,3 +1487,109 @@ def q496_canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+_T12 = 20**12  # common denominator of the exact S-curve grid (< 2^53)
+
+
+@register(
+    "q503_lsh_band_planner",
+    # The design-time companion to q27/q195/q207: for every (band_size r,
+    # n_bands b) factorisation of the 12-perm MinHash budget, the banded-LSH
+    # collision S-curve p(s) = 1 - (1 - s^r)^b on the s = k/20 grid — in
+    # EXACT integer arithmetic. With s = k/20 and r*b = 12, the curve is
+    # p = 1 - (20^r - k^r)^b / 20^12: every power stays a BIGINT < 2^53
+    # (so the one double division is correctly rounded identically on both
+    # engines — no libm pow anywhere). Emits the operating point of the
+    # shipped 4x3 design (p at s=0.8) and the curve's s10/s50/s90 landmarks
+    # per config. s90 is NULL where the curve never reaches 0.9 on the grid
+    # (the 12x1 AND-only config) — both engines agree on the NULL.
+    oracle=f"""
+WITH conf AS (
+    SELECT * FROM (VALUES (1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1))
+        AS c(r, b)
+),
+grid AS (SELECT r, b, k FROM conf CROSS JOIN range(1, 20) t(k)),
+pw AS (
+    SELECT r, b, k,
+           list_reduce(list_transform(range(1, r + 1), x -> CAST(k AS BIGINT)),
+                       (a, y) -> a * y) AS kr,
+           list_reduce(list_transform(range(1, r + 1), x -> CAST(20 AS BIGINT)),
+                       (a, y) -> a * y) AS tr
+    FROM grid
+),
+curve AS (
+    SELECT r, b, k,
+           {_T12} - list_reduce(list_transform(range(1, b + 1), x -> tr - kr),
+                                (a, y) -> a * y) AS p_num
+    FROM pw
+)
+SELECT CAST(r AS BIGINT) AS band_size,
+       CAST(b AS BIGINT) AS n_bands,
+       ROUND(MAX(CASE WHEN k = 16 THEN p_num END) / {_T12}.0, 4) AS p_at_080,
+       MIN(CASE WHEN 10 * p_num >= {_T12} THEN k END) / 20.0 AS s10,
+       MIN(CASE WHEN 2 * p_num >= {_T12} THEN k END) / 20.0 AS s50,
+       MIN(CASE WHEN 10 * p_num >= 9 * {_T12} THEN k END) / 20.0 AS s90
+FROM curve
+GROUP BY r, b
+ORDER BY band_size
+""",
+    tags=("dedup-qa", "lsh", "planner"),
+)
+def q503_lsh_band_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH design table for the 12-perm MinHash budget: per (r, b)
+    with r*b = 12, the exact-integer collision S-curve's operating point at
+    the shipped 0.8 threshold and its s10/s50/s90 landmarks:
+    (band_size, n_bands, p_at_080, s10, s50, s90)."""
+    conf = spark.createDataFrame(
+        [(r, 12 // r) for r in (1, 2, 3, 4, 6, 12)], "r int, b int"
+    )
+    grid = conf.select(
+        "r", "b", F.explode(F.sequence(F.lit(1), F.lit(19))).alias("k")
+    )
+
+    def int_pow(base, times):
+        # exact BIGINT power: fold `times` multiplications (never libm pow)
+        return F.aggregate(
+            F.sequence(F.lit(1), times),
+            F.lit(1).cast("long"),
+            lambda acc, _: acc * base,
+        )
+
+    curve = grid.select(
+        "r",
+        "b",
+        "k",
+        (
+            F.lit(_T12)
+            - int_pow(
+                int_pow(F.lit(20).cast("long"), F.col("r"))
+                - int_pow(F.col("k").cast("long"), F.col("r")),
+                F.col("b"),
+            )
+        ).alias("p_num"),
+    )
+    t = F.lit(_T12)
+    return (
+        curve.groupBy("r", "b")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("k") == 16, F.col("p_num"))) / t.cast("double"),
+                4,
+            ).alias("p_at_080"),
+            (F.min(F.when(10 * F.col("p_num") >= t, F.col("k"))) / 20.0).alias("s10"),
+            (F.min(F.when(2 * F.col("p_num") >= t, F.col("k"))) / 20.0).alias("s50"),
+            (
+                F.min(F.when(10 * F.col("p_num") >= 9 * t, F.col("k"))) / 20.0
+            ).alias("s90"),
+        )
+        .select(
+            F.col("r").cast("long").alias("band_size"),
+            F.col("b").cast("long").alias("n_bands"),
+            "p_at_080",
+            "s10",
+            "s50",
+            "s90",
+        )
+        .orderBy("band_size")
+    )

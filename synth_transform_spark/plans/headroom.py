@@ -341,8 +341,11 @@ def decimal38_queries() -> list[HeadroomAudit]:
 
 
 def promoted_queries() -> list[HeadroomAudit]:
+    # "promoted" = the wide accumulators landed; "promoted (output)" =
+    # additionally the OUTPUT column itself is emitted at full width
+    # (q472, round 10). Both are closed risks and render together.
     return sorted(
-        (a for a in LEDGER.values() if a.disposition == "promoted"),
+        (a for a in LEDGER.values() if a.disposition.startswith("promoted")),
         key=lambda a: a.query,
     )
 

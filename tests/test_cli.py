@@ -100,3 +100,31 @@ def test_update_refreshes_cache_incrementally(spark, fixture_dirs, capsys):
     assert rc == 0
     n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
     assert n2 == n1
+
+
+def test_update_parse_doi_derives_column(spark, fixture_dirs, capsys):
+    """--parse doi completes the reference's update flow: the fetched
+    payloads are parsed into a `doi` column (enrichment.payloads), the
+    column survives re-runs (derived → dropped → re-derived), and the
+    echo transport's JSON payloads (no DOI inside) parse to NULL without
+    error."""
+    import pyspark.sql.functions as F
+
+    root, src_dir, _ = fixture_dirs
+    cache_path = str(root / "doi_cache2.parquet")
+    keys = str(src_dir / "NHM_Outputs.parquet")
+    args = ["update", "--keys", keys, "--key-col", "Output_ID",
+            "--cache", cache_path, "--transport", "echo",
+            "--workers", "2", "--rate", "1000", "--parse", "doi"]
+    assert main(args) == 0
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
+    cache = spark.read.parquet(cache_path)
+    assert "doi" in cache.columns
+    # echo payloads are JSON objects (not arrays) with no DOI anywhere →
+    # the parse falls through to the plain regex and yields NULL
+    assert cache.filter(F.col("doi").isNotNull()).count() == 0
+    # idempotent re-run with the derived column already in the cache
+    assert main(args) == 0
+    n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
+    assert n2 == n1
+    assert "doi" in spark.read.parquet(cache_path).columns

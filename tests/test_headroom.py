@@ -56,7 +56,7 @@ def test_no_stale_ledger_entries():
     flagged = flagged_queries(REGISTRY)
     stale = sorted(
         q for q in set(LEDGER) - set(flagged)
-        if LEDGER[q].disposition != "promoted"
+        if not LEDGER[q].disposition.startswith("promoted")
     )
     assert not stale, f"ledger entries whose query no longer has integer sums: {stale}"
 
@@ -68,7 +68,7 @@ def test_promoted_entries_really_promoted():
     bad = [
         a.query
         for a in LEDGER.values()
-        if a.disposition == "promoted"
+        if a.disposition.startswith("promoted")
         and (a.query in flagged or a.bound <= INT64_HEADROOM)
     ]
     assert not bad, f"promoted entries still flagged or under-bounded: {bad}"
@@ -98,7 +98,7 @@ def test_dispositions_are_known():
     bad = [
         a.query
         for a in LEDGER.values()
-        if a.disposition not in ("ok", "decimal38", "promoted")
+        if a.disposition not in ("ok", "decimal38", "promoted", "promoted (output)")
     ]
     assert not bad, bad
 

@@ -275,3 +275,33 @@ def test_payload_table_through_http_stage(spark):
         "u4": (404, None),
         "u5": (200, None),
     }
+
+
+def test_pensoft_id_regex_java_re2_agreement(spark):
+    """The lookbehind-free pensoft id pattern must behave identically
+    under Java regex (Spark) and RE2 (DuckDB) — the whole point of the
+    `(?:^|[^_])` emulation (see payloads.PENSOFT_ID_2)."""
+    import duckdb
+
+    from synth_transform_spark.enrichment.payloads import PENSOFT_ID_2
+
+    cases = [
+        "id=123", "x_id=123", "article_id=456", "foo_article_id=456",
+        "a id=1 b id=2", "articles/789", "article/12/download", "nothing",
+        "xid=55", "_id=9", "article_id=7&id=8",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], ["s"]).select(
+        "s",
+        F.regexp_extract("s", PENSOFT_ID_2, 1).alias("g1"),
+        F.regexp_extract("s", PENSOFT_ID_2, 2).alias("g2"),
+    )
+    srows = {r["s"]: (r["g1"], r["g2"]) for r in sdf.collect()}
+    con = duckdb.connect()
+    for c in cases:
+        d1 = con.execute(
+            "SELECT regexp_extract(?, ?, 1)", [c, PENSOFT_ID_2]
+        ).fetchone()[0]
+        d2 = con.execute(
+            "SELECT regexp_extract(?, ?, 2)", [c, PENSOFT_ID_2]
+        ).fetchone()[0]
+        assert srows[c] == (d1, d2), (c, srows[c], (d1, d2))

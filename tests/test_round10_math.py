@@ -200,3 +200,29 @@ def test_q455_filter_agreement_pure_python(spark):
             _rnd_half_up((skk + sdd) / nd), abs=1e-9
         )
         assert row["kappa_global"] == pytest.approx(kappa, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# q503 — LSH band-planner S-curve, recomputed with python ints.
+# ---------------------------------------------------------------------------
+def test_q503_band_planner_pure_python(spark):
+    got = _run(spark, "q503_lsh_band_planner").set_index("band_size")
+    T = 20**12
+    for r in (1, 2, 3, 4, 6, 12):
+        b = 12 // r
+        p_num = {k: T - (20**r - k**r) ** b for k in range(1, 20)}
+        row = got.loc[r]
+        assert row["n_bands"] == b
+        assert row["p_at_080"] == pytest.approx(
+            _rnd_half_up(p_num[16] / T), abs=1e-9
+        )
+        for col, cond in (
+            ("s10", lambda v: 10 * v >= T),
+            ("s50", lambda v: 2 * v >= T),
+            ("s90", lambda v: 10 * v >= 9 * T),
+        ):
+            ks = [k for k in range(1, 20) if cond(p_num[k])]
+            if ks:
+                assert row[col] == pytest.approx(min(ks) / 20.0, abs=1e-12)
+            else:
+                assert pd.isna(row[col])
