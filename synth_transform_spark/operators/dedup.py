@@ -234,27 +234,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
-    The self-join shuffles on (band_id, band_key); ``max_bucket`` drops
-    degenerate buckets (near-constant content) that would square up — the
-    standard guard in production LSH dedup.
+    ONE shuffle total (round-10 rewrite): buckets materialise as sorted
+    member ARRAYS via groupBy(collect_list), and the pair expansion is a
+    narrow array expression inside the bucket row — the previous shape
+    (window count guard + bucket self-join) shuffled the band relation
+    twice and re-read it for each join side (which also forced a
+    persist). ``max_bucket`` drops degenerate buckets (near-constant
+    content) AND bounds the in-row expansion: ≤ C(max_bucket, 2) structs
+    per bucket, the standard guard in production LSH dedup. Identical
+    candidate set; the trailing distinct dedups cross-band repeats.
     """
-    # The band relation is tiny (n_docs × n_bands, 3 narrow cols) but its
-    # lineage is the whole signature pipeline — persist so the self-join
-    # below doesn't recompute signatures for each side. Tracked: hosts
-    # release via caching.release_cached between queries.
-    from ..caching import persist_tracked
-
-    sized = persist_tracked(
-        bands.withColumn(
-            "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_key"))
-        ).filter(F.col("bucket_n") <= max_bucket)
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_m"))
+        .filter((F.size("_m") >= 2) & (F.size("_m") <= max_bucket))
     )
-    a = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_a"))
-    b = sized.select(F.col("band_id"), F.col("band_key"), F.col(id_col).alias("id_b"))
+    pair_expr = F.expr(
+        "flatten(transform(_m, (x, i) -> "
+        "transform(slice(_m, i + 2, size(_m)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        a.join(b, ["band_id", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
