@@ -341,10 +341,12 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH → Jaccard verify.
 
-    Array-form end to end: the only shuffles are the band-bucket size
-    guard, the bucket self-join, and the two verify joins — shingling,
-    signatures, and banding are all narrow. ``doc_sh`` is persisted because
-    the signature path and the verify path both consume it.
+    Array-form end to end: the only shuffles are the ONE bucket groupBy
+    (candidate pairs expand in-row from sorted bucket arrays — round-10
+    rewrite), the candidate distinct, and the two verify joins —
+    shingling, signatures, and banding are all narrow. ``doc_sh`` is
+    persisted because the signature path and the verify path both
+    consume it.
     """
     from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
@@ -462,15 +464,22 @@ def simhash_near_duplicates(
     n_bands = SIMHASH_BANDS if max_hamming < SIMHASH_BANDS else max_hamming + 1
     sigs = persist_tracked(simhash_signatures(docs, id_col, text_col))
     bands = simhash_bands(sigs, id_col, n_bands)
-    sized = bands.withColumn(
-        "bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band_id", "band_val"))
-    ).filter(F.col("bucket_n") <= max_bucket)
-    a = sized.select("band_id", "band_val", F.col(id_col).alias("id_a"))
-    b = sized.select("band_id", "band_val", F.col(id_col).alias("id_b"))
+    # one-shuffle bucket-array expansion (round 10 — lsh_candidate_pairs'
+    # rewrite): the window guard + self-join shape shuffled the band
+    # relation twice; the in-row pair expansion is bounded by
+    # C(max_bucket, 2) structs per bucket
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_m"))
+        .filter((F.size("_m") >= 2) & (F.size("_m") <= max_bucket))
+    )
+    pair_expr = F.expr(
+        "flatten(transform(_m, (x, i) -> "
+        "transform(slice(_m, i + 2, size(_m)), y -> struct(x AS id_a, y AS id_b))))"
+    )
     cand = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
