@@ -140,6 +140,13 @@ def main() -> int:
         timings[name] = best
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # Core steal window CLOSES here (round-11 advice: the normalization
+    # target `total` sums only the core timings, so its steal fraction must
+    # be measured over the core loop alone — reading after the extended
+    # block skewed the correction whenever steal was bursty during it).
+    timed_wall = time.perf_counter() - timed_wall_t0
+    steal_timed_after = _steal_jiffies()
+
     # Extended (non-headline) suite: heavy operator-family representatives.
     EXTENDED = [
         "q182_prefix_jaccard_join",
@@ -154,8 +161,21 @@ def main() -> int:
         # round-10: the round-9 substring-excision family representative
         # (round-9 verdict #7 — plan pinned in test_plans, timed here)
         "q490_substring_excision",
+        # round-11 (verdict #3): one timed representative each for the
+        # post-round-6 families that previously had none — nonparametric
+        # battery, causal/mediation, payload parsing, record linkage,
+        # forecasting, graph — so regressions in the ~300-query tail are
+        # attributable to a family, not just "the tail got slower".
+        "q472_jonckheere_terpstra",
+        "q443_mediation_sobel",
+        "q501_payload_doi_parsing",
+        "q180_record_linkage",
+        "q359_forecast_eval",
+        "q194_bfs_hops",
     ]
     ext: dict[str, float] = {}
+    ext_wall_t0 = time.perf_counter()
+    steal_ext_before = _steal_jiffies()
     for name in EXTENDED:
         q = REGISTRY.get(name)
         if q is None:
@@ -181,29 +201,35 @@ def main() -> int:
         except Exception as ex:  # extended failures must not sink the bench
             print(f"# extended {name} failed: {ex}", file=sys.stderr)
 
+    ext_wall = time.perf_counter() - ext_wall_t0
+    steal_ext_after = _steal_jiffies()
     total = round(sum(timings.values()), 3)
 
-    # Steal-normalized companion metric (round-9 verdict #5). Over the timed
+    # Steal-normalized companion metrics (round-9 verdict #5). Over a timed
     # window of wall length W on C cpus at USER_HZ jiffies/sec, the host had
     # C*HZ*W cpu-jiffies to give; `steal` is the share a co-tenant took. If a
     # fraction f was stolen uniformly, observed wall ~ ideal / (1 - f), so
-    # ideal ~ observed * (1 - f). Reported alongside the raw value, never in
-    # its place — the raw headline stays comparable across all rounds.
-    timed_wall = time.perf_counter() - timed_wall_t0
-    steal_timed_after = _steal_jiffies()
+    # ideal ~ observed * (1 - f). Core and extended totals are normalized
+    # over their OWN windows (round-11 advice). Reported alongside the raw
+    # values, never in their place — raw stays comparable across rounds.
     try:
         hz = os.sysconf("SC_CLK_TCK")
         ncpu = os.cpu_count() or 32
     except (OSError, ValueError):  # pragma: no cover
         hz, ncpu = 100, 32
-    if steal_timed_before >= 0 and steal_timed_after >= 0 and timed_wall > 0:
-        steal_frac = (steal_timed_after - steal_timed_before) / (
-            hz * ncpu * timed_wall
-        )
-        steal_frac = min(max(steal_frac, 0.0), 0.9)
-        value_normalized = round(total * (1.0 - steal_frac), 3)
-    else:
-        steal_frac, value_normalized = -1.0, -1.0
+
+    def _norm(value: float, s0: int, s1: int, wall: float) -> tuple[float, float]:
+        if s0 >= 0 and s1 >= 0 and wall > 0:
+            f = min(max((s1 - s0) / (hz * ncpu * wall), 0.0), 0.9)
+            return f, round(value * (1.0 - f), 3)
+        return -1.0, -1.0
+
+    steal_frac, value_normalized = _norm(
+        total, steal_timed_before, steal_timed_after, timed_wall
+    )
+    ext_steal_frac, ext_normalized = _norm(
+        round(sum(ext.values()), 3), steal_ext_before, steal_ext_after, ext_wall
+    )
 
     # -1 sentinel requires BOTH reads valid (round-9 advice: a failed END
     # read must not emit `-1 - steal_before` garbage).
@@ -231,6 +257,8 @@ def main() -> int:
                 "steal_jiffies_delta": steal_delta,
                 "steal_frac_timed": round(steal_frac, 4),
                 "value_steal_normalized": value_normalized,
+                "steal_frac_extended": round(ext_steal_frac, 4),
+                "extended_steal_normalized": ext_normalized,
                 "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
                 "plan_fingerprints": plan_fps,
             }

@@ -143,12 +143,17 @@ def cmd_update(args) -> int:
         F.col(args.key_col).cast("string").alias("key")
     )
     cache = None
+    had_doi = False
     if os.path.exists(args.cache):
         cache = spark.read.parquet(args.cache)
         # `doi` is a DERIVED column (deterministic re-parse of payload):
         # drop it before the refresh union so the fetched delta's schema
-        # matches; --parse doi re-derives it over the whole cache below
+        # matches; it is re-derived over the whole cache below whenever
+        # the incoming cache carried it OR --parse doi was passed — a
+        # plain `update` on a parsed cache must not silently strip the
+        # column from the persisted file
         if "doi" in cache.columns:
+            had_doi = True
             cache = cache.drop("doi")
     new_cache = refresh_cache(
         cache,
@@ -158,7 +163,7 @@ def cmd_update(args) -> int:
         n_workers=args.workers,
         rate_per_worker=args.rate,
     )
-    if getattr(args, "parse", "none") == "doi":
+    if had_doi or getattr(args, "parse", "none") == "doi":
         # the reference's update flow ends by parsing each publisher
         # response into a DOI (parsers/doi.py:129-223) — same here, as a
         # narrow Column stage over the fetched payloads

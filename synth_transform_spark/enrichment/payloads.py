@@ -207,6 +207,138 @@ def pubmed_refindit_url(col: Column) -> Column:
     )
 
 
+#: Reference stage order, doi.py:19-30: the five offline regex stages,
+#: then the five network stages. Ranks are the tuple positions.
+REGEX_STAGE_NAMES = (
+    "doi_regex",
+    "doi_regex_strict",
+    "mapress_regex",
+    "nature_regex",
+    "cambridge_regex",
+)
+NETWORK_STAGE_NAMES = (
+    "elsevier_api",
+    "cambridge_bibtex",
+    "ingenta_bibtex",
+    "pensoft_bibtex",
+    "pubmed",
+)
+
+
+def extract_dois_staged(
+    docs,
+    fetch_fn,
+    text_col: str = "citation",
+    key_col: str = "key",
+    n_workers: int = 4,
+    rate_per_worker: float = 1000.0,
+):
+    """The reference's FULL ``DOIExtractor.dois`` chain (doi.py:13-42,
+    ``fix=True``) over a citation table, with stage attribution:
+    (key, doi, stage_name), one row per key that any stage resolved.
+
+    Semantics mirrored exactly:
+    - every stage sees the SAME fixed string (unquote_plus + space strip);
+    - stages run in the reference's order and the FIRST stage yielding a
+      DOI wins — including the reference's retry across network stages: a
+      string recognised by several publisher builders is fetched on each
+      matching URL, and the earliest stage whose payload parses wins
+      (``dois()`` yields per stage; the caller breaks on the first hit);
+    - each network stage parses with its OWN parser (elsevier prism XML,
+      bibtex regex, ReFindIt JSON), not the table-form sniffing dispatch.
+
+    Spark shape: the regex half is one narrow Column cascade; the network
+    half explodes at most 5 (stage, url) candidates per unresolved key,
+    fetches DISTINCT urls through the rate-limited ``enrich_http``
+    mapInPandas transport, joins payloads back, and picks the min-rank
+    parsed hit per key — no driver loop, parallel across keys exactly like
+    the reference's thread pool.
+    """
+    from .http_stage import enrich_http
+    from ..functions.doi import (
+        extract_doi_cambridge,
+        extract_doi_mapress,
+        extract_doi_nature,
+        fix_citation,
+    )
+
+    col = F.col(text_col)
+    safe = fix_citation(col)
+    regex_hits = [
+        extract_doi(safe),
+        extract_doi(safe, strict=True),
+        extract_doi_mapress(safe),
+        extract_doi_nature(safe),
+        extract_doi_cambridge(safe),
+    ]
+    regex_doi = F.coalesce(*regex_hits)
+    regex_stage = F.coalesce(
+        *[
+            F.when(hit.isNotNull(), F.lit(name))
+            for hit, name in zip(regex_hits, REGEX_STAGE_NAMES)
+        ]
+    )
+    base = docs.select(
+        F.col(key_col).alias("key"),
+        safe.alias("_fixed"),
+        regex_doi.alias("doi"),
+        regex_stage.alias("stage_name"),
+    )
+    resolved = base.filter(F.col("doi").isNotNull()).select(
+        "key", "doi", "stage_name"
+    )
+
+    fixed = F.col("_fixed")
+    builders = [
+        elsevier_api_url(fixed),
+        cambridge_export_url(fixed),
+        ingenta_bib_url(fixed),
+        pensoft_bib_url_chain(fixed),
+        pubmed_refindit_url(fixed),
+    ]
+    candidates = F.array(
+        *[
+            F.struct(
+                F.lit(rank).cast("int").alias("rank"),
+                F.lit(name).alias("stage_name"),
+                url.alias("url"),
+            )
+            for rank, (url, name) in enumerate(
+                zip(builders, NETWORK_STAGE_NAMES), start=1
+            )
+        ]
+    )
+    attempts = (
+        base.filter(F.col("doi").isNull())
+        .select("key", F.explode(candidates).alias("c"))
+        .select("key", "c.rank", "c.stage_name", F.col("c.url").alias("url"))
+        .filter(F.col("url").isNotNull())
+    )
+    fetched = enrich_http(
+        attempts.select(F.col("url").alias("key")),
+        fetch_fn,
+        n_workers=n_workers,
+        rate_per_worker=rate_per_worker,
+    ).select(F.col("key").alias("url"), "payload", "status")
+    payload = F.col("payload")
+    parsed = (
+        attempts.join(fetched, "url")
+        .withColumn(
+            "doi",
+            F.when(F.col("status") != 200, F.lit(None).cast("string"))
+            .when(F.col("stage_name") == "elsevier_api", elsevier_doi(payload))
+            .when(F.col("stage_name") == "pubmed", refindit_doi(payload))
+            .otherwise(bibtex_doi(payload)),
+        )
+        .filter(F.col("doi").isNotNull())
+    )
+    win = parsed.groupBy("key").agg(F.min("rank").alias("rank"))
+    network_resolved = parsed.join(win, ["key", "rank"]).select(
+        "key", "doi", "stage_name"
+    )
+    return resolved.unionByName(network_resolved)
+
+
 def build_fetch_url(col: Column) -> Column:
     """Staged request-builder chain in the reference's stage order
     (doi.py:19-30: elsevier_api → cambridge_bibtex → ingenta_bibtex →

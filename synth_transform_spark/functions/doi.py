@@ -72,13 +72,11 @@ def extract_doi_cambridge(col: Column) -> Column:
     return F.when(hit != "", F.concat(F.lit("10.1017/"), hit))
 
 
-def extract_doi_chain(col: Column) -> Column:
-    """F13 — parsers/doi.py:13-42 with ``fix=True``: unquote_plus FIRST,
-    then remove literal spaces (decoded '+'/'%20' included), then the first
-    stage that hits wins: standard regex → STRICT regex → mapress → nature
-    → cambridge. Offline stages only; NULL when nothing matches (network
-    enrichment fills the gap in the cache-table pipeline, never inside the
-    query plan)."""
+def fix_citation(col: Column) -> Column:
+    """The ``fix=True`` pre-pass of parsers/doi.py:33-35: unquote_plus
+    FIRST, then remove literal spaces (decoded '+'/'%20' included).
+    Factored out (round 11) so the staged-chain golden can feed the SAME
+    fixed string to every stage the way ``dois()`` does."""
     # url_decode raises on malformed %-sequences under ANSI; Python's
     # unquote_plus leaves only the malformed token raw and still decodes
     # the rest ('a%20b%zz' → 'a b%zz'), while both paths here leave the
@@ -95,7 +93,17 @@ def extract_doi_chain(col: Column) -> Column:
         decoded = F.when(col.rlike("%(?![0-9A-Fa-f]{2})"), col).otherwise(
             F.url_decode(col)
         )
-    safe = F.regexp_replace(decoded, " ", "")
+    return F.regexp_replace(decoded, " ", "")
+
+
+def extract_doi_chain(col: Column) -> Column:
+    """F13 — parsers/doi.py:13-42 with ``fix=True``: unquote_plus FIRST,
+    then remove literal spaces (decoded '+'/'%20' included), then the first
+    stage that hits wins: standard regex → STRICT regex → mapress → nature
+    → cambridge. Offline stages only; NULL when nothing matches (network
+    enrichment fills the gap in the cache-table pipeline, never inside the
+    query plan)."""
+    safe = fix_citation(col)
     return F.coalesce(
         extract_doi(safe),
         extract_doi(safe, strict=True),

@@ -4,9 +4,11 @@ Four families, all expressed as DataFrame pipelines (no Python row loops):
 
 - exact          — hash-groupBy on a normalised fingerprint (one shuffle).
 - minhash + LSH  — shingle → 12-permutation MinHash → 4 banded buckets →
-                   bucket self-join for candidates → exact Jaccard verify.
-                   The scale path: candidate generation touches only docs
-                   sharing a band key, never the O(n²) pair space.
+                   per-bucket member arrays (groupBy collect_list, guarded
+                   by a pre-collect bucket-count semi-join) → in-row pair
+                   expansion → exact Jaccard verify. The scale path:
+                   candidate generation touches only docs sharing a band
+                   key, never the O(n²) pair space.
 - n-gram Jaccard — exact verification used standalone at small scale or as
                    the verify stage after LSH.
 - SimHash        — 60-bit weighted-token signature; hamming-adjacent bucket
@@ -23,12 +25,20 @@ Determinism: every hash is md5 over an explicit string encoding, so results
 are reproducible across engines (the DuckDB oracle mirrors the same formulas)
 and across cluster sizes — no seed-dependent JVM hashing in the signatures.
 
-Scale notes (100 TB): shingling is a narrow map; signatures are one
-groupBy(doc) shuffle; banding is a map; the bucket self-join shuffles on
-band_key whose cardinality ~ corpus size / avg bucket size. Skewed buckets
-(boilerplate-heavy corpora) are handled by AQE skew-join; pathological
-band keys (> ``max_bucket`` docs) are dropped like near-constant shingles
-would be in production systems.
+Scale notes (100 TB): shingling is a narrow map; signatures are narrow
+array expressions (zero shuffle); banding is a map. Candidate generation
+groups band rows into sorted member arrays keyed by bucket and expands
+pairs IN-ROW (round 10), so the only wide stages are a map-side-partial
+bucket count, the bucket-key semi-join that drops degenerate buckets
+(> ``max_bucket`` members — near-constant boilerplate) BEFORE any array
+is materialised (round 11: the count runs first precisely so a
+multi-million-member bucket never reaches a collect_list buffer), and
+the bucket groupBy itself, which reuses the join's partitioning.
+Threshold accepts are exact-rational integer comparisons (round 11):
+``den·|A∩B| ≥ num·|A∪B|`` with threshold = num/den, never a comparison
+against the ROUNDED jaccard — the rounded value is output-only, so the
+no-miss length/positional prefilters and the accept filter agree on
+exactly which boundary pairs qualify, in both engines.
 """
 
 from __future__ import annotations
@@ -229,25 +239,43 @@ def lsh_bands(
     )
 
 
-def lsh_candidate_pairs(
-    bands: DataFrame, id_col: str = "doc_id", max_bucket: int = 1000
+def _bucket_pair_expansion(
+    bands: DataFrame, key_cols: list[str], id_col: str, max_bucket: int
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+    """Distinct candidate pairs (id_a < id_b) sharing any bucket key.
 
-    ONE shuffle total (round-10 rewrite): buckets materialise as sorted
-    member ARRAYS via groupBy(collect_list), and the pair expansion is a
-    narrow array expression inside the bucket row — the previous shape
-    (window count guard + bucket self-join) shuffled the band relation
-    twice and re-read it for each join side (which also forced a
-    persist). ``max_bucket`` drops degenerate buckets (near-constant
-    content) AND bounds the in-row expansion: ≤ C(max_bucket, 2) structs
-    per bucket, the standard guard in production LSH dedup. Identical
-    candidate set; the trailing distinct dedups cross-band repeats.
+    Shape (round 11, shared by MinHash-LSH and SimHash banding):
+
+    1. bucket COUNT first — a plain groupBy count, which partial-aggregates
+       map-side, so a degenerate multi-million-member bucket collapses to
+       one row per input partition before it ever shuffles;
+    2. left_semi join keeps only band rows in buckets with
+       2 ≤ members ≤ ``max_bucket`` — the degeneracy guard runs BEFORE any
+       array materialises (the round-10 shape collected first and filtered
+       after, which buffered the whole degenerate bucket in one
+       aggregation buffer — a single-task OOM at corpus scale);
+    3. groupBy(collect_list) over the SURVIVORS only (every buffer now
+       provably ≤ ``max_bucket`` ids) and a narrow in-row pair expansion:
+       ≤ C(max_bucket, 2) structs per bucket row — at the default 1000
+       that is ≈500k small structs, a few MB; raising ``max_bucket`` grows
+       this quadratically, so treat ~5k as the safe ceiling (SCALE.md).
+
+    The semi-join and the collect groupBy share the bucket key, so the
+    collect reuses the join's partitioning — the added wide stages over
+    the round-10 shape are the (cheap, partial-aggregated) count and the
+    semi-join itself. Candidate set identical; the trailing distinct
+    dedups cross-band repeats.
     """
+    allowed = (
+        bands.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
+        .select(*key_cols)
+    )
     buckets = (
-        bands.groupBy("band_id", "band_key")
+        bands.join(allowed, key_cols, "left_semi")
+        .groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_m"))
-        .filter((F.size("_m") >= 2) & (F.size("_m") <= max_bucket))
     )
     pair_expr = F.expr(
         "flatten(transform(_m, (x, i) -> "
@@ -260,14 +288,36 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str = "doc_id", max_bucket: int = 1000
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+
+    Bucket-array expansion with the pre-collect count guard — see
+    ``_bucket_pair_expansion``. ``bands`` is consumed twice (count +
+    semi-join); callers on a hot path should persist it (or its parent)
+    as ``minhash_near_duplicates`` does.
+    """
+    return _bucket_pair_expansion(bands, ["band_id", "band_key"], id_col, max_bucket)
+
+
 def jaccard_verify(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs: |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
 
     Joins are candidate-driven (small side), never corpus×corpus.
-    Returns (id_a, id_b, jaccard) rounded to 4dp for cross-engine stability.
+    Returns (id_a, id_b, jaccard). The ACCEPT is the exact-rational
+    integer comparison ``den·|A∩B| ≥ num·|A∪B|`` (threshold = num/den) —
+    round 11: filtering on the ROUNDED jaccard instead would admit pairs
+    with exact J ∈ [t−5e-5, t) that the no-miss prefilters elsewhere in
+    this module legitimately drop, an engine-parity divergence at scale.
+    The 4dp-rounded jaccard is output-only.
     """
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sh_b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -280,13 +330,16 @@ def jaccard_verify(
     return (
         inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
         .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .filter(
+            F.lit(den) * F.col("n_inter")
+            >= F.lit(num) * (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -299,7 +352,8 @@ def jaccard_verify_arrays(
     Two candidate-driven equi-joins pull each side's array onto the pair
     row; the set math is then a narrow map. Compare: the long-form
     ``jaccard_verify`` shuffles the full shingle relation on (id, shingle).
-    Returns (id_a, id_b, jaccard ≥ threshold) rounded to 4dp.
+    Returns (id_a, id_b, jaccard) with jaccard 4dp-rounded OUTPUT-ONLY;
+    the accept is exact-rational (see below).
     """
     from fractions import Fraction
 
@@ -314,11 +368,21 @@ def jaccard_verify_arrays(
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
     na, nb = F.size("sh_a"), F.size("sh_b")
+    # Round-11: the ACCEPT is the same exact rational — den·inter ≥
+    # num·union — NOT a comparison on the rounded jaccard. The prefilter
+    # above is no-miss for exact J ≥ t; accepting on round(J,4) ≥ t
+    # instead would admit boundary pairs (J ∈ [t−5e-5, t)) that the
+    # prefilter may legitimately drop — a divergence between this path
+    # and any engine mirroring the exact semantics.
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .filter(F.lit(den) * F.least(na, nb) >= F.lit(num) * F.greatest(na, nb))
         .withColumn("n_inter", inter)
+        .filter(
+            F.lit(den) * F.col("n_inter")
+            >= F.lit(num) * (na + nb - F.col("n_inter"))
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -327,7 +391,6 @@ def jaccard_verify_arrays(
                 4,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -341,12 +404,14 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → MinHash → LSH → Jaccard verify.
 
-    Array-form end to end: the only shuffles are the ONE bucket groupBy
-    (candidate pairs expand in-row from sorted bucket arrays — round-10
-    rewrite), the candidate distinct, and the two verify joins —
-    shingling, signatures, and banding are all narrow. ``doc_sh`` is
-    persisted because the signature path and the verify path both
-    consume it.
+    Array-form end to end: shingling, signatures, and banding are all
+    narrow; the wide stages are the bucket count + semi-join guard, the
+    bucket groupBy (pairs expand in-row from sorted bucket arrays), the
+    candidate distinct, and the two verify joins. ``doc_sh`` is persisted
+    because the signature path and the verify path both consume it;
+    ``bands`` is persisted because the count guard and the semi-join both
+    consume it (round 11 — otherwise the md5 signature hashing would run
+    twice).
     """
     from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
@@ -356,7 +421,8 @@ def minhash_near_duplicates(
     # read the arrays without recomputing.
     doc_sh = persist_tracked(shingle_arrays(ensure_parallelism(docs), id_col, text_col, n))
     sigs = minhash_signatures_linear(doc_sh, id_col)
-    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col), id_col)
+    bands = persist_tracked(lsh_bands(sigs, id_col))
+    cands = lsh_candidate_pairs(bands, id_col)
     return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
 
 
@@ -451,9 +517,12 @@ def simhash_near_duplicates(
 ) -> DataFrame:
     """Banded SimHash near-dup pairs: (id_a, id_b, hamming ≤ max_hamming).
 
-    signature (one groupBy(doc) shuffle) → band rotation (narrow) → bucket
-    self-join on (band_id, band_val) with the degenerate-bucket guard →
-    exact hamming verify via ``bit_count(xor)`` on the candidate pairs.
+    signature (one groupBy(doc) shuffle) → band rotation (narrow) →
+    bucket-array candidate expansion on (band_id, band_val) — groupBy
+    collect_list of sorted member arrays with the pre-collect count +
+    semi-join degeneracy guard, pairs expanded in-row
+    (``_bucket_pair_expansion``) → exact hamming verify via
+    ``bit_count(xor)`` on the candidate pairs.
     The extension noted in the module header, now first-class: candidates
     never touch the O(n²) pair space, and for max_hamming ≤ n_bands-1 the
     band collision guarantee makes the result EXACT (q56's oracle computes
@@ -463,25 +532,11 @@ def simhash_near_duplicates(
 
     n_bands = SIMHASH_BANDS if max_hamming < SIMHASH_BANDS else max_hamming + 1
     sigs = persist_tracked(simhash_signatures(docs, id_col, text_col))
+    # bands are a narrow rotation over the PERSISTED sigs, so the double
+    # consumption inside the expansion (count + semi-join) re-reads cache,
+    # not the corpus
     bands = simhash_bands(sigs, id_col, n_bands)
-    # one-shuffle bucket-array expansion (round 10 — lsh_candidate_pairs'
-    # rewrite): the window guard + self-join shape shuffled the band
-    # relation twice; the in-row pair expansion is bounded by
-    # C(max_bucket, 2) structs per bucket
-    buckets = (
-        bands.groupBy("band_id", "band_val")
-        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_m"))
-        .filter((F.size("_m") >= 2) & (F.size("_m") <= max_bucket))
-    )
-    pair_expr = F.expr(
-        "flatten(transform(_m, (x, i) -> "
-        "transform(slice(_m, i + 2, size(_m)), y -> struct(x AS id_a, y AS id_b))))"
-    )
-    cand = (
-        buckets.select(F.explode(pair_expr).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cand = _bucket_pair_expansion(bands, ["band_id", "band_val"], id_col, max_bucket)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
@@ -567,6 +622,22 @@ def prefix_jaccard_join(
     from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
 
+    doc_sh = persist_tracked(
+        shingle_arrays(ensure_parallelism(docs), id_col, text_col, n)
+    )
+    cands = prefix_jaccard_candidates(doc_sh, id_col, threshold)
+    return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
+
+
+def prefix_jaccard_candidates(
+    doc_sh: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Candidate stage of ``prefix_jaccard_join``: distinct (id_a, id_b)
+    pairs surviving the prefix + length + positional filters, BEFORE the
+    exact verify. Exposed separately (round 11) so the empirical scale
+    probe (tools/scale_probe.py) can measure candidate growth directly —
+    the no-miss guarantees are documented on ``prefix_jaccard_join``.
+    """
     from fractions import Fraction
 
     # ceil(t·|s|) must be EXACT rational ceil, not float ceil — IEEE
@@ -577,9 +648,6 @@ def prefix_jaccard_join(
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
 
-    doc_sh = persist_tracked(
-        shingle_arrays(ensure_parallelism(docs), id_col, text_col, n)
-    )
     sh = doc_sh.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
     df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
@@ -615,7 +683,7 @@ def prefix_jaccard_join(
         f"({num}L * (a._sz + b._sz) + {num + den - 1}L) div {num + den}L"
     )
     ubound = F.lit(1) + F.least(sa - F.col("a._r"), sb - F.col("b._r"))
-    cands = (
+    return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
@@ -631,7 +699,6 @@ def prefix_jaccard_join(
         )
         .distinct()
     )
-    return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
 
 
 def lsh_probe(
@@ -700,10 +767,21 @@ def lsh_probe(
     av = base_sh.select(F.col(id_col).alias("id_a"), F.col("sh_arr").alias("sh_a"))
     bv = delta_sh.select(F.col(id_col).alias("id_b"), F.col("sh_arr").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # exact-rational accept (round 11) — same semantics as
+    # jaccard_verify_arrays so batch and incremental paths agree on
+    # boundary pairs; rounded jaccard is output-only
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
     return (
         cands.join(av, "id_a")
         .join(bv, "id_b")
         .withColumn("n_inter", inter)
+        .filter(
+            F.lit(den) * F.col("n_inter")
+            >= F.lit(num) * (F.size("sh_a") + F.size("sh_b") - F.col("n_inter"))
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -712,6 +790,5 @@ def lsh_probe(
                 4,
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -92,7 +92,9 @@ dups AS (
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.8
+    -- exact-rational accept at t = 4/5 (round 11): 5·inter >= 4·union,
+    -- mirroring jaccard_verify_arrays — the rounded jaccard is output-only
+    WHERE 5 * n_inter >= 4 * (sa.n + sb.n - n_inter)
 )"""
 
 
@@ -125,7 +127,7 @@ SELECT id_a, id_b,
 FROM pairs
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE ROUND(CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter), 4) >= 0.5
+WHERE 2 * n_inter >= sa.n + sb.n - n_inter
 """,
     tags=("dedup-ngram", "J13"),
 )
@@ -656,7 +658,7 @@ SELECT ia AS id_a, ib AS id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = ia
 JOIN sizes sb ON sb.doc_id = ib
-WHERE ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) >= 0.5
+WHERE 2 * ov >= sa.sz + sb.sz - ov
 """,
     tags=("dedup-setsim", "A4", "prefix-filter"),
 )
@@ -733,7 +735,7 @@ truth AS (
     FROM qa_inter
     JOIN qa_sizes sa ON sa.doc_id = ia
     JOIN qa_sizes sb ON sb.doc_id = ib
-    WHERE ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) >= 0.8
+    WHERE 5 * ov >= 4 * (sa.sz + sb.sz - ov)
 ),
 j AS (
     SELECT COALESCE(t.id_a, d.id_a) AS id_a,

@@ -645,7 +645,7 @@ pairs AS (
     FROM inter
     JOIN sizes sa ON sa.doc_id = ia
     JOIN sizes sb ON sb.doc_id = ib
-    WHERE ROUND(CAST(ov AS DOUBLE) / (sa.sz + sb.sz - ov), 4) >= 0.5
+    WHERE 2 * ov >= sa.sz + sb.sz - ov
 ),
 splits AS (
     SELECT doc_id,

@@ -128,3 +128,33 @@ def test_update_parse_doi_derives_column(spark, fixture_dirs, capsys):
     n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
     assert n2 == n1
     assert "doi" in spark.read.parquet(cache_path).columns
+
+
+def test_update_without_parse_preserves_derived_doi(spark, fixture_dirs, capsys):
+    """Round-11 advice: a plain `update` (no --parse) on a cache that was
+    built WITH --parse doi must re-derive the column, not silently strip
+    it from the persisted cache."""
+    import pyspark.sql.functions as F
+
+    root, src_dir, _ = fixture_dirs
+    cache_path = str(root / "doi_cache3.parquet")
+    keys = str(src_dir / "NHM_Outputs.parquet")
+    base = ["update", "--keys", keys, "--key-col", "Output_ID",
+            "--cache", cache_path, "--transport", "echo",
+            "--workers", "2", "--rate", "1000"]
+    assert main(base + ["--parse", "doi"]) == 0
+    n1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
+    assert "doi" in spark.read.parquet(cache_path).columns
+    # plain update, no --parse: the column must survive
+    assert main(base) == 0
+    n2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["cache_rows"]
+    assert n2 == n1
+    cache = spark.read.parquet(cache_path)
+    assert "doi" in cache.columns
+    # a cache NEVER parsed stays doi-less under plain update (no surprise
+    # column materialises from nowhere)
+    cache_path2 = str(root / "doi_cache4.parquet")
+    base2 = [a if a != cache_path else cache_path2 for a in base]
+    assert main(base2) == 0
+    capsys.readouterr()
+    assert "doi" not in spark.read.parquet(cache_path2).columns

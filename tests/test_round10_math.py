@@ -76,18 +76,25 @@ def _jacc4(sa: frozenset, sb: frozenset) -> float:
     return _rnd_half_up(ov / (len(sa) + len(sb) - ov)) if ov else 0.0
 
 
+def _jacc_ge_4_5(sa: frozenset, sb: frozenset) -> bool:
+    # exact-rational accept at t = 4/5 (round 11, matches the engine and
+    # oracle semantics): 5·|A∩B| >= 4·|A∪B|, never the rounded value
+    ov = len(sa & sb)
+    return 5 * ov >= 4 * (len(sa) + len(sb) - ov)
+
+
 def test_q195_lsh_quality_pure_python(spark):
     got = _run(spark, "q195_lsh_quality").iloc[0]
 
     sh = {r.doc_id: _shingle_set(r.text) for r in _docs().itertuples()}
     ids = sorted(i for i, s in sh.items() if s)
 
-    # exact truth: all pairs at 4dp-rounded Jaccard >= 0.8
+    # exact truth: all pairs at exact-rational Jaccard >= 4/5
     truth = {
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if _jacc4(sh[a], sh[b]) >= 0.8
+        if _jacc_ge_4_5(sh[a], sh[b])
     }
 
     # MinHash signatures: one 32-bit hash per shingle, 12 linear perms
@@ -114,7 +121,7 @@ def test_q195_lsh_quality_pure_python(spark):
         for i, a in enumerate(members):
             for b in members[i + 1 :]:
                 cands.add((a, b))
-    lsh = {(a, b) for a, b in cands if _jacc4(sh[a], sh[b]) >= 0.8}
+    lsh = {(a, b) for a, b in cands if _jacc_ge_4_5(sh[a], sh[b])}
 
     n_exact, n_lsh = len(truth), len(lsh)
     n_common = len(truth & lsh)
