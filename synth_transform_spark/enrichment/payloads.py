@@ -225,6 +225,34 @@ NETWORK_STAGE_NAMES = (
 )
 
 
+def regex_stage_hits(safe: Column) -> tuple[Column, Column]:
+    """The five OFFLINE regex stages over an already-fixed string, with
+    attribution: returns (doi, stage_name) Columns — first stage that
+    hits wins, both NULL when none do. The pure-Column half of
+    ``extract_dois_staged``; also drives the q504 oracle query."""
+    from ..functions.doi import (
+        extract_doi_cambridge,
+        extract_doi_mapress,
+        extract_doi_nature,
+    )
+
+    hits = [
+        extract_doi(safe),
+        extract_doi(safe, strict=True),
+        extract_doi_mapress(safe),
+        extract_doi_nature(safe),
+        extract_doi_cambridge(safe),
+    ]
+    doi = F.coalesce(*hits)
+    stage = F.coalesce(
+        *[
+            F.when(hit.isNotNull(), F.lit(name))
+            for hit, name in zip(hits, REGEX_STAGE_NAMES)
+        ]
+    )
+    return doi, stage
+
+
 def extract_dois_staged(
     docs,
     fetch_fn,
@@ -255,29 +283,11 @@ def extract_dois_staged(
     the reference's thread pool.
     """
     from .http_stage import enrich_http
-    from ..functions.doi import (
-        extract_doi_cambridge,
-        extract_doi_mapress,
-        extract_doi_nature,
-        fix_citation,
-    )
+    from ..functions.doi import fix_citation
 
     col = F.col(text_col)
     safe = fix_citation(col)
-    regex_hits = [
-        extract_doi(safe),
-        extract_doi(safe, strict=True),
-        extract_doi_mapress(safe),
-        extract_doi_nature(safe),
-        extract_doi_cambridge(safe),
-    ]
-    regex_doi = F.coalesce(*regex_hits)
-    regex_stage = F.coalesce(
-        *[
-            F.when(hit.isNotNull(), F.lit(name))
-            for hit, name in zip(regex_hits, REGEX_STAGE_NAMES)
-        ]
-    )
+    regex_doi, regex_stage = regex_stage_hits(safe)
     base = docs.select(
         F.col(key_col).alias("key"),
         safe.alias("_fixed"),

@@ -12,7 +12,12 @@ asserting the full parse/build result per shape.
 q501 — response → DOI parsing (all three payload grammars + two miss
 shapes); q502 — citation string → publisher fetch-URL construction
 (all five request builders, including the pensoft journal/'www'
-fallback rules and the two-pass id retry).
+fallback rules and the two-pass id retry); q504 (round 11) — the five
+OFFLINE regex stages of ``DOIExtractor.dois`` with per-stage
+ATTRIBUTION in the reference's order, including the ``fix=True``
+pre-pass and a strict-only shape exploiting the reference's unescaped
+``10.`` dot (the full chain incl. the network half runs end-to-end
+against a hand golden in tests/test_enrichment.py).
 """
 
 from __future__ import annotations
@@ -289,6 +294,135 @@ def q502_publisher_fetch_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("url").alias("n_built"),
             F.min("url").alias("min_url"),
             F.max("url").alias("max_url"),
+        )
+        .orderBy("shape")
+    )
+
+
+def _duck_norm(expr: str) -> str:
+    """DuckDB twin of functions.doi.normalize_doi over a SQL expression."""
+    return (
+        "regexp_replace(regexp_replace(UPPER(" + expr + "), '\\.+$', ''),"
+        " '[./](EPDF|PDF|ABSTRACT|FULL|SHORT).*', '')"
+    )
+
+
+def _q504_oracle() -> str:
+    d1 = r"regexp_extract(t, '10\.\d{4,9}/[-._;()/:a-zA-Z0-9]+', 0)"
+    d2 = r"regexp_extract(t, '10.\d{4,9}/[-._a-zA-Z0-9]+', 0)"  # dot UNESCAPED
+    d3 = r"regexp_extract(t, '(\w+taxa\.\d{1,4}\.\d+\.\d+)', 1)"
+    d4a = r"regexp_extract(t, '(s\d{5}-\d{3}-\d{5}-.)', 1)"
+    d4b = r"regexp_extract(t, 'nature\.com/articles/([^/]+)', 1)"
+    d5 = r"regexp_extract(t, 'fileId=(S[A-Z0-9]+)', 1)"
+    return f"""
+WITH base AS (
+    SELECT CAST(doc_id % 7 AS BIGINT) AS shape,
+           CASE CAST(doc_id % 7 AS INTEGER)
+             WHEN 0 THEN 'ref:10.1234/synth.' || CAST(doc_id AS VARCHAR)
+             WHEN 1 THEN 'doi%3A10.5555%2Fenc.' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'ref-10x1234/strict.' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'see-zootaxa.' || CAST(doc_id % 10000 AS VARCHAR)
+                  || '.1.2-mapress'
+             WHEN 4 THEN 'https://www.nature.com/articles/art'
+                  || CAST(doc_id AS VARCHAR) || 'x'
+             WHEN 5 THEN 'https://journals.cambridge.org/abstract?fileId=S'
+                  || LPAD(CAST(doc_id AS VARCHAR), 12, '0')
+             ELSE 'plain text citation number ' || CAST(doc_id AS VARCHAR)
+           END AS s
+    FROM documents
+),
+-- fix=True twin for THIS corpus: the only %-sequences constructed are
+-- %3A/%2F (full unquote_plus parity is pinned by the chain golden and
+-- the Java-vs-RE2 battery); then literal-space removal
+fixed AS (
+    SELECT shape,
+           replace(replace(replace(s, '%3A', ':'), '%2F', '/'), ' ', '') AS t
+    FROM base
+),
+staged AS (
+    SELECT shape,
+           CASE WHEN {d1} <> '' THEN {_duck_norm(d1)}
+                WHEN {d2} <> '' THEN {_duck_norm(d2)}
+                WHEN {d3} <> '' THEN '10.11646/' || {d3}
+                WHEN {d4a} <> '' THEN '10.1038/' || {d4a}
+                WHEN {d4b} <> '' THEN '10.1038/' || {d4b}
+                WHEN {d5} <> '' THEN '10.1017/' || {d5}
+           END AS doi,
+           CASE WHEN {d1} <> '' THEN 'doi_regex'
+                WHEN {d2} <> '' THEN 'doi_regex_strict'
+                WHEN {d3} <> '' THEN 'mapress_regex'
+                WHEN {d4a} <> '' OR {d4b} <> '' THEN 'nature_regex'
+                WHEN {d5} <> '' THEN 'cambridge_regex'
+           END AS stage_name
+    FROM fixed
+)
+SELECT shape, stage_name,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(doi) AS BIGINT) AS n_dois,
+       MIN(doi) AS min_doi,
+       MAX(doi) AS max_doi
+FROM staged
+GROUP BY shape, stage_name
+ORDER BY shape
+"""
+
+
+@register(
+    "q504_regex_stage_attribution",
+    oracle=_q504_oracle(),
+    tags=("F12", "F13", "enrichment"),
+)
+def q504_regex_stage_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline half of the DOIExtractor.dois chain WITH stage attribution
+    over a derived 7-shape citation corpus: (shape, stage_name, n_docs,
+    n_dois, min_doi, max_doi). Shapes: plain DOI, %-encoded (fix=True
+    pre-pass), strict-only (the unescaped-dot reference bug), mapress,
+    nature article path, cambridge fileId, and a no-stage miss —
+    exercising enrichment.payloads.regex_stage_hits in the reference's
+    stage order (parsers/doi.py:19-30)."""
+    from ..functions.doi import fix_citation
+
+    docs = load_table(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    shape = (F.col("doc_id") % 7).cast("long")
+    s = (
+        F.when(shape == 0, F.concat(F.lit("ref:10.1234/synth."), id_s))
+        .when(shape == 1, F.concat(F.lit("doi%3A10.5555%2Fenc."), id_s))
+        .when(shape == 2, F.concat(F.lit("ref-10x1234/strict."), id_s))
+        .when(
+            shape == 3,
+            F.concat(
+                F.lit("see-zootaxa."),
+                (F.col("doc_id") % 10000).cast("string"),
+                F.lit(".1.2-mapress"),
+            ),
+        )
+        .when(
+            shape == 4,
+            F.concat(
+                F.lit("https://www.nature.com/articles/art"), id_s, F.lit("x")
+            ),
+        )
+        .when(
+            shape == 5,
+            F.concat(
+                F.lit("https://journals.cambridge.org/abstract?fileId=S"),
+                F.lpad(id_s, 12, "0"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("plain text citation number "), id_s))
+    )
+    doi, stage = payloads.regex_stage_hits(fix_citation(s))
+    staged = docs.select(
+        shape.alias("shape"), doi.alias("doi"), stage.alias("stage_name")
+    )
+    return (
+        staged.groupBy("shape", "stage_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("doi").alias("n_dois"),
+            F.min("doi").alias("min_doi"),
+            F.max("doi").alias("max_doi"),
         )
         .orderBy("shape")
     )
