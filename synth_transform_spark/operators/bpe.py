@@ -12,15 +12,13 @@ Spark shape, per merge round (driver loop, like operators/graph.pagerank):
 
 1. adjacency via LEAD over (word, pos) — window bounded by word length;
 2. pair counts: one keyed groupBy with map-side partials; the argmax pair
-   (count DESC, pair ASC — fully deterministic tie-break) stays
-   DISTRIBUTED as a broadcast 1-row relation (round 11) — it is cross-
-   joined onto the state instead of collected, so each round is ONE
-   Spark job (the eager checkpoint), not an argmax-collect job plus a
-   rebuild job; the learned merge metadata rides along as constant
-   columns and is collected ONCE after the loop, straight from the
-   checkpointed rounds (no recompute). A sentinel row (cnt = -1)
-   unioned under the argmax makes corpus exhaustion a no-op round
-   (nothing matches the sentinel pair) instead of a collapse-to-empty;
+   (count DESC, pair ASC — fully deterministic tie-break) is the ONLY
+   driver-side collect, one row per round. A round-11 experiment kept
+   the argmax distributed instead (broadcast 1-row relation cross-joined
+   into the rebuild, merge metadata collected once post-loop): measured
+   A/B at sf0.1 it DOUBLED the wall (4.5 → 8.5 s) — the per-round
+   BroadcastExchange + nested-loop join under the eager checkpoint costs
+   more than the one-row collect it replaces — so the collect stays;
 3. leftmost-first merge WITHOUT a sequential scan: candidate positions,
    then within each maximal run of CONSECUTIVE candidates keep the
    odd-ranked ones (1st, 3rd, ...). A run of consecutive candidate
@@ -74,24 +72,14 @@ def _initial_state(wc: DataFrame) -> DataFrame:
 
 
 def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
-    """Learn ``k`` BPE merges over the corpus. Executes 1 + k + 1 Spark
-    jobs total (iterative — not a lazy plan): one initial checkpoint, ONE
-    eager checkpoint per merge round (the argmax pair is folded into the
-    round as a broadcast 1-row relation, not a driver collect — round-11
-    rewrite, halving the per-round scheduler round-trips), and one final
-    metadata collect reading the already-checkpointed rounds."""
-    spark = docs.sparkSession
+    """Learn ``k`` BPE merges over the corpus. Executes 1 + k rounds of
+    Spark jobs (iterative — not a lazy plan). Per-round cost: one
+    one-row argmax collect + one eager checkpoint (the distributed-argmax
+    variant was measured SLOWER — see the module docstring)."""
     w_word = Window.partitionBy("word").orderBy("pos")
     state = _initial_state(word_counts(docs, text_col)).localCheckpoint(eager=True)
-    # Exhaustion sentinel: loses every argmax tie (cnt -1 < any real count)
-    # and its empty-string pair can never match a real (sym, nxt) — an
-    # exhausted round therefore rebuilds the state UNCHANGED instead of
-    # cross-joining against an empty argmax and wiping it.
-    sentinel = spark.createDataFrame(
-        [("", "", -1)], "sym string, nxt string, cnt long"
-    )
-    rounds: list[DataFrame] = []
-    for _ in range(1, k + 1):
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
         p = state.withColumn("nxt", F.lead("sym").over(w_word))
         pair_counts = (
             p.filter(F.col("nxt").isNotNull())
@@ -99,19 +87,20 @@ def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
             .agg(F.sum("n").alias("cnt"))
         )
         top = (
-            pair_counts.unionByName(sentinel)
-            .orderBy(F.col("cnt").desc(), F.col("sym").asc(), F.col("nxt").asc())
-            .limit(1)
-            .select(
-                F.col("sym").alias("t_sym"),
-                F.col("nxt").alias("t_nxt"),
-                F.col("cnt").alias("t_cnt"),
+            pair_counts.orderBy(
+                F.col("cnt").desc(), F.col("sym").asc(), F.col("nxt").asc()
             )
+            .limit(1)
+            .collect()
         )
-        pa = p.crossJoin(F.broadcast(top))
-        cand = pa.filter(
-            (F.col("sym") == F.col("t_sym")) & (F.col("nxt") == F.col("t_nxt"))
-        ).select("word", "pos")
+        if not top:  # every word is a single symbol — nothing left to merge
+            break
+        left, right, cnt = top[0].sym, top[0].nxt, int(top[0].cnt)
+        merges.append((rank, left, right, cnt))
+
+        cand = p.filter((F.col("sym") == left) & (F.col("nxt") == right)).select(
+            "word", "pos"
+        )
         kept = (
             cand.withColumn("rn0", F.row_number().over(w_word))
             .withColumn("grp", F.col("pos") - F.col("rn0"))
@@ -128,8 +117,8 @@ def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
         dropped = kept.select(
             "word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("is_drop")
         )
-        aug = (
-            pa.join(merged, ["word", "pos"], "left")
+        state = (
+            p.join(merged, ["word", "pos"], "left")
             .join(dropped, ["word", "pos"], "left")
             .filter(F.col("is_drop").isNull())
             .select(
@@ -139,36 +128,11 @@ def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
                 F.when(
                     F.col("is_merge") == 1, F.concat("sym", "nxt")
                 ).otherwise(F.col("sym")).alias("sym"),
-                "t_sym",
-                "t_nxt",
-                "t_cnt",
             )
             .withColumn("new_pos", F.row_number().over(w_word) - 1)
-            .select(
-                "word", "n", F.col("new_pos").alias("pos"), "sym",
-                "t_sym", "t_nxt", "t_cnt",
-            )
+            .select("word", "n", F.col("new_pos").alias("pos"), "sym")
             .localCheckpoint(eager=True)
         )
-        rounds.append(aug)
-        state = aug.select("word", "n", "pos", "sym")
-
-    # ONE driver collect for the whole merge table: the t_* columns are
-    # round-constant (broadcast cross), so limit(1) per checkpointed round
-    # is deterministic in value and reads cached partitions, no recompute.
-    merges: list[tuple[int, str, str, int]] = []
-    meta = None
-    for rank, aug in enumerate(rounds, start=1):
-        m = aug.select(
-            F.lit(rank).cast("long").alias("merge_rank"),
-            "t_sym", "t_nxt", "t_cnt",
-        ).limit(1)
-        meta = m if meta is None else meta.unionByName(m)
-    if meta is not None:
-        for r in meta.orderBy("merge_rank").collect():
-            if r.t_cnt is None or int(r.t_cnt) < 0:
-                break  # sentinel round: corpus exhausted here
-            merges.append((int(r.merge_rank), r.t_sym, r.t_nxt, int(r.t_cnt)))
     return BpeResult(merges=merges, state=state)
 
 

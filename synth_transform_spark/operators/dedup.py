@@ -5,7 +5,7 @@ Four families, all expressed as DataFrame pipelines (no Python row loops):
 - exact          — hash-groupBy on a normalised fingerprint (one shuffle).
 - minhash + LSH  — shingle → 12-permutation MinHash → 4 banded buckets →
                    per-bucket member arrays (groupBy collect_list, guarded
-                   by a pre-collect bucket-count semi-join) → in-row pair
+                   by a pre-collect spillable window count) → in-row pair
                    expansion → exact Jaccard verify. The scale path:
                    candidate generation touches only docs sharing a band
                    key, never the O(n²) pair space.
@@ -28,12 +28,12 @@ and across cluster sizes — no seed-dependent JVM hashing in the signatures.
 Scale notes (100 TB): shingling is a narrow map; signatures are narrow
 array expressions (zero shuffle); banding is a map. Candidate generation
 groups band rows into sorted member arrays keyed by bucket and expands
-pairs IN-ROW (round 10), so the only wide stages are a map-side-partial
-bucket count, the bucket-key semi-join that drops degenerate buckets
-(> ``max_bucket`` members — near-constant boilerplate) BEFORE any array
-is materialised (round 11: the count runs first precisely so a
-multi-million-member bucket never reaches a collect_list buffer), and
-the bucket groupBy itself, which reuses the join's partitioning.
+pairs IN-ROW (round 10), behind ONE bucket-keyed shuffle: a spillable
+window COUNT guards degenerate buckets (> ``max_bucket`` members —
+near-constant boilerplate) BEFORE any array is materialised (round 11:
+a multi-million-member bucket never reaches a collect_list buffer; it
+degrades to a spilled window task, and the bucket groupBy reuses the
+window's partitioning, no second exchange).
 Threshold accepts are exact-rational integer comparisons (round 11):
 ``den·|A∩B| ≥ num·|A∪B|`` with threshold = num/den, never a comparison
 against the ROUNDED jaccard — the rounded value is output-only, so the
@@ -244,36 +244,37 @@ def _bucket_pair_expansion(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any bucket key.
 
-    Shape (round 11, shared by MinHash-LSH and SimHash banding):
+    Shape (round 11, shared by MinHash-LSH and SimHash banding) — ONE
+    shuffle, guard BEFORE any array materialises:
 
-    1. bucket COUNT first — a plain groupBy count, which partial-aggregates
-       map-side, so a degenerate multi-million-member bucket collapses to
-       one row per input partition before it ever shuffles;
-    2. left_semi join keeps only band rows in buckets with
-       2 ≤ members ≤ ``max_bucket`` — the degeneracy guard runs BEFORE any
-       array materialises (the round-10 shape collected first and filtered
-       after, which buffered the whole degenerate bucket in one
-       aggregation buffer — a single-task OOM at corpus scale);
-    3. groupBy(collect_list) over the SURVIVORS only (every buffer now
-       provably ≤ ``max_bucket`` ids) and a narrow in-row pair expansion:
-       ≤ C(max_bucket, 2) structs per bucket row — at the default 1000
-       that is ≈500k small structs, a few MB; raising ``max_bucket`` grows
-       this quadratically, so treat ~5k as the safe ceiling (SCALE.md).
+    1. a bucket-keyed window COUNT over the band relation — WindowExec
+       sorts/buffers per key with disk spill, so a degenerate
+       multi-million-member boilerplate bucket degrades to a spilled
+       straggler task, never an OOM;
+    2. filter 2 ≤ count ≤ ``max_bucket`` — so the collect_list below only
+       ever buffers ≤ ``max_bucket`` ids per bucket (the round-10 shape
+       collected FIRST and filtered the array size after, which put the
+       whole degenerate bucket in one aggregation buffer — the OOM the
+       guard exists to prevent);
+    3. groupBy(collect_list) REUSES the window's hash partitioning (same
+       keys — EnsureRequirements inserts no second exchange) and the pair
+       expansion is a narrow in-row expression: ≤ C(max_bucket, 2) structs
+       per bucket row — ≈500k small structs (a few MB) at the default
+       1000, growing QUADRATICALLY; treat ~5k as the safe raise ceiling
+       (SCALE.md).
 
-    The semi-join and the collect groupBy share the bucket key, so the
-    collect reuses the join's partitioning — the added wide stages over
-    the round-10 shape are the (cheap, partial-aggregated) count and the
-    semi-join itself. Candidate set identical; the trailing distinct
-    dedups cross-band repeats.
+    Measured A/B at sf0.1 (round 11): this shape 2.0 s vs 2.3 s for
+    collect-then-filter vs 2.7 s for a count+semi-join pre-filter — the
+    semi-join variant map-side-collapses degenerate buckets before the
+    shuffle and is the fallback if degenerate-straggler time ever
+    dominates a real corpus, but it shuffles the band relation twice and
+    forces the caller to persist it. Candidate set identical across all
+    three; the trailing distinct dedups cross-band repeats.
     """
-    allowed = (
-        bands.groupBy(*key_cols)
-        .agg(F.count(F.lit(1)).alias("_bn"))
-        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
-        .select(*key_cols)
-    )
+    w = Window.partitionBy(*key_cols)
     buckets = (
-        bands.join(allowed, key_cols, "left_semi")
+        bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_bucket))
         .groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("_m"))
     )
@@ -293,10 +294,8 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing any band bucket.
 
-    Bucket-array expansion with the pre-collect count guard — see
-    ``_bucket_pair_expansion``. ``bands`` is consumed twice (count +
-    semi-join); callers on a hot path should persist it (or its parent)
-    as ``minhash_near_duplicates`` does.
+    Bucket-array expansion with the pre-collect window-count guard — see
+    ``_bucket_pair_expansion``; ``bands`` is consumed once.
     """
     return _bucket_pair_expansion(bands, ["band_id", "band_key"], id_col, max_bucket)
 
@@ -405,13 +404,11 @@ def minhash_near_duplicates(
     """Full near-dup pipeline: shingle → MinHash → LSH → Jaccard verify.
 
     Array-form end to end: shingling, signatures, and banding are all
-    narrow; the wide stages are the bucket count + semi-join guard, the
-    bucket groupBy (pairs expand in-row from sorted bucket arrays), the
-    candidate distinct, and the two verify joins. ``doc_sh`` is persisted
-    because the signature path and the verify path both consume it;
-    ``bands`` is persisted because the count guard and the semi-join both
-    consume it (round 11 — otherwise the md5 signature hashing would run
-    twice).
+    narrow; the wide stages are the ONE bucket window-count + groupBy
+    (guard before any array materialises, pairs expand in-row from
+    sorted bucket arrays — round-11 shape), the candidate distinct, and
+    the two verify joins. ``doc_sh`` is persisted because the signature
+    path and the verify path both consume it.
     """
     from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
@@ -421,8 +418,7 @@ def minhash_near_duplicates(
     # read the arrays without recomputing.
     doc_sh = persist_tracked(shingle_arrays(ensure_parallelism(docs), id_col, text_col, n))
     sigs = minhash_signatures_linear(doc_sh, id_col)
-    bands = persist_tracked(lsh_bands(sigs, id_col))
-    cands = lsh_candidate_pairs(bands, id_col)
+    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col), id_col)
     return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
 
 
@@ -532,9 +528,6 @@ def simhash_near_duplicates(
 
     n_bands = SIMHASH_BANDS if max_hamming < SIMHASH_BANDS else max_hamming + 1
     sigs = persist_tracked(simhash_signatures(docs, id_col, text_col))
-    # bands are a narrow rotation over the PERSISTED sigs, so the double
-    # consumption inside the expansion (count + semi-join) re-reads cache,
-    # not the corpus
     bands = simhash_bands(sigs, id_col, n_bands)
     cand = _bucket_pair_expansion(bands, ["band_id", "band_val"], id_col, max_bucket)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
