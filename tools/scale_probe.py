@@ -30,7 +30,11 @@ Synthesis (10 copies, c = 0..9; c = 0 is the original rows verbatim):
   read them, but load_table must find a complete directory).
 
 Usage:  python tools/scale_probe.py [out_json]
-Env:    SCALE_PROBE_DIR (default /tmp/scale10x), SCALE_PROBE_COPIES (10).
+Env:    SCALE_PROBE_DIR (default /tmp/scale10x), SCALE_PROBE_COPIES (10),
+        SCALE_PROBE_CANDIDATES_ONLY=1 to skip the timed query runs and
+        measure ONLY the candidate-count exponents (counts are
+        host-load-independent, so this mode is valid on a busy machine
+        and cheap enough to run at 100x).
 """
 
 from __future__ import annotations
@@ -80,9 +84,10 @@ def build_10x(spark) -> None:
 
     emb = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
     dim = F.size("embedding")
+    rot = F.pmod(c, dim)  # copies may exceed the embedding dim
     rotated = F.concat(
-        F.slice(F.col("embedding"), c + 1, dim - c),
-        F.slice(F.col("embedding"), F.lit(1), c),
+        F.slice(F.col("embedding"), rot + 1, dim - rot),
+        F.slice(F.col("embedding"), F.lit(1), rot),
     )
     (
         emb.select("*", copies)
@@ -157,6 +162,29 @@ def main() -> int:
     build_10x(spark)
     print(f"# built {COPIES}x dir at {OUT} in {time.time()-t0:.0f}s", file=sys.stderr)
 
+    if os.environ.get("SCALE_PROBE_CANDIDATES_ONLY") == "1":
+        cands = {
+            "1x": _candidate_counters(spark, SRC),
+            f"{COPIES}x": _candidate_counters(spark, OUT),
+        }
+        cand_rows = {}
+        for key in cands["1x"]:
+            c1, cN = cands["1x"][key], cands[f"{COPIES}x"][key]
+            cand_rows[key] = {
+                "n_1x": c1,
+                f"n_{COPIES}x": cN,
+                "exponent": round(
+                    math.log10(max(cN, 1) / max(c1, 1)) / math.log10(COPIES), 3
+                ),
+            }
+            print(f"# {key}: {cand_rows[key]}", file=sys.stderr)
+        payload = {"copies": COPIES, "candidates_only": True, "candidates": cand_rows}
+        print(json.dumps(payload))
+        if len(sys.argv) > 1:
+            with open(sys.argv[1], "w") as fh:
+                json.dump(payload, fh, indent=1)
+        return 0
+
     QUERIES = [
         "q27_minhash_near_dups",
         "q182_prefix_jaccard_join",
@@ -184,7 +212,8 @@ def main() -> int:
             row[f"t_{tag}"] = round(time.time() - t1, 2)
             row[f"rows_{tag}"] = n
         row["exponent"] = round(
-            math.log10(max(row[f"t_{COPIES}x"], 1e-3) / max(row["t_1x"], 1e-3)), 3
+            math.log10(max(row[f"t_{COPIES}x"], 1e-3) / max(row["t_1x"], 1e-3))
+            / math.log10(COPIES), 3
         )
         result[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
@@ -196,7 +225,9 @@ def main() -> int:
         cand_rows[key] = {
             "n_1x": c1,
             f"n_{COPIES}x": c10,
-            "exponent": round(math.log10(max(c10, 1) / max(c1, 1)), 3),
+            "exponent": round(
+                math.log10(max(c10, 1) / max(c1, 1)) / math.log10(COPIES), 3
+            ),
         }
         print(f"# {key}: {cand_rows[key]}", file=sys.stderr)
 
