@@ -762,14 +762,18 @@ def lsh_probe(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     # exact-rational accept (round 11) — same semantics as
     # jaccard_verify_arrays so batch and incremental paths agree on
-    # boundary pairs; rounded jaccard is output-only
+    # boundary pairs; rounded jaccard is output-only. The no-miss length
+    # prefilter (min ≥ t·max) runs before the O(|A|+|B|) intersect,
+    # mirroring the batch verify.
     from fractions import Fraction
 
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
+    na, nb = F.size("sh_a"), F.size("sh_b")
     return (
         cands.join(av, "id_a")
         .join(bv, "id_b")
+        .filter(F.lit(den) * F.least(na, nb) >= F.lit(num) * F.greatest(na, nb))
         .withColumn("n_inter", inter)
         .filter(
             F.lit(den) * F.col("n_inter")
