@@ -163,3 +163,35 @@ def test_lsh_probe_shared_ids_no_self_pairs(spark):
     # re-ingested id 1 matches base doc 3 via its NEW text — proving the
     # delta side resolved against delta shingles, not the stale base text
     assert (3, 1) in pairs
+
+
+def test_bucket_expansion_single_shuffle_with_spillable_guard(spark):
+    """Round-11 plan pin: the candidate stage is ONE bucket-keyed shuffle —
+    a (spillable) Window count guard whose hash partitioning is REUSED by
+    the collect_list aggregation (no exchange between them), plus the
+    trailing distinct's exchange. A third exchange or a missing Window
+    means the guard shape regressed (collect-before-filter risks a
+    degenerate-bucket OOM; a semi-join shape doubles the band shuffle)."""
+    import re
+
+    bands = spark.createDataFrame(
+        [(i, i % 3, f"k{i % 5}") for i in range(40)],
+        "doc_id long, band_id int, band_key string",
+    )
+    plan = (
+        dedup.lsh_candidate_pairs(bands, max_bucket=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert "Window" in plan, plan
+    assert n_exchanges == 2, f"expected bucket+distinct shuffles only:\n{plan}"
+    # and the guard really binds: a bucket of 11 docs sharing a band must
+    # contribute no pairs at max_bucket=10
+    big = spark.createDataFrame(
+        [(i, 0, "hot") for i in range(11)] + [(100, 0, "ok"), (101, 0, "ok")],
+        "doc_id long, band_id int, band_key string",
+    )
+    pairs = dedup.lsh_candidate_pairs(big, max_bucket=10).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}

@@ -192,6 +192,12 @@ def main() -> int:
         "q149_hierarchy_rollup",
         "q500_dedup_funnel",
     ]
+    if os.environ.get("SCALE_PROBE_QUERIES"):
+        QUERIES = [
+            q.strip()
+            for q in os.environ["SCALE_PROBE_QUERIES"].split(",")
+            if q.strip()
+        ]
 
     # warm all plans once at the smallest SF (JIT, codegen, shuffle machinery)
     warm = "/root/testdata/sf0.001"
