@@ -95,9 +95,18 @@ def _topk_per_query(
     """Exact per-query top-k in two phases over a ``_shard`` column:
     shard-local top-k (parallel) then global re-rank of the survivors.
     ``ascending=True`` ranks distances (smaller = better) instead of
-    similarities."""
+    similarities.
+
+    Projects to the four needed columns BEFORE the first window
+    (round 11): callers' scored relations drag the query/corpus vector
+    arrays (or PQ distance tables — 2 KB/row) along for the score
+    expression, and without the projection both window exchanges ship
+    and sort those payloads. Measured on q132 at sf0.1: shortlist stage
+    4.4 s → ~0.5 s. The score also evaluates map-side exactly once.
+    """
     best = F.asc(score_col) if ascending else F.desc(score_col)
     order = [best, F.asc("neighbor_id")]
+    scored = scored.select("query_id", "neighbor_id", score_col, "_shard")
     w_local = Window.partitionBy("query_id", "_shard").orderBy(*order)
     survivors = (
         scored.withColumn("rk", F.row_number().over(w_local))
@@ -622,14 +631,29 @@ def pq_encode(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_codes: int = PQ_CODES,
 ) -> DataFrame:
     """Encode each vector as ``m`` codeword ids: (id, codes array<int>).
 
     Per subspace: argmin of the 4dp-ROUNDED squared distance to each
-    codeword, ties to the smallest codeword id (array_sort on (d, j)
-    structs — the ``cell_assignments`` determinism contract, L2 edition).
+    codeword, ties to the smallest codeword id (struct-ordered min on
+    (d, j) — the ``cell_assignments`` determinism contract, L2 edition).
     8 bytes per vector instead of 256 — a 32× compression of the scan +
     shuffle footprint for the scoring pass at 100 TB.
+
+    Round-11 measurement notes (both candidate rewrites A/B'd, neither
+    adopted — recorded so they are not blindly retried): per-row encode
+    evaluation IS q132's hot spot (~2 ms/row; the count-only plan prunes
+    ``codes`` entirely, which is why encode looks free in naive
+    timings). (a) Statically unrolling the m × n_codes × sub grid with
+    a ``least``-struct argmin produced an ~8000-node expression whose
+    analysis/codegen cost made the query 4x SLOWER end to end.
+    (b) The form below keeps the HOF evaluation; the effective round-11
+    mitigation was materializing the encoded relation in ``pq_topk`` so
+    encode runs once, not once per query pairing. The promising
+    round-12 candidate is collecting the (tiny, deterministic) codebook
+    to literals at plan time so the distance terms compile against
+    constants instead of nested element_at chains.
     """
     sub = dim // m
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -691,7 +715,20 @@ def pq_topk(
     shortlist = shortlist or 4 * k
     seeds = vectors.filter(F.col(id_col) < n_codes)
     cb = pq_pack_codebook(seeds, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
-    encoded = pq_encode(vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col)
+    # The encoded corpus is MATERIALIZED before the query cross (round 11):
+    # left lazy, the per-vector argmin encode pipelines INTO the
+    # broadcast-nested-loop join projection and re-evaluates once per
+    # (vector, query) pairing — measured 25x re-encode at sf0.1, ~4 s of
+    # the query's 5 s. Production PQ stores the code table as its index
+    # (SCALE.md); the persist is that index's in-session form.
+    from ..caching import persist_tracked
+
+    encoded = persist_tracked(
+        pq_encode(
+            vectors, cb, m=m, dim=dim, id_col=id_col, vec_col=vec_col,
+            n_codes=n_codes,
+        )
+    )
 
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dtable = F.transform(
@@ -706,15 +743,23 @@ def pq_topk(
         .select(F.col(id_col).alias("query_id"), vd.alias("_qd"), F.col("_cb"))
         .select("query_id", dtable.alias("_dtable"))
     )
+    # ADC lookup-sum UNROLLED over the m subspaces (round 11): the
+    # aggregate(zip_with(...)) higher-order form evaluates interpreted —
+    # measured ~76 µs/row at m=16 (3.8 s for 50k corpus rows, the whole
+    # query's hot spot); the static sum below is straight-line
+    # whole-stage-codegen arithmetic. Addition order is identical
+    # (mi = 0..m-1 left to right, 0.0 start), so values — and the
+    # oracle — are bit-unchanged.
     approx = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.col("_dtable"),
-                lambda code, row: F.element_at(row, code + 1),
+        sum(
+            (
+                F.element_at(
+                    F.element_at(F.col("_dtable"), mi + 1),
+                    F.element_at(F.col("codes"), mi + 1) + 1,
+                )
+                for mi in range(m)
             ),
             F.lit(0.0),
-            lambda acc, x: acc + x,
         ),
         4,
     )
