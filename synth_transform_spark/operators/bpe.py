@@ -8,27 +8,35 @@ targets need the trainer ON the cluster — the corpus word count is the
 vocabulary relation, which is orders of magnitude smaller but can still be
 tens of millions of (word, pos, symbol) rows — too big to collect.
 
-Spark shape, per merge round (driver loop, like operators/graph.pagerank):
+Spark shape, per merge round (driver loop, like operators/graph.pagerank).
+State is ONE ROW PER VOCAB WORD — (word, n, syms array<string>) — not one
+row per symbol occurrence (round 11; the exploded form paid a LEAD window
+shuffle for adjacency plus two joins and two windows for the rebuild,
+EVERY round — measured 3.9→1.1 s at sf0.1, identical merge table):
 
-1. adjacency via LEAD over (word, pos) — window bounded by word length;
-2. pair counts: one keyed groupBy with map-side partials; the argmax pair
-   (count DESC, pair ASC — fully deterministic tie-break) is the ONLY
-   driver-side collect, one row per round. A round-11 experiment kept
-   the argmax distributed instead (broadcast 1-row relation cross-joined
-   into the rebuild, merge metadata collected once post-loop): measured
-   A/B at sf0.1 it DOUBLED the wall (4.5 → 8.5 s) — the per-round
-   BroadcastExchange + nested-loop join under the eager checkpoint costs
-   more than the one-row collect it replaces — so the collect stays;
-3. leftmost-first merge WITHOUT a sequential scan: candidate positions,
-   then within each maximal run of CONSECUTIVE candidates keep the
-   odd-ranked ones (1st, 3rd, ...). A run of consecutive candidate
-   positions only arises for self-pairs like (a,a) in "aaaa", and
-   greedy left-to-right merging takes exactly every other candidate —
-   so the window algebra reproduces the sequential semantics exactly;
-4. rebuild: merged position takes left||right, its successor drops, pos
-   re-densifies with row_number. State is localCheckpoint-ed per round
-   (lineage truncation; multi-executor clusters prefer reliable
-   checkpoint — see caching.py).
+1. adjacency is free: pairs come from zipping ``syms`` with itself
+   shifted by one — a narrow in-row expression, no window, no shuffle;
+2. pair counts: one keyed groupBy with map-side partials (the ONLY
+   shuffle per round); the argmax pair (count DESC, pair ASC — fully
+   deterministic tie-break) is the ONLY driver-side collect, one row per
+   round. A round-11 experiment kept the argmax distributed instead
+   (broadcast 1-row relation cross-joined into the rebuild, merge
+   metadata collected once post-loop): measured A/B at sf0.1 it DOUBLED
+   the wall (4.5 → 8.5 s) — the per-round BroadcastExchange +
+   nested-loop join under the eager checkpoint costs more than the
+   one-row collect it replaces — so the collect stays;
+3. leftmost-first merge as an in-row left fold (``aggregate``): append
+   each symbol unless the accumulator's last element equals LEFT and the
+   incoming symbol equals RIGHT, in which case replace the last element
+   with LEFT||RIGHT. The fold reproduces greedy left-to-right semantics
+   exactly: a merged token LEFT||RIGHT can never equal LEFT (RIGHT is
+   non-empty), so merges never chain, and in a self-pair run like
+   "aaaa" the fold takes exactly every other candidate — the same
+   odd-ranked-in-run selection the previous window algebra encoded;
+4. rebuild: the fold above IS the rebuild — a narrow map, zero shuffle.
+   State is localCheckpoint-ed per round (lineage truncation, one row
+   per vocab word; multi-executor clusters prefer reliable checkpoint —
+   see caching.py).
 
 Everything is deterministic — counts are exact integers, ties break
 lexicographically — so the DuckDB oracle unrolls the same algebra as
@@ -40,13 +48,13 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 @dataclass(frozen=True)
 class BpeResult:
     """Learned merge list [(rank, left, right, pair_count)] + final vocab
-    state (word, n, pos, sym)."""
+    state (word, n, syms array<string> — position = array index)."""
 
     merges: list[tuple[int, str, str, int]]
     state: DataFrame
@@ -63,27 +71,34 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _initial_state(wc: DataFrame) -> DataFrame:
-    """(word, n, pos, sym): one row per character occurrence."""
-    return wc.select(
-        "word",
-        "n",
-        F.posexplode(F.split("word", "")).alias("pos", "sym"),
-    )
+    """(word, n, syms): one array element per character."""
+    return wc.select("word", "n", F.split("word", "").alias("syms"))
 
 
 def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
     """Learn ``k`` BPE merges over the corpus. Executes 1 + k rounds of
     Spark jobs (iterative — not a lazy plan). Per-round cost: one
-    one-row argmax collect + one eager checkpoint (the distributed-argmax
-    variant was measured SLOWER — see the module docstring)."""
-    w_word = Window.partitionBy("word").orderBy("pos")
+    one-row argmax collect over the pair-count groupBy (the only shuffle)
+    + one eager checkpoint of the narrow fold rebuild (the
+    distributed-argmax variant was measured SLOWER — see the module
+    docstring)."""
     state = _initial_state(word_counts(docs, text_col)).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
-        p = state.withColumn("nxt", F.lead("sym").over(w_word))
+        # adjacency in-row: element i paired with element i+1
         pair_counts = (
-            p.filter(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
+            state.filter(F.size("syms") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda a, b: F.struct(a.alias("sym"), b.alias("nxt")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.sym", "p.nxt")
             .agg(F.sum("n").alias("cnt"))
         )
         top = (
@@ -98,40 +113,23 @@ def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
         left, right, cnt = top[0].sym, top[0].nxt, int(top[0].cnt)
         merges.append((rank, left, right, cnt))
 
-        cand = p.filter((F.col("sym") == left) & (F.col("nxt") == right)).select(
-            "word", "pos"
+        # Greedy leftmost-first merge as an in-row left fold — see the
+        # module docstring for the equivalence argument. F.lit() carries
+        # the symbols (never f-string SQL: corpus symbols can contain
+        # quotes/backslashes).
+        merged_sym = F.array(F.lit(left + right))
+        fold = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(left))
+                & (s == F.lit(right)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), merged_sym),
+            ).otherwise(F.concat(acc, F.array(s))),
         )
-        kept = (
-            cand.withColumn("rn0", F.row_number().over(w_word))
-            .withColumn("grp", F.col("pos") - F.col("rn0"))
-            .withColumn(
-                "rir",
-                F.row_number().over(
-                    Window.partitionBy("word", "grp").orderBy("pos")
-                ),
-            )
-            .filter(F.col("rir") % 2 == 1)
-            .select("word", "pos")
-        )
-        merged = kept.withColumn("is_merge", F.lit(1))
-        dropped = kept.select(
-            "word", (F.col("pos") + 1).alias("pos"), F.lit(1).alias("is_drop")
-        )
-        state = (
-            p.join(merged, ["word", "pos"], "left")
-            .join(dropped, ["word", "pos"], "left")
-            .filter(F.col("is_drop").isNull())
-            .select(
-                "word",
-                "n",
-                "pos",
-                F.when(
-                    F.col("is_merge") == 1, F.concat("sym", "nxt")
-                ).otherwise(F.col("sym")).alias("sym"),
-            )
-            .withColumn("new_pos", F.row_number().over(w_word) - 1)
-            .select("word", "n", F.col("new_pos").alias("pos"), "sym")
-            .localCheckpoint(eager=True)
+        state = state.select("word", "n", fold.alias("syms")).localCheckpoint(
+            eager=True
         )
     return BpeResult(merges=merges, state=state)
 
@@ -146,13 +144,15 @@ def merge_table(spark, result: BpeResult) -> DataFrame:
 
 def vocab_segmentation(result: BpeResult) -> DataFrame:
     """Post-training segmentation of every vocab word:
-    (word, n, segmented, n_tokens) — what the encoder would emit."""
-    ordered = F.array_sort(F.collect_list(F.struct("pos", "sym")))
-    return result.state.groupBy("word", "n").agg(
-        F.array_join(
-            F.transform(ordered, lambda s: s.sym), " "
-        ).alias("segmented"),
-        F.count(F.lit(1)).alias("n_tokens"),
+    (word, n, segmented, n_tokens) — what the encoder would emit.
+    Narrow map over the array state (round 11: the exploded state needed
+    a groupBy + collect_list shuffle to reassemble what the array form
+    already holds in order)."""
+    return result.state.select(
+        "word",
+        "n",
+        F.array_join("syms", " ").alias("segmented"),
+        F.size("syms").cast("long").alias("n_tokens"),
     )
 
 

@@ -231,27 +231,50 @@ def ancestor_closure(
     """Transitive ancestor closure of a forest by pointer doubling:
     (node, anc) for every proper ancestor, in ⌈log₂(depth)⌉ rounds.
 
-    Round i unions paths of length ≤ 2^i: closure ∪ (closure ⋈ closure).
-    Each round is one self-equi-join on uniform node ids plus a distinct
-    — O(E·depth) total rows, log-depth rounds instead of a
-    depth-iteration loop (the BOM-explosion shape: 100 TB part
-    hierarchies are shallow-but-wide, exactly where doubling wins).
-    Checkpointed per round (the kcore/pagerank contract). Roots are rows
-    whose parent is NULL — they contribute no edge.
+    Round k unions paths of length ≤ 2^(k+1) — O(E·depth) total rows,
+    log-depth rounds instead of a depth-iteration loop (the BOM-explosion
+    shape: 100 TB part hierarchies are shallow-but-wide, exactly where
+    doubling wins). Composition is DISTANCE-EXACT (round 11): the first
+    segment must have length exactly 2^k, the second any length ≤ 2^k.
+    In a forest every (node, anc) pair has one distance D and one node at
+    exactly 2^k steps up, so each new pair is generated exactly once and
+    never regenerates a pair already in the closure — the per-round
+    ``distinct`` the ≤×≤ composition needed (a full shuffle + dedup of
+    the ENTIRE growing closure every round) is dead weight and is gone.
+    Requires ``edges`` to carry one row per node (a forest's node has one
+    parent; every caller passes a keyed projection of a base table).
+    Intermediate rounds are checkpointed (the kcore/pagerank contract);
+    the final round stays lazy — its single consumer aggregates it
+    directly. Roots are rows whose parent is NULL — they contribute no
+    edge.
     """
     c = (
         edges.filter(F.col(parent_col).isNotNull())
-        .select(F.col(node_col).alias("node"), F.col(parent_col).alias("anc"))
+        .select(
+            F.col(node_col).alias("node"),
+            F.col(parent_col).alias("anc"),
+            F.lit(1).cast("long").alias("_d"),
+        )
         .localCheckpoint(eager=True)
     )
-    for _ in range(n_rounds):
-        hop = c.select(F.col("node").alias("_mid"), F.col("anc").alias("_anc2"))
-        longer = (
-            c.join(hop, c["anc"] == hop["_mid"])
-            .select("node", F.col("_anc2").alias("anc"))
+    for k in range(n_rounds):
+        first = c.filter(F.col("_d") == (1 << k)).select(
+            "node", F.col("anc").alias("_mid"), F.col("_d").alias("_d1")
         )
-        c = c.union(longer).distinct().localCheckpoint(eager=True)
-    return c
+        rest = c.select(
+            F.col("node").alias("_mid"),
+            F.col("anc").alias("_anc2"),
+            F.col("_d").alias("_d2"),
+        )
+        longer = first.join(rest, "_mid").select(
+            "node",
+            F.col("_anc2").alias("anc"),
+            (F.col("_d1") + F.col("_d2")).alias("_d"),
+        )
+        c = c.union(longer)
+        if k < n_rounds - 1:
+            c = c.localCheckpoint(eager=True)
+    return c.select("node", "anc")
 
 
 def weighted_pagerank(
