@@ -74,18 +74,31 @@ def exact_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 
 
 def _gram_expr(text_col: str, n: int):
-    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    # Docs with < n tokens must yield an EMPTY array — sequence(0, -1)
-    # would instead generate the DESCENDING [0, -1] and element_at(toks, 0)
-    # throws INVALID_INDEX_OF_ZERO, so the short-doc case is gated
-    # explicitly (fixture docs are long; real corpora contain empty docs).
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-    )
+    toks_raw = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+    # Round 11: bind the token array ONCE via a single-element transform.
+    # Building the gram lambda directly over ``toks_raw`` duplicates the
+    # whole filter(split(text)) tree at every reference site — n element_at
+    # calls PER GRAM each re-split the full text, an O(len²)-per-doc
+    # evaluation (higher-order lambdas are interpreted: no common-
+    # subexpression elimination rescues it). Measured at sf0.1 it made the
+    # un-persisted signature pipeline 8.1 s vs 0.9 s with the binding.
+    def grams_of(toks):
+        # Docs with < n tokens must yield an EMPTY array — sequence(0, -1)
+        # would instead generate the DESCENDING [0, -1] and element_at(_, 0)
+        # throws INVALID_INDEX_OF_ZERO, so the short-doc case is gated
+        # explicitly (fixture docs are long; real corpora contain empty docs).
+        idx = F.when(
+            F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(toks_raw), grams_of), 1)
 
 
 def shingle_arrays(
@@ -407,19 +420,44 @@ def minhash_near_duplicates(
     narrow; the wide stages are the ONE bucket window-count + groupBy
     (guard before any array materialises, pairs expand in-row from
     sorted bucket arrays — round-11 shape), the candidate distinct, and
-    the two verify joins. ``doc_sh`` is persisted because the signature
-    path and the verify path both consume it.
+    the two verify joins.
+
+    Round 11: the full-corpus shingle arrays are NOT persisted any more.
+    They used to be, because the signature path and the verify path both
+    consume them — but materialising every doc's shingle strings was the
+    single most expensive stage of the pipeline (measured 1.5 s of the
+    2.2 s warm total at sf0.1), and the verify stage only ever needs the
+    arrays of docs that appear in a candidate pair (a vanishing fraction
+    at 100 TB: LSH exists to make it so). Shingles now stream once,
+    unmaterialised, into the signature computation; the verify side
+    re-shingles just the candidate docs behind a semi-join on the
+    persisted candidate-pair relation (tiny, two consumers).
     """
     from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
 
     # Repartition the raw docs (cheap rows) BEFORE shingling so the gram
-    # computation itself is parallel; persisting after means both consumers
-    # read the arrays without recomputing.
-    doc_sh = persist_tracked(shingle_arrays(ensure_parallelism(docs), id_col, text_col, n))
+    # computation itself is parallel; project to the two consumed columns
+    # so the repartition never ships unused payload.
+    src = ensure_parallelism(docs).select(F.col(id_col), F.col(text_col))
+    doc_sh = shingle_arrays(src, id_col, text_col, n)
     sigs = minhash_signatures_linear(doc_sh, id_col)
-    cands = lsh_candidate_pairs(lsh_bands(sigs, id_col), id_col)
-    return jaccard_verify_arrays(cands, doc_sh, id_col, threshold)
+    # checkpoint (not lazy persist): the pair relation is consumed by the
+    # verify join AND the semi-join id set; a lazy persist lets the
+    # broadcast-build job and the main scan race the cold cache and
+    # re-execute the whole LSH pipeline (measured 2.6 s vs 1.8 s at sf0.1)
+    cands = persist_tracked(
+        lsh_candidate_pairs(lsh_bands(sigs, id_col), id_col), checkpoint=True
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias(id_col))
+        .union(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sh = shingle_arrays(
+        src.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    )
+    return jaccard_verify_arrays(cands, cand_sh, id_col, threshold)
 
 
 # SimHash uses 60 bits: 15 hex chars of md5 fit a signed 64-bit int in every
@@ -638,25 +676,35 @@ def prefix_jaccard_candidates(
     # silently drops qualifying pairs. Express t as the exact fraction of
     # its decimal literal and ceil in integer arithmetic:
     # ceil(num·sz / den) = (num·sz + den - 1) div den.
+    from ..caching import persist_tracked
+
     frac = Fraction(str(threshold))
     num, den = frac.numerator, frac.denominator
 
-    sh = doc_sh.select(F.col(id_col), F.explode("sh_arr").alias("shingle"))
+    # _sz rides along from the array form (round 11) — it used to be a
+    # second window pass (count over the id partition) recomputing what
+    # size(sh_arr) already holds.
+    sh = doc_sh.select(
+        F.col(id_col),
+        F.size("sh_arr").cast("long").alias("_sz"),
+        F.explode("sh_arr").alias("shingle"),
+    )
     df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = (
-        sh.join(df_rel, "shingle")
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("_df", "shingle")
-            ),
-        )
-        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    ranked = sh.join(df_rel, "shingle").withColumn(
+        "_r",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "shingle")),
     )
     ceil_t_sz = F.expr(f"({num}L * _sz + {den - 1}L) div {den}L")
-    prefix = ranked.filter(
-        F.col("_r") <= F.col("_sz") - ceil_t_sz + 1
-    ).select(F.col(id_col), "shingle", "_r", "_sz")
+    # persist (round 11): the self-join consumes the prefix relation on
+    # BOTH sides; without a cache the planner re-executes the whole
+    # shingle→df-join→rank subtree per side (the broadcast build side
+    # cannot reuse the probe side's Exchange) — the single most expensive
+    # stage of q182 ran twice.
+    prefix = persist_tracked(
+        ranked.filter(F.col("_r") <= F.col("_sz") - ceil_t_sz + 1).select(
+            F.col(id_col), "shingle", "_r", "_sz"
+        )
+    )
     # PPJoin candidate pruning (Xiao et al. WWW'08 §3), round-10 audit:
     # both predicates are provably no-miss and run INSIDE the shingle-
     # keyed join, before the distinct shuffle and the verify joins.

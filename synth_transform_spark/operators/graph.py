@@ -374,7 +374,11 @@ def bfs_distances(
         )
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint(eager=True)
+        # visited = lazy union of eagerly-checkpointed frontiers: each
+        # component is already materialised, so re-checkpointing the
+        # union per hop (round 11: one extra full materialisation job
+        # per hop) bought nothing — the union's lineage is flat.
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
 

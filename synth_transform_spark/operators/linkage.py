@@ -134,28 +134,65 @@ def score_customer_pairs(
     not an outright non-match (score ≥ 0) — emitting the full non-match
     set would be O(block²) noise nobody consumes.
     """
-    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"]
-    keyed = customer.select(
-        *cols,
-        F.explode(F.expr(deletion_keys_sql("c_name", k=name_max_lev))).alias(
-            "bk"
+    # Round 11: the block self-join used to carry every compared field on
+    # both sides, so each multiply-shared blocking key duplicated the full
+    # payload and the pair dropDuplicates shuffled ~4× the bytes it needed.
+    # Candidates are now generated NARROW — (custkey, bk, nation, segment)
+    # only — deduped as bare id pairs, and the compared fields re-attach
+    # via two equi-joins on the unique customer key (guide §2.3: shuffle
+    # keys and metadata, attach payloads once).
+    from ..caching import persist_tracked
+
+    # checkpointed: both self-join sides consume it — without the barrier
+    # the deletion-key expansion (the most expensive per-row expression
+    # here) runs twice (measured ~1 s/side at sf0.1)
+    keyed = persist_tracked(
+        customer.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            F.explode(
+                F.expr(deletion_keys_sql("c_name", k=name_max_lev))
+            ).alias("bk"),
         ),
+        checkpoint=True,
     )
     a = keyed.select(
-        [F.col(c).alias(f"a_{c}") for c in cols] + [F.col("bk").alias("a_bk")]
+        F.col("c_custkey").alias("a_c_custkey"),
+        F.col("c_nationkey").alias("a_c_nationkey"),
+        F.col("c_mktsegment").alias("a_c_mktsegment"),
+        F.col("bk").alias("a_bk"),
     )
     b = keyed.select(
-        [F.col(c).alias(f"b_{c}") for c in cols] + [F.col("bk").alias("b_bk")]
+        F.col("c_custkey").alias("b_c_custkey"),
+        F.col("c_nationkey").alias("b_c_nationkey"),
+        F.col("c_mktsegment").alias("b_c_mktsegment"),
+        F.col("bk").alias("b_bk"),
     )
-    pairs = a.join(
-        b,
-        on=[
-            F.col("a_bk") == F.col("b_bk"),
-            F.col("a_c_nationkey") == F.col("b_c_nationkey"),
-            F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
-            F.col("a_c_custkey") < F.col("b_c_custkey"),
-        ],
-    ).dropDuplicates(["a_c_custkey", "b_c_custkey"])
+    id_pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a_bk") == F.col("b_bk"),
+                F.col("a_c_nationkey") == F.col("b_c_nationkey"),
+                F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+                F.col("a_c_custkey") < F.col("b_c_custkey"),
+            ],
+        )
+        .select("a_c_custkey", "b_c_custkey")
+        .dropDuplicates(["a_c_custkey", "b_c_custkey"])
+    )
+    attrs_a = customer.select(
+        F.col("c_custkey").alias("a_c_custkey"),
+        F.col("c_name").alias("a_c_name"),
+        F.col("c_acctbal").alias("a_c_acctbal"),
+    )
+    attrs_b = customer.select(
+        F.col("c_custkey").alias("b_c_custkey"),
+        F.col("c_name").alias("b_c_name"),
+        F.col("c_acctbal").alias("b_c_acctbal"),
+    )
+    pairs = id_pairs.join(attrs_a, "a_c_custkey").join(attrs_b, "b_c_custkey")
     name_agree = F.levenshtein("a_c_name", "b_c_name") <= name_max_lev
     bal_agree = F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal")) < bal_max_diff
     score = F.round(
