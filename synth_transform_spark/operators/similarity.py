@@ -655,8 +655,15 @@ def pq_encode(
     to literals at plan time so the distance terms compile against
     constants instead of nested element_at chains.
     """
+    from ..sources.readers import ensure_parallelism
+
     sub = dim // m
     vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # The interpreted per-row argmin below is the operator's whole cost, and
+    # a small parquet corpus scans as ONE task — encode then runs on one
+    # core (measured 3.08 s vs 0.49 s at sf0.1, 2k vectors on local[32]).
+    # ensure_parallelism is a no-op at real data scale (scan already split).
+    vectors = ensure_parallelism(vectors)
 
     def code_for(mi):
         scored = F.transform(
