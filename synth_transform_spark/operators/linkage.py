@@ -142,12 +142,21 @@ def score_customer_pairs(
     # via two equi-joins on the unique customer key (guide §2.3: shuffle
     # keys and metadata, attach payloads once).
     from ..caching import persist_tracked
+    from ..sources.readers import ensure_parallelism
 
-    # checkpointed: both self-join sides consume it — without the barrier
-    # the deletion-key expansion (the most expensive per-row expression
-    # here) runs twice (measured ~1 s/side at sf0.1)
+    # persisted: both self-join sides consume it — without the barrier the
+    # deletion-key expansion (the per-row hot spot here) runs once per
+    # side, i.e. the corpus is scanned and expanded twice. A small parquet
+    # scan is also ONE task, so the expansion ran on one core until the
+    # ensure_parallelism below (1.52 s single-task at sf0.1; no-op at real
+    # data scale where the scan is already split). Round 11 used an eager
+    # localCheckpoint; with the expansion parallel the serialize-now job
+    # costs more than it saves (A/B best-of-4 at sf0.1: checkpoint 2.35 s,
+    # lazy persist 2.13 s, none 2.21 s) and its GC-sensitive barrier was
+    # the documented suite-position straggler — lazy persist keeps the
+    # one-evaluation semantics without the extra job.
     keyed = persist_tracked(
-        customer.select(
+        ensure_parallelism(customer).select(
             "c_custkey",
             "c_nationkey",
             "c_mktsegment",
@@ -155,7 +164,6 @@ def score_customer_pairs(
                 F.expr(deletion_keys_sql("c_name", k=name_max_lev))
             ).alias("bk"),
         ),
-        checkpoint=True,
     )
     a = keyed.select(
         F.col("c_custkey").alias("a_c_custkey"),

@@ -30,7 +30,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..sources.readers import load_table
+from ..sources.readers import ensure_parallelism, load_table
 from .registry import register
 
 SEG_TOKENS = 10
@@ -855,42 +855,51 @@ FROM per_doc GROUP BY source ORDER BY source
 )
 def q399_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source 3-gram novelty rollup: (source, n_docs, mean_novelty,
-    low_novelty_share)."""
+    low_novelty_share).
+
+    Round 11 shape: the old plan joined the exploded gram relation back to
+    the gram document-frequency table — re-executing gram generation for
+    the second consumer AND shuffling every (doc, gram) string twice (once
+    into the df groupBy, once into the join). A df=1 gram belongs to
+    exactly ONE doc (its min(doc_id) IS that doc), so per-doc unique-gram
+    counts come straight off the df aggregate: filter df=1, count by
+    owner. The per-doc distinct-gram total is ``size(array_distinct(...))``
+    — a narrow expression, no explode needed. One gram-keyed shuffle total;
+    the join back to docs is doc-keyed and novelty-table sized.
+    """
     docs = (
-        load_table(spark, sf_dir, "documents")
+        ensure_parallelism(
+            load_table(spark, sf_dir, "documents").select(
+                "doc_id", "source", "text"
+            )
+        )
         .select("doc_id", "source", _toks().alias("w"))
         .filter(F.size("w") >= _NOVELTY_N)
     )
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode_outer(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("w") - _NOVELTY_N),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("w"), i + 1, _NOVELTY_N)
-                    ),
-                )
-            )
-        ).alias("gram"),
+    ga = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - _NOVELTY_N),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, _NOVELTY_N)),
+        )
     )
-    df = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = (
-        grams.join(df, "gram")
-        .groupBy("doc_id", "source")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+    base = docs.select("doc_id", "source", F.size(ga).alias("n_grams"))
+    uniq = (
+        docs.select("doc_id", F.explode(ga).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    per_doc = base.join(uniq, "doc_id", "left").select(
+        "source",
+        F.round(
+            1000000.0
+            * F.coalesce(F.col("n_unique"), F.lit(0).cast("long"))
+            / F.col("n_grams")
         )
-        .select(
-            "source",
-            F.round(
-                1000000.0 * F.col("n_unique") / F.col("n_grams")
-            )
-            .cast("long")
-            .alias("nov_micro"),
-        )
+        .cast("long")
+        .alias("nov_micro"),
     )
     return (
         per_doc.groupBy("source")

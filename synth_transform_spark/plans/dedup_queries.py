@@ -706,8 +706,19 @@ def q194_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import graph
 
+    from ..caching import persist_tracked
+
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b")
+    # checkpointed: TWO consumers — bfs_distances' edge symmetrisation and
+    # the min-node source aggregate below — would otherwise each execute
+    # the full MinHash verify stage (the candidate relation inside
+    # minhash_near_duplicates is checkpointed, but the re-shingle +
+    # verify joins after it are not; measured ~0.7 s of repeat work at
+    # sf0.1).
+    pairs = persist_tracked(
+        dedup.minhash_near_duplicates(docs, threshold=0.8).select("id_a", "id_b"),
+        checkpoint=True,
+    )
     nodes = pairs.select(F.col("id_a").alias("node")).union(
         pairs.select(F.col("id_b").alias("node"))
     )
