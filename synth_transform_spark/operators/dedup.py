@@ -228,21 +228,43 @@ def minhash_signatures_linear(
 def lsh_bands(
     sigs: DataFrame, id_col: str = "doc_id", n_perms: int = N_PERMS, band_size: int = BAND_SIZE
 ) -> DataFrame:
-    """Band keys: (id_col, band_id, band_key=md5(h_a|h_b|h_c)).
+    """Band keys: (id_col, band_id, band_key).
 
-    All bands emit in ONE pass (array of structs → explode), not one
-    union branch per band — the input is read once.
+    band_key is the first 60 bits of md5(h_a|h_b|h_c) as a BIGINT (the
+    ``shingle_hash`` idiom: 15 hex chars < 2^63 — overflow-free in both
+    engines). Round 11: it was the full 32-char md5 hex STRING; every
+    downstream wide stage (the bucket window count + groupBy, the q207
+    index probe join) shuffles and compares this column, so an 8-byte
+    long cuts those shuffle bytes ~4× and the comparisons to integer ops
+    (guide §2.3 "narrower types"). The DuckDB oracle CTE mirrors the same
+    truncation, so band-collision behaviour stays bit-identical across
+    engines. All bands emit in ONE pass (array of structs → explode), not
+    one union branch per band — the input is read once.
     """
     n_bands = n_perms // band_size
     entries = F.array(
         *[
             F.struct(
                 F.lit(b).cast("int").alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-                    )
-                ).alias("band_key"),
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * band_size + j}")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("band_key"),
             )
             for b in range(n_bands)
         ]
@@ -635,20 +657,23 @@ def prefix_jaccard_join(
     no probabilistic candidate misses — the result EQUALS the all-pairs
     Jaccard ≥ t answer, yet the join never touches the O(n²) pair space.
 
-    Order shingles globally by (document frequency ASC, shingle ASC) —
-    rarest first — and keep only each doc's first
-    ``p = |s| - ceil(t·|s|) + 1`` shingles as its *prefix*. Pigeonhole
-    guarantee: if J(A,B) ≥ t then ov(A,B) ≥ t·max(|A|,|B|), so the
-    lowest-ordered common shingle must sit inside BOTH prefixes — joining
-    prefix-to-prefix loses nothing. Rare-first ordering makes prefix
+    Order shingles globally by (document frequency ASC, xxhash64 ASC,
+    shingle ASC) — rarest first, hash-keyed — and keep only each doc's
+    first ``p = |s| - ceil(t·|s|) + 1`` shingles as its *prefix*.
+    Pigeonhole guarantee: if J(A,B) ≥ t then ov(A,B) ≥ t·max(|A|,|B|), so
+    the lowest-ordered common shingle must sit inside BOTH prefixes —
+    joining prefix-to-prefix loses nothing (the guarantee holds for ANY
+    total order; see ``prefix_jaccard_candidates`` for why the hashed
+    order stays total and no-miss). Rare-first ordering makes prefix
     postings short (frequent shingles never land in a prefix unless a doc
     is tiny), which is what bounds the candidate blow-up at corpus scale.
 
-    Shuffles: df count (keyed by shingle), per-doc rank (window bounded by
-    doc length), prefix self-join (keyed by shingle), then the candidate-
-    driven `jaccard_verify_arrays` — no stage touches all pairs. Skewed
-    postings (a rare shingle shared by a dup cluster) are exactly the
-    pairs we want; truly hot shingles are excluded by construction.
+    Shuffles: df count (keyed by the 8-byte shingle hash), per-doc rank
+    (window bounded by doc length), prefix self-join (hash-keyed, strings
+    never shuffled), then the candidate-driven `jaccard_verify_arrays` —
+    no stage touches all pairs. Skewed postings (a rare shingle shared by
+    a dup cluster) are exactly the pairs we want; truly hot shingles are
+    excluded by construction.
     """
     from ..caching import persist_tracked
     from ..sources.readers import ensure_parallelism
@@ -684,15 +709,33 @@ def prefix_jaccard_candidates(
     # _sz rides along from the array form (round 11) — it used to be a
     # second window pass (count over the id partition) recomputing what
     # size(sh_arr) already holds.
+    #
+    # Round 11 (second pass): every wide stage of the candidate pipeline
+    # is keyed on ``_h = xxhash64(shingle)`` — an 8-byte long — instead of
+    # the ~40-byte shingle STRING (guide §2.3 "narrower types" / "shuffle
+    # keys, not payloads"): the df groupBy, the df join back, and the
+    # prefix self-join all shuffle and compare longs, and the string is
+    # dropped from the prefix relation entirely. No-miss is preserved:
+    #   - the global order (_df, _h, shingle) is still a TOTAL order on
+    #     shingles (the string tiebreak restores totality under hash
+    #     collisions), and the prefix guarantee holds for ANY total order
+    #     — rarest-first is only the performance heuristic;
+    #   - df counts merge colliding shingles, which only perturbs that
+    #     heuristic, never the prefix length p = |s| - ceil(t·|s|) + 1;
+    #   - joining on _h equality is a SUPERSET of string equality, so
+    #     collisions can only ADD candidates, and the exact verify keeps
+    #     the output equal to the all-pairs J ≥ t answer either way.
     sh = doc_sh.select(
         F.col(id_col),
         F.size("sh_arr").cast("long").alias("_sz"),
         F.explode("sh_arr").alias("shingle"),
-    )
-    df_rel = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = sh.join(df_rel, "shingle").withColumn(
+    ).withColumn("_h", F.xxhash64("shingle"))
+    df_rel = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(df_rel, "_h").withColumn(
         "_r",
-        F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "shingle")),
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("_df", "_h", "shingle")
+        ),
     )
     ceil_t_sz = F.expr(f"({num}L * _sz + {den - 1}L) div {den}L")
     # persist (round 11): the self-join consumes the prefix relation on
@@ -702,7 +745,7 @@ def prefix_jaccard_candidates(
     # stage of q182 ran twice.
     prefix = persist_tracked(
         ranked.filter(F.col("_r") <= F.col("_sz") - ceil_t_sz + 1).select(
-            F.col(id_col), "shingle", "_r", "_sz"
+            F.col(id_col), "_h", "_r", "_sz"
         )
     )
     # PPJoin candidate pruning (Xiao et al. WWW'08 §3), round-10 audit:
@@ -729,7 +772,7 @@ def prefix_jaccard_candidates(
         .join(
             prefix.alias("b"),
             on=[
-                F.col(f"a.shingle") == F.col(f"b.shingle"),
+                F.col("a._h") == F.col("b._h"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
                 F.lit(den) * F.least(sa, sb) >= F.lit(num) * F.greatest(sa, sb),
                 ubound >= alpha_int,

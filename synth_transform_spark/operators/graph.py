@@ -74,6 +74,9 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # LAZY checkpoint: the convergence count below is the first
+        # consumer and scans every partition, so it doubles as the
+        # materialising job — eager + count ran two jobs per round.
         upd = (
             labels.join(nbr, labels["node"] == nbr["s"], "left")
             .select(
@@ -83,7 +86,7 @@ def connected_components(
                     "component", F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = upd.filter(F.col("component") < F.col("old_component")).count()
         labels = upd.select("node", "component")
@@ -364,15 +367,21 @@ def bfs_distances(
     ).localCheckpoint(eager=True)
     frontier = visited
     for hop in range(1, max_hops + 1):
+        # LAZY checkpoint + count (round 11): the count is the materialising
+        # job AND the emptiness test — an eager checkpoint followed by
+        # isEmpty() ran two jobs per hop for the same information. Safe
+        # here because the count is the FIRST consumer (later consumers
+        # read the cached blocks; the two-refs-in-one-job cache race that
+        # forces eager checkpoints elsewhere cannot happen).
         nxt = (
             sym.join(frontier, sym["s"] == frontier["node"])
             .select(F.col("d").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
         # visited = lazy union of eagerly-checkpointed frontiers: each
         # component is already materialised, so re-checkpointing the

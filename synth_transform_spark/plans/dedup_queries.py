@@ -50,7 +50,9 @@ def _minhash_ctes() -> str:
             f"CAST(h{b * band_size + j} AS VARCHAR)" for j in range(band_size)
         )
         band_selects.append(
-            f"SELECT doc_id, {b} AS band_id, MD5({cols}) AS band_key FROM sigs"
+            f"SELECT doc_id, {b} AS band_id, "
+            f"CAST(('0x' || SUBSTR(MD5({cols}), 1, 15))::UBIGINT AS BIGINT) "
+            f"AS band_key FROM sigs"
         )
     bands_sql = " UNION ALL ".join(band_selects)
     return f"""
