@@ -34,9 +34,10 @@ EVERY round — measured 3.9→1.1 s at sf0.1, identical merge table):
    "aaaa" the fold takes exactly every other candidate — the same
    odd-ranked-in-run selection the previous window algebra encoded;
 4. rebuild: the fold above IS the rebuild — a narrow map, zero shuffle.
-   State is localCheckpoint-ed per round (lineage truncation, one row
-   per vocab word; multi-executor clusters prefer reliable checkpoint —
-   see caching.py).
+   State is LAZILY localCheckpoint-ed per round (lineage truncation, one
+   row per vocab word): the next round's argmax collect is the
+   materialising scan, so each round runs ONE job instead of two;
+   multi-executor clusters prefer reliable checkpoint — see caching.py.
 
 Everything is deterministic — counts are exact integers, ties break
 lexicographically — so the DuckDB oracle unrolls the same algebra as
@@ -76,13 +77,23 @@ def _initial_state(wc: DataFrame) -> DataFrame:
 
 
 def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
-    """Learn ``k`` BPE merges over the corpus. Executes 1 + k rounds of
-    Spark jobs (iterative — not a lazy plan). Per-round cost: one
-    one-row argmax collect over the pair-count groupBy (the only shuffle)
-    + one eager checkpoint of the narrow fold rebuild (the
+    """Learn ``k`` BPE merges over the corpus. Executes one job per round
+    (iterative — not a lazy plan): the one-row argmax collect over the
+    pair-count groupBy (the only shuffle), which also materialises the
+    previous round's lazily-checkpointed fold rebuild (the
     distributed-argmax variant was measured SLOWER — see the module
     docstring)."""
-    state = _initial_state(word_counts(docs, text_col)).localCheckpoint(eager=True)
+    # LAZY checkpoints throughout the loop (round 11, second pass): each
+    # round's state has exactly TWO sequential consumers — the next
+    # round's pair-count argmax collect (which scans every partition:
+    # TakeOrdered needs the global order, so it fully materialises the
+    # checkpoint) and then the fold select reading the cached blocks. An
+    # eager checkpoint ran a separate serialise-now job per round — 1 + k
+    # extra job launches for data the very next action scanned anyway.
+    # Bonus: q186 consumes only the collected merges, so the FINAL fold
+    # state never materialises at all on that path (q187's segmentation
+    # still materialises it as its single consumer).
+    state = _initial_state(word_counts(docs, text_col)).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
         # adjacency in-row: element i paired with element i+1
@@ -129,7 +140,7 @@ def train(docs: DataFrame, k: int, text_col: str = "text") -> BpeResult:
             ).otherwise(F.concat(acc, F.array(s))),
         )
         state = state.select("word", "n", fold.alias("syms")).localCheckpoint(
-            eager=True
+            eager=False
         )
     return BpeResult(merges=merges, state=state)
 

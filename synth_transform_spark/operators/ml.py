@@ -655,7 +655,10 @@ def kmeans_assignments(
             .select(
                 F.col(id_col),
                 F.col("_v"),
-                F.element_at(F.array_sort(scored), 1)["cid"].alias("cluster"),
+                # array_min == element_at(array_sort, 1) for non-null
+                # structs (same interpreted ordering) without the O(k log k)
+                # sorted-copy per row — the per-row argmin hot path.
+                F.array_min(scored)["cid"].alias("cluster"),
             )
         )
 

@@ -673,7 +673,11 @@ def pq_encode(
                 c["j"].alias("j"),
             ),
         )
-        return F.element_at(F.array_sort(scored), 1)["j"]
+        # array_min, not element_at(array_sort, 1): same struct ordering
+        # (d asc, ties to smallest j) via the same interpreted ordering,
+        # but an O(n) scan with no sorted-copy allocation — this argmin
+        # runs 256 × m times PER ROW, so the allocation is the hot path.
+        return F.array_min(scored)["j"]
 
     codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
     return (
