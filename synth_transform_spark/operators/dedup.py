@@ -39,6 +39,26 @@ Threshold accepts are exact-rational integer comparisons (round 11):
 against the ROUNDED jaccard — the rounded value is output-only, so the
 no-miss length/positional prefilters and the accept filter agree on
 exactly which boundary pairs qualify, in both engines.
+
+CANDIDATE-DERIVATION SPEC — FROZEN as of round 12. LSH is lossy, so the
+candidate set IS semantics: every term below is mirrored bit-for-bit by
+the DuckDB oracle CTEs (plans/dedup_queries._minhash_ctes) and pinned by
+tests/test_lsh_spec.py; changing any of them is a declared-output change,
+not an optimization. The frozen terms:
+
+- ``shingle_hash``: first 8 hex chars of md5(shingle) as BIGINT
+  (oracle: ``('0x' || SUBSTR(MD5(s), 1, 8))::UBIGINT``).
+- MinHash: ``h_i = min((a_i * hb + b_i) % MINHASH_PRIME)`` over the doc's
+  shingle hashes, constants from ``_perm_constants`` (shared LCG), 12
+  permutations in 4 bands of 3.
+- ``band_key``: first 15 hex chars (60 bits) of
+  md5(concat_ws('|', h_a, h_b, h_c)) as BIGINT — decimal h values, '|'
+  separator, no trailing separator.
+- Bucket guard: a spillable window COUNT over (band_id, band_key)
+  BEFORE any collect; buckets with more than ``max_bucket`` (default
+  1000) members emit no candidates.
+- Accepts: exact-rational ``den·|A∩B| ≥ num·|A∪B|``; the 4dp-rounded
+  jaccard is output-only.
 """
 
 from __future__ import annotations

@@ -30,11 +30,17 @@ rows, 2 narrow columns; the join shuffles E on dst. Skew = high-degree
 nodes; boilerplate-heavy corpora produce large near-clique clusters whose
 groupBy(min) handles fan-in via partial aggregation (map-side combine), so
 a million-doc duplicate cluster costs one hot reducer key for a LONG, not
-a row explosion. Every round's result is eagerly localCheckpoint-ed: it
-truncates the otherwise round-deep lineage AND pins the relation its two
-consumers (convergence count, next round) share. On a multi-executor
-cluster prefer reliable ``checkpoint`` — localCheckpoint blocks die with
-an executor (see caching.py).
+a row explosion. Every round's result is LAZILY localCheckpoint-ed with
+the round's convergence count as the materialising job: the count is the
+FIRST consumer and scans every partition, so it truncates the round-deep
+lineage in the same job that tests convergence (an eager checkpoint ran a
+second, redundant materialisation job per round). The safety invariant —
+documented at each site — is that the materialising count runs BEFORE any
+other consumer and no single job references the relation twice, so the
+two-refs-in-one-job cache race that forces eager checkpoints elsewhere
+(q27's candidate relation, q149's closure) cannot happen here. On a
+multi-executor cluster prefer reliable ``checkpoint`` — localCheckpoint
+blocks die with an executor (see caching.py).
 """
 
 from __future__ import annotations
@@ -357,6 +363,25 @@ def bfs_distances(
 
     ``sources`` is a one-column (``node``) relation. Iterative — executes
     jobs while building, like connected_components.
+
+    TWO hops are composed into each round's plan (round 12): at sf-scale
+    the per-hop wall is almost pure driver round-trip + job-launch latency
+    (round-11 measurement: ~0.2-0.3 s/hop on a 256-edge graph), so halving
+    the rounds halves that constant. Equivalence to the one-hop-per-round
+    form: level-synchronous BFS maintains the invariant that ``frontier``
+    is EXACTLY the set of nodes at distance h-1 and ``visited`` exactly
+    the set at distance < h when round h starts. Then
+
+        n1 = N(frontier) \\ visited            is exactly the dist-h set,
+        n2 = N(n1) \\ (visited ∪ n1)           is exactly the dist-(h+1) set
+
+    because visited ∪ n1 is precisely every node with dist <= h — the same
+    two sets two sequential one-hop rounds produce, so the invariant holds
+    entering round h+2. The count/max aggregate is the materialising job
+    for the round's LAZY checkpoint (first consumer, full scan — the same
+    one-job-per-round invariant as connected_components) and doubles as
+    the emptiness test; max(dist) distinguishes "closed at h" (n2 empty ⇒
+    no dist h+1 nodes exist ⇒ BFS complete) from "continue at h+2".
     """
     a = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
     b = edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
@@ -365,30 +390,49 @@ def bfs_distances(
     visited = sources.select("node").distinct().withColumn(
         "dist", F.lit(0).cast("long")
     ).localCheckpoint(eager=True)
-    frontier = visited
-    for hop in range(1, max_hops + 1):
-        # LAZY checkpoint + count (round 11): the count is the materialising
-        # job AND the emptiness test — an eager checkpoint followed by
-        # isEmpty() ran two jobs per hop for the same information. Safe
-        # here because the count is the FIRST consumer (later consumers
-        # read the cached blocks; the two-refs-in-one-job cache race that
-        # forces eager checkpoints elsewhere cannot happen).
-        nxt = (
-            sym.join(frontier, sym["s"] == frontier["node"])
+    frontier = visited.select("node")
+
+    def expand(nodes: DataFrame, banned: list[DataFrame], hop: int) -> DataFrame:
+        out = (
+            sym.join(nodes, sym["s"] == nodes["node"])
             .select(F.col("d").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("dist", F.lit(hop).cast("long"))
-            .localCheckpoint(eager=False)
         )
-        if nxt.count() == 0:
+        for rel in banned:
+            out = out.join(rel, "node", "left_anti")
+        return out.withColumn("dist", F.lit(hop).cast("long"))
+
+    hop = 1
+    while hop <= max_hops:
+        n1 = expand(frontier, [visited.select("node")], hop)
+        if hop + 1 <= max_hops:
+            # Second expansion composed into the SAME plan (no checkpoint
+            # of n1): its subtree is evaluated again inside this round's
+            # one job — a deliberate recompute-over-jobs trade; frontier
+            # expansion is O(frontier boundary × degree), the cheapest
+            # stage of the round, while a job launch is the measured
+            # constant. The duplicated broadcast of n1's node set is a
+            # ReusedExchange (identical canonical subplan).
+            n2 = expand(n1.select("node"), [visited.select("node"), n1.select("node")], hop + 1)
+            new = n1.union(n2)
+        else:
+            new = n1
+        new = new.localCheckpoint(eager=False)
+        row = new.agg(F.count(F.lit(1)).alias("c"), F.max("dist").alias("m")).collect()[0]
+        if row["c"] == 0:
             break
-        # visited = lazy union of eagerly-checkpointed frontiers: each
-        # component is already materialised, so re-checkpointing the
-        # union per hop (round 11: one extra full materialisation job
-        # per hop) bought nothing — the union's lineage is flat.
-        visited = visited.union(nxt)
-        frontier = nxt
+        # visited = lazy union of checkpointed per-round relations: each
+        # component is already materialised (by its round's count/max
+        # aggregate), so re-checkpointing the union per round would buy
+        # nothing — the union's lineage is flat.
+        visited = visited.union(new)
+        if row["m"] < hop + 1:
+            # The round's last computed level is empty or capped: either
+            # n2 was computed and came back empty (no dist h+1 nodes ⇒
+            # BFS complete) or hop == max_hops (bound reached).
+            break
+        frontier = new.filter(F.col("dist") == hop + 1).select("node")
+        hop += 2
     return visited
 
 

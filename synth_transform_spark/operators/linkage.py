@@ -99,6 +99,16 @@ def deletion_keys_sql(name_expr: str, k: int = 2, sorted_multiset: bool = False)
     Degenerate names (no digits) collapse to the empty-string key: one
     full block — degraded to the pre-round-9 bound but never lossy.
     All JVM-side (regexp/split/transform/substring); no Python.
+
+    Round 12 (the ``_gram_expr`` binding, SQL edition): the base string is
+    bound ONCE through a single-element ``transform`` lambda. ``del1``
+    references its input ~2L+4 times (length, array, and two substrings
+    per deletion position), and higher-order lambdas evaluate interpreted
+    with no common-subexpression elimination — inlining the
+    ``regexp_replace`` text at each site re-ran the regexp ~20× per row
+    (the q180 suite's per-row hot spot). A lambda-variable reference is a
+    plain slot read. The emitted key arrays are byte-identical (same
+    expressions over the same bound value, same array_union order).
     """
     base = f"regexp_replace({name_expr}, '[^0-9]', '')"
     if sorted_multiset:
@@ -113,7 +123,7 @@ def deletion_keys_sql(name_expr: str, k: int = 2, sorted_multiset: bool = False)
             f"concat(substring({e}, 1, i - 1), substring({e}, i + 1, 64)))) END"
         )
 
-    keys = del1(base)
+    keys = f"element_at(transform(array({base}), b0 -> {del1('b0')}), 1)"
     for _ in range(k - 1):
         keys = f"array_distinct(flatten(transform({keys}, x -> {del1('x')})))"
     return keys

@@ -207,3 +207,32 @@ def test_lpa_round_zero_is_identity_labels(spark):
     edges = [(7, 9, 2)]
     lab = _lpa(spark, edges, rounds=0)
     assert lab == {7: 7, 9: 9}
+
+
+def test_bfs_two_hop_round_internals(spark):
+    """Round-12 two-hops-per-round internals: odd caps take a one-hop tail
+    round; a neighbourless source stops at the first empty level; cycles
+    reach both directions without revisits (min dist wins)."""
+    from synth_transform_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    # odd cap: round 1 covers hops 1-2, the tail round computes only n1
+    got3 = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=3).collect()}
+    assert got3 == {1: 0, 2: 1, 3: 2, 4: 3}
+    # cap 1: the very first round is already the one-hop tail round
+    got1 = {r.node: r.dist for r in bfs_distances(edges, src, max_hops=1).collect()}
+    assert got1 == {1: 0, 2: 1}
+    # isolated source: n1 empty in round 1 -> only the source at dist 0
+    iso = spark.createDataFrame([(7,)], "node long")
+    goti = {r.node: r.dist for r in bfs_distances(edges, iso, max_hops=4).collect()}
+    assert goti == {7: 0}
+    # cycle: dist via both directions; n2 must exclude n1's nodes (the
+    # visited-union-n1 anti-join) or 3 would surface twice
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "id_a long, id_b long"
+    )
+    gotc = {r.node: r.dist for r in bfs_distances(cyc, src, max_hops=8).collect()}
+    assert gotc == {1: 0, 2: 1, 4: 1, 3: 2}

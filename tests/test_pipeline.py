@@ -253,6 +253,8 @@ class TestResourceInvariants:
 
 
 class TestDump:
+    # slow tier (round-12 verdict #1): ~2 min end-to-end dump replay
+    @pytest.mark.slow
     def test_dump_literal_rules_and_order(self, spark, tmp_path_factory, built):
         from synth_transform_spark.pipeline.rebuild import TABLE_ORDER
         from synth_transform_spark.sources.dump import dump_database

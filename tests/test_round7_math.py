@@ -44,6 +44,9 @@ def _hw_fold(xs):
     return out
 
 
+# slow tier (round-12 verdict #1): multi-minute independent-recompute
+# redundancy; run with -m "" (see pytest.ini)
+@pytest.mark.slow
 def test_hw_recursion_matches_python_fold(spark):
     from synth_transform_spark.plans.forecast_queries import (
         _HW_FINAL,

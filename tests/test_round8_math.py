@@ -1053,6 +1053,9 @@ def _lcs(a, b):
     return prev[-1]
 
 
+# slow tier (round-12 verdict #1): multi-minute independent-recompute
+# redundancy; run with -m "" (see pytest.ini)
+@pytest.mark.slow
 def test_rouge_l_matches_two_row_dp(spark):
     from collections import defaultdict
 

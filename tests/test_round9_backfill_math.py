@@ -404,6 +404,9 @@ def test_kendall_tau_matches_pair_loop(spark):
 # the 63-day tail — pure-python integer recursion, third implementation
 # next to the Spark iterative plan and the DuckDB recursive CTE.
 # ---------------------------------------------------------------------------
+# slow tier (round-12 verdict #1): multi-minute independent-recompute
+# redundancy; run with -m "" (see pytest.ini)
+@pytest.mark.slow
 def test_holt_winters_matches_python_recursion(spark):
     df = _run(spark, "q433_holt_winters").set_index("t")
     od = _orders()

@@ -26,6 +26,22 @@ Synthesis (10 copies, c = 0..9; c = 0 is the original rows verbatim):
   the 10x key universe yields an organically deeper forest (~1 extra
   level: log8(12M) vs log8(600k)) — exactly what the operator would see
   on genuinely larger data, which is the point of the probe.
+- customer (round 12, for q180): c_custkey + c*1_000_000; for c > 0 the
+  copy digit is inserted THREE times after the '#' of c_name, so each
+  copy's digit tails carry a leading "ccc" block. Within a copy, pairwise
+  levenshtein distances are exactly the original's (shared prefix:
+  lev(P+a, P+b) = lev(a, b)); across copies, no depth-2 deletion key can
+  collide for single-digit c — at most 2 of the 3 leading copy digits can
+  be deleted, so every key keeps a first character that differs between
+  copies (the c = 0 originals keep their leading '0'). Pair counts
+  therefore grow exactly linearly, and candidate growth measures the
+  ALGORITHM, same argument as documents.
+- lineitem (for q443): l_orderkey + c*1_200_000 — the same offset as
+  orders, so per-copy order/lineitem key alignment is preserved.
+- events (for q359): event_id + c*1_000_000, user_id + c*10_000 —
+  disjoint per-copy id spaces; timestamps and event types pass through,
+  so time-bucketed aggregates see 10x the rows per bucket (what a bigger
+  corpus does to a fixed horizon).
 - every other table: copied through unchanged (the probe queries don't
   read them, but load_table must find a complete directory).
 
@@ -53,8 +69,11 @@ DOC_OFF = 10_000_000
 ORD_OFF = 1_200_000  # > 2x the sf0.1 key max: copy key ranges stay disjoint
 
 PASSTHROUGH = [
-    "region", "nation", "customer", "supplier", "part", "lineitem", "events",
+    "region", "nation", "supplier", "part",
 ]
+CUST_OFF = 1_000_000
+EVT_OFF = 1_000_000
+USR_OFF = 10_000
 
 
 def build_10x(spark) -> None:
@@ -116,6 +135,52 @@ def build_10x(spark) -> None:
         .parquet(os.path.join(OUT, "orders.parquet"))
     )
 
+    cust = spark.read.parquet(os.path.join(SRC, "customer.parquet"))
+    tagged_name = F.concat(
+        F.substring_index(F.col("c_name"), "#", 1),
+        F.lit("#"),
+        F.repeat(c.cast("string"), 3),
+        F.substring_index(F.col("c_name"), "#", -1),
+    )
+    (
+        cust.select("*", copies)
+        .select(
+            (F.col("c_custkey") + c.cast("long") * F.lit(CUST_OFF)).alias("c_custkey"),
+            F.when(c == 0, F.col("c_name")).otherwise(tagged_name).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        )
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "customer.parquet"))
+    )
+
+    li = spark.read.parquet(os.path.join(SRC, "lineitem.parquet"))
+    li_others = [col for col in li.columns if col != "l_orderkey"]
+    (
+        li.select("*", copies)
+        .select(
+            (F.col("l_orderkey") + c.cast("long") * F.lit(ORD_OFF)).alias("l_orderkey"),
+            *li_others,
+        )
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "lineitem.parquet"))
+    )
+
+    ev = spark.read.parquet(os.path.join(SRC, "events.parquet"))
+    (
+        ev.select("*", copies)
+        .select(
+            (F.col("event_id") + c.cast("long") * F.lit(EVT_OFF)).alias("event_id"),
+            "ts",
+            (F.col("user_id") + c.cast("long") * F.lit(USR_OFF)).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .coalesce(8)
+        .write.mode("overwrite")
+        .parquet(os.path.join(OUT, "events.parquet"))
+    )
+
     for t in PASSTHROUGH:
         src, dst = os.path.join(SRC, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet")
         if not os.path.exists(dst):
@@ -136,11 +201,27 @@ def _candidate_counters(spark, sf_dir: str) -> dict[str, int]:
     bands = dedup.lsh_bands(
         dedup.minhash_signatures_linear(doc_sh)
     ).persist()
+    # q399's scaling quantities (round 12: the 0.76-exponent watch item):
+    # the exploded (doc, gram) relation is the df groupBy's shuffle input
+    # and the distinct-gram count is its output — both must stay linear
+    # (cross-copy token remapping makes gram spaces disjoint by design).
+    n_gram = 3
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    gdocs = docs.select("doc_id", toks.alias("w")).filter(F.size("w") >= n_gram)
+    ga = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - n_gram),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, n_gram)),
+        )
+    )
+    grams = gdocs.select("doc_id", F.explode(ga).alias("gram"))
     out = {
         "q27_lsh_candidates": dedup.lsh_candidate_pairs(bands).count(),
         "q182_prefix_candidates": dedup.prefix_jaccard_candidates(
             doc_sh, threshold=0.5
         ).count(),
+        "q399_gram_rows": grams.count(),
+        "q399_distinct_grams": grams.select("gram").distinct().count(),
     }
     bands.unpersist()
     doc_sh.unpersist()
